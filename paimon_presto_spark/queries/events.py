@@ -1,0 +1,224 @@
+"""Event-stream analytics over the ``events`` table (batch semantics).
+
+The reference connector has no streaming path (SURVEY §1.2) — these
+operators are the batch-queryable core of our Structured Streaming
+extension (``paimon_presto_spark/streaming``): tumbling windows,
+gap-based sessionization, as-of joins, and JSON property extraction.
+Each is SQL-expressible, so every entry has a DuckDB oracle.
+
+``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+rejects; the loader reads it as a BIGINT of epoch-nanoseconds
+(``spark.sql.legacy.parquet.nanosAsLong``) and all time arithmetic here is
+integer math on nanos — deterministic across engines by construction.
+The DuckDB oracles read the same column as TIMESTAMP_NS and convert with
+``epoch_ns``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from paimon_presto_spark.queries import register
+from paimon_presto_spark.queries.relational import dsum, davg, o_dsum, o_davg
+from paimon_presto_spark.sources.testdata import load_table
+
+NS_PER_S = 1_000_000_000
+WINDOW_S = 300
+SESSION_GAP_S = 1800
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+        SELECT (epoch_ns(ts) // {WINDOW_S * NS_PER_S}) * {WINDOW_S} AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {o_dsum('value', 'total_value')},
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    tags=("events", "window-agg", "streaming-batch"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window rollup (batch twin of the streaming agg).
+
+    ``window_start`` is epoch seconds via integer division — the exact
+    bucketing ``F.window`` performs, without engine-local timestamp reprs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.col("ts") / F.lit(WINDOW_S * NS_PER_S)).cast("long") * WINDOW_S
+    # Integer floor-div via expr to avoid any float rounding at bucket edges.
+    bucket = F.expr(f"(ts DIV {WINDOW_S * NS_PER_S}) * {WINDOW_S}")
+    return (
+        ev.groupBy(bucket.alias("window_start"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                   LAG(epoch_ns(ts)) OVER w AS prev_ns
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        ), flagged AS (
+            SELECT user_id, event_id, ts_ns,
+                   CASE WHEN prev_ns IS NULL
+                             OR ts_ns - prev_ns > {SESSION_GAP_S * NS_PER_S}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM seq
+        ), sessions AS (
+            SELECT user_id, ts_ns,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_ns, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               COUNT(*) AS n_events,
+               (MAX(ts_ns) - MIN(ts_ns)) // {NS_PER_S} AS duration_s
+        FROM sessions
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    tags=("events", "sessionization", "window"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity splits a session).
+
+    Classic lag → flag → prefix-sum construction; in Structured Streaming
+    the same semantics come from ``session_window``/
+    ``applyInPandasWithState`` (``streaming/sessionize.py``). All integer
+    nanosecond arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("ts_ns"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > SESSION_GAP_S * NS_PER_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts_ns", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("session_seq"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.max("ts_ns") - F.min("ts_ns")) / NS_PER_S).cast("long").alias("duration_s"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns,
+                   LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_view_ns
+            FROM events
+        )
+        SELECT event_id, user_id,
+               ts_ns // {NS_PER_S} AS purchase_s,
+               CASE WHEN last_view_ns IS NULL THEN NULL
+                    ELSE (ts_ns - last_view_ns) // {NS_PER_S} END AS view_to_buy_s
+        FROM seq
+        WHERE event_type = 'purchase'
+        ORDER BY event_id
+    """,
+    tags=("events", "asof-join", "window"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest prior (or same-instant)
+    'view' of the same user.
+
+    Spark lacks a native as-of join; the idiomatic scalable form is a single
+    partitioned window pass with ``last(..., ignorenulls)`` — no
+    range-condition join explosion (SURVEY §7 custom-operator case (a):
+    composition of existing ops).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").alias("ts_ns"),
+        F.last(view_ts, ignorenulls=True).over(w).alias("last_view_ns"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(f"ts_ns DIV {NS_PER_S}").alias("purchase_s"),
+            F.expr(f"(ts_ns - last_view_ns) DIV {NS_PER_S}").alias("view_to_buy_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("events", "json", "functions"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction — SURVEY §2.2 JSON ops family."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )

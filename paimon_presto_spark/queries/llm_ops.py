@@ -1,0 +1,630 @@
+"""LLM-training-data pipeline operators over ``documents`` / ``embeddings``.
+
+These go beyond reference parity (SURVEY §7 M4): deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search,
+text analysis, and document fingerprinting — each an oracle-checked
+``queries()`` entry. All hashing uses the portable md5-derived family from
+``functions/hashing.py`` so Spark and the DuckDB oracle compute identical
+signatures (integer arithmetic end-to-end).
+
+Scale design (the whole point at 100 TB):
+- Shingling/minhashing is a single explode → groupBy pass: shuffle keyed on
+  shingle hash, combiner-friendly MIN aggregation.
+- LSH banding turns all-pairs O(n²) into an equi-join on (band, key) —
+  Spark sort-merge/broadcast handles it; only candidate pairs are verified.
+- Brute-force embedding scans exist as correctness baselines; the
+  LSH-bucketed variant in ``operators/similarity.py`` is the scale path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from paimon_presto_spark.functions.hashing import (
+    BASE_MOD,
+    HASH_PRIME,
+    hash_params,
+    md5_long,
+)
+from paimon_presto_spark.functions.text import shingles
+from paimon_presto_spark.functions.vectors import cosine_similarity
+from paimon_presto_spark.queries import register
+from paimon_presto_spark.queries.relational import davg, dsum, o_davg, o_dsum
+from paimon_presto_spark.sources.testdata import load_table
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+COSINE_DEDUP_THRESHOLD = 0.45
+
+
+# --- shared SQL fragments for the DuckDB oracles ---------------------------
+
+
+def _o_shingle_sql(n: int) -> str:
+    """DuckDB CTEs producing (doc_id, s) distinct word n-gram shingles."""
+    gram = " || ' ' || ".join(f"tk[i + {j}]" for j in range(n))
+    return f"""
+        toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - {n - 2}, 1)),
+                                         i -> {gram})) AS s
+            FROM toks
+        )
+    """
+
+
+_O_HASH = "CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT)"
+
+
+def _o_minhash_aggs() -> str:
+    return ",\n".join(
+        f"MIN(({a} * (h % {BASE_MOD}) + {b}) % {HASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(hash_params(MINHASH_K))
+    )
+
+
+def _spark_shingle_set(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, s) distinct shingles; one explode, stays in codegen."""
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("s")
+    ).distinct()
+
+
+def _spark_minhash(sh: DataFrame) -> DataFrame:
+    """doc_id → MinHash signature columns mh0..mh{K-1}."""
+    hashed = sh.select("doc_id", md5_long(F.col("s")).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * (F.col("h") % BASE_MOD) + F.lit(b)) % HASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(hash_params(MINHASH_K))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _spark_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard over full shingle sets for candidate (doc_a, doc_b)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+_O_JACCARD_TAIL = """
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.inter / (sa.n + sb.n - i.inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= {thr}
+        ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT MD5(text) AS text_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY MD5(text)
+        ORDER BY keeper_doc_id
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy keeping the lowest doc_id per text.
+
+    One shuffle keyed on the 128-bit content hash; at 100 TB group keys are
+    hashes (not full texts) so shuffle payload stays small — select the
+    keeper ids, then semi-join to materialize kept documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=(
+        "WITH "
+        + _o_shingle_sql(3)
+        + f""",
+        hashed AS (SELECT doc_id, {_O_HASH} AS h FROM sh),
+        mh AS (
+            SELECT doc_id,
+                   {_o_minhash_aggs()}
+            FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+            """
+        + "\nUNION ALL\n".join(
+            f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
+            + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+            + ") AS bkey FROM mh"
+            for j in range(LSH_BANDS)
+        )
+        + """
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+        ),
+        """
+        + _O_JACCARD_TAIL.format(thr=JACCARD_THRESHOLD)
+    ),
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: shingle → MinHash(16) → LSH(4 bands × 4 rows) →
+    exact-Jaccard verification of candidates (threshold 0.5).
+
+    The LSH band join replaces the O(n²) all-pairs comparison with an
+    equi-join on (band, signature-chunk) — the standard web-scale dedup
+    pipeline (shingle/minhash per Broder; banding per MMDS ch.3).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingle_set(docs, 3).cache()
+    mh = _spark_minhash(sh)
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{j * LSH_ROWS + r}") for r in range(LSH_ROWS)])
+        for j in range(LSH_BANDS)
+    ]
+    bands = mh.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bkey"))
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    out = (
+        _spark_jaccard(cand, sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+def _o_simhash_bits() -> tuple[str, str]:
+    """(per-token bit sums, simhash reconstruction) SQL fragments."""
+    sums = ",\n".join(
+        f"SUM((((h >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(SIMHASH_BITS)
+    )
+    return sums, sim
+
+
+_O_SIMHASH_SUMS, _O_SIMHASH_VALUE = _o_simhash_bits()
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS s
+            FROM documents
+        ),
+        hashed AS (SELECT doc_id, {_O_HASH} AS h FROM toks),
+        sums AS (
+            SELECT doc_id, {_O_SIMHASH_SUMS}
+            FROM hashed GROUP BY doc_id
+        ),
+        sigs AS (SELECT doc_id, {_O_SIMHASH_VALUE} AS simhash FROM sums)
+        SELECT simhash, COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM sigs
+        GROUP BY simhash
+        HAVING COUNT(*) > 1
+        ORDER BY simhash
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit token-set signatures; colliding signatures
+    form duplicate clusters.
+
+    Signature construction is one explode + groupBy (bit-sum aggregation) —
+    a single shuffle keyed on doc_id, constant state per doc. Clustering on
+    the exact signature is itself a groupBy; the Hamming-≤-k pair expansion
+    (byte-chunk banding, pigeonhole recall guarantee) lives in
+    ``operators/dedup.py:simhash_pairs`` for the scale path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("s")).distinct()
+    hashed = toks.select("doc_id", md5_long(F.col("s")).alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum((F.shiftright(F.col("h"), j).bitwiseAND(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, 1).otherwise(0) * (1 << j)
+        sim_expr = term if sim_expr is None else sim_expr + term
+    sigs = sums.select("doc_id", sim_expr.cast("long").alias("simhash"))
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=(
+        "WITH "
+        + _o_shingle_sql(5)
+        + """,
+        df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        rare AS (SELECT doc_id, sh.s FROM sh JOIN df ON sh.s = df.s WHERE df.df <= 20),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        ),
+        """
+        + _O_JACCARD_TAIL.format(thr=0.3)
+    ),
+    tags=("dedup", "jaccard", "ngram"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram Jaccard near-dup via inverted-index candidate generation.
+
+    Candidates = pairs sharing a *rare* shingle (document frequency ≤ 20 —
+    the df cap is what keeps the inverted-index join from exploding on
+    common shingles at scale), then exact Jaccard ≥ 0.3 over full sets.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingle_set(docs, 5).cache()
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= 20), "s").select("doc_id", "s")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "s")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        _spark_jaccard(cand, sh)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              > {COSINE_DEDUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
+    tags=("dedup", "embedding", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine > 0.45 (brute-force baseline).
+
+    Correctness baseline for ``operators/similarity.py``'s LSH-bucketed
+    variant — at 100 TB you never run all-pairs; random-hyperplane bucketing
+    bounds each bucket's pair count.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") > COSINE_DEDUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_bruteforce_topk",
+    oracle="""
+        SELECT q_id, n_id, cos_sim, rnk
+        FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   ROUND(LIST_COSINE_SIMILARITY(q.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 6) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY LIST_COSINE_SIMILARITY(q.embedding::DOUBLE[],
+                                                       c.embedding::DOUBLE[]) DESC,
+                                c.vec_id
+                   ) AS rnk
+            FROM embeddings q
+            JOIN embeddings c ON c.vec_id >= 5
+            WHERE q.vec_id < 5
+        )
+        WHERE rnk <= 10
+        ORDER BY q_id, rnk
+    """,
+    tags=("similarity", "knn", "topk"),
+)
+def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: 5 query vectors vs the corpus.
+
+    The query side is broadcast (it is always small); the corpus is scanned
+    once, and per-query top-k is a WindowGroupLimit — no global sort. This
+    is the exact-answer baseline the ANN operators are judged against.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    )
+    cos = cosine_similarity(F.col("q_emb"), F.col("n_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("n_id"))
+    return (
+        c.crossJoin(q)
+        .withColumn("cos_raw", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "n_id", F.round("cos_raw", 6).alias("cos_sim"), "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+@register(
+    "array_subscript_embeddings",
+    oracle=f"""
+        SELECT label,
+               COUNT(*) AS n_vectors,
+               {o_davg('CAST(embedding[1] AS DOUBLE)', 'dim0_avg')},
+               {o_davg('CAST(embedding[64] AS DOUBLE)', 'dim63_avg')}
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("array", "subscript", "aggregation"),
+)
+def array_subscript_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array subscript + aggregation — SURVEY §2.2 subscripts
+    (``PrestoDistributedQueryTest.java:974``; map subscript
+    ``TestPrestoITCase.java:705-725``)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            davg(F.element_at("embedding", 1).cast("double"), "dim0_avg"),
+            davg(F.element_at("embedding", 64).cast("double"), "dim63_avg"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(LEN(STRING_SPLIT(text, ' '))) AS total_tokens,
+               MIN(LEN(STRING_SPLIT(text, ' '))) AS min_tokens,
+               MAX(LEN(STRING_SPLIT(text, ' '))) AS max_tokens,
+               (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) AS avg_chars
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("text", "tokens", "aggregation"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source — whitespace tokenizer, pure codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ntok).alias("total_tokens"),
+            F.min(ntok).alias("min_tokens"),
+            F.max(ntok).alias("max_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle="""
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                     / LEN(STRING_SPLIT(text, ' ')), 6) AS mean_token_len
+        FROM documents
+        WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 15 AND 40
+          AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+              / LEN(STRING_SPLIT(text, ' ')) < 6.0
+        ORDER BY doc_id
+    """,
+    tags=("text", "quality", "filter"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: keep docs by token count and mean token length.
+
+    The standard cheap-heuristic pre-filter of LLM data pipelines; all
+    arithmetic is integer counts + one deterministic division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    mean_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / ntok
+    return (
+        d.select("doc_id", ntok.alias("n_tokens"), mean_len.alias("mtl_raw"))
+        .filter(F.col("n_tokens").between(15, 40) & (F.col("mtl_raw") < 6.0))
+        .select("doc_id", "n_tokens", F.round("mtl_raw", 6).alias("mean_token_len"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_langid_stopword_density",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN tok IN ('the', 'a', 'of', 'to', 'and')
+                            THEN 1 ELSE 0 END) AS en_hits
+            FROM toks
+            GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(en_hits) AS total_hits,
+               ROUND(CAST(SUM(en_hits) AS DOUBLE) / SUM(n_tokens), 6)
+                   AS stopword_density
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("text", "langid"),
+)
+def text_langid_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: function-word (stopword) density per language
+    label. The full classifier (n-gram profiles, argmax over languages) is
+    ``operators/text.py:language_id``; this oracle-checked query pins the
+    density computation it is built on."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    per_doc = tok.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tok").isin("the", "a", "of", "to", "and"), 1).otherwise(0)
+        ).alias("en_hits"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("en_hits").alias("total_hits"),
+            F.round(F.sum("en_hits").cast("double") / F.sum("n_tokens"), 6).alias(
+                "stopword_density"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=(
+        "WITH "
+        + _o_shingle_sql(5)
+        + f""",
+        hashed AS (SELECT doc_id, {_O_HASH} AS h FROM sh),
+        fp AS (
+            SELECT doc_id,
+                   MIN((3 * (h % {BASE_MOD}) + 1) % {HASH_PRIME}) AS fingerprint
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT fingerprint, COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM fp
+        GROUP BY fingerprint
+        HAVING COUNT(*) > 1
+        ORDER BY fingerprint
+    """
+    ),
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash (k=1) over 5-gram shingles;
+    colliding fingerprints cluster near-identical documents. (The (3h+1)
+    affine params are ``hash_params(1)[0]`` — kept literal in the oracle.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingle_set(docs, 5)
+    hashed = sh.select("doc_id", md5_long(F.col("s")).alias("h"))
+    a, b = hash_params(1)[0]
+    fp = hashed.groupBy("doc_id").agg(
+        F.min((F.lit(a) * (F.col("h") % BASE_MOD) + F.lit(b)) % HASH_PRIME).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The session knobs mirror what we would set on a 1000-executor cluster; on
+local[32] they keep partition counts sane for the test scale factors.
+Reference precedent for config surface: ``PaimonConfig.java:25-84`` /
+``PrestoSessionProperties.java:35-79`` (pushdown toggles, catalog options).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for local[32] testing; on a real cluster the same code runs
+# with shuffle partitions sized to ~2-3x total cores and AQE coalescing the
+# rest. AQE also handles skew-join splitting at 100 TB scale.
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "paimon-presto-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for key, value in _DEFAULTS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply this engine's runtime conf to an externally created session.
+
+    The driver harness creates its own SparkSession; queries route through
+    here so determinism-critical settings (UTC timestamps, ANSI off) hold
+    regardless of who built the session.
+    """
+    for key in ("spark.sql.session.timeZone",):
+        try:
+            spark.conf.set(key, _DEFAULTS[key])
+        except Exception:  # pragma: no cover - conf may be static
+            pass
+    return spark

@@ -1,0 +1,128 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column names,
+and order-insensitive values (columns sorted by name, rows sorted, values
+normalized the way a hash would see them). Exact equality required — the
+queries are designed to be bit-deterministic cross-engine.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _norm(v):
+    """Normalize a cell to a hashable, engine-neutral representation."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
+    except ImportError:
+        pass
+    return v
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols_sorted = [cols[i] for i in order]
+    data = sorted(
+        tuple(_norm(row[i]) for i in order) for row in rows
+    )
+    return cols_sorted, data
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from paimon_presto_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    passed, failed, weak = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            failed.append((name, "SPARK ERROR:\n" + traceback.format_exc(limit=8)))
+            continue
+        if name not in oracles:
+            weak.append((name, len(srows)))
+            print(f"  ~ {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            ocols = [c for c in res.columns]
+            orows = res.fetchall()
+        except Exception:
+            failed.append((name, "ORACLE ERROR:\n" + traceback.format_exc(limit=4)))
+            continue
+        sc, sd = _canon(scols, srows)
+        oc, od = _canon(ocols, orows)
+        if sc != oc:
+            failed.append((name, f"SCHEMA: spark={sc} oracle={oc}"))
+        elif len(sd) != len(od):
+            failed.append((name, f"ROWCOUNT: spark={len(sd)} oracle={len(od)}"))
+        elif sd != od:
+            diffs = [
+                (i, a, b) for i, (a, b) in enumerate(zip(sd, od)) if a != b
+            ][:3]
+            failed.append((name, f"VALUES ({len(diffs)}+ diffs): {diffs}"))
+        else:
+            passed.append(name)
+            print(f"  ✓ {name}: {len(sd)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n== {len(passed)} passed, {len(failed)} failed, {len(weak)} rows-only ==")
+    for name, msg in failed:
+        print(f"\nFAIL {name}:\n{msg[:2000]}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
