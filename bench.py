@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Per-query time = full execution to a driver-side materialization
+(collect of the final result — all results here are small aggregates or
+top-k, so collect cost is negligible versus scan/shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # scan/agg heavy
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    # join heavy
+    "q3_shipping_priority",
+    "q5_local_supplier_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    # window / event analytics
+    "window_topn_per_nation",
+    "events_tumbling_window",
+    "events_sessionization",
+    "events_asof_join",
+    # LLM-data pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_topk",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from paimon_presto_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("paimon-presto-spark-bench")
+    qs = entrymod.queries()
+
+    # JVM/codegen warmup on the smallest table so q1 isn't billed for startup.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

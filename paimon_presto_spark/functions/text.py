@@ -21,16 +21,19 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (order-preserving).
+def shingle_array(toks: Column, n: int) -> Column:
+    """Word n-gram shingles over an already-materialized token array.
 
-    Expressed with higher-order functions (``transform`` over a
-    ``sequence``) so shingling stays inside whole-stage codegen. Documents
-    shorter than n words yield an empty array (Spark's ``sequence(1, 0)``
-    counts *down*, so the short case must be guarded explicitly).
+    IMPORTANT for performance: pass a *column reference* to a projected
+    token array (``df.withColumn("tk", F.split(...))``), not the split
+    expression itself. Catalyst does not common-subexpression-eliminate
+    inside higher-order-function lambdas, so an inlined ``split`` would be
+    re-evaluated for every ``element_at`` — turning shingling O(len²) per
+    document (measured 15× slower at sf0.1).
+
+    Documents shorter than n words yield an empty array (Spark's
+    ``sequence(1, 0)`` counts *down*, so the short case must be guarded).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(c, " ")
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx,
@@ -38,6 +41,14 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
     empty = F.array().cast("array<string>")
     return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles straight from a text column (convenience form;
+    for hot paths project the token array first and use
+    :func:`shingle_array`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return shingle_array(F.split(c, " "), n)
 
 
 def punct_ratio(col: Column | str) -> Column:

@@ -27,7 +27,7 @@ from paimon_presto_spark.functions.hashing import (
     hash_params,
     md5_long,
 )
-from paimon_presto_spark.functions.text import shingles
+from paimon_presto_spark.functions.text import shingle_array
 from paimon_presto_spark.functions.vectors import cosine_similarity
 from paimon_presto_spark.queries import register
 from paimon_presto_spark.queries.relational import davg, dsum, o_davg, o_dsum
@@ -69,10 +69,16 @@ def _o_minhash_aggs() -> str:
 
 
 def _spark_shingle_set(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, s) distinct shingles; one explode, stays in codegen."""
-    return docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), n)).alias("s")
-    ).distinct()
+    """(doc_id, s) distinct shingles; one explode, stays in codegen.
+
+    The token array is projected before shingling — see
+    ``functions/text.py:shingle_array`` for why (no CSE inside HOF lambdas).
+    """
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select("doc_id", F.explode(shingle_array(F.col("tk"), n)).alias("s"))
+        .distinct()
+    )
 
 
 def _spark_minhash(sh: DataFrame) -> DataFrame:
