@@ -1,0 +1,218 @@
+"""Warehouse catalog: databases, tables, DDL, schema evolution.
+
+The Spark-native rebuild of the reference's catalog surface
+(SURVEY §2.1 A15-A18):
+
+- list/create/drop schema, list tables ... ``PrestoMetadata.java:91-130,210-227``
+- CREATE TABLE with primary keys / partition keys / options
+  ..................................... ``PrestoMetadata.java:239-291``,
+  ``PrestoSqlMetadataBase.java:180-213`` (arbitrary option passthrough)
+- DROP/RENAME TABLE .................... ``PrestoMetadata.java:293-320``
+- ALTER TABLE add/rename/drop column ... ``PrestoSqlMetadataBase.java:288-343``
+- system tables via ``name$suffix`` .... ``TestPrestoITCase.java:376-381``
+
+Directory model mirrors Paimon's ``warehouse/<db>.db/<table>/`` layout
+(``PrestoMetadata.java:86-97``). Identifier matching is case-insensitive
+(``FieldNameUtils.java:30-35``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from paimon_presto_spark.table import Table, TableSchema, schema_from_spark
+
+SYSTEM_TABLE_SUFFIXES = ("snapshots", "files", "partitions", "schemas")
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- databases (A15) ---------------------------------------------------
+
+    def _db_path(self, db: str) -> str:
+        return os.path.join(self.warehouse, f"{db.lower()}.db")
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            d[: -len(".db")]
+            for d in os.listdir(self.warehouse)
+            if d.endswith(".db") and os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def database_exists(self, db: str) -> bool:
+        return os.path.isdir(self._db_path(db))
+
+    def create_database(self, db: str, ignore_if_exists: bool = False) -> None:
+        p = self._db_path(db)
+        if os.path.isdir(p):
+            if ignore_if_exists:
+                return
+            raise ValueError(f"database {db} already exists")
+        os.makedirs(p)
+
+    def drop_database(self, db: str, cascade: bool = False) -> None:
+        p = self._db_path(db)
+        if not os.path.isdir(p):
+            raise ValueError(f"database {db} does not exist")
+        if os.listdir(p) and not cascade:
+            raise ValueError(f"database {db} is not empty")
+        shutil.rmtree(p)
+
+    # -- tables ------------------------------------------------------------
+
+    def _table_path(self, db: str, name: str) -> str:
+        return os.path.join(self._db_path(db), name.lower())
+
+    def list_tables(self, db: str) -> list[str]:
+        p = self._db_path(db)
+        if not os.path.isdir(p):
+            raise ValueError(f"database {db} does not exist")
+        return sorted(
+            t for t in os.listdir(p) if os.path.isdir(os.path.join(p, t, "schema"))
+        )
+
+    def table_exists(self, db: str, name: str) -> bool:
+        base, _ = _split_system(name)
+        return os.path.isdir(os.path.join(self._table_path(db, base), "schema"))
+
+    def create_table(
+        self,
+        db: str,
+        name: str,
+        schema: T.StructType | str,
+        primary_keys: Iterable[str] = (),
+        partition_keys: Iterable[str] = (),
+        options: dict[str, str] | None = None,
+        ignore_if_exists: bool = False,
+    ) -> Table:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if not self.database_exists(db):
+            raise ValueError(f"database {db} does not exist")
+        path = self._table_path(db, name)
+        if os.path.isdir(path):
+            if ignore_if_exists:
+                return self.get_table(db, name)
+            raise ValueError(f"table {db}.{name} already exists")
+        ts = schema_from_spark(schema, primary_keys, partition_keys, options)
+        # validate keys against columns (case-insensitive)
+        names = {f["name"].lower() for f in ts.fields}
+        for k in list(ts.primary_keys) + list(ts.partition_keys):
+            if k.lower() not in names:
+                raise ValueError(f"key column {k!r} not in schema")
+        for k in ts.partition_keys:
+            if k in ts.primary_keys and set(ts.primary_keys) <= set(ts.partition_keys):
+                raise ValueError("primary key cannot be a subset of partition keys")
+        os.makedirs(os.path.join(path, "schema"))
+        with open(os.path.join(path, "schema", "schema-0.json"), "w") as fh:
+            json.dump(ts.to_json(), fh, indent=2)
+        return Table(self.spark, path)
+
+    def get_table(self, db: str, name: str) -> Table:
+        base, suffix = _split_system(name)
+        path = self._table_path(db, base)
+        if not os.path.isdir(os.path.join(path, "schema")):
+            raise ValueError(f"table {db}.{base} does not exist")
+        if suffix:
+            raise ValueError(
+                f"{name} is a system table; use read_table() to read it"
+            )
+        return Table(self.spark, path)
+
+    def drop_table(self, db: str, name: str, ignore_if_missing: bool = False) -> None:
+        path = self._table_path(db, name)
+        if not os.path.isdir(path):
+            if ignore_if_missing:
+                return
+            raise ValueError(f"table {db}.{name} does not exist")
+        shutil.rmtree(path)
+
+    def rename_table(self, db: str, name: str, new_name: str) -> None:
+        src = self._table_path(db, name)
+        dst = self._table_path(db, new_name)
+        if not os.path.isdir(src):
+            raise ValueError(f"table {db}.{name} does not exist")
+        if os.path.isdir(dst):
+            raise ValueError(f"table {db}.{new_name} already exists")
+        os.rename(src, dst)
+
+    def read_table(self, db: str, name: str, **scan_kwargs) -> DataFrame:
+        """Read a table (or a ``name$system`` table) as a DataFrame."""
+        base, suffix = _split_system(name)
+        table = Table(self.spark, self._table_path(db, base))
+        if suffix is None:
+            return table.to_df(**scan_kwargs)
+        if suffix == "snapshots":
+            return table.snapshots_df()
+        if suffix == "files":
+            return table.files_df()
+        if suffix == "partitions":
+            return table.partitions_df()
+        if suffix == "schemas":
+            return table.schemas_df()
+        raise ValueError(f"unknown system table suffix {suffix!r}")
+
+    # -- schema evolution (A18) -------------------------------------------
+
+    def add_column(
+        self, db: str, name: str, column: str, ddl_type: str, nullable: bool = True
+    ) -> None:
+        t = self.get_table(db, name)
+        s = t.schema()
+        if any(f["name"].lower() == column.lower() for f in s.fields):
+            raise ValueError(f"column {column} already exists")
+        new_id = s.highest_field_id + 1
+        s.fields.append(
+            {"id": new_id, "name": column, "type": ddl_type, "nullable": nullable}
+        )
+        self._write_schema(t, s, new_id)
+
+    def rename_column(self, db: str, name: str, column: str, new_name: str) -> None:
+        t = self.get_table(db, name)
+        s = t.schema()
+        if any(f["name"].lower() == new_name.lower() for f in s.fields):
+            raise ValueError(f"column {new_name} already exists")
+        col = s.resolve(column)
+        if col in s.primary_keys or col in s.partition_keys:
+            raise ValueError(f"cannot rename key column {col}")
+        for f in s.fields:
+            if f["name"] == col:
+                f["name"] = new_name
+        self._write_schema(t, s, s.highest_field_id)
+
+    def drop_column(self, db: str, name: str, column: str) -> None:
+        t = self.get_table(db, name)
+        s = t.schema()
+        col = s.resolve(column)
+        if col in s.primary_keys or col in s.partition_keys:
+            raise ValueError(f"cannot drop key column {col}")
+        if len(s.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        s.fields = [f for f in s.fields if f["name"] != col]
+        self._write_schema(t, s, s.highest_field_id)
+
+    def _write_schema(self, table: Table, s: TableSchema, highest_id: int) -> None:
+        s.schema_id += 1
+        s.highest_field_id = max(s.highest_field_id, highest_id)
+        path = os.path.join(table.path, "schema", f"schema-{s.schema_id}.json")
+        if os.path.exists(path):
+            raise ValueError(f"concurrent schema change on {table.path}")
+        with open(path, "w") as fh:
+            json.dump(s.to_json(), fh, indent=2)
+
+
+def _split_system(name: str) -> tuple[str, str | None]:
+    if "$" in name:
+        base, suffix = name.split("$", 1)
+        return base.lower(), suffix.lower()
+    return name.lower(), None

@@ -1,0 +1,795 @@
+"""Snapshot-versioned table format: the Spark-native rebuild of the Paimon
+table layer the reference connector exposes.
+
+Reference parity map (SURVEY §2.1):
+- snapshots + manifests + time travel ..... A12 (``PrestoMetadata.java:133-165``,
+  ``PrestoSqlTableHandle.java:113-126``)
+- scan planning with file skipping ........ A1/A7/A8 (``PrestoSplitManager.java:46-82``,
+  ``PrestoFilterConverter.java:71-186``)
+- partition pruning incl. expression-over-
+  partition-value ......................... A10/A11 (``PrestoComputePushdown.java:234-357``)
+- merge-on-read for primary-key tables .... A13 (``PrestoPageSourceProvider.java:80-83``)
+- system table ``$snapshots`` ............. A14 (``TestPrestoITCase.java:376-381``)
+- schema evolution projection ............. A18 (``PrestoSqlMetadataBase.java:288-343``)
+- engine-native writes (reference lacks
+  them — ``PrestoMetadata.java:229-263``) . A24
+
+Storage layout (one directory per table)::
+
+    schema/schema-<id>.json      column list w/ stable field ids, pks, partition keys, options
+    snapshot/snapshot-<id>.json  commit metadata -> manifest file
+    snapshot/LATEST              current snapshot id (advisory pointer)
+    manifest/manifest-<id>.json  FULL file listing at that snapshot + per-file column stats
+    data/...                     parquet data files (immutable)
+
+Commits are atomic: the snapshot JSON is created with O_EXCL, so two
+concurrent committers cannot both claim snapshot N — the loser re-plans
+against the winner's manifest and retries (the reference gets the same
+read-committed, snapshot-isolated behavior from immutable Paimon snapshots
+— ``PrestoConnectorBase.java:70-97``).
+
+Scale notes:
+- Data I/O is always Spark (``df.write.parquet`` / ``spark.read.parquet``);
+  the driver only touches *metadata* (JSON manifests, parquet footers).
+- Partition columns are duplicated into the data files (`__part_<k>=` dirs
+  are organizational), so pruned reads are a plain multi-file parquet scan
+  with full types — no partition-inference coupling.
+- Per-file stats come from parquet footers (metadata-only reads). For
+  multi-million-file tables, gather footers with a small Spark job instead
+  of the driver loop (same entries, distributed); the manifest format is
+  unchanged.
+- Merge-on-read shuffles on the primary key; bucketed writes keep each
+  key in one bucket's file set, so a bucket-aligned reader (or periodic
+  ``compact()``) bounds that cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import types as T
+
+from paimon_presto_spark.plans.predicate import Predicate
+
+SEQ_COL = "__seq"
+POS_COL = "__pos"
+KIND_COL = "__row_kind"
+SYS_COLS = (SEQ_COL, POS_COL, KIND_COL)
+PART_DIR_PREFIX = "__part_"
+
+
+# --------------------------------------------------------------------------
+# schema
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class TableSchema:
+    schema_id: int
+    fields: list[dict]  # {"id": int, "name": str, "type": ddl-str, "nullable": bool}
+    primary_keys: list[str]
+    partition_keys: list[str]
+    options: dict[str, str]
+    highest_field_id: int
+
+    def to_json(self) -> dict:
+        return {
+            "schema_id": self.schema_id,
+            "fields": self.fields,
+            "primary_keys": self.primary_keys,
+            "partition_keys": self.partition_keys,
+            "options": self.options,
+            "highest_field_id": self.highest_field_id,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableSchema":
+        return TableSchema(
+            schema_id=d["schema_id"],
+            fields=d["fields"],
+            primary_keys=d["primary_keys"],
+            partition_keys=d["partition_keys"],
+            options=d.get("options", {}),
+            highest_field_id=d["highest_field_id"],
+        )
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f["name"], _parse_type(f["type"]), f.get("nullable", True))
+                for f in self.fields
+            ]
+        )
+
+    def field_names(self) -> list[str]:
+        return [f["name"] for f in self.fields]
+
+    def resolve(self, name: str) -> str:
+        """Case-insensitive column resolution (``FieldNameUtils.java:30-35``)."""
+        for f in self.fields:
+            if f["name"].lower() == name.lower():
+                return f["name"]
+        raise KeyError(f"no such column: {name}")
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.options.get("bucket", "4"))
+
+
+def _parse_type(ddl: str) -> T.DataType:
+    return T.StructType.fromDDL(f"c {ddl}")[0].dataType
+
+
+def schema_from_spark(
+    spark_schema: T.StructType,
+    primary_keys: Iterable[str] = (),
+    partition_keys: Iterable[str] = (),
+    options: dict[str, str] | None = None,
+) -> TableSchema:
+    fields = [
+        {"id": i, "name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+        for i, f in enumerate(spark_schema.fields)
+    ]
+    return TableSchema(
+        schema_id=0,
+        fields=fields,
+        primary_keys=list(primary_keys),
+        partition_keys=list(partition_keys),
+        options=dict(options or {}),
+        highest_field_id=len(fields) - 1,
+    )
+
+
+# --------------------------------------------------------------------------
+# table
+# --------------------------------------------------------------------------
+
+
+class CommitConflict(Exception):
+    pass
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    schema_id: int
+    commit_user: str
+    commit_identifier: int
+    commit_kind: str  # APPEND | UPSERT | DELETE | OVERWRITE | COMPACT
+    timestamp_ms: int
+    manifest: str
+    total_rows: int
+
+    def to_json(self):
+        return self.__dict__.copy()
+
+
+class Table:
+    """A snapshot-versioned, optionally primary-keyed, partitioned table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- metadata ----------------------------------------------------------
+
+    def _schema_path(self, sid: int) -> str:
+        return os.path.join(self.path, "schema", f"schema-{sid}.json")
+
+    def schema(self, schema_id: int | None = None) -> TableSchema:
+        if schema_id is None:
+            sdir = os.path.join(self.path, "schema")
+            schema_id = max(
+                int(f[len("schema-") : -len(".json")]) for f in os.listdir(sdir)
+            )
+        with open(self._schema_path(schema_id)) as fh:
+            return TableSchema.from_json(json.load(fh))
+
+    def snapshot_ids(self) -> list[int]:
+        sdir = os.path.join(self.path, "snapshot")
+        if not os.path.isdir(sdir):
+            return []
+        return sorted(
+            int(f[len("snapshot-") : -len(".json")])
+            for f in os.listdir(sdir)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        )
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
+        ids = self.snapshot_ids()
+        if not ids:
+            return None
+        sid = snapshot_id if snapshot_id is not None else ids[-1]
+        if sid not in ids:
+            raise ValueError(f"snapshot {sid} does not exist (have {ids})")
+        with open(os.path.join(self.path, "snapshot", f"snapshot-{sid}.json")) as fh:
+            return Snapshot(**json.load(fh))
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Latest snapshot committed at or before `timestamp_ms` (A12)."""
+        cand = [
+            self.snapshot(i)
+            for i in self.snapshot_ids()
+        ]
+        cand = [s for s in cand if s.timestamp_ms <= timestamp_ms]
+        if not cand:
+            raise ValueError(f"no snapshot at or before {timestamp_ms}")
+        return max(cand, key=lambda s: s.snapshot_id)
+
+    def manifest_entries(self, snap: Snapshot | None = None) -> list[dict]:
+        snap = snap or self.snapshot()
+        if snap is None:
+            return []
+        with open(os.path.join(self.path, "manifest", snap.manifest)) as fh:
+            return json.load(fh)["entries"]
+
+    @property
+    def is_primary_keyed(self) -> bool:
+        return bool(self.schema().primary_keys)
+
+    # -- write path --------------------------------------------------------
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """Append-only commit (tables without primary keys)."""
+        if self.is_primary_keyed:
+            raise ValueError("primary-key table: use upsert()/delete()")
+        return self._commit_write(df, kind="APPEND", row_kind=None)
+
+    def upsert(self, df: DataFrame) -> Snapshot:
+        """Insert-or-update by primary key (RowKind +I rows)."""
+        if not self.is_primary_keyed:
+            raise ValueError("append-only table: use append()")
+        return self._commit_write(df, kind="UPSERT", row_kind="I")
+
+    def delete(self, df: DataFrame) -> Snapshot:
+        """Delete by primary key: writes RowKind -D tombstones.
+
+        ``df`` needs at least the pk columns; missing columns are nulled.
+        Mirrors the reference fixture flow where ``RowKind.DELETE`` rows are
+        written and merged away on read (``TestPrestoITCase.java:94-96``).
+        """
+        schema = self.schema()
+        for c in schema.field_names():
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(_parse_type(
+                    next(f["type"] for f in schema.fields if f["name"] == c))))
+        return self._commit_write(df.select(*schema.field_names()), kind="DELETE", row_kind="D")
+
+    def compact(self) -> Snapshot:
+        """Rewrite current merged state into fresh files (OVERWRITE manifest).
+
+        Bounds merge-on-read cost: after compaction a snapshot has one
+        level, so the read-side window dedup sees one row per key.
+        """
+        current = self.to_df()
+        return self._commit_write(
+            current, kind="COMPACT", row_kind="I" if self.is_primary_keyed else None,
+            replace=True,
+        )
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        """Replace the whole table contents in one atomic commit."""
+        kind = "I" if self.is_primary_keyed else None
+        return self._commit_write(df, kind="OVERWRITE", row_kind=kind, replace=True)
+
+    def _commit_write(
+        self, df: DataFrame, kind: str, row_kind: str | None, replace: bool = False
+    ) -> Snapshot:
+        schema = self.schema()
+        expected = schema.field_names()
+        missing = [c for c in expected if c.lower() not in {x.lower() for x in df.columns}]
+        if missing:
+            raise ValueError(f"input is missing columns {missing}")
+        # case-insensitive resolution, declared order + declared types
+        by_lower = {c.lower(): c for c in df.columns}
+        df = df.select(
+            *[
+                F.col(by_lower[f["name"].lower()]).cast(_parse_type(f["type"])).alias(f["name"])
+                for f in schema.fields
+            ]
+        )
+
+        prev = self.snapshot()
+        next_id = (prev.snapshot_id + 1) if prev else 1
+        staging = os.path.join(self.path, "staging", uuid.uuid4().hex)
+        new_entries = self._write_data_files(df, schema, next_id, row_kind, staging)
+        # Data files are written once; only the metadata commit retries. A
+        # conflict means another writer claimed our snapshot id — re-read the
+        # new latest manifest and stack our entries on top of it.
+        for _attempt in range(5):
+            prev = self.snapshot()
+            next_id = (prev.snapshot_id + 1) if prev else 1
+            base = [] if (replace or prev is None) else self.manifest_entries(prev)
+            try:
+                return self._commit_manifest(schema, next_id, kind, base + new_entries)
+            except CommitConflict:
+                continue
+        raise CommitConflict("gave up after 5 retries")
+
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        schema: TableSchema,
+        snapshot_id: int,
+        row_kind: str | None,
+        staging: str,
+    ) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        part_cols = schema.partition_keys
+        out = df
+        if row_kind is not None:
+            # __pos disambiguates rows of the same key within one commit
+            out = (
+                out.withColumn(SEQ_COL, F.lit(snapshot_id).cast("long"))
+                .withColumn(POS_COL, F.monotonically_increasing_id())
+                .withColumn(KIND_COL, F.lit(row_kind))
+            )
+        dir_cols = []
+        if part_cols:
+            for k in part_cols:
+                out = out.withColumn(PART_DIR_PREFIX + k, F.col(k).cast("string"))
+            dir_cols += [PART_DIR_PREFIX + k for k in part_cols]
+        if row_kind is not None and schema.primary_keys:
+            nb = schema.num_buckets
+            bucket = F.pmod(
+                F.xxhash64(*[F.col(k) for k in schema.primary_keys]), F.lit(nb)
+            ).cast("int")
+            out = out.withColumn("__bucket", bucket)
+            dir_cols.append("__bucket")
+        writer = out.write.mode("overwrite")
+        if dir_cols:
+            writer = writer.partitionBy(*dir_cols)
+        writer.parquet(staging)
+
+        # register written files: move into data/, collect footer stats
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        entries = []
+        statable = {
+            f["name"]
+            for f in schema.fields
+            if not f["type"].startswith(("array", "map", "struct", "binary"))
+        }
+        for root, _dirs, files in os.walk(staging):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fn)
+                rel_partition = os.path.relpath(root, staging)
+                partition: dict[str, Any] = {}
+                bucket = 0
+                if rel_partition != ".":
+                    for comp in rel_partition.split(os.sep):
+                        k, _, v = comp.partition("=")
+                        if k == "__bucket":
+                            bucket = int(v)
+                        elif k.startswith(PART_DIR_PREFIX):
+                            partition[k[len(PART_DIR_PREFIX) :]] = v
+                name = f"data-{snapshot_id}-{uuid.uuid4().hex}.parquet"
+                dst_dir = os.path.join(data_dir, rel_partition) if rel_partition != "." else data_dir
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, name)
+                os.rename(src, dst)
+                meta = pq.ParquetFile(dst).metadata
+                stats = _footer_stats(meta, statable)
+                entries.append(
+                    {
+                        "path": os.path.relpath(dst, self.path),
+                        "partition": partition,
+                        "bucket": bucket,
+                        "row_count": meta.num_rows,
+                        "file_size": os.path.getsize(dst),
+                        "schema_id": schema.schema_id,
+                        "min_seq": snapshot_id,
+                        "max_seq": snapshot_id,
+                        "stats": stats,
+                    }
+                )
+        _rmtree_quiet(staging)
+        return entries
+
+    def _commit_manifest(
+        self, schema: TableSchema, snapshot_id: int, kind: str, entries: list[dict]
+    ) -> Snapshot:
+        os.makedirs(os.path.join(self.path, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(self.path, "snapshot"), exist_ok=True)
+        manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex}.json"
+        with open(os.path.join(self.path, "manifest", manifest_name), "w") as fh:
+            json.dump({"entries": entries}, fh, default=str)
+        snap = Snapshot(
+            snapshot_id=snapshot_id,
+            schema_id=schema.schema_id,
+            commit_user=os.environ.get("USER", "spark"),
+            commit_identifier=snapshot_id,
+            commit_kind=kind,
+            timestamp_ms=int(time.time() * 1000),
+            manifest=manifest_name,
+            total_rows=sum(e["row_count"] for e in entries),
+        )
+        spath = os.path.join(self.path, "snapshot", f"snapshot-{snapshot_id}.json")
+        try:
+            fd = os.open(spath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:  # concurrent commit won this id
+            raise CommitConflict(str(exc)) from exc
+        with os.fdopen(fd, "w") as fh:
+            json.dump(snap.to_json(), fh)
+        tmp = os.path.join(self.path, "snapshot", f".LATEST.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(snapshot_id))
+        os.replace(tmp, os.path.join(self.path, "snapshot", "LATEST"))
+        return snap
+
+    # -- read path ---------------------------------------------------------
+
+    def scan(
+        self,
+        predicate: Predicate | None = None,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        partition_where: str | None = None,
+    ) -> "TableScan":
+        return TableScan(self, predicate, snapshot_id, as_of_timestamp_ms, partition_where)
+
+    def to_df(self, **scan_kwargs) -> DataFrame:
+        return self.scan(**scan_kwargs).to_df()
+
+    # -- system tables (A14) ----------------------------------------------
+
+    def snapshots_df(self) -> DataFrame:
+        rows = [self.snapshot(i).to_json() for i in self.snapshot_ids()]
+        schema = (
+            "snapshot_id bigint, schema_id bigint, commit_user string, "
+            "commit_identifier bigint, commit_kind string, timestamp_ms bigint, "
+            "manifest string, total_rows bigint"
+        )
+        return self.spark.createDataFrame(
+            [tuple(r[k] for k in (
+                "snapshot_id", "schema_id", "commit_user", "commit_identifier",
+                "commit_kind", "timestamp_ms", "manifest", "total_rows")) for r in rows],
+            schema,
+        )
+
+    def files_df(self) -> DataFrame:
+        rows = [
+            (
+                e["path"],
+                json.dumps(e["partition"]),
+                e["bucket"],
+                e["row_count"],
+                e["file_size"],
+                e["schema_id"],
+                e["min_seq"],
+            )
+            for e in self.manifest_entries()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, partition string, bucket int, row_count bigint, "
+            "file_size bigint, schema_id bigint, seq bigint",
+        )
+
+    def partitions_df(self) -> DataFrame:
+        agg: dict[str, dict] = {}
+        for e in self.manifest_entries():
+            key = json.dumps(e["partition"], sort_keys=True)
+            a = agg.setdefault(key, {"row_count": 0, "file_count": 0, "file_size": 0})
+            a["row_count"] += e["row_count"]
+            a["file_count"] += 1
+            a["file_size"] += e["file_size"]
+        rows = [
+            (k, v["row_count"], v["file_count"], v["file_size"]) for k, v in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "partition string, row_count bigint, file_count bigint, file_size bigint"
+        )
+
+    def schemas_df(self) -> DataFrame:
+        sdir = os.path.join(self.path, "schema")
+        rows = []
+        for fn in sorted(os.listdir(sdir)):
+            with open(os.path.join(sdir, fn)) as fh:
+                d = json.load(fh)
+            rows.append(
+                (
+                    d["schema_id"],
+                    json.dumps(d["fields"]),
+                    ",".join(d["primary_keys"]),
+                    ",".join(d["partition_keys"]),
+                    json.dumps(d.get("options", {})),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "schema_id bigint, fields string, primary_keys string, "
+            "partition_keys string, options string"
+        )
+
+
+class TableScan:
+    """Scan planning: snapshot selection → partition pruning → file skipping
+    → Spark parquet read → schema-evolution projection → merge-on-read.
+
+    The planned Spark job reads ONLY surviving files; the predicate is
+    re-applied as a DataFrame filter (advisory pushdown, reference keeps the
+    Filter node too), and pushed further into parquet row groups by Spark.
+    """
+
+    def __init__(self, table, predicate, snapshot_id, as_of_ts, partition_where):
+        self.table = table
+        self.predicate = predicate
+        self.snapshot_id = snapshot_id
+        self.as_of_ts = as_of_ts
+        self.partition_where = partition_where
+        self.last_plan: dict[str, Any] = {}
+
+    def _snapshot(self) -> Snapshot | None:
+        t = self.table
+        if self.snapshot_id is not None:
+            return t.snapshot(self.snapshot_id)
+        if self.as_of_ts is not None:
+            return t.snapshot_as_of(self.as_of_ts)
+        return t.snapshot()
+
+    def plan_files(self) -> list[dict]:
+        t = self.table
+        snap = self._snapshot()
+        if snap is None:
+            return []
+        entries = t.manifest_entries(snap)
+        total = len(entries)
+        schema = t.schema(snap.schema_id)
+
+        # 1) partition pruning from the structured predicate (A10 first half)
+        if self.predicate is not None and schema.partition_keys:
+            entries = [
+                e
+                for e in entries
+                if self.predicate.test_row(_typed_partition(e["partition"], schema))
+                or not set(self.predicate.references()) & set(schema.partition_keys)
+            ]
+        # 2) expression-over-partition-value pruning (A10 flagship:
+        #    `upper(pt)='20241103'` — evaluate arbitrary SQL on the driver
+        #    against one row per partition; evaluation errors keep the
+        #    partition, mirroring the recoverable-error whitelist
+        #    (PrestoComputePushdown.java:499-509))
+        if self.partition_where and schema.partition_keys:
+            keep = self._eval_partition_where(entries, schema)
+            if keep is not None:
+                entries = [
+                    e for e in entries if json.dumps(e["partition"], sort_keys=True) in keep
+                ]
+        pruned_partitions = len(entries)
+
+        # 3) per-file stats skipping (A7/A8)
+        if self.predicate is not None:
+            entries = [
+                e
+                for e in entries
+                if self.predicate.test_stats(e.get("stats", {}), e["row_count"])
+            ]
+        self.last_plan = {
+            "snapshot_id": snap.snapshot_id,
+            "total_files": total,
+            "after_partition_prune": pruned_partitions,
+            "after_stats_skip": len(entries),
+        }
+        return entries
+
+    def _eval_partition_where(self, entries, schema) -> set[str] | None:
+        """Evaluate the residual SQL expression against one row per partition.
+
+        Conjunct-wise, like the reference (``PrestoComputePushdown.java:
+        234-252`` decomposes the filter and evaluates *remaining
+        deterministic conjuncts* per partition): each top-level AND conjunct
+        prunes independently; a conjunct that cannot be evaluated on
+        partition values alone (references non-partition columns, unknown
+        function) is skipped — recoverable-error semantics (``:499-509``).
+        """
+        parts = {}
+        for e in entries:
+            parts[json.dumps(e["partition"], sort_keys=True)] = _typed_partition(
+                e["partition"], schema
+            )
+        if not parts:
+            return set()
+        part_fields = [f for f in schema.fields if f["name"] in schema.partition_keys]
+        sschema = T.StructType(
+            [
+                T.StructField(f["name"], _parse_type(f["type"]), True)
+                for f in part_fields
+            ]
+            + [T.StructField("__pkey", T.StringType(), False)]
+        )
+        rows = [
+            tuple(v[f["name"]] for f in part_fields) + (k,) for k, v in parts.items()
+        ]
+        df = self.table.spark.createDataFrame(rows, sschema)
+        keep = set(parts)
+        any_applied = False
+        for conjunct in _split_conjuncts(self.partition_where):
+            try:
+                kept = df.filter(F.expr(conjunct)).select("__pkey").collect()
+            except Exception:
+                continue  # recoverable: this conjunct can't prune
+            keep &= {r["__pkey"] for r in kept}
+            any_applied = True
+        return keep if any_applied else None
+
+    def to_df(self) -> DataFrame:
+        t = self.table
+        snap = self._snapshot()
+        # Current reads render with the latest schema (DDL changes don't
+        # create snapshots); time-travel reads render with the schema the
+        # snapshot was committed under (TestPrestoSqlTCase.java:319-387).
+        time_travel = self.snapshot_id is not None or self.as_of_ts is not None
+        schema_latest = (
+            t.schema(snap.schema_id) if (snap and time_travel) else t.schema()
+        )
+        entries = self.plan_files()
+        spark = t.spark
+        if not entries:
+            empty_schema = schema_latest.spark_schema()
+            return spark.createDataFrame([], empty_schema)
+
+        is_pk = bool(schema_latest.primary_keys)
+        # group by writer schema for evolution-aware projection (A18)
+        by_schema: dict[int, list[str]] = {}
+        for e in entries:
+            by_schema.setdefault(e["schema_id"], []).append(
+                os.path.join(t.path, e["path"])
+            )
+        parts = []
+        for sid, files in sorted(by_schema.items()):
+            df = spark.read.parquet(*files)
+            df = _project_to(df, t.schema(sid), schema_latest, is_pk)
+            parts.append(df)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+
+        if is_pk:
+            pks = schema_latest.primary_keys
+            w = Window.partitionBy(*pks).orderBy(F.desc(SEQ_COL), F.desc(POS_COL))
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .filter(F.col(KIND_COL) != "D")
+                .drop("__rn", *SYS_COLS)
+            )
+        if self.predicate is not None:
+            df = df.filter(self.predicate.to_spark())
+        if self.partition_where:
+            df = df.filter(F.expr(self.partition_where))
+        return df
+
+
+def _project_to(
+    df: DataFrame, writer_schema: TableSchema, reader_schema: TableSchema, keep_sys: bool
+) -> DataFrame:
+    """Project a file written under `writer_schema` to `reader_schema`.
+
+    Field-ID based: renames follow the id, dropped columns disappear, added
+    columns materialize as typed NULLs — the standard lakehouse evolution
+    contract (reference applies SchemaChange server-side and Paimon readers
+    do this projection; we do it with one Spark select).
+    """
+    by_id = {f["id"]: f for f in writer_schema.fields}
+    cols = []
+    for f in reader_schema.fields:
+        w = by_id.get(f["id"])
+        target_t = _parse_type(f["type"])
+        if w is not None and w["name"] in df.columns:
+            cols.append(F.col(w["name"]).cast(target_t).alias(f["name"]))
+        else:
+            cols.append(F.lit(None).cast(target_t).alias(f["name"]))
+    if keep_sys:
+        sys_types = {SEQ_COL: "long", POS_COL: "long", KIND_COL: "string"}
+        for c in SYS_COLS:
+            cols.append(
+                F.col(c) if c in df.columns else F.lit(None).cast(sys_types[c]).alias(c)
+            )
+    return df.select(*cols)
+
+
+def _split_conjuncts(expr: str) -> list[str]:
+    """Split a SQL boolean expression on top-level ANDs (depth-0, outside
+    string literals). Conservative: anything unsplittable stays whole."""
+    out, depth, in_str, start = [], 0, False, 0
+    i, n = 0, len(expr)
+    upper = expr.upper()
+    while i < n:
+        ch = expr[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and upper[i : i + 3] == "AND"
+            and (i == 0 or not expr[i - 1].isalnum() and expr[i - 1] != "_")
+            and (i + 3 >= n or not expr[i + 3].isalnum() and expr[i + 3] != "_")
+        ):
+            out.append(expr[start:i].strip())
+            i += 3
+            start = i
+            continue
+        i += 1
+    out.append(expr[start:].strip())
+    return [c for c in out if c]
+
+
+def _typed_partition(partition: dict[str, str], schema: TableSchema) -> dict[str, Any]:
+    """Partition dir values (strings) → typed python values per schema."""
+    out: dict[str, Any] = {}
+    for f in schema.fields:
+        if f["name"] not in partition:
+            continue
+        raw = partition[f["name"]]
+        t = f["type"]
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            out[f["name"]] = None
+        elif t in ("tinyint", "smallint", "int", "bigint"):
+            out[f["name"]] = int(raw)
+        elif t in ("float", "double"):
+            out[f["name"]] = float(raw)
+        elif t == "boolean":
+            out[f["name"]] = raw.lower() == "true"
+        else:
+            out[f["name"]] = raw
+    return out
+
+
+def _footer_stats(meta, statable: set[str]) -> dict[str, dict]:
+    """Column min/max/null_count from a parquet footer (metadata only)."""
+    agg: dict[str, dict] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in statable:
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            a = agg.setdefault(name, {"min": None, "max": None, "null_count": 0})
+            if st.has_min_max:
+                mn, mx = _plain(st.min), _plain(st.max)
+                a["min"] = mn if a["min"] is None else min(a["min"], mn)
+                a["max"] = mx if a["max"] is None else max(a["max"], mx)
+            a["null_count"] += st.null_count or 0
+    return agg
+
+
+def _plain(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _rmtree_quiet(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

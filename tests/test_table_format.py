@@ -1,0 +1,309 @@
+"""Table-format E2E tests mirroring the reference's golden-output ITCases
+(``TestPrestoITCase.java``, fixtures in FIXTURES.md): merge-on-read delete,
+time travel, system tables, partition pruning (incl. expression-over-
+partition-value), file skipping, schema evolution, DDL round trips.
+"""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from paimon_presto_spark.plans.predicate import P
+
+
+def rows(df, *cols):
+    out = df
+    if cols:
+        out = df.select(*cols)
+    return sorted(tuple(r) for r in out.collect())
+
+
+# --- FIXTURES.md t1: pk table with merge-on-read delete --------------------
+
+
+@pytest.fixture()
+def t1(spark, catalog):
+    t = catalog.create_table(
+        "default",
+        "t1",
+        "a int, b bigint, aCa string, d string",
+        primary_keys=["a"],
+        options={"bucket": "1"},
+    )
+    t.upsert(spark.createDataFrame(
+        [(1, 2, "1", "1"), (3, 4, "2", "2"), (5, 6, "3", "3")],
+        "a int, b bigint, aCa string, d string",
+    ))
+    t.delete(spark.createDataFrame([(3, 4, "2", "2")], "a int, b bigint, aCa string, d string"))
+    return t
+
+
+def test_merge_on_read_delete(t1):
+    # TestPrestoITCase.java:392-393 — DELETE row vanishes on read
+    assert rows(t1.to_df()) == [(1, 2, "1", "1"), (5, 6, "3", "3")]
+
+
+def test_projection_and_sum(t1):
+    # :394-395
+    assert rows(t1.to_df(), "aCa") == [("1",), ("3",)]
+    assert t1.to_df().agg(F.sum("b")).collect()[0][0] == 8
+
+
+def test_case_insensitive_write(spark, catalog, t1):
+    # FieldNameUtils.java:30-35 — mixed-case aCa resolves case-insensitively
+    t1.upsert(spark.createDataFrame([(7, 8, "4", "4")], "A int, B bigint, ACA string, D string"))
+    assert (1, "4") in {(1, r[0]) for r in t1.to_df().filter("a = 7").select("aCa").collect()}
+
+
+def test_snapshots_system_table(t1):
+    # TestPrestoITCase.java:376-381 — $snapshots columns
+    sdf = t1.snapshots_df()
+    assert {"snapshot_id", "schema_id", "commit_user", "commit_identifier", "commit_kind"} <= set(
+        sdf.columns
+    )
+    kinds = [r["commit_kind"] for r in sdf.orderBy("snapshot_id").collect()]
+    assert kinds == ["UPSERT", "DELETE"]
+
+
+# --- FIXTURES.md t2: two commits, time travel ------------------------------
+
+
+@pytest.fixture()
+def t2(spark, catalog):
+    t = catalog.create_table(
+        "default", "t2", "a int, b bigint, aCa string, d string",
+        primary_keys=["a"], options={"bucket": "1"},
+    )
+    t.upsert(spark.createDataFrame([(1, 2, "1", "1"), (3, 4, "2", "2")],
+                                   "a int, b bigint, aCa string, d string"))
+    t.upsert(spark.createDataFrame([(5, 6, "3", "3"), (7, 8, "4", "4")],
+                                   "a int, b bigint, aCa string, d string"))
+    return t
+
+
+def test_filter_current(t2):
+    # TestPrestoITCase.java:399-402 — SELECT a, aCa WHERE a < 7
+    assert rows(t2.to_df(predicate=P.lt("a", 7)), "a", "aCa") == [(1, "1"), (3, "2"), (5, "3")]
+
+
+def test_time_travel_snapshot(t2):
+    # :405-440 — scan_version=1 sees only commit 1
+    assert rows(t2.to_df(snapshot_id=1), "a", "aCa") == [(1, "1"), (3, "2")]
+    assert len(t2.to_df(snapshot_id=2).collect()) == 4
+
+
+def test_time_travel_timestamp(t2):
+    snap1 = t2.snapshot(1)
+    got = t2.to_df(as_of_timestamp_ms=snap1.timestamp_ms)
+    assert len(got.collect()) == 2
+
+
+def test_limit(t2):
+    # :384-388
+    assert len(t2.to_df().limit(2).collect()) == 2
+
+
+# --- FIXTURES.md t3: partitioned append table ------------------------------
+
+
+def test_partitioned_append_group_by(spark, catalog):
+    t = catalog.create_table(
+        "default", "t3", "pt string, a int, b bigint, c bigint, d int",
+        partition_keys=["pt"],
+    )
+    t.append(spark.createDataFrame(
+        [("1", 1, 1, 1, 1), ("1", 1, 2, 2, 2), ("2", 3, 3, 3, 3)],
+        "pt string, a int, b bigint, c bigint, d int",
+    ))
+    got = rows(
+        t.to_df().groupBy("pt", "a").agg(F.sum("b"), F.sum("d")).orderBy("pt", "a")
+    )
+    assert got == [("1", 1, 3, 3), ("2", 3, 3, 3)]
+
+
+# --- FIXTURES.md t5: multi-partition-key pruning ---------------------------
+
+
+@pytest.fixture()
+def t5(spark, catalog):
+    t = catalog.create_table(
+        "default", "t5", "i1 string, i2 int, i3 int",
+        partition_keys=["i1", "i2"], options={"bucket": "1"},
+    )
+    t.append(spark.createDataFrame(
+        [("20241103", 1, 1), ("20241103", 2, 2), ("20241104", 3, 2)],
+        "i1 string, i2 int, i3 int",
+    ))
+    return t
+
+
+def test_partition_prune_direct(t5):
+    scan = t5.scan(predicate=P.eq("i1", "20241103"))
+    assert rows(scan.to_df(), "i3") == [(1,), (2,)]
+    assert scan.last_plan["after_partition_prune"] == 2
+    assert scan.last_plan["total_files"] == 3
+
+
+def test_partition_prune_expression(t5):
+    # TestPrestoITCase.java:643-692 — upper(i1)='20241103' AND i2=1
+    scan = t5.scan(partition_where="upper(i1) = '20241103' AND i2 = 1")
+    assert rows(scan.to_df()) == [("20241103", 1, 1)]
+    assert scan.last_plan["after_partition_prune"] == 1
+
+
+def test_partition_prune_to_empty(t5):
+    scan = t5.scan(partition_where="upper(i1) = '20991231'")
+    assert rows(scan.to_df()) == []
+    assert scan.last_plan["after_partition_prune"] == 0
+
+
+def test_partition_prune_mixed_conjuncts(t5):
+    # a conjunct referencing a non-partition column (i3) cannot prune and is
+    # skipped (recoverable semantics, PrestoComputePushdown.java:499-509);
+    # the partition-value conjunct still prunes; both apply as residual
+    scan = t5.scan(partition_where="upper(i1) = '20241103' AND i3 = 2")
+    assert rows(scan.to_df()) == [("20241103", 2, 2)]
+    assert scan.last_plan["after_partition_prune"] == 2  # pruned by i1 only
+
+
+# --- t6: partition key also pk member (FIXTURES.md) ------------------------
+
+
+def test_pk_with_partition_member(spark, catalog):
+    t = catalog.create_table(
+        "default", "t6", "i1 int, i2 string, i3 int",
+        partition_keys=["i2"], primary_keys=["i2", "i1"], options={"bucket": "1"},
+    )
+    t.upsert(spark.createDataFrame(
+        [(1, "20241103", 1), (2, "20241103", 2), (3, "20241104", 2)],
+        "i1 int, i2 string, i3 int",
+    ))
+    got = rows(t.to_df(partition_where="upper(i2) = '20241103'"))
+    assert got == [(1, "20241103", 1), (2, "20241103", 2)]
+
+
+# --- file skipping via manifest stats --------------------------------------
+
+
+def test_file_skipping_stats(spark, catalog):
+    t = catalog.create_table("default", "skip", "k bigint, v string")
+    # three separate commits → three files with disjoint k ranges
+    for lo in (0, 100, 200):
+        t.append(spark.range(lo, lo + 50).select(
+            F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        ).coalesce(1))
+    scan = t.scan(predicate=P.between("k", 120, 130))
+    got = scan.to_df().count()
+    assert got == 11
+    assert scan.last_plan["total_files"] == 3
+    assert scan.last_plan["after_stats_skip"] == 1  # only the middle file
+
+
+def test_file_skipping_in_and_null(spark, catalog):
+    t = catalog.create_table("default", "skip2", "k bigint, v string")
+    t.append(spark.range(0, 10).select(F.col("id").alias("k"), F.lit("x").alias("v")).coalesce(1))
+    t.append(spark.range(100, 110).select(F.col("id").alias("k"), F.lit(None).cast("string").alias("v")).coalesce(1))
+    s1 = t.scan(predicate=P.in_("k", [5, 6]))
+    assert s1.to_df().count() == 2
+    assert s1.last_plan["after_stats_skip"] == 1
+    s2 = t.scan(predicate=P.is_null("v"))
+    assert s2.to_df().count() == 10
+    assert s2.last_plan["after_stats_skip"] == 1
+    s3 = t.scan(predicate=P.not_null("v"))
+    assert s3.to_df().count() == 10
+
+
+# --- upsert semantics ------------------------------------------------------
+
+
+def test_upsert_overwrites_by_key(spark, catalog):
+    t = catalog.create_table("default", "u1", "k int, v string", primary_keys=["k"])
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"))
+    assert rows(t.to_df()) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_compact_preserves_state(spark, catalog):
+    t = catalog.create_table("default", "u2", "k int, v string", primary_keys=["k"])
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.delete(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.upsert(spark.createDataFrame([(2, "B2")], "k int, v string"))
+    before = rows(t.to_df())
+    t.compact()
+    assert rows(t.to_df()) == before == [(2, "B2")]
+    assert t.snapshot().commit_kind == "COMPACT"
+
+
+def test_overwrite(spark, catalog):
+    t = catalog.create_table("default", "u3", "k int, v string")
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.overwrite(spark.createDataFrame([(9, "z")], "k int, v string"))
+    assert rows(t.to_df()) == [(9, "z")]
+
+
+# --- schema evolution (A18, TestPrestoSqlTCase.java:319-387) ----------------
+
+
+def test_schema_evolution_add_rename_drop(spark, catalog):
+    c = catalog
+    t = c.create_table("default", "ev", "order_key bigint, order_status string, total double")
+    t.append(spark.createDataFrame([(1, "OPEN", 10.0)], "order_key bigint, order_status string, total double"))
+
+    c.add_column("default", "ev", "zip", "string")
+    t.append(spark.createDataFrame(
+        [(2, "DONE", 20.0, "94110")],
+        "order_key bigint, order_status string, total double, zip string",
+    ))
+    got = rows(t.to_df())
+    assert (1, "OPEN", 10.0, None) in got and (2, "DONE", 20.0, "94110") in got
+
+    c.rename_column("default", "ev", "order_status", "g")
+    assert rows(t.to_df(), "g") == [("DONE",), ("OPEN",)]  # old files readable via field id
+
+    c.drop_column("default", "ev", "total")
+    assert sorted(t.to_df().columns) == ["g", "order_key", "zip"]
+    # time travel renders with the snapshot's own schema
+    assert t.to_df(snapshot_id=1).columns == ["order_key", "order_status", "total"]
+
+
+# --- DDL (A15-A17) ---------------------------------------------------------
+
+
+def test_catalog_ddl_roundtrip(spark, catalog):
+    c = catalog
+    c.create_database("db2")
+    assert "db2" in c.list_databases()
+    t = c.create_table("db2", "orders", "k bigint, v string")
+    assert c.list_tables("db2") == ["orders"]
+    c.rename_table("db2", "orders", "orders2")
+    assert c.list_tables("db2") == ["orders2"]
+    c.drop_table("db2", "orders2")
+    assert c.list_tables("db2") == []
+    c.drop_database("db2")
+    assert "db2" not in c.list_databases()
+    with pytest.raises(ValueError):
+        c.drop_database("db2")
+
+
+def test_system_table_read_via_catalog(spark, catalog, t1):
+    sdf = catalog.read_table("default", "t1$snapshots")
+    assert sdf.count() == 2
+    fdf = catalog.read_table("default", "t1$files")
+    assert fdf.count() >= 1
+    assert catalog.read_table("default", "t1$schemas").count() == 1
+    assert catalog.read_table("default", "t1$partitions").count() >= 1
+
+
+def test_create_table_validation(catalog):
+    with pytest.raises(ValueError):
+        catalog.create_table("default", "bad", "a int", primary_keys=["nope"])
+    with pytest.raises(ValueError):
+        catalog.create_table("nodb", "t", "a int")
+
+
+def test_empty_table_scan(spark, catalog):
+    t = catalog.create_table("default", "empty", "a int, b string")
+    assert t.to_df().count() == 0
+    assert t.to_df().columns == ["a", "b"]
