@@ -1,0 +1,235 @@
+"""Deduplication operators over document tables.
+
+Every operator is a pure DataFrame program (no Python in the row path):
+shingling/hashing run in whole-stage codegen, candidate generation is an
+equi-join on LSH band keys, and only candidates pay the exact-verification
+cost. This is the shape that survives 100 TB: the only all-pairs work is
+within a MinHash band bucket or a SimHash chunk bucket, both of which are
+bounded by construction.
+
+Hashing is the portable md5-derived family (``functions/hashing.py``), so
+signatures are reproducible across engines and across re-runs of a resumed
+pipeline.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from paimon_presto_spark.functions.hashing import (
+    BASE_MOD,
+    HASH_PRIME,
+    hash_params,
+    md5_long,
+)
+from paimon_presto_spark.functions.text import shingle_array
+
+
+def shingle_set(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, s) distinct word n-gram shingles. Token array is projected before
+    shingling (no CSE inside HOF lambdas — 15x difference, see
+    ``functions/text.py:shingle_array``)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tk"))
+        .select("doc_id", F.explode(shingle_array(F.col("tk"), n)).alias("s"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: (text_hash, keeper_doc_id, n_copies) per distinct text.
+
+    Group keys are 128-bit content hashes, not texts — at scale the shuffle
+    carries 16 bytes per row instead of documents. Join the result back
+    (semi-join on keeper ids) to materialize the kept corpus.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(sh: DataFrame, k: int) -> DataFrame:
+    """doc_id → k MinHash columns mh0..mh{k-1} (one shuffle, MIN combiner)."""
+    hashed = sh.select("doc_id", md5_long(F.col("s")).alias("h"))
+    aggs = [
+        F.min(
+            (F.lit(a) * (F.col("h") % BASE_MOD) + F.lit(b)) % HASH_PRIME
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(hash_params(k))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def band_candidates(mh: DataFrame, bands: int, rows: int) -> DataFrame:
+    """LSH banding: pairs sharing any band's signature chunk (doc_a < doc_b)."""
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{j * rows + r}") for r in range(rows)])
+        for j in range(bands)
+    ]
+    bdf = mh.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bkey"))
+    left = bdf.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    right = bdf.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard over full shingle sets for candidate (doc_a, doc_b)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: shingle → MinHash(k) → LSH(bands) → exact
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard).
+
+    Band/row choice tunes the S-curve: with k=16, bands=4 the 50%-recall
+    point sits near j ≈ (1/4)^(1/4) ≈ 0.71; raise `bands` to catch lower
+    similarities at more candidate cost.
+    """
+    assert k % bands == 0, "k must divide evenly into bands"
+    sh = shingle_set(docs, id_col, text_col, shingle_n).cache()
+    mh = minhash_signature(sh, k)
+    cand = band_candidates(mh, bands, k // bands)
+    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    max_df: int = 20,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Inverted-index candidates (pairs sharing a shingle with document
+    frequency ≤ max_df) + exact Jaccard. The df cap bounds the quadratic
+    blow-up of posting lists — the classic trick for web-scale all-pairs
+    similarity (cf. Bayardo et al., WWW'07)."""
+    sh = shingle_set(docs, id_col, text_col, shingle_n).cache()
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "s").select("doc_id", "s")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "s")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """doc_id → SimHash signature over the distinct-token set (one shuffle)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("s")
+    ).distinct()
+    hashed = toks.select("doc_id", md5_long(F.col("s")).alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum((F.shiftright(F.col("h"), j).bitwiseAND(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, 1).otherwise(0) * (1 << j)
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 2,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs at Hamming distance ≤ max_hamming, via chunk banding.
+
+    Pigeonhole: ≤ max_hamming flipped bits across `chunks` chunks leaves at
+    least chunks - max_hamming chunks intact, so joining on each intact
+    chunk recalls every qualifying pair — requires chunks > max_hamming.
+    No all-pairs scan: the join is an equi-join on (chunk_idx, chunk_value).
+    """
+    assert chunks > max_hamming, "need chunks > max_hamming for full recall"
+    assert bits % chunks == 0
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(docs, id_col, text_col, bits)
+    chunk_cols = [
+        (F.shiftright(F.col("simhash"), j * width).bitwiseAND(mask)).alias(f"c{j}")
+        for j in range(chunks)
+    ]
+    ch = sigs.select("doc_id", "simhash", *chunk_cols)
+    exploded = ch.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*[F.col(f"c{j}") for j in range(chunks)])).alias(
+            "chunk", "cval"
+        ),
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "cval"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "cval"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def keep_first_of_clusters(pairs: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
+    """Resolve near-dup pairs into a keep/drop decision: drop every doc that
+    appears as the larger id of a pair with a smaller survivor (greedy,
+    union-find-free approximation that is exact for transitive clusters
+    keyed by their minimum element)."""
+    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(drops, id_col, "left_anti")

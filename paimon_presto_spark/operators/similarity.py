@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, trading recall for cost:
+
+1. ``brute_force_topk``  — exact: corpus-scan per query batch. The query
+   side is broadcast; per-query top-k is a WindowGroupLimit. Correctness
+   baseline, and actually optimal when |queries| is small.
+2. ``lsh_bucketed_topk`` — random-hyperplane LSH: corpus and queries are
+   bucketed by sign-pattern; only same-bucket (or near-bucket) pairs are
+   scored. At 100 TB this bounds each task's work by bucket size.
+3. ``cosine_pairs``      — all-pairs near-dup with a threshold (brute force
+   here; at scale feed it LSH buckets instead of the full cross join).
+
+Math runs through ``functions/vectors.py`` (zip_with/aggregate — codegen,
+no Python). A Pandas-UDF BLAS path (``_cosine_pandas``) exists for wide
+batches where Arrow + numpy beats per-row codegen; it is opt-in because the
+JVM path wins below ~256 dims.
+
+Hyperplanes are generated from a fixed seed → deterministic bucketing
+across runs and engines (resumable pipelines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from paimon_presto_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (q_id, n_id, cos_sim, rnk)."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        c.crossJoin(q)
+        .withColumn("cos_sim", cosine_similarity(F.col("q_emb"), F.col("n_emb")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def _bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit j = 1 iff dot(vec, plane_j) > 0.
+
+    The dot products are literal-array zip_with/aggregate expressions —
+    all JVM-side; no UDF.
+    """
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col.cast("array<double>"), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, 1 << j).otherwise(0)
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    multiprobe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing with multiprobe.
+
+    Queries probe their own bucket plus all buckets within Hamming distance
+    ``multiprobe_hamming`` of it (multiprobe LSH — recall without extra
+    tables). Candidates are scored exactly; per-query top-k as usual.
+    Expected recall grows with probes: P(same bucket) = (1 - θ/π)^n_planes
+    per plane-agreement, so probing 1-bit neighbors covers the common
+    near-boundary misses.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
+    ).withColumn("bucket", _bucket_expr(F.col("n_emb"), planes))
+    probes = [0] + [1 << j for j in range(n_planes)] if multiprobe_hamming >= 1 else [0]
+    q0 = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+    ).withColumn("qbucket", _bucket_expr(F.col("q_emb"), planes))
+    q = q0.withColumn("flip", F.explode(F.array(*[F.lit(p) for p in probes]))).select(
+        "q_id", "q_emb", F.col("qbucket").bitwiseXOR(F.col("flip")).alias("bucket")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn("cos_sim", cosine_similarity(F.col("q_emb"), F.col("n_emb")))
+        .groupBy("q_id", "n_id")
+        .agg(F.first("cos_sim").alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine > threshold (exact; brute-force baseline)."""
+    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim") > threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries_rows: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched BLAS variant: the query matrix is closed over and each
+    corpus batch is scored with one numpy matmul (``mapInPandas``).
+
+    Preferable above ~256 dims or ~100s of queries, where per-row codegen
+    loses to vectorized BLAS. Returns (q_id, n_id, cos_sim) un-ranked; rank
+    with a window like the callers above.
+    """
+    import pandas as pd
+
+    q_ids = [int(i) for i, _ in queries_rows]
+    qm = np.asarray([v for _, v in queries_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            cm = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T  # |batch| x |queries|
+            for qi, qid in enumerate(q_ids):
+                yield pd.DataFrame(
+                    {
+                        "q_id": qid,
+                        "n_id": pdf[id_col].to_numpy(),
+                        "cos_sim": sims[:, qi],
+                    }
+                )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="q_id long, n_id long, cos_sim double"
+    )

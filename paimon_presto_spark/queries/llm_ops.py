@@ -27,7 +27,14 @@ from paimon_presto_spark.functions.hashing import (
     hash_params,
     md5_long,
 )
-from paimon_presto_spark.functions.text import shingle_array
+from paimon_presto_spark.operators.dedup import (
+    jaccard_verify,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingle_set,
+    simhash_signatures,
+)
 from paimon_presto_spark.functions.vectors import cosine_similarity
 from paimon_presto_spark.queries import register
 from paimon_presto_spark.queries.relational import davg, dsum, o_davg, o_dsum
@@ -68,51 +75,6 @@ def _o_minhash_aggs() -> str:
     )
 
 
-def _spark_shingle_set(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, s) distinct shingles; one explode, stays in codegen.
-
-    The token array is projected before shingling — see
-    ``functions/text.py:shingle_array`` for why (no CSE inside HOF lambdas).
-    """
-    return (
-        docs.select("doc_id", F.split("text", " ").alias("tk"))
-        .select("doc_id", F.explode(shingle_array(F.col("tk"), n)).alias("s"))
-        .distinct()
-    )
-
-
-def _spark_minhash(sh: DataFrame) -> DataFrame:
-    """doc_id → MinHash signature columns mh0..mh{K-1}."""
-    hashed = sh.select("doc_id", md5_long(F.col("s")).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * (F.col("h") % BASE_MOD) + F.lit(b)) % HASH_PRIME).alias(f"mh{i}")
-        for i, (a, b) in enumerate(hash_params(MINHASH_K))
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
-
-
-def _spark_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard over full shingle sets for candidate (doc_a, doc_b)."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
-        )
-    )
 
 
 _O_JACCARD_TAIL = """
@@ -211,28 +173,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (shingle/minhash per Broder; banding per MMDS ch.3).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _spark_shingle_set(docs, 3).cache()
-    mh = _spark_minhash(sh)
-    band_cols = [
-        F.concat_ws(",", *[F.col(f"mh{j * LSH_ROWS + r}") for r in range(LSH_ROWS)])
-        for j in range(LSH_BANDS)
-    ]
-    bands = mh.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bkey"))
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
-    cand = (
-        left.join(right, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    out = (
-        _spark_jaccard(cand, sh)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return (
+        minhash_lsh_pairs(
+            docs, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
+            threshold=JACCARD_THRESHOLD,
+        )
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
-    return out
 
 
 def _o_simhash_bits() -> tuple[str, str]:
@@ -282,19 +230,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/dedup.py:simhash_pairs`` for the scale path.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("s")).distinct()
-    hashed = toks.select("doc_id", md5_long(F.col("s")).alias("h"))
-    sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum((F.shiftright(F.col("h"), j).bitwiseAND(1)) * 2 - 1).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    sim_expr = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, 1).otherwise(0) * (1 << j)
-        sim_expr = term if sim_expr is None else sim_expr + term
-    sigs = sums.select("doc_id", sim_expr.cast("long").alias("simhash"))
+    sigs = simhash_signatures(docs, bits=SIMHASH_BITS)
     return (
         sigs.groupBy("simhash")
         .agg(
@@ -332,20 +268,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     common shingles at scale), then exact Jaccard ≥ 0.3 over full sets.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _spark_shingle_set(docs, 5).cache()
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(df_counts.filter(F.col("df") <= 20), "s").select("doc_id", "s")
-    a = rare.select(F.col("doc_id").alias("doc_a"), "s")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "s")
-    cand = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
     return (
-        _spark_jaccard(cand, sh)
-        .filter(F.col("jaccard") >= 0.3)
+        ngram_jaccard_pairs(docs, shingle_n=5, max_df=20, threshold=0.3)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -618,7 +542,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     colliding fingerprints cluster near-identical documents. (The (3h+1)
     affine params are ``hash_params(1)[0]`` — kept literal in the oracle.)"""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _spark_shingle_set(docs, 5)
+    sh = shingle_set(docs, "doc_id", "text", 5)
     hashed = sh.select("doc_id", md5_long(F.col("s")).alias("h"))
     a, b = hash_params(1)[0]
     fp = hashed.groupBy("doc_id").agg(

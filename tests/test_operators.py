@@ -1,0 +1,222 @@
+"""Operator tests: dedup recall properties, ANN vs exact baseline,
+text analysis, multimodal batch plumbing.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from paimon_presto_spark.operators import (
+    brute_force_topk,
+    cosine_pairs,
+    exact_dedup,
+    language_id,
+    lsh_bucketed_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_metrics,
+    simhash_pairs,
+    simhash_signatures,
+)
+from paimon_presto_spark.operators.dedup import keep_first_of_clusters
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text")
+    n_docs = docs.count()
+    agg = out.agg(F.sum("n_copies"), F.count(F.lit(1))).collect()[0]
+    assert agg[0] == n_docs  # every doc accounted for
+    assert agg[1] <= n_docs
+
+
+def test_exact_dedup_duplicates_found(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id int, text string"
+    )
+    out = {r["text_hash"]: (r["keeper_doc_id"], r["n_copies"])
+           for r in exact_dedup(d, "doc_id", "text").collect()}
+    assert sorted(out.values()) == [(1, 2), (3, 1)]
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    got = pairs.collect()
+    assert len(got) > 0  # the corpus has planted near-dups (jaccard ~0.98)
+    assert all(r["jaccard"] >= 0.5 for r in got)
+    assert all(r["doc_a"] < r["doc_b"] for r in got)
+
+
+def test_minhash_lsh_recall_vs_exhaustive(spark, docs):
+    # every pair LSH finds at >=0.8 must also be found exhaustively, and
+    # high-similarity pairs (j >= 0.9) must not escape 4x4 banding
+    # (P(miss) = (1-j^4)^4 < 0.6% at j=0.9)
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, shingle_n=3, max_df=10**9,
+                                          threshold=0.8).collect()}
+    assert set(lsh) <= set(exact)
+    strong = {p for p, j in exact.items() if j >= 0.9}
+    assert strong <= set(lsh)
+
+
+def test_simhash_pairs_chunk_banding_recall(spark, docs):
+    # chunk-banded pair generation must equal brute force over signatures
+    sigs = simhash_signatures(docs).collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in sigs}
+    ids = sorted(by_id)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(by_id[a] ^ by_id[b]).count("1") <= 2:
+                brute.add((a, b))
+    banded = {(r["doc_a"], r["doc_b"])
+              for r in simhash_pairs(docs, max_hamming=2).collect()}
+    assert banded == brute
+
+
+def test_keep_first_of_clusters(spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (5, 6)], "doc_a int, doc_b int")
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 8)],
+                                 "doc_id int, text string")
+    kept = sorted(r["doc_id"] for r in
+                  keep_first_of_clusters(pairs, docs, "doc_id").collect())
+    assert kept == [1, 4, 5, 7]
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(embeddings.filter(F.col("vec_id") >= 3), q, k=5)
+    got = {(r["q_id"], r["rnk"]): r["n_id"] for r in out.collect()}
+
+    rows = embeddings.collect()
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in range(3):
+        qv = mat[qid] / np.linalg.norm(mat[qid])
+        sims = sorted(
+            ((float(np.dot(qv, v / np.linalg.norm(v))), nid)
+             for nid, v in mat.items() if nid >= 3),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rnk, (_, nid) in enumerate(sims[:5], start=1):
+            assert got[(qid, rnk)] == nid
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    # LSH recall is only meaningful when near neighbors exist (on uniform
+    # random vectors recall == probed-bucket fraction by construction).
+    # Plant 10 tight clusters; true neighbors then share sign buckets w.h.p.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64))
+    rows = []
+    for i in range(200):
+        c = centers[i % 10]
+        v = c + 0.05 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(corpus, q, k=5).collect()}
+    approx_rows = lsh_bucketed_topk(corpus, q, k=5, n_planes=4,
+                                    multiprobe_hamming=1).collect()
+    approx = {(r["q_id"], r["n_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"ANN recall too low on clustered data: {recall}"
+    # scores returned by the approximate path are exact cosine values
+    brute = {(r["q_id"], r["n_id"]): r["cos_sim"]
+             for r in brute_force_topk(corpus, q, k=10**9).collect()}
+    for r in approx_rows:
+        assert abs(r["cos_sim"] - brute[(r["q_id"], r["n_id"])]) < 1e-12
+
+
+def test_cosine_pandas_matches_jvm(spark, embeddings):
+    from paimon_presto_spark.operators.similarity import cosine_topk_pandas
+
+    qrows = [(r["vec_id"], list(r["embedding"]))
+             for r in embeddings.filter(F.col("vec_id") < 2).collect()]
+    corpus = embeddings.filter(F.col("vec_id") >= 2)
+    pd_scores = {(r["q_id"], r["n_id"]): r["cos_sim"]
+                 for r in cosine_topk_pandas(corpus, qrows, k=5).collect()}
+    jvm_scores = {(r["q_id"], r["n_id"]): r["cos_sim"]
+                  for r in brute_force_topk(
+                      corpus, embeddings.filter(F.col("vec_id") < 2), k=10**9
+                  ).collect()}
+    assert set(pd_scores) == set(jvm_scores)
+    for key, v in pd_scores.items():
+        assert abs(v - jvm_scores[key]) < 1e-9
+
+
+def test_quality_metrics(spark, docs):
+    out = quality_metrics(docs).collect()
+    assert len(out) == docs.count()
+    for r in out[:20]:
+        assert r["n_tokens"] > 0
+        assert 0 <= r["punct_ratio"] <= 1
+        assert r["mean_token_len"] > 0
+
+
+def test_language_id_deterministic(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is here"),
+            (2, "el perro y la casa de la madre que es"),
+            (3, "der hund und die katze das ist von ein"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in language_id(d).collect()}
+    assert got == {1: "en", 2: "es", 3: "de"}
+
+
+def test_multimodal_plumbing(spark):
+    from paimon_presto_spark.operators.multimodal import (
+        extract_image_features,
+        media_stats,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x89PNG-fake-bytes-1"), "image/png", None, None, None),
+            (2, "image", bytearray(b"\x89PNG-other-bytes"), "image/png", None, None, None),
+            (3, "video", bytearray(b"\x00\x00mp4-fake"), "video/mp4", None, None, 3500),
+        ],
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms bigint",
+    )
+    feats = extract_image_features(media.filter("kind = 'image'"), use_fake_decoder=True)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bytes"] == 17 and rows[1]["phash"] != rows[2]["phash"]
+    # determinism of the fake decode
+    again = {r["media_id"]: r["phash"] for r in
+             extract_image_features(media.filter("kind = 'image'"),
+                                    use_fake_decoder=True).collect()}
+    assert again == {k: v["phash"] for k, v in rows.items()}
+
+    frames = sample_frames(media.filter("kind = 'video'"), every_ms=1000,
+                           use_fake_decoder=True)
+    assert frames.count() == 3  # 3500ms // 1000ms
+
+    stats = {r["kind"]: r["n_items"] for r in media_stats(media).collect()}
+    assert stats == {"image": 2, "video": 1}
+
+    # real decoder path is an explicit stub
+    with pytest.raises(Exception) as exc:
+        extract_image_features(media.filter("kind = 'image'")).collect()
+    assert "NotImplementedError" in str(exc.value) or "pillow" in str(exc.value)
