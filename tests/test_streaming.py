@@ -1,0 +1,135 @@
+"""Streaming tests: changelog source exactly-once delivery across commits,
+watermarked windows, session windows, custom stateful operator. All run
+with availableNow triggers into memory sinks (bounded, deterministic).
+"""
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from paimon_presto_spark.streaming import changelog_stream, sessionized, tumbling_counts
+from paimon_presto_spark.streaming.windows import running_totals_stateful
+
+
+def _run_to_memory(sdf, name, tmp_path, mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}-{time.time_ns()}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_changelog_stream_across_commits(spark, catalog, tmp_path):
+    t = catalog.create_table("default", "chg", "k int, v string", primary_keys=["k"])
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.delete(spark.createDataFrame([(1, "a")], "k int, v string"))
+
+    sdf = changelog_stream(spark, t)
+    _run_to_memory(sdf, "chg", tmp_path)
+    rows = spark.sql("SELECT k, __row_kind, __seq FROM chg ORDER BY __seq, k").collect()
+    got = [(r["k"], r["__row_kind"], r["__seq"]) for r in rows]
+    assert got == [(1, "I", 1), (2, "I", 1), (1, "D", 2)]
+
+    # exactly-once across restarts: new commit, same checkpoint dir would
+    # resume; with a fresh run we see all three change rows again plus the new
+    t.upsert(spark.createDataFrame([(3, "c")], "k int, v string"))
+    _run_to_memory(changelog_stream(spark, t), "chg2", tmp_path)
+    assert spark.table("chg2").count() == 4
+
+
+def test_tumbling_window_streaming(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:01:00", "click", 1.0),
+        (2, "2024-01-01 00:02:00", "click", 2.0),
+        (3, "2024-01-01 00:06:00", "view", 3.0),
+        (4, "2024-01-01 00:07:30", "click", 4.0),
+    ]
+    src_dir = tmp_path / "events"
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    agg = tumbling_counts(stream, window="5 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("tw").outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt-tw"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("tw").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 00:05:00", "view")] == (1, 3.0)
+    assert got[("2024-01-01 00:05:00", "click")] == (1, 4.0)
+
+
+def test_session_window_streaming(spark, tmp_path):
+    rows = [
+        (10, "2024-01-01 00:00:00", 1.0),
+        (10, "2024-01-01 00:10:00", 1.0),   # same session (gap < 30m)
+        (10, "2024-01-01 01:30:00", 1.0),   # new session
+        (20, "2024-01-01 00:00:00", 5.0),
+    ]
+    src = tmp_path / "sess"
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        sessionized(stream).writeStream.format("memory").queryName("sw")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt-sw"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["n_events"]) for r in spark.table("sw").collect()
+    )
+    assert got == [(10, 1), (10, 2), (20, 1)]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    src = tmp_path / "run"
+    df1 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double"
+    )
+    df1.write.parquet(str(src))
+    captured: list = []
+
+    def run_once():
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # which is also the realistic production sink for this operator
+        stream = spark.readStream.schema(df1.schema).parquet(str(src))
+        q = (
+            running_totals_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: captured.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt-rt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r["user_id"]: (r["total"], r["n"]) for r in captured}
+    assert got == {1: (15.0, 2), 2: (1.0, 1)}
+
+    # second run resumes state from the SAME checkpoint: only the new files
+    # are processed, totals continue from persisted state
+    df2 = spark.createDataFrame([(1, 1.0), (3, 7.0)], "user_id long, value double")
+    df2.write.mode("append").parquet(str(src))
+    captured.clear()
+    run_once()
+    got2 = {r["user_id"]: (r["total"], r["n"]) for r in captured}
+    assert got2 == {1: (16.0, 3), 3: (7.0, 1)}
