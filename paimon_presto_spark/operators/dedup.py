@@ -26,6 +26,17 @@ from paimon_presto_spark.functions.hashing import (
 from paimon_presto_spark.functions.text import shingle_array
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition a document table that arrives with fewer partitions than
+    cores (e.g. one small parquet file locally) so the explode/hash map side
+    uses the whole cluster. A well-partitioned 100 TB input (partitions >=
+    parallelism) passes through untouched — no shuffle added at scale."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        return docs.repartition(sc.defaultParallelism)
+    return docs
+
+
 def shingle_set(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, s) distinct word n-gram shingles. Token array is projected before
     shingling (no CSE inside HOF lambdas — 15x difference, see
@@ -33,6 +44,27 @@ def shingle_set(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tk"))
         .select("doc_id", F.explode(shingle_array(F.col("tk"), n)).alias("s"))
+        .distinct()
+    )
+
+
+def shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, h) distinct 60-bit-hashed word n-gram shingles.
+
+    Hashing BEFORE the distinct means the dedup shuffle moves 16-byte
+    (doc_id, h) rows instead of full shingle strings — at 100 TB that is the
+    difference between shuffling the corpus and shuffling ~2% of it. All
+    downstream set arithmetic (MinHash, document frequency, exact Jaccard)
+    is value-identical to the string path whenever the 60-bit space is
+    collision-free for the corpus' shingle vocabulary (verified for the test
+    corpora; a stray collision at larger scale perturbs one pair's Jaccard
+    by one unit of intersection — acceptable for near-dup detection).
+    """
+    return (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tk"))
+        .select("doc_id", F.explode(shingle_array(F.col("tk"), n)).alias("s"))
+        .select("doc_id", md5_long(F.col("s")).alias("h"))
         .distinct()
     )
 
@@ -54,8 +86,15 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signature(sh: DataFrame, k: int) -> DataFrame:
-    """doc_id → k MinHash columns mh0..mh{k-1} (one shuffle, MIN combiner)."""
-    hashed = sh.select("doc_id", md5_long(F.col("s")).alias("h"))
+    """doc_id → k MinHash columns mh0..mh{k-1} (one shuffle, MIN combiner).
+
+    Accepts shingles either pre-hashed (``h`` column, from
+    ``shingle_hashes``) or raw (``s`` strings, hashed here).
+    """
+    hashed = (
+        sh if "h" in sh.columns
+        else sh.select("doc_id", md5_long(F.col("s")).alias("h"))
+    )
     aggs = [
         F.min(
             (F.lit(a) * (F.col("h") % BASE_MOD) + F.lit(b)) % HASH_PRIME
@@ -83,20 +122,31 @@ def band_candidates(mh: DataFrame, bands: int, rows: int) -> DataFrame:
 
 
 def jaccard_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard over full shingle sets for candidate (doc_a, doc_b)."""
+    """Exact Jaccard over full shingle sets for candidate (doc_a, doc_b).
+
+    The candidate-pair side is broadcast: LSH/inverted-index candidates are
+    tiny relative to the shingle table, so the expansion join streams the
+    shingle partitions without a shuffle; only the (doc_b, key) equi-join
+    and the final per-pair count shuffle — both on compact keys.
+    """
+    key = "h" if "h" in sh.columns else "s"
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), key)
+    sb = sh.select(F.col("doc_id").alias("doc_b"), key)
     inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "s"])
+        F.broadcast(cand)
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", key])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # `inter` (one row per surviving candidate pair) is the small side of the
+    # size joins — broadcast it, never `sizes` (one row per document).
     return (
-        inter.join(na, "doc_a")
+        F.broadcast(inter)
+        .join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
             "doc_a",
@@ -125,8 +175,16 @@ def minhash_lsh_pairs(
     similarities at more candidate cost.
     """
     assert k % bands == 0, "k must divide evenly into bands"
-    sh = shingle_set(docs, id_col, text_col, shingle_n).cache()
-    mh = minhash_signature(sh, k)
+    sh = shingle_hashes(docs, id_col, text_col, shingle_n).cache()
+    # Materialize the cache before fan-out: the signature, size, and verify
+    # branches otherwise race as independent stages, each recomputing the
+    # shingle explode before any of them has populated it.
+    sh.count()
+    # Cache the signatures too: band_candidates self-joins the band table,
+    # and without the cache each side of the self-join recomputes the
+    # 16-column MIN aggregation. Signatures are k longs per doc — tiny.
+    mh = minhash_signature(sh, k).cache()
+    mh.count()
     cand = band_candidates(mh, bands, k // bands)
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
 
@@ -143,13 +201,14 @@ def ngram_jaccard_pairs(
     frequency ≤ max_df) + exact Jaccard. The df cap bounds the quadratic
     blow-up of posting lists — the classic trick for web-scale all-pairs
     similarity (cf. Bayardo et al., WWW'07)."""
-    sh = shingle_set(docs, id_col, text_col, shingle_n).cache()
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "s").select("doc_id", "s")
-    a = rare.select(F.col("doc_id").alias("doc_a"), "s")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "s")
+    sh = shingle_hashes(docs, id_col, text_col, shingle_n).cache()
+    sh.count()  # populate before fan-out (see minhash_lsh_pairs)
+    df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "h").select("doc_id", "h")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "h")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "h")
     cand = (
-        a.join(b, "s")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -161,10 +220,9 @@ def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
     """doc_id → SimHash signature over the distinct-token set (one shuffle)."""
-    toks = docs.select(
+    hashed = _spread(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("s")
-    ).distinct()
-    hashed = toks.select("doc_id", md5_long(F.col("s")).alias("h"))
+    ).select("doc_id", md5_long(F.col("s")).alias("h")).distinct()
     sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum((F.shiftright(F.col("h"), j).bitwiseAND(1)) * 2 - 1).alias(f"s{j}")
