@@ -23,11 +23,16 @@ HEADLINE = [
     # scan/agg heavy
     "q1_pricing_summary",
     "q6_revenue_forecast",
+    "agg_cube",
     # join heavy
     "q3_shipping_priority",
     "q5_local_supplier_revenue",
+    "q9_product_profit",
     "q10_returned_items",
     "q18_large_orders",
+    # semi/anti/outer join shapes
+    "q4_order_priority",
+    "q13_customer_distribution",
     # window / event analytics
     "window_topn_per_nation",
     "events_tumbling_window",
@@ -37,6 +42,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_bruteforce_topk",
+    "knn_lsh_bucketed",
     "text_token_stats",
 ]
 
@@ -52,8 +58,23 @@ def main() -> None:
     spark = get_spark("paimon-presto-spark-bench")
     qs = entrymod.queries()
 
-    # JVM/codegen warmup on the smallest table so q1 isn't billed for startup.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # JVM/codegen warmup: exercise the scan, decimal-aggregate, join and
+    # window code paths once on the smallest tables so the first timed query
+    # isn't billed for JIT/codegen startup (standard JVM benchmarking
+    # practice — steady-state throughput is what transfers to a long-lived
+    # cluster).
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(F.col("n_nationkey").cast("decimal(28,10)")).alias("s"))
+        .withColumn("rk", F.row_number().over(Window.orderBy("r_name")))
+        .collect()
+    )
 
     times: dict[str, float] = {}
     for name in HEADLINE:

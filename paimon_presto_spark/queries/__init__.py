@@ -72,6 +72,8 @@ def _load() -> None:
         return
     # Imported for registration side effects.
     from paimon_presto_spark.queries import relational  # noqa: F401
+    from paimon_presto_spark.queries import tpch_extra  # noqa: F401
+    from paimon_presto_spark.queries import advanced  # noqa: F401
     from paimon_presto_spark.queries import events  # noqa: F401
     from paimon_presto_spark.queries import llm_ops  # noqa: F401
 

@@ -1,0 +1,374 @@
+"""Advanced operator coverage: approx-distinct sketches, CUBE / GROUPING
+SETS, quantified comparisons, nested-type access, TRY_CAST, unique-id
+assignment, LSH-bucketed ANN, and multimodal binary-column processing.
+
+These close out the SURVEY §2.2 families that the core relational module
+does not exercise, plus the M4 scale-path extensions. Determinism
+conventions per ``queries/__init__``; approximate operators are checked
+through engine-independent *invariants* (e.g. "the sketch estimate lands
+within tolerance of the exact count"), so even sketch queries get a real
+DuckDB oracle instead of a rows-only pass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from paimon_presto_spark.operators.similarity import _hyperplanes, lsh_bucketed_topk
+from paimon_presto_spark.queries import register
+from paimon_presto_spark.queries.relational import DEC, dsum, o_dsum
+from paimon_presto_spark.sources.testdata import load_table
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS exact_nd,
+               CAST(ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+                    <= 0.15 * COUNT(DISTINCT o_custkey) AS INT) AS approx_ok
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("aggregation", "approx", "hll"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx-distinct — SURVEY §2.2 approx_set/approx_distinct family
+    (``PrestoDistributedQueryTest.java:144-208``).
+
+    Presto-bit-compatible sketches are out of scope (SURVEY §7 risk 3);
+    cross-engine checkability comes from the invariant instead: each
+    engine's own HLL estimate must land within 15% of the exact count
+    (default rsd is 5%, so the margin is generous yet meaningful). The
+    exact count rides along and is hash-compared as a value.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_nd"),
+            F.approx_count_distinct("o_custkey").alias("approx_nd"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_nd",
+            (F.abs(F.col("approx_nd") - F.col("exact_nd"))
+             <= 0.15 * F.col("exact_nd")).cast("int").alias("approx_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+               {o_dsum('l_quantity', 'sum_qty')},
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, rf, ls
+    """,
+    tags=("aggregation", "cube", "grouping"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() markers — SURVEY §2.2 ROLLUP/grouping sets
+    (``testRollupOverUnion`` ``:919``; ``testGroupingInTableSubquery``
+    ``:554``). One shuffle; Spark expands the 4 grouping sets map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("g_rf", "g_ls", "rf", "ls")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+        SELECT COALESCE(n.n_name, 'ALL') AS nation,
+               COALESCE(c.c_mktsegment, 'ALL') AS segment,
+               {o_dsum('c.c_acctbal', 'total_bal')},
+               COUNT(*) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+        ORDER BY nation, segment
+    """,
+    tags=("aggregation", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — SURVEY §2.2 (``:554,919``). Expressed via
+    ``spark.sql`` grouping sets syntax over temp views (the DataFrame API
+    has no direct grouping-sets entry point — SQL is the idiomatic route).
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(f"""
+        SELECT COALESCE(n.n_name, 'ALL') AS nation,
+               COALESCE(c.c_mktsegment, 'ALL') AS segment,
+               CAST(CAST(SUM(CAST(c.c_acctbal AS {DEC})) AS STRING) AS DOUBLE)
+                 AS total_bal,
+               COUNT(*) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+        ORDER BY nation, segment
+    """)
+
+
+@register(
+    "quantified_comparison",
+    oracle="""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > ALL (
+                SELECT p_retailprice FROM part WHERE p_type = 'PROMO')
+          AND p_size = ANY (SELECT n_regionkey + 1 FROM nation)
+        ORDER BY p_partkey
+    """,
+    tags=("quantified", "subquery"),
+)
+def quantified_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons `> ALL` / `= ANY` — SURVEY §2.2 (``:934``).
+
+    Expressed the way Catalyst rewrites them: `> ALL (q)` ⇒ `> max(q)`
+    scalar broadcast; `= ANY (q)` ⇒ left-semi join on the value.
+    """
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    max_promo = p.filter(F.col("p_type") == "PROMO").agg(
+        F.max("p_retailprice").alias("max_promo")
+    )
+    sizes = n.select((F.col("n_regionkey") + 1).alias("p_size")).distinct()
+    return (
+        p.join(F.broadcast(max_promo), F.col("p_retailprice") > F.col("max_promo"))
+        .join(F.broadcast(sizes), "p_size", "left_semi")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "nested_struct_map_access",
+    oracle="""
+        SELECT n_regionkey,
+               MIN(n_name) AS first_nation,
+               MAX(LEN(n_name)) AS max_name_len,
+               SUM(n_nationkey * 2) AS weighted
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+    tags=("nested", "struct", "map", "subscript"),
+)
+def nested_struct_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct field dereference + map subscript — SURVEY §2.2 row/array
+    subscripts (``:364-378,974``; map subscript over a Paimon map column
+    ``TestPrestoITCase.java:705-725``).
+
+    The values are packed into struct/map columns and read back through
+    ``getField`` / ``element_at`` — the oracle computes the same values
+    directly (nested construction is engine-local; the *access semantics*
+    are what is under test).
+    """
+    n = load_table(spark, sf_dir, "nation")
+    packed = n.select(
+        F.struct(
+            F.col("n_nationkey").alias("key"),
+            F.col("n_name").alias("name"),
+            F.col("n_regionkey").alias("rk"),
+        ).alias("s"),
+        F.create_map(
+            F.lit("dbl"), F.col("n_nationkey") * 2,
+            F.lit("len"), F.length("n_name"),
+        ).alias("m"),
+    )
+    return (
+        packed.select(
+            F.col("s").getField("rk").alias("n_regionkey"),
+            F.col("s").getField("name").alias("name"),
+            F.element_at("m", F.lit("dbl")).alias("dbl"),
+            F.element_at("m", F.lit("len")).alias("name_len"),
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.min("name").alias("first_nation"),
+            F.max("name_len").cast("long").alias("max_name_len"),
+            F.sum("dbl").alias("weighted"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "try_cast_tolerant",
+    oracle="""
+        SELECT lang,
+               COUNT(TRY_CAST(SUBSTR(text, 1, 2) AS INT)) AS parsed,
+               COUNT(*) - COUNT(TRY_CAST(SUBSTR(text, 1, 2) AS INT)) AS unparsed,
+               COUNT(TRY_CAST(CAST(n_chars AS VARCHAR) AS INT)) AS n_chars_ok
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("cast", "try-cast", "error-handling"),
+)
+def try_cast_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST error-tolerant conversion — SURVEY §2.2 CASE/IF/TRY/CAST
+    incl. invalid-cast error semantics (``:249-263,584,619,1159``).
+    Invalid casts yield NULL (counted), never a query failure.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    parsed = F.substring("text", 1, 2).try_cast("int")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(parsed).alias("parsed"),
+            (F.count(F.lit(1)) - F.count(parsed)).alias("unparsed"),
+            F.count(F.col("n_chars").cast("string").try_cast("int")).alias(
+                "n_chars_ok"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "assign_unique_id",
+    oracle="""
+        SELECT COUNT(*) AS n_rows, COUNT(*) AS n_distinct_ids
+        FROM supplier
+    """,
+    tags=("unique-id", "nondeterministic-safe"),
+)
+def assign_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AssignUniqueId — SURVEY §2.2 (``:229``). The generated ids are
+    engine-local, so the checkable contract is the invariant: exactly one
+    distinct id per row. ``monotonically_increasing_id`` encodes
+    (partition id, offset) — unique without any coordination or shuffle.
+    """
+    s = load_table(spark, sf_dir, "supplier").withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("uid").alias("n_distinct_ids"),
+    )
+
+
+def _oracle_lsh_knn(n_planes: int, dim: int, k: int, n_queries: int) -> str:
+    """DuckDB twin of ``lsh_bucketed_topk`` with the same seeded
+    hyperplanes inlined as array literals."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    probes = [0] + [1 << j for j in range(n_planes)]
+    return f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {bucket} AS bucket
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+                   xor(q.bucket::BIGINT, p.flip::BIGINT) AS bucket
+            FROM bucketed q, (SELECT UNNEST({probes}) AS flip) p
+            WHERE q.vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT DISTINCT pr.q_id, c.vec_id AS n_id,
+                   ROUND(LIST_COSINE_SIMILARITY(pr.q_emb::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM probes pr JOIN bucketed c ON c.bucket = pr.bucket
+        )
+        SELECT q_id, n_id, cos_sim, rnk FROM (
+            SELECT q_id, n_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim DESC, n_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
+        ORDER BY q_id, rnk
+    """
+
+
+@register(
+    "knn_lsh_bucketed",
+    oracle=_oracle_lsh_knn(n_planes=4, dim=64, k=10, n_queries=5),
+    tags=("similarity", "knn", "lsh", "ann"),
+)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH with
+    1-bit multiprobe — the scale path next to ``knn_bruteforce_topk``.
+
+    At 100 TB the corpus is scanned once to bucket (a narrow map), and each
+    query scores only its probed buckets (~(1+planes)/2^planes of the
+    corpus) instead of everything. Seeded hyperplanes make bucketing
+    deterministic, so even this *approximate* operator has an exact DuckDB
+    oracle (same planes inlined as literals).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    out = lsh_bucketed_topk(e, queries, k=10, n_planes=4, dim=64)
+    return (
+        out.select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,
+               MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes,
+               MIN(MD5(text)) AS min_digest
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column processing — the multimodal plumbing pattern
+    (M4): payloads live in a ``binary`` column with typed metadata
+    alongside; size/digest stats aggregate per source without ever
+    interpreting the payload. Decode/feature-extraction over these columns
+    is ``operators/multimodal.py`` (mapInPandas; stubbed decoder — the
+    image/audio libraries are not in this environment).
+
+    Here the documents' text is cast to binary to stand in for real media
+    payloads; the oracle mirrors with ENCODE().
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.col("text").cast("binary")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max(F.length("payload")).alias("max_bytes"),
+            F.min(F.md5("payload")).alias("min_digest"),
+        )
+        .orderBy("source")
+    )
