@@ -82,6 +82,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
+        # Queries are independent; drop any operator-internal caches so one
+        # query's working set doesn't bill GC/eviction time to the next.
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total_runtime",
