@@ -273,6 +273,47 @@ def assign_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_collect_reduce",
+    oracle="""
+        SELECT n_regionkey,
+               LIST(n_name ORDER BY n_name) AS nations,
+               LEN(LIST(DISTINCT n_nationkey % 5)) AS n_distinct_mod,
+               SUM(LEN(n_name)) AS total_name_len
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+    tags=("aggregation", "array-agg", "set-agg", "reduce-agg"),
+)
+def agg_collect_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg / set_agg / reduce_agg — SURVEY §2.2 (``:214,1029,894``).
+
+    ``collect_list`` is sorted in-array (``array_sort``) for deterministic
+    output; the set aggregate is ``collect_set`` sized; reduce_agg is the
+    ``aggregate`` higher-order fold over the collected array — all
+    JVM-side, one shuffle.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.size(F.collect_set(F.col("n_nationkey") % 5)).alias("n_distinct_mod"),
+            F.collect_list(F.length("n_name")).alias("_lens"),
+        )
+        .select(
+            "n_regionkey",
+            "nations",
+            "n_distinct_mod",
+            F.aggregate("_lens", F.lit(0), lambda acc, v: acc + v)
+            .cast("long")
+            .alias("total_name_len"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 def _oracle_lsh_knn(n_planes: int, dim: int, k: int, n_queries: int) -> str:
     """DuckDB twin of ``lsh_bucketed_topk`` with the same seeded
     hyperplanes inlined as array literals."""

@@ -49,7 +49,6 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing ``F.window`` performs, without engine-local timestamp reprs.
     """
     ev = load_table(spark, sf_dir, "events")
-    bucket = (F.col("ts") / F.lit(WINDOW_S * NS_PER_S)).cast("long") * WINDOW_S
     # Integer floor-div via expr to avoid any float rounding at bucket edges.
     bucket = F.expr(f"(ts DIV {WINDOW_S * NS_PER_S}) * {WINDOW_S}")
     return (
@@ -99,7 +98,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Classic lag → flag → prefix-sum construction; in Structured Streaming
     the same semantics come from ``session_window``/
-    ``applyInPandasWithState`` (``streaming/sessionize.py``). All integer
+    ``applyInPandasWithState`` (``streaming/windows.py``). All integer
     nanosecond arithmetic.
     """
     ev = load_table(spark, sf_dir, "events")

@@ -256,6 +256,12 @@ class Table:
         written and merged away on read (``TestPrestoITCase.java:94-96``).
         """
         schema = self.schema()
+        engine = schema.options.get("merge-engine", "deduplicate")
+        if engine != "deduplicate" and schema.options.get("ignore-delete") != "true":
+            raise ValueError(
+                f"merge-engine {engine!r} does not accept deletes "
+                "(set option ignore-delete=true to silently drop them)"
+            )
         for c in schema.field_names():
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast(_parse_type(
@@ -655,19 +661,94 @@ class TableScan:
             df = df.unionByName(p)
 
         if is_pk:
-            pks = schema_latest.primary_keys
-            w = Window.partitionBy(*pks).orderBy(F.desc(SEQ_COL), F.desc(POS_COL))
-            df = (
-                df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .filter(F.col(KIND_COL) != "D")
-                .drop("__rn", *SYS_COLS)
-            )
+            df = _merge_on_read(df, schema_latest)
         if self.predicate is not None:
             df = df.filter(self.predicate.to_spark())
         if self.partition_where:
             df = df.filter(F.expr(self.partition_where))
         return df
+
+
+def _merge_on_read(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """Collapse the change rows of a primary-key table into its current
+    state, per the table's ``merge-engine`` option (A13; engine surface
+    exposed by the reference at ``PrestoSqlTableOptionUtils.java:96-128``):
+
+    - ``deduplicate`` (default): latest row per key wins; a latest DELETE
+      removes the key (``TestPrestoITCase.java:94-96,392-393``).
+    - ``first-row``: earliest row per key wins (deletes ignored).
+    - ``partial-update``: per column, the latest NON-NULL value wins —
+      upserts patch individual columns without erasing the rest.
+    - ``aggregation``: per column, rows combine under
+      ``fields.<name>.aggregate-function`` (sum/max/min/count;
+      default last_non_null).
+
+    All variants are one shuffle on the key: a single window or hash
+    aggregate, so at scale the cost is the same as the deduplicate path
+    (bounded further by bucketing + ``compact()``).
+    """
+    pks = schema.primary_keys
+    engine = schema.options.get("merge-engine", "deduplicate")
+    if engine == "deduplicate":
+        w = Window.partitionBy(*pks).orderBy(F.desc(SEQ_COL), F.desc(POS_COL))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(F.col(KIND_COL) != "D")
+            .drop("__rn", *SYS_COLS)
+        )
+    if engine == "first-row":
+        w = Window.partitionBy(*pks).orderBy(F.asc(SEQ_COL), F.asc(POS_COL))
+        return (
+            df.filter(F.col(KIND_COL) != "D")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", *SYS_COLS)
+        )
+    data_cols = [n for n in schema.field_names() if n not in pks]
+    if engine == "partial-update":
+        # Latest non-null per column, then one surviving row per key. Both
+        # windows share the same partitioning -> one shuffle.
+        df = df.filter(F.col(KIND_COL) != "D")  # ignore-delete semantics
+        wa = (
+            Window.partitionBy(*pks)
+            .orderBy(F.asc(SEQ_COL), F.asc(POS_COL))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in data_cols:
+            df = df.withColumn(c, F.last(c, ignorenulls=True).over(wa))
+        wd = Window.partitionBy(*pks).orderBy(F.desc(SEQ_COL), F.desc(POS_COL))
+        return (
+            df.withColumn("__rn", F.row_number().over(wd))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", *SYS_COLS)
+        )
+    if engine == "aggregation":
+        df = df.filter(F.col(KIND_COL) != "D")
+        aggs = []
+        for c in data_cols:
+            fn = schema.options.get(f"fields.{c}.aggregate-function", "last_non_null")
+            if fn == "sum":
+                aggs.append(F.sum(c).alias(c))
+            elif fn == "max":
+                aggs.append(F.max(c).alias(c))
+            elif fn == "min":
+                aggs.append(F.min(c).alias(c))
+            elif fn == "count":
+                aggs.append(F.count(c).alias(c))
+            elif fn == "last_non_null":
+                aggs.append(
+                    F.expr(
+                        f"max_by(`{c}`, IF(`{c}` IS NOT NULL,"
+                        f" struct(`{SEQ_COL}`, `{POS_COL}`), NULL))"
+                    ).alias(c)
+                )
+            else:
+                raise ValueError(
+                    f"unsupported aggregate-function {fn!r} for field {c!r}"
+                )
+        return df.groupBy(*pks).agg(*aggs).select(*schema.field_names())
+    raise ValueError(f"unknown merge-engine {engine!r}")
 
 
 def _project_to(

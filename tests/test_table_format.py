@@ -307,3 +307,80 @@ def test_empty_table_scan(spark, catalog):
     t = catalog.create_table("default", "empty", "a int, b string")
     assert t.to_df().count() == 0
     assert t.to_df().columns == ["a", "b"]
+
+
+class TestMergeEngines:
+    """merge-engine option surface (A13 extension;
+    PrestoSqlTableOptionUtils.java:96-128 exposes MergeEngineType)."""
+
+    def test_partial_update(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "pu", "k int, a string, b int",
+            primary_keys=["k"], options={"merge-engine": "partial-update"},
+        )
+        t.upsert(spark.createDataFrame([(1, "x", None), (2, "y", 20)],
+                                       "k int, a string, b int"))
+        t.upsert(spark.createDataFrame([(1, None, 10), (2, "z", None)],
+                                       "k int, a string, b int"))
+        got = {r["k"]: (r["a"], r["b"]) for r in t.to_df().collect()}
+        # each column keeps its latest NON-NULL value
+        assert got == {1: ("x", 10), 2: ("z", 20)}
+
+    def test_partial_update_rejects_delete(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "pu2", "k int, v int",
+            primary_keys=["k"], options={"merge-engine": "partial-update"},
+        )
+        t.upsert(spark.createDataFrame([(1, 1)], "k int, v int"))
+        with pytest.raises(ValueError, match="does not accept deletes"):
+            t.delete(spark.createDataFrame([(1, 1)], "k int, v int"))
+
+    def test_partial_update_ignore_delete(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "pu3", "k int, v int", primary_keys=["k"],
+            options={"merge-engine": "partial-update", "ignore-delete": "true"},
+        )
+        t.upsert(spark.createDataFrame([(1, 5)], "k int, v int"))
+        t.delete(spark.createDataFrame([(1, 5)], "k int, v int"))
+        assert [(r["k"], r["v"]) for r in t.to_df().collect()] == [(1, 5)]
+
+    def test_aggregation_engine(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "ag", "k int, total int, peak int, note string",
+            primary_keys=["k"],
+            options={
+                "merge-engine": "aggregation",
+                "fields.total.aggregate-function": "sum",
+                "fields.peak.aggregate-function": "max",
+                # note: defaults to last_non_null
+            },
+        )
+        t.upsert(spark.createDataFrame(
+            [(1, 10, 5, "first"), (2, 1, 1, None)],
+            "k int, total int, peak int, note string"))
+        t.upsert(spark.createDataFrame(
+            [(1, 7, 3, None), (2, 2, 9, "hello")],
+            "k int, total int, peak int, note string"))
+        got = {r["k"]: (r["total"], r["peak"], r["note"]) for r in t.to_df().collect()}
+        assert got == {1: (17, 5, "first"), 2: (3, 9, "hello")}
+
+    def test_aggregation_survives_compact(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "ag2", "k int, total int", primary_keys=["k"],
+            options={"merge-engine": "aggregation",
+                     "fields.total.aggregate-function": "sum"},
+        )
+        t.upsert(spark.createDataFrame([(1, 10)], "k int, total int"))
+        t.compact()
+        t.upsert(spark.createDataFrame([(1, 5)], "k int, total int"))
+        assert t.to_df().collect()[0]["total"] == 15
+
+    def test_first_row_engine(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "fr", "k int, v string", primary_keys=["k"],
+            options={"merge-engine": "first-row"},
+        )
+        t.upsert(spark.createDataFrame([(1, "first")], "k int, v string"))
+        t.upsert(spark.createDataFrame([(1, "second"), (2, "only")], "k int, v string"))
+        got = {r["k"]: r["v"] for r in t.to_df().collect()}
+        assert got == {1: "first", 2: "only"}
