@@ -1,0 +1,454 @@
+"""Spark Python DataSource for the table format: ``spark.read.format("paimon")``.
+
+This is the DataSource-API face of the engine (the architecture the
+reference implements against Presto's connector SPI — handle resolution
+`PrestoMetadata.java:133-165`, split planning `PrestoSplitManager.java:46-82`,
+per-split readers `PrestoPageSourceProvider.java:43-86` — re-expressed on
+Spark's `pyspark.sql.datasource` SPI):
+
+- ``PaimonDataSource.schema``   — table resolution from the warehouse path
+  (plain-Python manifest reads; no SparkSession needed on the driver hook).
+- ``PaimonReader.pushFilters``  — receives Catalyst's pushed filters,
+  converts the supported subset (=, <, <=, >, >=, IN, IS [NOT] NULL — the
+  exact set of ``PrestoFilterConverter.java:71-186``) into our structured
+  predicate for partition pruning + manifest-stat file skipping. All
+  filters are RETURNED to Spark so it re-applies them — advisory pushdown,
+  like the reference keeping the Filter node (`PrestoComputePushdown
+  .java:283-284`).
+- ``PaimonReader.partitions``   — one input partition per (partition,
+  bucket) group for primary-key tables, one per file for append-only.
+- ``PaimonReader.read``         — pyarrow parquet scan per partition,
+  yielding Arrow RecordBatches; primary-key groups are merged IN the
+  partition (pandas), which is the **shuffle-free merge-on-read**: bucketed
+  writes guarantee every version of a key lives in one bucket, so the merge
+  never crosses partition boundaries. (The DataFrame-path ``Table.to_df``
+  merges with a window over a shuffle instead; this reader is the
+  bucket-aligned variant SURVEY §7 risk 5 calls for.)
+- ``PaimonWriter``              — task-parallel append/overwrite for
+  append-only tables: each task writes parquet files + footer stats and
+  reports manifest entries in its commit message; the driver-side
+  ``commit`` performs the atomic manifest swap (A22 semantics). Primary-key
+  writes go through ``Table.upsert`` (bucket assignment uses JVM xxhash64,
+  which per-task Python writers cannot reproduce).
+
+Scale: planning cost is manifest-bounded (driver), reads are Arrow-batched
+per task, and the number of input partitions = buckets × partitions, the
+same parallelism contract Paimon gives its engines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+from paimon_presto_spark.plans.predicate import P, Predicate
+
+
+def _load_schema(path: str, schema_id: int | None = None) -> dict:
+    sdir = os.path.join(path, "schema")
+    if schema_id is None:
+        ids = [
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(sdir)
+            if f.startswith("schema-")
+        ]
+        schema_id = max(ids)
+    with open(os.path.join(sdir, f"schema-{schema_id}.json")) as fh:
+        return json.load(fh)
+
+
+def _latest_snapshot(path: str) -> dict | None:
+    latest = os.path.join(path, "snapshot", "LATEST")
+    if not os.path.exists(latest):
+        return None
+    with open(latest) as fh:
+        sid = int(fh.read().strip())
+    with open(os.path.join(path, "snapshot", f"snapshot-{sid}.json")) as fh:
+        return json.load(fh)
+
+
+def _manifest_entries(path: str, snap: dict) -> list[dict]:
+    with open(os.path.join(path, "manifest", snap["manifest"])) as fh:
+        return json.load(fh)["entries"]
+
+
+def _filters_to_predicate(filters: Sequence[Filter]) -> Predicate | None:
+    """Convert Spark's pushed filters (ANDed) to our predicate AST.
+
+    Unsupported shapes are skipped — they stay Spark-side, which is safe
+    because pushdown here is advisory (the same contract as the reference's
+    ``UnsupportedOperationException`` catch, ``PrestoFilterConverter
+    .java:87-90``).
+    """
+    parts: list[Predicate] = []
+    for f in filters:
+        try:
+            col = f.attribute[-1]  # ColumnPath tuple; nested refs unsupported
+            if len(f.attribute) != 1:
+                continue
+            if isinstance(f, EqualTo):
+                parts.append(P.eq(col, f.value))
+            elif isinstance(f, GreaterThan):
+                parts.append(P.gt(col, f.value))
+            elif isinstance(f, GreaterThanOrEqual):
+                parts.append(P.gte(col, f.value))
+            elif isinstance(f, LessThan):
+                parts.append(P.lt(col, f.value))
+            elif isinstance(f, LessThanOrEqual):
+                parts.append(P.lte(col, f.value))
+            elif isinstance(f, In):
+                parts.append(P.in_(col, list(f.values)))
+            elif isinstance(f, IsNull):
+                parts.append(P.is_null(col))
+            elif isinstance(f, IsNotNull):
+                parts.append(P.not_null(col))
+        except Exception:
+            continue
+    if not parts:
+        return None
+    pred = parts[0]
+    for p in parts[1:]:
+        pred = pred & p
+    return pred
+
+
+class PaimonPartition(InputPartition):
+    def __init__(self, files: list[str], merge: str | None, schema: dict):
+        self.files = files
+        self.merge = merge  # merge-engine name, or None for append-only
+        self.schema = schema  # table schema JSON (pks, fields, options)
+
+
+class PaimonReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.snapshot_id = (
+            int(options["snapshot"]) if "snapshot" in options else None
+        )
+        self.predicate: Predicate | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self.predicate = _filters_to_predicate(filters)
+        # Return ALL filters: Spark re-applies them (advisory pushdown); we
+        # only use them to shrink the file list.
+        return iter(filters)
+
+    def _snapshot(self) -> dict | None:
+        if self.snapshot_id is not None:
+            with open(
+                os.path.join(
+                    self.path, "snapshot", f"snapshot-{self.snapshot_id}.json"
+                )
+            ) as fh:
+                return json.load(fh)
+        return _latest_snapshot(self.path)
+
+    def partitions(self) -> Sequence[PaimonPartition]:
+        snap = self._snapshot()
+        if snap is None:
+            return [PaimonPartition([], None, _load_schema(self.path))]
+        schema = _load_schema(self.path, snap["schema_id"])
+        entries = _manifest_entries(self.path, snap)
+        part_keys = schema.get("partition_keys", [])
+        pks = schema.get("primary_keys", [])
+        if self.predicate is not None:
+            refs = self.predicate.references()
+            if part_keys and set(refs) & set(part_keys):
+                entries = [
+                    e
+                    for e in entries
+                    if self.predicate.test_row(dict(e["partition"]))
+                ]
+            entries = [
+                e
+                for e in entries
+                if self.predicate.test_stats(e.get("stats", {}), e["row_count"])
+            ]
+        if not pks:
+            return [
+                PaimonPartition([os.path.join(self.path, e["path"])], None, schema)
+                for e in entries
+            ] or [PaimonPartition([], None, schema)]
+        groups: dict[str, list[str]] = {}
+        for e in entries:
+            key = json.dumps(
+                {"p": e["partition"], "b": e["bucket"]}, sort_keys=True
+            )
+            groups.setdefault(key, []).append(os.path.join(self.path, e["path"]))
+        merge = schema.get("options", {}).get("merge-engine", "deduplicate")
+        return [
+            PaimonPartition(files, merge, schema) for files in groups.values()
+        ] or [PaimonPartition([], merge, schema)]
+
+    def read(self, partition: PaimonPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = partition.schema
+        names = [f["name"] for f in schema["fields"]]
+        if not partition.files:
+            return iter(())
+        tables = [pq.read_table(f) for f in partition.files]
+        tbl = pa.concat_tables(tables, promote_options="permissive")
+        if partition.merge is not None:
+            tbl = _merge_arrow(tbl, schema, partition.merge)
+        tbl = tbl.select([n for n in names if n in tbl.column_names])
+        return iter(tbl.to_batches(max_chunksize=4096))
+
+
+def _merge_arrow(tbl, schema: dict, engine: str):
+    """Per-bucket merge-on-read in Arrow/pandas (no shuffle — every version
+    of a key is in this bucket by the write-side hash contract)."""
+    import pyarrow as pa
+
+    pdf = tbl.to_pandas()
+    pks = schema["primary_keys"]
+    pdf = pdf.sort_values(["__seq", "__pos"], kind="stable")
+    if engine == "deduplicate":
+        pdf = pdf.drop_duplicates(pks, keep="last")
+        pdf = pdf[pdf["__row_kind"] != "D"]
+    elif engine == "first-row":
+        pdf = pdf[pdf["__row_kind"] != "D"].drop_duplicates(pks, keep="first")
+    elif engine == "partial-update":
+        pdf = pdf[pdf["__row_kind"] != "D"]
+        data_cols = [c for c in pdf.columns if c not in pks and not c.startswith("__")]
+        filled = pdf.groupby(pks, sort=False)[data_cols].ffill()
+        pdf[data_cols] = filled
+        pdf = pdf.drop_duplicates(pks, keep="last")
+    elif engine == "aggregation":
+        pdf = pdf[pdf["__row_kind"] != "D"]
+        opts = schema.get("options", {})
+        aggs = {}
+        for f in schema["fields"]:
+            c = f["name"]
+            if c in pks:
+                continue
+            fn = opts.get(f"fields.{c}.aggregate-function", "last_non_null")
+            aggs[c] = {
+                "sum": "sum", "max": "max", "min": "min", "count": "count",
+                "last_non_null": lambda s: s.dropna().iloc[-1] if s.notna().any() else None,
+            }[fn]
+        pdf = pdf.groupby(pks, as_index=False, sort=False).agg(aggs)
+    else:
+        raise ValueError(f"unknown merge-engine {engine!r}")
+    keep = [f["name"] for f in schema["fields"] if f["name"] in pdf.columns]
+    # preserve the writer's arrow types (pandas round-trip can widen)
+    target = pa.schema([tbl.schema.field(n) for n in keep])
+    return pa.Table.from_pandas(pdf[keep], schema=target, preserve_index=False)
+
+
+class PaimonCommitMessage(WriterCommitMessage):
+    def __init__(self, entries: list[dict]):
+        self.entries = entries
+
+
+class PaimonWriter(DataSourceWriter):
+    """Task-parallel append/overwrite for append-only tables.
+
+    Each task writes its partition of rows as parquet (with footer stats
+    mirroring ``table._footer_stats``) into a staging dir and reports the
+    manifest entries; ``commit`` moves files into ``data/`` and performs
+    the same atomic snapshot swap as ``Table._commit_manifest``.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+        schema = _load_schema(self.path)
+        if schema.get("primary_keys"):
+            raise ValueError(
+                "paimon datasource writes support append-only tables; "
+                "use Table.upsert()/delete() for primary-key tables"
+            )
+        self.schema = schema
+        self.staging = os.path.join(self.path, f".staging-ds-{uuid.uuid4().hex}")
+
+    def write(self, iterator) -> PaimonCommitMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return PaimonCommitMessage([])
+        names = [f["name"] for f in self.schema["fields"]]
+        part_keys = self.schema.get("partition_keys", [])
+        cols = {n: [getattr(r, n) for r in rows] for n in names}
+        tbl = pa.table(cols)
+        os.makedirs(self.staging, exist_ok=True)
+        entries = []
+        statable = {
+            f["name"]
+            for f in self.schema["fields"]
+            if not f["type"].startswith(("array", "map", "struct", "binary"))
+        }
+
+        def _write_group(sub_tbl, partition: dict[str, Any]):
+            name = f"data-ds-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.staging, name)
+            pq.write_table(sub_tbl, dst)
+            meta = pq.ParquetFile(dst).metadata
+            stats: dict[str, dict] = {}
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    col = c.path_in_schema
+                    if col not in statable or c.statistics is None:
+                        continue
+                    s = c.statistics
+                    cur = stats.setdefault(
+                        col, {"min": None, "max": None, "null_count": 0}
+                    )
+                    if s.has_min_max:
+                        mn, mx = _plain(s.min), _plain(s.max)
+                        cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
+                        cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+                    cur["null_count"] += s.null_count or 0
+            entries.append(
+                {
+                    "path": name,  # staged; commit() relocates
+                    "partition": {k: str(v) for k, v in partition.items()},
+                    "bucket": 0,
+                    "row_count": sub_tbl.num_rows,
+                    "file_size": os.path.getsize(dst),
+                    "schema_id": self.schema["schema_id"],
+                    "stats": stats,
+                }
+            )
+
+        if part_keys:
+            import pandas as pd  # noqa: F401 (groupby path)
+
+            pdf = tbl.to_pandas()
+            for pvals, sub in pdf.groupby(part_keys, sort=False, dropna=False):
+                if not isinstance(pvals, tuple):
+                    pvals = (pvals,)
+                partition = dict(zip(part_keys, pvals))
+                _write_group(
+                    pa.Table.from_pandas(sub, preserve_index=False).select(names),
+                    partition,
+                )
+        else:
+            _write_group(tbl, {})
+        return PaimonCommitMessage(entries)
+
+    def commit(self, messages) -> None:
+        import time as _time
+
+        entries = [e for m in messages if m for e in m.entries]
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        final_entries = []
+        for e in entries:
+            src = os.path.join(self.staging, e["path"])
+            sub = "/".join(
+                f"__part_{k}={v}" for k, v in sorted(e["partition"].items())
+            )
+            dst_dir = os.path.join(data_dir, sub) if sub else data_dir
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, e["path"])
+            os.rename(src, dst)
+            final_entries.append(
+                {
+                    **e,
+                    "path": os.path.relpath(dst, self.path),
+                    "min_seq": 0,
+                    "max_seq": 0,
+                }
+            )
+        _rmtree(self.staging)
+        # snapshot id allocation + atomic swap (CommitConflict on a race)
+        prev = _latest_snapshot(self.path)
+        if self.overwrite:
+            kind = "OVERWRITE"
+        else:
+            kind = "APPEND"
+            if prev is not None:
+                with open(
+                    os.path.join(self.path, "manifest", prev["manifest"])
+                ) as fh:
+                    final_entries = json.load(fh)["entries"] + final_entries
+        sid = (prev["snapshot_id"] + 1) if prev else 1
+        os.makedirs(os.path.join(self.path, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(self.path, "snapshot"), exist_ok=True)
+        mname = f"manifest-{sid}-{uuid.uuid4().hex}.json"
+        with open(os.path.join(self.path, "manifest", mname), "w") as fh:
+            json.dump({"entries": final_entries}, fh, default=str)
+        snap = {
+            "snapshot_id": sid,
+            "schema_id": self.schema["schema_id"],
+            "commit_user": os.environ.get("USER", "spark"),
+            "commit_identifier": sid,
+            "commit_kind": kind,
+            "timestamp_ms": int(_time.time() * 1000),
+            "manifest": mname,
+            "total_rows": sum(e["row_count"] for e in final_entries),
+        }
+        spath = os.path.join(self.path, "snapshot", f"snapshot-{sid}.json")
+        fd = os.open(spath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(snap, fh)
+        tmp = os.path.join(self.path, "snapshot", f".LATEST.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(sid))
+        os.replace(tmp, os.path.join(self.path, "snapshot", "LATEST"))
+
+    def abort(self, messages) -> None:
+        _rmtree(self.staging)
+
+
+class PaimonDataSource(DataSource):
+    """``spark.dataSource.register(PaimonDataSource)`` then
+    ``spark.read.format("paimon").option("path", table_dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paimon"
+
+    def schema(self) -> str:
+        schema = _load_schema(self.options["path"])
+        return ", ".join(f"`{f['name']}` {f['type']}" for f in schema["fields"])
+
+    def reader(self, schema) -> PaimonReader:
+        return PaimonReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> PaimonWriter:
+        return PaimonWriter(self.options, overwrite)
+
+
+def _plain(v):
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)
+    return v
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

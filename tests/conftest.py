@@ -14,6 +14,7 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("paimon-presto-spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
