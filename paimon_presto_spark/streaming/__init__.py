@@ -8,7 +8,8 @@ sequence), so ``readStream`` over the data directory yields exactly the
 stream a Paimon changelog scan would.
 """
 
+from paimon_presto_spark.streaming.sink import table_sink
 from paimon_presto_spark.streaming.source import changelog_stream
 from paimon_presto_spark.streaming.windows import sessionized, tumbling_counts
 
-__all__ = ["changelog_stream", "sessionized", "tumbling_counts"]
+__all__ = ["changelog_stream", "sessionized", "table_sink", "tumbling_counts"]

@@ -133,3 +133,60 @@ def test_stateful_running_totals(spark, tmp_path):
     run_once()
     got2 = {r["user_id"]: (r["total"], r["n"]) for r in captured}
     assert got2 == {1: (16.0, 3), 3: (7.0, 1)}
+
+
+def test_table_sink_append_and_pipeline(spark, catalog, tmp_path):
+    """File stream -> table_sink: micro-batches land as snapshot commits;
+    a second availableNow run with the same checkpoint adds only new files;
+    and the sink table's changelog is itself streamable (pipeline chaining)."""
+    from paimon_presto_spark.streaming import table_sink
+
+    src = tmp_path / "in"
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(str(src))
+    t = catalog.create_table("default", "sunk", "id long, v string")
+
+    def run():
+        stream = spark.readStream.schema("id long, v string").parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(table_sink(t, "ingest"))
+            .option("checkpointLocation", str(tmp_path / "ckpt-sink"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2]
+    n_snaps_first = len(t.snapshot_ids())
+
+    # restart with same checkpoint: nothing new -> no new snapshot
+    run()
+    assert len(t.snapshot_ids()) == n_snaps_first
+
+    spark.createDataFrame([(3, "c")], "id long, v string").write.mode("append").parquet(str(src))
+    run()
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 3]
+
+
+def test_table_sink_upsert_pk(spark, catalog, tmp_path):
+    from paimon_presto_spark.streaming import table_sink
+
+    src = tmp_path / "in2"
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(str(src))
+    t = catalog.create_table("default", "sunk_pk", "k long, v string", primary_keys=["k"])
+
+    def run():
+        stream = spark.readStream.schema("k long, v string").parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(table_sink(t, "up"))
+            .option("checkpointLocation", str(tmp_path / "ckpt-up"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame([(1, "a2")], "k long, v string").write.mode("append").parquet(str(src))
+    run()
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got == {1: "a2", 2: "b"}
