@@ -274,6 +274,52 @@ def assign_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+               ) AS VARCHAR) AS DOUBLE) AS nearby_total,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               ) AS neighborhood
+        FROM orders
+        WHERE o_custkey < 50
+        ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit RANGE / ROWS window frames — SURVEY §2.2 frame specs
+    (suite uses default frames; these are the explicit forms). One window
+    partitioning serves both frames — a single shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-1, 1)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(wr)
+            .cast("string").cast("double").alias("nearby_total"),
+            F.count(F.lit(1)).over(wn).alias("neighborhood"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
     "agg_collect_reduce",
     oracle="""
         SELECT n_regionkey,

@@ -220,3 +220,58 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(Exception) as exc:
         extract_image_features(media.filter("kind = 'image'")).collect()
     assert "NotImplementedError" in str(exc.value) or "pillow" in str(exc.value)
+
+
+def test_salted_join_matches_plain(spark):
+    from paimon_presto_spark.operators.skew import salted_join
+    import pyspark.sql.functions as F
+
+    # heavy skew: key 0 dominates
+    left = spark.range(0, 2000).select(
+        (F.when(F.col("id") < 1500, 0).otherwise(F.col("id") % 20)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(20)], "k long, name string")
+    expect = sorted(
+        (r["k"], r["v"], r["name"]) for r in left.join(right, "k").collect()
+    )
+    got = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(left, right, ["k"], n_salts=4).collect()
+    )
+    assert got == expect
+
+    # left join keeps unmatched rows exactly once
+    right_partial = right.filter("k < 5")
+    expect_l = sorted(
+        (r["k"], r["v"], r["name"]) for r in left.join(right_partial, "k", "left").collect()
+    )
+    got_l = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(left, right_partial, ["k"], n_salts=4, how="left").collect()
+    )
+    assert got_l == expect_l
+
+
+def test_two_phase_agg_matches_plain(spark):
+    from paimon_presto_spark.operators.skew import two_phase_agg
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    expect = {
+        r["k"]: (r["s"], r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    got = {
+        r["k"]: (r["s"], r["n"], r["mx"])
+        for r in two_phase_agg(
+            df, ["k"],
+            {"s": F.sum("v"), "n": F.count("v"), "mx": F.max("v")},
+            n_salts=4,
+        ).collect()
+    }
+    assert got == expect
