@@ -216,3 +216,21 @@ def _split_system(name: str) -> tuple[str, str | None]:
         base, suffix = name.split("$", 1)
         return base.lower(), suffix.lower()
     return name.lower(), None
+
+
+def register_catalog_views(catalog: "Catalog", db: str, spark=None) -> list[str]:
+    """Expose every table of `db` as temp views so the engine-native SQL
+    surface (SHOW TABLES / DESCRIBE / EXPLAIN / information-schema-style
+    catalog APIs — SURVEY §2.2 scans/sources rows) works over our tables.
+
+    Current snapshots only; views are session-scoped, re-register after
+    commits for fresh reads (a view holds the file list planned at
+    registration, snapshot-isolated like the reference's self-contained
+    table handles, PrestoMetadata.java:157).
+    """
+    spark = spark or catalog.spark
+    names = []
+    for name in catalog.list_tables(db):
+        catalog.get_table(db, name).to_df().createOrReplaceTempView(name)
+        names.append(name)
+    return names

@@ -384,3 +384,27 @@ class TestMergeEngines:
         t.upsert(spark.createDataFrame([(1, "second"), (2, "only")], "k int, v string"))
         got = {r["k"]: r["v"] for r in t.to_df().collect()}
         assert got == {1: "first", 2: "only"}
+
+
+def test_sql_surface_over_catalog_views(spark, catalog):
+    """SHOW/DESCRIBE/EXPLAIN + spark.sql over registered catalog tables —
+    SURVEY §2.2 scans/sources (information_schema, SHOW, DESCRIBE, EXPLAIN
+    are engine-native once tables resolve)."""
+    from paimon_presto_spark.catalog import register_catalog_views
+
+    t = catalog.create_table("default", "sqlv", "a int, b string")
+    t.append(spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string"))
+    register_catalog_views(catalog, "default")
+
+    shown = {r["tableName"] for r in spark.sql("SHOW TABLES").collect()}
+    assert "sqlv" in shown
+    desc = {r["col_name"]: r["data_type"] for r in spark.sql("DESCRIBE sqlv").collect()}
+    assert desc["a"] == "int" and desc["b"] == "string"
+    plan = spark.sql("EXPLAIN SELECT a FROM sqlv WHERE a > 1").collect()[0][0]
+    assert "Scan" in plan or "Relation" in plan
+    assert spark.sql("SELECT SUM(a) s FROM sqlv").collect()[0]["s"] == 3
+    # snapshot isolation: the view pins the registration-time snapshot
+    t.append(spark.createDataFrame([(3, "z")], "a int, b string"))
+    assert spark.sql("SELECT COUNT(*) c FROM sqlv").collect()[0]["c"] == 2
+    register_catalog_views(catalog, "default")
+    assert spark.sql("SELECT COUNT(*) c FROM sqlv").collect()[0]["c"] == 3
