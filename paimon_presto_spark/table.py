@@ -285,6 +285,49 @@ class Table:
         kind = "I" if self.is_primary_keyed else None
         return self._commit_write(df, kind="OVERWRITE", row_kind=kind, replace=True)
 
+    def expire_snapshots(self, keep_last: int = 10) -> list[int]:
+        """Drop snapshots older than the newest `keep_last`, deleting data
+        files no surviving snapshot references (the standard lakehouse
+        retention op — bounds metadata growth and reclaims storage from
+        compaction/overwrite churn). Time travel remains valid for every
+        kept snapshot; expired ids raise on access. Returns expired ids.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        ids = self.snapshot_ids()
+        expired = ids[:-keep_last]
+        if not expired:
+            return []
+        kept = ids[-keep_last:]
+        live_files = set()
+        live_manifests = set()
+        for sid in kept:
+            snap = self.snapshot(sid)
+            live_manifests.add(snap.manifest)
+            for e in self.manifest_entries(snap):
+                live_files.add(e["path"])
+        dead_files = set()
+        dead_manifests = set()
+        for sid in expired:
+            snap = self.snapshot(sid)
+            dead_manifests.add(snap.manifest)
+            for e in self.manifest_entries(snap):
+                if e["path"] not in live_files:
+                    dead_files.add(e["path"])
+        for rel in dead_files:
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except FileNotFoundError:
+                pass
+        for m in dead_manifests - live_manifests:
+            try:
+                os.remove(os.path.join(self.path, "manifest", m))
+            except FileNotFoundError:
+                pass
+        for sid in expired:
+            os.remove(os.path.join(self.path, "snapshot", f"snapshot-{sid}.json"))
+        return expired
+
     def _commit_write(
         self, df: DataFrame, kind: str, row_kind: str | None, replace: bool = False
     ) -> Snapshot:

@@ -408,3 +408,39 @@ def test_sql_surface_over_catalog_views(spark, catalog):
     assert spark.sql("SELECT COUNT(*) c FROM sqlv").collect()[0]["c"] == 2
     register_catalog_views(catalog, "default")
     assert spark.sql("SELECT COUNT(*) c FROM sqlv").collect()[0]["c"] == 3
+
+
+def test_expire_snapshots(spark, catalog):
+    t = catalog.create_table("default", "exp", "a int")
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "a int"))
+    assert t.snapshot_ids() == [1, 2, 3, 4, 5]
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [1, 2, 3]
+    assert t.snapshot_ids() == [4, 5]
+    # current read unaffected; kept-snapshot time travel still works
+    assert sorted(r["a"] for r in t.to_df().collect()) == [0, 1, 2, 3, 4]
+    assert t.scan(snapshot_id=4).to_df().count() == 4
+    with pytest.raises(ValueError, match="does not exist"):
+        t.scan(snapshot_id=2).to_df()
+
+
+def test_expire_snapshots_reclaims_compacted_files(spark, catalog):
+    t = catalog.create_table("default", "exp2", "k int, v int", primary_keys=["k"])
+    t.upsert(spark.createDataFrame([(1, 1), (2, 2)], "k int, v int"))
+    t.upsert(spark.createDataFrame([(1, 10)], "k int, v int"))
+    t.compact()
+
+    def live_files():
+        import os
+        n = 0
+        for root, _d, files in os.walk(os.path.join(t.path, "data")):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = live_files()
+    t.expire_snapshots(keep_last=1)
+    after = live_files()
+    assert after < before  # pre-compaction level files reclaimed
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got == {1: 10, 2: 2}
