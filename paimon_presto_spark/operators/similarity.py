@@ -117,6 +117,69 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    their nearest centroid's posting list; each query scores only the lists
+    of its ``n_probe`` nearest centroids.
+
+    `centroids` is a small driver-side list (cid, vector) — in production
+    the output of a sampled k-means; any deterministic choice works and
+    keeps results reproducible. Assignment is expressed relationally
+    (corpus × centroid-literals → per-row argmax via one window), which is
+    exactly how IVF builds distribute: a narrow |centroids|-way expansion,
+    one row_number window, then the probe equi-join. At 100 TB each task
+    touches |corpus|/|centroids| × n_probe candidate rows instead of the
+    full corpus per query.
+    """
+    spark = corpus.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+            "cid int, cvec array<double>",
+        )
+    )
+    def assign(df: DataFrame, key: str, emb: str, top_n: int) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.desc("__cd"), F.asc("cid"))
+        return (
+            df.crossJoin(cent_df)
+            .withColumn(
+                "__cd",
+                cosine_similarity(F.col(emb).cast("array<double>"), F.col("cvec")),
+            )
+            .withColumn("__crk", F.row_number().over(w))
+            .filter(F.col("__crk") <= top_n)
+            .drop("__cd", "__crk", "cvec")
+            .withColumnRenamed("cid", "bucket")
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")),
+        "n_id", "n_emb", 1,
+    )
+    q = assign(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")),
+        "q_id", "q_emb", n_probe,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn("cos_sim", cosine_similarity(F.col("q_emb"), F.col("n_emb")))
+        .groupBy("q_id", "n_id")
+        .agg(F.first("cos_sim").alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float,

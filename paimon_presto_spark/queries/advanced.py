@@ -15,7 +15,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from paimon_presto_spark.operators.similarity import _hyperplanes, lsh_bucketed_topk
+from paimon_presto_spark.operators.similarity import (
+    _hyperplanes,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from paimon_presto_spark.queries import register
 from paimon_presto_spark.queries.relational import DEC, dsum, o_dsum
 from paimon_presto_spark.sources.testdata import load_table
@@ -415,6 +419,84 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     out = lsh_bucketed_topk(e, queries, k=10, n_planes=4, dim=64)
+    return (
+        out.select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+IVF_SEED = 7
+
+
+def _ivf_cents(dim: int = 64) -> list[tuple[int, list[float]]]:
+    """Deterministic data-independent centroids (seeded gaussian directions
+    — production would plug sampled k-means; determinism is what matters
+    for the oracle)."""
+    return list(enumerate(_hyperplanes(dim, IVF_CENTROIDS, seed=IVF_SEED)))
+
+
+def _oracle_ivf_knn(k: int, n_queries: int) -> str:
+    cents = ",\n".join(
+        f"({cid}, [{', '.join(repr(x) for x in vec)}]::DOUBLE[])"
+        for cid, vec in _ivf_cents()
+    )
+    return f"""
+        WITH cent(cid, cvec) AS (VALUES {cents}),
+        cassign AS (
+            SELECT vec_id, embedding, cid AS bucket FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(
+                               e.embedding::DOUBLE[], c.cvec) DESC, c.cid
+                       ) AS rk
+                FROM embeddings e, cent c
+            ) WHERE rk = 1
+        ),
+        qassign AS (
+            SELECT vec_id, embedding, cid AS bucket FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(
+                               e.embedding::DOUBLE[], c.cvec) DESC, c.cid
+                       ) AS rk
+                FROM embeddings e, cent c
+                WHERE e.vec_id < {n_queries}
+            ) WHERE rk <= {IVF_PROBE}
+        ),
+        scored AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+                   ROUND(LIST_COSINE_SIMILARITY(q.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM qassign q JOIN cassign c ON q.bucket = c.bucket
+        )
+        SELECT q_id, n_id, cos_sim, rnk FROM (
+            SELECT q_id, n_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim DESC, n_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
+        ORDER BY q_id, rnk
+    """
+
+
+@register(
+    "knn_ivf_probe",
+    oracle=_oracle_ivf_knn(k=10, n_queries=5),
+    tags=("similarity", "knn", "ivf", "ann"),
+)
+def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN with multi-probe — the second scale path
+    next to ``knn_lsh_bucketed``. Corpus rows land in one centroid posting
+    list; queries probe their 4 nearest lists. Deterministic centroids give
+    this approximate operator, too, an exact DuckDB oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    out = ivf_topk(e, queries, _ivf_cents(), k=10, n_probe=IVF_PROBE)
     return (
         out.select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
         .orderBy("q_id", "rnk")

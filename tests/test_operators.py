@@ -275,3 +275,28 @@ def test_two_phase_agg_matches_plain(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    import numpy as np
+    from paimon_presto_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 64))
+    rows = []
+    for i in range(200):
+        c = centers[i % 8]
+        v = c + 0.05 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    # data-aware centroids: the true cluster centers -> posting lists align
+    cents = [(i, [float(x) for x in centers[i]]) for i in range(8)]
+    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(corpus, q, k=5).collect()}
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in ivf_topk(corpus, q, cents, k=5, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"IVF recall too low on clustered data: {recall}"
