@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -28,11 +29,16 @@ def changelog_stream(
     table: Table,
     subdir: str | None = None,
     max_files_per_trigger: int | None = None,
+    starting_snapshot: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame over `table`'s data files (changelog semantics).
 
     Append-only tables yield their rows; primary-key tables additionally
-    carry ``__row_kind`` / ``__seq`` system columns.
+    carry ``__row_kind`` / ``__seq`` system columns. ``starting_snapshot``
+    is the Paimon ``scan.mode=from-snapshot`` startup mode: only changes
+    committed at or after that snapshot are delivered (rows filtered on the
+    commit sequence — earlier files are still listed once but contribute no
+    rows, and the checkpoint marks them done).
     """
     schema = table.schema()
     fields = [
@@ -54,4 +60,12 @@ def changelog_stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(data_dir)
+    out = reader.parquet(data_dir)
+    if starting_snapshot is not None:
+        if not schema.primary_keys:
+            raise ValueError(
+                "starting_snapshot requires a primary-key table (append-only "
+                "files carry no commit sequence column)"
+            )
+        out = out.filter(F.col(SEQ_COL) >= starting_snapshot)
+    return out

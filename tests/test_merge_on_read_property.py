@@ -52,3 +52,98 @@ def test_mor_equals_dict_replay(spark, tmp_path_factory, cmds):
 
     got = sorted((r["k"], r["v"]) for r in t.to_df().collect())
     assert got == sorted(model.items())
+
+
+pu_commands = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),
+            st.one_of(st.none(), st.integers(0, 50)),
+            st.one_of(st.none(), st.integers(0, 50)),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=pu_commands)
+def test_partial_update_equals_dict_replay(spark, tmp_path_factory, batches):
+    """partial-update merge == per-column latest-non-null dict replay."""
+    from paimon_presto_spark.catalog import Catalog
+
+    wh = tmp_path_factory.mktemp("wh_pu")
+    c = Catalog(spark, str(wh))
+    c.create_database("d", ignore_if_exists=True)
+    t = c.create_table(
+        "d", "t", "k int, a int, b int", primary_keys=["k"],
+        options={"merge-engine": "partial-update"},
+    )
+
+    model: dict[int, list] = {}
+    for rows in batches:
+        dedup = {}
+        for k, a, b in rows:
+            dedup[k] = (a, b)
+        df = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in dedup.items()], "k int, a int, b int"
+        )
+        t.upsert(df)
+        for k, (a, b) in dedup.items():
+            cur = model.setdefault(k, [None, None])
+            if a is not None:
+                cur[0] = a
+            if b is not None:
+                cur[1] = b
+
+    got = sorted((r["k"], r["a"], r["b"]) for r in t.to_df().collect())
+    assert got == sorted((k, v[0], v[1]) for k, v in model.items())
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=pu_commands)
+def test_aggregation_engine_equals_dict_replay(spark, tmp_path_factory, batches):
+    """aggregation merge (sum, max) == dict replay with None-skipping."""
+    from paimon_presto_spark.catalog import Catalog
+
+    wh = tmp_path_factory.mktemp("wh_ag")
+    c = Catalog(spark, str(wh))
+    c.create_database("d", ignore_if_exists=True)
+    t = c.create_table(
+        "d", "t", "k int, s int, m int", primary_keys=["k"],
+        options={
+            "merge-engine": "aggregation",
+            "fields.s.aggregate-function": "sum",
+            "fields.m.aggregate-function": "max",
+        },
+    )
+
+    model: dict[int, list] = {}
+    for rows in batches:
+        dedup = {}
+        for k, s_, m_ in rows:
+            dedup[k] = (s_, m_)
+        df = spark.createDataFrame(
+            [(k, s_, m_) for k, (s_, m_) in dedup.items()], "k int, s int, m int"
+        )
+        t.upsert(df)
+        for k, (s_, m_) in dedup.items():
+            cur = model.setdefault(k, [None, None])
+            if s_ is not None:
+                cur[0] = s_ if cur[0] is None else cur[0] + s_
+            if m_ is not None:
+                cur[1] = m_ if cur[1] is None else max(cur[1], m_)
+
+    got = sorted((r["k"], r["s"], r["m"]) for r in t.to_df().collect())
+    assert got == sorted((k, v[0], v[1]) for k, v in model.items())

@@ -190,3 +190,17 @@ def test_table_sink_upsert_pk(spark, catalog, tmp_path):
     run()
     got = {r["k"]: r["v"] for r in t.to_df().collect()}
     assert got == {1: "a2", 2: "b"}
+
+
+def test_changelog_stream_from_snapshot(spark, catalog, tmp_path):
+    from paimon_presto_spark.streaming import changelog_stream
+
+    t = catalog.create_table("default", "chg_from", "k int, v string", primary_keys=["k"])
+    t.upsert(spark.createDataFrame([(1, "a")], "k int, v string"))     # snapshot 1
+    t.upsert(spark.createDataFrame([(2, "b")], "k int, v string"))     # snapshot 2
+    t.upsert(spark.createDataFrame([(3, "c")], "k int, v string"))     # snapshot 3
+
+    sdf = changelog_stream(spark, t, starting_snapshot=2)
+    _run_to_memory(sdf, "chg_from", tmp_path)
+    rows = spark.sql("SELECT k, __seq FROM chg_from ORDER BY __seq").collect()
+    assert [(r["k"], r["__seq"]) for r in rows] == [(2, 2), (3, 3)]
