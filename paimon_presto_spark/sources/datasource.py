@@ -91,6 +91,26 @@ def _manifest_entries(path: str, snap: dict) -> list[dict]:
         return json.load(fh)["entries"]
 
 
+def _typed_partition_json(partition: dict, schema: dict) -> dict:
+    """Partition dir values (strings) → typed values per the schema JSON
+    (mirror of ``table._typed_partition`` without a TableSchema object)."""
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    out = {}
+    for k, raw in partition.items():
+        t = types.get(k, "string")
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            out[k] = None
+        elif t in ("tinyint", "smallint", "int", "bigint"):
+            out[k] = int(raw)
+        elif t in ("float", "double"):
+            out[k] = float(raw)
+        elif t == "boolean":
+            out[k] = str(raw).lower() == "true"
+        else:
+            out[k] = raw
+    return out
+
+
 def _filters_to_predicate(filters: Sequence[Filter]) -> Predicate | None:
     """Convert Spark's pushed filters (ANDed) to our predicate AST.
 
@@ -173,10 +193,15 @@ class PaimonReader(DataSourceReader):
         if self.predicate is not None:
             refs = self.predicate.references()
             if part_keys and set(refs) & set(part_keys):
+                # partition dir values are strings; type them per the schema
+                # before predicate evaluation (int "5" == 5 is False in
+                # Python — untyped comparison would silently over-prune)
                 entries = [
                     e
                     for e in entries
-                    if self.predicate.test_row(dict(e["partition"]))
+                    if self.predicate.test_row(
+                        _typed_partition_json(e["partition"], schema)
+                    )
                 ]
             entries = [
                 e

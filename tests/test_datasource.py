@@ -108,3 +108,18 @@ def test_datasource_write_rejects_pk(registered, spark, catalog):
         spark.createDataFrame([(1, 1)], "k int, v int").write.format(
             "paimon"
         ).option("path", t.path).mode("append").save()
+
+
+def test_int_partition_key_pruning_correct(registered, spark, catalog):
+    """Regression: partition dir values are strings; an equality filter on
+    an int partition column must still match (typed comparison), and must
+    actually prune non-matching partitions."""
+    t = catalog.create_table(
+        "default", "ds_ip", "v string, year int", partition_keys=["year"]
+    )
+    t.append(spark.createDataFrame(
+        [("a", 2023), ("b", 2024), ("c", 2024)], "v string, year int"))
+    df = _read(spark, t).filter("year = 2024")
+    assert sorted(r["v"] for r in df.collect()) == ["b", "c"]
+    assert _read(spark, t).filter("year > 2023").count() == 2
+    assert _read(spark, t).filter("year IN (2023)").count() == 1
