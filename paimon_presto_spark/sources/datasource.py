@@ -24,12 +24,14 @@ Spark's `pyspark.sql.datasource` SPI):
   never crosses partition boundaries. (The DataFrame-path ``Table.to_df``
   merges with a window over a shuffle instead; this reader is the
   bucket-aligned variant SURVEY §7 risk 5 calls for.)
-- ``PaimonWriter``              — task-parallel append/overwrite for
-  append-only tables: each task writes parquet files + footer stats and
+- ``PaimonWriter``              — task-parallel writes: append/overwrite
+  for plain tables, upsert/delete (``option("rowkind", "D")``) for
+  primary-key tables. Each task writes parquet files + footer stats and
   reports manifest entries in its commit message; the driver-side
-  ``commit`` performs the atomic manifest swap (A22 semantics). Primary-key
-  writes go through ``Table.upsert`` (bucket assignment uses JVM xxhash64,
-  which per-task Python writers cannot reproduce).
+  ``commit`` performs the atomic manifest swap (A22 semantics). Bucket
+  assignment uses ``functions/xxhash.spark_bucket`` — a pure-Python XXH64
+  bit-identical to the JVM ``pmod(xxhash64(pks), n)`` — so DataSource and
+  Table-API writes interleave on one table with a consistent bucket layout.
 
 Scale: planning cost is manifest-bounded (driver), reads are Arrow-batched
 per task, and the number of input partitions = buckets × partitions, the
@@ -89,6 +91,53 @@ def _latest_snapshot(path: str) -> dict | None:
 def _manifest_entries(path: str, snap: dict) -> list[dict]:
     with open(os.path.join(path, "manifest", snap["manifest"])) as fh:
         return json.load(fh)["entries"]
+
+
+def _arrow_type(ddl: str):
+    """DDL type string → pyarrow type (the subset the format supports for
+    hashable/statable columns; nested types pass through as-is)."""
+    import pyarrow as pa
+
+    t = ddl.lower()
+    simple = {
+        "boolean": pa.bool_(),
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp_ntz": pa.timestamp("us"),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+    }
+    if t in simple:
+        return simple[t]
+    if t.startswith("decimal"):
+        p, s = t[t.index("(") + 1 : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    return None  # nested/unknown: leave the file's own type
+
+
+_SYS_DDL = {"__seq": "bigint", "__pos": "bigint", "__row_kind": "string"}
+
+
+def _cast_to_schema(tbl, schema: dict):
+    """Cast an arrow table's columns to the table's declared types so Spark
+    receives exactly the schema it planned for (files written by different
+    engines may use wider physical types, e.g. int64 for an int column)."""
+    import pyarrow as pa
+
+    ddl = {f["name"]: f["type"] for f in schema["fields"]} | _SYS_DDL
+    fields = []
+    for name in tbl.column_names:
+        at = _arrow_type(ddl.get(name, ""))
+        fields.append(
+            pa.field(name, at if at is not None else tbl.schema.field(name).type)
+        )
+    return tbl.cast(pa.schema(fields))
 
 
 def _typed_partition_json(partition: dict, schema: dict) -> dict:
@@ -237,6 +286,7 @@ class PaimonReader(DataSourceReader):
         if partition.merge is not None:
             tbl = _merge_arrow(tbl, schema, partition.merge)
         tbl = tbl.select([n for n in names if n in tbl.column_names])
+        tbl = _cast_to_schema(tbl, schema)
         return iter(tbl.to_batches(max_chunksize=4096))
 
 
@@ -287,24 +337,37 @@ class PaimonCommitMessage(WriterCommitMessage):
 
 
 class PaimonWriter(DataSourceWriter):
-    """Task-parallel append/overwrite for append-only tables.
+    """Task-parallel writes: append/overwrite for plain tables, upsert (or
+    delete via ``option("rowkind", "D")``) for primary-key tables.
 
-    Each task writes its partition of rows as parquet (with footer stats
-    mirroring ``table._footer_stats``) into a staging dir and reports the
-    manifest entries; ``commit`` moves files into ``data/`` and performs
-    the same atomic snapshot swap as ``Table._commit_manifest``.
+    Each task writes its rows as parquet (footer stats mirroring
+    ``table._footer_stats``) into a staging dir and reports manifest
+    entries; ``commit`` moves files into ``data/`` and performs the same
+    atomic snapshot swap as ``Table._commit_manifest``. Primary-key rows
+    carry (``__seq``, ``__pos``, ``__row_kind``) and land in the bucket
+    directory chosen by ``functions/xxhash.spark_bucket`` — bit-identical
+    to the JVM write path's ``pmod(xxhash64(pks), n)``, so DataSource and
+    Table-API writes interleave safely on one table. The snapshot id is
+    allocated optimistically at writer construction (same contract as
+    ``Table._commit_write``); a racing commit fails on the O_EXCL swap.
     """
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
         self.overwrite = overwrite
         schema = _load_schema(self.path)
-        if schema.get("primary_keys"):
-            raise ValueError(
-                "paimon datasource writes support append-only tables; "
-                "use Table.upsert()/delete() for primary-key tables"
-            )
         self.schema = schema
+        self.pks = schema.get("primary_keys", [])
+        self.row_kind = options.get("rowkind", "I")
+        if self.row_kind not in ("I", "D"):
+            raise ValueError("rowkind must be 'I' or 'D'")
+        if self.pks and overwrite:
+            raise ValueError(
+                "overwrite mode on a primary-key table is ambiguous; use "
+                "Table.overwrite() for an explicit full replacement"
+            )
+        prev = _latest_snapshot(self.path)
+        self.next_snapshot = (prev["snapshot_id"] + 1) if prev else 1
         self.staging = os.path.join(self.path, f".staging-ds-{uuid.uuid4().hex}")
 
     def write(self, iterator) -> PaimonCommitMessage:
@@ -315,8 +378,25 @@ class PaimonWriter(DataSourceWriter):
         if not rows:
             return PaimonCommitMessage([])
         names = [f["name"] for f in self.schema["fields"]]
+        types = {f["name"]: f["type"] for f in self.schema["fields"]}
         part_keys = self.schema.get("partition_keys", [])
         cols = {n: [getattr(r, n) for r in rows] for n in names}
+        if self.pks:
+            from paimon_presto_spark.functions.xxhash import spark_bucket
+
+            nb = int(self.schema.get("options", {}).get("bucket", "4"))
+            pk_t = [(k, types[k]) for k in self.pks]
+            buckets = [
+                spark_bucket(nb, [(getattr(r, k), t) for k, t in pk_t])
+                for r in rows
+            ]
+            # __pos only disambiguates same-key rows inside this commit;
+            # a per-task random high word keeps it unique across tasks
+            # (same role monotonically_increasing_id plays on the JVM path)
+            salt = uuid.uuid4().int & 0x7FFFFFFF
+            cols["__seq"] = [self.next_snapshot] * len(rows)
+            cols["__pos"] = [(salt << 32) | i for i in range(len(rows))]
+            cols["__row_kind"] = [self.row_kind] * len(rows)
         tbl = pa.table(cols)
         os.makedirs(self.staging, exist_ok=True)
         entries = []
@@ -326,10 +406,10 @@ class PaimonWriter(DataSourceWriter):
             if not f["type"].startswith(("array", "map", "struct", "binary"))
         }
 
-        def _write_group(sub_tbl, partition: dict[str, Any]):
+        def _write_group(sub_tbl, partition: dict[str, Any], bucket: int = 0):
             name = f"data-ds-{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self.staging, name)
-            pq.write_table(sub_tbl, dst)
+            pq.write_table(_cast_to_schema(sub_tbl, self.schema), dst)
             meta = pq.ParquetFile(dst).metadata
             stats: dict[str, dict] = {}
             for rg in range(meta.num_row_groups):
@@ -352,7 +432,7 @@ class PaimonWriter(DataSourceWriter):
                 {
                     "path": name,  # staged; commit() relocates
                     "partition": {k: str(v) for k, v in partition.items()},
-                    "bucket": 0,
+                    "bucket": bucket,
                     "row_count": sub_tbl.num_rows,
                     "file_size": os.path.getsize(dst),
                     "schema_id": self.schema["schema_id"],
@@ -360,17 +440,25 @@ class PaimonWriter(DataSourceWriter):
                 }
             )
 
-        if part_keys:
-            import pandas as pd  # noqa: F401 (groupby path)
-
+        out_names = names + (["__seq", "__pos", "__row_kind"] if self.pks else [])
+        group_cols = list(part_keys)
+        pdf = None
+        if self.pks:
             pdf = tbl.to_pandas()
-            for pvals, sub in pdf.groupby(part_keys, sort=False, dropna=False):
-                if not isinstance(pvals, tuple):
-                    pvals = (pvals,)
-                partition = dict(zip(part_keys, pvals))
+            pdf["__grp_bucket"] = buckets
+            group_cols = group_cols + ["__grp_bucket"]
+        elif part_keys:
+            pdf = tbl.to_pandas()
+        if pdf is not None:
+            for gvals, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                if not isinstance(gvals, tuple):
+                    gvals = (gvals,)
+                gmap = dict(zip(group_cols, gvals))
+                bucket = int(gmap.pop("__grp_bucket", 0))
                 _write_group(
-                    pa.Table.from_pandas(sub, preserve_index=False).select(names),
-                    partition,
+                    pa.Table.from_pandas(sub, preserve_index=False).select(out_names),
+                    gmap,
+                    bucket,
                 )
         else:
             _write_group(tbl, {})
@@ -385,9 +473,12 @@ class PaimonWriter(DataSourceWriter):
         final_entries = []
         for e in entries:
             src = os.path.join(self.staging, e["path"])
-            sub = "/".join(
+            parts = [
                 f"__part_{k}={v}" for k, v in sorted(e["partition"].items())
-            )
+            ]
+            if self.pks:
+                parts.append(f"__bucket={e['bucket']}")
+            sub = "/".join(parts)
             dst_dir = os.path.join(data_dir, sub) if sub else data_dir
             os.makedirs(dst_dir, exist_ok=True)
             dst = os.path.join(dst_dir, e["path"])
@@ -396,23 +487,23 @@ class PaimonWriter(DataSourceWriter):
                 {
                     **e,
                     "path": os.path.relpath(dst, self.path),
-                    "min_seq": 0,
-                    "max_seq": 0,
+                    "min_seq": self.next_snapshot if self.pks else 0,
+                    "max_seq": self.next_snapshot if self.pks else 0,
                 }
             )
         _rmtree(self.staging)
-        # snapshot id allocation + atomic swap (CommitConflict on a race)
+        # snapshot swap at the pre-allocated id (CommitConflict on a race)
         prev = _latest_snapshot(self.path)
         if self.overwrite:
             kind = "OVERWRITE"
         else:
-            kind = "APPEND"
+            kind = ("DELETE" if self.row_kind == "D" else "UPSERT") if self.pks else "APPEND"
             if prev is not None:
                 with open(
                     os.path.join(self.path, "manifest", prev["manifest"])
                 ) as fh:
                     final_entries = json.load(fh)["entries"] + final_entries
-        sid = (prev["snapshot_id"] + 1) if prev else 1
+        sid = self.next_snapshot
         os.makedirs(os.path.join(self.path, "manifest"), exist_ok=True)
         os.makedirs(os.path.join(self.path, "snapshot"), exist_ok=True)
         mname = f"manifest-{sid}-{uuid.uuid4().hex}.json"

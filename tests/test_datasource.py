@@ -102,12 +102,45 @@ def test_datasource_write_partitioned(registered, spark, catalog):
     assert scan.last_plan["after_partition_prune"] < scan.last_plan["total_files"] + 1
 
 
-def test_datasource_write_rejects_pk(registered, spark, catalog):
-    t = catalog.create_table("default", "ds_wr", "k int, v int", primary_keys=["k"])
-    with pytest.raises(Exception, match="append-only"):
-        spark.createDataFrame([(1, 1)], "k int, v int").write.format(
+def test_datasource_write_pk_upsert_delete(registered, spark, catalog):
+    """Primary-key writes through the DataSource: upserts, deletes via
+    rowkind option, and interop with Table-API writes (same xxhash64
+    bucket layout, so merge-on-read spans both write paths)."""
+    t = catalog.create_table(
+        "default", "ds_wr", "k int, v string", primary_keys=["k"]
+    )
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").write.format(
+        "paimon"
+    ).option("path", t.path).mode("append").save()
+    spark.createDataFrame([(1, "a2"), (3, "c")], "k int, v string").write.format(
+        "paimon"
+    ).option("path", t.path).mode("append").save()
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+
+    # delete via rowkind=D
+    spark.createDataFrame([(2, "b")], "k int, v string").write.format(
+        "paimon"
+    ).option("path", t.path).option("rowkind", "D").mode("append").save()
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got == {1: "a2", 3: "c"}
+
+    # interop: Table-API upsert on the same table, read back via the
+    # DataSource's per-bucket merge. If the Python writer's bucket choice
+    # diverged from the JVM xxhash64 layout, key 3's two versions would
+    # land in different buckets and BOTH would survive this merge.
+    t.upsert(spark.createDataFrame([(3, "c2")], "k int, v string"))
+    got_ds = {r["k"]: r["v"] for r in _read(spark, t).collect()}
+    assert got_ds == {1: "a2", 3: "c2"}
+    assert _read(spark, t).count() == 2
+    t.compact()
+    assert {r["k"]: r["v"] for r in t.to_df().collect()} == {1: "a2", 3: "c2"}
+
+    # overwrite on a pk table is rejected as ambiguous
+    with pytest.raises(Exception, match="ambiguous"):
+        spark.createDataFrame([(9, "z")], "k int, v string").write.format(
             "paimon"
-        ).option("path", t.path).mode("append").save()
+        ).option("path", t.path).mode("overwrite").save()
 
 
 def test_int_partition_key_pruning_correct(registered, spark, catalog):

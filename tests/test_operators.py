@@ -300,3 +300,23 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.95, f"IVF recall too low on clustered data: {recall}"
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """functions/xxhash must be bit-identical to F.xxhash64 (bucket interop)."""
+    from paimon_presto_spark.functions.xxhash import spark_bucket, spark_xxhash64
+
+    rows = [
+        (1, 42, "hello", True), (2, -7, "", False), (3, 2**60, "a" * 40, True),
+        (4, 0, "unicode-日本語", False), (5, -(2**62), "x" * 31, True),
+    ]
+    df = spark.createDataFrame(rows, "id int, n long, s string, b boolean")
+    got = df.select(
+        "id", "n", "s", "b",
+        F.xxhash64("id", "n", "s", "b").alias("h"),
+        F.pmod(F.xxhash64("id", "s"), F.lit(8)).alias("bk"),
+    ).collect()
+    for r in got:
+        vals = [(r["id"], "int"), (r["n"], "bigint"), (r["s"], "string"), (r["b"], "boolean")]
+        assert spark_xxhash64(vals) == r["h"]
+        assert spark_bucket(8, [(r["id"], "int"), (r["s"], "string")]) == r["bk"]
