@@ -444,3 +444,49 @@ def test_expire_snapshots_reclaims_compacted_files(spark, catalog):
     assert after < before  # pre-compaction level files reclaimed
     got = {r["k"]: r["v"] for r in t.to_df().collect()}
     assert got == {1: 10, 2: 2}
+
+
+def test_sort_compact_improves_file_skipping(spark, catalog):
+    """compact(sort_by): range-clustered rewrite makes min/max file
+    skipping surgical on the sorted column."""
+    import pyspark.sql.functions as F
+    from paimon_presto_spark.plans.predicate import P
+
+    t = catalog.create_table("default", "sc", "a int, v string")
+    # interleaved appends: every file spans nearly the full value range
+    rows = [(i, f"v{i}") for i in range(0, 1000, 7)] + [(i, f"v{i}") for i in range(3, 1000, 11)]
+    df = spark.createDataFrame(rows, "a int, v string").repartition(8)
+    t.append(df)
+
+    scan_before = t.scan(predicate=P.between("a", 100, 120))
+    scan_before.plan_files()
+    skipped_before = (
+        scan_before.last_plan["after_partition_prune"]
+        - scan_before.last_plan["after_stats_skip"]
+    )
+
+    t.compact(sort_by=["a"])
+    scan_after = t.scan(predicate=P.between("a", 100, 120))
+    kept = len(scan_after.plan_files())
+    total = scan_after.last_plan["after_partition_prune"]
+    # after clustering, the narrow range hits a small fraction of files
+    assert total > 2 and kept <= max(1, total // 2), (kept, total)
+    # results identical
+    got = sorted(r["a"] for r in scan_after.to_df().collect())
+    assert got == sorted(a for a, _ in rows if 100 <= a <= 120)
+
+
+def test_drop_partition(spark, catalog):
+    t = catalog.create_table(
+        "default", "dp", "v int, region string", partition_keys=["region"]
+    )
+    t.append(spark.createDataFrame(
+        [(1, "eu"), (2, "us"), (3, "eu"), (4, "ap")], "v int, region string"))
+    snap = t.drop_partition(region="eu")
+    assert snap.commit_kind == "DROP_PARTITION"
+    got = sorted((r["v"], r["region"]) for r in t.to_df().collect())
+    assert got == [(2, "us"), (4, "ap")]
+    # time travel still sees the dropped partition
+    assert t.scan(snapshot_id=snap.snapshot_id - 1).to_df().count() == 4
+    with pytest.raises(ValueError, match="not a partition key"):
+        t.drop_partition(v=1)
