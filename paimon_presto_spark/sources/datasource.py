@@ -201,10 +201,17 @@ def _filters_to_predicate(filters: Sequence[Filter]) -> Predicate | None:
 
 
 class PaimonPartition(InputPartition):
-    def __init__(self, files: list[str], merge: str | None, schema: dict):
+    def __init__(
+        self,
+        path: str,
+        files: list[tuple[str, int]],  # (absolute path, writer schema_id)
+        merge: str | None,
+        schema: dict,
+    ):
+        self.path = path
         self.files = files
         self.merge = merge  # merge-engine name, or None for append-only
-        self.schema = schema  # table schema JSON (pks, fields, options)
+        self.schema = schema  # snapshot's table schema JSON
 
 
 class PaimonReader(DataSourceReader):
@@ -257,21 +264,25 @@ class PaimonReader(DataSourceReader):
                 for e in entries
                 if self.predicate.test_stats(e.get("stats", {}), e["row_count"])
             ]
+        def fent(e) -> tuple[str, int]:
+            return (os.path.join(self.path, e["path"]), e["schema_id"])
+
         if not pks:
             return [
-                PaimonPartition([os.path.join(self.path, e["path"])], None, schema)
+                PaimonPartition(self.path, [fent(e)], None, schema)
                 for e in entries
-            ] or [PaimonPartition([], None, schema)]
-        groups: dict[str, list[str]] = {}
+            ] or [PaimonPartition(self.path, [], None, schema)]
+        groups: dict[str, list[tuple[str, int]]] = {}
         for e in entries:
             key = json.dumps(
                 {"p": e["partition"], "b": e["bucket"]}, sort_keys=True
             )
-            groups.setdefault(key, []).append(os.path.join(self.path, e["path"]))
+            groups.setdefault(key, []).append(fent(e))
         merge = schema.get("options", {}).get("merge-engine", "deduplicate")
         return [
-            PaimonPartition(files, merge, schema) for files in groups.values()
-        ] or [PaimonPartition([], merge, schema)]
+            PaimonPartition(self.path, files, merge, schema)
+            for files in groups.values()
+        ] or [PaimonPartition(self.path, [], merge, schema)]
 
     def read(self, partition: PaimonPartition):
         import pyarrow as pa
@@ -281,13 +292,50 @@ class PaimonReader(DataSourceReader):
         names = [f["name"] for f in schema["fields"]]
         if not partition.files:
             return iter(())
-        tables = [pq.read_table(f) for f in partition.files]
+        # field-id projection: files written under older schemas render
+        # through the snapshot schema (renames follow the id, dropped
+        # columns vanish, added columns null-fill) — the A18 contract,
+        # same as table._project_to on the DataFrame path
+        writer_schemas = {
+            sid: _load_schema(partition.path, sid)
+            for sid in {sid for _, sid in partition.files}
+        }
+        tables = [
+            _project_arrow(pq.read_table(f), writer_schemas[sid], schema)
+            for f, sid in partition.files
+        ]
         tbl = pa.concat_tables(tables, promote_options="permissive")
         if partition.merge is not None:
             tbl = _merge_arrow(tbl, schema, partition.merge)
         tbl = tbl.select([n for n in names if n in tbl.column_names])
         tbl = _cast_to_schema(tbl, schema)
         return iter(tbl.to_batches(max_chunksize=4096))
+
+
+def _project_arrow(tbl, writer_schema: dict, reader_schema: dict):
+    """Project a file written under `writer_schema` to `reader_schema` by
+    field id (arrow twin of ``table._project_to``)."""
+    import pyarrow as pa
+
+    by_id = {f["id"]: f for f in writer_schema["fields"]}
+    n = tbl.num_rows
+    cols, names = [], []
+    for f in reader_schema["fields"]:
+        w = by_id.get(f["id"])
+        target = _arrow_type(f["type"])
+        if w is not None and w["name"] in tbl.column_names:
+            col = tbl.column(w["name"])
+            if target is not None:
+                col = col.cast(target)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, type=target or pa.string()))
+        names.append(f["name"])
+    for c in ("__seq", "__pos", "__row_kind"):
+        if c in tbl.column_names:
+            cols.append(tbl.column(c))
+            names.append(c)
+    return pa.table(dict(zip(names, cols)))
 
 
 def _merge_arrow(tbl, schema: dict, engine: str):

@@ -156,3 +156,21 @@ def test_int_partition_key_pruning_correct(registered, spark, catalog):
     assert sorted(r["v"] for r in df.collect()) == ["b", "c"]
     assert _read(spark, t).filter("year > 2023").count() == 2
     assert _read(spark, t).filter("year IN (2023)").count() == 1
+
+
+def test_schema_evolution_projection(registered, spark, catalog):
+    """Files written under older schemas render through the current one by
+    field id: renames follow, added columns null-fill (A18 contract on the
+    DataSource read path)."""
+    t = catalog.create_table("default", "ds_ev", "a int, b string")
+    t.append(spark.createDataFrame([(1, "x")], "a int, b string"))
+    catalog.rename_column("default", "ds_ev", "b", "label")
+    catalog.add_column("default", "ds_ev", "score", "double")
+    t2 = catalog.get_table("default", "ds_ev")
+    t2.append(spark.createDataFrame([(2, "y", 0.5)], "a int, label string, score double"))
+
+    rows = {r["a"]: (r["label"], r["score"]) for r in _read(spark, t2).collect()}
+    assert rows == {1: ("x", None), 2: ("y", 0.5)}
+    # matches the DataFrame-path projection
+    expect = {r["a"]: (r["label"], r["score"]) for r in t2.to_df().collect()}
+    assert rows == expect
