@@ -1,0 +1,118 @@
+"""Property tests for the scan planner: file skipping must be purely an
+optimization — `scan(predicate=p)` ≡ full scan + DataFrame filter for any
+supported predicate over any file layout. This guards the custom
+min/max-stats logic (`plans/predicate.py:test_stats`), the riskiest code in
+the read path (a wrong skip silently loses rows).
+
+Also covers the commit protocol: a conflicting snapshot id must be retried
+and never drop either writer's data.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from paimon_presto_spark.plans.predicate import P
+
+
+values = st.integers(-5, 25)
+
+predicates = st.recursive(
+    st.one_of(
+        st.builds(P.eq, st.just("a"), values),
+        st.builds(P.lt, st.just("a"), values),
+        st.builds(P.gte, st.just("a"), values),
+        st.builds(P.between, st.just("a"), values, values),
+        st.builds(P.in_, st.just("a"), st.lists(values, min_size=1, max_size=4)),
+        st.builds(P.is_null, st.just("b")),
+        st.builds(P.not_null, st.just("b")),
+        st.builds(P.eq, st.just("b"), st.integers(0, 5)),
+    ),
+    lambda kids: st.one_of(
+        st.builds(lambda x, y: x & y, kids, kids),
+        st.builds(lambda x, y: x | y, kids, kids),
+    ),
+    max_leaves=4,
+)
+
+layouts = st.lists(  # each inner list = one append commit = >=1 file
+    st.lists(
+        st.tuples(values, st.one_of(st.none(), st.integers(0, 5))),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(commits=layouts, pred=predicates)
+def test_file_skipping_never_changes_results(spark, tmp_path_factory, commits, pred):
+    from paimon_presto_spark.catalog import Catalog
+
+    wh = tmp_path_factory.mktemp("wh_prune")
+    c = Catalog(spark, str(wh))
+    c.create_database("d", ignore_if_exists=True)
+    t = c.create_table("d", "t", "a int, b int")
+    for rows in commits:
+        t.append(spark.createDataFrame(rows, "a int, b int"))
+
+    pruned = sorted(
+        ((r["a"], r["b"]) for r in t.scan(predicate=pred).to_df().collect()),
+        key=repr,
+    )
+    full = sorted(
+        ((r["a"], r["b"]) for r in t.to_df().filter(pred.to_spark()).collect()),
+        key=repr,
+    )
+    assert pruned == full
+
+
+def test_commit_conflict_retries_and_preserves_both_writers(spark, catalog):
+    """A snapshot-id race must retry at the next id and keep BOTH writers'
+    files (the read-committed contract of A22)."""
+    import json
+    import os
+
+    t = catalog.create_table("default", "cc", "a int")
+    t.append(spark.createDataFrame([(1,)], "a int"))
+
+    # another writer claims snapshot 2 out from under us, with its own file
+    other = catalog.create_table("default", "cc_other", "a int")
+    other.append(spark.createDataFrame([(99,)], "a int").coalesce(1))
+    other_entry = next(
+        e for e in other.manifest_entries() if e["row_count"] > 0
+    ).copy()
+    # relocate the other writer's file into cc's tree so its entry resolves
+    src = os.path.join(other.path, other_entry["path"])
+    dst_rel = os.path.join("data", "intruder.parquet")
+    os.makedirs(os.path.join(t.path, "data"), exist_ok=True)
+    os.replace(src, os.path.join(t.path, dst_rel))
+    other_entry["path"] = dst_rel
+    base = t.manifest_entries() + [other_entry]
+    mname = "manifest-2-intruder.json"
+    with open(os.path.join(t.path, "manifest", mname), "w") as fh:
+        json.dump({"entries": base}, fh)
+    with open(os.path.join(t.path, "snapshot", "snapshot-2.json"), "w") as fh:
+        json.dump(
+            {
+                "snapshot_id": 2, "schema_id": 0, "commit_user": "other",
+                "commit_identifier": 2, "commit_kind": "APPEND",
+                "timestamp_ms": 0, "manifest": mname, "total_rows": 2,
+            },
+            fh,
+        )
+    with open(os.path.join(t.path, "snapshot", "LATEST"), "w") as fh:
+        fh.write("2")
+
+    # our commit must land as snapshot 3 and keep the intruder's rows
+    t.append(spark.createDataFrame([(7,)], "a int"))
+    assert t.snapshot().snapshot_id == 3
+    got = sorted(r["a"] for r in t.to_df().collect())
+    assert got == [1, 7, 99]
