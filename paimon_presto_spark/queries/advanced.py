@@ -504,6 +504,68 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_format_roundtrip",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(
+                   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderkey % 97 <> 0
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("table-format", "merge-on-read", "end-to-end"),
+)
+def table_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end table-format correctness INSIDE the oracle gate: orders
+    are upserted into a primary-key table, ~1% of keys deleted, ~1%
+    price-patched by a second upsert; the merged read (with a pushed
+    predicate over the format's manifest planning) must equal the oracle's
+    declarative restatement of those mutations. This exercises write →
+    bucketed files → snapshot commit → merge-on-read → stats pruning as
+    one checkable unit (A13/A22/A24).
+    """
+    import tempfile
+
+    from paimon_presto_spark.catalog import Catalog
+    from paimon_presto_spark.plans.predicate import P
+
+    o = load_table(spark, sf_dir, "orders")
+    wh = tempfile.mkdtemp(prefix="ppspark-rt-")
+    cat = Catalog(spark, wh)
+    cat.create_database("rt", ignore_if_exists=True)
+    t = cat.create_table(
+        "rt", "orders_rt",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+        primary_keys=["o_orderkey"],
+    )
+    t.upsert(o)
+    t.delete(o.filter(F.col("o_orderkey") % 97 == 0))
+    t.upsert(
+        o.filter(
+            (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    merged = t.scan(
+        predicate=P.gte("o_orderdate", "1996-01-01 00:00:00")
+    ).to_df().filter(F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "multimodal_binary_stats",
     oracle="""
         SELECT source,

@@ -174,3 +174,15 @@ def test_schema_evolution_projection(registered, spark, catalog):
     # matches the DataFrame-path projection
     expect = {r["a"]: (r["label"], r["score"]) for r in t2.to_df().collect()}
     assert rows == expect
+
+
+def test_read_aggregation_engine(registered, spark, catalog):
+    t = catalog.create_table(
+        "default", "ds_ag", "k int, total int", primary_keys=["k"],
+        options={"merge-engine": "aggregation",
+                 "fields.total.aggregate-function": "sum"},
+    )
+    t.upsert(spark.createDataFrame([(1, 10), (2, 1)], "k int, total int"))
+    t.upsert(spark.createDataFrame([(1, 5)], "k int, total int"))
+    got = {r["k"]: r["total"] for r in _read(spark, t).collect()}
+    assert got == {1: 15, 2: 1}
