@@ -529,13 +529,20 @@ def table_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed files → snapshot commit → merge-on-read → stats pruning as
     one checkable unit (A13/A22/A24).
     """
+    import os
     import tempfile
 
     from paimon_presto_spark.catalog import Catalog
     from paimon_presto_spark.plans.predicate import P
 
     o = load_table(spark, sf_dir, "orders")
-    wh = tempfile.mkdtemp(prefix="ppspark-rt-")
+    # scratch warehouse inside the repo tree (gitignored), one per run
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    wh = tempfile.mkdtemp(prefix="rt-", dir=base)
     cat = Catalog(spark, wh)
     cat.create_database("rt", ignore_if_exists=True)
     t = cat.create_table(
