@@ -541,6 +541,9 @@ def table_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
     )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)  # drop previous runs' scratch
     os.makedirs(base, exist_ok=True)
     wh = tempfile.mkdtemp(prefix="rt-", dir=base)
     cat = Catalog(spark, wh)
