@@ -490,3 +490,53 @@ def test_drop_partition(spark, catalog):
     assert t.scan(snapshot_id=snap.snapshot_id - 1).to_df().count() == 4
     with pytest.raises(ValueError, match="not a partition key"):
         t.drop_partition(v=1)
+
+
+def test_nested_type_columns_roundtrip(spark, catalog):
+    """Array/map/struct columns through the format: write, merge-on-read,
+    subscript access (the reference's map-subscript-over-Paimon-column case,
+    TestPrestoITCase.java:705-725; nested writers A5, type mapping A19)."""
+    import pyspark.sql.functions as F
+
+    t = catalog.create_table(
+        "default", "nested",
+        "k int, tags array<string>, props map<string,int>, "
+        "info struct<name:string,score:double>",
+        primary_keys=["k"],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b"], {"x": 1, "y": 2}, ("n1", 0.5)),
+            (2, ["c"], {"x": 9}, ("n2", 1.5)),
+        ],
+        "k int, tags array<string>, props map<string,int>, "
+        "info struct<name:string,score:double>",
+    )
+    t.upsert(df)
+    # update key 1's nested values; MoR must keep the latest
+    t.upsert(spark.createDataFrame(
+        [(1, ["z"], {"x": 7}, ("n1b", 2.5))],
+        "k int, tags array<string>, props map<string,int>, "
+        "info struct<name:string,score:double>",
+    ))
+    out = t.to_df()
+    got = {
+        r["k"]: (r["tags"], dict(r["props"]), (r["info"]["name"], r["info"]["score"]))
+        for r in out.collect()
+    }
+    assert got == {1: (["z"], {"x": 7}, ("n1b", 2.5)), 2: (["c"], {"x": 9}, ("n2", 1.5))}
+    # subscript / field access + filter on nested values
+    sel = (
+        out.select(
+            "k",
+            F.element_at("props", "x").alias("px"),
+            F.col("info").getField("score").alias("score"),
+            F.col("tags")[0].alias("t0"),
+        )
+        .filter(F.col("px") > 5)
+        .collect()
+    )
+    assert sorted((r["k"], r["px"], r["score"], r["t0"]) for r in sel) == [
+        (1, 7, 2.5, "z"),
+        (2, 9, 1.5, "c"),
+    ]
