@@ -50,9 +50,33 @@ class Predicate:
         return Or([self, other])
 
 
+import datetime as _dt
+import re as _re
+
+_TS_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2})?")
+
+
+def _norm_val(v):
+    """Normalize timestamp/date-shaped strings to datetime so stats
+    comparisons are chronological, not lexicographic. Manifest stats store
+    timestamps as strings; a literal in a different textual form (e.g.
+    '...01.123' vs '...01.123000') would otherwise compare wrongly and
+    either skip a matching file (lost rows) or keep extras (harmless)."""
+    if isinstance(v, str) and _TS_RE.match(v):
+        try:
+            return _dt.datetime.fromisoformat(v.replace(" ", "T"))
+        except ValueError:
+            return v
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    return v
+
+
 def _stat(stats, col):
     s = stats.get(col) or {}
-    return s.get("min"), s.get("max"), s.get("null_count")
+    return _norm_val(s.get("min")), _norm_val(s.get("max")), s.get("null_count")
 
 
 @dataclass(frozen=True)
@@ -78,17 +102,18 @@ class Comparison(Predicate):
         lo, hi, _ = _stat(stats, self.column)
         if lo is None or hi is None:
             return True  # no stats → cannot skip
+        v = _norm_val(self.value)
         try:
             if self.op == "eq":
-                return lo <= self.value <= hi
+                return lo <= v <= hi
             if self.op == "lt":
-                return lo < self.value
+                return lo < v
             if self.op == "lte":
-                return lo <= self.value
+                return lo <= v
             if self.op == "gt":
-                return hi > self.value
+                return hi > v
             if self.op == "gte":
-                return hi >= self.value
+                return hi >= v
         except TypeError:
             return True  # incomparable types → don't skip
         return True
@@ -125,7 +150,7 @@ class In(Predicate):
         if lo is None or hi is None:
             return True
         try:
-            return any(lo <= v <= hi for v in self.values)
+            return any(lo <= _norm_val(v) <= hi for v in self.values)
         except TypeError:
             return True
 

@@ -465,16 +465,22 @@ class PaimonWriter(DataSourceWriter):
                 for ci in range(g.num_columns):
                     c = g.column(ci)
                     col = c.path_in_schema
-                    if col not in statable or c.statistics is None:
+                    try:
+                        s = c.statistics
+                    except Exception:
+                        continue  # unsupported physical type: no stats
+                    if col not in statable or s is None:
                         continue
-                    s = c.statistics
                     cur = stats.setdefault(
                         col, {"min": None, "max": None, "null_count": 0}
                     )
-                    if s.has_min_max:
-                        mn, mx = _plain(s.min), _plain(s.max)
-                        cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
-                        cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+                    try:
+                        if s.has_min_max:
+                            mn, mx = _plain(s.min), _plain(s.max)
+                            cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
+                            cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+                    except Exception:
+                        pass  # lazy raise on .min/.max (e.g. FLBA decimals)
                     cur["null_count"] += s.null_count or 0
             entries.append(
                 {

@@ -928,14 +928,25 @@ def _footer_stats(meta, statable: set[str]) -> dict[str, dict]:
             name = col.path_in_schema
             if name not in statable:
                 continue
-            st = col.statistics
+            try:
+                st = col.statistics
+            except Exception:
+                # pyarrow cannot extract stats for some physical types
+                # (e.g. fixed-len-byte-array decimals); no stats → no
+                # skipping for this column, which is always safe
+                continue
             if st is None:
                 continue
             a = agg.setdefault(name, {"min": None, "max": None, "null_count": 0})
-            if st.has_min_max:
-                mn, mx = _plain(st.min), _plain(st.max)
-                a["min"] = mn if a["min"] is None else min(a["min"], mn)
-                a["max"] = mx if a["max"] is None else max(a["max"], mx)
+            try:
+                if st.has_min_max:
+                    mn, mx = _plain(st.min), _plain(st.max)
+                    a["min"] = mn if a["min"] is None else min(a["min"], mn)
+                    a["max"] = mx if a["max"] is None else max(a["max"], mx)
+            except Exception:
+                # pyarrow raises lazily on .min/.max for unsupported
+                # physical types (fixed-len-byte-array decimals)
+                pass
             a["null_count"] += st.null_count or 0
     return agg
 

@@ -540,3 +540,54 @@ def test_nested_type_columns_roundtrip(spark, catalog):
         (1, 7, 2.5, "z"),
         (2, 9, 1.5, "c"),
     ]
+
+
+def test_timestamp_fixture_predicates(spark, catalog):
+    """FIXTURES test_timestamp (TestPrestoITCase.java:169-197,519-577):
+    eq/range predicates on TIMESTAMP_NTZ pk through the format, incl.
+    stats-based file skipping never dropping matching rows."""
+    import datetime
+    from paimon_presto_spark.plans.predicate import P
+
+    ts = datetime.datetime(2023, 1, 1, 1, 1, 1, 123000)
+    other = datetime.datetime(2024, 6, 1)
+    t = catalog.create_table(
+        "default", "t_ts", "ts timestamp_ntz, v int", primary_keys=["ts"],
+        options={"bucket": "1"},
+    )
+    t.upsert(spark.createDataFrame([(ts, 1)], "ts timestamp_ntz, v int"))
+    t.upsert(spark.createDataFrame([(other, 2)], "ts timestamp_ntz, v int"))
+
+    def vals(pred):
+        return sorted(r["v"] for r in t.scan(predicate=pred).to_df().collect())
+
+    assert vals(P.eq("ts", "2023-01-01 01:01:01.123")) == [1]
+    assert vals(P.lt("ts", "2024-01-01 00:00:00")) == [1]
+    assert vals(P.gte("ts", "2023-01-01 00:00:00")) == [1, 2]
+    assert vals(P.between("ts", "2023-01-01 00:00:00", "2023-12-31 00:00:00")) == [1]
+
+
+def test_decimal_fixture_predicates(spark, catalog):
+    """FIXTURES test_decimal (TestPrestoITCase.java:199-223,580-640): short
+    and long decimal widths with the full comparison matrix."""
+    from decimal import Decimal
+    from paimon_presto_spark.plans.predicate import P
+
+    t = catalog.create_table(
+        "default", "t_dec", "c1 decimal(20,0), c2 decimal(6,3)",
+        primary_keys=["c1", "c2"], options={"bucket": "1"},
+    )
+    t.upsert(spark.createDataFrame(
+        [(Decimal(10000000000), Decimal("123.456"))],
+        "c1 decimal(20,0), c2 decimal(6,3)"))
+
+    def n(pred):
+        return t.scan(predicate=pred).to_df().count()
+
+    assert n(P.eq("c1", Decimal(10000000000))) == 1
+    assert n(P.eq("c2", Decimal("123.456"))) == 1
+    assert n(P.gt("c2", Decimal("123.455"))) == 1
+    assert n(P.lt("c2", Decimal("123.456"))) == 0
+    assert n(P.between("c1", Decimal(1), Decimal(10000000001))) == 1
+    assert n(P.in_("c2", [Decimal("123.456"), Decimal("9.999")])) == 1
+    assert n(P.not_null("c1")) == 1
