@@ -116,3 +116,52 @@ def test_commit_conflict_retries_and_preserves_both_writers(spark, catalog):
     assert t.snapshot().snapshot_id == 3
     got = sorted(r["a"] for r in t.to_df().collect())
     assert got == [1, 7, 99]
+
+
+ts_values = st.datetimes(
+    min_value=__import__("datetime").datetime(2020, 1, 1),
+    max_value=__import__("datetime").datetime(2024, 12, 31),
+).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000))
+
+ts_predicates = st.one_of(
+    st.builds(lambda v: P.eq("ts", v.strftime("%Y-%m-%d %H:%M:%S.%f")), ts_values),
+    st.builds(lambda v: P.eq("ts", v.strftime("%Y-%m-%d %H:%M:%S")), ts_values),
+    st.builds(lambda v: P.lt("ts", v.isoformat(sep=" ")), ts_values),
+    st.builds(lambda v: P.gte("ts", v.isoformat()), ts_values),
+    st.builds(
+        lambda a, b: P.between("ts", min(a, b).isoformat(sep=" "), max(a, b).isoformat(sep=" ")),
+        ts_values, ts_values,
+    ),
+)
+
+ts_layouts = st.lists(
+    st.lists(ts_values, min_size=1, max_size=4), min_size=1, max_size=3
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(commits=ts_layouts, pred=ts_predicates)
+def test_timestamp_file_skipping_never_changes_results(
+    spark, tmp_path_factory, commits, pred
+):
+    """Timestamp stats are strings in the manifest while predicate literals
+    arrive in arbitrary textual forms — pruning must stay chronological
+    (regression class: lexicographic '...123' vs '...123000')."""
+    from paimon_presto_spark.catalog import Catalog
+
+    wh = tmp_path_factory.mktemp("wh_ts")
+    c = Catalog(spark, str(wh))
+    c.create_database("d", ignore_if_exists=True)
+    t = c.create_table("d", "t", "ts timestamp_ntz")
+    for rows_ in commits:
+        t.append(spark.createDataFrame([(v,) for v in rows_], "ts timestamp_ntz"))
+
+    pruned = sorted(str(r["ts"]) for r in t.scan(predicate=pred).to_df().collect())
+    full = sorted(
+        str(r["ts"]) for r in t.to_df().filter(pred.to_spark()).collect()
+    )
+    assert pruned == full
