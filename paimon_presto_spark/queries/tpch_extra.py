@@ -536,3 +536,302 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH supply AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS ps_supplycost
+            FROM lineitem GROUP BY 1, 2
+        ), supply_eu AS (
+            SELECT ps.*, s.s_acctbal, s.s_name, n.n_name
+            FROM supply ps
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        )
+        SELECT se.s_acctbal, se.s_name, se.n_name, p.p_partkey, p.p_name,
+               se.ps_supplycost
+        FROM part p
+        JOIN supply_eu se ON p.p_partkey = se.ps_partkey
+        WHERE p.p_type = 'PROMO' AND p.p_size < 16
+          AND se.ps_supplycost = (
+            SELECT MIN(se2.ps_supplycost) FROM supply_eu se2
+            WHERE se2.ps_partkey = p.p_partkey
+          )
+        ORDER BY se.s_acctbal DESC, se.n_name, se.s_name, p.p_partkey
+        LIMIT 100
+    """,
+    tags=("join", "scalar-subquery", "correlated", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: no ``partsupp`` in this schema, so the supply
+    relation is derived — distinct (part, supplier) pairs from lineitem with
+    unit price MIN(l_extendedprice / l_quantity) as the supply cost).
+
+    SURVEY §2.2 correlated scalar subqueries (``PrestoDistributedQueryTest
+    .java:984-993``), expressed as Catalyst decorrelates them: the
+    region-filtered supply relation is computed once, its per-part MIN joined
+    back on the correlation key. At scale the supply aggregation shuffles on
+    (partkey, suppkey) once and is reused for both sides; part and the
+    dimension chain broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    eu_supp = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    supply_eu = supply.join(
+        F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = supply_eu.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_type") == "PROMO") & (F.col("p_size") < 16)
+        )
+    )
+    return (
+        supply_eu.join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            min_cost,
+            (F.col("m_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+        WITH nat_supply AS (
+            SELECT l.l_partkey,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l.l_quantity AS DECIMAL(18,0)) AS val
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_7'
+        ), total AS (
+            SELECT CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) AS t FROM nat_supply
+        )
+        SELECT l_partkey,
+               CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) AS value
+        FROM nat_supply, total
+        GROUP BY l_partkey, total.t
+        HAVING CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) > total.t * 0.001
+        ORDER BY value DESC, l_partkey
+    """,
+    tags=("aggregation", "having", "scalar-subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: lineitem value per part for one nation's
+    suppliers; the canonical ps_supplycost*ps_availqty becomes
+    l_extendedprice*l_quantity).
+
+    SURVEY §2.2 HAVING over an uncorrelated scalar subquery
+    (``PrestoDistributedQueryTest.java:559-583`` HAVING; ``:984-993``
+    scalar subqueries). The per-part aggregation shuffles on partkey once;
+    the grand total is a one-row broadcast joined into the HAVING filter.
+    Threshold compare runs in string-normalized doubles on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    )
+    nat_supply = (
+        li.join(F.broadcast(s.join(n, s.s_nationkey == n.n_nationkey)
+                            .select("s_suppkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,0)")
+            ).alias("val"),
+        )
+    )
+    total = nat_supply.agg(
+        F.sum("val").cast("string").cast("double").alias("t")
+    )
+    return (
+        nat_supply.groupBy("l_partkey")
+        .agg(F.sum("val").cast("string").cast("double").alias("value"))
+        .join(F.broadcast(total))
+        .filter(F.col("value") > F.col("t") * 0.001)
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "q20_excess_stock",
+    oracle="""
+        WITH part_total AS (
+            SELECT l_partkey,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10)))
+                        AS VARCHAR) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_partkey
+        ), recent AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10)))
+                        AS VARCHAR) AS DOUBLE) AS recent_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT r.l_suppkey
+            FROM recent r
+            JOIN part_total t ON r.l_partkey = t.l_partkey
+            WHERE r.l_partkey IN
+                  (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+              AND r.recent_qty * 5.0 > t.total_qty
+        )
+        ORDER BY s.s_name
+    """,
+    tags=("join", "semi", "subquery", "aggregation"),
+)
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: no partsupp/availqty — a supplier has "excess
+    stock" in a part if its 1997+ shipped quantity exceeds 20% of that
+    part's all-time total).
+
+    SURVEY §2.2 nested IN subqueries with a correlated aggregate
+    (``PrestoDistributedQueryTest.java:589,984-993``), decorrelated the way
+    Catalyst does: both aggregates group-shuffle on partkey, the part-name
+    IN list is a broadcast semi-join, and the final supplier membership is a
+    LEFT SEMI on suppkey. No row explosion anywhere — every join is
+    key-equi on pre-aggregated inputs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    widget_parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    part_total = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("string").cast("double")
+        .alias("total_qty")
+    )
+    recent = (
+        li.filter(F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("string").cast("double")
+            .alias("recent_qty")
+        )
+    )
+    excess = (
+        recent.join(widget_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(part_total, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("recent_qty") * 5.0 > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+        WITH lo AS (
+            SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ), late AS (
+            SELECT * FROM lo WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN late l1  ON s.s_suppkey = l1.l_suppkey
+        WHERE n.n_name = 'NATION_4'
+          AND EXISTS (SELECT 1 FROM lo l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+    """,
+    tags=("join", "semi", "anti", "exists", "aggregation", "topk"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: "late" = shipped more than 60 days after the
+    order date — the schema has no commit/receipt dates): suppliers who were
+    the SOLE late supplier on a finished multi-supplier order.
+
+    SURVEY §2.2 correlated EXISTS + NOT EXISTS with non-equi correlation
+    (``PrestoDistributedQueryTest.java:284-328,509-518``): the classic
+    semi-join + anti-join pair on the same fact table. All three lineitem
+    branches shuffle on l_orderkey only (co-partitioned), the supplier/
+    nation chain broadcasts, and the count aggregates per supplier name.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = lo.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    l1 = late.alias("l1")
+    l2 = lo.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.select("l_orderkey", "l_suppkey").alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    )
+    nat_supp = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(nat_supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
