@@ -75,7 +75,17 @@ def _load_schema(path: str, schema_id: int | None = None) -> dict:
         ]
         schema_id = max(ids)
     with open(os.path.join(sdir, f"schema-{schema_id}.json")) as fh:
-        return json.load(fh)
+        schema = json.load(fh)
+    fmt = schema.get("options", {}).get("file.format", "parquet")
+    if fmt != "parquet":
+        # This DataSource's per-split reader/writer is pyarrow-parquet;
+        # orc tables go through the DataFrame path (Catalog/Table), which
+        # is format-aware.
+        raise NotImplementedError(
+            f"paimon DataSource supports file.format=parquet only (table has"
+            f" {fmt!r}); read it via paimon_presto_spark.Catalog instead"
+        )
+    return schema
 
 
 def _latest_snapshot(path: str) -> dict | None:

@@ -436,10 +436,15 @@ class Table:
             ).cast("int")
             out = out.withColumn("__bucket", bucket)
             dir_cols.append("__bucket")
+        fmt = schema.options.get("file.format", "parquet")
+        if fmt not in ("parquet", "orc"):
+            raise ValueError(
+                f"unsupported file.format {fmt!r}; expected parquet or orc"
+            )
         writer = out.write.mode("overwrite")
         if dir_cols:
             writer = writer.partitionBy(*dir_cols)
-        writer.parquet(staging)
+        writer.format(fmt).save(staging)
 
         # register written files: move into data/, collect footer stats
         data_dir = os.path.join(self.path, "data")
@@ -450,9 +455,14 @@ class Table:
             for f in schema.fields
             if not f["type"].startswith(("array", "map", "struct", "binary"))
         }
+        orc_stats = (
+            _orc_file_stats(self.spark, staging, fmt, statable)
+            if fmt == "orc"
+            else {}
+        )
         for root, _dirs, files in os.walk(staging):
             for fn in files:
-                if not fn.endswith(".parquet"):
+                if not fn.endswith("." + fmt):
                     continue
                 src = os.path.join(root, fn)
                 rel_partition = os.path.relpath(root, staging)
@@ -465,19 +475,27 @@ class Table:
                             bucket = int(v)
                         elif k.startswith(PART_DIR_PREFIX):
                             partition[k[len(PART_DIR_PREFIX) :]] = v
-                name = f"data-{snapshot_id}-{uuid.uuid4().hex}.parquet"
+                name = f"data-{snapshot_id}-{uuid.uuid4().hex}.{fmt}"
                 dst_dir = os.path.join(data_dir, rel_partition) if rel_partition != "." else data_dir
                 os.makedirs(dst_dir, exist_ok=True)
                 dst = os.path.join(dst_dir, name)
+                if fmt == "parquet":
+                    meta = pq.ParquetFile(src).metadata
+                    stats = _footer_stats(meta, statable)
+                    n_rows = meta.num_rows
+                else:
+                    stats, n_rows = orc_stats.get(os.path.abspath(src), ({}, 0))
+                if n_rows == 0:
+                    # empty task output (the orc writer emits one per empty
+                    # partition) — nothing to register
+                    continue
                 os.rename(src, dst)
-                meta = pq.ParquetFile(dst).metadata
-                stats = _footer_stats(meta, statable)
                 entries.append(
                     {
                         "path": os.path.relpath(dst, self.path),
                         "partition": partition,
                         "bucket": bucket,
-                        "row_count": meta.num_rows,
+                        "row_count": n_rows,
                         "file_size": os.path.getsize(dst),
                         "schema_id": schema.schema_id,
                         "min_seq": snapshot_id,
@@ -739,8 +757,10 @@ class TableScan:
             )
         parts = []
         for sid, files in sorted(by_schema.items()):
-            df = spark.read.parquet(*files)
-            df = _project_to(df, t.schema(sid), schema_latest, is_pk)
+            writer_schema = t.schema(sid)
+            fmt = writer_schema.options.get("file.format", "parquet")
+            df = spark.read.format(fmt).load(files)
+            df = _project_to(df, writer_schema, schema_latest, is_pk)
             parts.append(df)
         df = parts[0]
         for p in parts[1:]:
@@ -915,6 +935,47 @@ def _typed_partition(partition: dict[str, str], schema: TableSchema) -> dict[str
             out[f["name"]] = raw.lower() == "true"
         else:
             out[f["name"]] = raw
+    return out
+
+
+def _orc_file_stats(
+    spark: SparkSession, staging: str, fmt: str, statable: set[str]
+) -> dict[str, tuple[dict, int]]:
+    """Per-file column min/max/null-count + row count for formats whose
+    footers pyarrow can't mine (ORC): one distributed aggregation grouped by
+    ``input_file_name()`` over the just-staged files. At scale this is a
+    single extra columnar scan of data already in page cache, done once per
+    commit — the ORC twin of the parquet footer walk (and the same stats
+    contract: values normalized via ``_plain`` so pruning is format-blind).
+    """
+    from urllib.parse import unquote, urlparse
+
+    rd = spark.read.format(fmt).load(staging)
+    phys = [
+        c
+        for c in rd.columns
+        if c in statable and not c.startswith(PART_DIR_PREFIX) and c != "__bucket"
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rc")]
+    for c in phys:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}"),
+        ]
+    out: dict[str, tuple[dict, int]] = {}
+    for r in rd.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect():
+        d = r.asDict()
+        path = os.path.abspath(unquote(urlparse(d["__f"]).path))
+        stats = {}
+        for c in phys:
+            mn, mx, nc = d[f"__mn_{c}"], d[f"__mx_{c}"], d[f"__nc_{c}"]
+            stats[c] = {
+                "min": _plain(mn) if mn is not None else None,
+                "max": _plain(mx) if mx is not None else None,
+                "null_count": int(nc or 0),
+            }
+        out[path] = (stats, int(d["__rc"]))
     return out
 
 

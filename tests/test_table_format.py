@@ -591,3 +591,67 @@ def test_decimal_fixture_predicates(spark, catalog):
     assert n(P.between("c1", Decimal(1), Decimal(10000000001))) == 1
     assert n(P.in_("c2", [Decimal("123.456"), Decimal("9.999")])) == 1
     assert n(P.not_null("c1")) == 1
+
+
+# --- file.format option: orc data files (PrestoSqlTableOptionUtils.java:
+# 111-112 FileFormatType; Paimon's own default is orc) ----------------------
+
+
+class TestOrcFileFormat:
+    def test_orc_append_roundtrip_and_stats_skipping(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "orc_t", "a int, b string, ts timestamp_ntz",
+            options={"file.format": "orc"},
+        )
+        import datetime
+        ts = datetime.datetime(2024, 1, 1)
+        t.append(spark.createDataFrame(
+            [(1, "x", ts), (2, "y", ts)], "a int, b string, ts timestamp_ntz"))
+        t.append(spark.createDataFrame(
+            [(10, "z", ts)], "a int, b string, ts timestamp_ntz"))
+        assert rows(t.to_df(), "a", "b") == [(1, "x"), (2, "y"), (10, "z")]
+        # data files really are orc
+        entries = t.manifest_entries()
+        assert all(e["path"].endswith(".orc") for e in entries)
+        assert all(e["row_count"] > 0 for e in entries)
+        # stats-based file skipping works through the Spark-computed stats
+        scan = t.scan(predicate=P.gt("a", 5))
+        assert rows(scan.to_df(), "a") == [(10,)]
+        assert scan.last_plan["after_stats_skip"] < scan.last_plan["total_files"]
+
+    def test_orc_pk_merge_on_read(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "orc_pk", "k int, v string",
+            primary_keys=["k"],
+            options={"file.format": "orc", "bucket": "1"},
+        )
+        t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+        t.upsert(spark.createDataFrame([(1, "a2")], "k int, v string"))
+        t.delete(spark.createDataFrame([(2, "b")], "k int, v string"))
+        assert rows(t.to_df()) == [(1, "a2")]
+
+    def test_orc_partitioned_prune(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "orc_part", "a int, pt string",
+            partition_keys=["pt"],
+            options={"file.format": "orc"},
+        )
+        t.append(spark.createDataFrame(
+            [(1, "p1"), (2, "p1"), (3, "p2")], "a int, pt string"))
+        scan = t.scan(predicate=P.eq("pt", "p2"))
+        assert rows(scan.to_df(), "a") == [(3,)]
+        assert scan.last_plan["after_partition_prune"] == 1
+
+    def test_unknown_format_rejected(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "bad_fmt", "a int", options={"file.format": "avro"})
+        with pytest.raises(ValueError, match="unsupported file.format"):
+            t.append(spark.createDataFrame([(1,)], "a int"))
+
+    def test_datasource_rejects_orc_table(self, spark, catalog, warehouse):
+        t = catalog.create_table(
+            "default", "orc_ds", "a int", options={"file.format": "orc"})
+        t.append(spark.createDataFrame([(1,)], "a int"))
+        from paimon_presto_spark.sources.datasource import _load_schema
+        with pytest.raises(NotImplementedError, match="parquet only"):
+            _load_schema(t.path)
