@@ -579,7 +579,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partkey, suppkey) once and is reused for both sides; part and the
     dimension chain broadcast.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # The part filter is the most selective predicate — broadcast-semi-join
+    # it into the lineitem scan BEFORE the supply aggregation, so the big
+    # (partkey, suppkey) shuffle moves only qualifying parts' rows. The
+    # correlated MIN is per-part, so pre-filtering parts is equivalence-
+    # preserving (the subquery correlates on the same partkey).
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_type") == "PROMO") & (F.col("p_size") < 16)
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
     supply = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -599,12 +611,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply_eu = supply.join(
         F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey")
     )
-    min_cost = supply_eu.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
-    p = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(
-            (F.col("p_type") == "PROMO") & (F.col("p_size") < 16)
+    # one row per qualifying part — always broadcastable
+    min_cost = F.broadcast(
+        supply_eu.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+            F.min("ps_supplycost").alias("min_cost")
         )
     )
     return (
