@@ -16,7 +16,7 @@ partial+final, top-k compiles to TakeOrderedAndProject.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from paimon_presto_spark.queries import register
 from paimon_presto_spark.queries.relational import DEC, davg, dsum, o_davg, o_dsum
@@ -801,34 +801,38 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SOLE late supplier on a finished multi-supplier order.
 
     SURVEY §2.2 correlated EXISTS + NOT EXISTS with non-equi correlation
-    (``PrestoDistributedQueryTest.java:284-328,509-518``): the classic
-    semi-join + anti-join pair on the same fact table. All three lineitem
-    branches shuffle on l_orderkey only (co-partitioned), the supplier/
-    nation chain broadcasts, and the count aggregates per supplier name.
+    (``PrestoDistributedQueryTest.java:284-328,509-518``). The naive plan is
+    a semi-join + anti-join pair that scans lineitem⋈orders three times; the
+    EXISTS ("some other supplier on the order") and NOT EXISTS ("no other
+    LATE supplier") are both per-order supplier counts, so a single pass
+    computes them: aggregate late/total per (orderkey, suppkey), window over
+    the order to count suppliers and late suppliers, keep suppliers that are
+    the sole late supplier on a multi-supplier order. One lineitem scan, no
+    self-joins; every shuffle is an aggregation with map-side combine.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
     )
-    late = lo.filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("is_late").cast("long")).alias("late_rows")
     )
-    l1 = late.alias("l1")
-    l2 = lo.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.select("l_orderkey", "l_suppkey").alias("l3")
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("late_rows") > 0).cast("int")).over(w),
         )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
+        .filter(
+            (F.col("late_rows") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
         )
     )
     s = load_table(spark, sf_dir, "supplier")
@@ -839,9 +843,9 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
     )
     return (
-        waiting.join(nat_supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        waiting.join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
