@@ -160,6 +160,14 @@ class Catalog:
             return table.partitions_df()
         if suffix == "schemas":
             return table.schemas_df()
+        if suffix == "tags":
+            return table.tags_df()
+        if suffix == "options":
+            return table.options_df()
+        if suffix == "manifests":
+            return table.manifests_df()
+        if suffix == "audit_log":
+            return table.audit_log_df(**scan_kwargs)
         raise ValueError(f"unknown system table suffix {suffix!r}")
 
     # -- schema evolution (A18) -------------------------------------------

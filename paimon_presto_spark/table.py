@@ -9,7 +9,11 @@ Reference parity map (SURVEY §2.1):
 - partition pruning incl. expression-over-
   partition-value ......................... A10/A11 (``PrestoComputePushdown.java:234-357``)
 - merge-on-read for primary-key tables .... A13 (``PrestoPageSourceProvider.java:80-83``)
-- system table ``$snapshots`` ............. A14 (``TestPrestoITCase.java:376-381``)
+- system tables ``$snapshots`` ``$files``
+  ``$partitions`` ``$schemas`` ``$tags``
+  ``$options`` ``$manifests`` ``$audit_log`` A14 (``TestPrestoITCase.java:376-381``;
+  the connector resolves ANY ``$`` suffix through ``catalog.getTable``,
+  ``PrestoMetadata.java:141`` — the full set is Paimon-upstream surface)
 - schema evolution projection ............. A18 (``PrestoSqlMetadataBase.java:288-343``)
 - engine-native writes (reference lacks
   them — ``PrestoMetadata.java:229-263``) . A24
@@ -344,8 +348,12 @@ class Table:
         kept = ids[-keep_last:]
         live_files = set()
         live_manifests = set()
-        for sid in kept:
-            snap = self.snapshot(sid)
+        # Tagged snapshots stay readable after expiry (the tag file carries
+        # the snapshot payload), so their manifests and data files are live.
+        live_snaps = [self.snapshot(sid) for sid in kept] + [
+            self.tag_snapshot(name) for name in self.list_tags()
+        ]
+        for snap in live_snaps:
             live_manifests.add(snap.manifest)
             for e in self.manifest_entries(snap):
                 live_files.add(e["path"])
@@ -545,11 +553,70 @@ class Table:
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
         partition_where: str | None = None,
+        tag: str | None = None,
     ) -> "TableScan":
+        if tag is not None:
+            if snapshot_id is not None or as_of_timestamp_ms is not None:
+                raise ValueError("tag is exclusive with snapshot_id/as_of_timestamp_ms")
+            return TableScan(
+                self, predicate, None, None, partition_where, pinned=self.tag_snapshot(tag)
+            )
         return TableScan(self, predicate, snapshot_id, as_of_timestamp_ms, partition_where)
 
     def to_df(self, **scan_kwargs) -> DataFrame:
         return self.scan(**scan_kwargs).to_df()
+
+    # -- tags: named immutable snapshot references (Paimon TagManager
+    #    parity; surfaced through the same catalog `$` resolution the
+    #    reference relies on, PrestoMetadata.java:141) -----------------------
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.path, "tag", f"tag-{name}.json")
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Pin `name` to a snapshot (default: latest). The tag file stores the
+        FULL snapshot payload, so the tag keeps working after the snapshot
+        itself is expired — Paimon's tags have the same property."""
+        if not name or "/" in name or "$" in name:
+            raise ValueError(f"invalid tag name {name!r}")
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise ValueError("table has no snapshots")
+        os.makedirs(os.path.join(self.path, "tag"), exist_ok=True)
+        path = self._tag_path(name)
+        if os.path.exists(path):
+            raise ValueError(f"tag {name!r} already exists")
+        payload = snap.to_json()
+        payload["tag_name"] = name
+        payload["tag_create_ms"] = int(time.time() * 1000)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, indent=2)
+        os.rename(tmp, path)
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.remove(self._tag_path(name))
+        except FileNotFoundError:
+            raise ValueError(f"tag {name!r} does not exist") from None
+
+    def list_tags(self) -> list[str]:
+        tdir = os.path.join(self.path, "tag")
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            f[len("tag-") : -len(".json")]
+            for f in os.listdir(tdir)
+            if f.startswith("tag-") and f.endswith(".json")
+        )
+
+    def tag_snapshot(self, name: str) -> Snapshot:
+        try:
+            with open(self._tag_path(name)) as fh:
+                d = json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(f"tag {name!r} does not exist") from None
+        return Snapshot(**{k: d[k] for k in Snapshot.__dataclass_fields__})
 
     # -- system tables (A14) ----------------------------------------------
 
@@ -601,6 +668,70 @@ class Table:
             rows, "partition string, row_count bigint, file_count bigint, file_size bigint"
         )
 
+    def tags_df(self) -> DataFrame:
+        rows = []
+        for name in self.list_tags():
+            with open(self._tag_path(name)) as fh:
+                d = json.load(fh)
+            rows.append(
+                (
+                    name,
+                    d["snapshot_id"],
+                    d["schema_id"],
+                    d["commit_kind"],
+                    d["timestamp_ms"],
+                    d.get("tag_create_ms"),
+                    d["total_rows"],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "tag_name string, snapshot_id bigint, schema_id bigint, "
+            "commit_kind string, snapshot_ms bigint, create_ms bigint, "
+            "total_rows bigint",
+        )
+
+    def options_df(self) -> DataFrame:
+        rows = sorted(self.schema().options.items())
+        return self.spark.createDataFrame(rows, "key string, value string")
+
+    def manifests_df(self) -> DataFrame:
+        rows = []
+        for sid in self.snapshot_ids():
+            snap = self.snapshot(sid)
+            mpath = os.path.join(self.path, "manifest", snap.manifest)
+            entries = self.manifest_entries(snap)
+            rows.append(
+                (
+                    snap.manifest,
+                    sid,
+                    os.path.getsize(mpath),
+                    len(entries),
+                    sum(e["row_count"] for e in entries),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "manifest string, snapshot_id bigint, manifest_size bigint, "
+            "num_files bigint, total_rows bigint",
+        )
+
+    def audit_log_df(self, **scan_kwargs) -> DataFrame:
+        """Unmerged change rows with a leading ``rowkind`` column ('+I'/'-D')
+        — Paimon's ``$audit_log`` view of a primary-key table. Append-only
+        tables report every row as '+I'. Accepts the same time-travel kwargs
+        as ``scan``."""
+        scan = self.scan(**scan_kwargs)
+        df = scan.to_df(merge=False)
+        if KIND_COL in df.columns:
+            kind = F.concat(
+                F.when(F.col(KIND_COL) == "D", F.lit("-")).otherwise(F.lit("+")),
+                F.col(KIND_COL),
+            )
+            data_cols = [c for c in df.columns if c not in SYS_COLS]
+            return df.select(kind.alias("rowkind"), *data_cols)
+        return df.select(F.lit("+I").alias("rowkind"), "*")
+
     def schemas_df(self) -> DataFrame:
         sdir = os.path.join(self.path, "schema")
         rows = []
@@ -631,16 +762,20 @@ class TableScan:
     Filter node too), and pushed further into parquet row groups by Spark.
     """
 
-    def __init__(self, table, predicate, snapshot_id, as_of_ts, partition_where):
+    def __init__(self, table, predicate, snapshot_id, as_of_ts, partition_where,
+                 pinned: Snapshot | None = None):
         self.table = table
         self.predicate = predicate
         self.snapshot_id = snapshot_id
         self.as_of_ts = as_of_ts
         self.partition_where = partition_where
+        self.pinned = pinned  # tag reads: snapshot payload came from the tag
         self.last_plan: dict[str, Any] = {}
 
     def _snapshot(self) -> Snapshot | None:
         t = self.table
+        if self.pinned is not None:
+            return self.pinned
         if self.snapshot_id is not None:
             return t.snapshot(self.snapshot_id)
         if self.as_of_ts is not None:
@@ -732,13 +867,19 @@ class TableScan:
             any_applied = True
         return keep if any_applied else None
 
-    def to_df(self) -> DataFrame:
+    def to_df(self, merge: bool = True) -> DataFrame:
+        """`merge=False` keeps the raw change rows (system columns included)
+        for the ``$audit_log`` view instead of collapsing them."""
         t = self.table
         snap = self._snapshot()
         # Current reads render with the latest schema (DDL changes don't
         # create snapshots); time-travel reads render with the schema the
         # snapshot was committed under (TestPrestoSqlTCase.java:319-387).
-        time_travel = self.snapshot_id is not None or self.as_of_ts is not None
+        time_travel = (
+            self.snapshot_id is not None
+            or self.as_of_ts is not None
+            or self.pinned is not None
+        )
         schema_latest = (
             t.schema(snap.schema_id) if (snap and time_travel) else t.schema()
         )
@@ -766,7 +907,7 @@ class TableScan:
         for p in parts[1:]:
             df = df.unionByName(p)
 
-        if is_pk:
+        if is_pk and merge:
             df = _merge_on_read(df, schema_latest)
         if self.predicate is not None:
             df = df.filter(self.predicate.to_spark())
