@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
+from paimon_presto_spark.functions.hashing import md5_long
 from paimon_presto_spark.queries import register
 from paimon_presto_spark.sources.testdata import load_table
 
@@ -442,6 +443,92 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
             F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_minmax_by_n",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               ARRAY_AGG(o_orderkey ORDER BY rn) AS top3
+        FROM ranked WHERE rn <= 3
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("aggregation", "topk"),
+)
+def agg_minmax_by_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by(x, y, N) — the N-variant returning the top-N x by y
+    (SURVEY §2.2 ``PrestoDistributedQueryTest.java:704-768``).
+
+    Expressed as window top-k + ordered collect rather than a full
+    collect+sort per group: Catalyst's WindowGroupLimit pushes the rank
+    filter into each partition, so every executor keeps only 3 rows per
+    group — the shape that survives groups with billions of rows. Ties
+    broken on the value for cross-engine determinism.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "o_orderkey"))),
+                lambda s: s["o_orderkey"],
+            ).alias("top3")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_checksum",
+    oracle="""
+        SELECT o_orderpriority,
+               SUM(CAST('0x' || substr(
+                       md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus),
+                       1, 15) AS BIGINT)
+                   % 2147483648) AS checksum,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("aggregation", "hashing"),
+)
+def agg_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum per group — Presto's ``checksum``
+    aggregate shape (SURVEY §2.2 "checksum/arbitrary-style aggregates").
+
+    Sum of portable md5-derived hashes (``functions/hashing.py``) reduced
+    mod 2^31 so partial sums stay in int64 headroom: commutative, so the
+    result is independent of row order and partitioning — usable to compare
+    two 100 TB corpora copies without sorting either.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    content = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
+    )
+    term = F.pmod(md5_long(content), F.lit(2_147_483_648))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(term).alias("checksum"),
+            F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderpriority")
     )
