@@ -48,7 +48,9 @@ def shingle_set(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
-def shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def shingle_hashes(
+    docs: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+) -> DataFrame:
     """(doc_id, h) distinct 60-bit-hashed word n-gram shingles.
 
     Hashing BEFORE the distinct means the dedup shuffle moves 16-byte
@@ -59,14 +61,18 @@ def shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     collision-free for the corpus' shingle vocabulary (verified for the test
     corpora; a stray collision at larger scale perturbs one pair's Jaccard
     by one unit of intersection — acceptable for near-dup detection).
+
+    ``distinct=False`` skips the dedup shuffle entirely — for consumers that
+    only test membership (e.g. containment probes) the duplicates are
+    harmless and the scan stays shuffle-free.
     """
-    return (
+    sh = (
         _spread(docs)
         .select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tk"))
         .select("doc_id", F.explode(shingle_array(F.col("tk"), n)).alias("s"))
         .select("doc_id", md5_long(F.col("s")).alias("h"))
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -281,6 +287,54 @@ def simhash_pairs(
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_containment(
+    train_docs: DataFrame,
+    test_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Train/test contamination check: per test document, the fraction of its
+    word n-gram shingles that appear ANYWHERE in the training corpus — the
+    n-gram-overlap decontamination rule LLM training pipelines run before
+    evaluation (cf. the 13-gram checks of the GPT-3/PaLM reports).
+
+    Returns (doc_id, n_shingles, n_overlap, containment).
+
+    Built for an asymmetric corpus pair — train is 100 TB, test is an eval
+    set: the test shingle set broadcasts, the train scan is a map-side
+    broadcast semi-join with NO shuffle of train data (``distinct=False``
+    skips the dedup shuffle too — membership needs no dedup), and the only
+    shuffled rows are the matched hashes, bounded by the test vocabulary.
+    """
+    test_sh = shingle_hashes(test_docs, id_col, text_col, shingle_n).cache()
+    test_sh.count()  # materialize before fan-out (see minhash_lsh_pairs)
+    probe = test_sh.select("h").distinct()
+    train_sh = shingle_hashes(
+        train_docs, id_col, text_col, shingle_n, distinct=False
+    )
+    matched = (
+        train_sh.select("h")
+        .join(F.broadcast(probe), "h", "left_semi")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        test_sh.join(F.broadcast(matched), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") / F.col("n_shingles")).alias("containment"),
+        )
     )
 
 

@@ -31,6 +31,7 @@ from paimon_presto_spark.operators.dedup import (
     jaccard_verify,
     minhash_lsh_pairs,
     minhash_signature,
+    ngram_containment,
     ngram_jaccard_pairs,
     shingle_set,
     simhash_signatures,
@@ -273,6 +274,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=(
+        "WITH "
+        + _o_shingle_sql(5)
+        + """,
+        train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+        test AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1)
+        SELECT t.doc_id,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+               SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                   / COUNT(*) AS containment
+        FROM test t LEFT JOIN train tr ON t.s = tr.s
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """
+    ),
+    tags=("dedup", "decontamination", "ngram"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: 5-gram containment of each "eval" doc
+    (odd doc_id) in the "training" corpus (even doc_id) —
+    ``operators/dedup.py:ngram_containment``. The train side is scanned
+    once with a broadcast semi-join probe and never shuffled; only matched
+    hashes (bounded by the eval vocabulary) move."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return ngram_containment(train, test, shingle_n=5).orderBy("doc_id")
 
 
 @register(

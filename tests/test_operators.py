@@ -17,7 +17,7 @@ from paimon_presto_spark.operators import (
     simhash_pairs,
     simhash_signatures,
 )
-from paimon_presto_spark.operators.dedup import keep_first_of_clusters
+from paimon_presto_spark.operators.dedup import keep_first_of_clusters, ngram_containment
 
 SF = "/root/testdata/sf0.001"
 
@@ -84,6 +84,37 @@ def test_simhash_pairs_chunk_banding_recall(spark, docs):
     banded = {(r["doc_a"], r["doc_b"])
               for r in simhash_pairs(docs, max_hamming=2).collect()}
     assert banded == brute
+
+
+def test_ngram_containment_exact_values(spark):
+    """Hand-checkable corpus: a fully-contained test doc, a half-contained
+    one, and a disjoint one."""
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps over"),  # 1 shingle, in train
+            (3, "brown fox jumps over the lazy cat now ok"),  # 5 shingles, 2 hit
+            (5, "totally different words here entirely"),  # 1 shingle, 0 hit
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["containment"])
+        for r in ngram_containment(train, test, shingle_n=5).collect()
+    }
+    assert out[1] == (1, 1, 1.0)
+    assert out[3] == (5, 2, pytest.approx(0.4))
+    assert out[5] == (1, 0, 0.0)
+
+
+def test_ngram_containment_self_is_total(spark, docs):
+    """Every doc tested against a corpus containing itself is 100% contained."""
+    out = ngram_containment(docs, docs.limit(20), shingle_n=5)
+    assert out.count() == 20
+    assert out.filter(F.col("containment") < 1.0).count() == 0
 
 
 def test_keep_first_of_clusters(spark):
