@@ -49,6 +49,67 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked sliding-window counts/sums: each event lands in
+    window/slide overlapping windows (state cost scales with that factor —
+    keep the ratio small at scale)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right events within ``[left.ts,
+    left.ts + within]`` per key — the "click after view" correlation shape.
+
+    Both sides carry watermarks plus an event-time range condition, which is
+    what lets Spark BOUND the join state: buffered rows older than
+    watermark + interval are evicted instead of accumulating forever. At
+    scale this is the difference between a join that runs for months and
+    one that OOMs in an hour.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
+        F.col("l.event_type").alias("left_type"),
+        F.col("r.event_type").alias("right_type"),
+    )
+
+
 def sessionized(
     events: DataFrame,
     ts_col: str = "ts",

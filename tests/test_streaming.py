@@ -72,6 +72,63 @@ def test_tumbling_window_streaming(spark, tmp_path):
     assert got[("2024-01-01 00:05:00", "click")] == (1, 4.0)
 
 
+def test_sliding_window_streaming(spark, tmp_path):
+    from paimon_presto_spark.streaming.windows import sliding_counts
+
+    rows = [
+        (1, "2024-01-01 00:01:00", "click", 1.0),
+        (2, "2024-01-01 00:06:00", "click", 2.0),
+    ]
+    src_dir = tmp_path / "sevents"
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    agg = sliding_counts(stream, window="10 minutes", slide="5 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("sw").outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt-sw"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["window_start"]): (r["n_events"], r["total_value"])
+        for r in spark.table("sw").collect()
+    }
+    # event 1 ∈ [23:55,00:05] and [00:00,00:10]; event 2 ∈ [00:00,00:10] and [00:05,00:15]
+    assert got["2023-12-31 23:55:00"] == (1, 1.0)
+    assert got["2024-01-01 00:00:00"] == (2, 3.0)
+    assert got["2024-01-01 00:05:00"] == (1, 2.0)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from paimon_presto_spark.streaming.windows import stream_stream_interval_join
+
+    views = [
+        (100, "2024-01-01 00:00:00", "view", 0.0),
+        (200, "2024-01-01 00:00:00", "view", 0.0),
+    ]
+    clicks = [
+        (100, "2024-01-01 00:04:00", "click", 1.0),   # within 10m of the view
+        (200, "2024-01-01 00:30:00", "click", 1.0),   # too late — no match
+    ]
+    schema = "user_id long, ts string, event_type string, value double"
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdf = spark.createDataFrame(views, schema).withColumn("ts", F.to_timestamp("ts"))
+    cdf = spark.createDataFrame(clicks, schema).withColumn("ts", F.to_timestamp("ts"))
+    vdf.write.parquet(str(vdir))
+    cdf.write.parquet(str(cdir))
+
+    vstream = spark.readStream.schema(vdf.schema).parquet(str(vdir))
+    cstream = spark.readStream.schema(cdf.schema).parquet(str(cdir))
+    joined = stream_stream_interval_join(vstream, cstream, within="10 minutes")
+    _run_to_memory(joined, "ssj", tmp_path)
+    got = [(r["user_id"], r["left_type"], r["right_type"])
+           for r in spark.table("ssj").collect()]
+    assert got == [(100, "view", "click")]
+
+
 def test_session_window_streaming(spark, tmp_path):
     rows = [
         (10, "2024-01-01 00:00:00", 1.0),
