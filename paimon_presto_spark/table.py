@@ -272,30 +272,107 @@ class Table:
                     next(f["type"] for f in schema.fields if f["name"] == c))))
         return self._commit_write(df.select(*schema.field_names()), kind="DELETE", row_kind="D")
 
-    def compact(self, sort_by: list[str] | None = None) -> Snapshot:
+    def compact(
+        self, sort_by: list[str] | None = None, strategy: str = "order"
+    ) -> Snapshot:
         """Rewrite current merged state into fresh files (OVERWRITE manifest).
 
         Bounds merge-on-read cost: after compaction a snapshot has one
         level, so the read-side window dedup sees one row per key.
 
-        ``sort_by`` additionally range-clusters the rewrite on those
-        columns (Paimon's sort-compact): each output file covers a narrow
-        value range, so manifest min/max file skipping on those columns
-        becomes surgical — the cheap standalone alternative to Z-ordering
-        for single-column (or prefix-correlated) predicates at 100 TB.
+        ``sort_by`` additionally clusters the rewrite on those columns
+        (Paimon's sort-compact; its upstream ``sort-compact`` action takes
+        the same order/zorder choice):
+
+        - ``strategy="order"``: lexicographic range clustering — surgical
+          min/max file skipping on the FIRST column (and prefix-correlated
+          ones), little help on later columns.
+        - ``strategy="zorder"``: bit-interleaved Z-values over all
+          ``sort_by`` columns (numeric; 2-4 of them) — every file covers a
+          narrow hyper-rectangle, so skipping works on EACH column
+          independently. The right choice at 100 TB when queries filter on
+          different columns of the same table. Column ranges come from
+          manifest stats (no extra data pass); rows are range-partitioned
+          by Z-value so file count stays at the shuffle-partition count.
         """
         current = self.to_df()
         if sort_by:
             # explicit partition count: AQE would otherwise coalesce the
             # range shuffle and fold the clustering into too few files
             n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-            current = current.repartitionByRange(n, *sort_by).sortWithinPartitions(
-                *sort_by
-            )
+            if strategy == "zorder":
+                z = self._zorder_value(current, sort_by)
+                current = (
+                    current.withColumn("__z", z)
+                    .repartitionByRange(n, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            elif strategy == "order":
+                current = current.repartitionByRange(n, *sort_by).sortWithinPartitions(
+                    *sort_by
+                )
+            else:
+                raise ValueError(f"unknown compact strategy {strategy!r}")
         return self._commit_write(
             current, kind="COMPACT", row_kind="I" if self.is_primary_keyed else None,
             replace=True,
         )
+
+    def _zorder_value(self, df: DataFrame, cols: list[str], bits: int = 16) -> F.Column:
+        """Z-order key: each column scaled to `bits` buckets between its
+        manifest-stats min/max, then bit-interleaved into one long."""
+        if not 2 <= len(cols) <= 4:
+            raise ValueError("zorder needs 2-4 columns")
+        schema = self.schema()
+        types = {f["name"]: f["type"] for f in schema.fields}
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+        bounds = {}
+        for c in cols:
+            cl = schema.resolve(c)
+            if not types[cl].lower().startswith(numeric):
+                raise ValueError(f"zorder column {c!r} must be numeric, got {types[cl]}")
+            mns = [
+                e["stats"][cl]["min"]
+                for e in self.manifest_entries()
+                if e.get("stats", {}).get(cl, {}).get("min") is not None
+            ]
+            mxs = [
+                e["stats"][cl]["max"]
+                for e in self.manifest_entries()
+                if e.get("stats", {}).get(cl, {}).get("max") is not None
+            ]
+            if mns and mxs:
+                bounds[cl] = (float(min(mns)), float(max(mxs)))
+            else:  # no stats (e.g. all-null column): single data pass fallback
+                row = df.agg(
+                    F.min(cl).cast("double"), F.max(cl).cast("double")
+                ).collect()[0]
+                bounds[cl] = (row[0] or 0.0, row[1] or 0.0)
+        k = len(cols)
+        scaled = []
+        for c in cols:
+            cl = schema.resolve(c)
+            mn, mx = bounds[cl]
+            if mx <= mn:
+                scaled.append(F.lit(0).cast("long"))
+                continue
+            b = F.width_bucket(
+                F.col(cl).cast("double"), F.lit(mn), F.lit(mx), F.lit(1 << bits)
+            ) - 1
+            scaled.append(
+                F.coalesce(
+                    F.least(F.greatest(b, F.lit(0)), F.lit((1 << bits) - 1)),
+                    F.lit(0),
+                ).cast("long")
+            )
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for j, v in enumerate(scaled):
+                z = z + F.shiftleft(
+                    F.shiftright(v, bit).bitwiseAND(F.lit(1)), bit * k + j
+                )
+        return z
 
     def drop_partition(self, **partition_values) -> Snapshot:
         """Atomically drop whole partitions (``ALTER TABLE ... DROP

@@ -543,6 +543,68 @@ def test_sort_compact_improves_file_skipping(spark, catalog):
     assert got == sorted(a for a, _ in rows if 100 <= a <= 120)
 
 
+def test_zorder_compact_skips_on_both_columns(spark, catalog):
+    """compact(strategy="zorder"): bit-interleaved clustering gives min/max
+    file skipping on EACH z-column independently, where lexicographic
+    clustering only helps the leading column."""
+    from paimon_presto_spark.plans.predicate import P
+
+    def skipping(t, col):
+        scan = t.scan(predicate=P.between(col, 100, 140))
+        kept = len(scan.plan_files())
+        return kept, scan.last_plan["after_partition_prune"]
+
+    # two independent uniform columns — worst case for lexicographic sort
+    rows = [(i, (i * 7919) % 1000, f"v{i}") for i in range(1000)]
+    schema = "x int, y int, v string"
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        lex = catalog.create_table("default", "zlex", schema)
+        lex.append(spark.createDataFrame(rows, schema).repartition(8))
+        lex.compact(sort_by=["x", "y"], strategy="order")
+
+        zt = catalog.create_table("default", "zord", schema)
+        zt.append(spark.createDataFrame(rows, schema).repartition(8))
+        zt.compact(sort_by=["x", "y"], strategy="zorder")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    kept_x, total = skipping(zt, "x")
+    kept_y, _ = skipping(zt, "y")
+    assert total > 4
+    # z-order skips meaningfully on BOTH columns
+    assert kept_x <= total // 2 and kept_y <= total // 2, (kept_x, kept_y, total)
+    # lexicographic is surgical on x but near-useless on the trailing column
+    lex_y, lex_total = skipping(lex, "y")
+    assert lex_y > lex_total // 2, (lex_y, lex_total)
+    # identical results
+    assert rows_of(zt, 100, 140) == sorted(
+        (x, y) for x, y, _ in rows if 100 <= x <= 140
+    )
+
+
+def rows_of(t, lo, hi):
+    from paimon_presto_spark.plans.predicate import P
+
+    return sorted(
+        (r["x"], r["y"])
+        for r in t.scan(predicate=P.between("x", lo, hi)).to_df().collect()
+    )
+
+
+def test_zorder_compact_validation(spark, catalog):
+    t = catalog.create_table("default", "zval", "a int, s string")
+    t.append(spark.createDataFrame([(1, "x")], "a int, s string"))
+    with pytest.raises(ValueError, match="2-4 columns"):
+        t.compact(sort_by=["a"], strategy="zorder")
+    with pytest.raises(ValueError, match="numeric"):
+        t.compact(sort_by=["a", "s"], strategy="zorder")
+    with pytest.raises(ValueError, match="unknown compact strategy"):
+        t.compact(sort_by=["a"], strategy="hilbert")
+
+
 def test_drop_partition(spark, catalog):
     t = catalog.create_table(
         "default", "dp", "v int, region string", partition_keys=["region"]
