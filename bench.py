@@ -33,6 +33,9 @@ HEADLINE = [
     # semi/anti/outer join shapes
     "q4_order_priority",
     "q13_customer_distribution",
+    # correlated-subquery / single-pass-rewrite shapes
+    "q2_min_cost_supplier",
+    "q21_suppliers_kept_waiting",
     # window / event analytics
     "window_topn_per_nation",
     "events_tumbling_window",
@@ -41,6 +44,7 @@ HEADLINE = [
     # LLM-data pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
+    "decontaminate_ngram_overlap",
     "knn_bruteforce_topk",
     "knn_lsh_bucketed",
     "text_token_stats",

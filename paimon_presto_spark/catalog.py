@@ -170,6 +170,32 @@ class Catalog:
             return table.audit_log_df(**scan_kwargs)
         raise ValueError(f"unknown system table suffix {suffix!r}")
 
+    def show_create_table(self, db: str, name: str) -> str:
+        """Canonical CREATE TABLE statement for a table — the reference's
+        SHOW CREATE TABLE round-trip surface (``TestPrestoSqlTCase.java:
+        225-234`` asserts the WITH clause carries pk/partition/options).
+        The emitted string is re-runnable against ``create_table``."""
+        t = self.get_table(db, name)
+        s = t.schema()
+        cols = ",\n".join(
+            f"   {f['name']} {f['type'].upper()}"
+            + ("" if f.get("nullable", True) else " NOT NULL")
+            for f in s.fields
+        )
+        props = []
+        if s.primary_keys:
+            props.append(f"primary_key = ARRAY[{', '.join(repr(k) for k in s.primary_keys)}]")
+        if s.partition_keys:
+            props.append(
+                f"partitioned_by = ARRAY[{', '.join(repr(k) for k in s.partition_keys)}]"
+            )
+        for k, v in sorted(s.options.items()):
+            props.append(f"{k!r} = {v!r}")
+        with_clause = (
+            " WITH (\n   " + ",\n   ".join(props) + "\n)" if props else ""
+        )
+        return f"CREATE TABLE {db}.{name} (\n{cols}\n){with_clause}"
+
     # -- schema evolution (A18) -------------------------------------------
 
     def add_column(

@@ -784,3 +784,66 @@ class TestOrcFileFormat:
         from paimon_presto_spark.sources.datasource import _load_schema
         with pytest.raises(NotImplementedError, match="parquet only"):
             _load_schema(t.path)
+
+
+def test_show_create_table_roundtrip(spark, catalog):
+    """SHOW CREATE TABLE parity (TestPrestoSqlTCase.java:225-234): the
+    emitted DDL carries pk/partition/options and re-creates an identical
+    table via create_table."""
+    catalog.create_table(
+        "default", "sct", "k int, pt string, v double",
+        primary_keys=["k", "pt"], partition_keys=["pt"],
+        options={"bucket": "2"},
+    )
+    ddl = catalog.show_create_table("default", "sct")
+    assert "CREATE TABLE default.sct" in ddl
+    assert "k INT" in ddl and "pt STRING" in ddl and "v DOUBLE" in ddl
+    assert "primary_key = ARRAY['k', 'pt']" in ddl
+    assert "partitioned_by = ARRAY['pt']" in ddl
+    assert "'bucket' = '2'" in ddl
+    # round-trip: the statement's pieces rebuild an equivalent table
+    s1 = catalog.get_table("default", "sct").schema()
+    t2 = catalog.create_table(
+        "default", "sct2", "k int, pt string, v double",
+        primary_keys=s1.primary_keys, partition_keys=s1.partition_keys,
+        options=s1.options,
+    )
+    s2 = t2.schema()
+    assert (s1.fields, s1.primary_keys, s1.partition_keys) == (
+        s2.fields, s2.primary_keys, s2.partition_keys)
+
+
+def test_time_of_day_convention(spark, catalog):
+    """TIME type (SURVEY §7 hard part 1): micros-since-midnight over BIGINT
+    through the table format — string boundary conversions, EXTRACT fields,
+    and range predicates with stats-based file skipping as plain integers."""
+    from paimon_presto_spark.functions import (
+        time_extract, time_from_string, time_to_string)
+
+    t = catalog.create_table("default", "tod", "id int, t_micros bigint")
+    src = spark.createDataFrame(
+        [(1, "00:00:00"), (2, "09:30:15.250000"), (3, "23:59:59.999999"),
+         (4, "bad-time"), (5, "25:00:00")],
+        "id int, raw string",
+    )
+    t.append(src.select("id", time_from_string("raw").alias("t_micros")))
+    out = {r["id"]: (r["t_micros"], r["rendered"])
+           for r in t.to_df().withColumn(
+               "rendered", time_to_string("t_micros")).collect()}
+    assert out[1][0] == 0 and out[1][1] == "00:00:00.000000"
+    assert out[2][0] == (9 * 3600 + 30 * 60 + 15) * 1_000_000 + 250_000
+    assert out[2][1] == "09:30:15.250000"
+    assert out[3][0] == 86_400_000_000 - 1
+    assert out[4][0] is None and out[5][0] is None  # invalid → NULL
+    ex = t.to_df().filter("id = 2").select(
+        time_extract("t_micros", "hour").alias("h"),
+        time_extract("t_micros", "minute").alias("m"),
+        time_extract("t_micros", "second").alias("s"),
+        time_extract("t_micros", "microsecond").alias("us"),
+    ).collect()[0]
+    assert (ex["h"], ex["m"], ex["s"], ex["us"]) == (9, 30, 15, 250000)
+    # TIME predicates are plain integer predicates: pushdown + file skipping
+    noon = 12 * 3600 * 1_000_000
+    got = sorted(r["id"] for r in t.to_df(
+        predicate=P.gt("t_micros", noon)).collect())
+    assert got == [3]
