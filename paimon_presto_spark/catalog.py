@@ -168,6 +168,8 @@ class Catalog:
             return table.manifests_df()
         if suffix == "audit_log":
             return table.audit_log_df(**scan_kwargs)
+        if suffix == "consumers":
+            return table.consumers_df()
         raise ValueError(f"unknown system table suffix {suffix!r}")
 
     def show_create_table(self, db: str, name: str) -> str:

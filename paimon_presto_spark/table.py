@@ -409,6 +409,70 @@ class Table:
         kind = "I" if self.is_primary_keyed else None
         return self._commit_write(df, kind="OVERWRITE", row_kind=kind, replace=True)
 
+    def overwrite_dynamic(self, df: DataFrame) -> Snapshot:
+        """Dynamic partition overwrite (Paimon's ``dynamic-partition-overwrite``
+        / Spark's ``partitionOverwriteMode=dynamic``): atomically replace ONLY
+        the partitions present in `df`; untouched partitions keep their files.
+        The backfill primitive at scale — rewriting one day of a date-
+        partitioned 100 TB table commits O(that day), not O(table)."""
+        if not self.schema().partition_keys:
+            raise ValueError("dynamic overwrite requires a partitioned table")
+        kind = "I" if self.is_primary_keyed else None
+        return self._commit_write(
+            df, kind="OVERWRITE", row_kind=kind, replace="dynamic"
+        )
+
+    # -- consumers: streaming-reader progress pins (Paimon consumer-id) ----
+
+    def _consumer_path(self, name: str) -> str:
+        return os.path.join(self.path, "consumer", f"consumer-{name}.json")
+
+    def register_consumer(self, name: str, next_snapshot: int | None = None) -> None:
+        """Record that reader `name` still needs snapshots >= `next_snapshot`
+        (default: the snapshot after the current one). ``expire_snapshots``
+        keeps every snapshot any consumer has yet to read — so a lagging
+        streaming reader never loses unread commits to retention (Paimon's
+        ``consumer-id`` mechanism)."""
+        if not name or "/" in name or "$" in name:
+            raise ValueError(f"invalid consumer name {name!r}")
+        if next_snapshot is None:
+            cur = self.snapshot()
+            next_snapshot = (cur.snapshot_id + 1) if cur else 1
+        os.makedirs(os.path.join(self.path, "consumer"), exist_ok=True)
+        tmp = self._consumer_path(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"next_snapshot": int(next_snapshot),
+                 "update_ms": int(time.time() * 1000)},
+                fh,
+            )
+        os.replace(tmp, self._consumer_path(name))
+
+    def drop_consumer(self, name: str) -> None:
+        try:
+            os.remove(self._consumer_path(name))
+        except FileNotFoundError:
+            raise ValueError(f"consumer {name!r} does not exist") from None
+
+    def list_consumers(self) -> dict[str, int]:
+        cdir = os.path.join(self.path, "consumer")
+        if not os.path.isdir(cdir):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(cdir)):
+            if fn.startswith("consumer-") and fn.endswith(".json"):
+                with open(os.path.join(cdir, fn)) as fh:
+                    out[fn[len("consumer-") : -len(".json")]] = json.load(fh)[
+                        "next_snapshot"
+                    ]
+        return out
+
+    def consumers_df(self) -> DataFrame:
+        rows = [(k, v) for k, v in self.list_consumers().items()]
+        return self.spark.createDataFrame(
+            rows, "consumer_id string, next_snapshot bigint"
+        )
+
     def expire_snapshots(self, keep_last: int = 10) -> list[int]:
         """Drop snapshots older than the newest `keep_last`, deleting data
         files no surviving snapshot references (the standard lakehouse
@@ -420,9 +484,15 @@ class Table:
             raise ValueError("keep_last must be >= 1")
         ids = self.snapshot_ids()
         expired = ids[:-keep_last]
+        # Consumers pin every snapshot they have yet to read: a consumer at
+        # next_snapshot=N needs N and everything after it.
+        consumers = self.list_consumers()
+        if consumers:
+            floor = min(consumers.values())
+            expired = [i for i in expired if i < floor]
         if not expired:
             return []
-        kept = ids[-keep_last:]
+        kept = [i for i in ids if i not in set(expired)]
         live_files = set()
         live_manifests = set()
         # Tagged snapshots stay readable after expiry (the tag file carries
@@ -457,8 +527,14 @@ class Table:
         return expired
 
     def _commit_write(
-        self, df: DataFrame, kind: str, row_kind: str | None, replace: bool = False
+        self,
+        df: DataFrame,
+        kind: str,
+        row_kind: str | None,
+        replace: bool | str = False,
     ) -> Snapshot:
+        """`replace`: False stacks on the previous manifest, True replaces it
+        entirely, "dynamic" replaces only the partitions the new files touch."""
         schema = self.schema()
         expected = schema.field_names()
         missing = [c for c in expected if c.lower() not in {x.lower() for x in df.columns}]
@@ -480,10 +556,20 @@ class Table:
         # Data files are written once; only the metadata commit retries. A
         # conflict means another writer claimed our snapshot id — re-read the
         # new latest manifest and stack our entries on top of it.
+        touched = {json.dumps(e["partition"], sort_keys=True) for e in new_entries}
         for _attempt in range(5):
             prev = self.snapshot()
             next_id = (prev.snapshot_id + 1) if prev else 1
-            base = [] if (replace or prev is None) else self.manifest_entries(prev)
+            if prev is None or replace is True:
+                base = []
+            elif replace == "dynamic":
+                base = [
+                    e
+                    for e in self.manifest_entries(prev)
+                    if json.dumps(e["partition"], sort_keys=True) not in touched
+                ]
+            else:
+                base = self.manifest_entries(prev)
             try:
                 return self._commit_manifest(schema, next_id, kind, base + new_entries)
             except CommitConflict:

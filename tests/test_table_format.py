@@ -847,3 +847,47 @@ def test_time_of_day_convention(spark, catalog):
     got = sorted(r["id"] for r in t.to_df(
         predicate=P.gt("t_micros", noon)).collect())
     assert got == [3]
+
+
+def test_dynamic_partition_overwrite(spark, catalog):
+    """overwrite_dynamic replaces only the partitions present in the input
+    (backfill primitive): untouched partitions keep their files and commit
+    cost is O(touched partitions)."""
+    t = catalog.create_table(
+        "default", "dynov", "pt string, a int", partition_keys=["pt"]
+    )
+    t.append(spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3), ("d3", 4)], "pt string, a int"))
+    before = {e["path"] for e in t.manifest_entries()
+              if e["partition"]["pt"] in ("d2", "d3")}
+    t.overwrite_dynamic(spark.createDataFrame([("d1", 99)], "pt string, a int"))
+    assert rows(t.to_df()) == [("d1", 99), ("d2", 3), ("d3", 4)]
+    after = {e["path"] for e in t.manifest_entries()
+             if e["partition"]["pt"] in ("d2", "d3")}
+    assert after == before  # untouched partitions keep their exact files
+    with pytest.raises(ValueError, match="partitioned"):
+        catalog.create_table("default", "dynov2", "a int").overwrite_dynamic(
+            spark.createDataFrame([(1,)], "a int"))
+
+
+def test_consumers_pin_snapshots_from_expiry(spark, catalog):
+    """Consumers (Paimon consumer-id): a lagging reader's unread snapshots
+    survive expire_snapshots; advancing or dropping the consumer releases
+    them."""
+    t = catalog.create_table("default", "cons", "a int")
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "a int"))
+    t.register_consumer("readerA", next_snapshot=2)
+    assert t.expire_snapshots(keep_last=1) == [1]  # snapshot 1 already read
+    assert t.snapshot_ids() == [2, 3, 4, 5]
+    # $consumers system table
+    got = {(r["consumer_id"], r["next_snapshot"])
+           for r in catalog.read_table("default", "cons$consumers").collect()}
+    assert got == {("readerA", 2)}
+    # reader advances: older snapshots become expirable
+    t.register_consumer("readerA", next_snapshot=5)
+    assert t.expire_snapshots(keep_last=1) == [2, 3, 4]
+    t.drop_consumer("readerA")
+    assert t.expire_snapshots(keep_last=1) == []
+    assert t.snapshot_ids() == [5]
+    assert sorted(r["a"] for r in t.to_df().collect()) == [0, 1, 2, 3, 4]
