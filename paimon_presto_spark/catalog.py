@@ -170,6 +170,10 @@ class Catalog:
             return table.audit_log_df(**scan_kwargs)
         if suffix == "consumers":
             return table.consumers_df()
+        if suffix == "branches":
+            return table.branches_df()
+        if suffix.startswith("branch_"):  # Paimon `t$branch_<name>` reads
+            return table.branch(suffix[len("branch_"):]).to_df(**scan_kwargs)
         raise ValueError(f"unknown system table suffix {suffix!r}")
 
     def show_create_table(self, db: str, name: str) -> str:
@@ -240,7 +244,7 @@ class Catalog:
     def _write_schema(self, table: Table, s: TableSchema, highest_id: int) -> None:
         s.schema_id += 1
         s.highest_field_id = max(s.highest_field_id, highest_id)
-        path = os.path.join(table.path, "schema", f"schema-{s.schema_id}.json")
+        path = os.path.join(table.meta_path, "schema", f"schema-{s.schema_id}.json")
         if os.path.exists(path):
             raise ValueError(f"concurrent schema change on {table.path}")
         with open(path, "w") as fh:

@@ -176,20 +176,30 @@ class Snapshot:
 
 
 class Table:
-    """A snapshot-versioned, optionally primary-keyed, partitioned table."""
+    """A snapshot-versioned, optionally primary-keyed, partitioned table.
 
-    def __init__(self, spark: SparkSession, path: str):
+    `branch` selects an alternative metadata lineage (Paimon branches):
+    schema/snapshot/manifest/tag/consumer files resolve under
+    ``branch/branch-<name>/`` while data files stay shared at the table
+    root — a branch is a writable fork that costs metadata only.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, branch: str | None = None):
         self.spark = spark
-        self.path = path
+        self.path = path  # table root: data/ and staging/ always live here
+        self.branch_name = branch
+        self.meta_path = (
+            os.path.join(path, "branch", f"branch-{branch}") if branch else path
+        )
 
     # -- metadata ----------------------------------------------------------
 
     def _schema_path(self, sid: int) -> str:
-        return os.path.join(self.path, "schema", f"schema-{sid}.json")
+        return os.path.join(self.meta_path, "schema", f"schema-{sid}.json")
 
     def schema(self, schema_id: int | None = None) -> TableSchema:
         if schema_id is None:
-            sdir = os.path.join(self.path, "schema")
+            sdir = os.path.join(self.meta_path, "schema")
             schema_id = max(
                 int(f[len("schema-") : -len(".json")]) for f in os.listdir(sdir)
             )
@@ -197,7 +207,7 @@ class Table:
             return TableSchema.from_json(json.load(fh))
 
     def snapshot_ids(self) -> list[int]:
-        sdir = os.path.join(self.path, "snapshot")
+        sdir = os.path.join(self.meta_path, "snapshot")
         if not os.path.isdir(sdir):
             return []
         return sorted(
@@ -213,7 +223,7 @@ class Table:
         sid = snapshot_id if snapshot_id is not None else ids[-1]
         if sid not in ids:
             raise ValueError(f"snapshot {sid} does not exist (have {ids})")
-        with open(os.path.join(self.path, "snapshot", f"snapshot-{sid}.json")) as fh:
+        with open(os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json")) as fh:
             return Snapshot(**json.load(fh))
 
     def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
@@ -231,7 +241,7 @@ class Table:
         snap = snap or self.snapshot()
         if snap is None:
             return []
-        with open(os.path.join(self.path, "manifest", snap.manifest)) as fh:
+        with open(os.path.join(self.meta_path, "manifest", snap.manifest)) as fh:
             return json.load(fh)["entries"]
 
     @property
@@ -425,7 +435,7 @@ class Table:
     # -- consumers: streaming-reader progress pins (Paimon consumer-id) ----
 
     def _consumer_path(self, name: str) -> str:
-        return os.path.join(self.path, "consumer", f"consumer-{name}.json")
+        return os.path.join(self.meta_path, "consumer", f"consumer-{name}.json")
 
     def register_consumer(self, name: str, next_snapshot: int | None = None) -> None:
         """Record that reader `name` still needs snapshots >= `next_snapshot`
@@ -438,7 +448,7 @@ class Table:
         if next_snapshot is None:
             cur = self.snapshot()
             next_snapshot = (cur.snapshot_id + 1) if cur else 1
-        os.makedirs(os.path.join(self.path, "consumer"), exist_ok=True)
+        os.makedirs(os.path.join(self.meta_path, "consumer"), exist_ok=True)
         tmp = self._consumer_path(name) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
@@ -455,7 +465,7 @@ class Table:
             raise ValueError(f"consumer {name!r} does not exist") from None
 
     def list_consumers(self) -> dict[str, int]:
-        cdir = os.path.join(self.path, "consumer")
+        cdir = os.path.join(self.meta_path, "consumer")
         if not os.path.isdir(cdir):
             return {}
         out = {}
@@ -472,6 +482,143 @@ class Table:
         return self.spark.createDataFrame(
             rows, "consumer_id string, next_snapshot bigint"
         )
+
+    # -- branches: writable metadata forks sharing data files (Paimon
+    #    branch feature; metadata-only cost) --------------------------------
+
+    def _branch_dir(self, name: str) -> str:
+        return os.path.join(self.path, "branch", f"branch-{name}")
+
+    def create_branch(
+        self,
+        name: str,
+        from_snapshot: int | None = None,
+        from_tag: str | None = None,
+    ) -> "Table":
+        """Fork a writable branch at a snapshot (default latest) or a tag.
+
+        The branch copies metadata only — schema versions, the fork
+        snapshot, and its manifest; every data file is shared with main.
+        Writes/DDL on the branch never touch main's lineage; merge back
+        with ``fast_forward``."""
+        if self.branch_name is not None:
+            raise ValueError("branches fork from main, not from other branches")
+        if not name or "/" in name or "$" in name:
+            raise ValueError(f"invalid branch name {name!r}")
+        snap = (
+            self.tag_snapshot(from_tag)
+            if from_tag is not None
+            else self.snapshot(from_snapshot)
+        )
+        if snap is None:
+            raise ValueError("table has no snapshots")
+        bdir = self._branch_dir(name)
+        if os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        sdir = os.path.join(self.meta_path, "schema")
+        os.makedirs(os.path.join(bdir, "schema"))
+        os.makedirs(os.path.join(bdir, "snapshot"))
+        os.makedirs(os.path.join(bdir, "manifest"))
+        for fn in os.listdir(sdir):  # all schema versions (files reference them)
+            _copyfile(os.path.join(sdir, fn), os.path.join(bdir, "schema", fn))
+        with open(
+            os.path.join(bdir, "snapshot", f"snapshot-{snap.snapshot_id}.json"), "w"
+        ) as fh:
+            json.dump(snap.to_json(), fh)
+        with open(os.path.join(bdir, "snapshot", "LATEST"), "w") as fh:
+            fh.write(str(snap.snapshot_id))
+        _copyfile(
+            os.path.join(self.meta_path, "manifest", snap.manifest),
+            os.path.join(bdir, "manifest", snap.manifest),
+        )
+        with open(os.path.join(bdir, "branch.json"), "w") as fh:
+            json.dump(
+                {"fork_snapshot": snap.snapshot_id,
+                 "create_ms": int(time.time() * 1000)},
+                fh,
+            )
+        return Table(self.spark, self.path, branch=name)
+
+    def branch(self, name: str) -> "Table":
+        if not os.path.isdir(self._branch_dir(name)):
+            raise ValueError(f"branch {name!r} does not exist")
+        return Table(self.spark, self.path, branch=name)
+
+    def list_branches(self) -> list[str]:
+        bdir = os.path.join(self.path, "branch")
+        if not os.path.isdir(bdir):
+            return []
+        return sorted(
+            d[len("branch-"):] for d in os.listdir(bdir) if d.startswith("branch-")
+        )
+
+    def delete_branch(self, name: str) -> None:
+        """Drop a branch's metadata. Data files only it referenced become
+        orphans (not reclaimed here — same as Paimon, which ships a
+        separate orphan-file cleanup)."""
+        bdir = self._branch_dir(name)
+        if not os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} does not exist")
+        _rmtree_quiet(bdir)
+
+    def branches_df(self) -> DataFrame:
+        rows = []
+        for name in self.list_branches():
+            with open(os.path.join(self._branch_dir(name), "branch.json")) as fh:
+                d = json.load(fh)
+            b = self.branch(name)
+            latest = b.snapshot()
+            rows.append(
+                (name, d["fork_snapshot"],
+                 latest.snapshot_id if latest else None, d.get("create_ms"))
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "branch_name string, fork_snapshot bigint, latest_snapshot bigint, "
+            "create_ms bigint",
+        )
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Merge a branch back: copy its post-fork snapshots/manifests/schemas
+        into main. Requires main to still be AT the fork point (no divergent
+        commits) — the metadata twin of a git fast-forward."""
+        if self.branch_name is not None:
+            raise ValueError("fast_forward applies to the main lineage")
+        b = self.branch(name)
+        with open(os.path.join(self._branch_dir(name), "branch.json")) as fh:
+            fork = json.load(fh)["fork_snapshot"]
+        cur = self.snapshot()
+        if cur is None or cur.snapshot_id != fork:
+            raise CommitConflict(
+                f"main diverged from branch {name!r} (main at "
+                f"{cur.snapshot_id if cur else None}, fork at {fork})"
+            )
+        new_ids = [sid for sid in b.snapshot_ids() if sid > fork]
+        # schemas the branch added
+        for fn in os.listdir(os.path.join(b.meta_path, "schema")):
+            dst = os.path.join(self.meta_path, "schema", fn)
+            if not os.path.exists(dst):
+                _copyfile(os.path.join(b.meta_path, "schema", fn), dst)
+        last = cur
+        for sid in new_ids:
+            snap = b.snapshot(sid)
+            _copyfile(
+                os.path.join(b.meta_path, "manifest", snap.manifest),
+                os.path.join(self.meta_path, "manifest", snap.manifest),
+            )
+            spath = os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json")
+            try:
+                fd = os.open(spath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError as exc:  # concurrent main commit raced us
+                raise CommitConflict(str(exc)) from exc
+            with os.fdopen(fd, "w") as fh:
+                json.dump(snap.to_json(), fh)
+            last = snap
+        tmp = os.path.join(self.meta_path, "snapshot", f".LATEST.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(last.snapshot_id))
+        os.replace(tmp, os.path.join(self.meta_path, "snapshot", "LATEST"))
+        return last
 
     def expire_snapshots(self, keep_last: int = 10) -> list[int]:
         """Drop snapshots older than the newest `keep_last`, deleting data
@@ -504,6 +651,23 @@ class Table:
             live_manifests.add(snap.manifest)
             for e in self.manifest_entries(snap):
                 live_files.add(e["path"])
+        # Data files are shared across lineages: anything ANY other branch
+        # (or main, when expiring on a branch) references stays live. Their
+        # manifests/snapshots live in their own directories and are untouched.
+        main = Table(self.spark, self.path)
+        others = [main] if self.branch_name is not None else []
+        others += [
+            main.branch(n)
+            for n in main.list_branches()
+            if n != self.branch_name
+        ]
+        for t in others:
+            for snap in (
+                [t.snapshot(sid) for sid in t.snapshot_ids()]
+                + [t.tag_snapshot(nm) for nm in t.list_tags()]
+            ):
+                for e in t.manifest_entries(snap):
+                    live_files.add(e["path"])
         dead_files = set()
         dead_manifests = set()
         for sid in expired:
@@ -519,11 +683,11 @@ class Table:
                 pass
         for m in dead_manifests - live_manifests:
             try:
-                os.remove(os.path.join(self.path, "manifest", m))
+                os.remove(os.path.join(self.meta_path, "manifest", m))
             except FileNotFoundError:
                 pass
         for sid in expired:
-            os.remove(os.path.join(self.path, "snapshot", f"snapshot-{sid}.json"))
+            os.remove(os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json"))
         return expired
 
     def _commit_write(
@@ -680,10 +844,10 @@ class Table:
     def _commit_manifest(
         self, schema: TableSchema, snapshot_id: int, kind: str, entries: list[dict]
     ) -> Snapshot:
-        os.makedirs(os.path.join(self.path, "manifest"), exist_ok=True)
-        os.makedirs(os.path.join(self.path, "snapshot"), exist_ok=True)
+        os.makedirs(os.path.join(self.meta_path, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(self.meta_path, "snapshot"), exist_ok=True)
         manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex}.json"
-        with open(os.path.join(self.path, "manifest", manifest_name), "w") as fh:
+        with open(os.path.join(self.meta_path, "manifest", manifest_name), "w") as fh:
             json.dump({"entries": entries}, fh, default=str)
         snap = Snapshot(
             snapshot_id=snapshot_id,
@@ -695,17 +859,17 @@ class Table:
             manifest=manifest_name,
             total_rows=sum(e["row_count"] for e in entries),
         )
-        spath = os.path.join(self.path, "snapshot", f"snapshot-{snapshot_id}.json")
+        spath = os.path.join(self.meta_path, "snapshot", f"snapshot-{snapshot_id}.json")
         try:
             fd = os.open(spath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError as exc:  # concurrent commit won this id
             raise CommitConflict(str(exc)) from exc
         with os.fdopen(fd, "w") as fh:
             json.dump(snap.to_json(), fh)
-        tmp = os.path.join(self.path, "snapshot", f".LATEST.{uuid.uuid4().hex}")
+        tmp = os.path.join(self.meta_path, "snapshot", f".LATEST.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(str(snapshot_id))
-        os.replace(tmp, os.path.join(self.path, "snapshot", "LATEST"))
+        os.replace(tmp, os.path.join(self.meta_path, "snapshot", "LATEST"))
         return snap
 
     # -- read path ---------------------------------------------------------
@@ -734,7 +898,7 @@ class Table:
     #    reference relies on, PrestoMetadata.java:141) -----------------------
 
     def _tag_path(self, name: str) -> str:
-        return os.path.join(self.path, "tag", f"tag-{name}.json")
+        return os.path.join(self.meta_path, "tag", f"tag-{name}.json")
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Pin `name` to a snapshot (default: latest). The tag file stores the
@@ -745,7 +909,7 @@ class Table:
         snap = self.snapshot(snapshot_id)
         if snap is None:
             raise ValueError("table has no snapshots")
-        os.makedirs(os.path.join(self.path, "tag"), exist_ok=True)
+        os.makedirs(os.path.join(self.meta_path, "tag"), exist_ok=True)
         path = self._tag_path(name)
         if os.path.exists(path):
             raise ValueError(f"tag {name!r} already exists")
@@ -764,7 +928,7 @@ class Table:
             raise ValueError(f"tag {name!r} does not exist") from None
 
     def list_tags(self) -> list[str]:
-        tdir = os.path.join(self.path, "tag")
+        tdir = os.path.join(self.meta_path, "tag")
         if not os.path.isdir(tdir):
             return []
         return sorted(
@@ -862,7 +1026,7 @@ class Table:
         rows = []
         for sid in self.snapshot_ids():
             snap = self.snapshot(sid)
-            mpath = os.path.join(self.path, "manifest", snap.manifest)
+            mpath = os.path.join(self.meta_path, "manifest", snap.manifest)
             entries = self.manifest_entries(snap)
             rows.append(
                 (
@@ -896,7 +1060,7 @@ class Table:
         return df.select(F.lit("+I").alias("rowkind"), "*")
 
     def schemas_df(self) -> DataFrame:
-        sdir = os.path.join(self.path, "schema")
+        sdir = os.path.join(self.meta_path, "schema")
         rows = []
         for fn in sorted(os.listdir(sdir)):
             with open(os.path.join(sdir, fn)) as fh:
@@ -1336,3 +1500,9 @@ def _rmtree_quiet(path: str) -> None:
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
+
+
+def _copyfile(src: str, dst: str) -> None:
+    import shutil
+
+    shutil.copyfile(src, dst)

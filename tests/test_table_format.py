@@ -891,3 +891,71 @@ def test_consumers_pin_snapshots_from_expiry(spark, catalog):
     assert t.expire_snapshots(keep_last=1) == []
     assert t.snapshot_ids() == [5]
     assert sorted(r["a"] for r in t.to_df().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_branches_fork_write_isolation(spark, catalog):
+    """Branches: writable metadata forks sharing data files. Writes and
+    schema changes on a branch never touch main; pre-fork data is shared,
+    not copied."""
+    t = catalog.create_table("default", "brt", "a int, v string")
+    t.append(spark.createDataFrame([(1, "x"), (2, "y")], "a int, v string"))
+    t.append(spark.createDataFrame([(3, "z")], "a int, v string"))
+
+    dev = t.create_branch("dev")
+    assert rows(dev.to_df()) == rows(t.to_df())  # fork sees main's state
+    dev.append(spark.createDataFrame([(9, "dev-only")], "a int, v string"))
+    assert rows(dev.to_df(), "a") == [(1,), (2,), (3,), (9,)]
+    assert rows(t.to_df(), "a") == [(1,), (2,), (3,)]  # main untouched
+    # branch read through the catalog's $branch_ suffix
+    assert rows(catalog.read_table("default", "brt$branch_dev"), "a") == [
+        (1,), (2,), (3,), (9,)]
+    # $branches system table
+    bdf = catalog.read_table("default", "brt$branches").collect()
+    assert [(r["branch_name"], r["fork_snapshot"], r["latest_snapshot"])
+            for r in bdf] == [("dev", 2, 3)]
+    # fork at an older snapshot
+    old = t.create_branch("old", from_snapshot=1)
+    assert rows(old.to_df(), "a") == [(1,), (2,)]
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("dev")
+    with pytest.raises(ValueError, match="fork from main"):
+        dev.create_branch("nested")
+
+
+def test_branch_fast_forward_and_divergence(spark, catalog):
+    t = catalog.create_table("default", "fft", "a int")
+    t.append(spark.createDataFrame([(1,)], "a int"))
+    dev = t.create_branch("dev")
+    dev.append(spark.createDataFrame([(2,)], "a int"))
+    dev.append(spark.createDataFrame([(3,)], "a int"))
+    last = t.fast_forward("dev")
+    assert last.snapshot_id == 3
+    assert rows(t.to_df()) == [(1,), (2,), (3,)]
+    assert t.snapshot_ids() == [1, 2, 3]
+    # divergence: main moved past the fork point of a new branch
+    dev2 = t.create_branch("dev2")
+    t.append(spark.createDataFrame([(4,)], "a int"))
+    dev2.append(spark.createDataFrame([(5,)], "a int"))
+    from paimon_presto_spark.table import CommitConflict
+    with pytest.raises(CommitConflict, match="diverged"):
+        t.fast_forward("dev2")
+
+
+def test_branch_protects_files_from_main_expiry(spark, catalog):
+    """expire_snapshots on main never deletes data files a branch still
+    references (shared-file safety across lineages)."""
+    t = catalog.create_table("default", "bexp", "a int")
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "a int"))
+    t.create_branch("keeper", from_snapshot=1)  # references snapshot 1's file
+    t.compact()  # main rewrites; old files now unreferenced by main's tip
+    t.expire_snapshots(keep_last=1)
+    assert t.snapshot_ids() == [4]
+    # the branch still reads its fork state from the shared files
+    kb = t.branch("keeper")
+    assert rows(kb.to_df()) == [(0,)]
+    # and branch deletion works
+    t.delete_branch("keeper")
+    assert t.list_branches() == []
+    with pytest.raises(ValueError, match="does not exist"):
+        t.branch("keeper")
