@@ -65,6 +65,17 @@ from pyspark.sql.datasource import (
 from paimon_presto_spark.plans.predicate import P, Predicate
 
 
+def _meta_path(path: str, branch: str | None) -> str:
+    """Metadata root for a lineage: the table dir, or a branch's fork dir
+    (data files always stay under the table dir — see ``table.Table``)."""
+    if not branch:
+        return path
+    bdir = os.path.join(path, "branch", f"branch-{branch}")
+    if not os.path.isdir(bdir):
+        raise ValueError(f"branch {branch!r} does not exist")
+    return bdir
+
+
 def _load_schema(path: str, schema_id: int | None = None) -> dict:
     sdir = os.path.join(path, "schema")
     if schema_id is None:
@@ -226,7 +237,8 @@ class PaimonPartition(InputPartition):
 
 class PaimonReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.path = options["path"]
+        self.path = options["path"]  # data root
+        self.meta = _meta_path(self.path, options.get("branch"))
         self.snapshot_id = (
             int(options["snapshot"]) if "snapshot" in options else None
         )
@@ -242,18 +254,18 @@ class PaimonReader(DataSourceReader):
         if self.snapshot_id is not None:
             with open(
                 os.path.join(
-                    self.path, "snapshot", f"snapshot-{self.snapshot_id}.json"
+                    self.meta, "snapshot", f"snapshot-{self.snapshot_id}.json"
                 )
             ) as fh:
                 return json.load(fh)
-        return _latest_snapshot(self.path)
+        return _latest_snapshot(self.meta)
 
     def partitions(self) -> Sequence[PaimonPartition]:
         snap = self._snapshot()
         if snap is None:
-            return [PaimonPartition([], None, _load_schema(self.path))]
-        schema = _load_schema(self.path, snap["schema_id"])
-        entries = _manifest_entries(self.path, snap)
+            return [PaimonPartition(self.meta, [], None, _load_schema(self.meta))]
+        schema = _load_schema(self.meta, snap["schema_id"])
+        entries = _manifest_entries(self.meta, snap)
         part_keys = schema.get("partition_keys", [])
         pks = schema.get("primary_keys", [])
         if self.predicate is not None:
@@ -279,9 +291,9 @@ class PaimonReader(DataSourceReader):
 
         if not pks:
             return [
-                PaimonPartition(self.path, [fent(e)], None, schema)
+                PaimonPartition(self.meta, [fent(e)], None, schema)
                 for e in entries
-            ] or [PaimonPartition(self.path, [], None, schema)]
+            ] or [PaimonPartition(self.meta, [], None, schema)]
         groups: dict[str, list[tuple[str, int]]] = {}
         for e in entries:
             key = json.dumps(
@@ -290,9 +302,9 @@ class PaimonReader(DataSourceReader):
             groups.setdefault(key, []).append(fent(e))
         merge = schema.get("options", {}).get("merge-engine", "deduplicate")
         return [
-            PaimonPartition(self.path, files, merge, schema)
+            PaimonPartition(self.meta, files, merge, schema)
             for files in groups.values()
-        ] or [PaimonPartition(self.path, [], merge, schema)]
+        ] or [PaimonPartition(self.meta, [], merge, schema)]
 
     def read(self, partition: PaimonPartition):
         import pyarrow as pa
@@ -411,9 +423,10 @@ class PaimonWriter(DataSourceWriter):
     """
 
     def __init__(self, options: dict, overwrite: bool):
-        self.path = options["path"]
+        self.path = options["path"]  # data root
+        self.meta = _meta_path(self.path, options.get("branch"))
         self.overwrite = overwrite
-        schema = _load_schema(self.path)
+        schema = _load_schema(self.meta)
         self.schema = schema
         self.pks = schema.get("primary_keys", [])
         self.row_kind = options.get("rowkind", "I")
@@ -424,7 +437,7 @@ class PaimonWriter(DataSourceWriter):
                 "overwrite mode on a primary-key table is ambiguous; use "
                 "Table.overwrite() for an explicit full replacement"
             )
-        prev = _latest_snapshot(self.path)
+        prev = _latest_snapshot(self.meta)
         self.next_snapshot = (prev["snapshot_id"] + 1) if prev else 1
         self.staging = os.path.join(self.path, f".staging-ds-{uuid.uuid4().hex}")
 
@@ -557,21 +570,21 @@ class PaimonWriter(DataSourceWriter):
             )
         _rmtree(self.staging)
         # snapshot swap at the pre-allocated id (CommitConflict on a race)
-        prev = _latest_snapshot(self.path)
+        prev = _latest_snapshot(self.meta)
         if self.overwrite:
             kind = "OVERWRITE"
         else:
             kind = ("DELETE" if self.row_kind == "D" else "UPSERT") if self.pks else "APPEND"
             if prev is not None:
                 with open(
-                    os.path.join(self.path, "manifest", prev["manifest"])
+                    os.path.join(self.meta, "manifest", prev["manifest"])
                 ) as fh:
                     final_entries = json.load(fh)["entries"] + final_entries
         sid = self.next_snapshot
-        os.makedirs(os.path.join(self.path, "manifest"), exist_ok=True)
-        os.makedirs(os.path.join(self.path, "snapshot"), exist_ok=True)
+        os.makedirs(os.path.join(self.meta, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(self.meta, "snapshot"), exist_ok=True)
         mname = f"manifest-{sid}-{uuid.uuid4().hex}.json"
-        with open(os.path.join(self.path, "manifest", mname), "w") as fh:
+        with open(os.path.join(self.meta, "manifest", mname), "w") as fh:
             json.dump({"entries": final_entries}, fh, default=str)
         snap = {
             "snapshot_id": sid,
@@ -583,14 +596,14 @@ class PaimonWriter(DataSourceWriter):
             "manifest": mname,
             "total_rows": sum(e["row_count"] for e in final_entries),
         }
-        spath = os.path.join(self.path, "snapshot", f"snapshot-{sid}.json")
+        spath = os.path.join(self.meta, "snapshot", f"snapshot-{sid}.json")
         fd = os.open(spath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as fh:
             json.dump(snap, fh)
-        tmp = os.path.join(self.path, "snapshot", f".LATEST.{uuid.uuid4().hex}")
+        tmp = os.path.join(self.meta, "snapshot", f".LATEST.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(str(sid))
-        os.replace(tmp, os.path.join(self.path, "snapshot", "LATEST"))
+        os.replace(tmp, os.path.join(self.meta, "snapshot", "LATEST"))
 
     def abort(self, messages) -> None:
         _rmtree(self.staging)
@@ -605,7 +618,9 @@ class PaimonDataSource(DataSource):
         return "paimon"
 
     def schema(self) -> str:
-        schema = _load_schema(self.options["path"])
+        schema = _load_schema(
+            _meta_path(self.options["path"], self.options.get("branch"))
+        )
         return ", ".join(f"`{f['name']}` {f['type']}" for f in schema["fields"])
 
     def reader(self, schema) -> PaimonReader:

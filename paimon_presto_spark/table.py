@@ -690,6 +690,41 @@ class Table:
             os.remove(os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json"))
         return expired
 
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> list[str]:
+        """Delete data files no lineage references (Paimon's
+        remove-orphan-files action): files stranded by deleted branches,
+        crashed writers, or interrupted commits.
+
+        `older_than_ms` (epoch millis) guards in-flight writers: only files
+        modified before it are candidates (default: one hour ago). Scans
+        every snapshot and tag of every lineage — O(metadata), one listdir
+        walk over data/. Returns the deleted paths (table-relative)."""
+        if older_than_ms is None:
+            older_than_ms = int((time.time() - 3600) * 1000)
+        main = Table(self.spark, self.path)
+        lineages = [main] + [main.branch(n) for n in main.list_branches()]
+        live = set()
+        for t in lineages:
+            snaps = [t.snapshot(sid) for sid in t.snapshot_ids()] + [
+                t.tag_snapshot(nm) for nm in t.list_tags()
+            ]
+            for snap in snaps:
+                for e in t.manifest_entries(snap):
+                    live.add(e["path"])
+        data_dir = os.path.join(self.path, "data")
+        removed = []
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel in live:
+                    continue
+                if os.path.getmtime(full) * 1000 >= older_than_ms:
+                    continue  # too fresh — may belong to an in-flight commit
+                os.remove(full)
+                removed.append(rel)
+        return sorted(removed)
+
     def _commit_write(
         self,
         df: DataFrame,

@@ -186,3 +186,30 @@ def test_read_aggregation_engine(registered, spark, catalog):
     t.upsert(spark.createDataFrame([(1, 5)], "k int, total int"))
     got = {r["k"]: r["total"] for r in _read(spark, t).collect()}
     assert got == {1: 15, 2: 1}
+
+
+def test_datasource_branch_read_and_write(registered, spark, catalog):
+    """option("branch", name): the DataSource reads and writes a branch
+    lineage while sharing data files with main (same split planning,
+    pushdown, and commit path — only the metadata root moves)."""
+    t = catalog.create_table("default", "dsbr", "a int, v string")
+    spark.createDataFrame([(1, "x"), (2, "y")], "a int, v string") \
+        .write.format("paimon").option("path", t.path).mode("append").save()
+    t.create_branch("dev")
+    # write through the DataSource onto the branch
+    spark.createDataFrame([(9, "dev")], "a int, v string") \
+        .write.format("paimon").option("path", t.path).option("branch", "dev") \
+        .mode("append").save()
+    branch_rows = sorted(
+        (r["a"], r["v"]) for r in
+        spark.read.format("paimon").option("path", t.path)
+        .option("branch", "dev").load().collect()
+    )
+    assert branch_rows == [(1, "x"), (2, "y"), (9, "dev")]
+    main_rows = sorted((r["a"], r["v"]) for r in _read(spark, t).collect())
+    assert main_rows == [(1, "x"), (2, "y")]  # main untouched
+    # Table API sees the DataSource's branch commit (shared lineage)
+    assert sorted(r["a"] for r in t.branch("dev").to_df().collect()) == [1, 2, 9]
+    with pytest.raises(Exception, match="does not exist"):
+        spark.read.format("paimon").option("path", t.path) \
+            .option("branch", "nope").load().collect()

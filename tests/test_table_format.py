@@ -959,3 +959,26 @@ def test_branch_protects_files_from_main_expiry(spark, catalog):
     assert t.list_branches() == []
     with pytest.raises(ValueError, match="does not exist"):
         t.branch("keeper")
+
+
+def test_remove_orphan_files(spark, catalog):
+    """Orphan cleanup: files stranded by a deleted branch are reclaimed,
+    while every file any live lineage (or tag) references survives; fresh
+    files are spared by the age guard."""
+    import time as _time
+
+    t = catalog.create_table("default", "orph", "a int")
+    t.append(spark.createDataFrame([(1,)], "a int"))
+    dev = t.create_branch("dev")
+    dev.append(spark.createDataFrame([(2,)], "a int"))  # file only dev references
+    t.compact()  # snapshot 2 on main: fresh rewrite of (1,)
+    t.expire_snapshots(keep_last=1)  # drops main snapshot 1 (file shared w/ dev)
+    dev_only = {e["path"] for e in t.branch("dev").manifest_entries()}
+
+    # age guard: nothing deleted when everything is fresh
+    assert t.remove_orphan_files() == []
+    t.delete_branch("dev")
+    # cutoff in the future → dev-only files now orphaned and old enough
+    removed = t.remove_orphan_files(older_than_ms=int(_time.time() * 1000) + 10_000)
+    assert set(removed) <= dev_only and removed  # only ex-branch files went
+    assert rows(t.to_df()) == [(1,)]  # main state intact
