@@ -690,6 +690,31 @@ class Table:
             os.remove(os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json"))
         return expired
 
+    def rescale_bucket(self, num_buckets: int) -> Snapshot:
+        """Change a primary-key table's bucket count (Paimon's offline
+        bucket-rescale action): writes a new schema version with the new
+        ``bucket`` option, then compacts so every data file lands in its
+        new bucket. One full rewrite — the explicit cost of re-hashing; all
+        snapshots before the rescale keep reading under their old layout.
+        Undersized buckets are THE write-amplification trap at 100 TB
+        (every upsert rewrites a bucket's worth of data), so rescaling must
+        be cheap to reach for."""
+        if num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        if not self.is_primary_keyed:
+            raise ValueError("bucket rescale applies to primary-key tables")
+        s = self.schema()
+        if s.num_buckets == num_buckets:
+            return self.snapshot()
+        s.options = dict(s.options, bucket=str(num_buckets))
+        s.schema_id += 1
+        spath = self._schema_path(s.schema_id)
+        if os.path.exists(spath):
+            raise CommitConflict(f"concurrent schema change on {self.path}")
+        with open(spath, "w") as fh:
+            json.dump(s.to_json(), fh, indent=2)
+        return self.compact()
+
     def remove_orphan_files(self, older_than_ms: int | None = None) -> list[str]:
         """Delete data files no lineage references (Paimon's
         remove-orphan-files action): files stranded by deleted branches,

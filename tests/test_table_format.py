@@ -982,3 +982,49 @@ def test_remove_orphan_files(spark, catalog):
     removed = t.remove_orphan_files(older_than_ms=int(_time.time() * 1000) + 10_000)
     assert set(removed) <= dev_only and removed  # only ex-branch files went
     assert rows(t.to_df()) == [(1,)]  # main state intact
+
+
+def test_rescale_bucket(spark, catalog):
+    """Bucket rescale: new schema version with the new bucket count + full
+    compaction rewrite; correctness and the new bucket layout verified,
+    old snapshots still read under their old layout."""
+    t = catalog.create_table(
+        "default", "rsb", "k int, v string", primary_keys=["k"],
+        options={"bucket": "1"},
+    )
+    t.upsert(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k int, v string"))
+    assert {e["bucket"] for e in t.manifest_entries()} == {0}
+    t.rescale_bucket(4)
+    assert len({e["bucket"] for e in t.manifest_entries()}) == 4
+    assert t.schema().num_buckets == 4
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got == {i: f"v{i}" for i in range(40)}
+    # upserts after the rescale land in the new layout and merge correctly
+    t.upsert(spark.createDataFrame([(7, "NEW")], "k int, v string"))
+    assert t.to_df().filter("k = 7").collect()[0]["v"] == "NEW"
+    # pre-rescale snapshot still reads
+    assert t.scan(snapshot_id=1).to_df().count() == 40
+    with pytest.raises(ValueError, match="primary-key"):
+        catalog.create_table("default", "rsb2", "a int").rescale_bucket(2)
+
+
+def test_explain_modes_surface(spark, catalog):
+    """EXPLAIN variants (SURVEY §2.2 scans/sources: text/logical/
+    distributed formats, PrestoDistributedQueryTest.java:354-363,464-483):
+    Spark's simple/extended/formatted/cost modes all render over our
+    tables."""
+    from paimon_presto_spark.catalog import register_catalog_views
+
+    t = catalog.create_table("default", "exm", "a int, b string")
+    t.append(spark.createDataFrame([(1, "x")], "a int, b string"))
+    register_catalog_views(catalog, "default")
+    q = "SELECT a, COUNT(*) AS n FROM exm WHERE a > 0 GROUP BY a"
+    simple = spark.sql(f"EXPLAIN {q}").collect()[0][0]
+    assert "Physical Plan" in simple
+    extended = spark.sql(f"EXPLAIN EXTENDED {q}").collect()[0][0]
+    assert "Parsed Logical Plan" in extended and "Optimized Logical Plan" in extended
+    formatted = spark.sql(f"EXPLAIN FORMATTED {q}").collect()[0][0]
+    assert "HashAggregate" in formatted
+    cost = spark.sql(f"EXPLAIN COST {q}").collect()[0][0]
+    assert "sizeInBytes" in cost
