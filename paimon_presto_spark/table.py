@@ -690,6 +690,74 @@ class Table:
             os.remove(os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json"))
         return expired
 
+    def incremental_df(
+        self, start_snapshot: int, end_snapshot: int | None = None
+    ) -> DataFrame:
+        """Batch-CDC read: the change rows committed AFTER `start_snapshot`
+        up to and including `end_snapshot` (default: latest) — Paimon's
+        ``incremental-between`` scan mode.
+
+        Walks the commits in the range and unions each commit's NEW files
+        (manifest diff against its parent), skipping COMPACT commits —
+        rewrites are not new data, so incremental consumers never see a
+        compaction re-emit the table. Primary-key tables yield audit-log
+        style rows (leading ``rowkind`` '+I'/'-D'); append tables yield
+        plain rows. Cost is O(files changed in range), never a full scan.
+        """
+        end = (
+            end_snapshot
+            if end_snapshot is not None
+            else (self.snapshot().snapshot_id if self.snapshot() else 0)
+        )
+        if start_snapshot > end:
+            raise ValueError(f"start {start_snapshot} > end {end}")
+        ids = [i for i in self.snapshot_ids() if start_snapshot < i <= end]
+        new_entries: list[dict] = []
+        prev_paths: set[str] | None = None
+        for sid in ids:
+            snap = self.snapshot(sid)
+            cur = self.manifest_entries(snap)
+            if snap.commit_kind != "COMPACT":
+                if prev_paths is None:
+                    prev_paths = (
+                        {e["path"] for e in self.manifest_entries(self.snapshot(sid - 1))}
+                        if sid - 1 in self.snapshot_ids()
+                        else set()
+                    )
+                new_entries += [e for e in cur if e["path"] not in prev_paths]
+            prev_paths = {e["path"] for e in cur}
+        schema = self.schema()
+        spark = self.spark
+        if not new_entries:
+            base = schema.spark_schema()
+            if self.is_primary_keyed:
+                base = T.StructType(
+                    [T.StructField("rowkind", T.StringType(), False)] + list(base)
+                )
+            return spark.createDataFrame([], base)
+        by_schema: dict[int, list[str]] = {}
+        for e in new_entries:
+            by_schema.setdefault(e["schema_id"], []).append(
+                os.path.join(self.path, e["path"])
+            )
+        parts = []
+        for sid, files in sorted(by_schema.items()):
+            writer_schema = self.schema(sid)
+            fmt = writer_schema.options.get("file.format", "parquet")
+            df = spark.read.format(fmt).load(files)
+            parts.append(_project_to(df, writer_schema, schema, self.is_primary_keyed))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if KIND_COL in df.columns:
+            kind = F.concat(
+                F.when(F.col(KIND_COL) == "D", F.lit("-")).otherwise(F.lit("+")),
+                F.col(KIND_COL),
+            )
+            data_cols = [c for c in df.columns if c not in SYS_COLS]
+            return df.select(kind.alias("rowkind"), *data_cols)
+        return df
+
     def rescale_bucket(self, num_buckets: int) -> Snapshot:
         """Change a primary-key table's bucket count (Paimon's offline
         bucket-rescale action): writes a new schema version with the new

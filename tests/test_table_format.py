@@ -1028,3 +1028,38 @@ def test_explain_modes_surface(spark, catalog):
     assert "HashAggregate" in formatted
     cost = spark.sql(f"EXPLAIN COST {q}").collect()[0][0]
     assert "sizeInBytes" in cost
+
+
+def test_incremental_read_between_snapshots(spark, catalog):
+    """incremental_df (Paimon incremental-between): per-range change rows,
+    compaction commits invisible, O(changed files) planning."""
+    t = catalog.create_table("default", "incr", "k int, v string",
+                             primary_keys=["k"], options={"bucket": "1"})
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))   # s1
+    t.upsert(spark.createDataFrame([(2, "b2"), (3, "c")], "k int, v string"))  # s2
+    t.compact()                                                                # s3
+    t.delete(spark.createDataFrame([(1, "a")], "k int, v string"))             # s4
+
+    # s1..s2: only the second commit's change rows
+    got = sorted((r["rowkind"], r["k"], r["v"])
+                 for r in t.incremental_df(1, 2).collect())
+    assert got == [("+I", 2, "b2"), ("+I", 3, "c")]
+    # range spanning the compaction: compact invisible, delete visible
+    got = sorted((r["rowkind"], r["k"])
+                 for r in t.incremental_df(2).collect())
+    assert got == [("-D", 1)]
+    # full range from before the first snapshot
+    got = sorted((r["rowkind"], r["k"], r["v"])
+                 for r in t.incremental_df(0, 2).collect())
+    assert got == [("+I", 1, "a"), ("+I", 2, "b"), ("+I", 2, "b2"), ("+I", 3, "c")]
+    # empty range and validation
+    assert t.incremental_df(4).count() == 0
+    with pytest.raises(ValueError, match=">"):
+        t.incremental_df(5, 2)
+    # append-only tables: plain rows, no rowkind column
+    ta = catalog.create_table("default", "incra", "a int")
+    ta.append(spark.createDataFrame([(1,)], "a int"))
+    ta.append(spark.createDataFrame([(2,)], "a int"))
+    inc = ta.incremental_df(1)
+    assert "rowkind" not in inc.columns
+    assert [r["a"] for r in inc.collect()] == [2]
