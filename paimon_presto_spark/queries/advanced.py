@@ -576,6 +576,72 @@ def table_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_format_changelog",
+    oracle="""
+        WITH del AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        pat AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+        )
+        SELECT '-D' AS rowkind, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+        FROM del
+        UNION ALL
+        SELECT '+I' AS rowkind, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+        FROM pat
+        ORDER BY rowkind
+    """,
+    tags=("table-format", "cdc", "incremental"),
+)
+def table_format_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-CDC correctness INSIDE the oracle gate: after a base upsert,
+    a delete commit, a patch commit, and a compaction, ``incremental_df``
+    over the post-base range must contain EXACTLY the delete + patch
+    change rows (the compaction invisible), matching the oracle's
+    declarative restatement of the two mutations.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from paimon_presto_spark.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    wh = tempfile.mkdtemp(prefix="cdc-", dir=base)
+    cat = Catalog(spark, wh)
+    cat.create_database("cdc", ignore_if_exists=True)
+    t = cat.create_table(
+        "cdc", "orders_cdc",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+        primary_keys=["o_orderkey"],
+    )
+    t.upsert(o)                                                   # snapshot 1
+    t.delete(o.filter(F.col("o_orderkey") % 97 == 0))             # snapshot 2
+    t.upsert(                                                     # snapshot 3
+        o.filter(
+            (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    t.compact()                                                   # snapshot 4 (invisible)
+    changes = t.incremental_df(start_snapshot=1)
+    return (
+        changes.groupBy("rowkind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("rowkind")
+    )
+
+
+@register(
     "multimodal_binary_stats",
     oracle="""
         SELECT source,
