@@ -7,6 +7,7 @@ Arrow-batched UDFs only where built-ins can't express the math).
 from paimon_presto_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_containment,
     ngram_jaccard_pairs,
     simhash_signatures,
     simhash_pairs,
@@ -21,6 +22,7 @@ from paimon_presto_spark.operators.text import language_id, quality_metrics
 __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
+    "ngram_containment",
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "simhash_pairs",

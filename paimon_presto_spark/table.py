@@ -1445,6 +1445,40 @@ def _merge_on_read(df: DataFrame, schema: TableSchema) -> DataFrame:
                         f" struct(`{SEQ_COL}`, `{POS_COL}`), NULL))"
                     ).alias(c)
                 )
+            elif fn == "last_value":
+                aggs.append(
+                    F.expr(f"max_by(`{c}`, struct(`{SEQ_COL}`, `{POS_COL}`))")
+                    .alias(c)
+                )
+            elif fn == "first_value":
+                aggs.append(
+                    F.expr(f"min_by(`{c}`, struct(`{SEQ_COL}`, `{POS_COL}`))")
+                    .alias(c)
+                )
+            elif fn == "first_non_null":
+                aggs.append(
+                    F.expr(
+                        f"min_by(`{c}`, IF(`{c}` IS NOT NULL,"
+                        f" struct(`{SEQ_COL}`, `{POS_COL}`), NULL))"
+                    ).alias(c)
+                )
+            elif fn == "bool_and":
+                aggs.append(F.bool_and(c).alias(c))
+            elif fn == "bool_or":
+                aggs.append(F.bool_or(c).alias(c))
+            elif fn == "product":
+                aggs.append(F.product(c).alias(c))
+            elif fn == "listagg":
+                # commit-ordered concatenation (deterministic: sorted by the
+                # commit sequence, not arrival order)
+                aggs.append(
+                    F.expr(
+                        f"array_join(transform(array_sort(collect_list("
+                        f"IF(`{c}` IS NOT NULL, struct(`{SEQ_COL}` AS s,"
+                        f" `{POS_COL}` AS p, `{c}` AS v), NULL))),"
+                        f" x -> x.v), ',')"
+                    ).alias(c)
+                )
             else:
                 raise ValueError(
                     f"unsupported aggregate-function {fn!r} for field {c!r}"

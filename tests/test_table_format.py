@@ -364,6 +364,38 @@ class TestMergeEngines:
         got = {r["k"]: (r["total"], r["peak"], r["note"]) for r in t.to_df().collect()}
         assert got == {1: (17, 5, "first"), 2: (3, 9, "hello")}
 
+    def test_aggregation_engine_full_function_set(self, spark, catalog):
+        """The remaining Paimon aggregate-functions: first/last value
+        variants, bool_and/bool_or, product, commit-ordered listagg."""
+        t = catalog.create_table(
+            "default", "agf",
+            "k int, fv int, fnn int, lv int, ba boolean, bo boolean, "
+            "pr double, la string",
+            primary_keys=["k"],
+            options={
+                "merge-engine": "aggregation",
+                "fields.fv.aggregate-function": "first_value",
+                "fields.fnn.aggregate-function": "first_non_null",
+                "fields.lv.aggregate-function": "last_value",
+                "fields.ba.aggregate-function": "bool_and",
+                "fields.bo.aggregate-function": "bool_or",
+                "fields.pr.aggregate-function": "product",
+                "fields.la.aggregate-function": "listagg",
+            },
+        )
+        ddl = ("k int, fv int, fnn int, lv int, ba boolean, bo boolean, "
+               "pr double, la string")
+        t.upsert(spark.createDataFrame([(1, None, None, 10, True, False, 2.0, "a")], ddl))
+        t.upsert(spark.createDataFrame([(1, 7, 8, None, True, False, 3.0, "b")], ddl))
+        t.upsert(spark.createDataFrame([(1, 9, 9, 30, False, True, 4.0, None)], ddl))
+        r = t.to_df().collect()[0]
+        assert r["fv"] is None      # first value, nulls included
+        assert r["fnn"] == 8        # first NON-null
+        assert r["lv"] == 30        # last value
+        assert r["ba"] is False and r["bo"] is True
+        assert r["pr"] == 24.0
+        assert r["la"] == "a,b"     # commit order, nulls skipped
+
     def test_aggregation_survives_compact(self, spark, catalog):
         t = catalog.create_table(
             "default", "ag2", "k int, total int", primary_keys=["k"],
