@@ -147,3 +147,54 @@ def test_aggregation_engine_equals_dict_replay(spark, tmp_path_factory, batches)
 
     got = sorted((r["k"], r["s"], r["m"]) for r in t.to_df().collect())
     assert got == sorted((k, v[0], v[1]) for k, v in model.items())
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cmds=commands)
+def test_incremental_ranges_reconstruct_state(spark, tmp_path_factory, cmds):
+    """CDC/MoR coherence: replaying incremental_df change rows over any
+    split point reconstructs exactly the merged final state, and the two
+    range halves partition the full changelog."""
+    from paimon_presto_spark.catalog import Catalog
+
+    wh = tmp_path_factory.mktemp("wh_inc")
+    c = Catalog(spark, str(wh))
+    c.create_database("d", ignore_if_exists=True)
+    t = c.create_table("d", "t", "k int, v int", primary_keys=["k"])
+
+    for op, kvs in cmds:
+        dedup = {}
+        for k, v in kvs:
+            dedup[k] = v
+        df = spark.createDataFrame(list(dedup.items()), "k int, v int")
+        (t.upsert if op == "upsert" else t.delete)(df)
+
+    last = t.snapshot().snapshot_id
+    mid = last // 2
+
+    def replay(rows, state):
+        for r in rows:  # rows of one commit arrive together; order by commit
+            if r["rowkind"] == "-D":
+                state.pop(r["k"], None)
+            else:
+                state[r["k"]] = r["v"]
+        return state
+
+    # per-commit replay (commit granularity keeps ordering exact)
+    state: dict[int, int] = {}
+    for sid in range(1, last + 1):
+        state = replay(t.incremental_df(sid - 1, sid).collect(), state)
+    merged = sorted((r["k"], r["v"]) for r in t.to_df().collect())
+    assert sorted(state.items()) == merged
+
+    # the two halves partition the full range (row multisets)
+    full = sorted(map(tuple, t.incremental_df(0, last).collect()))
+    halves = sorted(
+        map(tuple, t.incremental_df(0, mid).collect()
+            + t.incremental_df(mid, last).collect())
+    )
+    assert full == halves
