@@ -187,6 +187,51 @@ class IsNull(Predicate):
 
 
 @dataclass(frozen=True)
+class StartsWith(Predicate):
+    """String prefix match (``col LIKE 'prefix%'``) — pushable to min/max
+    stats: a file overlaps the prefix iff its range intersects
+    ``[prefix, successor(prefix))`` where the successor increments the
+    prefix's last character (Paimon's startsWith leaf predicate; Spark
+    pushes it as ``StringStartsWith``)."""
+
+    column: str
+    prefix: str
+
+    def to_spark(self) -> Column:
+        return F.col(self.column).startswith(self.prefix)
+
+    def _successor(self) -> str | None:
+        # smallest string strictly greater than every string with this
+        # prefix; None when every char is the max codepoint (no upper bound)
+        p = self.prefix
+        while p and ord(p[-1]) >= 0x10FFFF:
+            p = p[:-1]
+        if not p:
+            return None
+        return p[:-1] + chr(ord(p[-1]) + 1)
+
+    def test_stats(self, stats, row_count) -> bool:
+        lo, hi, _ = _stat(stats, self.column)
+        if lo is None or hi is None:
+            return True
+        if not isinstance(lo, str) or not isinstance(hi, str):
+            return True  # stats not strings → no conclusion
+        if hi < self.prefix:
+            return False
+        succ = self._successor()
+        if succ is not None and lo >= succ:
+            return False
+        return True
+
+    def test_row(self, row) -> bool:
+        v = row.get(self.column)
+        return isinstance(v, str) and v.startswith(self.prefix)
+
+    def references(self):
+        return {self.column}
+
+
+@dataclass(frozen=True)
 class And(Predicate):
     children: Sequence[Predicate]
 
@@ -284,6 +329,10 @@ class P:
     @staticmethod
     def in_(col, values):
         return In(col, tuple(values))
+
+    @staticmethod
+    def starts_with(col, prefix):
+        return StartsWith(col, prefix)
 
     @staticmethod
     def is_null(col):

@@ -59,6 +59,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -211,6 +212,8 @@ def _filters_to_predicate(filters: Sequence[Filter]) -> Predicate | None:
                 parts.append(P.is_null(col))
             elif isinstance(f, IsNotNull):
                 parts.append(P.not_null(col))
+            elif isinstance(f, StringStartsWith):
+                parts.append(P.starts_with(col, f.value))
         except Exception:
             continue
     if not parts:

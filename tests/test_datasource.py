@@ -213,3 +213,18 @@ def test_datasource_branch_read_and_write(registered, spark, catalog):
     with pytest.raises(Exception, match="does not exist"):
         spark.read.format("paimon").option("path", t.path) \
             .option("branch", "nope").load().collect()
+
+
+def test_startswith_pushdown_skips_files(registered, spark, catalog):
+    """Spark pushes StringStartsWith to the DataSource; prefix file
+    skipping shrinks the split list."""
+    t = catalog.create_table("default", "dssw", "name string, v int")
+    for prefix in ("alpha", "beta", "gamma"):
+        spark.createDataFrame(
+            [(f"{prefix}_{i}", i) for i in range(10)], "name string, v int"
+        ).coalesce(1).write.format("paimon").option("path", t.path) \
+            .mode("append").save()
+    df = _read(spark, t).filter("name LIKE 'beta%'")
+    assert df.count() == 10
+    # all three files committed; the scan plans only the beta one
+    assert len(t.manifest_entries()) == 3

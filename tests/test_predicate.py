@@ -85,3 +85,42 @@ def test_split_conjuncts():
     assert _split_conjuncts("(a = 1 AND b = 2) OR c = 3") == ["(a = 1 AND b = 2) OR c = 3"]
     assert _split_conjuncts("a and b") == ["a", "b"]
     assert _split_conjuncts("android = 1") == ["android = 1"]
+
+
+class TestStartsWith:
+    """LIKE-prefix predicate: stats skipping on [prefix, successor)."""
+
+    def test_stats_skipping(self):
+        from paimon_presto_spark.plans.predicate import P
+
+        pred = P.starts_with("s", "ban")
+        hit = {"s": {"min": "apple", "max": "cherry", "null_count": 0}}
+        below = {"s": {"min": "aaa", "max": "ba", "null_count": 0}}
+        above = {"s": {"min": "bao", "max": "zzz", "null_count": 0}}
+        exact = {"s": {"min": "ban", "max": "ban", "null_count": 0}}
+        assert pred.test_stats(hit, 10)
+        assert not pred.test_stats(below, 10)   # max < 'ban'
+        assert not pred.test_stats(above, 10)   # min >= 'bao'
+        assert pred.test_stats(exact, 10)
+        assert pred.test_stats({}, 10)          # no stats → keep
+
+    def test_row_and_spark(self, spark):
+        from paimon_presto_spark.plans.predicate import P
+
+        pred = P.starts_with("s", "ab")
+        assert pred.test_row({"s": "abc"}) and not pred.test_row({"s": "xa"})
+        assert not pred.test_row({"s": None})
+        df = spark.createDataFrame([("abc",), ("xyz",), (None,)], "s string")
+        assert [r["s"] for r in df.filter(pred.to_spark()).collect()] == ["abc"]
+
+    def test_file_skipping_end_to_end(self, spark, catalog):
+        from paimon_presto_spark.plans.predicate import P
+
+        t = catalog.create_table("default", "swt", "name string, v int")
+        for prefix in ("alpha", "beta", "gamma"):
+            t.append(spark.createDataFrame(
+                [(f"{prefix}_{i}", i) for i in range(10)],
+                "name string, v int").coalesce(1))
+        scan = t.scan(predicate=P.starts_with("name", "beta"))
+        assert scan.to_df().count() == 10
+        assert scan.last_plan["after_stats_skip"] == 1  # only the beta file
