@@ -28,7 +28,10 @@ from pyspark.sql import types as T
 
 from paimon_presto_spark.table import Table, TableSchema, schema_from_spark
 
-SYSTEM_TABLE_SUFFIXES = ("snapshots", "files", "partitions", "schemas")
+SYSTEM_TABLE_SUFFIXES = (
+    "snapshots", "files", "partitions", "schemas", "tags", "options",
+    "manifests", "audit_log", "consumers", "branches",
+)
 
 
 class Catalog:

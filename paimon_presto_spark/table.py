@@ -690,6 +690,22 @@ class Table:
             os.remove(os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json"))
         return expired
 
+    def truncate(self) -> Snapshot:
+        """TRUNCATE TABLE: one atomic commit with an empty manifest.
+        History stays time-travelable until ``expire_snapshots``; storage
+        is reclaimed then, not now — O(1) regardless of table size."""
+        if self.snapshot() is None:
+            raise ValueError("table has no snapshots")
+        schema = self.schema()
+        for _attempt in range(5):
+            prev = self.snapshot()
+            next_id = (prev.snapshot_id + 1) if prev else 1
+            try:
+                return self._commit_manifest(schema, next_id, "TRUNCATE", [])
+            except CommitConflict:
+                continue
+        raise CommitConflict("gave up after 5 retries")
+
     def incremental_df(
         self, start_snapshot: int, end_snapshot: int | None = None
     ) -> DataFrame:

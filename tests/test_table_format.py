@@ -1095,3 +1095,18 @@ def test_incremental_read_between_snapshots(spark, catalog):
     inc = ta.incremental_df(1)
     assert "rowkind" not in inc.columns
     assert [r["a"] for r in inc.collect()] == [2]
+
+
+def test_truncate(spark, catalog):
+    """TRUNCATE: O(1) empty-manifest commit; history time-travelable until
+    expiry reclaims it."""
+    t = catalog.create_table("default", "trunc", "a int")
+    t.append(spark.createDataFrame([(1,), (2,)], "a int"))
+    snap = t.truncate()
+    assert snap.commit_kind == "TRUNCATE" and snap.total_rows == 0
+    assert t.to_df().count() == 0
+    assert t.scan(snapshot_id=1).to_df().count() == 2  # history intact
+    t.append(spark.createDataFrame([(9,)], "a int"))   # writable after
+    assert rows(t.to_df()) == [(9,)]
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
