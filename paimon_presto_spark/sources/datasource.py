@@ -231,11 +231,13 @@ class PaimonPartition(InputPartition):
         files: list[tuple[str, int]],  # (absolute path, writer schema_id)
         merge: str | None,
         schema: dict,
+        dv: dict[str, list[int]] | None = None,  # abs path -> deleted row positions
     ):
         self.path = path
         self.files = files
         self.merge = merge  # merge-engine name, or None for append-only
         self.schema = schema  # snapshot's table schema JSON
+        self.dv = dv
 
 
 class PaimonReader(DataSourceReader):
@@ -292,9 +294,27 @@ class PaimonReader(DataSourceReader):
         def fent(e) -> tuple[str, int]:
             return (os.path.join(self.path, e["path"]), e["schema_id"])
 
+        # deletion-vector index: per-file deleted positions, handed to each
+        # split so the reader drops them at scan time (plays the reference
+        # page-source position filter; the index is small — planner-side
+        # read is a metadata read, like the manifest itself)
+        dv_map: dict[str, list[int]] = {}
+        if snap.get("dv_index"):
+            import pyarrow.parquet as pq
+
+            dvt = pq.read_table(os.path.join(self.path, "index", snap["dv_index"]))
+            for p, pos in zip(
+                dvt.column("path").to_pylist(), dvt.column("pos").to_pylist()
+            ):
+                dv_map.setdefault(os.path.join(self.path, p), []).append(pos)
+
+        def dv_for(files: list[tuple[str, int]]) -> dict[str, list[int]] | None:
+            sub = {f: dv_map[f] for f, _ in files if f in dv_map}
+            return sub or None
+
         if not pks:
             return [
-                PaimonPartition(self.meta, [fent(e)], None, schema)
+                PaimonPartition(self.meta, [fent(e)], None, schema, dv_for([fent(e)]))
                 for e in entries
             ] or [PaimonPartition(self.meta, [], None, schema)]
         groups: dict[str, list[tuple[str, int]]] = {}
@@ -305,7 +325,7 @@ class PaimonReader(DataSourceReader):
             groups.setdefault(key, []).append(fent(e))
         merge = schema.get("options", {}).get("merge-engine", "deduplicate")
         return [
-            PaimonPartition(self.meta, files, merge, schema)
+            PaimonPartition(self.meta, files, merge, schema, dv_for(files))
             for files in groups.values()
         ] or [PaimonPartition(self.meta, [], merge, schema)]
 
@@ -325,8 +345,20 @@ class PaimonReader(DataSourceReader):
             sid: _load_schema(partition.path, sid)
             for sid in {sid for _, sid in partition.files}
         }
+
+        def read_one(f: str):
+            t = pq.read_table(f)
+            dead = (partition.dv or {}).get(f)
+            if dead:
+                import numpy as np
+
+                mask = np.ones(t.num_rows, dtype=bool)
+                mask[dead] = False  # drop deletion-vector positions at scan
+                t = t.filter(pa.array(mask))
+            return t
+
         tables = [
-            _project_arrow(pq.read_table(f), writer_schemas[sid], schema)
+            _project_arrow(read_one(f), writer_schemas[sid], schema)
             for f, sid in partition.files
         ]
         tbl = pa.concat_tables(tables, promote_options="permissive")
@@ -439,6 +471,18 @@ class PaimonWriter(DataSourceWriter):
             raise ValueError(
                 "overwrite mode on a primary-key table is ambiguous; use "
                 "Table.overwrite() for an explicit full replacement"
+            )
+        if (
+            self.pks
+            and schema.get("options", {}).get("deletion-vectors.enabled") == "true"
+        ):
+            # DV upserts must mark old positions in the same commit (a
+            # key-lookup job); task-parallel writers can't do that, so the
+            # Table API owns DV mutations
+            raise ValueError(
+                "primary-key table has deletion-vectors.enabled; write through "
+                "Table.upsert()/delete() so the deletion-vector index stays "
+                "consistent"
             )
         prev = _latest_snapshot(self.meta)
         self.next_snapshot = (prev["snapshot_id"] + 1) if prev else 1
@@ -598,6 +642,13 @@ class PaimonWriter(DataSourceWriter):
             "timestamp_ms": int(_time.time() * 1000),
             "manifest": mname,
             "total_rows": sum(e["row_count"] for e in final_entries),
+            # appends never disturb existing row positions: carry the
+            # deletion-vector index forward (overwrite resets it)
+            "dv_index": (
+                None
+                if self.overwrite
+                else (prev or {}).get("dv_index")
+            ),
         }
         spath = os.path.join(self.meta, "snapshot", f"snapshot-{sid}.json")
         fd = os.open(spath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -67,6 +67,8 @@ POS_COL = "__pos"
 KIND_COL = "__row_kind"
 SYS_COLS = (SEQ_COL, POS_COL, KIND_COL)
 PART_DIR_PREFIX = "__part_"
+DV_PATH_COL = "__dv_path"  # table-relative data-file path of a scanned row
+DV_POS_COL = "__dv_pos"  # row position within that file (_metadata.row_index)
 
 
 # --------------------------------------------------------------------------
@@ -170,6 +172,10 @@ class Snapshot:
     timestamp_ms: int
     manifest: str
     total_rows: int
+    # deletion-vector index for this snapshot: name of a parquet dataset
+    # under <table>/index/ holding (path, pos) deleted-row positions; None
+    # when the snapshot has no deletions (or the table is not in DV mode)
+    dv_index: str | None = None
 
     def to_json(self):
         return self.__dict__.copy()
@@ -248,6 +254,100 @@ class Table:
     def is_primary_keyed(self) -> bool:
         return bool(self.schema().primary_keys)
 
+    # -- deletion vectors --------------------------------------------------
+    #
+    # Paimon's `deletion-vectors.enabled` mode: instead of merging away old
+    # row versions at read time (window shuffle over the key), each write
+    # marks the POSITIONS of shadowed/deleted rows in existing files, and
+    # readers drop those positions during the scan. Reads of a primary-key
+    # table become append-table reads plus a position anti-join — no
+    # key-shuffle, no window — at the cost of a key-lookup job per write
+    # (exactly the write-amplification Paimon's lookup compaction pays).
+    # The reference exposes the option passthrough at
+    # PrestoSqlTableOptionUtils.java (table-options surface); the index
+    # layout mirrors Paimon's <table>/index/ deletion-vector files.
+
+    @property
+    def dv_enabled(self) -> bool:
+        return self.schema().options.get("deletion-vectors.enabled") == "true"
+
+    def _dv_root(self) -> str:
+        return os.path.join(self.path, "index")
+
+    def dv_df(self, snap: Snapshot | None = None) -> DataFrame | None:
+        """The snapshot's deletion-vector index as a DataFrame of
+        (path string, pos long), or None when it has no deletions."""
+        snap = snap if snap is not None else self.snapshot()
+        if snap is None or not snap.dv_index:
+            return None
+        return self.spark.read.parquet(os.path.join(self._dv_root(), snap.dv_index))
+
+    def _file_pos_cols(self) -> tuple[F.Column, F.Column]:
+        """(table-relative file path, row position) columns for a scan of
+        files under this table's root, from Spark's hidden ``_metadata``."""
+        prefix = "file:" + os.path.abspath(self.path) + "/"
+        rel = F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})")
+        return rel.alias(DV_PATH_COL), F.col("_metadata.row_index").alias(DV_POS_COL)
+
+    def _check_dv_supported(self, schema: TableSchema) -> None:
+        if schema.options.get("file.format", "parquet") != "parquet":
+            raise ValueError("deletion-vectors require file.format=parquet "
+                             "(row positions come from the parquet row index)")
+        engine = schema.options.get("merge-engine", "deduplicate")
+        if schema.primary_keys and engine != "deduplicate":
+            raise ValueError(
+                f"deletion-vectors support merge-engine deduplicate, got {engine!r}")
+
+    def _dv_hits(self, keys: DataFrame) -> DataFrame:
+        """(path, pos) of currently-live rows whose primary key appears in
+        `keys`. One semi-join of the live scan against the (deduplicated)
+        key set; in DV mode each key has at most one live position."""
+        pks = self.schema().primary_keys
+        live = self.scan().to_df(merge=False, keep_pos=True)
+        return (
+            live.select(*pks, DV_PATH_COL, DV_POS_COL)
+            .join(keys.select(*pks).distinct(), on=pks, how="left_semi")
+            .select(F.col(DV_PATH_COL).alias("path"), F.col(DV_POS_COL).alias("pos"))
+        )
+
+    def _write_dv_index(self, add: DataFrame, base: Snapshot | None) -> str:
+        """Write the next cumulative DV index: previous positions ∪ `add`.
+        The index is a plain parquet dataset so readers join it
+        distributed — never materialized on the driver."""
+        prev = self.dv_df(base)
+        dv = add if prev is None else prev.unionByName(add).distinct()
+        name = f"dv-{uuid.uuid4().hex}"
+        os.makedirs(self._dv_root(), exist_ok=True)
+        dv.repartition(1).write.parquet(os.path.join(self._dv_root(), name))
+        return name
+
+    def delete_where(self, condition: str) -> Snapshot:
+        """Row-level ``DELETE ... WHERE <condition>`` without rewriting data.
+
+        DV mode (append-only or primary-key): the matching rows' positions
+        join the deletion-vector index — a metadata-plus-index commit,
+        O(matches), no data files touched. Non-DV primary-key tables fall
+        back to tombstone deletes of the matching keys. Non-DV append
+        tables have no row identity to delete by, so they must use DV mode.
+        """
+        if not self.dv_enabled:
+            if self.is_primary_keyed:
+                return self.delete(self.to_df().filter(F.expr(condition)))
+            raise ValueError(
+                "append table without deletion-vectors.enabled cannot delete rows"
+            )
+        base = self.snapshot()
+        if base is None:
+            raise ValueError("table has no snapshots")
+        live = self.scan().to_df(merge=False, keep_pos=True).filter(F.expr(condition))
+        hits = live.select(
+            F.col(DV_PATH_COL).alias("path"), F.col(DV_POS_COL).alias("pos")
+        )
+        dv_name = self._write_dv_index(hits, base)
+        return self._commit_meta(
+            "DELETE", self.manifest_entries(base), dv_name, expect=base.snapshot_id
+        )
+
     # -- write path --------------------------------------------------------
 
     def append(self, df: DataFrame) -> Snapshot:
@@ -257,19 +357,59 @@ class Table:
         return self._commit_write(df, kind="APPEND", row_kind=None)
 
     def upsert(self, df: DataFrame) -> Snapshot:
-        """Insert-or-update by primary key (RowKind +I rows)."""
+        """Insert-or-update by primary key (RowKind +I rows).
+
+        In DV mode the batch is first deduplicated per key (last row wins,
+        as the deduplicate engine would), then the OLD positions of the
+        touched keys are added to the deletion-vector index in the same
+        commit — so every key has exactly one live position and reads skip
+        the merge entirely."""
         if not self.is_primary_keyed:
             raise ValueError("append-only table: use append()")
+        schema = self.schema()
+        if schema.options.get("deletion-vectors.enabled") == "true":
+            self._check_dv_supported(schema)
+            pks = schema.primary_keys
+            w = Window.partitionBy(*pks).orderBy(F.desc(POS_COL))
+            df = (
+                df.withColumn(POS_COL, F.monotonically_increasing_id())
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", POS_COL)
+            )
+            base = self.snapshot()
+            dv_name = None
+            if base is not None:
+                hits = self._dv_hits(df)
+                dv_name = self._write_dv_index(hits, base)
+            return self._commit_write(
+                df, kind="UPSERT", row_kind="I", dv_index=dv_name,
+                expect=base.snapshot_id if base else 0,
+            )
         return self._commit_write(df, kind="UPSERT", row_kind="I")
 
     def delete(self, df: DataFrame) -> Snapshot:
-        """Delete by primary key: writes RowKind -D tombstones.
+        """Delete by primary key.
+
+        Default path writes RowKind -D tombstones that merge away on read
+        (mirrors the reference fixture flow, ``TestPrestoITCase.java:94-96``).
+        DV mode instead marks the keys' live positions in the
+        deletion-vector index — no tombstone rows, no read-side merge.
 
         ``df`` needs at least the pk columns; missing columns are nulled.
-        Mirrors the reference fixture flow where ``RowKind.DELETE`` rows are
-        written and merged away on read (``TestPrestoITCase.java:94-96``).
         """
         schema = self.schema()
+        if schema.options.get("deletion-vectors.enabled") == "true":
+            self._check_dv_supported(schema)
+            base = self.snapshot()
+            if base is None:
+                raise ValueError("table has no snapshots")
+            hits = self._dv_hits(df.select(*schema.primary_keys))
+            dv_name = self._write_dv_index(hits, base)
+            return self._commit_meta(
+                "DELETE", self.manifest_entries(base), dv_name,
+                expect=base.snapshot_id,
+            )
         engine = schema.options.get("merge-engine", "deduplicate")
         if engine != "deduplicate" and schema.options.get("ignore-delete") != "true":
             raise ValueError(
@@ -324,9 +464,15 @@ class Table:
                 )
             else:
                 raise ValueError(f"unknown compact strategy {strategy!r}")
+        # a full replace rewrites from the merged state: deletions are
+        # materialized into the new files, so the DV index resets to empty.
+        # In DV mode, conflict (rather than silently drop) a concurrent
+        # delete that lands between our read and our commit.
+        base = self.snapshot()
         return self._commit_write(
             current, kind="COMPACT", row_kind="I" if self.is_primary_keyed else None,
             replace=True,
+            expect=(base.snapshot_id if base else 0) if self.dv_enabled else None,
         )
 
     def _zorder_value(self, df: DataFrame, cols: list[str], bits: int = 16) -> F.Column:
@@ -642,6 +788,7 @@ class Table:
         kept = [i for i in ids if i not in set(expired)]
         live_files = set()
         live_manifests = set()
+        live_dv = set()
         # Tagged snapshots stay readable after expiry (the tag file carries
         # the snapshot payload), so their manifests and data files are live.
         live_snaps = [self.snapshot(sid) for sid in kept] + [
@@ -649,6 +796,8 @@ class Table:
         ]
         for snap in live_snaps:
             live_manifests.add(snap.manifest)
+            if snap.dv_index:
+                live_dv.add(snap.dv_index)
             for e in self.manifest_entries(snap):
                 live_files.add(e["path"])
         # Data files are shared across lineages: anything ANY other branch
@@ -666,13 +815,18 @@ class Table:
                 [t.snapshot(sid) for sid in t.snapshot_ids()]
                 + [t.tag_snapshot(nm) for nm in t.list_tags()]
             ):
+                if snap.dv_index:
+                    live_dv.add(snap.dv_index)
                 for e in t.manifest_entries(snap):
                     live_files.add(e["path"])
         dead_files = set()
         dead_manifests = set()
+        dead_dv = set()
         for sid in expired:
             snap = self.snapshot(sid)
             dead_manifests.add(snap.manifest)
+            if snap.dv_index and snap.dv_index not in live_dv:
+                dead_dv.add(snap.dv_index)
             for e in self.manifest_entries(snap):
                 if e["path"] not in live_files:
                     dead_files.add(e["path"])
@@ -686,6 +840,8 @@ class Table:
                 os.remove(os.path.join(self.meta_path, "manifest", m))
             except FileNotFoundError:
                 pass
+        for dv in dead_dv:
+            _rmtree_quiet(os.path.join(self._dv_root(), dv))
         for sid in expired:
             os.remove(os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json"))
         return expired
@@ -716,9 +872,13 @@ class Table:
         Walks the commits in the range and unions each commit's NEW files
         (manifest diff against its parent), skipping COMPACT commits —
         rewrites are not new data, so incremental consumers never see a
-        compaction re-emit the table. Primary-key tables yield audit-log
-        style rows (leading ``rowkind`` '+I'/'-D'); append tables yield
-        plain rows. Cost is O(files changed in range), never a full scan.
+        compaction re-emit the table. Deletion-vector tables additionally
+        re-read the positions each commit marked deleted and emit them as
+        '-D' rows (positions are exact row identities, so the CDC stream
+        stays lossless without tombstone rows in the data files). Primary-
+        key tables yield audit-log style rows (leading ``rowkind``
+        '+I'/'-D'); append tables without DVs yield plain rows. Cost is
+        O(files + positions changed in range), never a full scan.
         """
         end = (
             end_snapshot
@@ -729,10 +889,17 @@ class Table:
             raise ValueError(f"start {start_snapshot} > end {end}")
         ids = [i for i in self.snapshot_ids() if start_snapshot < i <= end]
         new_entries: list[dict] = []
+        dv_added: list[DataFrame] = []  # (path,pos) marked deleted in range
+        path_entry: dict[str, dict] = {}  # any manifest entry per file path
         prev_paths: set[str] | None = None
+        prev_dv: str | None = None
+        if ids and (start_snapshot in self.snapshot_ids()):
+            prev_dv = self.snapshot(start_snapshot).dv_index
         for sid in ids:
             snap = self.snapshot(sid)
             cur = self.manifest_entries(snap)
+            for e in cur:
+                path_entry.setdefault(e["path"], e)
             if snap.commit_kind != "COMPACT":
                 if prev_paths is None:
                     prev_paths = (
@@ -741,38 +908,94 @@ class Table:
                         else set()
                     )
                 new_entries += [e for e in cur if e["path"] not in prev_paths]
+                if snap.dv_index and snap.dv_index != prev_dv:
+                    step = self.dv_df(snap)
+                    if prev_dv:
+                        step = step.exceptAll(
+                            self.spark.read.parquet(
+                                os.path.join(self._dv_root(), prev_dv)
+                            )
+                        )
+                    dv_added.append(step)
             prev_paths = {e["path"] for e in cur}
+            prev_dv = snap.dv_index
         schema = self.schema()
         spark = self.spark
-        if not new_entries:
+        # stable output schema per table: DV-enabled append tables always
+        # get a rowkind column (any range may contain position deletes)
+        emit_kind = (
+            self.is_primary_keyed
+            or schema.options.get("deletion-vectors.enabled") == "true"
+        )
+
+        def _read_group(entries: list[dict], extra=()) -> DataFrame | None:
+            by_schema: dict[int, list[str]] = {}
+            for e in entries:
+                by_schema.setdefault(e["schema_id"], []).append(
+                    os.path.join(self.path, e["path"])
+                )
+            parts = []
+            for wsid, files in sorted(by_schema.items()):
+                writer_schema = self.schema(wsid)
+                fmt = writer_schema.options.get("file.format", "parquet")
+                df = spark.read.format(fmt).load(files)
+                if extra:
+                    pcol, poscol = self._file_pos_cols()
+                    df = df.select("*", pcol, poscol)
+                parts.append(
+                    _project_to(df, writer_schema, schema, self.is_primary_keyed,
+                                extra=extra)
+                )
+            if not parts:
+                return None
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return df
+
+        data_names = schema.field_names()
+        out = None
+        inserts = _read_group(new_entries)
+        if inserts is not None:
+            if KIND_COL in inserts.columns:
+                kind = F.concat(
+                    F.when(F.col(KIND_COL) == "D", F.lit("-")).otherwise(F.lit("+")),
+                    F.col(KIND_COL),
+                )
+                out = inserts.select(kind.alias("rowkind"), *data_names)
+            elif emit_kind:
+                out = inserts.select(F.lit("+I").alias("rowkind"), *data_names)
+            else:
+                out = inserts
+        if dv_added:
+            added = dv_added[0]
+            for d in dv_added[1:]:
+                added = added.unionByName(d)
+            added = added.distinct()
+            # rows a DV commit deleted still exist in their (immutable)
+            # files — re-read exactly those positions for the -D payload
+            paths = [r["path"] for r in added.select("path").distinct().collect()]
+            touched = _read_group([path_entry[p] for p in paths if p in path_entry],
+                                  extra=[DV_PATH_COL, DV_POS_COL])
+            if touched is not None:
+                deletes = (
+                    touched.join(
+                        F.broadcast(added),
+                        on=(touched[DV_PATH_COL] == added["path"])
+                        & (touched[DV_POS_COL] == added["pos"]),
+                        how="left_semi",
+                    )
+                    .select(F.lit("-D").alias("rowkind"), *data_names)
+                )
+                out = deletes if out is None else out.unionByName(deletes)
+        if out is None:
             base = schema.spark_schema()
-            if self.is_primary_keyed:
+            if emit_kind:
                 base = T.StructType(
                     [T.StructField("rowkind", T.StringType(), False)] + list(base)
                 )
             return spark.createDataFrame([], base)
-        by_schema: dict[int, list[str]] = {}
-        for e in new_entries:
-            by_schema.setdefault(e["schema_id"], []).append(
-                os.path.join(self.path, e["path"])
-            )
-        parts = []
-        for sid, files in sorted(by_schema.items()):
-            writer_schema = self.schema(sid)
-            fmt = writer_schema.options.get("file.format", "parquet")
-            df = spark.read.format(fmt).load(files)
-            parts.append(_project_to(df, writer_schema, schema, self.is_primary_keyed))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        if KIND_COL in df.columns:
-            kind = F.concat(
-                F.when(F.col(KIND_COL) == "D", F.lit("-")).otherwise(F.lit("+")),
-                F.col(KIND_COL),
-            )
-            data_cols = [c for c in df.columns if c not in SYS_COLS]
-            return df.select(kind.alias("rowkind"), *data_cols)
-        return df
+        return out
 
     def rescale_bucket(self, num_buckets: int) -> Snapshot:
         """Change a primary-key table's bucket count (Paimon's offline
@@ -813,11 +1036,14 @@ class Table:
         main = Table(self.spark, self.path)
         lineages = [main] + [main.branch(n) for n in main.list_branches()]
         live = set()
+        live_dv = set()
         for t in lineages:
             snaps = [t.snapshot(sid) for sid in t.snapshot_ids()] + [
                 t.tag_snapshot(nm) for nm in t.list_tags()
             ]
             for snap in snaps:
+                if snap.dv_index:
+                    live_dv.add(snap.dv_index)
                 for e in t.manifest_entries(snap):
                     live.add(e["path"])
         data_dir = os.path.join(self.path, "data")
@@ -832,7 +1058,46 @@ class Table:
                     continue  # too fresh — may belong to an in-flight commit
                 os.remove(full)
                 removed.append(rel)
+        # deletion-vector index datasets no snapshot of any lineage points at
+        dv_root = self._dv_root()
+        if os.path.isdir(dv_root):
+            for name in os.listdir(dv_root):
+                full = os.path.join(dv_root, name)
+                if name in live_dv:
+                    continue
+                if os.path.getmtime(full) * 1000 >= older_than_ms:
+                    continue
+                _rmtree_quiet(full)
+                removed.append(os.path.relpath(full, self.path))
+        # staging dirs abandoned by crashed writers (a completed commit
+        # removes its staging dir; anything old enough here is dead weight)
+        staging_root = os.path.join(self.path, "staging")
+        if os.path.isdir(staging_root):
+            for name in os.listdir(staging_root):
+                full = os.path.join(staging_root, name)
+                if os.path.getmtime(full) * 1000 >= older_than_ms:
+                    continue
+                _rmtree_quiet(full)
+                removed.append(os.path.relpath(full, self.path))
         return sorted(removed)
+
+    def _commit_meta(
+        self, kind: str, entries: list[dict], dv_index: str | None,
+        expect: int | None = None,
+    ) -> Snapshot:
+        """Metadata-only commit (no new data files) — DV deletes. `expect`
+        guards against committing positions computed on a stale snapshot:
+        a concurrent commit means the positions may be wrong, so conflict
+        instead of stacking."""
+        schema = self.schema()
+        prev = self.snapshot()
+        cur = prev.snapshot_id if prev else 0
+        if expect is not None and cur != expect:
+            raise CommitConflict(
+                f"deletion-vector commit computed against snapshot {expect}, "
+                f"but latest is now {cur} — recompute and retry"
+            )
+        return self._commit_manifest(schema, cur + 1, kind, entries, dv_index=dv_index)
 
     def _commit_write(
         self,
@@ -840,9 +1105,18 @@ class Table:
         kind: str,
         row_kind: str | None,
         replace: bool | str = False,
+        dv_index: str | None = None,
+        expect: int | None = None,
     ) -> Snapshot:
         """`replace`: False stacks on the previous manifest, True replaces it
-        entirely, "dynamic" replaces only the partitions the new files touch."""
+        entirely, "dynamic" replaces only the partitions the new files touch.
+
+        `dv_index` attaches a deletion-vector index to the new snapshot;
+        when absent and not replacing, the previous snapshot's index is
+        carried forward (old files keep their deletions). A full replace
+        rewrites from the merged state, so the index resets. `expect`
+        conflicts if the latest snapshot moved past it (DV commits compute
+        positions against a specific snapshot and cannot be re-stacked)."""
         schema = self.schema()
         expected = schema.field_names()
         missing = [c for c in expected if c.lower() not in {x.lower() for x in df.columns}]
@@ -868,6 +1142,14 @@ class Table:
         for _attempt in range(5):
             prev = self.snapshot()
             next_id = (prev.snapshot_id + 1) if prev else 1
+            if expect is not None and (prev.snapshot_id if prev else 0) != expect:
+                raise CommitConflict(
+                    f"deletion-vector commit computed against snapshot {expect}, "
+                    f"but latest is now {prev.snapshot_id if prev else 0}"
+                )
+            dv = dv_index
+            if dv is None and replace is not True and prev is not None:
+                dv = prev.dv_index  # carry existing deletions forward
             if prev is None or replace is True:
                 base = []
             elif replace == "dynamic":
@@ -879,8 +1161,12 @@ class Table:
             else:
                 base = self.manifest_entries(prev)
             try:
-                return self._commit_manifest(schema, next_id, kind, base + new_entries)
+                return self._commit_manifest(
+                    schema, next_id, kind, base + new_entries, dv_index=dv
+                )
             except CommitConflict:
+                if expect is not None:
+                    raise
                 continue
         raise CommitConflict("gave up after 5 retries")
 
@@ -986,7 +1272,8 @@ class Table:
         return entries
 
     def _commit_manifest(
-        self, schema: TableSchema, snapshot_id: int, kind: str, entries: list[dict]
+        self, schema: TableSchema, snapshot_id: int, kind: str, entries: list[dict],
+        dv_index: str | None = None,
     ) -> Snapshot:
         os.makedirs(os.path.join(self.meta_path, "manifest"), exist_ok=True)
         os.makedirs(os.path.join(self.meta_path, "snapshot"), exist_ok=True)
@@ -1002,6 +1289,7 @@ class Table:
             timestamp_ms=int(time.time() * 1000),
             manifest=manifest_name,
             total_rows=sum(e["row_count"] for e in entries),
+            dv_index=dv_index,
         )
         spath = os.path.join(self.meta_path, "snapshot", f"snapshot-{snapshot_id}.json")
         try:
@@ -1338,9 +1626,11 @@ class TableScan:
             any_applied = True
         return keep if any_applied else None
 
-    def to_df(self, merge: bool = True) -> DataFrame:
+    def to_df(self, merge: bool = True, keep_pos: bool = False) -> DataFrame:
         """`merge=False` keeps the raw change rows (system columns included)
-        for the ``$audit_log`` view instead of collapsing them."""
+        for the ``$audit_log`` view instead of collapsing them; `keep_pos`
+        additionally keeps each row's (file, position) identity columns —
+        the DV write path uses this to locate rows to mark deleted."""
         t = self.table
         snap = self._snapshot()
         # Current reads render with the latest schema (DDL changes don't
@@ -1358,9 +1648,17 @@ class TableScan:
         spark = t.spark
         if not entries:
             empty_schema = schema_latest.spark_schema()
+            if keep_pos:
+                empty_schema = T.StructType(
+                    list(empty_schema)
+                    + [T.StructField(DV_PATH_COL, T.StringType(), True),
+                       T.StructField(DV_POS_COL, T.LongType(), True)]
+                )
             return spark.createDataFrame([], empty_schema)
 
         is_pk = bool(schema_latest.primary_keys)
+        dv_mode = schema_latest.options.get("deletion-vectors.enabled") == "true"
+        dv = t.dv_df(snap)
         # group by writer schema for evolution-aware projection (A18)
         by_schema: dict[int, list[str]] = {}
         for e in entries:
@@ -1372,14 +1670,41 @@ class TableScan:
             writer_schema = t.schema(sid)
             fmt = writer_schema.options.get("file.format", "parquet")
             df = spark.read.format(fmt).load(files)
-            df = _project_to(df, writer_schema, schema_latest, is_pk)
+            if dv is not None or keep_pos:
+                # row identity for position-delete filtering, from the
+                # hidden _metadata struct (parquet row index)
+                pcol, poscol = t._file_pos_cols()
+                df = df.select("*", pcol, poscol)
+            df = _project_to(
+                df, writer_schema, schema_latest, is_pk,
+                extra=[DV_PATH_COL, DV_POS_COL] if (dv is not None or keep_pos) else (),
+            )
             parts.append(df)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
 
+        if dv is not None:
+            # Drop deleted positions: broadcast anti-join against the DV
+            # index. The index is bounded by deletions-since-compaction
+            # (regular compact() folds it into the files), so broadcast is
+            # the right default at scale; no key shuffle happens here.
+            df = df.join(
+                F.broadcast(dv),
+                on=(df[DV_PATH_COL] == dv["path"]) & (df[DV_POS_COL] == dv["pos"]),
+                how="left_anti",
+            )
+        if not keep_pos and (dv is not None):
+            df = df.drop(DV_PATH_COL, DV_POS_COL)
+
         if is_pk and merge:
-            df = _merge_on_read(df, schema_latest)
+            if dv_mode:
+                # DV invariant: every key has exactly one live position —
+                # the merge already happened at write time, so a merged
+                # read is just the scan minus system columns.
+                df = df.drop(*SYS_COLS)
+            else:
+                df = _merge_on_read(df, schema_latest)
         if self.predicate is not None:
             df = df.filter(self.predicate.to_spark())
         if self.partition_where:
@@ -1504,7 +1829,8 @@ def _merge_on_read(df: DataFrame, schema: TableSchema) -> DataFrame:
 
 
 def _project_to(
-    df: DataFrame, writer_schema: TableSchema, reader_schema: TableSchema, keep_sys: bool
+    df: DataFrame, writer_schema: TableSchema, reader_schema: TableSchema,
+    keep_sys: bool, extra: Iterable[str] = (),
 ) -> DataFrame:
     """Project a file written under `writer_schema` to `reader_schema`.
 
@@ -1528,6 +1854,8 @@ def _project_to(
             cols.append(
                 F.col(c) if c in df.columns else F.lit(None).cast(sys_types[c]).alias(c)
             )
+    for c in extra:
+        cols.append(F.col(c))
     return df.select(*cols)
 
 
