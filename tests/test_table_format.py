@@ -633,8 +633,43 @@ def test_zorder_compact_validation(spark, catalog):
         t.compact(sort_by=["a"], strategy="zorder")
     with pytest.raises(ValueError, match="numeric"):
         t.compact(sort_by=["a", "s"], strategy="zorder")
-    with pytest.raises(ValueError, match="unknown compact strategy"):
+    with pytest.raises(ValueError, match="2-4 columns"):
         t.compact(sort_by=["a"], strategy="hilbert")
+    with pytest.raises(ValueError, match="numeric"):
+        t.compact(sort_by=["a", "s"], strategy="hilbert")
+    with pytest.raises(ValueError, match="unknown compact strategy"):
+        t.compact(sort_by=["a"], strategy="spiral")
+
+
+def test_hilbert_compact_skips_on_both_columns(spark, catalog):
+    """compact(strategy="hilbert"): like zorder, min/max file skipping
+    works on EACH clustered column independently — plus the curve's
+    no-jump locality keeps per-file bounding boxes tight."""
+    from paimon_presto_spark.plans.predicate import P
+
+    def skipping(t, col):
+        scan = t.scan(predicate=P.between(col, 100, 140))
+        return len(scan.plan_files()), scan.last_plan["after_partition_prune"]
+
+    rows = [(i, (i * 7919) % 1000, f"v{i}") for i in range(1000)]
+    schema = "x int, y int, v string"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        ht = catalog.create_table("default", "hilb", schema)
+        ht.append(spark.createDataFrame(rows, schema).repartition(8))
+        ht.compact(sort_by=["x", "y"], strategy="hilbert")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    kept_x, total = skipping(ht, "x")
+    kept_y, _ = skipping(ht, "y")
+    assert total > 4
+    assert kept_x <= total // 2 and kept_y <= total // 2, (kept_x, kept_y, total)
+    # identical results through the clustered rewrite
+    assert rows_of(ht, 100, 140) == sorted(
+        (x, y) for x, y, _ in rows if 100 <= x <= 140
+    )
 
 
 def test_drop_partition(spark, catalog):
