@@ -472,6 +472,13 @@ class PaimonWriter(DataSourceWriter):
                 "overwrite mode on a primary-key table is ambiguous; use "
                 "Table.overwrite() for an explicit full replacement"
             )
+        if self.pks and schema.get("options", {}).get("bucket") == "-1":
+            # bucket assignment needs the key index (a join per commit);
+            # the Table API owns dynamic-bucket writes
+            raise ValueError(
+                "primary-key table uses dynamic bucketing (bucket=-1); write "
+                "through Table.upsert()/delete() so keys keep their buckets"
+            )
         if (
             self.pks
             and schema.get("options", {}).get("deletion-vectors.enabled") == "true"

@@ -176,6 +176,9 @@ class Snapshot:
     # under <table>/index/ holding (path, pos) deleted-row positions; None
     # when the snapshot has no deletions (or the table is not in DV mode)
     dv_index: str | None = None
+    # dynamic-bucket key index (bucket=-1 tables): parquet dataset under
+    # <table>/index/ mapping xxhash64(pk) -> assigned bucket
+    bucket_index: str | None = None
 
     def to_json(self):
         return self.__dict__.copy()
@@ -321,6 +324,116 @@ class Table:
         dv.repartition(1).write.parquet(os.path.join(self._dv_root(), name))
         return name
 
+    # -- dynamic bucketing -------------------------------------------------
+    #
+    # Paimon's `bucket = -1` mode: instead of a fixed pmod(hash, n) layout,
+    # a persistent key index assigns each primary key a bucket once, and
+    # new keys fill fresh buckets at `dynamic-bucket.target-row-num` keys
+    # apiece. Bucket count then grows WITH the data — the 100 TB answer to
+    # the undersized-fixed-bucket write-amplification trap, without the
+    # full rescale rewrite. A key's bucket never changes, so per-bucket
+    # merge-on-read (the shuffle-free DataSource reader) stays correct.
+
+    @property
+    def is_dynamic_bucket(self) -> bool:
+        return self.schema().options.get("bucket") == "-1"
+
+    def bucket_index_df(self, snap: Snapshot | None = None) -> DataFrame | None:
+        snap = snap if snap is not None else self.snapshot()
+        if snap is None or not snap.bucket_index:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self._dv_root(), snap.bucket_index)
+        )
+
+    def _assign_dynamic_buckets(
+        self, df: DataFrame, base: Snapshot | None, index_new_keys: bool = True
+    ) -> tuple[DataFrame, str | None]:
+        """Attach ``__bucket`` to each row of `df` from the key index:
+        known keys keep their bucket; new keys fill the newest bucket if it
+        has room, else hash-split across ceil(n_new/target) FRESH buckets.
+
+        Returns (df with __bucket, new index dataset name or None when the
+        index is unchanged). Two small aggregations plus one join against
+        the index — the same cost profile as Paimon's hash-index lookup,
+        expressed as a Spark join instead of per-writer in-memory state.
+        `index_new_keys=False` (deletes) assigns strays to bucket 0
+        without recording them: a -D for a key never inserted merges away
+        no matter which bucket holds it.
+        """
+        import math
+
+        schema = self.schema()
+        pks = schema.primary_keys
+        target = int(schema.options.get("dynamic-bucket.target-row-num", "2000000"))
+        kh = F.xxhash64(*[F.col(k) for k in pks])
+        df = df.withColumn("__kh", kh)
+        idx = self.bucket_index_df(base)
+        if idx is None:
+            if not index_new_keys:
+                return df.withColumn("__bucket", F.lit(0)).drop("__kh"), None
+            n_new = df.select("__kh").distinct().count()
+            k = max(1, math.ceil(n_new / target))
+            assigned = df.withColumn(
+                "__bucket", F.pmod(F.col("__kh"), F.lit(k)).cast("int")
+            )
+            name = self._write_bucket_index(
+                assigned.select(F.col("__kh").alias("kh"),
+                                F.col("__bucket").alias("bucket")).distinct(),
+                None,
+            )
+            return assigned.drop("__kh"), name
+        joined = df.join(
+            idx.select(F.col("kh").alias("__kh"),
+                       F.col("bucket").alias("__old_bucket")),
+            on="__kh", how="left",
+        )
+        if not index_new_keys:
+            return (
+                joined.withColumn(
+                    "__bucket", F.coalesce("__old_bucket", F.lit(0)).cast("int")
+                ).drop("__kh", "__old_bucket"),
+                None,
+            )
+        occ = {
+            r["bucket"]: r["cnt"]
+            for r in idx.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+        }
+        max_b = max(occ) if occ else 0
+        n_new = (
+            joined.filter(F.col("__old_bucket").isNull())
+            .select("__kh").distinct().count()
+        )
+        if n_new == 0:
+            return (
+                joined.withColumn("__bucket", F.col("__old_bucket").cast("int"))
+                .drop("__kh", "__old_bucket"),
+                None,  # index unchanged
+            )
+        if n_new <= target - occ.get(max_b, 0):
+            new_bucket = F.lit(max_b)  # newest bucket still has room
+        else:
+            k = math.ceil(n_new / target)
+            new_bucket = F.lit(max_b + 1) + F.pmod(F.col("__kh"), F.lit(k))
+        assigned = joined.withColumn(
+            "__bucket", F.coalesce(F.col("__old_bucket"), new_bucket).cast("int")
+        )
+        adds = (
+            assigned.filter(F.col("__old_bucket").isNull())
+            .select(F.col("__kh").alias("kh"), F.col("__bucket").alias("bucket"))
+            .distinct()
+        )
+        name = self._write_bucket_index(adds, base)
+        return assigned.drop("__kh", "__old_bucket"), name
+
+    def _write_bucket_index(self, adds: DataFrame, base: Snapshot | None) -> str:
+        prev = self.bucket_index_df(base)
+        idx = adds if prev is None else prev.unionByName(adds)
+        name = f"bidx-{uuid.uuid4().hex}"
+        os.makedirs(self._dv_root(), exist_ok=True)
+        idx.repartition(1).write.parquet(os.path.join(self._dv_root(), name))
+        return name
+
     def delete_where(self, condition: str) -> Snapshot:
         """Row-level ``DELETE ... WHERE <condition>`` without rewriting data.
 
@@ -367,7 +480,13 @@ class Table:
         if not self.is_primary_keyed:
             raise ValueError("append-only table: use append()")
         schema = self.schema()
-        if schema.options.get("deletion-vectors.enabled") == "true":
+        dv_mode = schema.options.get("deletion-vectors.enabled") == "true"
+        dynamic = schema.options.get("bucket") == "-1"
+        if not dv_mode and not dynamic:
+            return self._commit_write(df, kind="UPSERT", row_kind="I")
+        base = self.snapshot()
+        dv_name = None
+        if dv_mode:
             self._check_dv_supported(schema)
             pks = schema.primary_keys
             w = Window.partitionBy(*pks).orderBy(F.desc(POS_COL))
@@ -377,16 +496,17 @@ class Table:
                 .filter(F.col("__rn") == 1)
                 .drop("__rn", POS_COL)
             )
-            base = self.snapshot()
-            dv_name = None
             if base is not None:
                 hits = self._dv_hits(df)
                 dv_name = self._write_dv_index(hits, base)
-            return self._commit_write(
-                df, kind="UPSERT", row_kind="I", dv_index=dv_name,
-                expect=base.snapshot_id if base else 0,
-            )
-        return self._commit_write(df, kind="UPSERT", row_kind="I")
+        b_name = None
+        if dynamic:
+            df, b_name = self._assign_dynamic_buckets(df, base)
+        return self._commit_write(
+            df, kind="UPSERT", row_kind="I", dv_index=dv_name,
+            bucket_index=b_name,
+            expect=base.snapshot_id if base else 0,
+        )
 
     def delete(self, df: DataFrame) -> Snapshot:
         """Delete by primary key.
@@ -420,7 +540,15 @@ class Table:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast(_parse_type(
                     next(f["type"] for f in schema.fields if f["name"] == c))))
-        return self._commit_write(df.select(*schema.field_names()), kind="DELETE", row_kind="D")
+        df = df.select(*schema.field_names())
+        if schema.options.get("bucket") == "-1":
+            # tombstones must land in the key's assigned bucket so the
+            # per-bucket merge sees them; unknown keys go anywhere (their
+            # -D merges to nothing regardless) and are not indexed
+            df, _ = self._assign_dynamic_buckets(
+                df, self.snapshot(), index_new_keys=False
+            )
+        return self._commit_write(df, kind="DELETE", row_kind="D")
 
     def compact(
         self, sort_by: list[str] | None = None, strategy: str = "order"
@@ -449,8 +577,8 @@ class Table:
           choice). The curve has no Z-shaped jumps — consecutive index
           values are always ADJACENT cells — so each file's bounding box
           is tighter on average; prefer it when range predicates dominate.
-          Computed with pure column ops (Skilling's transform), so the
-          rewrite stays inside whole-stage codegen.
+          Computed with a vectorized Arrow-batched kernel (Skilling's
+          transform) — a one-off pass inside the rewrite, not a hot path.
         """
         current = self.to_df()
         if sort_by:
@@ -479,6 +607,10 @@ class Table:
         # In DV mode, conflict (rather than silently drop) a concurrent
         # delete that lands between our read and our commit.
         base = self.snapshot()
+        if self.is_primary_keyed and self.is_dynamic_bucket:
+            # rewrite preserves each key's assigned bucket (n_new == 0, so
+            # the index itself is untouched and carries forward)
+            current, _ = self._assign_dynamic_buckets(current, base)
         return self._commit_write(
             current, kind="COMPACT", row_kind="I" if self.is_primary_keyed else None,
             replace=True,
@@ -578,8 +710,11 @@ class Table:
                 if any(e["partition"].get(k) != v for k, v in want.items())
             ]
             try:
+                # surviving partitions keep their deletion vectors and
+                # bucket assignments (entries for dropped files are inert)
                 return self._commit_manifest(
-                    schema, next_id, "DROP_PARTITION", kept
+                    schema, next_id, "DROP_PARTITION", kept,
+                    dv_index=prev.dv_index, bucket_index=prev.bucket_index,
                 )
             except CommitConflict:
                 continue
@@ -588,7 +723,14 @@ class Table:
     def overwrite(self, df: DataFrame) -> Snapshot:
         """Replace the whole table contents in one atomic commit."""
         kind = "I" if self.is_primary_keyed else None
-        return self._commit_write(df, kind="OVERWRITE", row_kind=kind, replace=True)
+        b_name = None
+        if self.is_primary_keyed and self.is_dynamic_bucket:
+            # full replacement: assign against a FRESH index (the old
+            # mapping only described the replaced contents)
+            df, b_name = self._assign_dynamic_buckets(df, None)
+        return self._commit_write(
+            df, kind="OVERWRITE", row_kind=kind, replace=True, bucket_index=b_name
+        )
 
     def overwrite_dynamic(self, df: DataFrame) -> Snapshot:
         """Dynamic partition overwrite (Paimon's ``dynamic-partition-overwrite``
@@ -599,8 +741,14 @@ class Table:
         if not self.schema().partition_keys:
             raise ValueError("dynamic overwrite requires a partitioned table")
         kind = "I" if self.is_primary_keyed else None
+        b_name = None
+        if self.is_primary_keyed and self.is_dynamic_bucket:
+            # untouched partitions keep live rows, so keys keep buckets;
+            # only genuinely new keys extend the index
+            df, b_name = self._assign_dynamic_buckets(df, self.snapshot())
         return self._commit_write(
-            df, kind="OVERWRITE", row_kind=kind, replace="dynamic"
+            df, kind="OVERWRITE", row_kind=kind, replace="dynamic",
+            bucket_index=b_name,
         )
 
     # -- consumers: streaming-reader progress pins (Paimon consumer-id) ----
@@ -823,6 +971,8 @@ class Table:
             live_manifests.add(snap.manifest)
             if snap.dv_index:
                 live_dv.add(snap.dv_index)
+            if snap.bucket_index:
+                live_dv.add(snap.bucket_index)
             for e in self.manifest_entries(snap):
                 live_files.add(e["path"])
         # Data files are shared across lineages: anything ANY other branch
@@ -842,6 +992,8 @@ class Table:
             ):
                 if snap.dv_index:
                     live_dv.add(snap.dv_index)
+                if snap.bucket_index:
+                    live_dv.add(snap.bucket_index)
                 for e in t.manifest_entries(snap):
                     live_files.add(e["path"])
         dead_files = set()
@@ -852,6 +1004,8 @@ class Table:
             dead_manifests.add(snap.manifest)
             if snap.dv_index and snap.dv_index not in live_dv:
                 dead_dv.add(snap.dv_index)
+            if snap.bucket_index and snap.bucket_index not in live_dv:
+                dead_dv.add(snap.bucket_index)
             for e in self.manifest_entries(snap):
                 if e["path"] not in live_files:
                     dead_files.add(e["path"])
@@ -1035,6 +1189,11 @@ class Table:
             raise ValueError("num_buckets must be >= 1")
         if not self.is_primary_keyed:
             raise ValueError("bucket rescale applies to primary-key tables")
+        if self.is_dynamic_bucket:
+            raise ValueError(
+                "dynamic-bucket tables (bucket=-1) grow buckets automatically; "
+                "rescale applies to fixed-bucket tables"
+            )
         s = self.schema()
         if s.num_buckets == num_buckets:
             return self.snapshot()
@@ -1069,6 +1228,8 @@ class Table:
             for snap in snaps:
                 if snap.dv_index:
                     live_dv.add(snap.dv_index)
+                if snap.bucket_index:
+                    live_dv.add(snap.bucket_index)
                 for e in t.manifest_entries(snap):
                     live.add(e["path"])
         data_dir = os.path.join(self.path, "data")
@@ -1122,7 +1283,10 @@ class Table:
                 f"deletion-vector commit computed against snapshot {expect}, "
                 f"but latest is now {cur} — recompute and retry"
             )
-        return self._commit_manifest(schema, cur + 1, kind, entries, dv_index=dv_index)
+        return self._commit_manifest(
+            schema, cur + 1, kind, entries, dv_index=dv_index,
+            bucket_index=prev.bucket_index if prev else None,
+        )
 
     def _commit_write(
         self,
@@ -1131,6 +1295,7 @@ class Table:
         row_kind: str | None,
         replace: bool | str = False,
         dv_index: str | None = None,
+        bucket_index: str | None = None,
         expect: int | None = None,
     ) -> Snapshot:
         """`replace`: False stacks on the previous manifest, True replaces it
@@ -1139,21 +1304,27 @@ class Table:
         `dv_index` attaches a deletion-vector index to the new snapshot;
         when absent and not replacing, the previous snapshot's index is
         carried forward (old files keep their deletions). A full replace
-        rewrites from the merged state, so the index resets. `expect`
-        conflicts if the latest snapshot moved past it (DV commits compute
-        positions against a specific snapshot and cannot be re-stacked)."""
+        rewrites from the merged state, so the index resets.
+        `bucket_index` likewise attaches a dynamic-bucket key index; when
+        absent it ALWAYS carries forward (bucket assignments outlive any
+        rewrite — a key's bucket never changes). `expect` conflicts if the
+        latest snapshot moved past it (DV/bucket commits compute state
+        against a specific snapshot and cannot be re-stacked)."""
         schema = self.schema()
         expected = schema.field_names()
         missing = [c for c in expected if c.lower() not in {x.lower() for x in df.columns}]
         if missing:
             raise ValueError(f"input is missing columns {missing}")
-        # case-insensitive resolution, declared order + declared types
+        # case-insensitive resolution, declared order + declared types;
+        # a pre-assigned dynamic-bucket column rides along
         by_lower = {c.lower(): c for c in df.columns}
+        passthrough = [F.col("__bucket")] if "__bucket" in df.columns else []
         df = df.select(
             *[
                 F.col(by_lower[f["name"].lower()]).cast(_parse_type(f["type"])).alias(f["name"])
                 for f in schema.fields
-            ]
+            ],
+            *passthrough,
         )
 
         prev = self.snapshot()
@@ -1175,6 +1346,9 @@ class Table:
             dv = dv_index
             if dv is None and replace is not True and prev is not None:
                 dv = prev.dv_index  # carry existing deletions forward
+            bidx = bucket_index
+            if bidx is None and prev is not None:
+                bidx = prev.bucket_index  # assignments survive any rewrite
             if prev is None or replace is True:
                 base = []
             elif replace == "dynamic":
@@ -1187,7 +1361,8 @@ class Table:
                 base = self.manifest_entries(prev)
             try:
                 return self._commit_manifest(
-                    schema, next_id, kind, base + new_entries, dv_index=dv
+                    schema, next_id, kind, base + new_entries, dv_index=dv,
+                    bucket_index=bidx,
                 )
             except CommitConflict:
                 if expect is not None:
@@ -1220,11 +1395,12 @@ class Table:
                 out = out.withColumn(PART_DIR_PREFIX + k, F.col(k).cast("string"))
             dir_cols += [PART_DIR_PREFIX + k for k in part_cols]
         if row_kind is not None and schema.primary_keys:
-            nb = schema.num_buckets
-            bucket = F.pmod(
-                F.xxhash64(*[F.col(k) for k in schema.primary_keys]), F.lit(nb)
-            ).cast("int")
-            out = out.withColumn("__bucket", bucket)
+            if "__bucket" not in out.columns:  # dynamic tables pre-assign
+                nb = schema.num_buckets
+                bucket = F.pmod(
+                    F.xxhash64(*[F.col(k) for k in schema.primary_keys]), F.lit(nb)
+                ).cast("int")
+                out = out.withColumn("__bucket", bucket)
             dir_cols.append("__bucket")
         fmt = schema.options.get("file.format", "parquet")
         if fmt not in ("parquet", "orc"):
@@ -1298,7 +1474,7 @@ class Table:
 
     def _commit_manifest(
         self, schema: TableSchema, snapshot_id: int, kind: str, entries: list[dict],
-        dv_index: str | None = None,
+        dv_index: str | None = None, bucket_index: str | None = None,
     ) -> Snapshot:
         os.makedirs(os.path.join(self.meta_path, "manifest"), exist_ok=True)
         os.makedirs(os.path.join(self.meta_path, "snapshot"), exist_ok=True)
@@ -1315,6 +1491,7 @@ class Table:
             manifest=manifest_name,
             total_rows=sum(e["row_count"] for e in entries),
             dv_index=dv_index,
+            bucket_index=bucket_index,
         )
         spath = os.path.join(self.meta_path, "snapshot", f"snapshot-{snapshot_id}.json")
         try:
