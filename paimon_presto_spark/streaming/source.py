@@ -57,6 +57,11 @@ def changelog_stream(
     reader = (
         spark.readStream.schema(T.StructType(fields))
         .option("recursiveFileLookup", "true")
+        # compaction rewrites are named cpt-*: NOT new data — excluding
+        # them keeps a 100 TB table's compact() from re-emitting the whole
+        # table into every streaming consumer (the batch-side counterpart
+        # is incremental_df skipping COMPACT commits)
+        .option("pathGlobFilter", "data-*")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

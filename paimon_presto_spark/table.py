@@ -1330,7 +1330,12 @@ class Table:
         prev = self.snapshot()
         next_id = (prev.snapshot_id + 1) if prev else 1
         staging = os.path.join(self.path, "staging", uuid.uuid4().hex)
-        new_entries = self._write_data_files(df, schema, next_id, row_kind, staging)
+        # compaction rewrites carry a distinct name prefix so streaming
+        # changelog readers (file-glob based) never re-consume a rewrite
+        new_entries = self._write_data_files(
+            df, schema, next_id, row_kind, staging,
+            prefix="cpt" if kind == "COMPACT" else "data",
+        )
         # Data files are written once; only the metadata commit retries. A
         # conflict means another writer claimed our snapshot id — re-read the
         # new latest manifest and stack our entries on top of it.
@@ -1377,6 +1382,7 @@ class Table:
         snapshot_id: int,
         row_kind: str | None,
         staging: str,
+        prefix: str = "data",
     ) -> list[dict]:
         import pyarrow.parquet as pq
 
@@ -1441,7 +1447,7 @@ class Table:
                             bucket = int(v)
                         elif k.startswith(PART_DIR_PREFIX):
                             partition[k[len(PART_DIR_PREFIX) :]] = v
-                name = f"data-{snapshot_id}-{uuid.uuid4().hex}.{fmt}"
+                name = f"{prefix}-{snapshot_id}-{uuid.uuid4().hex}.{fmt}"
                 dst_dir = os.path.join(data_dir, rel_partition) if rel_partition != "." else data_dir
                 os.makedirs(dst_dir, exist_ok=True)
                 dst = os.path.join(dst_dir, name)

@@ -43,6 +43,32 @@ def test_changelog_stream_across_commits(spark, catalog, tmp_path):
     assert spark.table("chg2").count() == 4
 
 
+def test_changelog_stream_skips_compaction(spark, catalog, tmp_path):
+    """compact() rewrites every row into fresh files — a naive file stream
+    would re-emit the whole table. The cpt-* naming + glob filter keeps
+    rewrites invisible to streaming consumers (mirror of incremental_df
+    skipping COMPACT commits)."""
+    t = catalog.create_table("default", "chgc", "k int, v string", primary_keys=["k"])
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.delete(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.compact()
+    t.upsert(spark.createDataFrame([(3, "c")], "k int, v string"))
+
+    _run_to_memory(changelog_stream(spark, t), "chgc_out", tmp_path)
+    rows = spark.sql(
+        "SELECT k, __row_kind, __seq FROM chgc_out ORDER BY __seq, k"
+    ).collect()
+    # exactly the three pre-compact change rows + the post-compact upsert;
+    # the rewrite itself contributed nothing
+    assert [(r["k"], r["__row_kind"], r["__seq"]) for r in rows] == [
+        (1, "I", 1), (2, "I", 1), (1, "D", 2), (3, "I", 4)
+    ]
+    # while the batch read sees the compacted state
+    assert sorted((r["k"], r["v"]) for r in t.to_df().collect()) == [
+        (2, "b"), (3, "c")
+    ]
+
+
 def test_tumbling_window_streaming(spark, tmp_path):
     rows = [
         (1, "2024-01-01 00:01:00", "click", 1.0),
