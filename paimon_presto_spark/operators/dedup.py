@@ -345,3 +345,56 @@ def keep_first_of_clusters(pairs: DataFrame, docs: DataFrame, id_col: str) -> Da
     keyed by their minimum element)."""
     drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(drops, id_col, "left_anti")
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Exact duplicate CLUSTERS from pairwise matches: (doc_id, component)
+    where component is the minimum doc id reachable through the undirected
+    pair graph — so one representative per transitively-connected cluster,
+    the resolution step production dedup pipelines run after MinHash/LSH
+    (a chain a~b, b~c must collapse to ONE keeper even though a~c was
+    never scored).
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors — a join + groupBy(min) per
+    round, converging in O(component diameter) rounds (near-dup clusters
+    are shallow; `max_iter` caps adversarial chains). Each round
+    localCheckpoints to truncate lineage — the standard Spark iterative
+    pattern. At extreme scale swap the propagation loop for alternating
+    large-star/small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce"), which squares the convergence rate; the per-round
+    shuffle shape is identical.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -276,6 +276,90 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_O_PAIRS_CTE = """
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.inter / (sa.n + sb.n - i.inter) >= {thr}
+        )
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=(
+        "WITH RECURSIVE "
+        + _o_shingle_sql(3)
+        + f""",
+        hashed AS (SELECT doc_id, {_O_HASH} AS h FROM sh),
+        mh AS (
+            SELECT doc_id,
+                   {_o_minhash_aggs()}
+            FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+            """
+        + "\nUNION ALL\n".join(
+            f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
+            + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+            + ") AS bkey FROM mh"
+            for j in range(LSH_BANDS)
+        )
+        + """
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+        ),
+        """
+        + _O_PAIRS_CTE.format(thr=JACCARD_THRESHOLD)
+        + """,
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+        )
+        SELECT doc_id, MIN(label) AS component
+        FROM reach GROUP BY doc_id ORDER BY doc_id
+    """
+    ),
+    tags=("dedup", "minhash", "connected-components"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: MinHash/LSH near-dup PAIRS resolved into
+    transitive duplicate CLUSTERS via distributed connected components
+    (``operators/dedup.connected_components``) — a chain a~b, b~c
+    collapses to one keeper even though a~c was never scored. Component id
+    = min doc_id, so keepers are deterministic. The oracle recomputes the
+    same pair graph and walks it with a recursive CTE.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from paimon_presto_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs).orderBy("doc_id")
+
+
 @register(
     "decontaminate_ngram_overlap",
     oracle=(

@@ -351,3 +351,35 @@ def test_python_xxhash64_matches_spark(spark):
         vals = [(r["id"], "int"), (r["n"], "bigint"), (r["s"], "string"), (r["b"], "boolean")]
         assert spark_xxhash64(vals) == r["h"]
         assert spark_bucket(8, [(r["id"], "int"), (r["s"], "string")]) == r["bk"]
+
+
+def test_connected_components_exact_clusters(spark):
+    """Transitive chains collapse to one component keyed by the min id;
+    disjoint clusters stay separate; singletons (no pairs) don't appear."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (1~4 never scored), separate pair (10, 11),
+        # triangle (20,21),(21,22),(20,22)
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import connected_components
+
+    n = 40  # deeper than a "shallow" dedup cluster
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = connected_components(pairs, max_iter=60).collect()
+    assert all(r["component"] == 0 for r in got) and len(got) == n + 1
