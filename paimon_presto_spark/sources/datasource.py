@@ -411,9 +411,39 @@ def _merge_arrow(tbl, schema: dict, engine: str):
     elif engine == "partial-update":
         pdf = pdf[pdf["__row_kind"] != "D"]
         data_cols = [c for c in pdf.columns if c not in pks and not c.startswith("__")]
-        filled = pdf.groupby(pks, sort=False)[data_cols].ffill()
-        pdf[data_cols] = filled
-        pdf = pdf.drop_duplicates(pks, keep="last")
+        opts = schema.get("options", {})
+        groups = {
+            opt[len("fields."):-len(".sequence-group")]: [
+                c.strip() for c in val.split(",") if c.strip()
+            ]
+            for opt, val in opts.items()
+            if opt.startswith("fields.") and opt.endswith(".sequence-group")
+        }
+        if groups:
+            # sequence-group semantics (pandas twin of table._merge_on_read):
+            # group columns order by THEIR sequence column; commit order
+            # only breaks ties; null-sequence rows never update the group
+            owner = {c: s for s, cs in groups.items() for c in cs}
+            base = pdf.drop_duplicates(pks, keep="last")[pks].copy()
+            for c in data_cols:
+                s = owner.get(c)
+                if c in groups:
+                    frame = pdf[~pdf[c].isna()].sort_values(
+                        [c, "__seq", "__pos"], kind="stable"
+                    )
+                elif s is not None:
+                    frame = pdf[(~pdf[s].isna()) & (~pdf[c].isna())].sort_values(
+                        [s, "__seq", "__pos"], kind="stable"
+                    )
+                else:
+                    frame = pdf[~pdf[c].isna()]  # already in commit order
+                pick = frame.drop_duplicates(pks, keep="last")[pks + [c]]
+                base = base.merge(pick, on=pks, how="left")
+            pdf = base
+        else:
+            filled = pdf.groupby(pks, sort=False)[data_cols].ffill()
+            pdf[data_cols] = filled
+            pdf = pdf.drop_duplicates(pks, keep="last")
     elif engine == "aggregation":
         pdf = pdf[pdf["__row_kind"] != "D"]
         opts = schema.get("options", {})

@@ -720,6 +720,83 @@ class Table:
                 continue
         raise CommitConflict("gave up after 5 retries")
 
+    def expire_partitions(
+        self,
+        expiration_ms: int | None = None,
+        timestamp_formatter: str | None = None,
+        partition_key: str | None = None,
+        now_ms: int | None = None,
+    ) -> list[dict]:
+        """Time-based partition expiration (Paimon's
+        ``partition.expiration-time``): drop every partition whose
+        time-typed value is older than now − expiration, in ONE
+        metadata-only commit — the retention loop for date-partitioned
+        fact tables (at 100 TB, dropping day partitions must cost
+        O(manifest), never a rewrite; storage returns via
+        ``expire_snapshots``).
+
+        Arguments default from table options ``partition.expiration-time``
+        (duration like ``7 d`` / ``24 h`` / ``30000 ms``),
+        ``partition.timestamp-formatter`` (strptime pattern, default
+        ``%Y-%m-%d``), and the first partition key. Unparseable partition
+        values are kept (conservative). Returns the expired partition
+        dicts; no commit happens when nothing expires.
+        """
+        import datetime as _dt
+
+        schema = self.schema()
+        if not schema.partition_keys:
+            raise ValueError("partition expiration requires a partitioned table")
+        if expiration_ms is None:
+            spec = schema.options.get("partition.expiration-time")
+            if spec is None:
+                raise ValueError(
+                    "no expiration_ms given and option "
+                    "partition.expiration-time is unset"
+                )
+            expiration_ms = _parse_duration_ms(spec)
+        fmt = timestamp_formatter or schema.options.get(
+            "partition.timestamp-formatter", "%Y-%m-%d"
+        )
+        key = partition_key or schema.partition_keys[0]
+        if key not in schema.partition_keys:
+            raise ValueError(f"{key!r} is not a partition key")
+        cutoff_ms = (now_ms if now_ms is not None else int(time.time() * 1000)) - expiration_ms
+
+        def value_ms(v: str) -> int | None:
+            try:
+                dt = _dt.datetime.strptime(v, fmt)
+                return int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+            except (ValueError, TypeError):
+                return None
+
+        if self.snapshot() is None:
+            return []
+        for _attempt in range(5):
+            prev = self.snapshot()
+            entries = self.manifest_entries(prev)
+            expired_parts: dict[str, dict] = {}
+            kept = []
+            for e in entries:
+                ms = value_ms(e["partition"].get(key))
+                if ms is not None and ms < cutoff_ms:
+                    expired_parts[json.dumps(e["partition"], sort_keys=True)] = e[
+                        "partition"
+                    ]
+                else:
+                    kept.append(e)
+            if not expired_parts:
+                return []
+            try:
+                self._commit_manifest(
+                    self.schema(), prev.snapshot_id + 1, "DROP_PARTITION", kept,
+                    dv_index=prev.dv_index, bucket_index=prev.bucket_index,
+                )
+                return list(expired_parts.values())
+            except CommitConflict:
+                continue
+        raise CommitConflict("gave up after 5 retries")
+
     def overwrite(self, df: DataFrame) -> Snapshot:
         """Replace the whole table contents in one atomic commit."""
         kind = "I" if self.is_primary_keyed else None
@@ -1958,9 +2035,46 @@ def _merge_on_read(df: DataFrame, schema: TableSchema) -> DataFrame:
         )
     data_cols = [n for n in schema.field_names() if n not in pks]
     if engine == "partial-update":
+        df = df.filter(F.col(KIND_COL) != "D")  # ignore-delete semantics
+        # Sequence groups (Paimon `fields.<seq>.sequence-group=a,b`): the
+        # group's columns take their latest non-null value ordered by the
+        # GROUP's sequence column (commit order only breaks ties), and
+        # rows where the sequence column is null never update the group —
+        # so out-of-order arrivals can't regress a fresher value.
+        groups: dict[str, list[str]] = {}
+        for opt, val in schema.options.items():
+            if opt.startswith("fields.") and opt.endswith(".sequence-group"):
+                seq_col = opt[len("fields."):-len(".sequence-group")]
+                cols = [c.strip() for c in val.split(",") if c.strip()]
+                for c in cols + [seq_col]:
+                    if c not in data_cols:
+                        raise ValueError(
+                            f"sequence-group references unknown column {c!r}")
+                groups[seq_col] = cols
+        if groups:
+            # aggregation form: one hash aggregate on the key (same single
+            # shuffle as the window form), max_by per column
+            owner = {c: s for s, cols in groups.items() for c in cols}
+            aggs = []
+            for c in data_cols:
+                if c in groups:  # a sequence column: advances monotonically
+                    aggs.append(F.max(c).alias(c))
+                    continue
+                s = owner.get(c)
+                order = (
+                    f"struct(`{s}`, `{SEQ_COL}`, `{POS_COL}`)"
+                    if s is not None
+                    else f"struct(`{SEQ_COL}`, `{POS_COL}`)"
+                )
+                guard = f"`{c}` IS NOT NULL" + (
+                    f" AND `{s}` IS NOT NULL" if s is not None else ""
+                )
+                aggs.append(
+                    F.expr(f"max_by(`{c}`, IF({guard}, {order}, NULL))").alias(c)
+                )
+            return df.groupBy(*pks).agg(*aggs).select(*schema.field_names())
         # Latest non-null per column, then one surviving row per key. Both
         # windows share the same partitioning -> one shuffle.
-        df = df.filter(F.col(KIND_COL) != "D")  # ignore-delete semantics
         wa = (
             Window.partitionBy(*pks)
             .orderBy(F.asc(SEQ_COL), F.asc(POS_COL))
@@ -2135,6 +2249,20 @@ def _project_to(
     for c in extra:
         cols.append(F.col(c))
     return df.select(*cols)
+
+
+def _parse_duration_ms(spec: str) -> int:
+    """Paimon-style duration strings: ``7 d``, ``24 h``, ``30 min``,
+    ``45 s``, ``500 ms`` (unit optional whitespace, default ms)."""
+    s = spec.strip().lower()
+    units = [("ms", 1), ("min", 60_000), ("s", 1000), ("m", 60_000),
+             ("h", 3_600_000), ("d", 86_400_000)]
+    for suffix, mult in units:
+        if s.endswith(suffix):
+            num = s[: -len(suffix)].strip()
+            if num:
+                return int(float(num) * mult)
+    return int(float(s))
 
 
 def _split_conjuncts(expr: str) -> list[str]:

@@ -326,6 +326,62 @@ class TestMergeEngines:
         # each column keeps its latest NON-NULL value
         assert got == {1: ("x", 10), 2: ("z", 20)}
 
+    def test_partial_update_sequence_groups(self, spark, catalog):
+        """fields.<s>.sequence-group=cols: the group's columns follow the
+        GROUP's sequence column, so an out-of-order (stale) arrival cannot
+        regress a fresher value; ungrouped columns keep commit order."""
+        t = catalog.create_table(
+            "default", "pusg",
+            "k int, g1 int, a string, b string, g2 int, c string, d string",
+            primary_keys=["k"],
+            options={
+                "merge-engine": "partial-update",
+                "fields.g1.sequence-group": "a,b",
+                "fields.g2.sequence-group": "c",
+            },
+        )
+        ddl = "k int, g1 int, a string, b string, g2 int, c string, d string"
+        t.upsert(spark.createDataFrame(
+            [(1, 5, "a5", "b5", 10, "c10", "d1")], ddl))
+        # stale g1 (3 < 5) must NOT regress a/b; fresher g2 advances c;
+        # ungrouped d follows commit order
+        t.upsert(spark.createDataFrame(
+            [(1, 3, "a3", "b3", 20, "c20", "d2")], ddl))
+        # null sequence never updates its group, but other groups apply
+        t.upsert(spark.createDataFrame(
+            [(1, None, "aX", "bX", 30, None, None)], ddl))
+        got = t.to_df().collect()[0]
+        assert (got["g1"], got["a"], got["b"]) == (5, "a5", "b5")
+        assert (got["g2"], got["c"]) == (30, "c20")  # null c kept prior value
+        assert got["d"] == "d2"
+
+    def test_partial_update_sequence_groups_datasource_parity(
+        self, spark, catalog
+    ):
+        t = catalog.create_table(
+            "default", "pusgds", "k int, g int, a string, b string",
+            primary_keys=["k"],
+            options={
+                "merge-engine": "partial-update",
+                "fields.g.sequence-group": "a,b",
+                "bucket": "2",
+            },
+        )
+        ddl = "k int, g int, a string, b string"
+        t.upsert(spark.createDataFrame(
+            [(1, 2, "new", None), (2, 1, "x", "y")], ddl))
+        t.upsert(spark.createDataFrame(
+            [(1, 1, "old", "stale"), (2, 2, None, "y2")], ddl))
+        spark.dataSource.register(__import__(
+            "paimon_presto_spark.sources.datasource",
+            fromlist=["PaimonDataSource"],
+        ).PaimonDataSource)
+        via_ds = spark.read.format("paimon").option("path", t.path).load()
+        a = sorted(tuple(r) for r in t.to_df().collect())
+        b = sorted(tuple(r) for r in via_ds.collect())
+        assert a == b
+        assert a == [(1, 2, "new", "stale"), (2, 2, "x", "y2")]
+
     def test_partial_update_rejects_delete(self, spark, catalog):
         t = catalog.create_table(
             "default", "pu2", "k int, v int",
@@ -686,6 +742,45 @@ def test_drop_partition(spark, catalog):
     assert t.scan(snapshot_id=snap.snapshot_id - 1).to_df().count() == 4
     with pytest.raises(ValueError, match="not a partition key"):
         t.drop_partition(v=1)
+
+
+def test_expire_partitions_by_time(spark, catalog):
+    """partition.expiration-time: date partitions older than the horizon
+    drop in ONE metadata-only commit; unparseable values survive."""
+    t = catalog.create_table(
+        "default", "pexp", "v int, dt string", partition_keys=["dt"],
+        options={"partition.expiration-time": "7 d"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-05"), (3, "2024-01-20"),
+         (4, "not-a-date")],
+        "v int, dt string",
+    ))
+    now = 1705881600000  # 2024-01-22 00:00:00 UTC
+    expired = t.expire_partitions(now_ms=now)
+    assert sorted(p["dt"] for p in expired) == ["2024-01-01", "2024-01-05"]
+    assert t.snapshot().commit_kind == "DROP_PARTITION"
+    got = sorted((r["v"], r["dt"]) for r in t.to_df().collect())
+    assert got == [(3, "2024-01-20"), (4, "not-a-date")]
+    # idempotent: nothing left to expire, no empty commit
+    before = t.snapshot().snapshot_id
+    assert t.expire_partitions(now_ms=now) == []
+    assert t.snapshot().snapshot_id == before
+    # explicit horizon override: everything parseable goes
+    t.expire_partitions(expiration_ms=0, now_ms=now + 10 * 86_400_000)
+    assert [r["dt"] for r in t.to_df().collect()] == ["not-a-date"]
+
+
+def test_expire_partitions_requires_config_or_arg(spark, catalog):
+    t = catalog.create_table(
+        "default", "pexp2", "v int, dt string", partition_keys=["dt"]
+    )
+    t.append(spark.createDataFrame([(1, "2024-01-01")], "v int, dt string"))
+    with pytest.raises(ValueError, match="partition.expiration-time"):
+        t.expire_partitions()
+    t2 = catalog.create_table("default", "pexp3", "v int")
+    with pytest.raises(ValueError, match="partitioned"):
+        t2.expire_partitions(expiration_ms=0)
 
 
 def test_nested_type_columns_roundtrip(spark, catalog):
