@@ -447,16 +447,37 @@ def _merge_arrow(tbl, schema: dict, engine: str):
     elif engine == "aggregation":
         pdf = pdf[pdf["__row_kind"] != "D"]
         opts = schema.get("options", {})
+
+        def _collect(distinct):
+            def agg(s):
+                out = [x for lst in s.dropna() for x in lst]
+                return list(dict.fromkeys(out)) if distinct else out
+            return agg
+
+        def _merge_map(s):
+            vals = s.dropna()
+            if not len(vals):
+                return None
+            merged: dict = {}
+            for m in vals:  # arrow maps render as [(k, v), ...]
+                merged.update(dict(m))
+            return list(merged.items())
+
         aggs = {}
         for f in schema["fields"]:
             c = f["name"]
             if c in pks:
                 continue
             fn = opts.get(f"fields.{c}.aggregate-function", "last_non_null")
-            aggs[c] = {
-                "sum": "sum", "max": "max", "min": "min", "count": "count",
-                "last_non_null": lambda s: s.dropna().iloc[-1] if s.notna().any() else None,
-            }[fn]
+            if fn == "collect":
+                aggs[c] = _collect(opts.get(f"fields.{c}.distinct") == "true")
+            elif fn == "merge_map":
+                aggs[c] = _merge_map
+            else:
+                aggs[c] = {
+                    "sum": "sum", "max": "max", "min": "min", "count": "count",
+                    "last_non_null": lambda s: s.dropna().iloc[-1] if s.notna().any() else None,
+                }[fn]
         pdf = pdf.groupby(pks, as_index=False, sort=False).agg(aggs)
     else:
         raise ValueError(f"unknown merge-engine {engine!r}")

@@ -1679,6 +1679,14 @@ class Table:
         )
 
     def files_df(self) -> DataFrame:
+        # per-file deleted-position counts from the DV index (0 if none)
+        dv = self.dv_df()
+        dead: dict[str, int] = {}
+        if dv is not None:
+            dead = {
+                r["path"]: r["n"]
+                for r in dv.groupBy("path").agg(F.count("*").alias("n")).collect()
+            }
         rows = [
             (
                 e["path"],
@@ -1688,13 +1696,15 @@ class Table:
                 e["file_size"],
                 e["schema_id"],
                 e["min_seq"],
+                dead.get(e["path"], 0),
             )
             for e in self.manifest_entries()
         ]
         return self.spark.createDataFrame(
             rows,
             "file_path string, partition string, bucket int, row_count bigint, "
-            "file_size bigint, schema_id bigint, seq bigint",
+            "file_size bigint, schema_id bigint, seq bigint, "
+            "delete_row_count bigint",
         )
 
     def partitions_df(self) -> DataFrame:
@@ -1997,6 +2007,18 @@ class TableScan:
         return df
 
 
+def _commit_sorted(c: str) -> str:
+    """SQL fragment: non-null values of `c` as struct(s,p,v) sorted by the
+    commit sequence via an explicit comparator — payload type need not be
+    orderable (array_sort's default struct comparison would reject maps)."""
+    return (
+        f"array_sort(collect_list(IF(`{c}` IS NOT NULL,"
+        f" struct(`{SEQ_COL}` AS s, `{POS_COL}` AS p, `{c}` AS v), NULL)),"
+        f" (l, r) -> CASE WHEN l.s < r.s OR (l.s = r.s AND l.p < r.p) THEN -1"
+        f" WHEN l.s = r.s AND l.p = r.p THEN 0 ELSE 1 END)"
+    )
+
+
 def _merge_on_read(df: DataFrame, schema: TableSchema) -> DataFrame:
     """Collapse the change rows of a primary-key table into its current
     state, per the table's ``merge-engine`` option (A13; engine surface
@@ -2140,6 +2162,44 @@ def _merge_on_read(df: DataFrame, schema: TableSchema) -> DataFrame:
                         f"IF(`{c}` IS NOT NULL, struct(`{SEQ_COL}` AS s,"
                         f" `{POS_COL}` AS p, `{c}` AS v), NULL))),"
                         f" x -> x.v), ',')"
+                    ).alias(c)
+                )
+            elif fn == "collect":
+                # commit-ordered array concatenation; fields.<c>.distinct
+                # keeps first occurrences (Paimon's collect agg). The sort
+                # comparator touches only (seq, pos) so the payload type
+                # needn't be orderable (maps/structs welcome).
+                inner = (
+                    f"flatten(transform({_commit_sorted(c)}, x -> x.v))"
+                )
+                if schema.options.get(f"fields.{c}.distinct") == "true":
+                    inner = f"array_distinct({inner})"
+                aggs.append(F.expr(inner).alias(c))
+            elif fn == "merge_map":
+                # later commits' entries overwrite earlier ones key-wise
+                # (Paimon's merge_map agg). Fold over commit-sorted maps,
+                # replacing same-key entries — map sizes are per-row small,
+                # so the quadratic fold is driver-irrelevant and stays in
+                # one hash aggregate.
+                ftype = next(f["type"] for f in schema.fields if f["name"] == c)
+                mt = _parse_type(ftype)
+                if not isinstance(mt, T.MapType):
+                    raise ValueError(
+                        f"merge_map needs a map column, got {ftype!r} for {c!r}")
+                kd = mt.keyType.simpleString()
+                vd = mt.valueType.simpleString()
+                maps_sorted = f"transform({_commit_sorted(c)}, x -> x.v)"
+                folded = (
+                    f"aggregate(flatten(transform({maps_sorted},"
+                    f" m -> map_entries(m))),"
+                    f" cast(array() as array<struct<key:{kd},value:{vd}>>),"
+                    f" (acc, e) -> concat(filter(acc,"
+                    f" a -> NOT (a.key <=> e.key)), array(e)))"
+                )
+                aggs.append(
+                    F.expr(
+                        f"IF(size({maps_sorted}) = 0, NULL,"
+                        f" map_from_entries({folded}))"
                     ).alias(c)
                 )
             else:

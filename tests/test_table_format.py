@@ -452,6 +452,47 @@ class TestMergeEngines:
         assert r["pr"] == 24.0
         assert r["la"] == "a,b"     # commit order, nulls skipped
 
+    def test_aggregation_collect_and_merge_map(self, spark, catalog):
+        """Paimon's container aggregates: collect concatenates arrays in
+        commit order (fields.<c>.distinct keeps first occurrences);
+        merge_map overwrites entries key-wise, later commits winning."""
+        t = catalog.create_table(
+            "default", "agc",
+            "k int, tags array<string>, uniq array<int>, attrs map<string,int>",
+            primary_keys=["k"],
+            options={
+                "merge-engine": "aggregation",
+                "fields.tags.aggregate-function": "collect",
+                "fields.uniq.aggregate-function": "collect",
+                "fields.uniq.distinct": "true",
+                "fields.attrs.aggregate-function": "merge_map",
+            },
+        )
+        ddl = "k int, tags array<string>, uniq array<int>, attrs map<string,int>"
+        t.upsert(spark.createDataFrame(
+            [(1, ["a", "b"], [1, 2], {"x": 1, "y": 2})], ddl))
+        t.upsert(spark.createDataFrame(
+            [(1, ["b", "c"], [2, 3], {"y": 20, "z": 30}),
+             (2, None, None, None)], ddl))
+        got = {r["k"]: r for r in t.to_df().collect()}
+        assert got[1]["tags"] == ["a", "b", "b", "c"]
+        assert got[1]["uniq"] == [1, 2, 3]
+        assert dict(got[1]["attrs"]) == {"x": 1, "y": 20, "z": 30}
+        assert got[2]["tags"] == [] and got[2]["attrs"] is None
+
+        # shuffle-free DataSource read agrees
+        spark.dataSource.register(__import__(
+            "paimon_presto_spark.sources.datasource",
+            fromlist=["PaimonDataSource"],
+        ).PaimonDataSource)
+        ds = {
+            r["k"]: r for r in
+            spark.read.format("paimon").option("path", t.path).load().collect()
+        }
+        assert ds[1]["tags"] == ["a", "b", "b", "c"]
+        assert ds[1]["uniq"] == [1, 2, 3]
+        assert dict(ds[1]["attrs"]) == {"x": 1, "y": 20, "z": 30}
+
     def test_aggregation_survives_compact(self, spark, catalog):
         t = catalog.create_table(
             "default", "ag2", "k int, total int", primary_keys=["k"],
