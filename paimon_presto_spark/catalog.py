@@ -26,6 +26,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from paimon_presto_spark import properties
 from paimon_presto_spark.table import Table, TableSchema, schema_from_spark
 
 SYSTEM_TABLE_SUFFIXES = (
@@ -150,10 +151,25 @@ class Catalog:
         os.rename(src, dst)
 
     def read_table(self, db: str, name: str, **scan_kwargs) -> DataFrame:
-        """Read a table (or a ``name$system`` table) as a DataFrame."""
+        """Read a table (or a ``name$system`` table) as a DataFrame.
+
+        Honors the ``spark.paimon.scan_version`` session property (A21) —
+        the reference resolves the same property into Paimon's
+        ``scan.version`` option per table handle (``PrestoMetadata.java:
+        137-165``). Explicit time-travel scan kwargs take precedence.
+        """
         base, suffix = _split_system(name)
         table = Table(self.spark, self._table_path(db, base))
         if suffix is None:
+            if not any(
+                scan_kwargs.get(k) is not None
+                for k in ("snapshot_id", "as_of_timestamp_ms", "tag")
+            ):
+                version = properties.session_scan_version(self.spark, db, base)
+                if version is not None:
+                    scan_kwargs.update(
+                        properties.scan_kwargs_for_version(version, table)
+                    )
             return table.to_df(**scan_kwargs)
         if suffix == "snapshots":
             return table.snapshots_df()

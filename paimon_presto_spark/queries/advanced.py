@@ -748,3 +748,97 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS exact_nd,
+               CAST(ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+                    <= 0.15 * COUNT(DISTINCT o_custkey) AS INT) AS merged_ok
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("aggregation", "approx", "hll", "sketch"),
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw mergeable HLL sketches — Presto's approx_set / merge /
+    cardinality trio (``PrestoDistributedQueryTest.java:144-208,719-758``):
+    build a sketch per fine-grained group, MERGE the sketches up a level,
+    then read the cardinality off the merged sketch.
+
+    Spark-first mapping: ``hll_sketch_agg`` (Datasketches sketch per
+    (priority, status) group) → ``hll_union_agg`` (sketch merge up to
+    priority) → ``hll_sketch_estimate``. This is the 100 TB pattern for
+    pre-aggregated distinct counts: sub-sketches are tiny mergeable state
+    (~KB apiece), so rollups never rescan the fact table. Bit-compat with
+    Presto's P4HLL is out of scope (SURVEY §7 risk 3); the cross-engine
+    contract is the invariant — each engine's merged estimate lands within
+    15% of the exact distinct count, which rides along hash-compared.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    sub = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.expr("array_agg(DISTINCT o_custkey)").alias("keys"),
+    )
+    return (
+        sub.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_nd"),
+            # exact distinct across sub-groups, computed from the same pass
+            F.size(F.array_distinct(F.flatten(F.collect_list("keys")))).cast(
+                "bigint"
+            ).alias("exact_nd"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_nd",
+            (F.abs(F.col("approx_nd") - F.col("exact_nd"))
+             <= 0.15 * F.col("exact_nd")).cast("int").alias("merged_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "custom_functions_udf",
+    oracle="""
+        SELECT l_linestatus,
+               l_orderkey + l_partkey AS added,
+               SUM(l_quantity)        AS custom_total
+        FROM lineitem
+        WHERE l_orderkey <= 64
+        GROUP BY l_linestatus, l_orderkey + l_partkey
+        ORDER BY l_linestatus, added
+    """,
+    tags=("functions", "udf"),
+)
+def custom_functions_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-registered custom functions — the inherited suite's
+    testCustomAdd / testCustomSum (``PrestoDistributedQueryTest.java:
+    339-353``) register scalar + aggregate functions with the host engine
+    and run them over connector tables.
+
+    Spark-first mapping (``functions/custom.py``): ``custom_add`` is a SQL
+    UDF (CREATE TEMPORARY FUNCTION ... RETURN a + b — stays inside
+    codegen, zero Python), ``custom_sum`` an Arrow-batched pandas
+    grouped-agg UDF. The oracle is the same arithmetic spelled inline, so
+    the check proves the registered functions compute what they claim.
+    """
+    from paimon_presto_spark.functions.custom import register_custom_functions
+
+    register_custom_functions(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 64)
+    li.createOrReplaceTempView("li_custom")
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               custom_add(l_orderkey, l_partkey) AS added,
+               custom_sum(l_quantity)            AS custom_total
+        FROM li_custom
+        GROUP BY l_linestatus, custom_add(l_orderkey, l_partkey)
+        ORDER BY l_linestatus, added
+        """
+    )

@@ -60,6 +60,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
+from paimon_presto_spark import properties
 from paimon_presto_spark.plans.predicate import Predicate
 
 SEQ_COL = "__seq"
@@ -1845,8 +1846,15 @@ class TableScan:
         total = len(entries)
         schema = t.schema(snap.schema_id)
 
+        # A21 session toggles (PrestoSessionProperties.java:35-79). Both
+        # only WIDEN the file list — the predicate is re-applied as a
+        # DataFrame filter, so results are invariant, exactly like the
+        # reference's toggles (the engine Filter node stays on top).
+        prune_on = properties.partition_prune_enabled(t.spark)
+        pushdown_on = properties.pushdown_enabled(t.spark)
+
         # 1) partition pruning from the structured predicate (A10 first half)
-        if self.predicate is not None and schema.partition_keys:
+        if prune_on and self.predicate is not None and schema.partition_keys:
             entries = [
                 e
                 for e in entries
@@ -1858,7 +1866,7 @@ class TableScan:
         #    against one row per partition; evaluation errors keep the
         #    partition, mirroring the recoverable-error whitelist
         #    (PrestoComputePushdown.java:499-509))
-        if self.partition_where and schema.partition_keys:
+        if prune_on and self.partition_where and schema.partition_keys:
             keep = self._eval_partition_where(entries, schema)
             if keep is not None:
                 entries = [
@@ -1867,7 +1875,7 @@ class TableScan:
         pruned_partitions = len(entries)
 
         # 3) per-file stats skipping (A7/A8)
-        if self.predicate is not None:
+        if pushdown_on and self.predicate is not None:
             entries = [
                 e
                 for e in entries
