@@ -9,7 +9,13 @@ stream a Paimon changelog scan would.
 """
 
 from paimon_presto_spark.streaming.sink import table_sink
-from paimon_presto_spark.streaming.source import changelog_stream
+from paimon_presto_spark.streaming.source import changelog_stream, track_consumer
 from paimon_presto_spark.streaming.windows import sessionized, tumbling_counts
 
-__all__ = ["changelog_stream", "sessionized", "table_sink", "tumbling_counts"]
+__all__ = [
+    "changelog_stream",
+    "sessionized",
+    "table_sink",
+    "track_consumer",
+    "tumbling_counts",
+]

@@ -30,6 +30,7 @@ def changelog_stream(
     subdir: str | None = None,
     max_files_per_trigger: int | None = None,
     starting_snapshot: int | None = None,
+    consumer_id: str | None = None,
 ) -> DataFrame:
     """Streaming DataFrame over `table`'s data files (changelog semantics).
 
@@ -39,7 +40,26 @@ def changelog_stream(
     committed at or after that snapshot are delivered (rows filtered on the
     commit sequence — earlier files are still listed once but contribute no
     rows, and the checkpoint marks them done).
+
+    ``consumer_id`` is Paimon's consumer-id streaming mode: the stream
+    resumes from the consumer's recorded ``next_snapshot`` (registering the
+    consumer at the earliest unexpired snapshot on first use), and — more
+    importantly — while the consumer exists, ``expire_snapshots`` will not
+    reclaim anything the stream hasn't acknowledged. Pair with
+    ``track_consumer`` on the sink side to advance the position as batches
+    complete. Explicit ``starting_snapshot`` overrides the recorded
+    position (Paimon's reset semantics).
     """
+    if consumer_id is not None:
+        recorded = table.list_consumers().get(consumer_id)
+        if starting_snapshot is None and table.schema().primary_keys:
+            # append-only files carry no __seq: their resume point is
+            # Spark's own file-source checkpoint; the consumer still pins
+            # retention below
+            starting_snapshot = recorded
+        if recorded is None:
+            ids = table.snapshot_ids()
+            table.register_consumer(consumer_id, ids[0] if ids else 1)
     schema = table.schema()
     fields = [
         T.StructField(f["name"], _parse_type(f["type"]), True) for f in schema.fields
@@ -74,3 +94,42 @@ def changelog_stream(
             )
         out = out.filter(F.col(SEQ_COL) >= starting_snapshot)
     return out
+
+
+def track_consumer(table: Table, consumer_id: str, fn=None):
+    """Wrap a ``foreachBatch`` function so the consumer position advances
+    as micro-batches complete (Paimon consumer-id commit semantics: the
+    consumer file records the NEXT snapshot the reader needs).
+
+    The position moves to ``max(__seq) + 1`` over the batch — i.e. past
+    every fully-processed commit — and only forward, so replays after a
+    restart never regress it. ``fn=None`` makes it a progress-only sink
+    stage (useful when the real sink is elsewhere in the graph)::
+
+        q = (changelog_stream(spark, t, consumer_id="etl")
+             .writeStream
+             .foreachBatch(track_consumer(t, "etl", table_sink(dst)))
+             .option("checkpointLocation", ckpt).start())
+
+    Retention interplay: ``expire_snapshots`` never reclaims snapshots at
+    or above any consumer's recorded position, so a stream that falls
+    behind (or is stopped for a weekend) holds its unread history — and
+    releasing it is one ``drop_consumer`` call. This is the contract a
+    100 TB ingest pipeline needs: retention pressure never silently eats
+    a lagging reader's input.
+    """
+    from pyspark.sql import functions as _F
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        if fn is not None:
+            fn(batch_df, batch_id)
+        if SEQ_COL not in batch_df.columns:
+            return  # append-only stream: no commit sequence to track
+        top = batch_df.agg(_F.max(SEQ_COL).alias("m")).collect()[0]["m"]
+        if top is None:
+            return
+        current = table.list_consumers().get(consumer_id, 0)
+        if top + 1 > current:
+            table.register_consumer(consumer_id, top + 1)
+
+    return commit_batch

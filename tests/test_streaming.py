@@ -287,3 +287,51 @@ def test_changelog_stream_from_snapshot(spark, catalog, tmp_path):
     _run_to_memory(sdf, "chg_from", tmp_path)
     rows = spark.sql("SELECT k, __seq FROM chg_from ORDER BY __seq").collect()
     assert [(r["k"], r["__seq"]) for r in rows] == [(2, 2), (3, 3)]
+
+
+def test_consumer_id_streaming(spark, catalog, tmp_path):
+    """Paimon consumer-id mode: first run registers + reads everything and
+    advances the position; a later run with a FRESH checkpoint resumes
+    from the recorded position instead of replaying history; retention
+    respects the recorded position throughout."""
+    from paimon_presto_spark.streaming import track_consumer
+
+    t = catalog.create_table("default", "cons", "k int, v string", primary_keys=["k"])
+    t.upsert(spark.createDataFrame([(1, "a")], "k int, v string"))   # snap 1
+    t.upsert(spark.createDataFrame([(2, "b")], "k int, v string"))   # snap 2
+
+    sdf = changelog_stream(spark, t, consumer_id="etl")
+    q = (
+        sdf.writeStream.foreachBatch(track_consumer(t, "etl"))
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert t.list_consumers()["etl"] == 3  # past snapshots 1 and 2
+
+    # new commits, then a FRESH checkpoint: only unread commits arrive
+    t.upsert(spark.createDataFrame([(3, "c")], "k int, v string"))   # snap 3
+    got = []
+    q2 = (
+        changelog_stream(spark, t, consumer_id="etl")
+        .writeStream.foreachBatch(
+            track_consumer(t, "etl", lambda df, bid: got.extend(
+                (r["k"], r["__seq"]) for r in df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(got) == [(3, 3)]
+    assert t.list_consumers()["etl"] == 4
+
+    # the consumer pins retention while it lags; dropping it releases
+    t.register_consumer("lagging", 1)
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    assert 1 in t.snapshot_ids()  # pinned by the lagging consumer
+    t.drop_consumer("lagging")
+    t.expire_snapshots(keep_last=1)
+    assert 1 not in t.snapshot_ids()
