@@ -880,6 +880,118 @@ class Table:
             rows, "consumer_id string, next_snapshot bigint"
         )
 
+    # -- statistics: ANALYZE TABLE + $statistics (Paimon's statistics file
+    #    and system table; the reference imports the engine's statistics
+    #    SPI but leaves it unwired, PrestoMetadata.java:50) -----------------
+
+    def _stats_path(self, snapshot_id: int) -> str:
+        return os.path.join(
+            self.meta_path, "statistics", f"stats-{snapshot_id}.json"
+        )
+
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE: one distributed pass over the merged table
+        computing per-column null count, approximate NDV, min/max and avg
+        length, stored against the current snapshot and surfaced via
+        ``$statistics``.
+
+        Scale shape: every statistic is an algebraic/sketch aggregate
+        (count, min, max, HLL), so the whole ANALYZE is ONE map-side-
+        partial aggregation — no shuffle of data rows, no second pass,
+        constant memory per column. At 100 TB this is the only viable
+        shape; anything exact-NDV would shuffle the world. A cost-based
+        planner (or an operator picking a broadcast side) reads these
+        numbers instead of guessing.
+        """
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError("table has no snapshots")
+        schema = self.schema()
+        names = [f["name"] for f in schema.fields]
+        if columns is not None:
+            unknown = set(columns) - set(names)
+            if unknown:
+                raise ValueError(f"unknown columns {sorted(unknown)}")
+            names = [n for n in names if n in columns]
+        df = self.to_df()
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, c in enumerate(names):
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__st{i}_nulls"),
+                # NDV over the string form: identical for atomic types and
+                # keeps map/array columns analyzable (maps aren't hashable)
+                F.approx_count_distinct(F.col(c).cast("string")).alias(
+                    f"__st{i}_ndv"
+                ),
+                F.min(F.col(c).cast("string")).alias(f"__st{i}_min"),
+                F.max(F.col(c).cast("string")).alias(f"__st{i}_max"),
+                F.avg(F.length(F.col(c).cast("string"))).alias(f"__st{i}_len"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        stats = {
+            "snapshot_id": snap.snapshot_id,
+            "schema_id": snap.schema_id,
+            "total_rows": row["__rows"],
+            "analyze_ms": int(time.time() * 1000),
+            "columns": {
+                c: {
+                    "null_count": row[f"__st{i}_nulls"],
+                    "distinct_count": row[f"__st{i}_ndv"],
+                    "min": row[f"__st{i}_min"],
+                    "max": row[f"__st{i}_max"],
+                    "avg_len": row[f"__st{i}_len"],
+                }
+                for i, c in enumerate(names)
+            },
+        }
+        os.makedirs(os.path.join(self.meta_path, "statistics"), exist_ok=True)
+        tmp = self._stats_path(snap.snapshot_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh, indent=2)
+        os.replace(tmp, self._stats_path(snap.snapshot_id))
+        return stats
+
+    def latest_statistics(self) -> dict | None:
+        """The most recent ANALYZE result at or before the current
+        snapshot (Paimon reads stats the same way: newest not-newer than
+        the scanned snapshot)."""
+        sdir = os.path.join(self.meta_path, "statistics")
+        if not os.path.isdir(sdir):
+            return None
+        cur = self.snapshot()
+        best = None
+        for fn in os.listdir(sdir):
+            if fn.startswith("stats-") and fn.endswith(".json"):
+                sid = int(fn[len("stats-"):-len(".json")])
+                if cur is None or sid <= cur.snapshot_id:
+                    if best is None or sid > best:
+                        best = sid
+        if best is None:
+            return None
+        with open(self._stats_path(best)) as fh:
+            return json.load(fh)
+
+    def statistics_df(self) -> DataFrame:
+        """``$statistics``: one row per analyzed column of the freshest
+        applicable ANALYZE run."""
+        st = self.latest_statistics()
+        schema = (
+            "snapshot_id bigint, schema_id bigint, total_rows bigint, "
+            "column_name string, null_count bigint, distinct_count bigint, "
+            "min string, max string, avg_len double"
+        )
+        if st is None:
+            return self.spark.createDataFrame([], schema)
+        rows = [
+            (
+                st["snapshot_id"], st["schema_id"], st["total_rows"],
+                c, v["null_count"], v["distinct_count"],
+                v["min"], v["max"], v["avg_len"],
+            )
+            for c, v in sorted(st["columns"].items())
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
     # -- branches: writable metadata forks sharing data files (Paimon
     #    branch feature; metadata-only cost) --------------------------------
 
@@ -1118,6 +1230,41 @@ class Table:
             except CommitConflict:
                 continue
         raise CommitConflict("gave up after 5 retries")
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Roll the table back to `snapshot_id`: snapshots after it are
+        deleted (Paimon's ``rollback_to`` procedure). Metadata-only —
+        data files written by rolled-back commits become orphans and are
+        reclaimed by ``remove_orphan_files``, so rollback is O(#snapshots)
+        regardless of data size.
+
+        Bookkeeping that referenced the rolled-back range is reconciled
+        the way Paimon's RollbackHelper does: tags pinned to deleted
+        snapshots are dropped; consumer positions past the new head are
+        clamped to it (their unread commits no longer exist).
+        """
+        ids = self.snapshot_ids()
+        if snapshot_id not in ids:
+            raise ValueError(f"snapshot {snapshot_id} does not exist (have {ids})")
+        doomed = [i for i in ids if i > snapshot_id]
+        for name in self.list_tags():
+            if self.tag_snapshot(name).snapshot_id > snapshot_id:
+                self.delete_tag(name)
+        for name, nxt in self.list_consumers().items():
+            if nxt > snapshot_id + 1:
+                self.register_consumer(name, snapshot_id + 1)
+        for sid in doomed:
+            os.remove(
+                os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json")
+            )
+            try:
+                os.remove(self._stats_path(sid))
+            except FileNotFoundError:
+                pass
+        tmp = os.path.join(self.meta_path, "snapshot", f".LATEST.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(snapshot_id))
+        os.replace(tmp, os.path.join(self.meta_path, "snapshot", "LATEST"))
 
     def incremental_df(
         self, start_snapshot: int, end_snapshot: int | None = None

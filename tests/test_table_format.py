@@ -6,6 +6,7 @@ partition-value), file skipping, schema evolution, DDL round trips.
 
 import json
 import os
+import time
 
 import pyspark.sql.functions as F
 import pytest
@@ -1281,3 +1282,71 @@ def test_truncate(spark, catalog):
     assert rows(t.to_df()) == [(9,)]
     expired = t.expire_snapshots(keep_last=1)
     assert expired == [1, 2]
+
+
+class TestRollbackAndStatistics:
+    def test_rollback_to(self, spark, catalog):
+        """rollback_to deletes newer snapshots (metadata-only), drops tags
+        pinned past the target, clamps consumers, and leaves the rolled-
+        back files to remove_orphan_files."""
+        t = catalog.create_table("default", "rb", "k int, v string", primary_keys=["k"])
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "a")], ddl))            # snap 1
+        t.upsert(spark.createDataFrame([(2, "b")], ddl))            # snap 2
+        t.upsert(spark.createDataFrame([(1, "a2"), (3, "c")], ddl)) # snap 3
+        t.create_tag("late", 3)
+        t.register_consumer("reader", 4)
+
+        t.rollback_to(2)
+        assert t.snapshot_ids() == [1, 2]
+        assert t.snapshot().snapshot_id == 2
+        got = {r["k"]: r["v"] for r in t.to_df().collect()}
+        assert got == {1: "a", 2: "b"}
+        assert t.list_tags() == []                      # 'late' pointed past 2
+        assert t.list_consumers()["reader"] == 3        # clamped to head+1
+
+        # rolled-back files are orphans now; cleanup reclaims them
+        orphans = t.remove_orphan_files(
+            older_than_ms=int(time.time() * 1000) + 60_000
+        )
+        assert orphans
+        assert {r["k"] for r in t.to_df().collect()} == {1, 2}
+
+        # writing after rollback reuses the freed snapshot ids
+        t.upsert(spark.createDataFrame([(9, "z")], ddl))
+        assert t.snapshot().snapshot_id == 3
+
+    def test_rollback_missing_snapshot(self, spark, catalog):
+        t = catalog.create_table("default", "rb2", "k int", primary_keys=["k"])
+        t.upsert(spark.createDataFrame([(1,)], "k int"))
+        with pytest.raises(ValueError, match="does not exist"):
+            t.rollback_to(7)
+
+    def test_analyze_and_statistics_table(self, spark, catalog):
+        t = catalog.create_table("default", "an", "k int, v string")
+        t.append(spark.createDataFrame(
+            [(1, "aa"), (2, None), (3, "cc"), (3, "cc")], "k int, v string"))
+        st = t.analyze()
+        assert st["total_rows"] == 4
+        assert st["columns"]["v"]["null_count"] == 1
+        assert st["columns"]["k"]["min"] == "1" and st["columns"]["k"]["max"] == "3"
+
+        rows = {r["column_name"]: r for r in
+                catalog.read_table("default", "an$statistics").collect()}
+        assert set(rows) == {"k", "v"}
+        assert rows["k"]["total_rows"] == 4
+        assert rows["k"]["distinct_count"] == 3
+        assert rows["v"]["null_count"] == 1
+
+        # stats stick to their snapshot: a new commit keeps serving the
+        # freshest not-newer stats until re-ANALYZE
+        t.append(spark.createDataFrame([(4, "dd")], "k int, v string"))
+        assert t.latest_statistics()["snapshot_id"] == 1
+        t.analyze(columns=["k"])
+        st2 = t.latest_statistics()
+        assert st2["snapshot_id"] == 2 and list(st2["columns"]) == ["k"]
+
+    def test_statistics_empty_without_analyze(self, spark, catalog):
+        t = catalog.create_table("default", "an2", "k int")
+        t.append(spark.createDataFrame([(1,)], "k int"))
+        assert catalog.read_table("default", "an2$statistics").count() == 0
