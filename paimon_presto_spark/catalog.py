@@ -251,6 +251,31 @@ class Catalog:
                 f["name"] = new_name
         self._write_schema(t, s, s.highest_field_id)
 
+    def update_column_type(
+        self, db: str, name: str, column: str, new_type: str
+    ) -> None:
+        """Widen a column's type (Paimon CDC schema evolution accepts only
+        lossless widenings: up the integer ladder, float→double, decimal
+        precision/scale growth). Old data files are projected to the new
+        type on read through the field-id cast in ``_project_to`` — no
+        rewrite. Narrowings raise."""
+        t = self.get_table(db, name)
+        s = t.schema()
+        col = s.resolve(column)
+        if col in s.partition_keys:
+            raise ValueError(f"cannot retype partition column {col}")
+        old = next(f["type"] for f in s.fields if f["name"] == col)
+        if _normalize_type(old) == _normalize_type(new_type):
+            return
+        if not _is_widening(old, new_type):
+            raise ValueError(
+                f"cannot narrow {col} from {old!r} to {new_type!r}"
+            )
+        for f in s.fields:
+            if f["name"] == col:
+                f["type"] = new_type
+        self._write_schema(t, s, s.highest_field_id)
+
     def drop_column(self, db: str, name: str, column: str) -> None:
         t = self.get_table(db, name)
         s = t.schema()
@@ -270,6 +295,41 @@ class Catalog:
             raise ValueError(f"concurrent schema change on {table.path}")
         with open(path, "w") as fh:
             json.dump(s.to_json(), fh, indent=2)
+
+
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_DECIMAL_RE = None  # lazy-compiled
+
+
+def _normalize_type(t: str) -> str:
+    return t.strip().lower().replace(" ", "")
+
+
+def _decimal_ps(t: str) -> tuple[int, int] | None:
+    global _DECIMAL_RE
+    import re as _re
+
+    if _DECIMAL_RE is None:
+        _DECIMAL_RE = _re.compile(r"^decimal\((\d+),(\d+)\)$")
+    m = _DECIMAL_RE.match(_normalize_type(t))
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _is_widening(old: str, new: str) -> bool:
+    """Lossless type widenings only — the set Paimon CDC schema evolution
+    applies without data rewrite: integer ladder up, float→double,
+    decimal precision/scale growth (integer digits must not shrink)."""
+    o, n = _normalize_type(old), _normalize_type(new)
+    if o in _INT_RANK and n in _INT_RANK:
+        return _INT_RANK[n] > _INT_RANK[o]
+    if o == "float" and n == "double":
+        return True
+    op, np_ = _decimal_ps(o), _decimal_ps(n)
+    if op and np_:
+        return np_[0] >= op[0] and np_[1] >= op[1] and (
+            np_[0] - np_[1] >= op[0] - op[1]
+        ) and np_ != op
+    return False
 
 
 def _split_system(name: str) -> tuple[str, str | None]:

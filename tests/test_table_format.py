@@ -1350,3 +1350,76 @@ class TestRollbackAndStatistics:
         t = catalog.create_table("default", "an2", "k int")
         t.append(spark.createDataFrame([(1,)], "k int"))
         assert catalog.read_table("default", "an2$statistics").count() == 0
+
+
+class TestCdcIngest:
+    """Schema-evolving CDC ingestion (sources/cdc.py): unseen columns are
+    added, widenable types widen, missing columns null-pad — all
+    metadata-only, old files projected on read."""
+
+    def test_add_column_and_null_pad(self, spark, catalog):
+        from paimon_presto_spark.sources.cdc import cdc_ingest
+
+        catalog.create_table("default", "cdc1", "k int, v string", primary_keys=["k"])
+        cdc_ingest(catalog, "default", "cdc1",
+                   spark.createDataFrame([(1, "a")], "k int, v string"))
+        # upstream added a column mid-stream
+        cdc_ingest(catalog, "default", "cdc1",
+                   spark.createDataFrame([(2, "b", 7.5)], "k int, v string, score double"))
+        # ...and later sends a batch without it again
+        cdc_ingest(catalog, "default", "cdc1",
+                   spark.createDataFrame([(3, "c")], "k int, v string"))
+        t = catalog.get_table("default", "cdc1")
+        got = {r["k"]: (r["v"], r["score"]) for r in t.to_df().collect()}
+        assert got == {1: ("a", None), 2: ("b", 7.5), 3: ("c", None)}
+
+    def test_type_widening(self, spark, catalog):
+        from paimon_presto_spark.sources.cdc import cdc_ingest
+
+        catalog.create_table("default", "cdc2", "k int, n int", primary_keys=["k"])
+        cdc_ingest(catalog, "default", "cdc2",
+                   spark.createDataFrame([(1, 5)], "k int, n int"))
+        log_df = spark.createDataFrame([(2, 2**40)], "k int, n bigint")
+        cdc_ingest(catalog, "default", "cdc2", log_df)
+        t = catalog.get_table("default", "cdc2")
+        s = t.schema()
+        assert next(f["type"] for f in s.fields if f["name"] == "n") == "bigint"
+        got = {r["k"]: r["n"] for r in t.to_df().collect()}
+        assert got == {1: 5, 2: 2**40}
+
+    def test_narrower_input_casts_up(self, spark, catalog):
+        from paimon_presto_spark.sources.cdc import cdc_ingest
+
+        catalog.create_table("default", "cdc3", "k int, n bigint", primary_keys=["k"])
+        cdc_ingest(catalog, "default", "cdc3",
+                   spark.createDataFrame([(1, 5)], "k int, n int"))
+        t = catalog.get_table("default", "cdc3")
+        assert next(f["type"] for f in t.schema().fields if f["name"] == "n") == "bigint"
+
+    def test_incompatible_change_rejected_whole(self, spark, catalog):
+        from paimon_presto_spark.sources.cdc import cdc_ingest
+
+        catalog.create_table("default", "cdc4", "k int, v string", primary_keys=["k"])
+        with pytest.raises(ValueError, match="incompatible"):
+            cdc_ingest(catalog, "default", "cdc4",
+                       spark.createDataFrame([(1, 3)], "k int, v int"))
+        # nothing was applied
+        t = catalog.get_table("default", "cdc4")
+        assert next(f["type"] for f in t.schema().fields if f["name"] == "v") == "string"
+        assert t.snapshot() is None
+
+    def test_missing_pk_rejected(self, spark, catalog):
+        from paimon_presto_spark.sources.cdc import cdc_ingest
+
+        catalog.create_table("default", "cdc5", "k int, v string", primary_keys=["k"])
+        with pytest.raises(ValueError, match="primary-key"):
+            cdc_ingest(catalog, "default", "cdc5",
+                       spark.createDataFrame([("x",)], "v string"))
+
+    def test_update_column_type_guards(self, spark, catalog):
+        catalog.create_table("default", "cdc6", "k int, n bigint, pt string",
+                             partition_keys=["pt"])
+        with pytest.raises(ValueError, match="narrow"):
+            catalog.update_column_type("default", "cdc6", "n", "int")
+        with pytest.raises(ValueError, match="partition"):
+            catalog.update_column_type("default", "cdc6", "pt", "int")
