@@ -842,3 +842,78 @@ def custom_functions_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_linestatus, added
         """
     )
+
+
+@register(
+    "table_format_retraction_changelog",
+    oracle=f"""
+        WITH del AS (
+            SELECT * FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        pat AS (
+            SELECT * FROM orders
+            WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+        )
+        SELECT 'D' AS rowkind, COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+               {o_dsum('o_totalprice', 'price_sum')}
+        FROM del
+        UNION ALL
+        SELECT 'UA' AS rowkind, COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+               {o_dsum('o_totalprice + 1000.0', 'price_sum')}
+        FROM pat
+        UNION ALL
+        SELECT 'UB' AS rowkind, COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+               {o_dsum('o_totalprice', 'price_sum')}
+        FROM pat
+        ORDER BY rowkind
+    """,
+    tags=("table-format", "cdc", "changelog-producer"),
+)
+def table_format_retraction_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup changelog-producer INSIDE the oracle gate: a delete and a
+    patch over a ``changelog-producer=lookup`` table must materialize
+    exactly the D pre-images and the UB/UA retraction pairs (pre-image
+    prices original, post-image +1000), a compaction emitting nothing.
+    The oracle restates all three row groups declaratively from the
+    source data.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from paimon_presto_spark.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    wh = tempfile.mkdtemp(prefix="retr-", dir=base)
+    cat = Catalog(spark, wh)
+    cat.create_database("cdc", ignore_if_exists=True)
+    t = cat.create_table(
+        "cdc", "orders_retr",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+        primary_keys=["o_orderkey"],
+        options={"changelog-producer": "lookup"},
+    )
+    t.upsert(o)                                                   # snapshot 1
+    t.delete(o.filter(F.col("o_orderkey") % 97 == 0))             # snapshot 2
+    t.upsert(                                                     # snapshot 3
+        o.filter(
+            (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    t.compact()                                                   # snapshot 4 (no changelog)
+    clg = t.changelog_df(start_snapshot=1)
+    return (
+        clg.groupBy(F.col("__row_kind").alias("rowkind"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            dsum(F.col("o_totalprice"), "price_sum"),
+        )
+        .orderBy("rowkind")
+    )

@@ -31,6 +31,7 @@ def changelog_stream(
     max_files_per_trigger: int | None = None,
     starting_snapshot: int | None = None,
     consumer_id: str | None = None,
+    retraction: bool = False,
 ) -> DataFrame:
     """Streaming DataFrame over `table`'s data files (changelog semantics).
 
@@ -49,7 +50,36 @@ def changelog_stream(
     ``track_consumer`` on the sink side to advance the position as batches
     complete. Explicit ``starting_snapshot`` overrides the recorded
     position (Paimon's reset semantics).
+
+    ``retraction=True`` streams the table's lookup-producer changelog
+    instead of its data files: rows carry ``__row_kind`` ∈ {I, UB, UA, D}
+    (Paimon's +I/-U/+U/-D), so downstream aggregations can subtract
+    pre-images instead of re-reading state. Requires the table option
+    ``changelog-producer = lookup``.
     """
+    if retraction:
+        if table.schema().options.get("changelog-producer") != "lookup":
+            raise ValueError(
+                "retraction streaming requires changelog-producer=lookup"
+            )
+        schema = table.schema()
+        fields = [
+            T.StructField(f["name"], _parse_type(f["type"]), True)
+            for f in schema.fields
+        ] + [
+            T.StructField(KIND_COL, T.StringType(), True),
+            T.StructField(SEQ_COL, T.LongType(), True),
+        ]
+        clg_dir = os.path.join(table.meta_path, "changelog")
+        os.makedirs(clg_dir, exist_ok=True)
+        reader = (
+            spark.readStream.schema(T.StructType(fields))
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "part-*")  # skip _SUCCESS markers
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return reader.parquet(clg_dir)
     if consumer_id is not None:
         recorded = table.list_consumers().get(consumer_id)
         if starting_snapshot is None and table.schema().primary_keys:

@@ -180,6 +180,9 @@ class Snapshot:
     # dynamic-bucket key index (bucket=-1 tables): parquet dataset under
     # <table>/index/ mapping xxhash64(pk) -> assigned bucket
     bucket_index: str | None = None
+    # retraction changelog for this commit (changelog-producer=lookup):
+    # parquet dataset under <meta>/changelog/ with I/UB/UA/D row kinds
+    changelog: str | None = None
 
     def to_json(self):
         return self.__dict__.copy()
@@ -483,7 +486,18 @@ class Table:
         schema = self.schema()
         dv_mode = schema.options.get("deletion-vectors.enabled") == "true"
         dynamic = schema.options.get("bucket") == "-1"
-        if not dv_mode and not dynamic:
+        clg_name = None
+        if schema.options.get("changelog-producer") == "lookup":
+            clg_name = self._produce_lookup_changelog(df, schema, deletes=False)
+            # changelog rows were computed against the current snapshot;
+            # serialize with `expect` so they can't go stale mid-commit
+            base0 = self.snapshot()
+            if not dv_mode and not dynamic:
+                return self._commit_write(
+                    df, kind="UPSERT", row_kind="I", changelog=clg_name,
+                    expect=base0.snapshot_id if base0 else 0,
+                )
+        elif not dv_mode and not dynamic:
             return self._commit_write(df, kind="UPSERT", row_kind="I")
         base = self.snapshot()
         dv_name = None
@@ -507,6 +521,7 @@ class Table:
             df, kind="UPSERT", row_kind="I", dv_index=dv_name,
             bucket_index=b_name,
             expect=base.snapshot_id if base else 0,
+            changelog=clg_name,
         )
 
     def delete(self, df: DataFrame) -> Snapshot:
@@ -520,6 +535,9 @@ class Table:
         ``df`` needs at least the pk columns; missing columns are nulled.
         """
         schema = self.schema()
+        clg_name = None
+        if schema.options.get("changelog-producer") == "lookup":
+            clg_name = self._produce_lookup_changelog(df, schema, deletes=True)
         if schema.options.get("deletion-vectors.enabled") == "true":
             self._check_dv_supported(schema)
             base = self.snapshot()
@@ -529,7 +547,7 @@ class Table:
             dv_name = self._write_dv_index(hits, base)
             return self._commit_meta(
                 "DELETE", self.manifest_entries(base), dv_name,
-                expect=base.snapshot_id,
+                expect=base.snapshot_id, changelog=clg_name,
             )
         engine = schema.options.get("merge-engine", "deduplicate")
         if engine != "deduplicate" and schema.options.get("ignore-delete") != "true":
@@ -548,6 +566,12 @@ class Table:
             # -D merges to nothing regardless) and are not indexed
             df, _ = self._assign_dynamic_buckets(
                 df, self.snapshot(), index_new_keys=False
+            )
+        if clg_name is not None:
+            base = self.snapshot()
+            return self._commit_write(
+                df, kind="DELETE", row_kind="D", changelog=clg_name,
+                expect=base.snapshot_id if base else 0,
             )
         return self._commit_write(df, kind="DELETE", row_kind="D")
 
@@ -879,6 +903,128 @@ class Table:
         return self.spark.createDataFrame(
             rows, "consumer_id string, next_snapshot bigint"
         )
+
+    # -- changelog producer (Paimon changelog-producer=lookup): retraction
+    #    streams with UPDATE_BEFORE/UPDATE_AFTER, paid at write time ---------
+
+    def _produce_lookup_changelog(
+        self, df: DataFrame, schema: TableSchema, deletes: bool
+    ) -> str:
+        """Materialize this commit's retraction changelog: for each touched
+        key, the pre-image (``UB`` = Paimon's -U, or ``D`` for deletes) and
+        post-image (``UA`` = +U) — brand-new keys emit ``I``.
+
+        Paimon's lookup producer does exactly this inside lookup
+        compaction: pay one key-lookup join at write time so every
+        downstream consumer gets a lossless retraction stream for free,
+        instead of every consumer reconstructing old values itself. The
+        lookup is a join of the (small) batch against the merged table —
+        broadcast the batch keys, never the table.
+        """
+        if schema.options.get("merge-engine", "deduplicate") != "deduplicate":
+            raise ValueError(
+                "changelog-producer=lookup requires the deduplicate merge engine"
+            )
+        pks = schema.primary_keys
+        cols = schema.field_names()
+        base = self.snapshot()
+        next_id = (base.snapshot_id + 1) if base else 1
+        w = Window.partitionBy(*pks).orderBy(F.desc(POS_COL))
+        newest = (
+            df.withColumn(POS_COL, F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", POS_COL)
+        )
+        if base is None:
+            clg = newest.select(*cols).withColumn(KIND_COL, F.lit("I"))
+            if deletes:  # delete against an empty table retracts nothing
+                clg = clg.filter(F.lit(False))
+        else:
+            keys = newest.select(*pks).distinct()
+            old = self.to_df().join(F.broadcast(keys), pks, "inner").cache()
+            old.count()  # pre-image used twice below; compute the merge once
+            if deletes:
+                clg = old.select(*cols).withColumn(KIND_COL, F.lit("D"))
+            else:
+                ub = old.select(*cols).withColumn(KIND_COL, F.lit("UB"))
+                marked = newest.join(
+                    old.select(*pks).withColumn("__had", F.lit(1)).distinct(),
+                    pks,
+                    "left",
+                )
+                ua = (
+                    marked.filter(F.col("__had").isNotNull())
+                    .select(*cols)
+                    .withColumn(KIND_COL, F.lit("UA"))
+                )
+                ins = (
+                    marked.filter(F.col("__had").isNull())
+                    .select(*cols)
+                    .withColumn(KIND_COL, F.lit("I"))
+                )
+                clg = ub.unionByName(ua).unionByName(ins)
+        clg = clg.withColumn(SEQ_COL, F.lit(next_id).cast("long"))
+        name = f"clg-{next_id}-{uuid.uuid4().hex}"
+        out = os.path.join(self.meta_path, "changelog", name)
+        clg.write.mode("overwrite").parquet(out)
+        if base is not None:
+            old.unpersist()
+        return name
+
+    def changelog_df(
+        self, start_snapshot: int = 0, end_snapshot: int | None = None
+    ) -> DataFrame:
+        """The retraction changelog committed AFTER `start_snapshot` up to
+        and including `end_snapshot` (Paimon's ``incremental-between-scan-
+        mode = changelog``). Requires ``changelog-producer = lookup``;
+        rows carry ``__row_kind`` ∈ {I, UB, UA, D} (Paimon's +I/-U/+U/-D)
+        and ``__seq`` = committing snapshot, so consumers can apply
+        retractions in order."""
+        if self.schema().options.get("changelog-producer") != "lookup":
+            raise ValueError(
+                "changelog_df requires table option changelog-producer=lookup"
+            )
+        end = (
+            end_snapshot
+            if end_snapshot is not None
+            else (self.snapshot().snapshot_id if self.snapshot() else 0)
+        )
+        names = []
+        for sid in self.snapshot_ids():
+            if start_snapshot < sid <= end:
+                snap = self.snapshot(sid)
+                if snap.changelog:
+                    names.append(snap.changelog)
+        schema = self.schema()
+        out = None
+        for name in names:
+            part = self.spark.read.parquet(
+                os.path.join(self.meta_path, "changelog", name)
+            )
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        if out is None:
+            fields = [
+                T.StructField(f["name"], _parse_type(f["type"]), True)
+                for f in schema.fields
+            ] + [
+                T.StructField(KIND_COL, T.StringType(), True),
+                T.StructField(SEQ_COL, T.LongType(), True),
+            ]
+            return self.spark.createDataFrame([], T.StructType(fields))
+        # project to the current schema (changelog files keep their writer
+        # schema; added columns null-pad by name)
+        cols = [
+            (
+                F.col(f["name"]).cast(_parse_type(f["type"]))
+                if f["name"] in out.columns
+                else F.lit(None).cast(_parse_type(f["type"]))
+            ).alias(f["name"])
+            for f in schema.fields
+        ]
+        return out.select(*cols, F.col(KIND_COL), F.col(SEQ_COL))
 
     # -- statistics: ANALYZE TABLE + $statistics (Paimon's statistics file
     #    and system table; the reference imports the engine's statistics
@@ -1212,6 +1358,11 @@ class Table:
         for dv in dead_dv:
             _rmtree_quiet(os.path.join(self._dv_root(), dv))
         for sid in expired:
+            snap = self.snapshot(sid)
+            if snap.changelog:
+                _rmtree_quiet(
+                    os.path.join(self.meta_path, "changelog", snap.changelog)
+                )
             os.remove(os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json"))
         return expired
 
@@ -1254,6 +1405,11 @@ class Table:
             if nxt > snapshot_id + 1:
                 self.register_consumer(name, snapshot_id + 1)
         for sid in doomed:
+            snap = self.snapshot(sid)
+            if snap.changelog:
+                _rmtree_quiet(
+                    os.path.join(self.meta_path, "changelog", snap.changelog)
+                )
             os.remove(
                 os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json")
             )
@@ -1494,7 +1650,7 @@ class Table:
 
     def _commit_meta(
         self, kind: str, entries: list[dict], dv_index: str | None,
-        expect: int | None = None,
+        expect: int | None = None, changelog: str | None = None,
     ) -> Snapshot:
         """Metadata-only commit (no new data files) — DV deletes. `expect`
         guards against committing positions computed on a stale snapshot:
@@ -1511,6 +1667,7 @@ class Table:
         return self._commit_manifest(
             schema, cur + 1, kind, entries, dv_index=dv_index,
             bucket_index=prev.bucket_index if prev else None,
+            changelog=changelog,
         )
 
     def _commit_write(
@@ -1522,6 +1679,7 @@ class Table:
         dv_index: str | None = None,
         bucket_index: str | None = None,
         expect: int | None = None,
+        changelog: str | None = None,
     ) -> Snapshot:
         """`replace`: False stacks on the previous manifest, True replaces it
         entirely, "dynamic" replaces only the partitions the new files touch.
@@ -1592,7 +1750,7 @@ class Table:
             try:
                 return self._commit_manifest(
                     schema, next_id, kind, base + new_entries, dv_index=dv,
-                    bucket_index=bidx,
+                    bucket_index=bidx, changelog=changelog,
                 )
             except CommitConflict:
                 if expect is not None:
@@ -1706,6 +1864,7 @@ class Table:
     def _commit_manifest(
         self, schema: TableSchema, snapshot_id: int, kind: str, entries: list[dict],
         dv_index: str | None = None, bucket_index: str | None = None,
+        changelog: str | None = None,
     ) -> Snapshot:
         os.makedirs(os.path.join(self.meta_path, "manifest"), exist_ok=True)
         os.makedirs(os.path.join(self.meta_path, "snapshot"), exist_ok=True)
@@ -1723,6 +1882,7 @@ class Table:
             total_rows=sum(e["row_count"] for e in entries),
             dv_index=dv_index,
             bucket_index=bucket_index,
+            changelog=changelog,
         )
         spath = os.path.join(self.meta_path, "snapshot", f"snapshot-{snapshot_id}.json")
         try:
@@ -1808,7 +1968,9 @@ class Table:
                 d = json.load(fh)
         except FileNotFoundError:
             raise ValueError(f"tag {name!r} does not exist") from None
-        return Snapshot(**{k: d[k] for k in Snapshot.__dataclass_fields__})
+        return Snapshot(
+            **{k: d[k] for k in Snapshot.__dataclass_fields__ if k in d}
+        )
 
     # -- system tables (A14) ----------------------------------------------
 

@@ -335,3 +335,34 @@ def test_consumer_id_streaming(spark, catalog, tmp_path):
     t.drop_consumer("lagging")
     t.expire_snapshots(keep_last=1)
     assert 1 not in t.snapshot_ids()
+
+
+def test_retraction_stream(spark, catalog, tmp_path):
+    """retraction=True streams the lookup-producer changelog: UB/UA pairs
+    let a downstream consumer subtract pre-images instead of re-reading."""
+    t = catalog.create_table(
+        "default", "retr", "k int, v string", primary_keys=["k"],
+        options={"changelog-producer": "lookup"},
+    )
+    ddl = "k int, v string"
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    t.upsert(spark.createDataFrame([(1, "a2")], ddl))
+    t.delete(spark.createDataFrame([(2, "b")], ddl))
+
+    sdf = changelog_stream(spark, t, retraction=True)
+    _run_to_memory(sdf, "retr_out", tmp_path)
+    rows = [
+        (r["k"], r["v"], r["__row_kind"], r["__seq"])
+        for r in spark.sql(
+            "SELECT * FROM retr_out ORDER BY __seq, __row_kind, k").collect()
+    ]
+    assert rows == [
+        (1, "a", "I", 1), (2, "b", "I", 1),
+        (1, "a2", "UA", 2), (1, "a", "UB", 2),
+        (2, "b", "D", 3),
+    ]
+
+    # plain-table streams reject retraction mode
+    t2 = catalog.create_table("default", "retr2", "k int", primary_keys=["k"])
+    with pytest.raises(ValueError, match="lookup"):
+        changelog_stream(spark, t2, retraction=True)

@@ -1423,3 +1423,101 @@ class TestCdcIngest:
             catalog.update_column_type("default", "cdc6", "n", "int")
         with pytest.raises(ValueError, match="partition"):
             catalog.update_column_type("default", "cdc6", "pt", "int")
+
+
+class TestLookupChangelogProducer:
+    """changelog-producer=lookup: every commit materializes a retraction
+    changelog (I / UB / UA / D = Paimon's +I/-U/+U/-D) by looking up
+    pre-images at write time."""
+
+    def _mk(self, catalog, name, **opts):
+        return catalog.create_table(
+            "default", name, "k int, v string", primary_keys=["k"],
+            options={"changelog-producer": "lookup", **opts},
+        )
+
+    def test_upsert_and_delete_changelog(self, spark, catalog):
+        t = self._mk(catalog, "clg1")
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ddl))    # snap 1
+        t.upsert(spark.createDataFrame([(1, "a2"), (3, "c")], ddl))   # snap 2
+        t.delete(spark.createDataFrame([(2, "b")], ddl))              # snap 3
+
+        rows = [
+            (r["k"], r["v"], r["__row_kind"], r["__seq"])
+            for r in t.changelog_df().orderBy("__seq", "__row_kind", "k").collect()
+        ]
+        assert rows == [
+            (1, "a", "I", 1), (2, "b", "I", 1),
+            (3, "c", "I", 2), (1, "a2", "UA", 2), (1, "a", "UB", 2),
+            (2, "b", "D", 3),
+        ]
+        # range read: only snapshot 2's changelog
+        mid = {(r["k"], r["__row_kind"]) for r in t.changelog_df(1, 2).collect()}
+        assert mid == {(3, "I"), (1, "UB"), (1, "UA")}
+        # merged read unaffected
+        assert {r["k"]: r["v"] for r in t.to_df().collect()} == {1: "a2", 3: "c"}
+
+    def test_retraction_consumer_can_rebuild_state(self, spark, catalog):
+        """Applying the changelog (I/UA add, UB/D subtract) reproduces the
+        merged state — the invariant that makes retraction streams useful
+        for downstream aggregations."""
+        t = self._mk(catalog, "clg2")
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "x"), (2, "y")], ddl))
+        t.upsert(spark.createDataFrame([(2, "y2")], ddl))
+        t.delete(spark.createDataFrame([(1, "x")], ddl))
+        clg = t.changelog_df()
+        applied = (
+            clg.withColumn(
+                "w",
+                F.when(F.col("__row_kind").isin("I", "UA"), 1).otherwise(-1))
+            .groupBy("k", "v").agg(F.sum("w").alias("n"))
+            .filter("n > 0")
+        )
+        got = {(r["k"], r["v"]) for r in applied.collect()}
+        want = {(r["k"], r["v"]) for r in t.to_df().collect()}
+        assert got == want == {(2, "y2")}
+
+    def test_works_with_deletion_vectors(self, spark, catalog):
+        t = self._mk(catalog, "clg3", **{"deletion-vectors.enabled": "true"})
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "a")], ddl))
+        t.upsert(spark.createDataFrame([(1, "a2")], ddl))
+        t.delete(spark.createDataFrame([(1, "a2")], ddl))
+        kinds = [
+            (r["__row_kind"], r["__seq"])
+            for r in t.changelog_df().orderBy("__seq", "__row_kind").collect()
+        ]
+        assert kinds == [("I", 1), ("UA", 2), ("UB", 2), ("D", 3)]
+        assert t.to_df().count() == 0
+
+    def test_requires_deduplicate_engine(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "clg4", "k int, total int", primary_keys=["k"],
+            options={"changelog-producer": "lookup",
+                     "merge-engine": "aggregation",
+                     "fields.total.aggregate-function": "sum"},
+        )
+        with pytest.raises(ValueError, match="deduplicate"):
+            t.upsert(spark.createDataFrame([(1, 5)], "k int, total int"))
+
+    def test_changelog_df_requires_lookup_producer(self, spark, catalog):
+        t = catalog.create_table("default", "clg5", "k int", primary_keys=["k"])
+        t.upsert(spark.createDataFrame([(1,)], "k int"))
+        with pytest.raises(ValueError, match="lookup"):
+            t.changelog_df()
+
+    def test_expiry_reclaims_changelog(self, spark, catalog):
+        import os as _os
+
+        t = self._mk(catalog, "clg6")
+        ddl = "k int, v string"
+        for i in range(4):
+            t.upsert(spark.createDataFrame([(i, f"v{i}")], ddl))
+        clg_root = _os.path.join(t.meta_path, "changelog")
+        assert len(_os.listdir(clg_root)) == 4
+        t.expire_snapshots(keep_last=2)
+        assert len(_os.listdir(clg_root)) == 2
+        # surviving range still reads (distinct keys → one I row per commit)
+        assert t.changelog_df(2).count() == 2
