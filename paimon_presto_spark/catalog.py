@@ -31,7 +31,7 @@ from paimon_presto_spark.table import Table, TableSchema, schema_from_spark
 
 SYSTEM_TABLE_SUFFIXES = (
     "snapshots", "files", "partitions", "schemas", "tags", "options",
-    "manifests", "audit_log", "consumers", "branches", "statistics",
+    "manifests", "audit_log", "consumers", "branches", "statistics", "ro",
 )
 
 
@@ -191,6 +191,8 @@ class Catalog:
             return table.consumers_df()
         if suffix == "statistics":
             return table.statistics_df()
+        if suffix == "ro":
+            return table.ro_df()
         if suffix == "branches":
             return table.branches_df()
         if suffix.startswith("branch_"):  # Paimon `t$branch_<name>` reads

@@ -1026,6 +1026,37 @@ class Table:
         ]
         return out.select(*cols, F.col(KIND_COL), F.col(SEQ_COL))
 
+    def ro_df(self) -> DataFrame:
+        """Read-optimized read (Paimon's ``$ro`` system table): serve the
+        state as of the most recent full-rewrite snapshot (COMPACT /
+        OVERWRITE / TRUNCATE), whose files are already collapsed — so the
+        read is a plain append-style scan with ZERO merge cost, trading
+        freshness (commits since that snapshot are invisible) for
+        throughput. The interactive-dashboard pattern at 100 TB: frequent
+        compaction keeps staleness bounded while every read skips the
+        key-window entirely.
+        """
+        if not self.is_primary_keyed:
+            return self.to_df()
+        pin = None
+        for sid in reversed(self.snapshot_ids()):
+            if self.snapshot(sid).commit_kind in (
+                "COMPACT", "OVERWRITE", "TRUNCATE",
+            ):
+                pin = sid
+                break
+        schema = self.schema()
+        if pin is None:  # never compacted: nothing is read-optimized yet
+            fields = [
+                T.StructField(f["name"], _parse_type(f["type"]), True)
+                for f in schema.fields
+            ]
+            return self.spark.createDataFrame([], T.StructType(fields))
+        df = self.scan(snapshot_id=pin).to_df(merge=False)
+        if KIND_COL in df.columns:
+            df = df.filter(F.col(KIND_COL) != "D").drop(*SYS_COLS)
+        return df
+
     # -- statistics: ANALYZE TABLE + $statistics (Paimon's statistics file
     #    and system table; the reference imports the engine's statistics
     #    SPI but leaves it unwired, PrestoMetadata.java:50) -----------------
@@ -1895,6 +1926,7 @@ class Table:
         with open(tmp, "w") as fh:
             fh.write(str(snapshot_id))
         os.replace(tmp, os.path.join(self.meta_path, "snapshot", "LATEST"))
+        self._maybe_auto_tag(schema, snapshot_id)
         return snap
 
     # -- read path ---------------------------------------------------------
@@ -1925,7 +1957,9 @@ class Table:
     def _tag_path(self, name: str) -> str:
         return os.path.join(self.meta_path, "tag", f"tag-{name}.json")
 
-    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_tag(
+        self, name: str, snapshot_id: int | None = None, _auto: bool = False
+    ) -> None:
         """Pin `name` to a snapshot (default: latest). The tag file stores the
         FULL snapshot payload, so the tag keeps working after the snapshot
         itself is expired — Paimon's tags have the same property."""
@@ -1941,10 +1975,40 @@ class Table:
         payload = snap.to_json()
         payload["tag_name"] = name
         payload["tag_create_ms"] = int(time.time() * 1000)
+        if _auto:
+            payload["tag_auto"] = True
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh, indent=2)
         os.rename(tmp, path)
+
+    _TAG_PERIOD_FORMATS = {"daily": "%Y-%m-%d", "hourly": "%Y-%m-%d %H"}
+
+    def _maybe_auto_tag(self, schema: TableSchema, snapshot_id: int) -> None:
+        """Paimon ``tag.automatic-creation=process-time``: after a commit,
+        ensure the current period (``tag.creation-period`` daily|hourly,
+        UTC) has a tag — the first commit of each period pins it, giving a
+        reproducible corpus revision per day/hour with zero operator
+        involvement. ``tag.num-retained-max`` prunes the OLDEST
+        auto-created tags only; manual tags are never touched."""
+        if schema.options.get("tag.automatic-creation") != "process-time":
+            return
+        period = schema.options.get("tag.creation-period", "daily")
+        fmt = self._TAG_PERIOD_FORMATS.get(period)
+        if fmt is None:
+            raise ValueError(f"unsupported tag.creation-period {period!r}")
+        name = time.strftime(fmt, time.gmtime())
+        if not os.path.exists(self._tag_path(name)):
+            self.create_tag(name, snapshot_id, _auto=True)
+        retain = schema.options.get("tag.num-retained-max")
+        if retain is not None:
+            auto = []
+            for tag in self.list_tags():
+                with open(self._tag_path(tag)) as fh:
+                    if json.load(fh).get("tag_auto"):
+                        auto.append(tag)
+            for tag in sorted(auto)[: max(0, len(auto) - int(retain))]:
+                self.delete_tag(tag)
 
     def delete_tag(self, name: str) -> None:
         try:

@@ -1521,3 +1521,56 @@ class TestLookupChangelogProducer:
         assert len(_os.listdir(clg_root)) == 2
         # surviving range still reads (distinct keys → one I row per commit)
         assert t.changelog_df(2).count() == 2
+
+
+class TestAutoTagsAndRo:
+    def test_auto_tag_creation_and_retention(self, spark, catalog):
+        import time as _time
+
+        t = catalog.create_table(
+            "default", "att", "k int, v string", primary_keys=["k"],
+            options={"tag.automatic-creation": "process-time",
+                     "tag.creation-period": "daily"},
+        )
+        ddl = "k int, v string"
+        today = _time.strftime("%Y-%m-%d", _time.gmtime())
+        t.upsert(spark.createDataFrame([(1, "a")], ddl))
+        assert t.list_tags() == [today]
+        # same period: second commit does not move or duplicate the tag
+        t.upsert(spark.createDataFrame([(2, "b")], ddl))
+        assert t.list_tags() == [today]
+        assert t.tag_snapshot(today).snapshot_id == 1
+        # the tag serves reproducible time travel to the period's pin
+        assert {r["k"] for r in t.to_df(tag=today).collect()} == {1}
+
+    def test_auto_tag_retention_spares_manual_tags(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "att2", "k int", primary_keys=["k"],
+            options={"tag.automatic-creation": "process-time",
+                     "tag.num-retained-max": "0"},
+        )
+        t.upsert(spark.createDataFrame([(1,)], "k int"))
+        t.create_tag("manual", 1)
+        # next commit prunes auto tags past the max (0 here) but not manual
+        t.upsert(spark.createDataFrame([(2,)], "k int"))
+        assert t.list_tags() == ["manual"]
+
+    def test_ro_reads_last_compacted_state(self, spark, catalog):
+        t = catalog.create_table("default", "ro1", "k int, v string",
+                                 primary_keys=["k"])
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+        # nothing compacted yet: the read-optimized view is empty
+        assert catalog.read_table("default", "ro1$ro").count() == 0
+        t.compact()
+        ro = {r["k"]: r["v"] for r in catalog.read_table("default", "ro1$ro").collect()}
+        assert ro == {1: "a", 2: "b"}
+        # fresher commits are invisible to $ro until the next compaction
+        t.upsert(spark.createDataFrame([(1, "a2"), (3, "c")], ddl))
+        ro = {r["k"]: r["v"] for r in catalog.read_table("default", "ro1$ro").collect()}
+        assert ro == {1: "a", 2: "b"}
+        assert {r["k"]: r["v"] for r in t.to_df().collect()} == {
+            1: "a2", 2: "b", 3: "c"}
+        t.compact()
+        ro = {r["k"]: r["v"] for r in catalog.read_table("default", "ro1$ro").collect()}
+        assert ro == {1: "a2", 2: "b", 3: "c"}
