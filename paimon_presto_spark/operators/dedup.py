@@ -111,18 +111,37 @@ def minhash_signature(sh: DataFrame, k: int) -> DataFrame:
 
 
 def band_candidates(mh: DataFrame, bands: int, rows: int) -> DataFrame:
-    """LSH banding: pairs sharing any band's signature chunk (doc_a < doc_b)."""
+    """LSH banding: pairs sharing any band's signature chunk (doc_a < doc_b).
+
+    One shuffle, not a self-join: bucket members are collected per
+    (band, key) and pairs expand in-bucket with higher-order functions —
+    a self-join would shuffle the band table twice and hash-join it
+    against itself for the same pair set. The quadratic expansion is
+    bounded by LSH bucket size (small by construction — an adversarially
+    hot bucket means the band key carries no information and should be
+    capped upstream), and it happens inside codegen, not Python.
+    """
     band_cols = [
         F.concat_ws(",", *[F.col(f"mh{j * rows + r}") for r in range(rows)])
         for j in range(bands)
     ]
     bdf = mh.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bkey"))
-    left = bdf.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
-    right = bdf.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    buckets = (
+        bdf.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        left.join(right, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ds)-2),"
+                    " i -> transform(slice(ds, i+2, size(ds)-i-1),"
+                    " d -> struct(ds[i] AS doc_a, d AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -8,12 +8,14 @@ sequence), so ``readStream`` over the data directory yields exactly the
 stream a Paimon changelog scan would.
 """
 
+from paimon_presto_spark.streaming.lookup import lookup_join
 from paimon_presto_spark.streaming.sink import table_sink
 from paimon_presto_spark.streaming.source import changelog_stream, track_consumer
 from paimon_presto_spark.streaming.windows import sessionized, tumbling_counts
 
 __all__ = [
     "changelog_stream",
+    "lookup_join",
     "sessionized",
     "table_sink",
     "track_consumer",

@@ -366,3 +366,43 @@ def test_retraction_stream(spark, catalog, tmp_path):
     t2 = catalog.create_table("default", "retr2", "k int", primary_keys=["k"])
     with pytest.raises(ValueError, match="lookup"):
         changelog_stream(spark, t2, retraction=True)
+
+
+def test_lookup_join_refreshes_dimension(spark, catalog, tmp_path):
+    """lookup_join enriches each micro-batch against the dimension's
+    CURRENT snapshot: a dim update between batches is visible to the next
+    batch (stream-static joins would serve the stale plan forever)."""
+    from paimon_presto_spark.streaming import lookup_join
+
+    dim = catalog.create_table(
+        "default", "dim", "cust int, tier string", primary_keys=["cust"])
+    dim.upsert(spark.createDataFrame([(1, "gold"), (2, "iron")],
+                                     "cust int, tier string"))
+
+    fact = catalog.create_table("default", "fact", "cust int, amt int",
+                                primary_keys=["cust"])
+    got = []
+
+    def collect_sink(df, bid):
+        got.extend((r["cust"], r["amt"], r["tier"]) for r in df.collect())
+
+    def run_once(ckpt):
+        q = (
+            changelog_stream(spark, fact)
+            .writeStream.foreachBatch(lookup_join(dim, "cust", collect_sink))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    fact.upsert(spark.createDataFrame([(1, 10), (2, 20)], "cust int, amt int"))
+    run_once("l1")
+    assert sorted(got) == [(1, 10, "gold"), (2, 20, "iron")]
+
+    # dim changes between batches; the same checkpoint's next batch sees it
+    dim.upsert(spark.createDataFrame([(2, "silver")], "cust int, tier string"))
+    got.clear()
+    fact.upsert(spark.createDataFrame([(2, 25), (3, 30)], "cust int, amt int"))
+    run_once("l1")
+    assert sorted(got) == [(2, 25, "silver"), (3, 30, None)]
