@@ -48,6 +48,7 @@ from typing import Any, Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -721,9 +722,247 @@ class PaimonWriter(DataSourceWriter):
         _rmtree(self.staging)
 
 
+class PaimonStreamPartition(InputPartition):
+    def __init__(
+        self,
+        mode: str,  # "files" | "clg" | "dvdiff"
+        meta: str,
+        schema: dict,
+        seq: int,
+        files: list[tuple[str, int]] | None = None,  # (abs path, schema_id)
+        positions: dict[str, tuple[int, list[int]]] | None = None,
+        clg_dir: str | None = None,
+    ):
+        self.mode = mode
+        self.meta = meta
+        self.schema = schema
+        self.seq = seq
+        self.files = files or []
+        self.positions = positions or {}
+        self.clg_dir = clg_dir
+
+
+class PaimonStreamReader(DataSourceStreamReader):
+    """Snapshot-range streaming source (``spark.readStream.format("paimon")``).
+
+    Offsets are snapshot ids — the natural exactly-once unit of this
+    format: ``latestOffset`` is a driver-side metadata read, each
+    micro-batch covers the commits in ``(start, end]``, and COMPACT
+    commits are skipped (rewrites are not new data — same contract as
+    ``Table.incremental_df``). Tables with ``changelog-producer=lookup``
+    stream their materialized retraction changelog (I/UB/UA/D);
+    deletion-vector commits re-emit newly-deleted positions as D rows,
+    so consumers always see a lossless change stream.
+
+    ``option("consumer-id", name)`` records progress in the table's
+    consumer file at each epoch commit — retention then never expires
+    unread snapshots (the same guarantee the DataFrame-path consumer
+    mechanism gives; here it rides Spark's own offset commits).
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.meta = _meta_path(self.path, options.get("branch"))
+        self.schema_json = _load_schema(self.meta)
+        self.consumer = options.get("consumer-id") or options.get("consumer_id")
+        self.starting = options.get("startingoffsets", options.get(
+            "startingOffsets", "earliest"))
+
+    def _ids(self) -> list[int]:
+        sdir = os.path.join(self.meta, "snapshot")
+        if not os.path.isdir(sdir):
+            return []
+        return sorted(
+            int(f[len("snapshot-"):-len(".json")])
+            for f in os.listdir(sdir)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        )
+
+    def _snap(self, sid: int) -> dict:
+        with open(os.path.join(self.meta, "snapshot", f"snapshot-{sid}.json")) as fh:
+            return json.load(fh)
+
+    def initialOffset(self) -> dict:
+        if self.consumer:
+            cpath = os.path.join(
+                self.meta, "consumer", f"consumer-{self.consumer}.json"
+            )
+            if os.path.exists(cpath):
+                with open(cpath) as fh:
+                    return {"snapshot": json.load(fh)["next_snapshot"] - 1}
+        if str(self.starting).lower() == "latest":
+            ids = self._ids()
+            return {"snapshot": ids[-1] if ids else 0}
+        return {"snapshot": 0}
+
+    def latestOffset(self) -> dict:
+        ids = self._ids()
+        return {"snapshot": ids[-1] if ids else 0}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[PaimonStreamPartition]:
+        lo, hi = start["snapshot"], end["snapshot"]
+        producer = self.schema_json.get("options", {}).get("changelog-producer")
+        ids = [i for i in self._ids() if lo < i <= hi]
+        parts: list[PaimonStreamPartition] = []
+        prev_paths: set[str] | None = None
+        prev_dv: str | None = None
+        if lo in self._ids():
+            base = self._snap(lo)
+            prev_dv = base.get("dv_index")
+        for sid in ids:
+            snap = self._snap(sid)
+            schema = _load_schema(self.meta, snap["schema_id"])
+            entries = _manifest_entries(self.meta, snap)
+            if producer == "lookup":
+                if snap.get("changelog"):
+                    parts.append(PaimonStreamPartition(
+                        "clg", self.meta, schema, sid,
+                        clg_dir=os.path.join(
+                            self.meta, "changelog", snap["changelog"]),
+                    ))
+                prev_paths = {e["path"] for e in entries}
+                prev_dv = snap.get("dv_index")
+                continue
+            if snap["commit_kind"] != "COMPACT":
+                if prev_paths is None:
+                    prev_paths = (
+                        {e["path"] for e in
+                         _manifest_entries(self.meta, self._snap(sid - 1))}
+                        if sid - 1 in self._ids()
+                        else set()
+                    )
+                new = [e for e in entries if e["path"] not in prev_paths]
+                for e in new:
+                    parts.append(PaimonStreamPartition(
+                        "files", self.meta, schema, sid,
+                        files=[(os.path.join(self.path, e["path"]),
+                                e["schema_id"])],
+                    ))
+                # deletion-vector diff: positions newly marked dead in this
+                # commit come back as D rows (lossless, like incremental_df)
+                dv = snap.get("dv_index")
+                if dv and dv != prev_dv:
+                    diff = _dv_positions(self.path, dv)
+                    if prev_dv:
+                        old = _dv_positions(self.path, prev_dv)
+                        diff = {
+                            f: sorted(set(ps) - set(old.get(f, [])))
+                            for f, ps in diff.items()
+                        }
+                    by_schema: dict[str, tuple[int, list[int]]] = {}
+                    path_sid = {e["path"]: e["schema_id"] for e in entries}
+                    for f, ps in diff.items():
+                        if ps and f in path_sid:
+                            by_schema[os.path.join(self.path, f)] = (
+                                path_sid[f], ps)
+                    if by_schema:
+                        parts.append(PaimonStreamPartition(
+                            "dvdiff", self.meta, schema, sid,
+                            positions=by_schema,
+                        ))
+            prev_paths = {e["path"] for e in entries}
+            prev_dv = snap.get("dv_index")
+        return parts
+
+    def read(self, partition: PaimonStreamPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = partition.schema
+        names = [f["name"] for f in schema["fields"]]
+        out_names = names + [_SEQ, _KIND]
+
+        def finalize(tbl, seq_default: int, kind_default: str):
+            n = tbl.num_rows
+            cols = []
+            for c in out_names:
+                if c in tbl.column_names:
+                    cols.append(tbl.column(c))
+                elif c == _SEQ:
+                    cols.append(pa.array([seq_default] * n, type=pa.int64()))
+                elif c == _KIND:
+                    cols.append(pa.array([kind_default] * n, type=pa.string()))
+                else:
+                    at = _arrow_type(
+                        next(f["type"] for f in schema["fields"] if f["name"] == c)
+                    )
+                    cols.append(pa.nulls(n, type=at or pa.string()))
+            tbl = pa.table(dict(zip(out_names, cols)))
+            return iter(_cast_to_schema(tbl, schema).to_batches(max_chunksize=4096))
+
+        if partition.mode == "clg":
+            files = [
+                os.path.join(partition.clg_dir, f)
+                for f in os.listdir(partition.clg_dir)
+                if f.startswith("part-") and f.endswith(".parquet")
+            ]
+            if not files:
+                return iter(())
+            tbl = pa.concat_tables(
+                [pq.read_table(f) for f in files], promote_options="permissive"
+            )
+            return finalize(tbl, partition.seq, "I")
+        if partition.mode == "dvdiff":
+            tables = []
+            for f, (sid, positions) in partition.positions.items():
+                t = _project_arrow(
+                    pq.read_table(f).take(positions),
+                    _load_schema(partition.meta, sid),
+                    schema,
+                )
+                tables.append(t.select([c for c in t.column_names if c in names]))
+            tbl = pa.concat_tables(tables, promote_options="permissive")
+            return finalize(tbl, partition.seq, "D")
+        tables = [
+            _project_arrow(pq.read_table(f), _load_schema(partition.meta, sid), schema)
+            for f, sid in partition.files
+        ]
+        if not tables:
+            return iter(())
+        tbl = pa.concat_tables(tables, promote_options="permissive")
+        if "__pos" in tbl.column_names:
+            tbl = tbl.drop_columns(["__pos"])
+        return finalize(tbl, partition.seq, "I")
+
+    def commit(self, end: dict) -> None:
+        if not self.consumer:
+            return
+        cdir = os.path.join(self.meta, "consumer")
+        os.makedirs(cdir, exist_ok=True)
+        import time as _time
+
+        tmp = os.path.join(cdir, f".consumer-{self.consumer}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"next_snapshot": int(end["snapshot"]) + 1,
+                 "update_ms": int(_time.time() * 1000)},
+                fh,
+            )
+        os.replace(tmp, os.path.join(cdir, f"consumer-{self.consumer}.json"))
+
+
+_SEQ = "__seq"
+_KIND = "__row_kind"
+
+
+def _dv_positions(path: str, dv_name: str) -> dict[str, list[int]]:
+    """Read a deletion-vector index dataset: rel path -> positions."""
+    import pyarrow.parquet as pq
+
+    dvt = pq.read_table(os.path.join(path, "index", dv_name))
+    out: dict[str, list[int]] = {}
+    for p, pos in zip(
+        dvt.column("path").to_pylist(), dvt.column("pos").to_pylist()
+    ):
+        out.setdefault(p, []).append(pos)
+    return out
+
+
 class PaimonDataSource(DataSource):
     """``spark.dataSource.register(PaimonDataSource)`` then
-    ``spark.read.format("paimon").option("path", table_dir).load()``."""
+    ``spark.read.format("paimon").option("path", table_dir).load()``;
+    ``spark.readStream.format("paimon").option("changelog", "true")``
+    streams the table's change rows with snapshot-id offsets."""
 
     @classmethod
     def name(cls) -> str:
@@ -733,10 +972,26 @@ class PaimonDataSource(DataSource):
         schema = _load_schema(
             _meta_path(self.options["path"], self.options.get("branch"))
         )
-        return ", ".join(f"`{f['name']}` {f['type']}" for f in schema["fields"])
+        cols = ", ".join(f"`{f['name']}` {f['type']}" for f in schema["fields"])
+        if self.options.get("changelog") == "true":
+            cols += f", `{_SEQ}` bigint, `{_KIND}` string"
+        return cols
 
     def reader(self, schema) -> PaimonReader:
+        if self.options.get("changelog") == "true":
+            raise ValueError(
+                "changelog=true is a streaming option; use spark.readStream "
+                "(batch change reads: Table.incremental_df / changelog_df)"
+            )
         return PaimonReader(self.options)
+
+    def streamReader(self, schema) -> PaimonStreamReader:
+        if self.options.get("changelog") != "true":
+            raise ValueError(
+                "streaming reads require option(\"changelog\", \"true\") — "
+                "the stream carries __seq/__row_kind change semantics"
+            )
+        return PaimonStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> PaimonWriter:
         return PaimonWriter(self.options, overwrite)

@@ -228,3 +228,114 @@ def test_startswith_pushdown_skips_files(registered, spark, catalog):
     assert df.count() == 10
     # all three files committed; the scan plans only the beta one
     assert len(t.manifest_entries()) == 3
+
+
+class TestStreamReader:
+    """spark.readStream.format("paimon") — snapshot-id offsets, exactly-once
+    per commit, COMPACT invisible, DV deletes re-emitted, lookup-producer
+    tables streaming their retraction changelog."""
+
+    def _register(self, spark):
+        from paimon_presto_spark.sources.datasource import PaimonDataSource
+        spark.dataSource.register(PaimonDataSource)
+
+    def _run(self, spark, t, tmp_path, name, **opts):
+        reader = (
+            spark.readStream.format("paimon")
+            .option("path", t.path).option("changelog", "true")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load().writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck-{name}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    def test_stream_across_commits_and_compaction(self, spark, catalog, tmp_path):
+        self._register(spark)
+        t = catalog.create_table("default", "ds_s1", "k int, v string",
+                                 primary_keys=["k"])
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+        t.delete(spark.createDataFrame([(1, "a")], ddl))
+        t.compact()  # must emit nothing
+        self._run(spark, t, tmp_path, "ds_s1_out")
+        rows = [(r["k"], r["__row_kind"], r["__seq"]) for r in
+                spark.sql("SELECT * FROM ds_s1_out ORDER BY __seq, k").collect()]
+        assert rows == [(1, "I", 1), (2, "I", 1), (1, "D", 2)]
+
+        # restart with same checkpoint: only NEW commits arrive
+        t.upsert(spark.createDataFrame([(3, "c")], ddl))
+        self._run(spark, t, tmp_path, "ds_s1_out2")  # fresh sink, fresh ckpt
+        assert spark.table("ds_s1_out2").count() == 4  # full history again
+
+    def test_consumer_option_records_progress(self, spark, catalog, tmp_path):
+        """Source commit() acknowledges a batch on the NEXT run's recovery
+        (Spark's source-commit protocol), advancing the consumer file; a
+        fresh checkpoint with the same consumer-id resumes from it."""
+        self._register(spark)
+        t = catalog.create_table("default", "ds_s2", "k int", primary_keys=["k"])
+        t.upsert(spark.createDataFrame([(1,)], "k int"))
+        out = str(tmp_path / "ds_s2_files")
+        ck = str(tmp_path / "ds_s2_ck")
+
+        def run_files():
+            q = (
+                spark.readStream.format("paimon").option("path", t.path)
+                .option("changelog", "true").option("consumer-id", "stream")
+                .load().writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        run_files()
+        assert "stream" not in t.list_consumers()  # batch 0 not yet acked
+        t.upsert(spark.createDataFrame([(2,)], "k int"))
+        run_files()  # recovery acks batch 0 → consumer past snapshot 1
+        assert t.list_consumers()["stream"] == 2
+        # exactly-once across restarts: each snapshot's row delivered once
+        assert spark.read.parquet(out).count() == 2
+
+        # a FRESH checkpoint with the same consumer id resumes from the
+        # recorded position instead of replaying history
+        self._run(spark, t, tmp_path, "ds_s2_out2", **{"consumer-id": "stream"})
+        got = {r["k"] for r in spark.table("ds_s2_out2").collect()}
+        assert got == {2}
+
+    def test_dv_deletes_stream_as_d_rows(self, spark, catalog, tmp_path):
+        self._register(spark)
+        t = catalog.create_table(
+            "default", "ds_s3", "k int, v string", primary_keys=["k"],
+            options={"deletion-vectors.enabled": "true"})
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+        t.delete(spark.createDataFrame([(2, "b")], ddl))   # DV-only commit
+        self._run(spark, t, tmp_path, "ds_s3_out")
+        rows = [(r["k"], r["v"], r["__row_kind"], r["__seq"]) for r in
+                spark.sql("SELECT * FROM ds_s3_out ORDER BY __seq, k").collect()]
+        assert rows == [(1, "a", "I", 1), (2, "b", "I", 1), (2, "b", "D", 2)]
+
+    def test_lookup_producer_streams_retractions(self, spark, catalog, tmp_path):
+        self._register(spark)
+        t = catalog.create_table(
+            "default", "ds_s4", "k int, v string", primary_keys=["k"],
+            options={"changelog-producer": "lookup"})
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "a")], ddl))
+        t.upsert(spark.createDataFrame([(1, "a2")], ddl))
+        self._run(spark, t, tmp_path, "ds_s4_out")
+        rows = [(r["k"], r["v"], r["__row_kind"]) for r in spark.sql(
+            "SELECT * FROM ds_s4_out ORDER BY __seq, __row_kind").collect()]
+        assert rows == [(1, "a", "I"), (1, "a2", "UA"), (1, "a", "UB")]
+
+    def test_batch_read_rejects_changelog_option(self, spark, catalog):
+        self._register(spark)
+        t = catalog.create_table("default", "ds_s5", "k int", primary_keys=["k"])
+        t.upsert(spark.createDataFrame([(1,)], "k int"))
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="streaming"):
+            (spark.read.format("paimon").option("path", t.path)
+             .option("changelog", "true").load().collect())
