@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -557,14 +558,16 @@ class PaimonWriter(DataSourceWriter):
         names = [f["name"] for f in self.schema["fields"]]
         types = {f["name"]: f["type"] for f in self.schema["fields"]}
         part_keys = self.schema.get("partition_keys", [])
-        cols = {n: [getattr(r, n) for r in rows] for n in names}
+        # index by name, not getattr: Row.__getattr__ rejects the __seq/
+        # __row_kind system columns a paimon→paimon changelog pipe carries
+        cols = {n: [r[n] for r in rows] for n in names}
         if self.pks:
             from paimon_presto_spark.functions.xxhash import spark_bucket
 
             nb = int(self.schema.get("options", {}).get("bucket", "4"))
             pk_t = [(k, types[k]) for k in self.pks]
             buckets = [
-                spark_bucket(nb, [(getattr(r, k), t) for k, t in pk_t])
+                spark_bucket(nb, [(r[k], t) for k, t in pk_t])
                 for r in rows
             ]
             # __pos only disambiguates same-key rows inside this commit;
@@ -614,6 +617,10 @@ class PaimonWriter(DataSourceWriter):
             entries.append(
                 {
                     "path": name,  # staged; commit() relocates
+                    # absolute staged location: the streaming runner's
+                    # driver-side writer instance is NOT the task's, so
+                    # the message must carry where the file actually is
+                    "staged": dst,
                     "partition": {k: str(v) for k, v in partition.items()},
                     "bucket": bucket,
                     "row_count": sub_tbl.num_rows,
@@ -654,8 +661,10 @@ class PaimonWriter(DataSourceWriter):
         data_dir = os.path.join(self.path, "data")
         os.makedirs(data_dir, exist_ok=True)
         final_entries = []
+        staging_dirs = {self.staging}
         for e in entries:
-            src = os.path.join(self.staging, e["path"])
+            src = e.get("staged") or os.path.join(self.staging, e["path"])
+            staging_dirs.add(os.path.dirname(src))
             parts = [
                 f"__part_{k}={v}" for k, v in sorted(e["partition"].items())
             ]
@@ -668,13 +677,14 @@ class PaimonWriter(DataSourceWriter):
             os.rename(src, dst)
             final_entries.append(
                 {
-                    **e,
+                    **{k: v for k, v in e.items() if k != "staged"},
                     "path": os.path.relpath(dst, self.path),
                     "min_seq": self.next_snapshot if self.pks else 0,
                     "max_seq": self.next_snapshot if self.pks else 0,
                 }
             )
-        _rmtree(self.staging)
+        for d in staging_dirs:
+            _rmtree(d)
         # snapshot swap at the pre-allocated id (CommitConflict on a race)
         prev = _latest_snapshot(self.meta)
         if self.overwrite:
@@ -720,6 +730,78 @@ class PaimonWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         _rmtree(self.staging)
+
+
+class PaimonStreamWriter(PaimonWriter, DataSourceStreamWriter):
+    """Streaming sink: ``df.writeStream.format("paimon")`` — every
+    micro-batch is one atomic snapshot commit, exactly-once via batch-id
+    idempotence (a replayed batch's staged files are discarded, not
+    re-committed), the same contract as ``streaming.table_sink`` but
+    running on Spark's native sink protocol instead of foreachBatch.
+
+    The batch writer's optimistic snapshot allocation moves from writer
+    construction to per-batch: tasks stamp ``__seq`` from the latest
+    snapshot they observe, and the driver's commit claims that id with
+    the same O_EXCL swap — a racing external commit fails the batch and
+    Spark replays it with fresh stamps.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        super().__init__(options, overwrite=False)
+        self.query_name = options.get("query-name", "default")
+
+    def _batches_path(self) -> str:
+        return os.path.join(
+            self.meta, "streaming", f"ds-batches-{self.query_name}.json"
+        )
+
+    def _committed(self) -> set[int]:
+        try:
+            with open(self._batches_path()) as fh:
+                return set(json.load(fh))
+        except FileNotFoundError:
+            return set()
+
+    def write(self, iterator):
+        # re-resolve the target snapshot per micro-batch (the batch writer
+        # pins it once at construction; a stream commits many times)
+        prev = _latest_snapshot(self.meta)
+        self.next_snapshot = (prev["snapshot_id"] + 1) if prev else 1
+        return super().write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        done = self._committed()
+        if batchId in done:
+            # replay of a durable batch: drop its staged files, commit nothing
+            for m in messages:
+                for e in (m.entries if m else []):
+                    try:
+                        os.remove(
+                            e.get("staged")
+                            or os.path.join(self.staging, e["path"])
+                        )
+                    except FileNotFoundError:
+                        pass
+            return
+        prev = _latest_snapshot(self.meta)
+        self.next_snapshot = (prev["snapshot_id"] + 1) if prev else 1
+        PaimonWriter.commit(self, messages)
+        os.makedirs(os.path.dirname(self._batches_path()), exist_ok=True)
+        done.add(int(batchId))
+        tmp = self._batches_path() + f".{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(done), fh)
+        os.replace(tmp, self._batches_path())
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            for e in (m.entries if m else []):
+                try:
+                    os.remove(
+                        e.get("staged") or os.path.join(self.staging, e["path"])
+                    )
+                except FileNotFoundError:
+                    pass
 
 
 class PaimonStreamPartition(InputPartition):
@@ -995,6 +1077,14 @@ class PaimonDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> PaimonWriter:
         return PaimonWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> PaimonStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "streaming into a paimon table is append/upsert per "
+                "micro-batch; complete-mode overwrite is not supported"
+            )
+        return PaimonStreamWriter(self.options, overwrite)
 
 
 def _plain(v):

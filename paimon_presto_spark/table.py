@@ -1677,6 +1677,14 @@ class Table:
                     continue
                 _rmtree_quiet(full)
                 removed.append(os.path.relpath(full, self.path))
+        # DataSource writers stage under .staging-ds-* at the table root
+        for name in os.listdir(self.path):
+            if name.startswith(".staging-ds-"):
+                full = os.path.join(self.path, name)
+                if os.path.getmtime(full) * 1000 >= older_than_ms:
+                    continue
+                _rmtree_quiet(full)
+                removed.append(name)
         return sorted(removed)
 
     def _commit_meta(
