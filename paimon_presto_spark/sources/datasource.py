@@ -113,8 +113,24 @@ def _latest_snapshot(path: str) -> dict | None:
 
 
 def _manifest_entries(path: str, snap: dict) -> list[dict]:
+    """Fold a snapshot's manifest (full / list-of-base+deltas — the same
+    three formats ``Table.manifest_entries`` reads)."""
     with open(os.path.join(path, "manifest", snap["manifest"])) as fh:
-        return json.load(fh)["entries"]
+        d = json.load(fh)
+    if "entries" in d:
+        return d["entries"]
+    out: dict[str, dict] = {}
+    for name in d["manifests"]:
+        with open(os.path.join(path, "manifest", name)) as fh:
+            m = json.load(fh)
+        if "entries" in m:
+            out = {e["path"]: e for e in m["entries"]}
+        else:
+            for p in m.get("removes", []):
+                out.pop(p, None)
+            for e in m.get("adds", []):
+                out[e["path"]] = e
+    return list(out.values())
 
 
 def _arrow_type(ddl: str):
@@ -687,21 +703,40 @@ class PaimonWriter(DataSourceWriter):
             _rmtree(d)
         # snapshot swap at the pre-allocated id (CommitConflict on a race)
         prev = _latest_snapshot(self.meta)
+        sid = self.next_snapshot
+        os.makedirs(os.path.join(self.meta, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(self.meta, "snapshot"), exist_ok=True)
+        stamp = f"{sid}-{uuid.uuid4().hex}"
+        new_entries = final_entries
         if self.overwrite:
             kind = "OVERWRITE"
         else:
             kind = ("DELETE" if self.row_kind == "D" else "UPSERT") if self.pks else "APPEND"
             if prev is not None:
-                with open(
-                    os.path.join(self.meta, "manifest", prev["manifest"])
-                ) as fh:
-                    final_entries = json.load(fh)["entries"] + final_entries
-        sid = self.next_snapshot
-        os.makedirs(os.path.join(self.meta, "manifest"), exist_ok=True)
-        os.makedirs(os.path.join(self.meta, "snapshot"), exist_ok=True)
-        mname = f"manifest-{sid}-{uuid.uuid4().hex}.json"
-        with open(os.path.join(self.meta, "manifest", mname), "w") as fh:
-            json.dump({"entries": final_entries}, fh, default=str)
+                final_entries = _manifest_entries(self.meta, prev) + final_entries
+        # additive commits write a DELTA member + list (O(batch), not
+        # O(table) — Table._write_manifest's contract); overwrite/first
+        # commits write a full base
+        threshold = int(
+            self.schema.get("options", {}).get(
+                "manifest.full-compaction-threshold", "10")
+        )
+        members: list[str] = []
+        if prev is not None and not self.overwrite:
+            with open(os.path.join(self.meta, "manifest", prev["manifest"])) as fh:
+                pd = json.load(fh)
+            members = pd["manifests"] if "manifests" in pd else [prev["manifest"]]
+        if not members or len(members) + 1 >= threshold:
+            mname = f"manifest-{stamp}.json"
+            with open(os.path.join(self.meta, "manifest", mname), "w") as fh:
+                json.dump({"entries": final_entries}, fh, default=str)
+        else:
+            dname = f"manifest-delta-{stamp}.json"
+            with open(os.path.join(self.meta, "manifest", dname), "w") as fh:
+                json.dump({"adds": new_entries, "removes": []}, fh, default=str)
+            mname = f"manifest-{stamp}.json"
+            with open(os.path.join(self.meta, "manifest", mname), "w") as fh:
+                json.dump({"manifests": members + [dname]}, fh)
         snap = {
             "snapshot_id": sid,
             "schema_id": self.schema["schema_id"],

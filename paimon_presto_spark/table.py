@@ -251,11 +251,47 @@ class Table:
         return max(cand, key=lambda s: s.snapshot_id)
 
     def manifest_entries(self, snap: Snapshot | None = None) -> list[dict]:
+        """The snapshot's full file listing.
+
+        Three manifest formats (Paimon's base+delta design, so a commit
+        WRITES O(changed files), not O(table files) — see
+        ``_commit_manifest``):
+
+        - ``{"entries": [...]}`` — full listing (legacy, and the base
+          written by manifest full-compaction);
+        - ``{"manifests": [names]}`` — a manifest LIST whose members fold
+          left-to-right;
+        - ``{"adds": [...], "removes": [paths]}`` — a delta member.
+        """
         snap = snap or self.snapshot()
         if snap is None:
             return []
         with open(os.path.join(self.meta_path, "manifest", snap.manifest)) as fh:
-            return json.load(fh)["entries"]
+            d = json.load(fh)
+        if "entries" in d:
+            return d["entries"]
+        out: dict[str, dict] = {}
+        for name in d["manifests"]:
+            with open(os.path.join(self.meta_path, "manifest", name)) as fh:
+                m = json.load(fh)
+            if "entries" in m:
+                out = {e["path"]: e for e in m["entries"]}
+            else:
+                for p in m.get("removes", []):
+                    out.pop(p, None)
+                for e in m.get("adds", []):
+                    out[e["path"]] = e
+        return list(out.values())
+
+    def _manifest_members(self, snap: Snapshot) -> list[str]:
+        """Every manifest file the snapshot references: the pointer file
+        itself plus, for list manifests, all member files (shared with
+        neighboring snapshots — expiry must treat them as shared)."""
+        with open(os.path.join(self.meta_path, "manifest", snap.manifest)) as fh:
+            d = json.load(fh)
+        if "manifests" in d:
+            return [snap.manifest] + list(d["manifests"])
+        return [snap.manifest]
 
     @property
     def is_primary_keyed(self) -> bool:
@@ -1213,10 +1249,11 @@ class Table:
             json.dump(snap.to_json(), fh)
         with open(os.path.join(bdir, "snapshot", "LATEST"), "w") as fh:
             fh.write(str(snap.snapshot_id))
-        _copyfile(
-            os.path.join(self.meta_path, "manifest", snap.manifest),
-            os.path.join(bdir, "manifest", snap.manifest),
-        )
+        for m in self._manifest_members(snap):
+            _copyfile(
+                os.path.join(self.meta_path, "manifest", m),
+                os.path.join(bdir, "manifest", m),
+            )
         with open(os.path.join(bdir, "branch.json"), "w") as fh:
             json.dump(
                 {"fork_snapshot": snap.snapshot_id,
@@ -1288,10 +1325,10 @@ class Table:
         last = cur
         for sid in new_ids:
             snap = b.snapshot(sid)
-            _copyfile(
-                os.path.join(b.meta_path, "manifest", snap.manifest),
-                os.path.join(self.meta_path, "manifest", snap.manifest),
-            )
+            for m in b._manifest_members(snap):
+                dst = os.path.join(self.meta_path, "manifest", m)
+                if not os.path.exists(dst):
+                    _copyfile(os.path.join(b.meta_path, "manifest", m), dst)
             spath = os.path.join(self.meta_path, "snapshot", f"snapshot-{sid}.json")
             try:
                 fd = os.open(spath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -1335,7 +1372,7 @@ class Table:
             self.tag_snapshot(name) for name in self.list_tags()
         ]
         for snap in live_snaps:
-            live_manifests.add(snap.manifest)
+            live_manifests.update(self._manifest_members(snap))
             if snap.dv_index:
                 live_dv.add(snap.dv_index)
             if snap.bucket_index:
@@ -1368,7 +1405,7 @@ class Table:
         dead_dv = set()
         for sid in expired:
             snap = self.snapshot(sid)
-            dead_manifests.add(snap.manifest)
+            dead_manifests.update(self._manifest_members(snap))
             if snap.dv_index and snap.dv_index not in live_dv:
                 dead_dv.add(snap.dv_index)
             if snap.bucket_index and snap.bucket_index not in live_dv:
@@ -1900,6 +1937,62 @@ class Table:
         _rmtree_quiet(staging)
         return entries
 
+    def _write_manifest(
+        self, schema: TableSchema, snapshot_id: int, entries: list[dict]
+    ) -> str:
+        """Persist a snapshot's file listing, writing O(changed files).
+
+        Callers hand over the FULL entry list (simple to reason about);
+        this diffs it against the parent snapshot and persists only a
+        delta member plus a tiny manifest-list file — Paimon's base+delta
+        manifest design. At 100 TB (~800k files) a commit's manifest I/O
+        is a few KB instead of a few hundred MB. When the list reaches
+        ``manifest.full-compaction-threshold`` members (default 10), or
+        the delta would exceed the full listing, a fresh base is written
+        instead — bounding read-side fold cost to ~threshold small files.
+        """
+        mdir = os.path.join(self.meta_path, "manifest")
+        parent = (
+            self.snapshot(snapshot_id - 1)
+            if (snapshot_id - 1) in self.snapshot_ids()
+            else None
+        )
+        stamp = f"{snapshot_id}-{uuid.uuid4().hex}"
+
+        def write_full() -> str:
+            name = f"manifest-{stamp}.json"
+            with open(os.path.join(mdir, name), "w") as fh:
+                json.dump({"entries": entries}, fh, default=str)
+            return name
+
+        if parent is None:
+            return write_full()
+        prev_by = {e["path"]: e for e in self.manifest_entries(parent)}
+        new_by = {e["path"]: e for e in entries}
+        adds = [e for p, e in new_by.items() if prev_by.get(p) != e]
+        removes = [
+            p
+            for p in prev_by
+            if p not in new_by or prev_by[p] != new_by[p]
+        ]
+        members = self._manifest_members(parent)
+        members = members[1:] if len(members) > 1 else members
+        threshold = int(
+            schema.options.get("manifest.full-compaction-threshold", "10")
+        )
+        if (
+            len(members) + 1 >= threshold
+            or len(adds) + len(removes) >= max(len(entries), 1)
+        ):
+            return write_full()
+        delta_name = f"manifest-delta-{stamp}.json"
+        with open(os.path.join(mdir, delta_name), "w") as fh:
+            json.dump({"adds": adds, "removes": removes}, fh, default=str)
+        list_name = f"manifest-{stamp}.json"
+        with open(os.path.join(mdir, list_name), "w") as fh:
+            json.dump({"manifests": members + [delta_name]}, fh)
+        return list_name
+
     def _commit_manifest(
         self, schema: TableSchema, snapshot_id: int, kind: str, entries: list[dict],
         dv_index: str | None = None, bucket_index: str | None = None,
@@ -1907,9 +2000,7 @@ class Table:
     ) -> Snapshot:
         os.makedirs(os.path.join(self.meta_path, "manifest"), exist_ok=True)
         os.makedirs(os.path.join(self.meta_path, "snapshot"), exist_ok=True)
-        manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex}.json"
-        with open(os.path.join(self.meta_path, "manifest", manifest_name), "w") as fh:
-            json.dump({"entries": entries}, fh, default=str)
+        manifest_name = self._write_manifest(schema, snapshot_id, entries)
         snap = Snapshot(
             snapshot_id=snapshot_id,
             schema_id=schema.schema_id,

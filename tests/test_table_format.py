@@ -1574,3 +1574,84 @@ class TestAutoTagsAndRo:
         t.compact()
         ro = {r["k"]: r["v"] for r in catalog.read_table("default", "ro1$ro").collect()}
         assert ro == {1: "a2", 2: "b", 3: "c"}
+
+
+class TestDeltaManifests:
+    """Base+delta manifests: a commit writes O(changed files), the read
+    path folds list members, and full compaction bounds the fold."""
+
+    def _manifest_kinds(self, t):
+        import os as _os
+        out = []
+        for sid in t.snapshot_ids():
+            snap = t.snapshot(sid)
+            with open(_os.path.join(t.meta_path, "manifest", snap.manifest)) as fh:
+                d = json.load(fh)
+            out.append("list" if "manifests" in d else "full")
+        return out
+
+    def test_deltas_then_full_compaction(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "dm", "k int, v string", primary_keys=["k"],
+            options={"manifest.full-compaction-threshold": "4"},
+        )
+        ddl = "k int, v string"
+        for i in range(6):
+            t.upsert(spark.createDataFrame([(i, f"v{i}")], ddl))
+        kinds = self._manifest_kinds(t)
+        # first commit full; then deltas; threshold 4 forces a re-base
+        assert kinds[0] == "full"
+        assert "list" in kinds and kinds.count("full") >= 2
+        # every snapshot still reads its exact historical state
+        for sid in t.snapshot_ids():
+            assert t.to_df(snapshot_id=sid).count() == sid
+        assert {r["k"] for r in t.to_df().collect()} == set(range(6))
+
+    def test_delta_size_is_bounded_by_commit(self, spark, catalog):
+        import os as _os
+        t = catalog.create_table(
+            "default", "dm2", "k int, v string", primary_keys=["k"],
+            options={"manifest.full-compaction-threshold": "100"},
+        )
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(i, "x") for i in range(50)], ddl))
+        for i in range(5):
+            t.upsert(spark.createDataFrame([(i, "y")], ddl))
+        snap = t.snapshot()
+        with open(_os.path.join(t.meta_path, "manifest", snap.manifest)) as fh:
+            d = json.load(fh)
+        assert "manifests" in d
+        last_delta = d["manifests"][-1]
+        with open(_os.path.join(t.meta_path, "manifest", last_delta)) as fh:
+            delta = json.load(fh)
+        # the last commit touched ONE bucket: its delta lists one add
+        assert len(delta["adds"]) == 1 and delta["removes"] == []
+
+    def test_expiry_keeps_shared_members(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "dm3", "k int, v string", primary_keys=["k"],
+            options={"manifest.full-compaction-threshold": "100"},
+        )
+        ddl = "k int, v string"
+        for i in range(6):
+            t.upsert(spark.createDataFrame([(i, f"v{i}")], ddl))
+        t.expire_snapshots(keep_last=2)
+        # surviving snapshots share delta members with the expired ones;
+        # both must still read correctly
+        for sid in t.snapshot_ids():
+            assert t.to_df(snapshot_id=sid).count() == sid
+
+    def test_compact_after_deltas_and_branch(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "dm4", "k int, v string", primary_keys=["k"])
+        ddl = "k int, v string"
+        for i in range(3):
+            t.upsert(spark.createDataFrame([(i, f"v{i}")], ddl))
+        t.create_branch("b")
+        t.compact()
+        t.upsert(spark.createDataFrame([(9, "z")], ddl))
+        assert t.to_df().count() == 4
+        b = t.branch("b")
+        assert b.to_df().count() == 3  # fork state intact, members copied
+        b.upsert(spark.createDataFrame([(7, "w")], ddl))
+        assert b.to_df().count() == 4
