@@ -957,15 +957,22 @@ class Table:
         lookup is a join of the (small) batch against the merged table —
         broadcast the batch keys, never the table.
         """
-        if schema.options.get("merge-engine", "deduplicate") != "deduplicate":
+        engine = schema.options.get("merge-engine", "deduplicate")
+        if engine not in ("deduplicate", "first-row"):
             raise ValueError(
-                "changelog-producer=lookup requires the deduplicate merge engine"
+                "changelog-producer=lookup requires the deduplicate or "
+                "first-row merge engine"
             )
         pks = schema.primary_keys
         cols = schema.field_names()
         base = self.snapshot()
         next_id = (base.snapshot_id + 1) if base else 1
-        w = Window.partitionBy(*pks).orderBy(F.desc(POS_COL))
+        # the post-commit value per key: last write wins for deduplicate,
+        # the earliest for first-row (whose updates to existing keys are
+        # no-ops — they emit no changelog at all, matching Paimon's
+        # first-row changelog contract of insert-only streams)
+        order = F.asc(POS_COL) if engine == "first-row" else F.desc(POS_COL)
+        w = Window.partitionBy(*pks).orderBy(order)
         newest = (
             df.withColumn(POS_COL, F.monotonically_increasing_id())
             .withColumn("__rn", F.row_number().over(w))
@@ -975,6 +982,16 @@ class Table:
         if base is None:
             clg = newest.select(*cols).withColumn(KIND_COL, F.lit("I"))
             if deletes:  # delete against an empty table retracts nothing
+                clg = clg.filter(F.lit(False))
+        elif engine == "first-row":
+            keys = newest.select(*pks).distinct()
+            existing = self.to_df().join(F.broadcast(keys), pks, "inner")
+            clg = (
+                newest.join(existing.select(*pks), pks, "left_anti")
+                .select(*cols)
+                .withColumn(KIND_COL, F.lit("I"))
+            )
+            if deletes:  # first-row ignores deletes; nothing to retract
                 clg = clg.filter(F.lit(False))
         else:
             keys = newest.select(*pks).distinct()
@@ -1004,7 +1021,7 @@ class Table:
         name = f"clg-{next_id}-{uuid.uuid4().hex}"
         out = os.path.join(self.meta_path, "changelog", name)
         clg.write.mode("overwrite").parquet(out)
-        if base is not None:
+        if base is not None and engine == "deduplicate":
             old.unpersist()
         return name
 
@@ -1491,11 +1508,15 @@ class Table:
         os.replace(tmp, os.path.join(self.meta_path, "snapshot", "LATEST"))
 
     def incremental_df(
-        self, start_snapshot: int, end_snapshot: int | None = None
+        self,
+        start_snapshot: int | str,
+        end_snapshot: int | str | None = None,
     ) -> DataFrame:
         """Batch-CDC read: the change rows committed AFTER `start_snapshot`
         up to and including `end_snapshot` (default: latest) — Paimon's
-        ``incremental-between`` scan mode.
+        ``incremental-between`` scan mode. Either bound may be a TAG name
+        (Paimon's incremental-between-tags): "the changes between release
+        tags" is the reproducible-diff question a corpus pipeline asks.
 
         Walks the commits in the range and unions each commit's NEW files
         (manifest diff against its parent), skipping COMPACT commits —
@@ -1508,6 +1529,10 @@ class Table:
         '+I'/'-D'); append tables without DVs yield plain rows. Cost is
         O(files + positions changed in range), never a full scan.
         """
+        if isinstance(start_snapshot, str):
+            start_snapshot = self.tag_snapshot(start_snapshot).snapshot_id
+        if isinstance(end_snapshot, str):
+            end_snapshot = self.tag_snapshot(end_snapshot).snapshot_id
         end = (
             end_snapshot
             if end_snapshot is not None
@@ -1519,10 +1544,23 @@ class Table:
         new_entries: list[dict] = []
         dv_added: list[DataFrame] = []  # (path,pos) marked deleted in range
         path_entry: dict[str, dict] = {}  # any manifest entry per file path
+        def resolve(sid: int) -> Snapshot | None:
+            """A snapshot by id, or — after expiry — any TAG pinning it
+            (the tag file carries the full payload, so tag-bounded
+            incremental reads keep working once history is expired)."""
+            if sid in self.snapshot_ids():
+                return self.snapshot(sid)
+            for name in self.list_tags():
+                pinned = self.tag_snapshot(name)
+                if pinned.snapshot_id == sid:
+                    return pinned
+            return None
+
         prev_paths: set[str] | None = None
         prev_dv: str | None = None
-        if ids and (start_snapshot in self.snapshot_ids()):
-            prev_dv = self.snapshot(start_snapshot).dv_index
+        start_resolved = resolve(start_snapshot) if ids else None
+        if start_resolved is not None:
+            prev_dv = start_resolved.dv_index
         for sid in ids:
             snap = self.snapshot(sid)
             cur = self.manifest_entries(snap)
@@ -1530,9 +1568,10 @@ class Table:
                 path_entry.setdefault(e["path"], e)
             if snap.commit_kind != "COMPACT":
                 if prev_paths is None:
+                    parent = resolve(sid - 1)
                     prev_paths = (
-                        {e["path"] for e in self.manifest_entries(self.snapshot(sid - 1))}
-                        if sid - 1 in self.snapshot_ids()
+                        {e["path"] for e in self.manifest_entries(parent)}
+                        if parent is not None
                         else set()
                     )
                 new_entries += [e for e in cur if e["path"] not in prev_paths]

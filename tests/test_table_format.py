@@ -1655,3 +1655,39 @@ class TestDeltaManifests:
         assert b.to_df().count() == 3  # fork state intact, members copied
         b.upsert(spark.createDataFrame([(7, "w")], ddl))
         assert b.to_df().count() == 4
+
+
+class TestChangelogExtras:
+    def test_first_row_changelog_insert_only(self, spark, catalog):
+        """first-row + lookup producer: only genuinely-new keys emit I
+        rows; updates to existing keys are no-ops and emit NOTHING."""
+        t = catalog.create_table(
+            "default", "clgfr", "k int, v string", primary_keys=["k"],
+            options={"changelog-producer": "lookup",
+                     "merge-engine": "first-row"},
+        )
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "a"), (1, "later"), (2, "b")], ddl))
+        t.upsert(spark.createDataFrame([(1, "ignored"), (3, "c")], ddl))
+        rows = [(r["k"], r["v"], r["__row_kind"], r["__seq"]) for r in
+                t.changelog_df().orderBy("__seq", "k").collect()]
+        assert rows == [(1, "a", "I", 1), (2, "b", "I", 1), (3, "c", "I", 2)]
+        assert {r["k"]: r["v"] for r in t.to_df().collect()} == {
+            1: "a", 2: "b", 3: "c"}
+
+    def test_incremental_between_tags(self, spark, catalog):
+        t = catalog.create_table("default", "inctag", "k int, v string",
+                                 primary_keys=["k"])
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "a")], ddl))
+        t.create_tag("r1")
+        t.upsert(spark.createDataFrame([(2, "b")], ddl))
+        t.upsert(spark.createDataFrame([(1, "a2")], ddl))
+        t.create_tag("r2")
+        got = {(r["k"], r["rowkind"]) for r in
+               t.incremental_df("r1", "r2").collect()}
+        assert got == {(2, "+I"), (1, "+I")}
+        # tag bound survives snapshot expiry (tags pin their payloads)
+        t.upsert(spark.createDataFrame([(9, "z")], ddl))
+        t.expire_snapshots(keep_last=1)
+        assert t.incremental_df("r2").count() == 1  # just key 9
