@@ -265,6 +265,16 @@ class PaimonReader(DataSourceReader):
         self.snapshot_id = (
             int(options["snapshot"]) if "snapshot" in options else None
         )
+        self.tag = options.get("tag")
+        self.as_of_ms = (
+            int(options["as-of-timestamp-ms"])
+            if "as-of-timestamp-ms" in options
+            else None
+        )
+        if sum(x is not None for x in (self.snapshot_id, self.tag, self.as_of_ms)) > 1:
+            raise ValueError(
+                "snapshot / tag / as-of-timestamp-ms are mutually exclusive"
+            )
         self.predicate: Predicate | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -281,6 +291,26 @@ class PaimonReader(DataSourceReader):
                 )
             ) as fh:
                 return json.load(fh)
+        if self.tag is not None:
+            # tags carry the full snapshot payload (they outlive expiry)
+            with open(
+                os.path.join(self.meta, "tag", f"tag-{self.tag}.json")
+            ) as fh:
+                return json.load(fh)
+        if self.as_of_ms is not None:
+            sdir = os.path.join(self.meta, "snapshot")
+            best = None
+            for fn in os.listdir(sdir):
+                if fn.startswith("snapshot-") and fn.endswith(".json"):
+                    with open(os.path.join(sdir, fn)) as fh:
+                        s = json.load(fh)
+                    if s["timestamp_ms"] <= self.as_of_ms and (
+                        best is None or s["snapshot_id"] > best["snapshot_id"]
+                    ):
+                        best = s
+            if best is None:
+                raise ValueError(f"no snapshot at or before {self.as_of_ms}")
+            return best
         return _latest_snapshot(self.meta)
 
     def partitions(self) -> Sequence[PaimonPartition]:

@@ -410,3 +410,35 @@ class TestStreamWriter:
         run()
         got = {r["k"]: r["v"] for r in dst.to_df().collect()}
         assert got == {1: "a2", 2: "b"}
+
+
+def test_time_travel_tag_and_timestamp(registered, spark, catalog):
+    """DataSource time travel by tag and by timestamp (A12 surface on the
+    connector face: scan_version/scan_timestamp_millis analogs)."""
+    import time as _time
+
+    t = catalog.create_table("default", "ds_tt2", "a int")
+    t.append(spark.createDataFrame([(1,)], "a int"))
+    t.create_tag("rel")
+    mid_ms = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], "a int"))
+
+    by_tag = (spark.read.format("paimon").option("path", t.path)
+              .option("tag", "rel").load())
+    assert [r["a"] for r in by_tag.collect()] == [1]
+
+    by_ts = (spark.read.format("paimon").option("path", t.path)
+             .option("as-of-timestamp-ms", str(mid_ms)).load())
+    assert [r["a"] for r in by_ts.collect()] == [1]
+
+    # tag reads survive snapshot expiry
+    t.append(spark.createDataFrame([(3,)], "a int"))
+    t.expire_snapshots(keep_last=1)
+    assert [r["a"] for r in (
+        spark.read.format("paimon").option("path", t.path)
+        .option("tag", "rel").load().collect())] == [1]
+
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (spark.read.format("paimon").option("path", t.path)
+         .option("tag", "rel").option("snapshot", "1").load().collect())
