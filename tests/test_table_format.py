@@ -1691,3 +1691,40 @@ class TestChangelogExtras:
         t.upsert(spark.createDataFrame([(9, "z")], ddl))
         t.expire_snapshots(keep_last=1)
         assert t.incremental_df("r2").count() == 1  # just key 9
+
+
+class TestConcurrentCommits:
+    def test_parallel_appends_all_land(self, spark, catalog):
+        """A22 snapshot isolation under contention: N threads append
+        concurrently; every commit either lands atomically or retries —
+        no lost rows, no duplicate snapshot ids, contiguous history."""
+        import threading
+
+        t = catalog.create_table("default", "cc1", "w int, v int")
+        errs = []
+
+        def writer(w):
+            try:
+                df = spark.createDataFrame([(w, i) for i in range(10)],
+                                           "w int, v int")
+                catalog.get_table("default", "cc1").append(df)
+            except Exception as e:  # pragma: no cover - failure detail
+                errs.append(e)
+
+        threads = [threading.Thread(target=writer, args=(w,)) for w in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs
+        ids = t.snapshot_ids()
+        assert ids == list(range(1, 7))          # contiguous, no gaps
+        assert t.to_df().count() == 60           # nothing lost
+        per_writer = {
+            r["w"]: r["n"]
+            for r in t.to_df().groupBy("w").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_writer == {w: 10 for w in range(6)}
+        # every snapshot reads a consistent prefix (10 * k rows)
+        for sid in ids:
+            assert t.to_df(snapshot_id=sid).count() == 10 * sid
