@@ -2065,7 +2065,38 @@ class Table:
             fh.write(str(snapshot_id))
         os.replace(tmp, os.path.join(self.meta_path, "snapshot", "LATEST"))
         self._maybe_auto_tag(schema, snapshot_id)
+        self._maybe_auto_expire(schema)
         return snap
+
+    def _maybe_auto_expire(self, schema: TableSchema) -> None:
+        """Paimon's per-commit snapshot retention: with
+        ``snapshot.num-retained.max`` and/or ``snapshot.time-retained``
+        set, every commit trims history to the policy (never below
+        ``snapshot.num-retained.min``, default 10) — no external cron.
+        Both criteria age from the oldest end, so the drop set is a
+        prefix and the standard expiry (which already respects tags,
+        consumers, and branches) applies. Cost O(#snapshots) metadata,
+        only when the options are set."""
+        o = schema.options
+        mx = o.get("snapshot.num-retained.max")
+        tr = o.get("snapshot.time-retained")
+        if mx is None and tr is None:
+            return
+        ids = self.snapshot_ids()
+        mn = int(o.get("snapshot.num-retained.min", "10"))
+        if mx is not None:
+            mn = min(mn, int(mx))
+        drop: set[int] = set()
+        if mx is not None and len(ids) > int(mx):
+            drop.update(ids[: len(ids) - int(mx)])
+        if tr is not None:
+            cutoff = int(time.time() * 1000) - _parse_duration_ms(tr)
+            for sid in ids[: max(0, len(ids) - mn)]:
+                if self.snapshot(sid).timestamp_ms < cutoff:
+                    drop.add(sid)
+        drop -= set(ids[len(ids) - mn:]) if mn > 0 else set()
+        if drop:
+            self.expire_snapshots(keep_last=len(ids) - len(drop))
 
     # -- read path ---------------------------------------------------------
 

@@ -1728,3 +1728,43 @@ class TestConcurrentCommits:
         # every snapshot reads a consistent prefix (10 * k rows)
         for sid in ids:
             assert t.to_df(snapshot_id=sid).count() == 10 * sid
+
+
+class TestAutoExpiry:
+    def test_num_retained_max(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "ae1", "k int", primary_keys=["k"],
+            options={"snapshot.num-retained.max": "3"},
+        )
+        for i in range(6):
+            t.upsert(spark.createDataFrame([(i,)], "k int"))
+        assert t.snapshot_ids() == [4, 5, 6]
+        assert t.to_df().count() == 6  # data intact, history trimmed
+
+    def test_time_retained_keeps_min(self, spark, catalog):
+        import time as _time
+
+        t = catalog.create_table(
+            "default", "ae2", "k int", primary_keys=["k"],
+            options={"snapshot.time-retained": "1 ms",
+                     "snapshot.num-retained.min": "2"},
+        )
+        for i in range(4):
+            t.upsert(spark.createDataFrame([(i,)], "k int"))
+            _time.sleep(0.01)
+        # everything is older than 1ms except what min protects
+        assert t.snapshot_ids() == [3, 4]
+
+    def test_consumers_still_pin_under_auto_expiry(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "ae3", "k int", primary_keys=["k"],
+            options={"snapshot.num-retained.max": "2"},
+        )
+        t.upsert(spark.createDataFrame([(1,)], "k int"))
+        t.register_consumer("lag", 1)
+        for i in range(2, 6):
+            t.upsert(spark.createDataFrame([(i,)], "k int"))
+        assert 1 in t.snapshot_ids()  # the lagging consumer pins history
+        t.drop_consumer("lag")
+        t.upsert(spark.createDataFrame([(9,)], "k int"))
+        assert t.snapshot_ids()[0] > 1
