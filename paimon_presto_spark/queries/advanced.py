@@ -917,3 +917,50 @@ def table_format_retraction_changelog(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("rowkind")
     )
+
+
+@register(
+    "scalar_misc_semantics",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END) AS div0_nulls,
+               MIN(shuffle_ok) AS shuffle_ok
+        FROM (
+            SELECT l_orderkey,
+                   l_extendedprice / NULLIF(l_quantity - l_quantity, 0) AS safe_ratio,
+                   1 AS shuffle_ok
+            FROM lineitem
+            WHERE l_orderkey <= 128
+        ) s
+    """,
+    tags=("functions", "math", "error-semantics"),
+)
+def scalar_misc_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant math + nondeterministic array function invariants —
+    SURVEY §2.2 math/arith rows (div-by-zero error codes handled at
+    ``PrestoComputePushdown.java:499-509``) and ``array_shuffle``
+    (``PrestoDistributedQueryTest.java:219``).
+
+    ``try_divide`` maps Presto's recoverable arithmetic errors to NULL
+    (every denominator here is an exact 0). ``shuffle`` is checked
+    through its invariant — the shuffled array is a permutation
+    (sorted forms equal) — because the permutation itself is
+    seed-dependent; the oracle carries the constant the invariant must
+    produce.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 128)
+    per_row = li.select(
+        "l_orderkey",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("safe_ratio"),
+        (
+            F.sort_array(F.shuffle(F.array("l_quantity", "l_discount", "l_tax")))
+            == F.sort_array(F.array("l_quantity", "l_discount", "l_tax"))
+        ).cast("int").alias("shuffle_ok"),
+    )
+    return per_row.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("safe_ratio").isNull().cast("int")).alias("div0_nulls"),
+        F.min("shuffle_ok").alias("shuffle_ok"),
+    )

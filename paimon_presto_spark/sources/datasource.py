@@ -177,7 +177,21 @@ def _cast_to_schema(tbl, schema: dict):
         fields.append(
             pa.field(name, at if at is not None else tbl.schema.field(name).type)
         )
-    return tbl.cast(pa.schema(fields))
+    tbl = tbl.cast(pa.schema(fields))
+    # CHAR(n) blank-padding (write-side, Spark's CHAR contract — the
+    # DataFrame write path does the same via rpad)
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    for name, t in ddl.items():
+        m = _re.match(r"^\s*char\s*\(\s*(\d+)\s*\)\s*$", t, _re.I)
+        if m and name in tbl.column_names:
+            idx = tbl.column_names.index(name)
+            tbl = tbl.set_column(
+                idx, name, pc.utf8_rpad(tbl.column(name), int(m.group(1)), " ")
+            )
+    return tbl
 
 
 def _typed_partition_json(partition: dict, schema: dict) -> dict:

@@ -134,6 +134,31 @@ def _parse_type(ddl: str) -> T.DataType:
     return T.StructType.fromDDL(f"c {ddl}")[0].dataType
 
 
+_CHAR_RE = None  # lazy
+
+
+def _char_len(ddl: str) -> int | None:
+    """n for CHAR(n) column types, else None."""
+    global _CHAR_RE
+    if _CHAR_RE is None:
+        import re as _re
+
+        _CHAR_RE = _re.compile(r"^\s*char\s*\(\s*(\d+)\s*\)\s*$", _re.I)
+    m = _CHAR_RE.match(ddl)
+    return int(m.group(1)) if m else None
+
+
+def _apply_char_padding(col, ddl: str):
+    """Blank-pad CHAR(n) values to length n (SURVEY §7 risk 4: the
+    reference engine's CHAR comparisons are padded). This is Spark's own
+    CHAR contract — pad on the write side — applied explicitly because a
+    bare ``cast(char(n))`` does not pad. Comparisons then behave
+    consistently as long as literals are written at full width (or
+    ``rtrim`` is applied), matching Spark's documented CHAR semantics."""
+    n = _char_len(ddl)
+    return F.rpad(col, n, " ") if n is not None else col
+
+
 def schema_from_spark(
     spark_schema: T.StructType,
     primary_keys: Iterable[str] = (),
@@ -1819,7 +1844,10 @@ class Table:
         passthrough = [F.col("__bucket")] if "__bucket" in df.columns else []
         df = df.select(
             *[
-                F.col(by_lower[f["name"].lower()]).cast(_parse_type(f["type"])).alias(f["name"])
+                _apply_char_padding(
+                    F.col(by_lower[f["name"].lower()]).cast(_parse_type(f["type"])),
+                    f["type"],
+                ).alias(f["name"])
                 for f in schema.fields
             ],
             *passthrough,

@@ -1768,3 +1768,29 @@ class TestAutoExpiry:
         t.drop_consumer("lag")
         t.upsert(spark.createDataFrame([(9,)], "k int"))
         assert t.snapshot_ids()[0] > 1
+
+
+class TestCharPadding:
+    def test_char_pads_on_write_both_paths(self, spark, catalog):
+        """CHAR(4) values are blank-padded at write time (SURVEY §7 risk 4)
+        on the DataFrame path AND the DataSource path, so padded-width
+        comparisons behave like the reference's CHAR semantics."""
+        t = catalog.create_table("default", "chr1", "k int, code char(4)")
+        t.append(spark.createDataFrame([(1, "ab"), (2, "wxyz")],
+                                       "k int, code string"))
+        got = {r["k"]: r["code"] for r in t.to_df().collect()}
+        assert got == {1: "ab  ", 2: "wxyz"}
+        assert t.to_df().filter("code = 'ab  '").count() == 1
+        assert t.to_df().filter("rtrim(code) = 'ab'").count() == 1
+
+        from paimon_presto_spark.sources.datasource import PaimonDataSource
+        spark.dataSource.register(PaimonDataSource)
+        spark.createDataFrame([(3, "z")], "k int, code string").write.format(
+            "paimon").option("path", t.path).mode("append").save()
+        got = {r["k"]: r["code"] for r in t.to_df().collect()}
+        assert got[3] == "z   "
+
+    def test_char_null_stays_null(self, spark, catalog):
+        t = catalog.create_table("default", "chr2", "k int, code char(3)")
+        t.append(spark.createDataFrame([(1, None)], "k int, code string"))
+        assert t.to_df().collect()[0]["code"] is None
