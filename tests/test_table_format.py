@@ -1794,3 +1794,34 @@ class TestCharPadding:
         t = catalog.create_table("default", "chr2", "k int, code char(3)")
         t.append(spark.createDataFrame([(1, None)], "k int, code string"))
         assert t.to_df().collect()[0]["code"] is None
+
+
+class TestTimestampZones:
+    def test_ltz_follows_session_ntz_does_not(self, spark, catalog):
+        """SURVEY §7 risk 2 (TestPrestoITCase.java:465-479 UTC vs
+        Pacific/Apia): TIMESTAMP (LTZ) renders in the session zone, the
+        instant unchanged; TIMESTAMP_NTZ is zone-blind wall time."""
+        t = catalog.create_table("default", "tsz", "k int, ltz timestamp, ntz timestamp_ntz")
+        t.append(spark.sql(
+            "SELECT 1 k, TIMESTAMP '2024-03-01 12:00:00' ltz, "
+            "TIMESTAMP_NTZ '2024-03-01 12:00:00' ntz"))
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "Pacific/Apia")
+            got = t.to_df().selectExpr(
+                "date_format(ltz, 'yyyy-MM-dd HH:mm') AS r_ltz",
+                "date_format(ntz, 'yyyy-MM-dd HH:mm') AS r_ntz",
+                "unix_timestamp(ltz) AS epoch",
+            ).collect()[0]
+            # +13/+14h zone: the LTZ instant renders next-day local time
+            assert got["r_ltz"] == "2024-03-02 01:00"
+            assert got["r_ntz"] == "2024-03-01 12:00"
+            assert got["epoch"] == 1709294400  # instant is zone-invariant
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # DataSource read agrees under UTC
+        from paimon_presto_spark.sources.datasource import PaimonDataSource
+        spark.dataSource.register(PaimonDataSource)
+        r = (spark.read.format("paimon").option("path", t.path).load()
+             .selectExpr("date_format(ltz, 'HH:mm') h", "date_format(ntz, 'HH:mm') n")
+             .collect()[0])
+        assert (r["h"], r["n"]) == ("12:00", "12:00")
