@@ -554,12 +554,16 @@ class Table:
             # serialize with `expect` so they can't go stale mid-commit
             base0 = self.snapshot()
             if not dv_mode and not dynamic:
-                return self._commit_write(
+                snap = self._commit_write(
                     df, kind="UPSERT", row_kind="I", changelog=clg_name,
                     expect=base0.snapshot_id if base0 else 0,
                 )
+                self._maybe_auto_compact(schema)
+                return snap
         elif not dv_mode and not dynamic:
-            return self._commit_write(df, kind="UPSERT", row_kind="I")
+            snap = self._commit_write(df, kind="UPSERT", row_kind="I")
+            self._maybe_auto_compact(schema)
+            return snap
         base = self.snapshot()
         dv_name = None
         if dv_mode:
@@ -578,12 +582,15 @@ class Table:
         b_name = None
         if dynamic:
             df, b_name = self._assign_dynamic_buckets(df, base)
-        return self._commit_write(
+        snap = self._commit_write(
             df, kind="UPSERT", row_kind="I", dv_index=dv_name,
             bucket_index=b_name,
             expect=base.snapshot_id if base else 0,
             changelog=clg_name,
         )
+        if not dv_mode:
+            self._maybe_auto_compact(schema)
+        return snap
 
     def delete(self, df: DataFrame) -> Snapshot:
         """Delete by primary key.
@@ -702,6 +709,101 @@ class Table:
             replace=True,
             expect=(base.snapshot_id if base else 0) if self.dv_enabled else None,
         )
+
+    def compact_buckets(self, min_files: int | None = None) -> Snapshot | None:
+        """Partial compaction: rewrite ONLY the (partition, bucket) groups
+        holding at least `min_files` data files (default: the
+        ``num-sorted-run.compaction-trigger`` option, Paimon's writer-side
+        trigger, default 5). Untouched groups keep their files byte-for-
+        byte — at 100 TB this is the difference between compaction being
+        a routine background step (O(hot buckets)) and a full-table
+        rewrite. Returns None when nothing crossed the trigger.
+
+        Correct per-group because bucketing confines every version of a
+        key to one bucket: collapsing a group locally can never miss a
+        newer version elsewhere. Rewrites commit as COMPACT, so streaming
+        changelog readers and incremental reads ignore them.
+        """
+        schema = self.schema()
+        if schema.options.get("deletion-vectors.enabled") == "true":
+            raise ValueError(
+                "deletion-vector tables fold their index in full compact()"
+            )
+        if min_files is None:
+            min_files = int(
+                schema.options.get("num-sorted-run.compaction-trigger", "5")
+            )
+        base = self.snapshot()
+        if base is None:
+            return None
+        entries = self.manifest_entries(base)
+        groups: dict[str, list[dict]] = {}
+        for e in entries:
+            key = json.dumps(
+                {"p": e["partition"], "b": e["bucket"]}, sort_keys=True
+            )
+            groups.setdefault(key, []).append(e)
+        hot = {k: v for k, v in groups.items() if len(v) >= min_files}
+        if not hot:
+            return None
+        pk = self.is_primary_keyed
+        parts: list[DataFrame] = []
+        for key, es in hot.items():
+            bucket = json.loads(key)["b"]
+            by_schema: dict[int, list[str]] = {}
+            for e in es:
+                by_schema.setdefault(e["schema_id"], []).append(
+                    os.path.join(self.path, e["path"])
+                )
+            gdf = None
+            for wsid, files in sorted(by_schema.items()):
+                ws = self.schema(wsid)
+                fmt = ws.options.get("file.format", "parquet")
+                piece = _project_to(
+                    self.spark.read.format(fmt).load(files), ws, schema, pk
+                )
+                gdf = piece if gdf is None else gdf.unionByName(piece)
+            if pk:
+                gdf = _merge_on_read(gdf, schema)
+            parts.append(gdf.withColumn("__bucket", F.lit(int(bucket))))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        next_id = base.snapshot_id + 1
+        staging = os.path.join(self.path, "staging", uuid.uuid4().hex)
+        new_entries = self._write_data_files(
+            df, schema, next_id, "I" if pk else None, staging, prefix="cpt"
+        )
+        keep = [
+            e
+            for e in entries
+            if json.dumps({"p": e["partition"], "b": e["bucket"]},
+                          sort_keys=True) not in hot
+        ]
+        cur = self.snapshot()
+        if cur.snapshot_id != base.snapshot_id:
+            raise CommitConflict(
+                "concurrent commit during bucket compaction — retry"
+            )
+        return self._commit_manifest(
+            schema, next_id, "COMPACT", keep + new_entries,
+            dv_index=base.dv_index, bucket_index=base.bucket_index,
+        )
+
+    def _maybe_auto_compact(self, schema: TableSchema) -> None:
+        """Writer-side automatic compaction: with
+        ``num-sorted-run.compaction-trigger`` set, each upsert checks its
+        buckets' file counts and rewrites only those past the trigger —
+        Paimon's writers do the same inside their commit. Skipped in DV
+        mode (deletions fold in full compact())."""
+        if "num-sorted-run.compaction-trigger" not in schema.options:
+            return
+        if schema.options.get("deletion-vectors.enabled") == "true":
+            return
+        try:
+            self.compact_buckets()
+        except CommitConflict:
+            pass  # another writer moved the table; its trigger will fire
 
     def _zorder_value(self, df: DataFrame, cols: list[str], bits: int = 16) -> F.Column:
         """Z-order key: each column scaled to `bits` buckets between its

@@ -1825,3 +1825,51 @@ class TestTimestampZones:
              .selectExpr("date_format(ltz, 'HH:mm') h", "date_format(ntz, 'HH:mm') n")
              .collect()[0])
         assert (r["h"], r["n"]) == ("12:00", "12:00")
+
+
+class TestBucketCompaction:
+    def test_compact_buckets_rewrites_only_hot_groups(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "bc1", "k int, v string", primary_keys=["k"],
+            options={"bucket": "2"},
+        )
+        ddl = "k int, v string"
+        # find keys landing in different buckets
+        from paimon_presto_spark.functions.xxhash import spark_bucket
+        keys = {spark_bucket(2, [(i, "int")]): i for i in range(20)}
+        hot_k, cold_k = keys[0], keys[1]
+        t.upsert(spark.createDataFrame([(cold_k, "c")], ddl))
+        for i in range(4):
+            t.upsert(spark.createDataFrame([(hot_k, f"h{i}")], ddl))
+        before = {e["path"]: e["bucket"] for e in t.manifest_entries()}
+        cold_files = [p for p, b in before.items() if b == spark_bucket(2, [(cold_k, "int")])]
+
+        snap = t.compact_buckets(min_files=3)
+        assert snap is not None and snap.commit_kind == "COMPACT"
+        after = {e["path"]: e["bucket"] for e in t.manifest_entries()}
+        # cold bucket files untouched byte-for-byte
+        for p in cold_files:
+            assert p in after
+        # hot bucket collapsed to one file
+        hot_b = spark_bucket(2, [(hot_k, "int")])
+        assert sum(1 for b in after.values() if b == hot_b) == 1
+        got = {r["k"]: r["v"] for r in t.to_df().collect()}
+        assert got == {hot_k: "h3", cold_k: "c"}
+        # nothing hot anymore: no-op returns None
+        assert t.compact_buckets(min_files=3) is None
+
+    def test_auto_compaction_trigger_on_upsert(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "bc2", "k int, v string", primary_keys=["k"],
+            options={"bucket": "1", "num-sorted-run.compaction-trigger": "3"},
+        )
+        ddl = "k int, v string"
+        for i in range(3):
+            t.upsert(spark.createDataFrame([(1, f"v{i}")], ddl))
+        kinds = [t.snapshot(s).commit_kind for s in t.snapshot_ids()]
+        assert "COMPACT" in kinds  # the third upsert crossed the trigger
+        assert len(t.manifest_entries()) == 1
+        assert {r["v"] for r in t.to_df().collect()} == {"v2"}
+        # compaction stays invisible to incremental consumers
+        inc = t.incremental_df(0)
+        assert inc.filter("rowkind = '+I'").count() == 3
