@@ -532,7 +532,11 @@ class Table:
         """Append-only commit (tables without primary keys)."""
         if self.is_primary_keyed:
             raise ValueError("primary-key table: use upsert()/delete()")
-        return self._commit_write(df, kind="APPEND", row_kind=None)
+        snap = self._commit_write(df, kind="APPEND", row_kind=None)
+        # small-file compaction: append tables accumulate files per
+        # partition just like pk buckets accumulate sorted runs
+        self._maybe_auto_compact(self.schema())
+        return snap
 
     def upsert(self, df: DataFrame) -> Snapshot:
         """Insert-or-update by primary key (RowKind +I rows).
@@ -765,7 +769,11 @@ class Table:
                 gdf = piece if gdf is None else gdf.unionByName(piece)
             if pk:
                 gdf = _merge_on_read(gdf, schema)
-            parts.append(gdf.withColumn("__bucket", F.lit(int(bucket))))
+            # one output file per compacted group — the point of the
+            # rewrite; group size is bucket-bounded, so one task suffices
+            parts.append(
+                gdf.coalesce(1).withColumn("__bucket", F.lit(int(bucket)))
+            )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)

@@ -1873,3 +1873,16 @@ class TestBucketCompaction:
         # compaction stays invisible to incremental consumers
         inc = t.incremental_df(0)
         assert inc.filter("rowkind = '+I'").count() == 3
+
+    def test_auto_compaction_on_append_tables(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "bc3", "k int, pt string", partition_keys=["pt"],
+            options={"num-sorted-run.compaction-trigger": "3"},
+        )
+        for i in range(3):
+            t.append(spark.createDataFrame([(i, "a")], "k int, pt string"))
+        # partition 'a' crossed the trigger and collapsed to one file
+        assert len(t.manifest_entries()) == 1
+        assert t.to_df().count() == 3
+        kinds = [t.snapshot(s).commit_kind for s in t.snapshot_ids()]
+        assert kinds.count("COMPACT") == 1
