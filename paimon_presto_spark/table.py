@@ -188,6 +188,11 @@ class CommitConflict(Exception):
     pass
 
 
+# folded manifest listings keyed by (meta_path, manifest file name) —
+# manifest files are immutable once written, so entries never go stale
+_MANIFEST_CACHE: dict[tuple[str, str], list[dict]] = {}
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -291,22 +296,34 @@ class Table:
         snap = snap or self.snapshot()
         if snap is None:
             return []
+        # manifests are immutable once written: cache folded results by
+        # file name (planning calls this repeatedly — stats-based
+        # clustering alone reads it per column)
+        key = (self.meta_path, snap.manifest)
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is not None:
+            return hit
         with open(os.path.join(self.meta_path, "manifest", snap.manifest)) as fh:
             d = json.load(fh)
         if "entries" in d:
-            return d["entries"]
-        out: dict[str, dict] = {}
-        for name in d["manifests"]:
-            with open(os.path.join(self.meta_path, "manifest", name)) as fh:
-                m = json.load(fh)
-            if "entries" in m:
-                out = {e["path"]: e for e in m["entries"]}
-            else:
-                for p in m.get("removes", []):
-                    out.pop(p, None)
-                for e in m.get("adds", []):
-                    out[e["path"]] = e
-        return list(out.values())
+            out_list = d["entries"]
+        else:
+            out: dict[str, dict] = {}
+            for name in d["manifests"]:
+                with open(os.path.join(self.meta_path, "manifest", name)) as fh:
+                    m = json.load(fh)
+                if "entries" in m:
+                    out = {e["path"]: e for e in m["entries"]}
+                else:
+                    for p in m.get("removes", []):
+                        out.pop(p, None)
+                    for e in m.get("adds", []):
+                        out[e["path"]] = e
+            out_list = list(out.values())
+        if len(_MANIFEST_CACHE) > 64:
+            _MANIFEST_CACHE.clear()  # crude cap; entries are per-snapshot
+        _MANIFEST_CACHE[key] = out_list
+        return out_list
 
     def _manifest_members(self, snap: Snapshot) -> list[str]:
         """Every manifest file the snapshot references: the pointer file
@@ -726,13 +743,12 @@ class Table:
         Correct per-group because bucketing confines every version of a
         key to one bucket: collapsing a group locally can never miss a
         newer version elsewhere. Rewrites commit as COMPACT, so streaming
-        changelog readers and incremental reads ignore them.
+        changelog readers and incremental reads ignore them. DV tables
+        drop their dead positions during the rewrite and the rewritten
+        files' index rows fold away (other files keep theirs).
         """
         schema = self.schema()
-        if schema.options.get("deletion-vectors.enabled") == "true":
-            raise ValueError(
-                "deletion-vector tables fold their index in full compact()"
-            )
+        dv_mode = schema.options.get("deletion-vectors.enabled") == "true"
         if min_files is None:
             min_files = int(
                 schema.options.get("num-sorted-run.compaction-trigger", "5")
@@ -763,9 +779,26 @@ class Table:
             for wsid, files in sorted(by_schema.items()):
                 ws = self.schema(wsid)
                 fmt = ws.options.get("file.format", "parquet")
-                piece = _project_to(
-                    self.spark.read.format(fmt).load(files), ws, schema, pk
-                )
+                raw = self.spark.read.format(fmt).load(files)
+                if dv_mode:
+                    # drop the group's deleted positions during the rewrite
+                    # (the fold DV compaction performs); untouched files
+                    # keep their index rows
+                    dv = self.dv_df(base)
+                    if dv is not None:
+                        pcol, poscol = self._file_pos_cols()
+                        raw = (
+                            raw.select("*", pcol, poscol)
+                            .join(
+                                F.broadcast(dv.withColumnRenamed(
+                                    "path", DV_PATH_COL
+                                ).withColumnRenamed("pos", DV_POS_COL)),
+                                [DV_PATH_COL, DV_POS_COL],
+                                "left_anti",
+                            )
+                            .drop(DV_PATH_COL, DV_POS_COL)
+                        )
+                piece = _project_to(raw, ws, schema, pk)
                 gdf = piece if gdf is None else gdf.unionByName(piece)
             if pk:
                 gdf = _merge_on_read(gdf, schema)
@@ -788,6 +821,22 @@ class Table:
             if json.dumps({"p": e["partition"], "b": e["bucket"]},
                           sort_keys=True) not in hot
         ]
+        # fold the rewritten files' deletions out of the DV index (their
+        # dead rows were dropped in the rewrite); other files keep theirs
+        new_dv = base.dv_index
+        if dv_mode and base.dv_index:
+            hot_paths = {e["path"] for es in hot.values() for e in es}
+            remaining = self.dv_df(base).filter(
+                ~F.col("path").isin(list(hot_paths))
+            )
+            if remaining.limit(1).count() == 0:
+                new_dv = None
+            else:
+                name = f"dv-{uuid.uuid4().hex}"
+                remaining.repartition(1).write.parquet(
+                    os.path.join(self._dv_root(), name)
+                )
+                new_dv = name
         cur = self.snapshot()
         if cur.snapshot_id != base.snapshot_id:
             raise CommitConflict(
@@ -795,18 +844,15 @@ class Table:
             )
         return self._commit_manifest(
             schema, next_id, "COMPACT", keep + new_entries,
-            dv_index=base.dv_index, bucket_index=base.bucket_index,
+            dv_index=new_dv, bucket_index=base.bucket_index,
         )
 
     def _maybe_auto_compact(self, schema: TableSchema) -> None:
         """Writer-side automatic compaction: with
         ``num-sorted-run.compaction-trigger`` set, each upsert checks its
         buckets' file counts and rewrites only those past the trigger —
-        Paimon's writers do the same inside their commit. Skipped in DV
-        mode (deletions fold in full compact())."""
+        Paimon's writers do the same inside their commit."""
         if "num-sorted-run.compaction-trigger" not in schema.options:
-            return
-        if schema.options.get("deletion-vectors.enabled") == "true":
             return
         try:
             self.compact_buckets()

@@ -192,3 +192,41 @@ def test_dv_datasource_write_rejected_for_pk(spark, catalog, pair):
             base_df(spark, 5).write.format("paimon")
             .option("path", dv.path).mode("append").save()
         )
+
+
+def test_partial_compaction_folds_dv_for_hot_files_only(spark, catalog):
+    """compact_buckets on a DV table: the rewritten group's dead rows are
+    dropped in the rewrite and its index rows fold away; untouched files
+    keep their deletion-vector entries."""
+    t = catalog.create_table(
+        "default", "dvbc", "k int, v string", primary_keys=["k"],
+        options={"deletion-vectors.enabled": "true", "bucket": "2"},
+    )
+    ddl = "k int, v string"
+    from paimon_presto_spark.functions.xxhash import spark_bucket
+    keys = {spark_bucket(2, [(i, "int")]): i for i in range(20)}
+    hot_k, cold_k = keys[0], keys[1]
+
+    t.upsert(spark.createDataFrame([(cold_k, "c0"), (hot_k, "h0")], ddl))
+    t.upsert(spark.createDataFrame([(cold_k, "c1")], ddl))   # cold now has a dead row
+    for i in range(1, 4):
+        t.upsert(spark.createDataFrame([(hot_k, f"h{i}")], ddl))
+    assert t.dv_df() is not None and t.dv_df().count() >= 4
+
+    snap = t.compact_buckets(min_files=3)
+    assert snap is not None
+    # results correct after the fold
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got == {hot_k: "h3", cold_k: "c1"}
+    # index kept ONLY the untouched files' entries
+    remaining = t.dv_df()
+    hot_bucket = spark_bucket(2, [(hot_k, "int")])
+    live_paths = {e["path"] for e in t.manifest_entries() if e["bucket"] == hot_bucket}
+    if remaining is not None:
+        leaked = remaining.filter(F.col("path").isin(list(live_paths))).count()
+        assert leaked == 0
+        assert remaining.count() >= 1  # cold file's dead row survives
+    # time travel to the pre-compaction snapshot still merges correctly
+    pre = snap.snapshot_id - 1
+    got_pre = {r["k"]: r["v"] for r in t.to_df(snapshot_id=pre).collect()}
+    assert got_pre == {hot_k: "h3", cold_k: "c1"}
