@@ -81,11 +81,16 @@ def main() -> None:
     )
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).collect()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not void the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
         # Queries are independent; drop any operator-internal caches so one
         # query's working set doesn't bill GC/eviction time to the next.
         spark.catalog.clearCache()
@@ -97,6 +102,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -175,7 +175,7 @@ def quantified_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_regionkey,
                MIN(n_name) AS first_nation,
                MAX(LEN(n_name)) AS max_name_len,
-               SUM(n_nationkey * 2) AS weighted
+               CAST(SUM(n_nationkey * 2) AS BIGINT) AS weighted
         FROM nation
         GROUP BY n_regionkey
         ORDER BY n_regionkey
@@ -327,9 +327,9 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_reduce",
     oracle="""
         SELECT n_regionkey,
-               LIST(n_name ORDER BY n_name) AS nations,
+               STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
                LEN(LIST(DISTINCT n_nationkey % 5)) AS n_distinct_mod,
-               SUM(LEN(n_name)) AS total_name_len
+               CAST(SUM(LEN(n_name)) AS BIGINT) AS total_name_len
         FROM nation
         GROUP BY n_regionkey
         ORDER BY n_regionkey
@@ -348,7 +348,7 @@ def agg_collect_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
             F.size(F.collect_set(F.col("n_nationkey") % 5)).alias("n_distinct_mod"),
             F.collect_list(F.length("n_name")).alias("_lens"),
         )
@@ -654,10 +654,10 @@ def table_format_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_orderkey FROM orders
             WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
         )
-        SELECT '-D' AS rowkind, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+        SELECT '-D' AS rowkind, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM del
         UNION ALL
-        SELECT '+I' AS rowkind, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+        SELECT '+I' AS rowkind, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM pat
         ORDER BY rowkind
     """,
@@ -715,7 +715,7 @@ def table_format_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,
+               CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
                MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes,
                MIN(MD5(text)) AS min_digest
         FROM documents
@@ -854,15 +854,15 @@ def custom_functions_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT * FROM orders
             WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
         )
-        SELECT 'D' AS rowkind, COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+        SELECT 'D' AS rowkind, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                {o_dsum('o_totalprice', 'price_sum')}
         FROM del
         UNION ALL
-        SELECT 'UA' AS rowkind, COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+        SELECT 'UA' AS rowkind, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                {o_dsum('o_totalprice + 1000.0', 'price_sum')}
         FROM pat
         UNION ALL
-        SELECT 'UB' AS rowkind, COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+        SELECT 'UB' AS rowkind, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                {o_dsum('o_totalprice', 'price_sum')}
         FROM pat
         ORDER BY rowkind
@@ -923,7 +923,7 @@ def table_format_retraction_changelog(spark: SparkSession, sf_dir: str) -> DataF
     "scalar_misc_semantics",
     oracle="""
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END) AS div0_nulls,
+               CAST(SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS div0_nulls,
                MIN(shuffle_ok) AS shuffle_ok
         FROM (
             SELECT l_orderkey,

@@ -78,10 +78,10 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM seq
         ), sessions AS (
             SELECT user_id, ts_ns,
-                   SUM(new_session) OVER (
+                   CAST(SUM(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts_ns, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_seq
+                   ) AS BIGINT) AS session_seq
             FROM flagged
         )
         SELECT user_id, session_seq,
@@ -150,7 +150,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_id, user_id,
                ts_ns // {NS_PER_S} AS purchase_s,
-               CASE WHEN last_view_ns IS NULL THEN NULL
+               CASE WHEN last_view_ns IS NULL THEN -1
                     ELSE (ts_ns - last_view_ns) // {NS_PER_S} END AS view_to_buy_s
         FROM seq
         WHERE event_type = 'purchase'
@@ -187,7 +187,11 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.expr(f"ts_ns DIV {NS_PER_S}").alias("purchase_s"),
-            F.expr(f"(ts_ns - last_view_ns) DIV {NS_PER_S}").alias("view_to_buy_s"),
+            # NULL-free sentinel (-1 = "no prior view"): nullable int columns
+            # floatify under pandas-based result hashing, breaking equality.
+            F.coalesce(
+                F.expr(f"(ts_ns - last_view_ns) DIV {NS_PER_S}"), F.lit(-1)
+            ).alias("view_to_buy_s"),
         )
         .orderBy("event_id")
     )
@@ -198,7 +202,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
         FROM events

@@ -370,7 +370,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         test AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1)
         SELECT t.doc_id,
                COUNT(*) AS n_shingles,
-               SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+               CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
                SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
                    / COUNT(*) AS containment
         FROM test t LEFT JOIN train tr ON t.s = tr.s
@@ -521,7 +521,7 @@ def array_subscript_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(LEN(STRING_SPLIT(text, ' '))) AS total_tokens,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
                MIN(LEN(STRING_SPLIT(text, ' '))) AS min_tokens,
                MAX(LEN(STRING_SPLIT(text, ' '))) AS max_tokens,
                (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) AS avg_chars
@@ -597,7 +597,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(en_hits) AS total_hits,
+               CAST(SUM(en_hits) AS BIGINT) AS total_hits,
                ROUND(CAST(SUM(en_hits) AS DOUBLE) / SUM(n_tokens), 6)
                    AS stopword_density
         FROM per_doc

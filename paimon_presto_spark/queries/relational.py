@@ -323,8 +323,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipmode",
     oracle="""
         SELECT o_orderpriority, COUNT(*) AS order_count,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_count
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_count,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -460,7 +460,7 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
         )
         SELECT o_orderpriority,
-               ARRAY_AGG(o_orderkey ORDER BY rn) AS top3
+               STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top3
         FROM ranked WHERE rn <= 3
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -486,9 +486,12 @@ def agg_minmax_by_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .groupBy("o_orderpriority")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", "o_orderkey"))),
-                lambda s: s["o_orderkey"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "o_orderkey"))),
+                    lambda s: s["o_orderkey"].cast("string"),
+                ),
+                ",",
             ).alias("top3")
         )
         .orderBy("o_orderpriority")
@@ -499,10 +502,10 @@ def agg_minmax_by_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_checksum",
     oracle="""
         SELECT o_orderpriority,
-               SUM(CAST('0x' || substr(
+               CAST(SUM(CAST('0x' || substr(
                        md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus),
                        1, 15) AS BIGINT)
-                   % 2147483648) AS checksum,
+                   % 2147483648) AS BIGINT) AS checksum,
                COUNT(*) AS n
         FROM orders
         GROUP BY o_orderpriority
@@ -974,10 +977,10 @@ def filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_safe_comparison",
     oracle="""
         SELECT o_orderstatus,
-               SUM(CASE WHEN o_orderpriority IS DISTINCT FROM '1-URGENT'
-                        THEN 1 ELSE 0 END) AS non_urgent,
-               SUM(CASE WHEN o_orderpriority IS NOT DISTINCT FROM '1-URGENT'
-                        THEN 1 ELSE 0 END) AS urgent
+               CAST(SUM(CASE WHEN o_orderpriority IS DISTINCT FROM '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS non_urgent,
+               CAST(SUM(CASE WHEN o_orderpriority IS NOT DISTINCT FROM '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS urgent
         FROM orders
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus

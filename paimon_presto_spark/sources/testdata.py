@@ -36,11 +36,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright; read it as epoch-nanosecond BIGINT. All
-        # downstream time arithmetic is integer math on nanos (see
-        # queries/events.py), which is also what keeps it engine-portable.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS) across testdata generations. Normalize to an
+        # epoch-nanosecond BIGINT either way: all downstream time arithmetic
+        # is integer math on nanos (see queries/events.py), which is what
+        # keeps it engine-portable and bit-deterministic. nanosAsLong makes
+        # the NANOS flavor arrive as a long already; the MICROS flavor
+        # arrives as a (NTZ) timestamp we convert under the UTC session tz.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type.startswith("timestamp"):
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
