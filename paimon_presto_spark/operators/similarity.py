@@ -105,12 +105,13 @@ def lsh_bucketed_topk(
     q = q0.withColumn("flip", F.explode(F.array(*[F.lit(p) for p in probes]))).select(
         "q_id", "q_emb", F.col("qbucket").bitwiseXOR(F.col("flip")).alias("bucket")
     )
+    # Distinct XOR flips give distinct probed buckets, and each corpus row
+    # has one bucket — (q_id, n_id) pairs are unique, so no dedup
+    # aggregation (and its shuffle) before the top-k window.
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
         c.join(F.broadcast(q), "bucket")
         .withColumn("cos_sim", cosine_similarity(F.col("q_emb"), F.col("n_emb")))
-        .groupBy("q_id", "n_id")
-        .agg(F.first("cos_sim").alias("cos_sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
@@ -139,41 +140,69 @@ def ivf_topk(
     touches |corpus|/|centroids| × n_probe candidate rows instead of the
     full corpus per query.
     """
-    spark = corpus.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(cid, [float(x) for x in vec]) for cid, vec in centroids],
-            "cid int, cvec array<double>",
-        )
-    )
-    def assign(df: DataFrame, key: str, emb: str, top_n: int) -> DataFrame:
-        w = Window.partitionBy(key).orderBy(F.desc("__cd"), F.asc("cid"))
-        return (
-            df.crossJoin(cent_df)
-            .withColumn(
-                "__cd",
-                cosine_similarity(F.col(emb).cast("array<double>"), F.col("cvec")),
-            )
-            .withColumn("__crk", F.row_number().over(w))
-            .filter(F.col("__crk") <= top_n)
-            .drop("__cd", "__crk", "cvec")
-            .withColumnRenamed("cid", "bucket")
+    import math
+
+    # Unit-normalize centroids driver-side: argmax over dot(emb, unit_cvec)
+    # equals argmax over cosine(emb, cvec) because 1/|emb| is a common
+    # positive factor. Assignment then needs no |emb| and no division.
+    unit = []
+    for cid, vec in centroids:
+        norm = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        unit.append((int(cid), [float(x) / norm for x in vec]))
+
+    def sims(emb: Column) -> Column:
+        # array<struct<s, negcid>>: struct ordering gives "highest sim,
+        # then lowest cid" for both array_max (top-1) and reversed
+        # array_sort (top-n) — the oracle's ORDER BY sim DESC, cid ASC.
+        e = emb.cast("array<double>")
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            e,
+                            F.array(*[F.lit(x) for x in v]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("s"),
+                    F.lit(-cid).alias("negcid"),
+                )
+                for cid, v in unit
+            ]
         )
 
-    c = assign(
-        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")),
-        "n_id", "n_emb", 1,
+    # Map-only assignment: the per-row argmax/top-n over |centroids| is one
+    # array expression — no crossJoin expansion, no shuffle, no window. At
+    # 100 TB the corpus pass stays a narrow scan; only the tiny query side
+    # explodes (n_probe rows per query).
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
+    ).withColumn(
+        "bucket", (-F.array_max(sims(F.col("n_emb"))).getField("negcid")).cast("int")
     )
-    q = assign(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")),
-        "q_id", "q_emb", n_probe,
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+        .withColumn(
+            "__probes",
+            F.slice(F.reverse(F.array_sort(sims(F.col("q_emb")))), 1, n_probe),
+        )
+        .select(
+            "q_id",
+            "q_emb",
+            F.explode(
+                F.transform("__probes", lambda s: (-s["negcid"]).cast("int"))
+            ).alias("bucket"),
+        )
     )
+    # Each corpus row has exactly one bucket and a query's probed buckets
+    # are distinct, so (q_id, n_id) pairs are already unique — no dedup
+    # aggregation (and its shuffle) needed before the top-k window.
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
         c.join(F.broadcast(q), "bucket")
         .withColumn("cos_sim", cosine_similarity(F.col("q_emb"), F.col("n_emb")))
-        .groupBy("q_id", "n_id")
-        .agg(F.first("cos_sim").alias("cos_sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
