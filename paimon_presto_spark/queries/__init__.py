@@ -154,5 +154,6 @@ def _load() -> None:
     from paimon_presto_spark.queries import advanced  # noqa: F401
     from paimon_presto_spark.queries import events  # noqa: F401
     from paimon_presto_spark.queries import llm_ops  # noqa: F401
+    from paimon_presto_spark.queries import coverage  # noqa: F401
 
     _loaded = True

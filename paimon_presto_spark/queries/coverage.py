@@ -1,0 +1,286 @@
+"""Additional Tier-B operator coverage: rank-variant windows, filtered /
+boolean aggregates, advanced string functions, array higher-order
+functions, datetime truncation, and FULL OUTER join.
+
+These round out SURVEY §2.2 families whose earlier entries covered only
+the most common member (e.g. ``row_number`` but not ``ntile``/
+``percent_rank``; LEFT but not FULL OUTER). Determinism rules from
+``queries/__init__`` apply: integer SUMs are CAST to BIGINT in the
+oracles, doubles that are exact rationals (percent_rank) are compared
+raw, and no result column is an array or nullable int.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from paimon_presto_spark.queries import register
+from paimon_presto_spark.sources.testdata import load_table
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+        SELECT s_nationkey, s_suppkey,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM supplier
+        WHERE s_nationkey < 5
+        WINDOW w AS (PARTITION BY s_nationkey
+                     ORDER BY s_acctbal DESC, s_suppkey)
+        ORDER BY s_nationkey, rnk, s_suppkey
+    """,
+    tags=("window", "rank", "ntile", "percent-rank"),
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank/cume_dist — SURVEY §2.2 Windows
+    (rank family, ``PrestoDistributedQueryTest.java:344,944-973``).
+
+    percent_rank and cume_dist are exact small-integer ratios, so the
+    double division is bit-identical across engines. One window
+    partitioning serves all five functions — a single shuffle.
+    """
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    )
+
+
+@register(
+    "agg_filtered_bool",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               BOOL_AND(o_totalprice > 0) AS all_positive,
+               BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+               COUNT(DISTINCT o_orderpriority)
+                   FILTER (WHERE o_custkey % 2 = 0) AS n_prio_even
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("aggregation", "count-if", "bool-and", "filter-clause"),
+)
+def agg_filtered_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / FILTER'd aggregates — Presto's
+    conditional-aggregate family (SURVEY §2.2 aggregations). Expressed
+    with Spark's same-named built-ins; the filtered distinct count uses
+    ``count_distinct`` over a NULL-masked column (NULLs are ignored by
+    aggregates in both engines).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.count_distinct(
+                F.when(F.col("o_custkey") % 2 == 0, F.col("o_orderpriority"))
+            ).alias("n_prio_even"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "string_advanced_functions",
+    oracle="""
+        SELECT p_brand,
+               COUNT(*) AS n,
+               MIN(SPLIT_PART(p_name, ' ', 1)) AS first_word,
+               MAX(STRPOS(p_name, 'a')) AS max_a_pos,
+               MIN(LEVENSHTEIN(p_brand, 'Brand#0')) AS min_edit,
+               MAX(REGEXP_EXTRACT(p_name, '([0-9]+)', 1)) AS max_digits,
+               MIN(TRANSLATE(p_brand, '#', '-')) AS dashed,
+               MAX(LPAD(CAST(p_size AS VARCHAR), 3, '0')) AS max_size_padded
+        FROM part
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    tags=("string", "functions", "regexp", "levenshtein"),
+)
+def string_advanced_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_part/strpos/levenshtein/regexp_extract/translate/lpad —
+    SURVEY §2.2 scalar string family beyond the upper/substr basics.
+    All JVM built-ins, codegen'd; identical semantics in DuckDB.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))).alias(
+                "first_word"
+            ),
+            F.max(F.instr(F.col("p_name"), "a")).alias("max_a_pos"),
+            F.min(F.levenshtein(F.col("p_brand"), F.lit("Brand#0"))).alias(
+                "min_edit"
+            ),
+            F.max(F.regexp_extract(F.col("p_name"), "([0-9]+)", 1)).alias(
+                "max_digits"
+            ),
+            F.min(F.translate(F.col("p_brand"), "#", "-")).alias("dashed"),
+            F.max(F.lpad(F.col("p_size").cast("string"), 3, "0")).alias(
+                "max_size_padded"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "array_lambda_functions",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                        w -> LEN(w) > 5))) AS BIGINT)
+                   AS long_words,
+               CAST(SUM(LIST_AGGREGATE(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                                                      w -> LEN(w)), 'sum'))
+                    AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                                     w -> w = 'the')) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_the
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("array", "lambda", "higher-order-functions"),
+)
+def array_lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate/exists) —
+    SURVEY §2.2 arrays family. The lambdas run inside whole-stage codegen
+    (no Python), which is what makes per-document token math viable at
+    100 TB: a narrow map over each partition, no explode, no shuffle
+    until the final small aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    long_words = F.size(F.filter(words, lambda w: F.length(w) > 5))
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    has_the = F.exists(words, lambda w: w == "the").cast("int")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(long_words).alias("long_words"),
+            F.sum(total_chars).alias("total_chars"),
+            F.sum(has_the).alias("docs_with_the"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "datetime_trunc_extras",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+               CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+               CAST(MIN(ISODOW(o_orderdate) - 1) AS BIGINT) AS min_weekday,
+               COUNT(*) AS n,
+               CAST(MAX(DATEDIFF('day', CAST(o_orderdate AS DATE),
+                                 DATE '1998-12-31')) AS BIGINT) AS max_days_left
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        GROUP BY 1, 2
+        ORDER BY month_start
+    """,
+    tags=("datetime", "trunc", "functions"),
+)
+def datetime_trunc_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc/last_day/weekday/datediff — SURVEY §2.2 datetime family
+    beyond format/add. ISO weekday (Monday=0) is the convention both
+    engines can express exactly (Spark ``weekday``, DuckDB ``isodow-1``).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+                "month_start"
+            ),
+            F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        )
+        .agg(
+            F.min(F.weekday(F.col("o_orderdate").cast("date"))).cast("long").alias(
+                "min_weekday"
+            ),
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.datediff(F.lit("1998-12-31").cast("date"),
+                           F.col("o_orderdate").cast("date"))
+            ).cast("long").alias("max_days_left"),
+        )
+        .orderBy("month_start")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        WITH c AS (
+            SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+            FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+        ),
+        s AS (
+            SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+            FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+        )
+        SELECT COALESCE(c.nk, s.nk) AS nationkey,
+               COALESCE(c.n_cust, 0) AS n_cust,
+               COALESCE(s.n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        ORDER BY nationkey
+    """,
+    tags=("join", "full-outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — SURVEY §2.2 join family (outer joins beyond the
+    LEFT OUTER of q13). The selective filters make each side miss some
+    nations, so both null-padding directions are exercised; COALESCE
+    keeps every result column non-null (determinism rules). Aggregating
+    before the join keeps the shuffled sides |nations|-sized.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk_c == s.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").cast("int").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
