@@ -209,6 +209,122 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means over an embedding column; returns the
+    (cid, centroid) list ``ivf_topk`` consumes.
+
+    Scale shape: the assignment step is the same map-only argmax expression
+    IVF uses (no shuffle); the update step is ONE hash aggregation to k
+    rows of dim partial sums (``sum(element_at(vec, i))`` per dimension —
+    partial aggregation makes the map side do the work), and the k×(dim+1)
+    result is collected to the driver, which is the canonical distributed
+    k-means layout: centroids are small by definition, the corpus never
+    moves. Initialization is deterministic maximin (farthest-point): the
+    first seed is the row with the smallest md5-of-id, each next seed the
+    row least similar to every chosen seed — k cheap passes that spread
+    seeds across clusters regardless of data order (the k-means++ idea
+    with its randomness replaced by a reproducible rule). Empty clusters
+    keep their previous centroid.
+    """
+    import math
+
+    from paimon_presto_spark.functions.hashing import md5_long
+
+    v = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    ).cache()
+
+    def sims(emb: Column, unit: list[tuple[int, list[float]]]) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            emb, F.array(*[F.lit(x) for x in vec]), lambda a, b: a * b
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("s"),
+                    F.lit(-cid).alias("negcid"),
+                )
+                for cid, vec in unit
+            ]
+        )
+
+    def _unit(cents: list[tuple[int, list[float]]]) -> list[tuple[int, list[float]]]:
+        out = []
+        for cid, vec in cents:
+            norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            out.append((cid, [x / norm for x in vec]))
+        return out
+
+    first = (
+        v.withColumn("__h", md5_long(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(1)
+        .collect()[0]
+    )
+    cents = [(0, list(first["__v"]))]
+    from paimon_presto_spark.functions.vectors import l2_norm
+
+    for i in range(1, k):
+        # Farthest point: minimize the max cosine against chosen seeds
+        # (dot against unit seeds, scaled by the row's own norm).
+        far = (
+            v.withColumn(
+                "__maxsim",
+                F.array_max(sims(F.col("__v"), _unit(cents)).getField("s"))
+                / l2_norm(F.col("__v")),
+            )
+            .orderBy(F.asc("__maxsim"), F.asc("__id"))
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append((i, list(far["__v"])))
+
+    for _ in range(max_iter):
+        assigned = v.withColumn(
+            "__b",
+            (-F.array_max(sims(F.col("__v"), _unit(cents))).getField("negcid")).cast(
+                "int"
+            ),
+        )
+        stats = (
+            assigned.groupBy("__b")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("__v", i + 1)).alias(f"d{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cid = {r["__b"]: r for r in stats}
+        new_cents = []
+        moved = 0.0
+        for cid, old in cents:
+            r = by_cid.get(cid)
+            if r is None:  # empty cluster: keep previous centroid
+                new_cents.append((cid, old))
+                continue
+            vec = [r[f"d{i}"] / r["__n"] for i in range(dim)]
+            moved += sum((a - b) ** 2 for a, b in zip(vec, old))
+            new_cents.append((cid, vec))
+        cents = new_cents
+        if moved < 1e-12:
+            break
+    v.unpersist()
+    return cents
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float,

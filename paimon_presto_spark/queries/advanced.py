@@ -504,6 +504,31 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf_kmeans",
+    oracle=None,  # iterative training — SURVEY §2.3 rows-only class
+    tags=("similarity", "knn", "ivf", "kmeans", "iterative"),
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with *trained* centroids: deterministic Lloyd's k-means
+    (``operators/similarity.kmeans_centroids``) feeds ``ivf_topk``. The
+    training loop is a genuinely iterative algorithm (driver-coordinated
+    centroid updates), so it has no SQL oracle — the driver's rows-only
+    check applies; the operator itself is pinned by
+    ``tests/test_operators.py`` (cluster recovery + determinism).
+    """
+    from paimon_presto_spark.operators.similarity import kmeans_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, k=8, max_iter=5)
+    queries = e.filter(F.col("vec_id") < 5)
+    out = ivf_topk(e, queries, cents, k=10, n_probe=2)
+    return (
+        out.select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+@register(
     "table_format_roundtrip",
     oracle="""
         SELECT o_orderpriority,

@@ -333,6 +333,51 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     assert recall >= 0.95, f"IVF recall too low on clustered data: {recall}"
 
 
+def test_kmeans_centroids_recover_clusters(spark):
+    import numpy as np
+    from paimon_presto_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((4, 64)) * 3.0
+    rows = []
+    for i in range(160):
+        c = centers[i % 4]
+        v = c + 0.05 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(emb, k=4, max_iter=8)
+    assert len(cents) == 4
+    # Each trained centroid must sit near exactly one true center
+    # (cosine >= 0.99), and all four true centers must be claimed.
+    claimed = set()
+    for _, vec in cents:
+        v = np.asarray(vec)
+        sims = centers @ v / (np.linalg.norm(centers, axis=1) * np.linalg.norm(v))
+        j = int(np.argmax(sims))
+        assert sims[j] > 0.99, f"centroid drifted: best cosine {sims[j]}"
+        claimed.add(j)
+    assert claimed == {0, 1, 2, 3}
+
+    # Determinism: retraining yields bit-identical centroids.
+    again = kmeans_centroids(emb, k=4, max_iter=8)
+    assert cents == again
+
+    # Trained centroids drive IVF to near-exact recall on this data.
+    q = emb.filter(F.col("vec_id") < 4)
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(corpus, q, k=5).collect()}
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in ivf_topk(corpus, q, cents, k=5, n_probe=1).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"IVF-on-trained-centroids recall too low: {recall}"
+
+
 def test_python_xxhash64_matches_spark(spark):
     """functions/xxhash must be bit-identical to F.xxhash64 (bucket interop)."""
     from paimon_presto_spark.functions.xxhash import spark_bucket, spark_xxhash64
