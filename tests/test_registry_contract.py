@@ -1,0 +1,106 @@
+"""Registry-wide result contract: the invariants the driver's
+pandas-based hash comparison depends on (learned the hard way in round 1).
+
+Fast checks need no Spark; the slow check runs every query at sf0.001 and
+rejects result shapes that break cross-engine hashing:
+
+- no array/map/struct result columns (pandas ``sort_values`` raises on
+  lists — stringify instead),
+- no NULL cells in integer columns (pandas floatifies the column on one
+  side only),
+- every oracle that SUMs integers casts back to BIGINT (DuckDB HUGEINT
+  floatifies through ``.df()``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from paimon_presto_spark.queries import PRIORITY, oracle_sql, queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_priority_prefix_is_valid_and_broad():
+    qs = queries()
+    names = list(qs)
+    assert names[: len(PRIORITY)] == list(PRIORITY)
+    assert len(PRIORITY) == 50
+    # Every family with a PRIORITY entry must be represented in the prefix.
+    prefix = set(PRIORITY)
+    for family_member in (
+        "table_format_roundtrip",
+        "q1_pricing_summary",
+        "window_topn_per_nation",
+        "agg_distinct",
+        "setop_union_all",
+        "join_semi_exists",
+        "events_tumbling_window",
+        "dedup_exact",
+        "knn_bruteforce_topk",
+        "text_token_stats",
+    ):
+        assert family_member in prefix
+
+
+def test_oracles_are_subset_with_known_exceptions():
+    qs, osql = queries(), oracle_sql()
+    assert set(osql) <= set(qs)
+    rows_only = set(qs) - set(osql)
+    # Only genuinely seed-dependent / iterative entries may lack an oracle.
+    assert rows_only <= {"sample_bernoulli", "knn_ivf_kmeans"}, rows_only
+
+
+def test_integer_sum_oracles_cast_to_bigint():
+    """DuckDB SUM over integers yields HUGEINT -> float64 via pandas.
+
+    Heuristic: any SUM( whose argument contains no CAST-to-DECIMAL/DOUBLE
+    and no float-typed source column must be wrapped in CAST(... AS BIGINT).
+    We approximate by rejecting `SUM(CASE WHEN ... THEN 1` and `SUM(LEN(`,
+    `SUM(<int col>)` patterns not surrounded by CAST( ... AS BIGINT).
+    """
+    int_sum = re.compile(
+        r"SUM\((CASE WHEN|LEN\(|OCTET_LENGTH\(|o_orderkey|n_nationkey|en_hits)",
+        re.IGNORECASE,
+    )
+    for name, sql in oracle_sql().items():
+        for m in int_sum.finditer(sql):
+            prefix = sql[max(0, m.start() - 60) : m.start()]
+            forward = sql[m.start() : m.start() + 400]
+            ok = (
+                re.search(r"CAST\(\s*$", prefix)
+                or "AS BIGINT" in forward
+                # explicit double result (ratios) floatifies on BOTH sides
+                or "::DOUBLE" in forward
+                or "AS DOUBLE" in forward
+            )
+            assert ok, (
+                f"{name}: integer SUM without BIGINT cast near "
+                f"...{forward[:80]}..."
+            )
+
+
+@pytest.mark.slow
+def test_all_query_outputs_are_hashable_scalars(spark):
+    """Run every registry query at sf0.001; outputs must be scalar-typed
+    and NULL-free in integer columns (the driver-hasher contract)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    failures = []
+    for name, fn in queries().items():
+        df = fn(spark, SF)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                failures.append(f"{name}.{f.name}: non-scalar {f.dataType.simpleString()}")
+        rows = df.collect()
+        int_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() in ("bigint", "int", "smallint", "tinyint")
+        ]
+        for c in int_cols:
+            if any(r[c] is None for r in rows):
+                failures.append(f"{name}.{c}: NULL in integer column")
+    assert not failures, failures
