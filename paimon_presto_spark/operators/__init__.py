@@ -12,9 +12,12 @@ from paimon_presto_spark.operators.dedup import (
     simhash_signatures,
     simhash_pairs,
 )
+from paimon_presto_spark.operators.pipeline import curate_corpus, eval_contamination
 from paimon_presto_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs,
+    ivf_topk,
+    kmeans_centroids,
     lsh_bucketed_topk,
 )
 from paimon_presto_spark.operators.text import language_id, quality_metrics
@@ -28,6 +31,10 @@ __all__ = [
     "simhash_pairs",
     "brute_force_topk",
     "cosine_pairs",
+    "curate_corpus",
+    "eval_contamination",
+    "ivf_topk",
+    "kmeans_centroids",
     "lsh_bucketed_topk",
     "language_id",
     "quality_metrics",

@@ -428,3 +428,62 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = connected_components(pairs, max_iter=60).collect()
     assert all(r["component"] == 0 for r in got) and len(got) == n + 1
+
+
+def test_curate_corpus_end_to_end(spark):
+    """Pipeline composition: each stage drops exactly the planted docs,
+    the report accounts for every drop, and the run is deterministic."""
+    from paimon_presto_spark.operators.pipeline import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, base),                     # exact duplicate of 1
+        (3, "!!! ??? ... ;;; :::"),    # punctuation junk -> quality drop
+        (4, "tiny"),                   # too few tokens -> quality drop
+        (5, base + " today"),          # near-dup of 1 (high jaccard)
+        (6, "completely different text about distributed query engines "
+            "and columnar storage formats for analytical workloads"),
+        (7, "held out evaluation question answered verbatim in training "
+            "data which must be removed before measuring the model"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, "held out evaluation question answered verbatim in training "
+               "data which must be removed before measuring the model")],
+        "doc_id long, text string",
+    )
+    kept, report = curate_corpus(
+        docs, eval_docs=evals, jaccard_threshold=0.5, max_containment=0.8
+    )
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    assert kept_ids == [1, 6]
+    rep = {r["stage"]: r["n_dropped"] for r in report.collect()}
+    assert rep == {
+        "exact_dedup": 1,        # doc 2
+        "quality_filter": 2,     # docs 3, 4
+        "near_dup_clusters": 1,  # doc 5
+        "decontaminate": 1,      # doc 7
+    }
+    # deterministic on re-run
+    kept2, _ = curate_corpus(
+        docs, eval_docs=evals, jaccard_threshold=0.5, max_containment=0.8
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == kept_ids
+
+
+def test_eval_contamination_asymmetry_values(spark):
+    from paimon_presto_spark.operators.pipeline import eval_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v")], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame(
+        [(9, "a b c d e f g h")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["containment"])
+        for r in eval_contamination(corpus, evals, shingle_n=3).collect()
+    }
+    assert got[1] == (3, 3, 1.0)   # all 3-shingles of doc 1 appear in eval
+    assert got[2] == (3, 0, 0.0)
