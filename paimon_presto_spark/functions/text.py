@@ -51,6 +51,26 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return shingle_array(F.split(c, " "), n)
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs Java regex
+#: and RE2 (DuckDB) interpret identically: contraction suffixes, then
+#: optionally-space-prefixed letter runs, digit runs, and symbol runs.
+#: (The original GPT-2 pattern's trailing-whitespace lookahead is dropped —
+#: RE2 has no lookahead; whitespace runs are simply not counted as tokens.)
+BPE_TOKEN_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer regex.
+
+    The real BPE merge table is model-specific; its cost model for data
+    budgeting is dominated by the pre-tokenizer split, which this
+    reproduces engine-portably (Spark ``regexp_count`` ≡ DuckDB
+    ``len(regexp_extract_all(...))``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are non-alphanumeric, non-space."""
     c = F.col(col) if isinstance(col, str) else col

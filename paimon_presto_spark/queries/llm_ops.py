@@ -548,6 +548,51 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_pat_sql() -> str:
+    from paimon_presto_spark.functions.text import BPE_TOKEN_PATTERN
+
+    return BPE_TOKEN_PATTERN.replace("'", "''")
+
+
+@register(
+    "text_bpe_token_stats",
+    oracle=f"""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{_bpe_pat_sql()}')))
+                    AS BIGINT) AS total_bpe_tokens,
+               MIN(LEN(REGEXP_EXTRACT_ALL(text, '{_bpe_pat_sql()}')))
+                   AS min_bpe_tokens,
+               MAX(LEN(REGEXP_EXTRACT_ALL(text, '{_bpe_pat_sql()}')))
+                   AS max_bpe_tokens
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("text", "tokens", "bpe", "regexp"),
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-style pre-tokenizer regex) — the token
+    budget measure LLM pipelines actually bill by, next to the whitespace
+    count of ``text_token_stats``. ``regexp_count`` runs in codegen; the
+    pattern avoids lookahead so Java regex and RE2 (DuckDB) agree.
+    """
+    from paimon_presto_spark.functions.text import bpe_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    ntok = bpe_token_count(F.col("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ntok).alias("total_bpe_tokens"),
+            F.min(ntok).alias("min_bpe_tokens"),
+            F.max(ntok).alias("max_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "text_quality_filter",
     oracle="""
