@@ -136,6 +136,70 @@ def sample_frames(
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, out_width int, out_height int, resized binary, "
+    "n_bytes_in bigint, n_bytes_out bigint"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    out_width: int = 224,
+    out_height: int = 224,
+    use_fake_decoder: bool = False,
+) -> DataFrame:
+    """Batch image resize (decode → resize → re-encode) via mapInPandas.
+
+    The 1→1 payload-transform shape: output rows carry a new binary column
+    whose size differs from the input (the part that matters for partition
+    sizing — plan output partitions by expected OUTPUT bytes when the
+    resize shrinks 10×). The real path plugs PIL's ``Image.resize`` in;
+    the deterministic fake derives a pseudo-thumbnail by strided byte
+    sampling so sizes/schemas/batch shapes are exercised honestly.
+    """
+    import pandas as pd
+
+    target = max(1, (out_width * out_height) // 8)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not use_fake_decoder:
+                    raise NotImplementedError(
+                        "image decoding requires pillow; pass "
+                        "use_fake_decoder=True for the deterministic test double"
+                    )
+                payload = bytes(payload or b"")
+                stride = max(1, len(payload) // target)
+                resized = payload[::stride][:target]
+                rows.append(
+                    (
+                        int(mid),
+                        out_width,
+                        out_height,
+                        resized,
+                        len(payload),
+                        len(resized),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "out_width",
+                    "out_height",
+                    "resized",
+                    "n_bytes_in",
+                    "n_bytes_out",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata rollup (no decode): byte/row counts per kind."""
     return (

@@ -247,6 +247,21 @@ def test_multimodal_plumbing(spark):
     stats = {r["kind"]: r["n_items"] for r in media_stats(media).collect()}
     assert stats == {"image": 2, "video": 1}
 
+    from paimon_presto_spark.operators.multimodal import resize_images
+
+    resized = {
+        r["media_id"]: r
+        for r in resize_images(
+            media.filter("kind = 'image'"), out_width=8, out_height=8,
+            use_fake_decoder=True,
+        ).collect()
+    }
+    assert set(resized) == {1, 2}
+    for r in resized.values():
+        assert (r["out_width"], r["out_height"]) == (8, 8)
+        assert 0 < r["n_bytes_out"] <= min(r["n_bytes_in"], 8)
+        assert bytes(r["resized"])  # payload transformed, non-empty
+
     # real decoder path is an explicit stub
     with pytest.raises(Exception) as exc:
         extract_image_features(media.filter("kind = 'image'")).collect()
