@@ -25,6 +25,12 @@ def _norm(v):
     """Normalize a cell to a hashable, engine-neutral representation."""
     if v is None:
         return None
+    # numpy scalars from the pandas fetch path (np.int64 is NOT a Python
+    # int subclass; np.float64 IS a float subclass but .item() is uniform)
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
+    if v is None:
+        return None
     if isinstance(v, bool):
         return bool(v)
     if isinstance(v, float):
@@ -34,6 +40,10 @@ def _norm(v):
     if isinstance(v, int):
         return int(v)
     if isinstance(v, datetime.datetime):
+        # pandas renders DATE columns as midnight Timestamps; fold those
+        # back to the date so both fetch paths agree on date-typed columns.
+        if v.tzinfo is None and v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
@@ -97,11 +107,28 @@ def main() -> int:
             print(f"  ~ {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.sql(oracles[name])
-            ocols = [c for c in res.columns]
-            orows = res.fetchall()
+            # Fetch through pandas, as the driver harness does: DuckDB
+            # HUGEINT (integer SUM) and NULL-bearing int columns floatify
+            # here, which fetchall() would mask (round-1 lesson).
+            odf = con.sql(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception:
             failed.append((name, "ORACLE ERROR:\n" + traceback.format_exc(limit=4)))
+            continue
+        dtype_bad = []
+        sdtypes = dict(sdf.dtypes)
+        for c in scols:
+            st = sdtypes.get(c, "")
+            ot = str(odf.dtypes[c]) if c in odf.columns else "MISSING"
+            if st in ("bigint", "int", "smallint", "tinyint") and not (
+                ot.startswith("int") or ot.startswith("uint") or ot == "object"
+            ):
+                dtype_bad.append((c, st, ot))
+        if dtype_bad:
+            failed.append(
+                (name, f"DTYPE (int col floatified through pandas): {dtype_bad}")
+            )
             continue
         sc, sd = _canon(scols, srows)
         oc, od = _canon(ocols, orows)
