@@ -502,3 +502,53 @@ def test_eval_contamination_asymmetry_values(spark):
     }
     assert got[1] == (3, 3, 1.0)   # all 3-shingles of doc 1 appear in eval
     assert got[2] == (3, 0, 0.0)
+
+
+def test_connected_components_matches_union_find_property(spark):
+    """Random pair graphs: min-label propagation must equal a pure-Python
+    union-find with min-element representatives."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from paimon_presto_spark.operators.dedup import connected_components
+
+    pairs_strategy = st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pairs=pairs_strategy)
+    def run(pairs):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(df, max_iter=40).collect()
+        }
+        assert got == expected
+
+    run()
