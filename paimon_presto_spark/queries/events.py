@@ -6,12 +6,12 @@ extension (``paimon_presto_spark/streaming``): tumbling windows,
 gap-based sessionization, as-of joins, and JSON property extraction.
 Each is SQL-expressible, so every entry has a DuckDB oracle.
 
-``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-rejects; the loader reads it as a BIGINT of epoch-nanoseconds
-(``spark.sql.legacy.parquet.nanosAsLong``) and all time arithmetic here is
-integer math on nanos — deterministic across engines by construction.
-The DuckDB oracles read the same column as TIMESTAMP_NS and convert with
-``epoch_ns``.
+``events.ts`` arrives as parquet TIMESTAMP of either nanosecond or
+microsecond unit depending on the testdata generation; the loader
+(``sources/testdata.load_table``) normalizes both to a BIGINT of
+epoch-nanoseconds, and all time arithmetic here is integer math on nanos —
+deterministic across engines by construction. The DuckDB oracles read the
+same column as a timestamp and convert with ``epoch_ns``.
 """
 
 from __future__ import annotations
