@@ -720,3 +720,30 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("fingerprint")
     )
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=None,  # multi-stage iterative composition — rows-only check;
+    # stage exactness is pinned by tests/test_operators.py
+    tags=("pipeline", "dedup", "quality", "decontaminate", "composition"),
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (``operators/pipeline.curate_corpus``)
+    run over the documents table, using the even-id half as the corpus and
+    the odd-id half as the "eval set": returns the per-stage drop report
+    plus a final kept-count row. Deterministic end to end (exact dedup,
+    seeded MinHash-LSH, min-id keepers), but iterative (connected
+    components), hence rows-only.
+    """
+    from paimon_presto_spark.operators.pipeline import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    evals = docs.filter(F.col("doc_id") % 2 == 1)
+    kept, report = curate_corpus(corpus, eval_docs=evals)
+    n_kept = kept.count()
+    final = spark.createDataFrame(
+        [("kept", 99, int(n_kept))], "stage string, stage_order int, n_dropped long"
+    )
+    return report.unionByName(final).orderBy("stage_order")
