@@ -8,6 +8,7 @@ sequence), so ``readStream`` over the data directory yields exactly the
 stream a Paimon changelog scan would.
 """
 
+from paimon_presto_spark.streaming.dedup import streaming_exact_dedup
 from paimon_presto_spark.streaming.lookup import lookup_join
 from paimon_presto_spark.streaming.sink import table_sink
 from paimon_presto_spark.streaming.source import changelog_stream, track_consumer
@@ -17,6 +18,7 @@ __all__ = [
     "changelog_stream",
     "lookup_join",
     "sessionized",
+    "streaming_exact_dedup",
     "table_sink",
     "track_consumer",
     "tumbling_counts",

@@ -406,3 +406,35 @@ def test_lookup_join_refreshes_dimension(spark, catalog, tmp_path):
     fact.upsert(spark.createDataFrame([(2, 25), (3, 30)], "cust int, amt int"))
     run_once("l1")
     assert sorted(got) == [(2, 25, "silver"), (3, 30, None)]
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First occurrence of each distinct content passes; duplicates across
+    micro-batches are dropped by content hash (16-byte state keys)."""
+    import os
+
+    from paimon_presto_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "docs-src"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    deduped = streaming_exact_dedup(stream)
+    _run_to_memory(deduped, "sdedup", tmp_path)
+
+    rows = spark.sql("SELECT doc_id, text FROM sdedup").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha text", "beta text", "gamma text"]
+    # survivors are first occurrences of their content (batch order holds
+    # across files; within-batch duplicate choice is arbitrary but one)
+    assert len(rows) == 3
+    assert "__text_hash" not in spark.table("sdedup").columns
