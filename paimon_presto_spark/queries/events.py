@@ -225,3 +225,63 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+OUTAGE_WINDOW_S = 60
+
+
+@register(
+    "events_interval_join",
+    oracle=f"""
+        WITH w AS (
+            SELECT event_id AS outage_id,
+                   epoch_ns(ts) AS ws,
+                   epoch_ns(ts) + {OUTAGE_WINDOW_S * NS_PER_S} AS we
+            FROM events WHERE event_type = 'error'
+        ),
+        e AS (
+            SELECT event_id, user_id, epoch_ns(ts) AS tns
+            FROM events WHERE event_type <> 'error'
+        )
+        SELECT w.outage_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users,
+               MIN(e.event_id) AS first_event
+        FROM w JOIN e ON e.tns >= w.ws AND e.tns < w.we
+        GROUP BY w.outage_id
+        ORDER BY w.outage_id
+    """,
+    tags=("events", "range-join", "interval-join"),
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via time bucketing — the second custom
+    operator Spark lacks natively (next to the as-of join): every 'error'
+    event opens a 60 s outage window; count the non-error events (and
+    distinct users) falling inside each. ``operators/rangejoin`` turns
+    the non-equi containment join into an equi-join on time buckets — no
+    BroadcastNestedLoopJoin at any scale (SURVEY §7 custom-operator case
+    (a): composition of existing ops).
+    """
+    from paimon_presto_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("outage_id"),
+        F.col("ts").alias("ws"),
+        (F.col("ts") + OUTAGE_WINDOW_S * NS_PER_S).alias("we"),
+    )
+    points = ev.filter(F.col("event_type") != "error").select(
+        F.col("event_id").alias("p_event_id"), "user_id", F.col("ts").alias("tns")
+    )
+    joined = interval_join(
+        points, windows, "tns", "ws", "we", bucket_width=OUTAGE_WINDOW_S * NS_PER_S
+    )
+    return (
+        joined.groupBy("outage_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("p_event_id").alias("first_event"),
+        )
+        .orderBy("outage_id")
+    )

@@ -552,3 +552,37 @@ def test_connected_components_matches_union_find_property(spark):
         assert got == expected
 
     run()
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed interval join must equal the naive non-equi join for every
+    bucket width, including intervals spanning many buckets, empty
+    intervals, and boundary points (closed-open semantics)."""
+    from paimon_presto_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 5, 10, 99, 100, 101, 250, 999])],
+        "pid long, p long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, 0, 10),      # [0,10): catches 0,5 not 10
+            (2, 10, 10),     # empty
+            (3, 90, 260),    # spans buckets
+            (4, 100, 101),   # single point 100
+            (5, 500, 400),   # inverted -> empty
+        ],
+        "iid long, s long, e long",
+    )
+    expected = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter("p >= s AND p < e")
+        .collect()
+    }
+    for width in (1, 7, 64, 1000):
+        got = {
+            (r["pid"], r["iid"])
+            for r in interval_join(points, intervals, "p", "s", "e", width).collect()
+        }
+        assert got == expected, f"width={width}"
