@@ -285,3 +285,49 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("outage_id")
     )
+
+
+ROLLUP_LEVELS_S = (300, 3600, 86400)
+
+
+def _o_rollup_level(g: int) -> str:
+    return f"""
+        SELECT {g} AS level_s,
+               (epoch_ns(ts) // {g} // {NS_PER_S}) * {g} AS window_start,
+               COUNT(*) AS n_events,
+               {o_dsum('value', 'total_value')}
+        FROM events
+        GROUP BY 2
+    """
+
+
+@register(
+    "events_hierarchical_rollup",
+    oracle=(
+        "\nUNION ALL\n".join(_o_rollup_level(g) for g in ROLLUP_LEVELS_S)
+        + "\nORDER BY level_s, window_start"
+    ),
+    tags=("events", "rollup", "hypertable", "continuous-aggregate"),
+)
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: 5-minute, hourly, and daily
+    rollups where each coarser level re-aggregates the finer LEVEL, not
+    the raw table (``operators/rollup_hierarchy.py``). The oracle computes
+    every level directly from raw — equality proves the re-aggregation is
+    exact (algebraic counts + decimal sums), which is what lets a 100 TB
+    events table serve day-granularity dashboards from |hourly windows|
+    rows.
+    """
+    from paimon_presto_spark.operators.rollup_hierarchy import hierarchical_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hierarchical_rollup(ev, "ts", "value", list(ROLLUP_LEVELS_S))
+    return (
+        out.select(
+            "level_s",
+            "window_start",
+            "n_events",
+            F.col("total_value").cast("string").cast("double").alias("total_value"),
+        )
+        .orderBy("level_s", "window_start")
+    )

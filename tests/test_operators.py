@@ -586,3 +586,40 @@ def test_interval_join_matches_naive(spark):
             for r in interval_join(points, intervals, "p", "s", "e", width).collect()
         }
         assert got == expected, f"width={width}"
+
+
+def test_hierarchical_rollup_reaggregates_exactly(spark):
+    from paimon_presto_spark.operators.rollup_hierarchy import hierarchical_rollup
+
+    ns = 1_000_000_000
+    rows = [(i, (i * 37) % 1000 * ns, float(i) * 0.1) for i in range(500)]
+    ev = spark.createDataFrame(rows, "event_id long, ts long, value double")
+    out = hierarchical_rollup(ev, "ts", "value", [10, 100]).collect()
+    fine = [r for r in out if r["level_s"] == 10]
+    coarse = [r for r in out if r["level_s"] == 100]
+    # conservation across levels
+    assert sum(r["n_events"] for r in fine) == 500
+    assert sum(r["n_events"] for r in coarse) == 500
+    assert sum(r["total_value"] for r in fine) == sum(
+        r["total_value"] for r in coarse
+    )
+    # coarse == direct aggregation from raw
+    import pyspark.sql.functions as F
+
+    direct = {
+        r["w"]: (r["n"], r["s"])
+        for r in ev.groupBy(F.expr(f"(ts DIV {100 * ns}) * 100").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("s"),
+        )
+        .collect()
+    }
+    for r in coarse:
+        n, s = direct[r["window_start"]]
+        assert (r["n_events"], r["total_value"]) == (n, s)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hierarchical_rollup(ev, "ts", "value", [10, 25])
