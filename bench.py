@@ -41,6 +41,8 @@ HEADLINE = [
     "events_tumbling_window",
     "events_sessionization",
     "events_asof_join",
+    "events_interval_join",
+    "events_hierarchical_rollup",
     # LLM-data pipeline
     "dedup_exact",
     "dedup_minhash_lsh",

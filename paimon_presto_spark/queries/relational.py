@@ -706,7 +706,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_delta",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               ROUND(o_totalprice - LAG(o_totalprice) OVER (
+               ROUND(o_totalprice - LAG(o_totalprice, 1, o_totalprice) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ), 2) AS price_delta,
                RANK() OVER (
@@ -721,12 +721,18 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag + rank in one window — SURVEY §2.2 Windows (``testCustomRank :344``)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # lag default = the row's own price → first row's delta is 0.0, not
+    # NULL (NULL doubles floatify asymmetrically under pandas hashing).
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
+        F.round(
+            F.col("o_totalprice")
+            - F.lag("o_totalprice", 1, None).over(w).alias("prev"),
+            2,
+        ).alias("price_delta"),
         F.rank().over(w).alias("order_seq"),
-    )
+    ).withColumn("price_delta", F.coalesce("price_delta", F.lit(0.0)))
 
 
 # ---------------------------------------------------------------------------

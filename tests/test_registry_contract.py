@@ -95,12 +95,16 @@ def test_all_query_outputs_are_hashable_scalars(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 failures.append(f"{name}.{f.name}: non-scalar {f.dataType.simpleString()}")
         rows = df.collect()
-        int_cols = [
+        # NULL ints floatify asymmetrically; NULL doubles render NaN on
+        # the oracle's pandas path but None on Spark's — both break
+        # cross-engine value hashing (window_lag_delta, sf0.1, round 2).
+        checked = [
             f.name
             for f in df.schema.fields
-            if f.dataType.simpleString() in ("bigint", "int", "smallint", "tinyint")
+            if f.dataType.simpleString()
+            in ("bigint", "int", "smallint", "tinyint", "double", "float")
         ]
-        for c in int_cols:
+        for c in checked:
             if any(r[c] is None for r in rows):
-                failures.append(f"{name}.{c}: NULL in integer column")
+                failures.append(f"{name}.{c}: NULL in numeric column")
     assert not failures, failures
