@@ -93,10 +93,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_collect_reduce",
     # set ops
     "setop_union_all",
-    "setop_except",
-    # join / subquery shapes
+    # join / subquery shapes (anti-join is also exercised by q21/q22)
     "join_semi_exists",
-    "join_anti_not_exists",
     "quantified_comparison",
     # scalar / semantics
     "unnest_word_counts",
@@ -110,6 +108,8 @@ PRIORITY: tuple[str, ...] = (
     "events_sessionization",
     "events_asof_join",
     "events_json_props",
+    "events_interval_join",
+    "events_hierarchical_rollup",
     # LLM-data-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -50,7 +50,11 @@ def test_oracles_are_subset_with_known_exceptions():
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
     # Only genuinely seed-dependent / iterative entries may lack an oracle.
-    assert rows_only <= {"sample_bernoulli", "knn_ivf_kmeans"}, rows_only
+    assert rows_only <= {
+        "sample_bernoulli",
+        "knn_ivf_kmeans",
+        "pipeline_curate_corpus",
+    }, rows_only
 
 
 def test_integer_sum_oracles_cast_to_bigint():
