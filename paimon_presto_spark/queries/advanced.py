@@ -519,7 +519,10 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paimon_presto_spark.operators.similarity import kmeans_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(e, k=8, max_iter=5)
+    # k/iteration counts sized for the gate corpus: training cost is
+    # ~(k + max_iter) driver-coordinated jobs, so keep both small here;
+    # production sizing guidance lives on kmeans_centroids itself.
+    cents = kmeans_centroids(e, k=4, max_iter=3)
     queries = e.filter(F.col("vec_id") < 5)
     out = ivf_topk(e, queries, cents, k=10, n_probe=2)
     return (
