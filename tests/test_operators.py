@@ -623,3 +623,44 @@ def test_hierarchical_rollup_reaggregates_exactly(spark):
 
     with _pytest.raises(ValueError):
         hierarchical_rollup(ev, "ts", "value", [10, 25])
+
+
+def test_interval_join_property_random_graphs(spark):
+    """Hypothesis: bucketed interval join ≡ naive non-equi join for random
+    point/interval sets and widths."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from paimon_presto_spark.operators.rangejoin import interval_join
+
+    points_s = st.lists(st.integers(0, 300), min_size=1, max_size=12)
+    ivals_s = st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 300)), min_size=1, max_size=8
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ps=points_s, ivs=ivals_s, width=st.sampled_from([1, 3, 50, 400]))
+    def run(ps, ivs, width):
+        points = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(ps)], "pid long, p long"
+        )
+        intervals = spark.createDataFrame(
+            [(i, s, e) for i, (s, e) in enumerate(ivs)], "iid long, s long, e long"
+        )
+        expected = {
+            (i, j)
+            for i, p in enumerate(ps)
+            for j, (s, e) in enumerate(ivs)
+            if s <= p < e
+        }
+        got = {
+            (r["pid"], r["iid"])
+            for r in interval_join(points, intervals, "p", "s", "e", width).collect()
+        }
+        assert got == expected
+
+    run()
