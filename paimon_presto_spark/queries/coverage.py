@@ -284,3 +284,102 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "bitwise_functions",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(BIT_AND(o_orderkey) AS BIGINT) AS key_and,
+               CAST(BIT_OR(o_orderkey) AS BIGINT) AS key_or,
+               CAST(BIT_XOR(o_orderkey) AS BIGINT) AS key_xor,
+               CAST(MIN(o_orderkey & 255) AS BIGINT) AS min_low_byte,
+               CAST(MAX((o_orderkey << 1) | 1) AS BIGINT) AS max_shifted
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("bitwise", "aggregation", "functions"),
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) + shift/mask scalars —
+    SURVEY §2.2 math/arith family; integer-exact on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+            F.min(F.col("o_orderkey").bitwiseAND(255)).alias("min_low_byte"),
+            F.max(F.shiftleft(F.col("o_orderkey"), 1).bitwiseOR(1)).alias(
+                "max_shifted"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_corr_manual",
+    oracle="""
+        WITH comp AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR)
+                        AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                        AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_quantity * l_extendedprice
+                                      AS DECIMAL(28,10))) AS VARCHAR)
+                        AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(CAST(l_quantity * l_quantity
+                                      AS DECIMAL(28,10))) AS VARCHAR)
+                        AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                                      AS DECIMAL(28,10))) AS VARCHAR)
+                        AS DOUBLE) AS syy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (n * sxy - sx * sy)
+                   / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+               (n * sxy - sx * sy) / (n * n) AS covar_pop_scaled
+        FROM comp
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "statistics", "correlation"),
+)
+def agg_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance — SURVEY §2.2 stats family. Native corr()
+    accumulates floating point in engine-specific order, so both engines
+    compute it from EXACT decimal component sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) and apply the same closed formula in double arithmetic —
+    bit-identical results, still one partial-aggregated pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+
+    def ds(c):
+        return F.sum(c.cast("decimal(28,10)")).cast("string").cast("double")
+
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        ds(x).alias("sx"),
+        ds(y).alias("sy"),
+        ds(x * y).alias("sxy"),
+        ds(x * x).alias("sxx"),
+        ds(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return comp.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop_scaled"),
+    ).orderBy("l_returnflag")
