@@ -232,6 +232,11 @@ def kmeans_centroids(
     seeds across clusters regardless of data order (the k-means++ idea
     with its randomness replaced by a reproducible rule). Empty clusters
     keep their previous centroid.
+
+    Codegen bound: the argmax inlines k×dim literals, which is the right
+    trade up to a few hundred centroids; past that, move the assignment
+    into an Arrow-batched pandas UDF with a broadcast centroid matrix
+    (the ``cosine_topk_pandas`` pattern) — the update pass is unchanged.
     """
     import math
 
