@@ -12,7 +12,9 @@ the probe corpus's vocabulary). The pipeline only *composes* them: no
 stage adds a new shuffle shape, document payloads move at most once per
 stage (id-based semi/anti joins carry the decisions), and each stage's
 survivor set is cached before the count so the report never re-runs
-upstream stages.
+upstream stages. Decision sets are corpus-sized, so the semi/anti joins
+carry no broadcast hint — AQE broadcasts them only when they measure
+small at runtime.
 """
 
 from __future__ import annotations
@@ -109,7 +111,11 @@ def curate_corpus(
     keepers = exact_dedup(cur, id_col, text_col).select(
         F.col("keeper_doc_id").alias(id_col)
     )
-    advance("exact_dedup", cur.join(F.broadcast(keepers), id_col, "left_semi"))
+    # Decision sets (keepers / survivors / drops) scale with |corpus|, so
+    # they must NOT be broadcast-hinted: a forced broadcast collects a
+    # corpus-sized table to the driver. They are id-only (narrow) tables;
+    # AQE picks broadcast on its own when a set is actually small.
+    advance("exact_dedup", cur.join(keepers, id_col, "left_semi"))
 
     # 2. Quality filter: token-count window + punctuation ceiling.
     qm = quality_metrics(cur, id_col, text_col)
@@ -118,7 +124,7 @@ def curate_corpus(
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("punct_ratio") <= max_punct_ratio)
     ).select(id_col)
-    advance("quality_filter", cur.join(F.broadcast(good), id_col, "left_semi"))
+    advance("quality_filter", cur.join(good, id_col, "left_semi"))
 
     # 3. Near-dup clustering: LSH pairs → transitive components → keep the
     #    minimum id of each cluster (== drop every doc whose component
@@ -136,7 +142,7 @@ def curate_corpus(
     drops = comps.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias(id_col)
     )
-    advance("near_dup_clusters", cur.join(F.broadcast(drops), id_col, "left_anti"))
+    advance("near_dup_clusters", cur.join(drops, id_col, "left_anti"))
 
     # 4. Optional decontamination: drop docs whose shingles are mostly
     #    contained in the eval corpus.
@@ -146,9 +152,7 @@ def curate_corpus(
             .filter(F.col("containment") > max_containment)
             .select(id_col)
         )
-        advance(
-            "decontaminate", cur.join(F.broadcast(contaminated), id_col, "left_anti")
-        )
+        advance("decontaminate", cur.join(contaminated, id_col, "left_anti"))
 
     spark = docs.sparkSession
     report = spark.createDataFrame(

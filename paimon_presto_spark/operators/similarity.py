@@ -215,7 +215,8 @@ def kmeans_centroids(
     max_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
+    init_sample: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means over an embedding column; returns the
     (cid, centroid) list ``ivf_topk`` consumes.
@@ -226,12 +227,24 @@ def kmeans_centroids(
     partial aggregation makes the map side do the work), and the k×(dim+1)
     result is collected to the driver, which is the canonical distributed
     k-means layout: centroids are small by definition, the corpus never
-    moves. Initialization is deterministic maximin (farthest-point): the
-    first seed is the row with the smallest md5-of-id, each next seed the
-    row least similar to every chosen seed — k cheap passes that spread
-    seeds across clusters regardless of data order (the k-means++ idea
-    with its randomness replaced by a reproducible rule). Empty clusters
+    moves.
+
+    Initialization is ONE bounded pass, independent of k: the
+    ``init_sample`` (default max(8k, 64)) rows with the smallest
+    md5-of-id — a deterministic pseudo-uniform sample, fetched as a single
+    TakeOrdered — are collected, and maximin (farthest-point) seeding runs
+    driver-side on that sample with numpy. Same spread-the-seeds effect as
+    corpus-wide maximin (the k-means++ idea with its randomness replaced
+    by a reproducible rule), without the k sequential full scans the
+    corpus-wide version costs — at 100 TB with k=256 that was 256 scans
+    before Lloyd's even started. The sample head is the global md5-min
+    row, so the first seed matches the old scheme exactly. Empty clusters
     keep their previous centroid.
+
+    ``dim`` is inferred from the sample when None; rows whose vector
+    length differs from ``dim`` are excluded from training (element_at
+    past the end would otherwise inject NULL partial sums and silently
+    corrupt centroids).
 
     Codegen bound: the argmax inlines k×dim literals, which is the right
     trade up to a few hundred centroids; past that, move the assignment
@@ -244,7 +257,7 @@ def kmeans_centroids(
 
     v = vectors.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
-    ).cache()
+    )
 
     def sims(emb: Column, unit: list[tuple[int, list[float]]]) -> Column:
         return F.array(
@@ -270,29 +283,46 @@ def kmeans_centroids(
             out.append((cid, [x / norm for x in vec]))
         return out
 
-    first = (
+    sample_n = init_sample if init_sample is not None else max(8 * k, 64)
+    sample = (
         v.withColumn("__h", md5_long(F.col("__id").cast("string")))
         .orderBy("__h", "__id")
-        .limit(1)
-        .collect()[0]
+        .limit(sample_n)
+        .collect()
     )
-    cents = [(0, list(first["__v"]))]
-    from paimon_presto_spark.functions.vectors import l2_norm
-
-    for i in range(1, k):
-        # Farthest point: minimize the max cosine against chosen seeds
-        # (dot against unit seeds, scaled by the row's own norm).
-        far = (
-            v.withColumn(
-                "__maxsim",
-                F.array_max(sims(F.col("__v"), _unit(cents)).getField("s"))
-                / l2_norm(F.col("__v")),
-            )
-            .orderBy(F.asc("__maxsim"), F.asc("__id"))
-            .limit(1)
-            .collect()[0]
+    if not sample:
+        raise ValueError("kmeans_centroids: empty vector input")
+    if dim is None:
+        dim = len(sample[0]["__v"])
+    sample = [r for r in sample if len(r["__v"]) == dim]
+    if len(sample) < k:
+        raise ValueError(
+            f"kmeans_centroids: only {len(sample)} usable sample rows of "
+            f"dim {dim} for k={k}; raise init_sample or check the data"
         )
-        cents.append((i, list(far["__v"])))
+    # Exclude malformed rows from Lloyd's too (see docstring).
+    v = v.filter(F.size("__v") == dim).cache()
+
+    # Driver-side maximin over the sample: first seed is the md5-min row
+    # (identical to a corpus-wide min); each next seed minimizes the max
+    # cosine against chosen seeds, ties broken by id. O(sample·k·dim) in
+    # numpy — microseconds, zero extra cluster passes.
+    ids = [r["__id"] for r in sample]
+    X = np.asarray([list(r["__v"]) for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = 1.0
+    U = X / norms[:, None]
+    chosen = [0]
+    maxsim = U @ U[0]
+    for _ in range(1, k):
+        taken = set(chosen)
+        best_j = min(
+            (j for j in range(len(ids)) if j not in taken),
+            key=lambda j: (maxsim[j], ids[j]),
+        )
+        chosen.append(best_j)
+        maxsim = np.maximum(maxsim, U @ U[best_j])
+    cents = [(i, [float(x) for x in X[j]]) for i, j in enumerate(chosen)]
 
     for _ in range(max_iter):
         assigned = v.withColumn(
@@ -341,6 +371,59 @@ def cosine_pairs(
     b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim") > threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def lsh_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with cosine > threshold, LSH-bucketed — the 100 TB
+    replacement for ``cosine_pairs``'s all-pairs baseline.
+
+    One narrow pass buckets every vector by its hyperplane sign pattern;
+    one side is exploded over {0} ∪ {1<<j} bit flips (1-bit multiprobe, so
+    pairs whose buckets differ by a single plane are still candidates);
+    the bucket equi-join produces only same/adjacent-bucket candidates,
+    which are then verified with the exact cosine. A pair at Hamming
+    distance h between buckets meets under exactly one flip when h ≤ 1 and
+    never otherwise, so the output has no duplicates and needs no dedup
+    shuffle. Plan: two narrow maps + ONE equi shuffle join — no
+    BroadcastNestedLoopJoin, no O(n²), and each task's work is bounded by
+    bucket population. Seeded hyperplanes keep the candidate set (and thus
+    the result) deterministic across runs and engines.
+
+    Recall is the standard LSH trade: pairs differing in ≥2 planes are
+    missed; raise recall with more probes or fewer planes (bigger
+    buckets), exactly like ``lsh_bucketed_topk``.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb")
+    ).withColumn("bucket", _bucket_expr(F.col("__emb"), planes))
+    flips = [0] + [1 << j for j in range(n_planes)]
+    a = (
+        b.withColumn("flip", F.explode(F.array(*[F.lit(p) for p in flips])))
+        .select(
+            F.col("__id").alias("vec_a"),
+            F.col("__emb").alias("emb_a"),
+            F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
+        )
+    )
+    bb = b.select(
+        F.col("__id").alias("vec_b"), F.col("__emb").alias("emb_b"), "bucket"
+    )
+    return (
+        a.join(bb, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", cosine_similarity(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos_sim") > threshold)
         .select("vec_a", "vec_b", "cos_sim")

@@ -426,6 +426,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_lsh_pairs(n_planes: int, dim: int, threshold: float) -> str:
+    """DuckDB twin of ``lsh_cosine_pairs``: same seeded hyperplanes inlined
+    as literals, same {0} ∪ {1<<j} multiprobe flips, same exact-cosine
+    verify — the *approximate* operator still has an exact oracle because
+    the candidate set is deterministic."""
+    from paimon_presto_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    flips = [0] + [1 << j for j in range(n_planes)]
+    return f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {bucket} AS bucket
+            FROM embeddings
+        ),
+        probed AS (
+            SELECT a.vec_id, a.embedding,
+                   xor(a.bucket::BIGINT, f.flip::BIGINT) AS bucket
+            FROM bucketed a, (SELECT UNNEST({flips}) AS flip) f
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM probed a
+        JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              > {threshold}
+        ORDER BY vec_a, vec_b
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_oracle_lsh_pairs(n_planes=4, dim=64, threshold=COSINE_DEDUP_THRESHOLD),
+    tags=("dedup", "embedding", "cosine", "lsh", "ann"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed (``operators/similarity.py:
+    lsh_cosine_pairs``) — the 100 TB-safe plan next to
+    ``dedup_embedding_cosine``'s all-pairs baseline: one narrow bucketing
+    pass + one bucket equi-join, no BroadcastNestedLoopJoin. Deterministic
+    seeded hyperplanes let the DuckDB oracle replay the exact candidate
+    set, so this approximate operator is still hash-gated."""
+    from paimon_presto_spark.operators.similarity import lsh_cosine_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = lsh_cosine_pairs(
+        e, COSINE_DEDUP_THRESHOLD, n_planes=4, dim=64
+    )
+    return (
+        out.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -262,10 +262,131 @@ def test_multimodal_plumbing(spark):
         assert 0 < r["n_bytes_out"] <= min(r["n_bytes_in"], 8)
         assert bytes(r["resized"])  # payload transformed, non-empty
 
-    # real decoder path is an explicit stub
-    with pytest.raises(Exception) as exc:
-        extract_image_features(media.filter("kind = 'image'")).collect()
-    assert "NotImplementedError" in str(exc.value) or "pillow" in str(exc.value)
+    # formats outside the built-in decoders (JPEG without pillow) raise
+    # a clear error naming the missing dependency
+    jpeg = spark.createDataFrame(
+        [(9, "image", bytearray(b"\xff\xd8\xff\xe0JFIF-ish"), "image/jpeg",
+          None, None, None)],
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms bigint",
+    )
+    from paimon_presto_spark.operators.multimodal import _pil
+
+    if _pil() is None:
+        with pytest.raises(Exception) as exc:
+            extract_image_features(jpeg).collect()
+        assert "NotImplementedError" in str(exc.value) or "pillow" in str(exc.value)
+
+
+def _make_png(w, h, pixel_fn):
+    """Hand-rolled 8-bit RGB PNG (filter 0 rows, one Up-filtered row for
+    branch coverage)."""
+    import struct
+    import zlib
+
+    def chunk(t, data):
+        return (
+            struct.pack(">I", len(data))
+            + t
+            + data
+            + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    prev = bytes(3 * w)
+    for y in range(h):
+        line = bytes(v for x in range(w) for v in pixel_fn(x, y))
+        if y == h - 1 and h > 1:  # encode last row with the Up filter
+            raw += b"\x02" + bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+        else:
+            raw += b"\x00" + line
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_bmp(w, h, pixel_fn):
+    """Uncompressed 24-bit bottom-up BMP."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    data = b""
+    for y in reversed(range(h)):
+        row = b""
+        for x in range(w):
+            r, g, b = pixel_fn(x, y)
+            row += bytes((b, g, r))
+        data += row + b"\0" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def test_multimodal_real_decoders(spark):
+    """Real (dependency-free) decode paths: PNG and BMP through
+    extract_image_features, resize to PPM, WAV through
+    extract_audio_features — actual byte-streams end-to-end."""
+    import io
+    import wave as wave_mod
+
+    from paimon_presto_spark.operators.multimodal import (
+        _decode_ppm,
+        extract_audio_features,
+        extract_image_features,
+        resize_images,
+    )
+
+    # 8x8: left half black, right half white
+    half = lambda x, y: (255, 255, 255) if x >= 4 else (0, 0, 0)  # noqa: E731
+    png = _make_png(8, 8, half)
+    bmp = _make_bmp(8, 8, half)
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join((1000).to_bytes(2, "little", signed=True) for _ in range(4000)))
+    wav = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), "image/png", None, None, None),
+            (2, "image", bytearray(bmp), "image/bmp", None, None, None),
+            (3, "audio", bytearray(wav), "audio/wav", None, None, None),
+        ],
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms bigint",
+    )
+    imgs = media.filter("kind = 'image'")
+
+    feats = {r["media_id"]: r for r in extract_image_features(imgs).collect()}
+    for mid in (1, 2):
+        r = feats[mid]
+        assert (r["width"], r["height"]) == (8, 8)
+        # half-white image: mean luma ~0.5
+        assert abs(r["mean_luma"] - 0.5) < 0.01, r["mean_luma"]
+    # same pixels through two different formats -> identical perceptual hash
+    assert feats[1]["phash"] == feats[2]["phash"]
+
+    resized = {r["media_id"]: r for r in resize_images(imgs, 4, 4).collect()}
+    for mid in (1, 2):
+        w_, h_, rows = _decode_ppm(bytes(resized[mid]["resized"]))
+        assert (w_, h_) == (4, 4)
+        # left half still black, right half still white after resize
+        assert rows[0][:3] == b"\x00\x00\x00" and rows[0][-3:] == b"\xff\xff\xff"
+
+    audio = extract_audio_features(media.filter("kind = 'audio'")).collect()[0]
+    assert audio["sample_rate"] == 8000
+    assert audio["n_channels"] == 1
+    assert audio["n_samples"] == 4000
+    assert audio["duration_ms"] == 500
+    assert abs(audio["rms"] - 1000.0) < 1e-6
 
 
 def test_salted_join_matches_plain(spark):

@@ -21,8 +21,15 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _norm(v):
-    """Normalize a cell to a hashable, engine-neutral representation."""
+def _norm(v, is_date_col=False):
+    """Normalize a cell to a hashable, engine-neutral representation.
+
+    ``is_date_col`` folds naive-midnight datetimes back to the date: the
+    pandas fetch path renders DATE columns as midnight Timestamps. The fold
+    is gated on the column actually being date-typed (per the engines' own
+    type metadata, not value shape) so a genuine TIMESTAMP-vs-DATE type
+    mismatch stays visible even when every value is midnight.
+    """
     if v is None:
         return None
     # numpy scalars from the pandas fetch path (np.int64 is NOT a Python
@@ -40,9 +47,7 @@ def _norm(v):
     if isinstance(v, int):
         return int(v)
     if isinstance(v, datetime.datetime):
-        # pandas renders DATE columns as midnight Timestamps; fold those
-        # back to the date so both fetch paths agree on date-typed columns.
-        if v.tzinfo is None and v.time() == datetime.time(0, 0):
+        if is_date_col and v.tzinfo is None and v.time() == datetime.time(0, 0):
             return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, datetime.date):
@@ -61,11 +66,12 @@ def _norm(v):
     return v
 
 
-def _canon(cols, rows):
+def _canon(cols, rows, date_cols=frozenset()):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     cols_sorted = [cols[i] for i in order]
+    flags = [cols[i] in date_cols for i in order]
     data = sorted(
-        tuple(_norm(row[i]) for i in order) for row in rows
+        tuple(_norm(row[i], flags[j]) for j, i in enumerate(order)) for row in rows
     )
     return cols_sorted, data
 
@@ -109,8 +115,12 @@ def main() -> int:
         try:
             # Fetch through pandas, as the driver harness does: DuckDB
             # HUGEINT (integer SUM) and NULL-bearing int columns floatify
-            # here, which fetchall() would mask (round-1 lesson).
-            odf = con.sql(oracles[name]).df()
+            # here, which fetchall() would mask (round-1 lesson). Capture
+            # the relation's TRUE types first — .df() erases DATE vs
+            # TIMESTAMP (both become datetime64 midnights).
+            rel = con.sql(oracles[name])
+            otypes = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+            odf = rel.df()
             ocols = list(odf.columns)
             orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception:
@@ -125,13 +135,25 @@ def main() -> int:
                 ot.startswith("int") or ot.startswith("uint") or ot == "object"
             ):
                 dtype_bad.append((c, st, ot))
+            # DATE on one side, TIMESTAMP on the other, is a real type
+            # mismatch even when every value is midnight.
+            odecl = otypes.get(c, "")
+            if st == "date" and odecl.startswith("TIMESTAMP"):
+                dtype_bad.append((c, st, odecl))
+            elif st.startswith("timestamp") and odecl == "DATE":
+                dtype_bad.append((c, st, odecl))
         if dtype_bad:
             failed.append(
-                (name, f"DTYPE (int col floatified through pandas): {dtype_bad}")
+                (name, f"DTYPE (int floatified or DATE/TIMESTAMP skew): {dtype_bad}")
             )
             continue
-        sc, sd = _canon(scols, srows)
-        oc, od = _canon(ocols, orows)
+        date_cols = frozenset(
+            c
+            for c in scols
+            if sdtypes.get(c, "") == "date" or otypes.get(c, "") == "DATE"
+        )
+        sc, sd = _canon(scols, srows, date_cols)
+        oc, od = _canon(ocols, orows, date_cols)
         if sc != oc:
             failed.append((name, f"SCHEMA: spark={sc} oracle={oc}"))
         elif len(sd) != len(od):
