@@ -28,19 +28,21 @@ def test_priority_prefix_is_valid_and_broad():
     names = list(qs)
     assert names[: len(PRIORITY)] == list(PRIORITY)
     assert len(PRIORITY) == 50
-    # Every family with a PRIORITY entry must be represented in the prefix.
+    # Every operator family must be represented in the prefix. The prefix
+    # ROTATES across rounds (so every entry eventually earns a driver-graded
+    # row); these anchors are the round-3 representatives of each family.
     prefix = set(PRIORITY)
     for family_member in (
         "table_format_roundtrip",
         "q1_pricing_summary",
-        "window_topn_per_nation",
-        "agg_distinct",
-        "setop_union_all",
-        "join_semi_exists",
+        "window_rank_variants",
+        "agg_grouping_sets",
+        "setop_intersect",
+        "join_full_outer",
         "events_tumbling_window",
-        "dedup_exact",
-        "knn_bruteforce_topk",
-        "text_token_stats",
+        "dedup_simhash",
+        "knn_ivf_kmeans",
+        "text_quality_filter",
     ):
         assert family_member in prefix
 
