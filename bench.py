@@ -86,7 +86,9 @@ def main() -> None:
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(F.sum(F.col("n_nationkey").cast("decimal(28,10)")).alias("s"))
-        .withColumn("rk", F.row_number().over(Window.orderBy("r_name")))
+        # partitioned window: every registry window is partitioned, and an
+        # unpartitioned one here would spam WindowExec warnings into the tail
+        .withColumn("rk", F.row_number().over(Window.partitionBy("r_name").orderBy("s")))
         .collect()
     )
     # Hash + HOF (explode/zip_with/aggregate) paths used by the dedup and
@@ -137,7 +139,147 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # Scale stress (never voids the bench): run the LLM-pipeline operators
+    # once at a synthesized sf1 (10x documents/embeddings, per-replica text
+    # perturbation so replicas are unrelated documents, not near-dup
+    # cliques), and assert the scale-path plans stay free of
+    # BroadcastNestedLoopJoin / CartesianProduct even with auto-broadcast
+    # disabled — the shapes that must hold when data outgrows broadcast.
+    try:
+        out["scale_stress"] = _scale_stress(spark, qs, sf_dir)
+    except Exception as exc:
+        out["scale_stress"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
     print(json.dumps(out))
+
+
+SCALE_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "decontaminate_ngram_overlap",
+    "knn_ivf_probe",
+    "dedup_exact",
+]
+
+
+def _lsh_pairs_sf1(spark, sf1_dir: str):
+    """dedup_embedding_lsh retuned for 10x the vectors: 8 hyperplanes →
+    256 buckets, keeping per-bucket candidate volume bounded — the tuning
+    rule (planes ≈ log2(n / target_bucket)) that the registry entry's
+    sf0.01-sized 4-plane setting follows at ITS scale."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.similarity import lsh_cosine_pairs
+
+    emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+    return lsh_cosine_pairs(emb, 0.45, n_planes=8, dim=64)
+
+
+def _build_sf1(spark, sf_dir: str, out_dir: str) -> None:
+    """Synthesize sf1 from sf0.1: 10 replicas of documents/embeddings with
+    re-keyed ids; replica texts are vowel/consonant-rotated so shingle sets
+    differ across replicas (a clean 10x scale-up, not a dup-clique
+    explosion); other tables are symlinked."""
+    import pyspark.sql.functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    perms = [
+        "etaoins", "taoinse", "aoinset", "oinseta", "insetao",
+        "nsetaoi", "setaoin", "tesoian", "aetsoni", "osnitae",
+    ]
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    reps = []
+    for i in range(10):
+        d = docs.withColumn("doc_id", F.col("doc_id") * 10 + F.lit(i))
+        if i > 0:
+            d = d.withColumn("text", F.translate("text", "etaoins", perms[i]))
+        reps.append(d)
+    base = reps[0]
+    for d in reps[1:]:
+        base = base.unionByName(d)
+    base.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ereps = []
+    for i in range(10):
+        e = emb.withColumn("vec_id", F.col("vec_id") * 10 + F.lit(i))
+        if i > 0:
+            # circular dimension shift: a shifted copy of a random-ish
+            # vector is ~orthogonal to the original, so replicas are
+            # unrelated vectors (clean 10x scale-up), NOT near-identical
+            # twins (which would explode near-dup pair counts 45x)
+            shift = (i * 13) % 64
+            e = e.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", shift + 1, 64 - shift),
+                    F.slice("embedding", 1, shift),
+                ),
+            )
+        ereps.append(e)
+    ebase = ereps[0]
+    for e in ereps[1:]:
+        ebase = ebase.unionByName(e)
+    ebase.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+
+
+def _scale_stress(spark, qs, sf_dir: str) -> dict:
+    sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1")
+    marker = os.path.join(sf1_dir, "_built_from")
+    if not (os.path.exists(marker) and open(marker).read() == sf_dir):
+        _build_sf1(spark, sf_dir, sf1_dir)
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+
+    result: dict = {
+        "sf": 1.0,
+        "synthesized_from": sf_dir,
+        "queries": {},
+        "plans": {},
+        "note": "dedup_embedding_lsh runs retuned for 10x vectors "
+                "(n_planes=8; see _lsh_pairs_sf1)",
+    }
+    runners = {
+        name: (_lsh_pairs_sf1 if name == "dedup_embedding_lsh" else qs[name])
+        for name in SCALE_QUERIES
+    }
+    for name in SCALE_QUERIES:
+        t0 = time.perf_counter()
+        try:
+            runners[name](spark, sf1_dir).collect()
+            result["queries"][name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            result["queries"][name] = f"ERROR {type(exc).__name__}: {exc}"[:200]
+        spark.catalog.clearCache()
+
+    # Plan-shape assertion with auto-broadcast disabled: at 100 TB nothing
+    # fits the threshold, so any BNLJ/Cartesian that appears here is a
+    # scale-killer. Explicit broadcast() hints on bounded sides (query
+    # vectors, eval vocabulary, candidate sets) legitimately survive.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in SCALE_QUERIES:
+            try:
+                plan = runners[name](spark, sf1_dir)._jdf.queryExecution().executedPlan().toString()
+                result["plans"][name] = {
+                    "broadcast_nested_loop": plan.count("BroadcastNestedLoopJoin"),
+                    "cartesian": plan.count("CartesianProduct"),
+                }
+            except Exception as exc:
+                result["plans"][name] = f"ERROR {type(exc).__name__}: {exc}"[:200]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return result
 
 
 if __name__ == "__main__":

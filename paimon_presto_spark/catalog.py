@@ -27,7 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from paimon_presto_spark import properties
-from paimon_presto_spark.table import Table, TableSchema, schema_from_spark
+from paimon_presto_spark.table import (
+    Table,
+    TableSchema,
+    _is_time_type,
+    _parse_type,
+    schema_from_spark,
+    split_ddl_fields,
+)
 
 SYSTEM_TABLE_SUFFIXES = (
     "snapshots", "files", "partitions", "schemas", "tags", "options",
@@ -99,8 +106,6 @@ class Catalog:
         options: dict[str, str] | None = None,
         ignore_if_exists: bool = False,
     ) -> Table:
-        if isinstance(schema, str):
-            schema = T.StructType.fromDDL(schema)
         if not self.database_exists(db):
             raise ValueError(f"database {db} does not exist")
         path = self._table_path(db, name)
@@ -108,7 +113,25 @@ class Catalog:
             if ignore_if_exists:
                 return self.get_table(db, name)
             raise ValueError(f"table {db}.{name} already exists")
-        ts = schema_from_spark(schema, primary_keys, partition_keys, options)
+        if isinstance(schema, str):
+            # Parse the field list ourselves: StructType.fromDDL has no
+            # TIME type, but the reference surface does (mapped to
+            # micros-since-midnight bigint — see table._parse_type). The
+            # declared "time" string is preserved in the table metadata.
+            fields = []
+            for i, (nm, typ) in enumerate(split_ddl_fields(schema)):
+                tstr = "time" if _is_time_type(typ) else _parse_type(typ).simpleString()
+                fields.append({"id": i, "name": nm, "type": tstr, "nullable": True})
+            ts = TableSchema(
+                schema_id=0,
+                fields=fields,
+                primary_keys=list(primary_keys),
+                partition_keys=list(partition_keys),
+                options=dict(options or {}),
+                highest_field_id=len(fields) - 1,
+            )
+        else:
+            ts = schema_from_spark(schema, primary_keys, partition_keys, options)
         # validate keys against columns (case-insensitive)
         names = {f["name"].lower() for f in ts.fields}
         for k in list(ts.primary_keys) + list(ts.partition_keys):

@@ -191,6 +191,17 @@ def _cast_to_schema(tbl, schema: dict):
             tbl = tbl.set_column(
                 idx, name, pc.utf8_rpad(tbl.column(name), int(m.group(1)), " ")
             )
+        # VARCHAR(n) bound enforcement (write-side, ANSI error semantics —
+        # the DataFrame write path does the same via raise_error)
+        mv = _re.match(r"^\s*varchar\s*\(\s*(\d+)\s*\)\s*$", t, _re.I)
+        if mv and name in tbl.column_names:
+            n = int(mv.group(1))
+            longest = pc.max(pc.utf8_length(tbl.column(name))).as_py()
+            if longest is not None and longest > n:
+                raise ValueError(
+                    f"value too long for type varchar({n}) in column {name!r} "
+                    f"(max length {longest})"
+                )
     return tbl
 
 

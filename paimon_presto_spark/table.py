@@ -130,8 +130,73 @@ class TableSchema:
         return int(self.options.get("bucket", "4"))
 
 
+_TIME_RE = None  # lazy
+
+
+def _is_time_type(ddl: str) -> bool:
+    """True for TIME / TIME(p) declarations (any precision 0-9)."""
+    global _TIME_RE
+    if _TIME_RE is None:
+        import re as _re
+
+        _TIME_RE = _re.compile(r"^\s*time\s*(\(\s*\d\s*\))?\s*$", _re.I)
+    return bool(_TIME_RE.match(ddl))
+
+
 def _parse_type(ddl: str) -> T.DataType:
+    """Declared type string → physical Spark type.
+
+    Spark has no TIME type; the pinned convention (SURVEY §7.1) is
+    **micros-since-midnight as LongType** — the same value the reference
+    bridges through with micros↔millis scaling
+    (``PrestoTypeUtils.java:127-128``, ``PrestoPageSourceBase.java:228-229``:
+    Paimon stores TIME as micros, Presto's TIME is millis). Keeping micros
+    end-to-end loses nothing and filters/aggregations work as plain longs;
+    the declared ``time`` string survives in the table schema metadata so
+    a migrating engine can re-surface the logical type.
+    """
+    if _is_time_type(ddl):
+        return T.LongType()
     return T.StructType.fromDDL(f"c {ddl}")[0].dataType
+
+
+def split_ddl_fields(ddl: str) -> list[tuple[str, str]]:
+    """Split a top-level DDL field list into (name, type-string) pairs,
+    honoring nesting (``struct<a:int,b:string>``) and backquoted names.
+
+    Needed because ``StructType.fromDDL`` rejects the TIME declarations
+    ``_parse_type`` supports; only top-level TIME columns are recognized
+    (TIME nested inside struct/array is not supported — same surface the
+    reference maps, which bridges TIME only as a column type).
+    """
+    fields: list[tuple[str, str]] = []
+    depth, start, in_bq = 0, 0, False
+    for i, ch in enumerate(ddl + ","):
+        if ch == "`":
+            in_bq = not in_bq
+        elif not in_bq:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                part = ddl[start:i].strip()
+                start = i + 1
+                if not part:
+                    continue
+                if part.startswith("`"):
+                    end = part.index("`", 1)
+                    name, typ = part[1:end], part[end + 1 :].strip()
+                else:
+                    name, _, typ = part.partition(" ")
+                    if not typ and ":" in name:  # 'a:int' with no space
+                        name, _, typ = name.partition(":")
+                name = name.strip().rstrip(":")  # 'a: int' leaves 'a:'
+                typ = typ.strip().removeprefix(":").strip()
+                if not typ:
+                    raise ValueError(f"malformed DDL field: {part!r}")
+                fields.append((name, typ))
+    return fields
 
 
 _CHAR_RE = None  # lazy
@@ -157,6 +222,38 @@ def _apply_char_padding(col, ddl: str):
     ``rtrim`` is applied), matching Spark's documented CHAR semantics."""
     n = _char_len(ddl)
     return F.rpad(col, n, " ") if n is not None else col
+
+
+_VARCHAR_RE = None  # lazy
+
+
+def _varchar_len(ddl: str) -> int | None:
+    """n for VARCHAR(n) column types, else None (bare varchar = unbounded)."""
+    global _VARCHAR_RE
+    if _VARCHAR_RE is None:
+        import re as _re
+
+        _VARCHAR_RE = _re.compile(r"^\s*varchar\s*\(\s*(\d+)\s*\)\s*$", _re.I)
+    m = _VARCHAR_RE.match(ddl)
+    return int(m.group(1)) if m else None
+
+
+def _apply_varchar_bound(col, ddl: str):
+    """Reject over-length VARCHAR(n) values at write time.
+
+    The reference preserves varchar bounds in its type mapping
+    (``PrestoSqlTypeUtils.java:96-101``) and only ever reads tables whose
+    writer (Paimon) enforced them; Spark's own varchar cast is a silent
+    string passthrough, so the bound is enforced here — ANSI insert
+    semantics (error, not truncation)."""
+    n = _varchar_len(ddl)
+    if n is None:
+        return col
+    return F.when(col.isNull() | (F.length(col) <= n), col).otherwise(
+        F.raise_error(
+            F.concat(F.lit(f"value too long for type varchar({n}): "), col)
+        )
+    )
 
 
 def schema_from_spark(
@@ -2000,8 +2097,11 @@ class Table:
         passthrough = [F.col("__bucket")] if "__bucket" in df.columns else []
         df = df.select(
             *[
-                _apply_char_padding(
-                    F.col(by_lower[f["name"].lower()]).cast(_parse_type(f["type"])),
+                _apply_varchar_bound(
+                    _apply_char_padding(
+                        F.col(by_lower[f["name"].lower()]).cast(_parse_type(f["type"])),
+                        f["type"],
+                    ),
                     f["type"],
                 ).alias(f["name"])
                 for f in schema.fields

@@ -1796,6 +1796,92 @@ class TestCharPadding:
         assert t.to_df().collect()[0]["code"] is None
 
 
+class TestTimeType:
+    def test_time_micros_roundtrip_and_filter(self, spark, catalog):
+        """TIME maps to micros-since-midnight LongType (SURVEY §7.1; the
+        reference bridges Paimon TIME micros to Presto millis,
+        PrestoTypeUtils.java:127-128 / PrestoPageSourceBase.java:228-229 —
+        we keep micros end-to-end). The declared 'time' string survives in
+        table metadata; values read/filter as plain longs."""
+        t = catalog.create_table("default", "time1", "k int, t_of_day time")
+        assert [f["type"] for f in t.schema().fields] == ["int", "time"]
+        assert t.schema().spark_schema()["t_of_day"].dataType.typeName() == "long"
+
+        noon = 12 * 3600 * 1_000_000  # 12:00:00 in micros-since-midnight
+        half = 12 * 3600 * 1_000_000 + 30 * 60 * 1_000_000  # 12:30:00
+        t.append(
+            spark.createDataFrame(
+                [(1, noon), (2, half), (3, 0)], "k int, t_of_day long"
+            )
+        )
+        got = {r["k"]: r["t_of_day"] for r in t.to_df().collect()}
+        assert got == {1: noon, 2: half, 3: 0}
+        # range filter over time-of-day is a plain long comparison
+        assert t.to_df().filter(F.col("t_of_day") >= noon).count() == 2
+        # reference semantics: presto TIME millis = micros DIV 1000
+        millis = {
+            r["k"]: r["ms"]
+            for r in t.to_df()
+            .selectExpr("k", "t_of_day div 1000 AS ms")
+            .collect()
+        }
+        assert millis[2] == 45_000_000  # 12:30:00.000
+
+    def test_time_precision_variants_and_nested_rejected(self, spark, catalog):
+        t = catalog.create_table("default", "time2", "k int, t0 time(0), t9 TIME(9)")
+        assert [f["type"] for f in t.schema().fields] == ["int", "time", "time"]
+        from paimon_presto_spark.table import split_ddl_fields
+
+        assert split_ddl_fields("a int, b struct<x:int,y:string>, `c d` time") == [
+            ("a", "int"),
+            ("b", "struct<x:int,y:string>"),
+            ("c d", "time"),
+        ]
+
+
+class TestVarcharBounds:
+    def test_varchar_bound_is_enforced_on_write(self, spark, catalog):
+        """VARCHAR(n) preserves its bound (PrestoSqlTypeUtils.java:96-101).
+        Spark's varchar cast is a silent passthrough, so the engine
+        enforces the bound at write time — ANSI insert semantics (error,
+        not truncation); in-bound values roundtrip unpadded."""
+        t = catalog.create_table("default", "vch1", "k int, name varchar(5)")
+        assert [f["type"] for f in t.schema().fields][1] == "varchar(5)"
+        t.append(spark.createDataFrame([(1, "abc"), (2, "exact")],
+                                       "k int, name string"))
+        got = {r["k"]: r["name"] for r in t.to_df().collect()}
+        assert got == {1: "abc", 2: "exact"}  # no padding, unlike CHAR
+
+        with pytest.raises(Exception) as exc:
+            t.append(spark.createDataFrame([(3, "toolong")], "k int, name string"))
+        assert "varchar(5)" in str(exc.value)
+        # failed append must not have committed partial data
+        assert t.to_df().count() == 2
+
+    def test_varchar_null_and_comparison_semantics(self, spark, catalog):
+        t = catalog.create_table("default", "vch2", "k int, name varchar(4)")
+        t.append(spark.createDataFrame([(1, None), (2, "ab")],
+                                       "k int, name string"))
+        rows = {r["k"]: r["name"] for r in t.to_df().collect()}
+        assert rows == {1: None, 2: "ab"}
+        # unlike CHAR, varchar comparisons are unpadded string equality
+        assert t.to_df().filter("name = 'ab'").count() == 1
+        assert t.to_df().filter("name = 'ab  '").count() == 0
+
+    def test_varchar_bound_on_datasource_write_path(self, spark, catalog):
+        t = catalog.create_table("default", "vch3", "k int, name varchar(3)")
+        from paimon_presto_spark.sources.datasource import PaimonDataSource
+
+        spark.dataSource.register(PaimonDataSource)
+        spark.createDataFrame([(1, "ok")], "k int, name string").write.format(
+            "paimon").option("path", t.path).mode("append").save()
+        assert t.to_df().collect()[0]["name"] == "ok"
+        with pytest.raises(Exception) as exc:
+            spark.createDataFrame([(2, "long")], "k int, name string").write.format(
+                "paimon").option("path", t.path).mode("append").save()
+        assert "varchar(3)" in str(exc.value)
+
+
 class TestTimestampZones:
     def test_ltz_follows_session_ntz_does_not(self, spark, catalog):
         """SURVEY §7 risk 2 (TestPrestoITCase.java:465-479 UTC vs
