@@ -5,8 +5,11 @@
 Creates a warehouse in a temp dir and walks the table format (DDL,
 bucketed primary-key writes, merge-on-read, time travel, tags, system
 tables, schema evolution, compaction, changelog reads), the Python
-DataSource, a streaming pipeline, analytical queries over the testdata,
-and an LLM-data curation pass — printing a short proof line per step.
+DataSource, TIME/VARCHAR type mapping, analytical queries over the
+testdata, LSH embedding dedup, in-process image decoding, and an
+LLM-data curation pass — printing a short proof line per step (streaming
+lives in `tests/test_streaming.py`; it needs its own micro-batch
+lifecycle).
 Everything it calls is covered by `tests/`; this file is the narrative
 version for a user switching from the reference connector.
 """
@@ -86,6 +89,14 @@ def main() -> None:
         )
         print("datasource read ok:", sorted(r["uid"] for r in df.collect()))
 
+        # -- TIME + bounded VARCHAR type mapping -----------------------------
+        tt = catalog.create_table("demo", "shifts", "sid int, start_t time, code varchar(4)")
+        tt.append(spark.createDataFrame(
+            [(1, 9 * 3600 * 1_000_000, "AM"), (2, 14 * 3600 * 1_000_000, "PM")],
+            "sid int, start_t long, code string"))
+        aft = tt.to_df().filter(F.col("start_t") > 12 * 3600 * 1_000_000).count()
+        print("TIME column ok: micros-since-midnight, afternoon shifts =", aft)
+
         # -- analytical queries over testdata -------------------------------
         from paimon_presto_spark.queries import queries
 
@@ -94,6 +105,21 @@ def main() -> None:
         print("TPC-H q1 ok:", q1.count(), "groups")
         topk = qs["knn_ivf_probe"](spark, SF_DIR)
         print("IVF ANN ok:", topk.count(), "neighbor rows")
+        pairs = qs["dedup_embedding_lsh"](spark, SF_DIR)
+        print("LSH embedding dedup ok:", pairs.count(), "near-dup pairs")
+
+        # -- multimodal: real in-process image decode ------------------------
+        from paimon_presto_spark.operators.multimodal import (
+            encode_ppm, extract_image_features)
+
+        ppm = encode_ppm(4, 4, [bytes([40 * y] * 12) for y in range(4)])
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(ppm), "image/x-ppm", None, None, None)],
+            "media_id bigint, kind string, payload binary, mime string, "
+            "width int, height int, duration_ms bigint")
+        feat = extract_image_features(media).collect()[0]
+        print("image decode ok: %dx%d mean_luma=%.2f" % (
+            feat["width"], feat["height"], feat["mean_luma"]))
 
         # -- LLM-data curation ----------------------------------------------
         from paimon_presto_spark.operators.pipeline import curate_corpus

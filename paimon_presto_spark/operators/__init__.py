@@ -12,13 +12,22 @@ from paimon_presto_spark.operators.dedup import (
     simhash_signatures,
     simhash_pairs,
 )
+from paimon_presto_spark.operators.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+    media_stats,
+    resize_images,
+    sample_frames,
+)
 from paimon_presto_spark.operators.pipeline import curate_corpus, eval_contamination
+from paimon_presto_spark.operators.rangejoin import interval_join
 from paimon_presto_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs,
     ivf_topk,
     kmeans_centroids,
     lsh_bucketed_topk,
+    lsh_cosine_pairs,
 )
 from paimon_presto_spark.operators.text import language_id, quality_metrics
 
@@ -33,9 +42,16 @@ __all__ = [
     "cosine_pairs",
     "curate_corpus",
     "eval_contamination",
+    "extract_audio_features",
+    "extract_image_features",
+    "interval_join",
     "ivf_topk",
     "kmeans_centroids",
     "lsh_bucketed_topk",
+    "lsh_cosine_pairs",
     "language_id",
+    "media_stats",
     "quality_metrics",
+    "resize_images",
+    "sample_frames",
 ]

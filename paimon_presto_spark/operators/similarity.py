@@ -293,7 +293,12 @@ def kmeans_centroids(
     if not sample:
         raise ValueError("kmeans_centroids: empty vector input")
     if dim is None:
-        dim = len(sample[0]["__v"])
+        # modal vector length across the sample (robust to a stray
+        # malformed row landing first in md5 order; first-seen tie-break
+        # keeps it deterministic)
+        from collections import Counter
+
+        dim = Counter(len(r["__v"]) for r in sample).most_common(1)[0][0]
     sample = [r for r in sample if len(r["__v"]) == dim]
     if len(sample) < k:
         raise ValueError(

@@ -287,6 +287,65 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_interval_join_outer",
+    oracle=f"""
+        WITH w AS (
+            SELECT event_id AS outage_id,
+                   epoch_ns(ts) AS ws,
+                   epoch_ns(ts) + {OUTAGE_WINDOW_S * NS_PER_S} AS we
+            FROM events WHERE event_type = 'error'
+        ),
+        e AS (
+            SELECT event_id, epoch_ns(ts) AS tns
+            FROM events WHERE event_type <> 'error'
+        ),
+        per AS (
+            SELECT e.event_id, COUNT(w.outage_id) AS n_windows
+            FROM e LEFT JOIN w ON e.tns >= w.ws AND e.tns < w.we
+            GROUP BY e.event_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN n_windows > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_covered,
+               CAST(SUM(CASE WHEN n_windows = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_uncovered,
+               CAST(SUM(n_windows) AS BIGINT) AS n_pairs
+        FROM per
+    """,
+    tags=("events", "range-join", "interval-join", "outer-join"),
+)
+def events_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT interval join: unmatched points survive null-extended because
+    ``operators/rangejoin`` keeps the range predicate in the join
+    condition itself (a post-join filter would silently drop them — the
+    round-3 advisor finding). Coverage summary: how many non-error events
+    fall inside / outside any outage window, and total (point, window)
+    pairs — each checked against DuckDB's native non-equi LEFT JOIN."""
+    from paimon_presto_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("outage_id"),
+        F.col("ts").alias("ws"),
+        (F.col("ts") + OUTAGE_WINDOW_S * NS_PER_S).alias("we"),
+    )
+    points = ev.filter(F.col("event_type") != "error").select(
+        F.col("event_id").alias("p_event_id"), F.col("ts").alias("tns")
+    )
+    j = interval_join(
+        points, windows, "tns", "ws", "we",
+        bucket_width=OUTAGE_WINDOW_S * NS_PER_S, how="left",
+    )
+    per = j.groupBy("p_event_id").agg(F.count("outage_id").alias("n_windows"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum((F.col("n_windows") > 0).cast("int")).cast("bigint").alias("n_covered"),
+        F.sum((F.col("n_windows") == 0).cast("int")).cast("bigint").alias("n_uncovered"),
+        F.sum("n_windows").cast("bigint").alias("n_pairs"),
+    )
+
+
 ROLLUP_LEVELS_S = (300, 3600, 86400)
 
 

@@ -175,6 +175,77 @@ def test_lsh_topk_recall_on_clustered_data(spark):
         assert abs(r["cos_sim"] - brute[(r["q_id"], r["n_id"])]) < 1e-12
 
 
+def test_lsh_cosine_pairs_guarantee(spark):
+    """lsh_cosine_pairs contract: (precision) every returned pair has exact
+    cosine > threshold; (recall) every above-threshold pair whose buckets
+    are within Hamming distance 1 IS returned — replayed independently in
+    numpy with the same seeded hyperplanes."""
+    import numpy as np
+    from paimon_presto_spark.operators.similarity import (
+        _hyperplanes,
+        cosine_pairs,
+        lsh_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 64))
+    rows = []
+    for i in range(120):
+        v = centers[i % 8] + 0.08 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr, n_planes = 0.6, 4
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in lsh_cosine_pairs(emb, thr, n_planes=n_planes).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in cosine_pairs(emb, thr).collect()
+    }
+    # precision: subset of the exact result, scores identical
+    for pair, sim in got.items():
+        assert pair in exact
+        assert abs(sim - exact[pair]) < 1e-12
+    # recall guarantee: numpy replay of the seeded buckets
+    X = np.asarray([v for _, v in rows])
+    planes = np.asarray(_hyperplanes(64, n_planes))
+    buckets = ((X @ planes.T) > 0).astype(int) @ (1 << np.arange(n_planes))
+    missed = []
+    for (a, b), _ in exact.items():
+        ham = bin(int(buckets[a]) ^ int(buckets[b])).count("1")
+        if ham <= 1 and (a, b) not in got:
+            missed.append((a, b, ham))
+    assert not missed, f"pairs within hamming<=1 missed: {missed[:5]}"
+    # and no duplicates from multiprobe
+    allrows = lsh_cosine_pairs(emb, thr, n_planes=n_planes).collect()
+    assert len(allrows) == len({(r["vec_a"], r["vec_b"]) for r in allrows})
+
+
+def test_kmeans_input_validation(spark):
+    from paimon_presto_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    # dim inferred from the sample
+    cents = kmeans_centroids(emb, k=2, max_iter=2)
+    assert all(len(v) == 2 for _, v in cents)
+    # k larger than the usable sample -> loud error, not a hang
+    with pytest.raises(ValueError, match="usable sample"):
+        kmeans_centroids(emb, k=7, max_iter=1)
+    # malformed (wrong-dim) rows are excluded, not corrupting
+    mixed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.1, 1.0]),
+         (4, [9.9]), (5, [1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(mixed, k=2, max_iter=4)
+    assert all(len(v) == 2 and all(x == x for x in v) for _, v in cents)
+
+
 def test_cosine_pandas_matches_jvm(spark, embeddings):
     from paimon_presto_spark.operators.similarity import cosine_topk_pandas
 
