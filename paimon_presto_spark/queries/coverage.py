@@ -1,6 +1,8 @@
 """Additional Tier-B operator coverage: rank-variant windows, filtered /
-boolean aggregates, advanced string functions, array higher-order
-functions, datetime truncation, and FULL OUTER join.
+boolean aggregates, advanced string functions, array higher-order and
+set-operation functions, map constructors/introspection, conditional
+scalars (coalesce/nullif/greatest/least), width_bucket histograms,
+datetime truncation, and FULL OUTER join.
 
 These round out SURVEY §2.2 families whose earlier entries covered only
 the most common member (e.g. ``row_number`` but not ``ntile``/
@@ -383,3 +385,185 @@ def agg_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((n * sxy - sx * sy) / (n * n)).alias("covar_pop_scaled"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "array_setops_functions",
+    oracle="""
+        SELECT n_nationkey,
+               ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(a, b)), ',') AS inter,
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))), ',')
+                   AS uni,
+               ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(a, x -> NOT LIST_CONTAINS(b, x))), ',')
+                   AS exc,
+               ARRAY_TO_STRING(FLATTEN([a, b]), ',') AS flat,
+               CAST(LEN(a) AS INT) AS n_a
+        FROM (
+            SELECT n_nationkey,
+                   GENERATE_SERIES(1, n_nationkey % 5 + 3) AS a,
+                   GENERATE_SERIES(2, 10, 2) AS b
+            FROM nation
+        )
+        ORDER BY n_nationkey
+    """,
+    tags=("array", "set-ops", "sequence", "flatten"),
+)
+def array_setops_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_intersect/union/except + flatten + sequence — SURVEY §2.2
+    arrays/maps-ctor family (Presto array set functions,
+    ``PrestoDistributedQueryTest.java`` array coverage). Sorted-joined
+    string results keep the driver's pandas canonicalization happy (array
+    result columns are banned); per-element order is pinned by the sort,
+    so engine-internal set-op ordering differences can't flake the hash."""
+    n = load_table(spark, sf_dir, "nation")
+    a = F.sequence(F.lit(1), F.col("n_nationkey") % 5 + 3)
+    b = F.sequence(F.lit(2), F.lit(10), F.lit(2))
+
+    def s(col):
+        return F.array_join(F.array_sort(col).cast("array<string>"), ",")
+
+    return (
+        n.select(
+            "n_nationkey",
+            s(F.array_intersect(a, b)).alias("inter"),
+            s(F.array_union(a, b)).alias("uni"),
+            s(F.array_except(a, b)).alias("exc"),
+            F.array_join(F.flatten(F.array(a, b)).cast("array<string>"), ",").alias(
+                "flat"
+            ),
+            F.size(a).alias("n_a"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+        SELECT n_regionkey,
+               ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(m)), ',') AS keys_sorted,
+               CAST(LIST_SUM(MAP_VALUES(m)) AS BIGINT) AS vals_sum,
+               CAST(CARDINALITY(m) AS INT) AS n_entries,
+               CAST(m['first'][1] AS BIGINT) AS first_val
+        FROM (
+            SELECT n_regionkey,
+                   MAP(['first', 'last', 'span'],
+                       [CAST(MIN(n_nationkey) AS BIGINT),
+                        CAST(MAX(n_nationkey) AS BIGINT),
+                        CAST(MAX(n_nationkey) - MIN(n_nationkey) AS BIGINT)]) AS m
+            FROM nation
+            GROUP BY n_regionkey
+        )
+        ORDER BY n_regionkey
+    """,
+    tags=("map", "functions", "constructors"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_arrays + map_keys/map_values/cardinality/element_at —
+    SURVEY §2.2 maps family (map subscript
+    ``TestPrestoITCase.java:705-725``; here the construction and
+    introspection functions around it). Values are aggregated per region
+    so the map is built relationally, not from literals."""
+    n = load_table(spark, sf_dir, "nation")
+    agg = n.groupBy("n_regionkey").agg(
+        F.min("n_nationkey").cast("long").alias("mn"),
+        F.max("n_nationkey").cast("long").alias("mx"),
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("first"), F.lit("last"), F.lit("span")),
+        F.array(F.col("mn"), F.col("mx"), F.col("mx") - F.col("mn")),
+    )
+    withm = agg.select("n_regionkey", m.alias("m"))
+    return (
+        withm.select(
+            "n_regionkey",
+            F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+            F.aggregate(
+                F.map_values("m"), F.lit(0).cast("long"), lambda acc, v: acc + v
+            ).alias("vals_sum"),
+            F.size("m").alias("n_entries"),
+            F.element_at("m", F.lit("first")).alias("first_val"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "conditional_scalar_functions",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN NULLIF(o_custkey % 3, 0) IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nullif_zeros,
+               CAST(SUM(COALESCE(NULLIF(o_custkey % 3, 0), -1)) AS BIGINT)
+                   AS coalesced_sum,
+               CAST(MAX(GREATEST(o_custkey, o_orderkey % 1000)) AS BIGINT)
+                   AS max_greatest,
+               CAST(MIN(LEAST(o_custkey, o_orderkey % 1000)) AS BIGINT)
+                   AS min_least,
+               CAST(SUM(IF(o_totalprice > 100000, 1, 0)) AS BIGINT) AS n_big
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("functions", "conditional", "coalesce", "nullif"),
+)
+def conditional_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE/NULLIF/GREATEST/LEAST/IF — SURVEY §2.2 CASE/IF family's
+    conditional-scalar siblings (Presto conditional expressions). All
+    integer arithmetic, so the cross-engine hash is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.nullif(F.col("o_custkey") % 3, F.lit(0)).isNull().cast("int")
+            ).cast("long").alias("nullif_zeros"),
+            F.sum(
+                F.coalesce(F.nullif(F.col("o_custkey") % 3, F.lit(0)), F.lit(-1))
+            ).cast("long").alias("coalesced_sum"),
+            F.max(F.greatest(F.col("o_custkey"), F.col("o_orderkey") % 1000))
+            .cast("long").alias("max_greatest"),
+            F.min(F.least(F.col("o_custkey"), F.col("o_orderkey") % 1000))
+            .cast("long").alias("min_least"),
+            F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+            .cast("long").alias("n_big"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "width_bucket_histogram",
+    oracle="""
+        SELECT CASE WHEN c_acctbal < 0 THEN 0
+                    WHEN c_acctbal >= 10000 THEN 11
+                    ELSE CAST(FLOOR(c_acctbal / 1000) AS BIGINT) + 1 END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(c_custkey) AS BIGINT) AS min_key
+        FROM customer
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    tags=("functions", "width-bucket", "histogram"),
+)
+def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket histogram — SURVEY §2.2 math family (Presto
+    ``width_bucket``; DuckDB lacks it, so the oracle carries the exact
+    same bucket arithmetic spelled out: below-range -> 0, above-range ->
+    n+1, else floor-division + 1 — decimal inputs keep the division
+    exact)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.width_bucket(F.col("c_acctbal"), F.lit(0), F.lit(10000), F.lit(10))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+        )
+        .orderBy("bucket")
+    )
