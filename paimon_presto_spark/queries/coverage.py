@@ -567,3 +567,127 @@ def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+        WITH days AS (
+            SELECT UNNEST(GENERATE_SERIES(DATE '1995-01-01', DATE '1995-01-31',
+                                          INTERVAL 1 DAY))::DATE AS day
+        ),
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1995-02-01'
+            GROUP BY 1
+        )
+        SELECT d.day,
+               CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders,
+               CASE WHEN daily.n_orders IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM days d LEFT JOIN daily ON daily.day = d.day
+        ORDER BY d.day
+    """,
+    tags=("datetime", "sequence", "gap-fill", "timeseries"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling: a generated date spine LEFT-joined against
+    daily order counts, gaps filled with 0 — the standard time-series
+    densification pattern (sequence -> explode -> broadcast-able spine
+    join; the spine is bounded by the date range, never by data size, so
+    at 100 TB the join broadcasts the spine and the fact scan stays one
+    pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-01-31").cast("date"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.col("n_orders").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(QUANTILE_CONT(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25,
+               ROUND(QUANTILE_CONT(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+               ROUND(QUANTILE_CONT(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75,
+               ROUND(QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS price_p90
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "percentile", "exact"),
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile_cont (linear interpolation), next to
+    ``agg_percentiles``'s approx_percentile — SURVEY §2.2 percentile
+    family. Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
+    the (n-1)p interpolation rule, so values hash-match; inputs are
+    exact decimals so interpolated midpoints are exact in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(q, F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile(q, F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile(q, F.lit(0.75)), 6).alias("p75"),
+            F.round(
+                F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.9)), 6
+            ).alias("price_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "unnest_with_ordinality",
+    oracle="""
+        SELECT doc_id, t.u.p AS pos, t.u.w AS word
+        FROM (
+            SELECT doc_id,
+                   LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                                  (x, i) -> {'p': i, 'w': x}) AS pw
+            FROM documents
+            WHERE doc_id < 5
+        ) s, UNNEST(s.pw) AS t(u)
+        ORDER BY doc_id, pos
+    """,
+    tags=("unnest", "ordinality", "lateral"),
+)
+def unnest_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST WITH ORDINALITY (Presto's ordinality column) — Spark's
+    ``posexplode`` (0-based, +1 to match SQL's 1-based ordinality). The
+    DuckDB oracle emulates ordinality with an indexed list lambda since
+    it lacks WITH ORDINALITY."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "word")
+        .orderBy("doc_id", "pos")
+    )
