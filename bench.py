@@ -46,6 +46,7 @@ HEADLINE = [
     # LLM-data pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "decontaminate_ngram_overlap",
     "knn_bruteforce_topk",
     "knn_lsh_bucketed",

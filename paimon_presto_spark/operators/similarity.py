@@ -26,7 +26,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from paimon_presto_spark.functions.vectors import cosine_similarity
+from paimon_presto_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def brute_force_topk(
@@ -36,15 +36,27 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors per query: (q_id, n_id, cos_sim, rnk)."""
+    """Exact top-k neighbors per query: (q_id, n_id, cos_sim, rnk).
+
+    Norms are computed ONCE per row before the pairing (``__qn``/``__nn``)
+    so each candidate pays one dot product, not dot + two norms; the
+    division by the norm product is bit-identical to
+    ``cosine_similarity`` (same operations, same order).
+    """
     q = F.broadcast(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+        .withColumn("__qn", l2_norm(F.col("q_emb")))
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb"))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
+    ).withColumn("__nn", l2_norm(F.col("n_emb")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
         c.crossJoin(q)
-        .withColumn("cos_sim", cosine_similarity(F.col("q_emb"), F.col("n_emb")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("q_emb"), F.col("n_emb")) / (F.col("__qn") * F.col("__nn")),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
@@ -95,23 +107,32 @@ def lsh_bucketed_topk(
     near-boundary misses.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
-    ).withColumn("bucket", _bucket_expr(F.col("n_emb"), planes))
+    c = (
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb"))
+        .withColumn("bucket", _bucket_expr(F.col("n_emb"), planes))
+        .withColumn("__nn", l2_norm(F.col("n_emb")))
+    )
     probes = [0] + [1 << j for j in range(n_planes)] if multiprobe_hamming >= 1 else [0]
-    q0 = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
-    ).withColumn("qbucket", _bucket_expr(F.col("q_emb"), planes))
+    q0 = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+        .withColumn("qbucket", _bucket_expr(F.col("q_emb"), planes))
+        .withColumn("__qn", l2_norm(F.col("q_emb")))
+    )
     q = q0.withColumn("flip", F.explode(F.array(*[F.lit(p) for p in probes]))).select(
-        "q_id", "q_emb", F.col("qbucket").bitwiseXOR(F.col("flip")).alias("bucket")
+        "q_id", "q_emb", "__qn",
+        F.col("qbucket").bitwiseXOR(F.col("flip")).alias("bucket"),
     )
     # Distinct XOR flips give distinct probed buckets, and each corpus row
     # has one bucket — (q_id, n_id) pairs are unique, so no dedup
-    # aggregation (and its shuffle) before the top-k window.
+    # aggregation (and its shuffle) before the top-k window. Norms are
+    # per-row (pre-join); each candidate pays one dot product.
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
         c.join(F.broadcast(q), "bucket")
-        .withColumn("cos_sim", cosine_similarity(F.col("q_emb"), F.col("n_emb")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("q_emb"), F.col("n_emb")) / (F.col("__qn") * F.col("__nn")),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
@@ -177,10 +198,13 @@ def ivf_topk(
     # array expression — no crossJoin expansion, no shuffle, no window. At
     # 100 TB the corpus pass stays a narrow scan; only the tiny query side
     # explodes (n_probe rows per query).
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
-    ).withColumn(
-        "bucket", (-F.array_max(sims(F.col("n_emb"))).getField("negcid")).cast("int")
+    c = (
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb"))
+        .withColumn(
+            "bucket",
+            (-F.array_max(sims(F.col("n_emb"))).getField("negcid")).cast("int"),
+        )
+        .withColumn("__nn", l2_norm(F.col("n_emb")))
     )
     q = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
@@ -188,9 +212,11 @@ def ivf_topk(
             "__probes",
             F.slice(F.reverse(F.array_sort(sims(F.col("q_emb")))), 1, n_probe),
         )
+        .withColumn("__qn", l2_norm(F.col("q_emb")))
         .select(
             "q_id",
             "q_emb",
+            "__qn",
             F.explode(
                 F.transform("__probes", lambda s: (-s["negcid"]).cast("int"))
             ).alias("bucket"),
@@ -198,11 +224,15 @@ def ivf_topk(
     )
     # Each corpus row has exactly one bucket and a query's probed buckets
     # are distinct, so (q_id, n_id) pairs are already unique — no dedup
-    # aggregation (and its shuffle) needed before the top-k window.
+    # aggregation (and its shuffle) needed before the top-k window. Norms
+    # are per-row (pre-join); each candidate pays one dot product.
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
         c.join(F.broadcast(q), "bucket")
-        .withColumn("cos_sim", cosine_similarity(F.col("q_emb"), F.col("n_emb")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("q_emb"), F.col("n_emb")) / (F.col("__qn") * F.col("__nn")),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos_sim", "rnk")
@@ -411,25 +441,37 @@ def lsh_cosine_pairs(
     buckets), exactly like ``lsh_bucketed_topk``.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    b = vectors.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb")
-    ).withColumn("bucket", _bucket_expr(F.col("__emb"), planes))
+    b = (
+        vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb"))
+        .withColumn("bucket", _bucket_expr(F.col("__emb"), planes))
+        .withColumn("__n", l2_norm(F.col("__emb")))
+    )
     flips = [0] + [1 << j for j in range(n_planes)]
     a = (
         b.withColumn("flip", F.explode(F.array(*[F.lit(p) for p in flips])))
         .select(
             F.col("__id").alias("vec_a"),
             F.col("__emb").alias("emb_a"),
+            F.col("__n").alias("__na"),
             F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
         )
     )
     bb = b.select(
-        F.col("__id").alias("vec_b"), F.col("__emb").alias("emb_b"), "bucket"
+        F.col("__id").alias("vec_b"),
+        F.col("__emb").alias("emb_b"),
+        F.col("__n").alias("__nb"),
+        "bucket",
     )
+    # Norms are per-row (computed before the join); each candidate pair
+    # pays ONE dot product — bit-identical to cosine_similarity, which
+    # divides the same dot by the same norm product.
     return (
         a.join(bb, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cosine_similarity(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("emb_a"), F.col("emb_b")) / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cos_sim") > threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
