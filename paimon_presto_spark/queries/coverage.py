@@ -691,3 +691,53 @@ def unnest_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "word")
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "agg_histogram_map",
+    oracle="""
+        WITH per AS (
+            SELECT o_orderstatus AS s, o_orderpriority AS p,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT s AS o_orderstatus,
+               STRING_AGG(p || ':' || CAST(c AS VARCHAR), ',' ORDER BY p) AS hist,
+               CAST(COUNT(*) AS INT) AS n_buckets,
+               CAST(SUM(c) AS BIGINT) AS n_rows
+        FROM per GROUP BY s ORDER BY o_orderstatus
+    """,
+    tags=("aggregation", "histogram", "map-agg"),
+)
+def agg_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto's ``histogram``/``map_agg`` family: a per-group value→count
+    map, built as a genuine MapType aggregate (map_from_entries over
+    sorted collected entries) and rendered to a deterministic string for
+    the hash gate (map result columns are banned by the driver's pandas
+    canonicalization). Two-phase aggregate — the same shape Presto's
+    histogram() executes."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    entries = F.array_sort(F.collect_list(F.struct("o_orderpriority", "c")))
+    withmap = per.groupBy("o_orderstatus").agg(
+        entries.alias("__e"), F.sum("c").cast("long").alias("n_rows")
+    ).withColumn("__m", F.map_from_entries("__e"))
+    return (
+        withmap.select(
+            "o_orderstatus",
+            F.array_join(
+                F.transform(
+                    "__e",
+                    lambda s: F.concat(
+                        s["o_orderpriority"], F.lit(":"), s["c"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("hist"),
+            F.size("__m").alias("n_buckets"),
+            "n_rows",
+        )
+        .orderBy("o_orderstatus")
+    )

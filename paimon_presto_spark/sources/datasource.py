@@ -155,6 +155,11 @@ def _arrow_type(ddl: str):
     }
     if t in simple:
         return simple[t]
+    # TIME = micros-since-midnight bigint (table._parse_type convention)
+    import re as _re
+
+    if _re.match(r"^\s*time\s*(\(\s*\d\s*\))?\s*$", t):
+        return pa.int64()
     if t.startswith("decimal"):
         p, s = t[t.index("(") + 1 : -1].split(",")
         return pa.decimal128(int(p), int(s))
@@ -1144,7 +1149,14 @@ class PaimonDataSource(DataSource):
         schema = _load_schema(
             _meta_path(self.options["path"], self.options.get("branch"))
         )
-        cols = ", ".join(f"`{f['name']}` {f['type']}" for f in schema["fields"])
+        from paimon_presto_spark.table import _is_time_type
+
+        # TIME is stored/read as micros-since-midnight bigint (the
+        # table._parse_type convention); Spark's DDL parser has no TIME.
+        cols = ", ".join(
+            f"`{f['name']}` {'bigint' if _is_time_type(f['type']) else f['type']}"
+            for f in schema["fields"]
+        )
         if self.options.get("changelog") == "true":
             cols += f", `{_SEQ}` bigint, `{_KIND}` string"
         return cols

@@ -1827,6 +1827,23 @@ class TestTimeType:
         }
         assert millis[2] == 45_000_000  # 12:30:00.000
 
+    def test_time_on_datasource_paths(self, spark, catalog):
+        """The Python DataSource renders TIME as bigint in its Spark schema
+        and int64 in Arrow, so both read and write paths round-trip the
+        micros convention."""
+        t = catalog.create_table("default", "time3", "k int, t_of_day time")
+        t.append(spark.createDataFrame([(1, 3_600_000_000)], "k int, t_of_day long"))
+        from paimon_presto_spark.sources.datasource import PaimonDataSource
+
+        spark.dataSource.register(PaimonDataSource)
+        df = spark.read.format("paimon").option("path", t.path).load()
+        assert dict(df.dtypes)["t_of_day"] == "bigint"
+        assert df.collect()[0]["t_of_day"] == 3_600_000_000
+        spark.createDataFrame([(2, 7_200_000_000)], "k int, t_of_day long").write.format(
+            "paimon").option("path", t.path).mode("append").save()
+        got = {r["k"]: r["t_of_day"] for r in t.to_df().collect()}
+        assert got == {1: 3_600_000_000, 2: 7_200_000_000}
+
     def test_time_precision_variants_and_nested_rejected(self, spark, catalog):
         t = catalog.create_table("default", "time2", "k int, t0 time(0), t9 TIME(9)")
         assert [f["type"] for f in t.schema().fields] == ["int", "time", "time"]
