@@ -229,17 +229,33 @@ def _build_sf1(spark, sf_dir: str, out_dir: str) -> None:
         "region nation customer supplier part orders lineitem events".split()
     ):
         dst = os.path.join(out_dir, f"{t}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+        # always refresh: a stale symlink from a previous build may point
+        # at regenerated (or deleted) testdata
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+
+
+def _fingerprint(sf_dir: str) -> str:
+    """Identity of the source documents/embeddings: path + size + mtime.
+    Testdata regenerates between rounds at the SAME path, so the path
+    alone is not a valid staleness key."""
+    parts = [sf_dir]
+    for t in ("documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
 
 
 def _scale_stress(spark, qs, sf_dir: str) -> dict:
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1")
     marker = os.path.join(sf1_dir, "_built_from")
-    if not (os.path.exists(marker) and open(marker).read() == sf_dir):
+    fp = _fingerprint(sf_dir)
+    if not (os.path.exists(marker) and open(marker).read() == fp):
         _build_sf1(spark, sf_dir, sf1_dir)
         with open(marker, "w") as fh:
-            fh.write(sf_dir)
+            fh.write(fp)
 
     result: dict = {
         "sf": 1.0,

@@ -118,10 +118,15 @@ class Catalog:
             # TIME type, but the reference surface does (mapped to
             # micros-since-midnight bigint — see table._parse_type). The
             # declared "time" string is preserved in the table metadata.
+            import re as _re
+
             fields = []
             for i, (nm, typ) in enumerate(split_ddl_fields(schema)):
+                typ, n_notnull = _re.subn(r"(?i)\s+not\s+null\s*$", "", typ)
                 tstr = "time" if _is_time_type(typ) else _parse_type(typ).simpleString()
-                fields.append({"id": i, "name": nm, "type": tstr, "nullable": True})
+                fields.append(
+                    {"id": i, "name": nm, "type": tstr, "nullable": n_notnull == 0}
+                )
             ts = TableSchema(
                 schema_id=0,
                 fields=fields,

@@ -409,7 +409,11 @@ def sample_frames(
                                     )
                                 )
                                 idx += 1
-                                next_ts += every_ms
+                                # anchor on the kept frame's own timestamp:
+                                # after a PTS gap, `next_ts += every_ms`
+                                # would lag behind ts_ms and keep a burst
+                                # of consecutive frames until it catches up
+                                next_ts = ts_ms + every_ms
                     continue
                 n_frames = max(1, int((dur or 0) // every_ms))
                 for i in range(n_frames):

@@ -155,10 +155,11 @@ def _arrow_type(ddl: str):
     }
     if t in simple:
         return simple[t]
-    # TIME = micros-since-midnight bigint (table._parse_type convention)
-    import re as _re
+    # TIME = micros-since-midnight bigint (table._parse_type convention;
+    # single source of truth for the pattern is table._is_time_type)
+    from paimon_presto_spark.table import _is_time_type
 
-    if _re.match(r"^\s*time\s*(\(\s*\d\s*\))?\s*$", t):
+    if _is_time_type(t):
         return pa.int64()
     if t.startswith("decimal"):
         p, s = t[t.index("(") + 1 : -1].split(",")
@@ -169,10 +170,17 @@ def _arrow_type(ddl: str):
 _SYS_DDL = {"__seq": "bigint", "__pos": "bigint", "__row_kind": "string"}
 
 
-def _cast_to_schema(tbl, schema: dict):
+def _cast_to_schema(tbl, schema: dict, writing: bool = False):
     """Cast an arrow table's columns to the table's declared types so Spark
     receives exactly the schema it planned for (files written by different
-    engines may use wider physical types, e.g. int64 for an int column)."""
+    engines may use wider physical types, e.g. int64 for an int column).
+
+    ``writing=True`` additionally applies WRITE-side constraints — CHAR(n)
+    blank-padding and the VARCHAR(n) bound. Reads must NOT enforce them:
+    pre-existing files (foreign writers, pre-constraint data) would make
+    the whole table unreadable, and the DataFrame read path (Table.to_df)
+    applies no such check either.
+    """
     import pyarrow as pa
 
     ddl = {f["name"]: f["type"] for f in schema["fields"]} | _SYS_DDL
@@ -183,8 +191,10 @@ def _cast_to_schema(tbl, schema: dict):
             pa.field(name, at if at is not None else tbl.schema.field(name).type)
         )
     tbl = tbl.cast(pa.schema(fields))
-    # CHAR(n) blank-padding (write-side, Spark's CHAR contract — the
-    # DataFrame write path does the same via rpad)
+    if not writing:
+        return tbl
+    # CHAR(n) blank-padding (Spark's CHAR contract — the DataFrame write
+    # path does the same via rpad)
     import re as _re
 
     import pyarrow.compute as pc
@@ -196,8 +206,8 @@ def _cast_to_schema(tbl, schema: dict):
             tbl = tbl.set_column(
                 idx, name, pc.utf8_rpad(tbl.column(name), int(m.group(1)), " ")
             )
-        # VARCHAR(n) bound enforcement (write-side, ANSI error semantics —
-        # the DataFrame write path does the same via raise_error)
+        # VARCHAR(n) bound enforcement (ANSI error semantics — the
+        # DataFrame write path does the same via raise_error)
         mv = _re.match(r"^\s*varchar\s*\(\s*(\d+)\s*\)\s*$", t, _re.I)
         if mv and name in tbl.column_names:
             n = int(mv.group(1))
@@ -213,13 +223,16 @@ def _cast_to_schema(tbl, schema: dict):
 def _typed_partition_json(partition: dict, schema: dict) -> dict:
     """Partition dir values (strings) → typed values per the schema JSON
     (mirror of ``table._typed_partition`` without a TableSchema object)."""
+    from paimon_presto_spark.table import _is_time_type
+
     types = {f["name"]: f["type"] for f in schema["fields"]}
     out = {}
     for k, raw in partition.items():
         t = types.get(k, "string")
         if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
             out[k] = None
-        elif t in ("tinyint", "smallint", "int", "bigint"):
+        elif t in ("tinyint", "smallint", "int", "bigint") or _is_time_type(t):
+            # TIME partitions by its physical micros-since-midnight long
             out[k] = int(raw)
         elif t in ("float", "double"):
             out[k] = float(raw)
@@ -665,7 +678,7 @@ class PaimonWriter(DataSourceWriter):
         def _write_group(sub_tbl, partition: dict[str, Any], bucket: int = 0):
             name = f"data-ds-{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self.staging, name)
-            pq.write_table(_cast_to_schema(sub_tbl, self.schema), dst)
+            pq.write_table(_cast_to_schema(sub_tbl, self.schema, writing=True), dst)
             meta = pq.ParquetFile(dst).metadata
             stats: dict[str, dict] = {}
             for rg in range(meta.num_row_groups):
@@ -1149,14 +1162,23 @@ class PaimonDataSource(DataSource):
         schema = _load_schema(
             _meta_path(self.options["path"], self.options.get("branch"))
         )
+        import re as _re
+
         from paimon_presto_spark.table import _is_time_type
 
-        # TIME is stored/read as micros-since-midnight bigint (the
-        # table._parse_type convention); Spark's DDL parser has no TIME.
-        cols = ", ".join(
-            f"`{f['name']}` {'bigint' if _is_time_type(f['type']) else f['type']}"
-            for f in schema["fields"]
-        )
+        def spark_ddl(t: str) -> str:
+            # TIME is stored/read as micros-since-midnight bigint (the
+            # table._parse_type convention); Spark's DDL parser has no
+            # TIME. CHAR(n)/VARCHAR(n) read as plain string — the bound/
+            # padding are write-side concerns, and Spark's Arrow
+            # conversion for Python data sources rejects Char/VarcharType.
+            if _is_time_type(t):
+                return "bigint"
+            if _re.match(r"^\s*(var)?char\s*\(\s*\d+\s*\)\s*$", t, _re.I):
+                return "string"
+            return t
+
+        cols = ", ".join(f"`{f['name']}` {spark_ddl(f['type'])}" for f in schema["fields"])
         if self.options.get("changelog") == "true":
             cols += f", `{_SEQ}` bigint, `{_KIND}` string"
         return cols

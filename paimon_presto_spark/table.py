@@ -3201,7 +3201,8 @@ def _typed_partition(partition: dict[str, str], schema: TableSchema) -> dict[str
         t = f["type"]
         if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
             out[f["name"]] = None
-        elif t in ("tinyint", "smallint", "int", "bigint"):
+        elif t in ("tinyint", "smallint", "int", "bigint") or _is_time_type(t):
+            # TIME partitions by its physical micros-since-midnight long
             out[f["name"]] = int(raw)
         elif t in ("float", "double"):
             out[f["name"]] = float(raw)

@@ -1885,6 +1885,41 @@ class TestVarcharBounds:
         assert t.to_df().filter("name = 'ab'").count() == 1
         assert t.to_df().filter("name = 'ab  '").count() == 0
 
+    def test_not_null_survives_string_ddl(self, spark, catalog):
+        """The custom DDL parser (needed for TIME) must preserve NOT NULL
+        like StructType.fromDDL did."""
+        t = catalog.create_table(
+            "default", "vchnn", "id bigint NOT NULL, name string, t time not null"
+        )
+        fields = {f["name"]: f for f in t.schema().fields}
+        assert fields["id"]["nullable"] is False
+        assert fields["name"]["nullable"] is True
+        assert fields["t"]["nullable"] is False and fields["t"]["type"] == "time"
+        ss = t.schema().spark_schema()
+        assert ss["id"].nullable is False and ss["name"].nullable is True
+
+    def test_preexisting_overlength_varchar_stays_readable(self, spark, catalog):
+        """The varchar bound is a WRITE-side constraint: data written before
+        the bound existed (or by a foreign writer) must stay readable on
+        BOTH read paths rather than bricking the table."""
+        import json as _json
+        import os as _os
+
+        t = catalog.create_table("default", "vch4", "k int, name string")
+        t.append(spark.createDataFrame([(1, "toolong")], "k int, name string"))
+        # retroactively tighten the declared type, simulating legacy data
+        sp = _os.path.join(t.path, "schema", "schema-0.json")
+        d = _json.load(open(sp))
+        d["fields"][1]["type"] = "varchar(3)"
+        _json.dump(d, open(sp, "w"))
+        t2 = catalog.get_table("default", "vch4")
+        assert t2.to_df().collect()[0]["name"] == "toolong"
+        from paimon_presto_spark.sources.datasource import PaimonDataSource
+
+        spark.dataSource.register(PaimonDataSource)
+        df = spark.read.format("paimon").option("path", t2.path).load()
+        assert df.collect()[0]["name"] == "toolong"
+
     def test_varchar_bound_on_datasource_write_path(self, spark, catalog):
         t = catalog.create_table("default", "vch3", "k int, name varchar(3)")
         from paimon_presto_spark.sources.datasource import PaimonDataSource
