@@ -2024,3 +2024,50 @@ class TestBucketCompaction:
         assert t.to_df().count() == 3
         kinds = [t.snapshot(s).commit_kind for s in t.snapshot_ids()]
         assert kinds.count("COMPACT") == 1
+
+
+class TestSplitDdlFieldsProperty:
+    def test_split_matches_fromddl_on_spark_parsable_schemas(self, spark):
+        """Property: for schemas Spark's own parser accepts, the custom
+        splitter (needed for TIME) recovers exactly the same field names
+        and types."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from pyspark.sql import types as T
+
+        from paimon_presto_spark.table import _parse_type, split_ddl_fields
+
+        simple_types = st.sampled_from(
+            ["int", "bigint", "string", "double", "date", "decimal(10,2)",
+             "array<int>", "map<string,bigint>", "struct<a:int,b:string>",
+             "array<struct<x:int,y:array<double>>>", "varchar(7)", "char(3)"]
+        )
+        names = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+        )
+        fields = st.lists(
+            st.tuples(names, simple_types), min_size=1, max_size=6,
+            unique_by=lambda t: t[0],
+        )
+
+        @given(fields)
+        @settings(max_examples=60, deadline=None)
+        def check(fs):
+            ddl = ", ".join(f"{n} {t}" for n, t in fs)
+            expected = T.StructType.fromDDL(ddl)
+            got = split_ddl_fields(ddl)
+            assert [n for n, _ in got] == [f.name for f in expected.fields]
+            for (_, typ), f in zip(got, expected.fields):
+                assert _parse_type(typ) == f.dataType, (typ, f.dataType)
+
+        check()
+
+    def test_split_handles_backquotes_and_colons(self):
+        from paimon_presto_spark.table import split_ddl_fields
+
+        assert split_ddl_fields("`a b` int, c: string, d:bigint") == [
+            ("a b", "int"), ("c", "string"), ("d", "bigint"),
+        ]
+        assert split_ddl_fields("t time, u TIME(3), v struct<t:int>") == [
+            ("t", "time"), ("u", "TIME(3)"), ("v", "struct<t:int>"),
+        ]
