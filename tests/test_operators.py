@@ -817,6 +817,43 @@ def test_hierarchical_rollup_reaggregates_exactly(spark):
         hierarchical_rollup(ev, "ts", "value", [10, 25])
 
 
+def test_interval_join_left_outer_and_validation(spark):
+    from paimon_presto_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5), (2, 105), (3, 9_999)], "pid int, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0, 10), (11, 100, 110)], "iid int, s long, e long"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(points, intervals, "p", "s", "e", 50, how="left").collect()
+    }
+    # matched points pair with their interval; the unmatched point
+    # survives null-extended exactly once
+    assert got == {(1, 10), (2, 11), (3, None)}
+    # inner drops the unmatched point
+    inner = {
+        (r["pid"], r["iid"])
+        for r in interval_join(points, intervals, "p", "s", "e", 50).collect()
+    }
+    assert inner == {(1, 10), (2, 11)}
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner"):
+            interval_join(points, intervals, "p", "s", "e", 50, how=bad)
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(points, intervals, "p", "s", "e", 0)
+    # negative epochs bucket by floor division (not truncation): a point
+    # at -1 belongs to the interval [-50, 0)
+    neg_p = spark.createDataFrame([(1, -1)], "pid int, p long")
+    neg_i = spark.createDataFrame([(20, -50, 0)], "iid int, s long, e long")
+    assert [
+        (r["pid"], r["iid"])
+        for r in interval_join(neg_p, neg_i, "p", "s", "e", 50).collect()
+    ] == [(1, 20)]
+
+
 def test_interval_join_property_random_graphs(spark):
     """Hypothesis: bucketed interval join ≡ naive non-equi join for random
     point/interval sets and widths."""
