@@ -1,0 +1,800 @@
+"""Pure-Python Avro Object Container File support for ``file.format=avro``.
+
+The reference accepts ``file.format=avro`` in its table-option surface
+(``PrestoSqlTableOptionUtils.java:111-112``) and delegates actual I/O to
+Paimon's format readers. This Spark distribution bundles the Avro *runtime*
+jars but not the ``spark-avro`` DataSource, so the JVM read/write path is
+unavailable; instead the container format is implemented here directly
+(Avro 1.11 spec: https://avro.apache.org/docs/1.11.1/specification/) and
+run INSIDE executors:
+
+- **read**: the file list becomes a one-column DataFrame, ``mapInPandas``
+  decodes each file into Arrow batches — per-file parallelism, no driver
+  materialization. The writer schema embedded in the first file's header
+  (a few hundred bytes, read driver-side) declares the output schema.
+- **write**: ``mapInPandas`` over the staged DataFrame writes one file per
+  (task, partition-dir) into the same ``k=v`` staging layout the parquet
+  writer produces, computing min/max/null-count stats in the same pass
+  (avro has no parquet-style footer stats, so the writer IS the stats
+  source — the same contract ``_orc_file_stats`` fulfills for ORC).
+
+Scale note: per-row Python decode is ~10-50× slower than the vectorized
+JVM parquet path. Avro is supported for *compatibility* (migrating tables
+declared with the reference's option surface); the default format remains
+parquet and nothing steers hot paths here. Deflate (the spec's required
+codec) and null codecs are supported; snappy requires a lib this
+environment doesn't ship and is rejected with a clear error.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+from typing import Any, Callable, Iterator
+
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+_BLOCK_ROWS = 4096
+
+
+# ---------------------------------------------------------------------------
+# binary encoding primitives
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    n = _zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            return
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read_long(self) -> int:
+        buf, pos = self.buf, self.pos
+        shift = 0
+        acc = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        self.pos = pos
+        return _zigzag_decode(acc)
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def read_fixed(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Spark schema <-> Avro schema
+# ---------------------------------------------------------------------------
+
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "row") -> dict:
+    """Spark StructType → Avro record schema (JSON-able dict).
+
+    Non-string-key maps become arrays of {key,value} records tagged with a
+    custom ``paimonMap`` attribute (Avro maps require string keys); the
+    reader uses the tag to reconstruct the map. Nullability maps to
+    ``["null", T]`` unions, Avro's idiom.
+    """
+    counter = [0]
+
+    def fresh(prefix: str) -> str:
+        counter[0] += 1
+        return f"{prefix}_{counter[0]}"
+
+    def conv(dt: T.DataType) -> Any:
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, (T.StringType, T.VarcharType, T.CharType)):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.TimestampNTZType):
+            return {"type": "long", "logicalType": "local-timestamp-micros"}
+        if isinstance(dt, T.DecimalType):
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
+        if isinstance(dt, T.ArrayType):
+            item = conv(dt.elementType)
+            if dt.containsNull:
+                item = ["null", item]
+            return {"type": "array", "items": item}
+        if isinstance(dt, T.MapType):
+            val = conv(dt.valueType)
+            if dt.valueContainsNull:
+                val = ["null", val]
+            if isinstance(dt.keyType, (T.StringType, T.VarcharType, T.CharType)):
+                return {"type": "map", "values": val}
+            # non-string keys: array of key/value records, tagged
+            return {
+                "type": "array",
+                "paimonMap": True,
+                "items": {
+                    "type": "record",
+                    "name": fresh("kv"),
+                    "fields": [
+                        {"name": "key", "type": conv(dt.keyType)},
+                        {"name": "value", "type": val},
+                    ],
+                },
+            }
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "record",
+                "name": fresh("rec"),
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": ["null", conv(f.dataType)] if f.nullable else conv(f.dataType),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        raise ValueError(f"avro: unsupported Spark type {dt!r}")
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {
+                "name": f.name,
+                "type": ["null", conv(f.dataType)] if f.nullable else conv(f.dataType),
+            }
+            for f in schema.fields
+        ],
+    }
+
+
+def avro_to_spark_type(sch: Any) -> tuple[T.DataType, bool]:
+    """Avro schema node → (Spark type, nullable)."""
+    if isinstance(sch, list):  # union — only [null, T] / [T, null] supported
+        branches = [b for b in sch if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"avro: unsupported union {sch!r}")
+        dt, _ = avro_to_spark_type(branches[0])
+        return dt, True
+    if isinstance(sch, str):
+        prim = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "string": T.StringType(),
+            "bytes": T.BinaryType(),
+        }
+        if sch in prim:
+            return prim[sch], False
+        raise ValueError(f"avro: unsupported type {sch!r}")
+    typ = sch["type"]
+    logical = sch.get("logicalType")
+    if typ == "int" and logical == "date":
+        return T.DateType(), False
+    if typ == "long" and logical == "timestamp-micros":
+        return T.TimestampType(), False
+    if typ == "long" and logical == "local-timestamp-micros":
+        return T.TimestampNTZType(), False
+    if typ in ("bytes", "fixed") and logical == "decimal":
+        return T.DecimalType(sch["precision"], sch["scale"]), False
+    if typ == "fixed":
+        return T.BinaryType(), False
+    if typ == "array":
+        if sch.get("paimonMap"):
+            fields = {f["name"]: f["type"] for f in sch["items"]["fields"]}
+            kt, _ = avro_to_spark_type(fields["key"])
+            vt, vn = avro_to_spark_type(fields["value"])
+            return T.MapType(kt, vt, vn), False
+        it, inull = avro_to_spark_type(sch["items"])
+        return T.ArrayType(it, inull), False
+    if typ == "map":
+        vt, vn = avro_to_spark_type(sch["values"])
+        return T.MapType(T.StringType(), vt, vn), False
+    if typ == "record":
+        return (
+            T.StructType(
+                [
+                    T.StructField(f["name"], *_swap(avro_to_spark_type(f["type"])))
+                    for f in sch["fields"]
+                ]
+            ),
+            False,
+        )
+    if isinstance(typ, (dict, list)):  # nested schema object in "type"
+        return avro_to_spark_type(typ)
+    raise ValueError(f"avro: unsupported schema {sch!r}")
+
+
+def _swap(t):
+    return t  # (dtype, nullable) already ordered for StructField
+
+
+# ---------------------------------------------------------------------------
+# value encoders / decoders (built once per schema, closure per node)
+# ---------------------------------------------------------------------------
+
+
+def _encoder(sch: Any) -> Callable[[io.BytesIO, Any], None]:
+    import datetime
+    import decimal
+
+    if isinstance(sch, list):  # [null, T]
+        inner = _encoder([b for b in sch if b != "null"][0])
+
+        def enc_union(out, v):
+            if v is None:
+                _write_long(out, 0)
+            else:
+                _write_long(out, 1)
+                inner(out, v)
+
+        return enc_union
+    if isinstance(sch, str):
+        if sch == "boolean":
+            return lambda out, v: out.write(b"\x01" if v else b"\x00")
+        if sch in ("int", "long"):
+            return lambda out, v: _write_long(out, int(v))
+        if sch == "float":
+            return lambda out, v: out.write(struct.pack("<f", float(v)))
+        if sch == "double":
+            return lambda out, v: out.write(struct.pack("<d", float(v)))
+        if sch == "string":
+
+            def enc_str(out, v):
+                b = str(v).encode("utf-8")
+                _write_long(out, len(b))
+                out.write(b)
+
+            return enc_str
+        if sch == "bytes":
+
+            def enc_bytes(out, v):
+                b = bytes(v)
+                _write_long(out, len(b))
+                out.write(b)
+
+            return enc_bytes
+        raise ValueError(f"avro: unsupported type {sch!r}")
+    typ = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date":
+        epoch = datetime.date(1970, 1, 1)
+
+        def enc_date(out, v):
+            if isinstance(v, datetime.datetime):
+                v = v.date()
+            _write_long(out, (v - epoch).days)
+
+        return enc_date
+    if logical in ("timestamp-micros", "local-timestamp-micros"):
+
+        def enc_ts(out, v):
+            # pandas.Timestamp / datetime → micros since epoch (naive
+            # values treated as UTC wall-clock: symmetric with the decoder,
+            # so roundtrip is exact regardless of session zone)
+            if hasattr(v, "value"):  # pandas.Timestamp, ns resolution
+                micros = v.value // 1000
+            else:
+                if v.tzinfo is not None:
+                    micros = int(v.timestamp() * 1_000_000)
+                else:
+                    micros = (
+                        v - datetime.datetime(1970, 1, 1)
+                    ) // datetime.timedelta(microseconds=1)
+            _write_long(out, micros)
+
+        return enc_ts
+    if logical == "decimal":
+        scale = sch["scale"]
+
+        def enc_dec(out, v):
+            unscaled = int(
+                decimal.Decimal(v).scaleb(scale).to_integral_value(
+                    rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            b = unscaled.to_bytes(nbytes, "big", signed=True)
+            _write_long(out, len(b))
+            out.write(b)
+
+        return enc_dec
+    if typ == "array":
+        item = _encoder(sch["items"])
+        is_map = bool(sch.get("paimonMap"))
+
+        def enc_arr(out, v):
+            if is_map and isinstance(v, dict):
+                v = [{"key": k, "value": x} for k, x in v.items()]
+            v = list(v)
+            if v:
+                _write_long(out, len(v))
+                for x in v:
+                    item(out, x)
+            _write_long(out, 0)
+
+        return enc_arr
+    if typ == "map":
+        val = _encoder(sch["values"])
+
+        def enc_map(out, v):
+            items = list(v.items()) if isinstance(v, dict) else list(v)
+            if items:
+                _write_long(out, len(items))
+                for k, x in items:
+                    kb = str(k).encode("utf-8")
+                    _write_long(out, len(kb))
+                    out.write(kb)
+                    val(out, x)
+            _write_long(out, 0)
+
+        return enc_map
+    if typ == "record":
+        fields = [(f["name"], _encoder(f["type"])) for f in sch["fields"]]
+
+        def enc_rec(out, v):
+            get = v.get if isinstance(v, dict) else lambda n: getattr(v, n)
+            for name, enc in fields:
+                enc(out, get(name))
+
+        return enc_rec
+    if isinstance(typ, (dict, list)):
+        return _encoder(typ)
+    raise ValueError(f"avro: unsupported schema {sch!r}")
+
+
+def _decoder(sch: Any) -> Callable[[_Reader], Any]:
+    import datetime
+    import decimal
+
+    if isinstance(sch, list):
+        branches = [_decoder(b) if b != "null" else None for b in sch]
+
+        def dec_union(r):
+            d = branches[r.read_long()]
+            return None if d is None else d(r)
+
+        return dec_union
+    if isinstance(sch, str):
+        if sch == "boolean":
+            return lambda r: r.read_fixed(1) == b"\x01"
+        if sch in ("int", "long"):
+            return lambda r: r.read_long()
+        if sch == "float":
+            return lambda r: struct.unpack("<f", r.read_fixed(4))[0]
+        if sch == "double":
+            return lambda r: struct.unpack("<d", r.read_fixed(8))[0]
+        if sch == "string":
+            return lambda r: r.read_bytes().decode("utf-8")
+        if sch == "bytes":
+            return lambda r: r.read_bytes()
+        if sch == "null":
+            return lambda r: None
+        raise ValueError(f"avro: unsupported type {sch!r}")
+    typ = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date":
+        epoch = datetime.date(1970, 1, 1)
+        day = datetime.timedelta(days=1)
+        return lambda r: epoch + day * r.read_long()
+    if logical in ("timestamp-micros", "local-timestamp-micros"):
+        epoch_dt = datetime.datetime(1970, 1, 1)
+        us = datetime.timedelta(microseconds=1)
+        return lambda r: epoch_dt + us * r.read_long()
+    if logical == "decimal":
+        scale = sch["scale"]
+        fixed_n = sch.get("size") if typ == "fixed" else None
+
+        def dec_dec(r):
+            b = r.read_fixed(fixed_n) if fixed_n else r.read_bytes()
+            return decimal.Decimal(int.from_bytes(b, "big", signed=True)).scaleb(
+                -scale
+            )
+
+        return dec_dec
+    if typ == "fixed":
+        n = sch["size"]
+        return lambda r: r.read_fixed(n)
+    if typ == "array":
+        item = _decoder(sch["items"])
+        is_map = bool(sch.get("paimonMap"))
+
+        def dec_arr(r):
+            out = []
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    r.read_long()  # block byte size, unused
+                for _ in range(n):
+                    out.append(item(r))
+            if is_map:
+                return {d["key"]: d["value"] for d in out}
+            return out
+
+        return dec_arr
+    if typ == "map":
+        val = _decoder(sch["values"])
+
+        def dec_map(r):
+            out = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    k = r.read_bytes().decode("utf-8")
+                    out[k] = val(r)
+            return out
+
+        return dec_map
+    if typ == "record":
+        fields = [(f["name"], _decoder(f["type"])) for f in sch["fields"]]
+
+        def dec_rec(r):
+            return {name: dec(r) for name, dec in fields}
+
+        return dec_rec
+    if isinstance(typ, (dict, list)):
+        return _decoder(typ)
+    raise ValueError(f"avro: unsupported schema {sch!r}")
+
+
+# ---------------------------------------------------------------------------
+# container file
+# ---------------------------------------------------------------------------
+
+
+class AvroWriter:
+    """Streaming Object Container File writer (deflate by default)."""
+
+    def __init__(self, path: str, avro_schema: dict, codec: str = "deflate"):
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"avro: unsupported write codec {codec!r}")
+        self.codec = codec
+        self.schema = avro_schema
+        self.enc = _encoder(avro_schema)
+        self.sync = uuid.uuid4().bytes
+        self.f = open(path, "wb")
+        self.block = io.BytesIO()
+        self.block_rows = 0
+        header = io.BytesIO()
+        header.write(MAGIC)
+        meta = {
+            "avro.schema": json.dumps(avro_schema).encode(),
+            "avro.codec": codec.encode(),
+        }
+        _write_long(header, len(meta))
+        for k, v in meta.items():
+            kb = k.encode()
+            _write_long(header, len(kb))
+            header.write(kb)
+            _write_long(header, len(v))
+            header.write(v)
+        _write_long(header, 0)
+        header.write(self.sync)
+        self.f.write(header.getvalue())
+
+    def write(self, row: Any) -> None:
+        self.enc(self.block, row)
+        self.block_rows += 1
+        if self.block_rows >= _BLOCK_ROWS:
+            self._flush_block()
+
+    def _flush_block(self) -> None:
+        if not self.block_rows:
+            return
+        data = self.block.getvalue()
+        if self.codec == "deflate":
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = c.compress(data) + c.flush()
+        out = io.BytesIO()
+        _write_long(out, self.block_rows)
+        _write_long(out, len(data))
+        self.f.write(out.getvalue())
+        self.f.write(data)
+        self.f.write(self.sync)
+        self.block = io.BytesIO()
+        self.block_rows = 0
+
+    def close(self) -> None:
+        self._flush_block()
+        self.f.close()
+
+
+def read_header(path: str) -> tuple[dict, str, bytes, int]:
+    """Parse an OCF header: (schema, codec, sync, data_offset)."""
+    with open(path, "rb") as f:
+        head = f.read(65536)
+    if head[:4] != MAGIC:
+        raise ValueError(f"not an avro container file: {path}")
+    r = _Reader(head)
+    r.pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.read_long()
+        for _ in range(n):
+            k = r.read_bytes().decode()
+            meta[k] = r.read_bytes()
+    sync = r.read_fixed(SYNC_SIZE)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    return schema, codec, sync, r.pos
+
+
+def read_file_rows(path: str) -> Iterator[dict]:
+    """Decode every row of one container file (executor-side)."""
+    schema, codec, sync, offset = read_header(path)
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported codec {codec!r} in {path}")
+    dec = _decoder(schema)
+    with open(path, "rb") as f:
+        f.seek(offset)
+        buf = f.read()
+    r = _Reader(buf)
+    end = len(buf)
+    while r.pos < end:
+        n_rows = r.read_long()
+        block_len = r.read_long()
+        data = r.buf[r.pos : r.pos + block_len]
+        r.pos += block_len + SYNC_SIZE  # skip sync
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        br = _Reader(data)
+        for _ in range(n_rows):
+            yield dec(br)
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+
+def read_avro(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Distributed avro read: one header probe driver-side for the schema,
+    then ``mapInPandas`` decodes files in executors (a task decodes whole
+    files — the avro analog of parquet's file-granular splits; container
+    blocks could subdivide further, unneeded at bucket-bounded file sizes).
+    """
+    import pandas as pd
+
+    avro_schema, _, _, _ = read_header(files[0])
+    spark_schema, _ = avro_to_spark_type(avro_schema)
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], T.StructType([T.StructField("path", T.StringType())])
+    ).repartition(min(len(files), 32))
+    names = [f.name for f in spark_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows: list[dict] = []
+                for row in read_file_rows(path):
+                    rows.append(row)
+                    if len(rows) >= 65536:
+                        yield pd.DataFrame(
+                            {n: [r[n] for r in rows] for n in names},
+                            dtype=object,
+                        )
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(
+                        {n: [r[n] for r in rows] for n in names}, dtype=object
+                    )
+
+    return paths_df.mapInPandas(decode, schema=spark_schema)
+
+
+def write_avro_partitioned(
+    df: DataFrame,
+    staging: str,
+    dir_cols: list[str],
+    statable: set[str],
+    codec: str = "deflate",
+) -> dict[str, tuple[dict, int]]:
+    """Write ``df`` as avro files under ``staging`` with the parquet
+    writer's ``k=v`` directory layout (``dir_cols`` become directories, not
+    file columns), returning ``{abspath: (stats, n_rows)}`` — the
+    ``_orc_file_stats`` contract, computed in the same pass as the write.
+
+    One file per (task, partition-dir): tasks stream their Arrow batches
+    into per-dir writers, so parallelism matches the incoming partitioning
+    exactly like ``DataFrameWriter.partitionBy``.
+    """
+    import pandas as pd
+
+    data_fields = [f for f in df.schema.fields if f.name not in dir_cols]
+    file_schema = T.StructType(data_fields)
+    avro_schema = spark_to_avro_schema(file_schema)
+    names = [f.name for f in data_fields]
+    stat_cols = [
+        n for n in names if n in statable
+    ]
+    os.makedirs(staging, exist_ok=True)
+
+    meta_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("stats", T.StringType()),
+        ]
+    )
+
+    def _plain_stat(v):
+        import datetime
+        import decimal
+
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+            if isinstance(v, pd.Timestamp):
+                v = v.to_pydatetime()
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return None
+        return v
+
+    def write_task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        writers: dict[str, AvroWriter] = {}
+        counts: dict[str, int] = {}
+        stats: dict[str, dict[str, dict]] = {}
+
+        def sink_for(reldir: str) -> str:
+            d = os.path.join(staging, reldir) if reldir else staging
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{uuid.uuid4().hex}.avro")
+            writers[path] = AvroWriter(path, avro_schema, codec)
+            counts[path] = 0
+            stats[path] = {}
+            return path
+
+        open_by_dir: dict[str, str] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if dir_cols:
+                groups = pdf.groupby(dir_cols, dropna=False, sort=False)
+            else:
+                groups = [((), pdf)]
+            for key, g in groups:
+                if dir_cols:
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    reldir = os.sep.join(
+                        f"{c}={v}" for c, v in zip(dir_cols, key)
+                    )
+                else:
+                    reldir = ""
+                path = open_by_dir.get(reldir)
+                if path is None:
+                    path = open_by_dir[reldir] = sink_for(reldir)
+                w = writers[path]
+                recs = g[names].to_dict("records")
+                for rec in recs:
+                    # pandas NaN → None for avro null branches
+                    w.write(
+                        {
+                            k: (None if _is_na(v) else v)
+                            for k, v in rec.items()
+                        }
+                    )
+                counts[path] += len(recs)
+                st = stats[path]
+                for c in stat_cols:
+                    col = g[c]
+                    nn = col.dropna()
+                    a = st.setdefault(
+                        c, {"min": None, "max": None, "null_count": 0}
+                    )
+                    a["null_count"] += int(col.isna().sum())
+                    if len(nn):
+                        mn, mx = _plain_stat(nn.min()), _plain_stat(nn.max())
+                        if mn is not None:
+                            a["min"] = mn if a["min"] is None else min(a["min"], mn)
+                        if mx is not None:
+                            a["max"] = mx if a["max"] is None else max(a["max"], mx)
+        for path, w in writers.items():
+            w.close()
+        yield pd.DataFrame(
+            {
+                "path": list(writers),
+                "n_rows": [counts[p] for p in writers],
+                "stats": [json.dumps(stats[p]) for p in writers],
+            }
+        )
+
+    out: dict[str, tuple[dict, int]] = {}
+    for r in df.mapInPandas(write_task, schema=meta_schema).collect():
+        if r["n_rows"] == 0:
+            try:
+                os.remove(r["path"])
+            except OSError:
+                pass
+            continue
+        out[os.path.abspath(r["path"])] = (json.loads(r["stats"]), int(r["n_rows"]))
+    return out
+
+
+def _is_na(v) -> bool:
+    import pandas as pd
+
+    if v is None:
+        return True
+    if isinstance(v, (list, dict, tuple, bytes, str)):
+        return False
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return False
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False

@@ -876,7 +876,7 @@ class Table:
             for wsid, files in sorted(by_schema.items()):
                 ws = self.schema(wsid)
                 fmt = ws.options.get("file.format", "parquet")
-                raw = self.spark.read.format(fmt).load(files)
+                raw = _read_data_files(self.spark, fmt, files)
                 if dv_mode:
                     # drop the group's deleted positions during the rewrite
                     # (the fold DV compaction performs); untouched files
@@ -1883,7 +1883,7 @@ class Table:
             for wsid, files in sorted(by_schema.items()):
                 writer_schema = self.schema(wsid)
                 fmt = writer_schema.options.get("file.format", "parquet")
-                df = spark.read.format(fmt).load(files)
+                df = _read_data_files(spark, fmt, files)
                 if extra:
                     pcol, poscol = self._file_pos_cols()
                     df = df.select("*", pcol, poscol)
@@ -2191,24 +2191,35 @@ class Table:
                 out = out.withColumn("__bucket", bucket)
             dir_cols.append("__bucket")
         fmt = schema.options.get("file.format", "parquet")
-        if fmt not in ("parquet", "orc"):
+        if fmt not in ("parquet", "orc", "avro"):
             raise ValueError(
-                f"unsupported file.format {fmt!r}; expected parquet or orc"
+                f"unsupported file.format {fmt!r}; expected parquet, orc or avro"
             )
-        writer = out.write.mode("overwrite")
-        if dir_cols:
-            writer = writer.partitionBy(*dir_cols)
-        writer.format(fmt).save(staging)
-
-        # register written files: move into data/, collect footer stats
-        data_dir = os.path.join(self.path, "data")
-        os.makedirs(data_dir, exist_ok=True)
-        entries = []
         statable = {
             f["name"]
             for f in schema.fields
             if not f["type"].startswith(("array", "map", "struct", "binary"))
         }
+        if fmt == "avro":
+            # no JVM avro DataSource in this distribution — executor-side
+            # pure-Python container writer, stats computed in the same pass
+            # (sources/avroio.py); same staging layout as partitionBy
+            from paimon_presto_spark.sources import avroio
+
+            avro_stats = avroio.write_avro_partitioned(
+                out, staging, dir_cols, statable
+            )
+        else:
+            writer = out.write.mode("overwrite")
+            if dir_cols:
+                writer = writer.partitionBy(*dir_cols)
+            writer.format(fmt).save(staging)
+            avro_stats = {}
+
+        # register written files: move into data/, collect footer stats
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        entries = []
         orc_stats = (
             _orc_file_stats(self.spark, staging, fmt, statable)
             if fmt == "orc"
@@ -2237,6 +2248,8 @@ class Table:
                     meta = pq.ParquetFile(src).metadata
                     stats = _footer_stats(meta, statable)
                     n_rows = meta.num_rows
+                elif fmt == "avro":
+                    stats, n_rows = avro_stats.get(os.path.abspath(src), ({}, 0))
                 else:
                     stats, n_rows = orc_stats.get(os.path.abspath(src), ({}, 0))
                 if n_rows == 0:
@@ -2798,7 +2811,7 @@ class TableScan:
         for sid, files in sorted(by_schema.items()):
             writer_schema = t.schema(sid)
             fmt = writer_schema.options.get("file.format", "parquet")
-            df = spark.read.format(fmt).load(files)
+            df = _read_data_files(spark, fmt, files)
             if dv is not None or keep_pos:
                 # row identity for position-delete filtering, from the
                 # hidden _metadata struct (parquet row index)
@@ -3301,6 +3314,22 @@ def _plain(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     return v
+
+
+def _read_data_files(spark: SparkSession, fmt: str, files: list) -> DataFrame:
+    """Load registered data files in their writer schema's format.
+
+    parquet/orc go through the vectorized JVM readers; avro (no JVM
+    DataSource in this distribution) through the executor-side pure-Python
+    container decoder (``sources/avroio.py``). Deletion vectors require
+    parquet (guarded at enable time), so the ``_metadata`` position columns
+    are never requested on the avro path.
+    """
+    if fmt == "avro":
+        from paimon_presto_spark.sources import avroio
+
+        return avroio.read_avro(spark, files)
+    return spark.read.format(fmt).load(files)
 
 
 def _rmtree_quiet(path: str) -> None:
