@@ -113,8 +113,9 @@ PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_filter",
     "q20_excess_stock",
     "q22_global_sales_opportunity",
-    # joins / set ops / sampling
-    "join_anti_not_exists",
+    # joins / set ops / sampling (join_anti_not_exists rotated out: its
+    # family anchor q22 stays in-prefix; the slot funds the avro roundtrip)
+    "table_format_avro_roundtrip",
     "join_scalar_subquery",
     "key_based_sampling",
     "setop_except",

@@ -673,6 +673,75 @@ def table_format_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_format_avro_roundtrip",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(
+                   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderkey % 97 <> 0
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("table-format", "avro", "end-to-end"),
+)
+def table_format_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``table_format_roundtrip`` mutation script on an avro table
+    (``file.format=avro`` — the reference's third declared format option,
+    ``PrestoSqlTableOptionUtils.java:111-112``): every data file is written
+    and read by the executor-side pure-Python container codec
+    (``sources/avroio.py``), with manifest stats computed by the writer
+    instead of parquet footers. Same declarative oracle as the parquet and
+    deletion-vector variants — the format must be invisible to results.
+    """
+    import os
+    import tempfile
+
+    from paimon_presto_spark.catalog import Catalog
+    from paimon_presto_spark.plans.predicate import P
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    wh = tempfile.mkdtemp(prefix="av-", dir=base)
+    cat = Catalog(spark, wh)
+    cat.create_database("av", ignore_if_exists=True)
+    t = cat.create_table(
+        "av", "orders_av",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+        primary_keys=["o_orderkey"],
+        options={"file.format": "avro"},
+    )
+    t.upsert(o)
+    t.delete(o.filter(F.col("o_orderkey") % 97 == 0))
+    t.upsert(
+        o.filter(
+            (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    merged = t.scan(
+        predicate=P.gte("o_orderdate", "1996-01-01 00:00:00")
+    ).to_df().filter(F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "table_format_changelog",
     oracle="""
         WITH del AS (
