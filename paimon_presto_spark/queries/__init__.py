@@ -158,5 +158,6 @@ def _load() -> None:
     from paimon_presto_spark.queries import events  # noqa: F401
     from paimon_presto_spark.queries import llm_ops  # noqa: F401
     from paimon_presto_spark.queries import coverage  # noqa: F401
+    from paimon_presto_spark.queries import curation  # noqa: F401
 
     _loaded = True

@@ -1,0 +1,277 @@
+"""Corpus-curation operators beyond the round-2 set: PII redaction,
+repetition-based quality signals (Gopher-style), exact stratified
+sampling, and int8 embedding quantization.
+
+Scale shapes (the 100 TB contract):
+- PII redaction is a pure map: regex expressions inside whole-stage
+  codegen, zero shuffles — the scan IS the job.
+- Repetition signals are one explode → two-level aggregation (per-(doc,
+  word) combine, then per-doc max/sum): shuffle carries (doc_id, word,
+  count) partials, never documents.
+- Stratified sampling is one window per stratum over a deterministic
+  portable hash — a single shuffle keyed on the stratum, no driver
+  involvement, exact per-stratum quotas (TABLESAMPLE can't promise
+  those).
+- Quantization is a pure map over the vector column (array lambdas in
+  codegen); integer outputs make it hash-verifiable cross-engine.
+
+Determinism: regexes are RE2-compatible (no lookahead/backrefs) so Java
+and DuckDB agree; quantization rounds via ``floor(x + 0.5)`` — identical
+IEEE semantics in both engines, unlike ROUND whose half-case mode is
+engine-flavored; sampling ranks on the portable md5-derived hash from
+``functions/hashing.py``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from paimon_presto_spark.functions.hashing import md5_long
+from paimon_presto_spark.queries import register
+from paimon_presto_spark.sources.testdata import load_table
+
+# RE2-safe PII patterns (shared verbatim by Spark and the oracle)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9-]{7,}[0-9]"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id, source,
+                   'contact ' || source || '@example.com or +1-555-' ||
+                   LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text
+                       AS t
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id, source, t,
+                   LEN(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email,
+                   LEN(regexp_extract_all(t, '{PHONE_RE}')) AS n_phone,
+                   regexp_replace(
+                       regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PHONE_RE}', '<PHONE>', 'g') AS clean
+            FROM aug
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+               CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+               CAST(SUM(LENGTH(t) - LENGTH(clean)) AS BIGINT) AS chars_removed
+        FROM red
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("text", "pii", "curation", "map-only"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as a pure column map: emails and phone-shaped digit
+    runs replaced by typed placeholders, with per-source redaction
+    accounting. The test corpus is synthetic, so deterministic PII is
+    injected first (``source@example.com`` + a doc-keyed phone number) —
+    the redactor then provably removes both plus anything PII-shaped
+    already present. Zero shuffles before the final small aggregate; at
+    100 TB this runs at scan speed inside whole-stage codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.lit("contact "),
+        F.col("source"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    t = d.withColumn("t", aug)
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    r = t.select(
+        "source",
+        F.regexp_count(F.col("t"), F.lit(EMAIL_RE)).alias("n_email"),
+        F.regexp_count(F.col("t"), F.lit(PHONE_RE)).alias("n_phone"),
+        (F.length("t") - F.length(clean)).alias("delta"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_phone").alias("phones_redacted"),
+            F.sum("delta").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_repetition_quality",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS wd
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, wd, COUNT(*) AS cnt FROM w GROUP BY doc_id, wd
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(MAX(cnt) AS BIGINT) AS top_word_count,
+                   CAST(SUM(cnt) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_words
+            FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, n_words, n_distinct_words, top_word_count,
+               ROUND(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 6)
+                   AS dup_word_frac,
+               ROUND(CAST(top_word_count AS DOUBLE) / n_words, 6)
+                   AS top_word_frac
+        FROM m
+        ORDER BY dup_word_frac DESC, doc_id
+        LIMIT 50
+    """,
+    tags=("text", "quality", "repetition", "curation"),
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction and
+    most-frequent-word mass per document, worst 50 documents first — the
+    inputs to a "drop if dup_word_frac > τ" curation rule. One explode
+    feeds a combiner-friendly (doc, word) count, then a per-doc rollup:
+    the shuffle carries word-count partials, never document text, so the
+    job scales with vocabulary-per-doc, not corpus bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("wd"))
+    c = w.groupBy("doc_id", "wd").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_word_count"),
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+    )
+    return (
+        m.select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            "top_word_count",
+            F.round(
+                1.0 - F.col("n_distinct_words").cast("double") / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.col("top_word_count").cast("double") / F.col("n_words"), 6
+            ).alias("top_word_frac"),
+        )
+        .orderBy(F.desc("dup_word_frac"), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "sample_stratified_exact",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS hk
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY hk, doc_id
+                   ) AS rk
+            FROM h
+        )
+        SELECT lang, doc_id, rk FROM r
+        WHERE rk <= 20
+        ORDER BY lang, rk
+    """,
+    tags=("sampling", "stratified", "curation", "window"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quotas (20 docs per language) via a deterministic
+    hash-ranked window — the domain-mix rebalancing step of a training
+    pipeline, where TABLESAMPLE's probabilistic counts aren't acceptable.
+    One shuffle keyed on the stratum; Spark's WindowGroupLimit pushes the
+    rk<=20 cut into the sort so each partition materializes only its top
+    20, and the portable md5 rank makes the sample reproducible across
+    engines, runs, and cluster sizes (seed-free by construction).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hk = md5_long(F.col("doc_id").cast("string"))
+    win = Window.partitionBy("lang").orderBy(hk, "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(win).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id, label, embedding,
+                   list_aggregate(
+                       list_transform(embedding,
+                                      x -> abs(CAST(x AS DOUBLE))), 'max')
+                       AS mx
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, label,
+                   list_transform(
+                       embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5)
+                                 AS BIGINT)) AS codes
+            FROM s
+            WHERE mx > 0
+        )
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(list_aggregate(codes, 'sum')) AS BIGINT) AS sum_codes,
+               CAST(SUM(LEN(list_filter(codes, v -> abs(v) = 127)))
+                    AS BIGINT) AS n_saturated
+        FROM q
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("embeddings", "quantization", "curation", "map-only"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = 127/max|x|) — the
+    4× storage cut applied to embedding stores before ANN indexing. A pure
+    array-lambda map in codegen with integer verification outputs (code
+    sums and saturation counts per label): ``floor(x*scale + 0.5)`` is
+    used instead of ROUND because IEEE floor is bit-identical across
+    engines while ROUND's half-case mode is not. At 100 TB this is
+    scan-speed; nothing shuffles but the final per-label partials.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    withs = e.withColumn("mx", mx).filter(F.col("mx") > 0)
+    scale = F.lit(127.0) / F.col("mx")
+    codes = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    qq = withs.select(
+        "label",
+        F.aggregate(codes, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
+            "vec_sum"
+        ),
+        F.size(F.filter(codes, lambda v: F.abs(v) == 127)).alias("sat"),
+    )
+    return (
+        qq.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_sum").alias("sum_codes"),
+            F.sum("sat").cast("long").alias("n_saturated"),
+        )
+        .orderBy("label")
+    )
