@@ -463,7 +463,7 @@ def _oracle_lsh_pairs(n_planes: int, dim: int, threshold: float) -> str:
 
 @register(
     "dedup_embedding_lsh",
-    oracle=_oracle_lsh_pairs(n_planes=4, dim=64, threshold=COSINE_DEDUP_THRESHOLD),
+    oracle=_oracle_lsh_pairs(n_planes=8, dim=64, threshold=COSINE_DEDUP_THRESHOLD),
     tags=("dedup", "embedding", "cosine", "lsh", "ann"),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,7 +477,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     out = lsh_cosine_pairs(
-        e, COSINE_DEDUP_THRESHOLD, n_planes=4, dim=64
+        e, COSINE_DEDUP_THRESHOLD, n_planes=8, dim=64
     )
     return (
         out.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
