@@ -275,3 +275,119 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+CHUNK = 32
+STRIDE = 24
+PACK_CAP = 256
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents
+        ),
+        c AS (
+            SELECT doc_id, tk,
+                   UNNEST(generate_series(0, LEN(tk) - 1, {STRIDE})) AS strt
+            FROM t
+        )
+        SELECT doc_id,
+               strt // {STRIDE} AS chunk_idx,
+               LEN(list_slice(tk, strt + 1,
+                              LEAST(strt + {CHUNK}, LEN(tk)))) AS chunk_len,
+               CAST('0x' || substr(md5(array_to_string(
+                   list_slice(tk, strt + 1, LEAST(strt + {CHUNK}, LEN(tk))),
+                   ' ')), 1, 15) AS BIGINT) AS chunk_hash
+        FROM c
+        ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "chunking", "curation", "explode"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24) — the
+    context-length segmentation step before tokenized training shards.
+    ``sequence``-explode generates chunk starts and ``slice`` cuts each
+    window out of the pre-split token array, all in codegen: a pure 1→N
+    map whose fan-out is len/stride, no shuffle at any scale. Chunk
+    payloads are verified by portable md5 content hashes, so the oracle
+    checks the exact chunk text, not just counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    t = d.select("doc_id", tk.alias("tk"))
+    c = t.withColumn(
+        "strt",
+        F.explode(F.sequence(F.lit(0), F.size("tk") - 1, F.lit(STRIDE))),
+    )
+    chunk = F.slice(F.col("tk"), F.col("strt") + 1, CHUNK)
+    return (
+        c.select(
+            "doc_id",
+            F.expr(f"strt DIV {STRIDE}").alias("chunk_idx"),
+            F.size(chunk).alias("chunk_len"),
+            md5_long(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle=f"""
+        WITH n AS (
+            SELECT doc_id, source,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tok,
+                   SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM n
+        )
+        SELECT source,
+               CAST((cum - n_tok) // {PACK_CAP} AS BIGINT) AS bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+        FROM c
+        GROUP BY source, bin
+        ORDER BY source, bin
+    """,
+    tags=("text", "packing", "curation", "window"),
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing: documents are laid into
+    fixed-capacity token bins (256) in deterministic doc_id order, one
+    running-sum window PER SOURCE — the shard-building step before
+    training. Partitioning the cumsum by source keeps the window
+    distributed (a corpus-global ordered cumsum would serialize onto one
+    task at 100 TB; per-shard packing is both the scalable plan and what
+    a real pipeline wants). Integer outputs (bin ids, doc counts, token
+    sums) make the gate exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = n.withColumn("cum", F.sum("n_tok").over(win))
+    return (
+        c.select(
+            "source",
+            F.expr(f"(cum - n_tok) DIV {PACK_CAP}").alias("bin"),
+            "n_tok",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_sum"),
+        )
+        .orderBy("source", "bin")
+    )
