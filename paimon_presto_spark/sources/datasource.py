@@ -91,13 +91,13 @@ def _load_schema(path: str, schema_id: int | None = None) -> dict:
     with open(os.path.join(sdir, f"schema-{schema_id}.json")) as fh:
         schema = json.load(fh)
     fmt = schema.get("options", {}).get("file.format", "parquet")
-    if fmt != "parquet":
-        # This DataSource's per-split reader/writer is pyarrow-parquet;
-        # orc tables go through the DataFrame path (Catalog/Table), which
-        # is format-aware.
+    if fmt not in ("parquet", "avro"):
+        # The per-split readers are pyarrow-parquet plus the pure-Python
+        # avro codec; orc tables go through the DataFrame path
+        # (Catalog/Table), which is format-aware.
         raise NotImplementedError(
-            f"paimon DataSource supports file.format=parquet only (table has"
-            f" {fmt!r}); read it via paimon_presto_spark.Catalog instead"
+            f"paimon DataSource supports file.format=parquet or avro (table"
+            f" has {fmt!r}); read it via paimon_presto_spark.Catalog instead"
         )
     return schema
 
@@ -438,7 +438,7 @@ class PaimonReader(DataSourceReader):
         }
 
         def read_one(f: str):
-            t = pq.read_table(f)
+            t = _read_arrow_file(f)
             dead = (partition.dv or {}).get(f)
             if dead:
                 import numpy as np
@@ -458,6 +458,40 @@ class PaimonReader(DataSourceReader):
         tbl = tbl.select([n for n in names if n in tbl.column_names])
         tbl = _cast_to_schema(tbl, schema)
         return iter(tbl.to_batches(max_chunksize=4096))
+
+
+def _read_arrow_file(f: str):
+    """Data file → pyarrow Table. Parquet rides pyarrow's native reader;
+    .avro files (``file.format=avro`` tables) decode through the
+    pure-Python container codec — per-split parallelism is identical, and
+    column names/values match what the writer staged, so downstream
+    field-id projection and merge are format-blind."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not f.endswith(".avro"):
+        return pq.read_table(f)
+    from paimon_presto_spark.sources import avroio
+
+    avro_schema, _, _, _ = avroio.read_header(f)
+    spark_schema, _ = avroio.avro_to_spark_type(avro_schema)
+    rows = list(avroio.read_file_rows(f))
+    cols, names = [], []
+    sys_types = {
+        "__seq": pa.int64(),
+        "__pos": pa.int64(),
+        "__row_kind": pa.string(),
+        "__bucket": pa.int32(),
+    }
+    for fld in spark_schema.fields:
+        names.append(fld.name)
+        typ = sys_types.get(fld.name)
+        vals = [r.get(fld.name) for r in rows]
+        if typ is None:
+            cols.append(pa.array(vals))
+        else:
+            cols.append(pa.array(vals, type=typ))
+    return pa.table(dict(zip(names, cols)))
 
 
 def _project_arrow(tbl, writer_schema: dict, reader_schema: dict):
@@ -604,6 +638,11 @@ class PaimonWriter(DataSourceWriter):
         self.meta = _meta_path(self.path, options.get("branch"))
         self.overwrite = overwrite
         schema = _load_schema(self.meta)
+        if schema.get("options", {}).get("file.format", "parquet") != "parquet":
+            raise NotImplementedError(
+                "paimon DataSource writes parquet only; write avro tables "
+                "via paimon_presto_spark.Catalog (Table.append/upsert)"
+            )
         self.schema = schema
         self.pks = schema.get("primary_keys", [])
         self.row_kind = options.get("rowkind", "I")
@@ -1104,7 +1143,9 @@ class PaimonStreamReader(DataSourceStreamReader):
             tbl = pa.concat_tables(tables, promote_options="permissive")
             return finalize(tbl, partition.seq, "D")
         tables = [
-            _project_arrow(pq.read_table(f), _load_schema(partition.meta, sid), schema)
+            _project_arrow(
+                _read_arrow_file(f), _load_schema(partition.meta, sid), schema
+            )
             for f, sid in partition.files
         ]
         if not tables:

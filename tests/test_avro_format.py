@@ -280,3 +280,52 @@ def test_avro_rejects_deletion_vectors(spark, catalog):
         t.upsert(
             spark.range(0, 5).select(F.col("id").alias("k"), F.lit("a").alias("v"))
         )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource over avro tables
+# ---------------------------------------------------------------------------
+
+
+def test_datasource_reads_avro_table(spark, catalog):
+    from paimon_presto_spark.sources.datasource import PaimonDataSource
+
+    try:
+        spark.dataSource.register(PaimonDataSource)
+    except Exception:
+        pass
+    t = catalog.create_table(
+        "default",
+        "av_ds",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"file.format": "avro"},
+    )
+    t.upsert(spark.range(0, 40).select(F.col("id").alias("k"), F.lit("a").alias("v")))
+    t.upsert(spark.range(0, 10).select(F.col("id").alias("k"), F.lit("b").alias("v")))
+    got = spark.read.format("paimon").option("path", t.path).load()
+    assert got.count() == 40
+    byv = {
+        r["v"]: r["n"]
+        for r in got.groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    assert byv == {"b": 10, "a": 30}
+    # matches the DataFrame-path merge
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == sorted(
+        (r["k"], r["v"]) for r in t.to_df().collect()
+    )
+
+
+def test_datasource_write_avro_rejected(spark, catalog):
+    from paimon_presto_spark.sources.datasource import PaimonDataSource
+
+    try:
+        spark.dataSource.register(PaimonDataSource)
+    except Exception:
+        pass
+    t = catalog.create_table(
+        "default", "av_dsw", "k bigint, v string", options={"file.format": "avro"}
+    )
+    df = spark.range(0, 5).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    with pytest.raises(Exception, match="parquet only"):
+        df.write.format("paimon").option("path", t.path).mode("append").save()
