@@ -51,6 +51,11 @@ HEADLINE = [
     "knn_bruteforce_topk",
     "knn_lsh_bucketed",
     "text_token_stats",
+    # curation (round 3): map-only + windowed packing shapes
+    "text_pii_redaction",
+    "sample_stratified_exact",
+    "doc_chunk_windows",
+    "pack_sequences_greedy",
 ]
 
 

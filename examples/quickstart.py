@@ -105,7 +105,12 @@ def main() -> None:
         print("TPC-H q1 ok:", q1.count(), "groups")
         topk = qs["knn_ivf_probe"](spark, SF_DIR)
         print("IVF ANN ok:", topk.count(), "neighbor rows")
-        pairs = qs["dedup_embedding_lsh"](spark, SF_DIR)
+        # wider buckets (4 planes) than the registry entry's 8: the demo
+        # corpus is tiny, so trade candidate volume for visible recall
+        from paimon_presto_spark.operators.similarity import lsh_cosine_pairs
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        pairs = lsh_cosine_pairs(emb, 0.45, n_planes=4, dim=64)
         print("LSH embedding dedup ok:", pairs.count(), "near-dup pairs")
 
         # -- multimodal: real in-process image decode ------------------------
@@ -128,6 +133,24 @@ def main() -> None:
         kept, report = curate_corpus(docs)
         print("curation ok:", {r["stage"]: r["n_dropped"] for r in report.collect()},
               "kept =", kept.count())
+
+        # -- avro tables: the reference's third declared file format --------
+        av = catalog.create_table(
+            "demo", "events_avro", "k bigint, v string",
+            options={"file.format": "avro"})
+        av.append(spark.range(0, 100).selectExpr(
+            "id AS k", "concat('v', id) AS v"))
+        print("avro table ok:", av.scan().to_df().count(),
+              "rows through the pure-Python container codec")
+
+        # -- curation entries: PII redaction + sequence packing -------------
+        from paimon_presto_spark.queries import queries as _registry
+
+        qs2 = _registry()
+        pii = qs2["text_pii_redaction"](spark, SF_DIR)
+        packed = qs2["pack_sequences_greedy"](spark, SF_DIR)
+        print("pii redaction ok:", pii.count(), "sources;",
+              "packing ok:", packed.count(), "bins")
 
         print("quickstart complete.")
     finally:
