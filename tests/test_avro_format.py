@@ -329,3 +329,59 @@ def test_datasource_write_avro_rejected(spark, catalog):
     df = spark.range(0, 5).select(F.col("id").alias("k"), F.lit("x").alias("v"))
     with pytest.raises(Exception, match="parquet only"):
         df.write.format("paimon").option("path", t.path).mode("append").save()
+
+
+# ---------------------------------------------------------------------------
+# property: random-row codec roundtrip
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_prop_schema = T.StructType(
+    [
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+    ]
+)
+
+_rows_strategy = st.lists(
+    st.fixed_dictionaries(
+        {
+            "i": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            "s": st.one_of(st.none(), st.text(max_size=40)),
+            "d": st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, width=64),
+            ),
+            "arr": st.one_of(
+                st.none(),
+                st.lists(st.integers(-(2**40), 2**40), max_size=8),
+            ),
+        }
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=_rows_strategy, codec=st.sampled_from(["null", "deflate"]))
+def test_codec_roundtrip_property(tmp_path_factory, rows, codec):
+    path = str(tmp_path_factory.mktemp("avrp") / "p.avro")
+    avsc = avroio.spark_to_avro_schema(_prop_schema)
+    w = avroio.AvroWriter(path, avsc, codec=codec)
+    for r in rows:
+        w.write(r)
+    w.close()
+    back = list(avroio.read_file_rows(path))
+    assert len(back) == len(rows)
+    for orig, got in zip(rows, back):
+        assert got["i"] == orig["i"]
+        assert got["s"] == orig["s"]
+        assert got["arr"] == (list(orig["arr"]) if orig["arr"] is not None else None)
+        if orig["d"] is None:
+            assert got["d"] is None
+        else:
+            assert got["d"] == orig["d"] or (orig["d"] != orig["d"])
