@@ -977,7 +977,7 @@ class TestOrcFileFormat:
 
     def test_unknown_format_rejected(self, spark, catalog):
         t = catalog.create_table(
-            "default", "bad_fmt", "a int", options={"file.format": "avro"})
+            "default", "bad_fmt", "a int", options={"file.format": "csv"})
         with pytest.raises(ValueError, match="unsupported file.format"):
             t.append(spark.createDataFrame([(1,)], "a int"))
 
@@ -986,7 +986,7 @@ class TestOrcFileFormat:
             "default", "orc_ds", "a int", options={"file.format": "orc"})
         t.append(spark.createDataFrame([(1,)], "a int"))
         from paimon_presto_spark.sources.datasource import _load_schema
-        with pytest.raises(NotImplementedError, match="parquet only"):
+        with pytest.raises(NotImplementedError, match="parquet or avro"):
             _load_schema(t.path)
 
 
