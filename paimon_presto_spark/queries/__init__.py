@@ -78,7 +78,6 @@ PRIORITY: tuple[str, ...] = (
     "datetime_trunc_extras",
     "bitwise_functions",
     "join_full_outer",
-    "assign_unique_id",
     # LLM-pipeline operators
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -116,8 +115,9 @@ PRIORITY: tuple[str, ...] = (
     # joins / set ops / sampling (join_anti_not_exists rotated out: its
     # family anchor q22 stays in-prefix; the slot funds the avro roundtrip)
     "table_format_avro_roundtrip",
+    "table_format_partial_update",
+    "table_format_aggregation",
     "join_scalar_subquery",
-    "key_based_sampling",
     "setop_except",
     "setop_intersect",
     # -- cross-round sentinels (one per core family, r2-green) -----------

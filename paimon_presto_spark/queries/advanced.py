@@ -1061,3 +1061,167 @@ def scalar_misc_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("safe_ratio").isNull().cast("int")).alias("div0_nulls"),
         F.min("shuffle_ok").alias("shuffle_ok"),
     )
+
+
+@register(
+    "table_format_partial_update",
+    oracle="""
+        SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'PATCHED' END AS o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY 1 NULLS FIRST, 2
+    """,
+    tags=("table-format", "merge-engine", "partial-update", "end-to-end"),
+)
+def table_format_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``merge-engine=partial-update`` through the oracle gate: per column
+    the latest NON-NULL value wins, so upserts patch individual columns
+    without erasing the rest (the reference exposes the engine at
+    ``PrestoSqlTableOptionUtils.java:96-128``; merge semantics in
+    ``table._merge_on_read``). Commit 1 writes every order with a NULL
+    status; commit 2 patches only the status of keys ≡0 (mod 3), with the
+    price and priority columns NULL. The merged read must show commit 1's
+    prices/priorities untouched and commit 2's status only where patched —
+    a column-wise interleave no per-row engine can produce.
+    """
+    import os
+    import tempfile
+
+    from paimon_presto_spark.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    wh = tempfile.mkdtemp(prefix="pu-", dir=base)
+    cat = Catalog(spark, wh)
+    cat.create_database("pu", ignore_if_exists=True)
+    t = cat.create_table(
+        "pu", "orders_pu",
+        "o_orderkey bigint, o_totalprice double, o_orderstatus string, "
+        "o_orderpriority string",
+        primary_keys=["o_orderkey"],
+        options={"merge-engine": "partial-update"},
+    )
+    t.upsert(
+        o.select(
+            "o_orderkey", "o_totalprice",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "o_orderpriority",
+        )
+    )
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit("PATCHED").alias("o_orderstatus"),
+            F.lit(None).cast("string").alias("o_orderpriority"),
+        )
+    )
+    merged = t.scan().to_df()
+    return (
+        merged.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double")
+            .alias("total_price"),
+        )
+        .orderBy(F.asc_nulls_first("o_orderstatus"), "o_orderpriority")
+    )
+
+
+@register(
+    "table_format_aggregation",
+    oracle="""
+        WITH weighted AS (
+            SELECT o_custkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS m,
+                   CAST(o_totalprice AS DECIMAL(28,10)) AS p,
+                   o_totalprice AS pd
+            FROM orders
+        ),
+        per_cust AS (
+            SELECT o_custkey,
+                   SUM(p * m) AS total_spent,
+                   SUM(m) AS n_orders,
+                   MAX(pd) AS max_price
+            FROM weighted
+            GROUP BY o_custkey
+        )
+        SELECT o_custkey % 10 AS cust_bucket,
+               COUNT(*) AS n_custs,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+               CAST(CAST(SUM(total_spent) AS VARCHAR) AS DOUBLE) AS total_spent,
+               MAX(max_price) AS max_price
+        FROM per_cust
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("table-format", "merge-engine", "aggregation", "end-to-end"),
+)
+def table_format_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``merge-engine=aggregation`` through the oracle gate: rows sharing a
+    key combine column-wise under ``fields.<name>.aggregate-function``
+    (``table._merge_on_read``; option surface
+    ``PrestoSqlTableOptionUtils.java:96-128``). Every order is upserted
+    keyed by customer — duplicate keys WITHIN the commit combine too —
+    then orders with key ≡0 (mod 5) are upserted again, so their sums
+    count twice across commits. ``total_spent`` is a DECIMAL sum (exact,
+    order-independent), ``n_orders`` a bigint sum, ``max_price`` a double
+    max; the merged per-customer state is checked against the oracle's
+    weighted restatement, bucketed mod 10 to keep the compare compact.
+    """
+    import os
+    import tempfile
+
+    from paimon_presto_spark.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    wh = tempfile.mkdtemp(prefix="ag-", dir=base)
+    cat = Catalog(spark, wh)
+    cat.create_database("ag", ignore_if_exists=True)
+    t = cat.create_table(
+        "ag", "cust_spend",
+        "o_custkey bigint, total_spent decimal(28,10), n_orders bigint, "
+        "max_price double",
+        primary_keys=["o_custkey"],
+        options={
+            "merge-engine": "aggregation",
+            "fields.total_spent.aggregate-function": "sum",
+            "fields.n_orders.aggregate-function": "sum",
+            "fields.max_price.aggregate-function": "max",
+        },
+    )
+    def as_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.col("o_totalprice").cast(DEC).alias("total_spent"),
+            F.lit(1).cast("bigint").alias("n_orders"),
+            F.col("o_totalprice").alias("max_price"),
+        )
+
+    t.upsert(as_rows(o))
+    t.upsert(as_rows(o.filter(F.col("o_orderkey") % 5 == 0)))
+    merged = t.scan().to_df()
+    return (
+        merged.withColumn("cust_bucket", F.col("o_custkey") % 10)
+        .groupBy("cust_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_spent").cast("string").cast("double").alias("total_spent"),
+            F.max("max_price").alias("max_price"),
+        )
+        .orderBy("cust_bucket")
+    )
