@@ -117,8 +117,8 @@ PRIORITY: tuple[str, ...] = (
     "table_format_avro_roundtrip",
     "table_format_partial_update",
     "table_format_aggregation",
-    "join_scalar_subquery",
-    "setop_except",
+    "text_tfidf_topk",
+    "text_unigram_logprob",
     "setop_intersect",
     # -- cross-round sentinels (one per core family, r2-green) -----------
     "q1_pricing_summary",

@@ -391,3 +391,161 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, w AS wd
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+            WHERE w <> ''
+        ),
+        tf AS (
+            SELECT doc_id, wd, COUNT(*) AS tf
+            FROM words GROUP BY doc_id, wd
+        ),
+        df AS (
+            SELECT wd, COUNT(*) AS df_docs
+            FROM tf GROUP BY wd
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.wd, tf.tf, df.df_docs,
+                   tf.tf * CAST(CAST(CAST(LN(CAST(1 + n.n_docs AS DOUBLE)
+                       / CAST(1 + df.df_docs AS DOUBLE)) AS DECIMAL(28,10))
+                       AS VARCHAR) AS DOUBLE) AS score
+            FROM tf, df, n
+            WHERE tf.wd = df.wd AND tf.doc_id < 50
+        ),
+        ranked AS (
+            SELECT doc_id, wd, tf, df_docs, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, wd
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, rnk, wd, CAST(tf AS BIGINT) AS tf,
+               CAST(df_docs AS BIGINT) AS df_docs, score
+        FROM ranked
+        WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
+    tags=("text", "tfidf", "curation", "analysis"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((1+N)/(1+df))).
+    The classic keyword-extraction signal for corpus triage, expressed as
+    two count aggregations plus one broadcast-joined window:
+
+    Scale shape: term frequencies combine map-side per (doc, word) — the
+    shuffle carries counts, never text; document frequency aggregates the
+    tf table down to vocabulary size, which is bounded (language-sized, not
+    corpus-sized) and therefore broadcast back; the per-doc top-k is a
+    WindowGroupLimit-prunable window keyed on the document. No step holds a
+    whole document in memory and nothing is quadratic.
+
+    Determinism: Java's Math.log can sit one ulp off libm's, so the raw
+    idf is NOT bit-portable — the idf is squeezed through DECIMAL(28,10)
+    (string-bridged back to double, the registry's decimal rule applied to
+    a transcendental) before the tf multiply, which is then a product of
+    identical doubles in both engines; ranking and output share the
+    rounded score, ties broken on the word itself.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("wd")).filter(
+        F.col("wd") != ""
+    )
+    tf = w.groupBy("doc_id", "wd").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("wd").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = d.count()
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df_t), "wd")
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(
+                (F.lit(1.0) + F.lit(float(n_docs)))
+                / (F.lit(1.0) + F.col("df_docs").cast("double"))
+            ).cast("decimal(28,10)").cast("string").cast("double"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("wd"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "wd", "tf", "df_docs", "score")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, w AS wd
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+            WHERE w <> ''
+        ),
+        vocab AS (
+            SELECT wd, COUNT(*) AS cnt FROM words GROUP BY wd
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+        scored AS (
+            SELECT words.doc_id,
+                   CAST(LN(vocab.cnt / tot.total) AS DECIMAL(28,10)) AS lp
+            FROM words, vocab, tot
+            WHERE words.wd = vocab.wd
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_words,
+               CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) AS logprob_sum,
+               CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_logprob
+        FROM scored
+        WHERE doc_id < 40
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("text", "quality", "language-model", "curation"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model scoring: each document's mean
+    log-probability under the corpus's own unigram distribution — the
+    cheap perplexity proxy LLM pipelines use to rank text quality before
+    any neural model gets involved (low avg ⇒ rare-word soup, high avg ⇒
+    in-distribution text).
+
+    Scale shape: ONE aggregation builds the unigram table (vocabulary-
+    sized, bounded), which is broadcast back onto the exploded word
+    stream; the per-document reduce combines map-side. The corpus is
+    scanned twice and never shuffled as documents — only (word, count)
+    partials and per-doc sums move.
+
+    Determinism: probabilities are exact double divisions of identical
+    operands; ln() is bit-identical across engines; the per-doc sum runs
+    through DECIMAL(28,10) so partial-aggregation order can't reassociate
+    floats (registry rule); avg divides two identical doubles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("wd")).filter(
+        F.col("wd") != ""
+    )
+    vocab = w.groupBy("wd").agg(F.count(F.lit(1)).alias("cnt"))
+    total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
+    scored = w.join(F.broadcast(vocab), "wd").withColumn(
+        "lp", F.log(F.col("cnt") / F.lit(total)).cast("decimal(28,10)")
+    )
+    agg = (
+        scored.filter(F.col("doc_id") < 40)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("lp").cast("string").cast("double").alias("logprob_sum"),
+        )
+    )
+    return (
+        agg.withColumn("avg_logprob", F.col("logprob_sum") / F.col("n_words"))
+        .select("doc_id", "n_words", "logprob_sum", "avg_logprob")
+        .orderBy("doc_id")
+    )
