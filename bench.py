@@ -178,7 +178,7 @@ def _lsh_pairs_sf1(spark, sf1_dir: str):
     from paimon_presto_spark.operators.similarity import lsh_cosine_pairs
 
     emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
-    return lsh_cosine_pairs(emb, 0.45, n_planes=8, dim=64)
+    return lsh_cosine_pairs(emb, 0.45, n_planes=8, dim=64, verify="blas")
 
 
 def _build_sf1(spark, sf_dir: str, out_dir: str) -> None:
@@ -268,7 +268,7 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
         "queries": {},
         "plans": {},
         "note": "dedup_embedding_lsh runs retuned for 10x vectors "
-                "(n_planes=8; see _lsh_pairs_sf1)",
+                "(n_planes=8, BLAS verify; see _lsh_pairs_sf1)",
     }
     runners = {
         name: (_lsh_pairs_sf1 if name == "dedup_embedding_lsh" else qs[name])

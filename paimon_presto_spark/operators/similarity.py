@@ -420,6 +420,7 @@ def lsh_cosine_pairs(
     n_planes: int = 4,
     dim: int = 64,
     seed: int = 42,
+    verify: str = "codegen",
 ) -> DataFrame:
     """Near-dup pairs with cosine > threshold, LSH-bucketed — the 100 TB
     replacement for ``cosine_pairs``'s all-pairs baseline.
@@ -439,6 +440,17 @@ def lsh_cosine_pairs(
     Recall is the standard LSH trade: pairs differing in ≥2 planes are
     missed; raise recall with more probes or fewer planes (bigger
     buckets), exactly like ``lsh_bucketed_topk``.
+
+    ``verify`` picks the exact-cosine implementation for the candidate
+    pairs: ``"codegen"`` (default) scores each pair with a JVM zip_with
+    dot — bit-reproducible against a SQL oracle, and what the correctness
+    gate certifies; ``"blas"`` scores each Arrow batch of pairs with one
+    vectorized numpy reduction (``mapInPandas``) — same pair set, cosine
+    equal to ~1e-12 (float reassociation only), and the right rung once
+    candidate volume reaches the tens of millions, where per-pair
+    higher-order-function evaluation dominates the runtime. The plan is
+    identical either way (two narrow maps + one equi shuffle); only the
+    scoring expression changes.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     b = (
@@ -465,15 +477,57 @@ def lsh_cosine_pairs(
     # Norms are per-row (computed before the join); each candidate pair
     # pays ONE dot product — bit-identical to cosine_similarity, which
     # divides the same dot by the same norm product.
-    return (
-        a.join(bb, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cos_sim",
-            dot(F.col("emb_a"), F.col("emb_b")) / (F.col("__na") * F.col("__nb")),
+    cand = a.join(bb, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    if verify == "codegen":
+        return (
+            cand.withColumn(
+                "cos_sim",
+                dot(F.col("emb_a"), F.col("emb_b")) / (F.col("__na") * F.col("__nb")),
+            )
+            .filter(F.col("cos_sim") > threshold)
+            .select("vec_a", "vec_b", "cos_sim")
         )
-        .filter(F.col("cos_sim") > threshold)
-        .select("vec_a", "vec_b", "cos_sim")
+    if verify != "blas":
+        raise ValueError(f"verify must be 'codegen' or 'blas', got {verify!r}")
+
+    # BLAS form: never materialize per-pair rows. Probe rows (side 0) and
+    # base rows (side 1) are unioned and grouped by bucket — each vector
+    # crosses the shuffle once per probe, not once per candidate pair —
+    # and the within-bucket scoring is one Na×Nb matmul per group. Per-task
+    # memory is O(bucket²) similarities, the same bucket-population bound
+    # the join form has, at a fraction of the transfer volume.
+    import pandas as pd
+
+    probes = a.select(
+        F.lit(0).alias("__side"), F.col("vec_a").alias("__id"),
+        F.col("emb_a").alias("__emb"), F.col("__na").alias("__norm"), "bucket",
+    )
+    bases = bb.select(
+        F.lit(1).alias("__side"), F.col("vec_b").alias("__id"),
+        F.col("emb_b").alias("__emb"), F.col("__nb").alias("__norm"), "bucket",
+    )
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        aside = pdf[pdf["__side"] == 0]
+        bside = pdf[pdf["__side"] == 1]
+        if not len(aside) or not len(bside):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        am = np.asarray(aside["__emb"].tolist(), dtype=np.float64)
+        bm = np.asarray(bside["__emb"].tolist(), dtype=np.float64)
+        sims = (am @ bm.T) / np.outer(
+            aside["__norm"].to_numpy(), bside["__norm"].to_numpy()
+        )
+        aid = aside["__id"].to_numpy()
+        bid = bside["__id"].to_numpy()
+        ai, bi = np.nonzero((sims > threshold) & (aid[:, None] < bid[None, :]))
+        return pd.DataFrame(
+            {"vec_a": aid[ai], "vec_b": bid[bi], "cos_sim": sims[ai, bi]}
+        )
+
+    return probes.unionByName(bases).groupBy("bucket").applyInPandas(
+        score, schema="vec_a long, vec_b long, cos_sim double"
     )
 
 

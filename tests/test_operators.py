@@ -221,6 +221,17 @@ def test_lsh_cosine_pairs_guarantee(spark):
     # and no duplicates from multiprobe
     allrows = lsh_cosine_pairs(emb, thr, n_planes=n_planes).collect()
     assert len(allrows) == len({(r["vec_a"], r["vec_b"]) for r in allrows})
+    # the BLAS verify rung returns the same pair set with cosines equal up
+    # to float reassociation (grouped matmul vs left-to-right fold)
+    blas = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in lsh_cosine_pairs(
+            emb, thr, n_planes=n_planes, verify="blas"
+        ).collect()
+    }
+    assert set(blas) == set(got)
+    for pair, sim in blas.items():
+        assert abs(sim - got[pair]) < 1e-9
 
 
 def test_kmeans_input_validation(spark):
