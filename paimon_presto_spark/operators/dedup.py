@@ -417,3 +417,78 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """Exact-substring duplication profile per document (the span-level
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 — word-level here, suffix-array
+    there): every length-``n`` token window is hashed; a window is
+    *duplicated* if its hash occurs more than once in the corpus; per
+    document we report how many windows are duplicated and how many
+    tokens they cover (union of overlapping [pos, pos+n) intervals).
+
+    Returns (doc_id, n_tokens, dup_ngrams, covered_tokens) — one row per
+    input document, zeros where nothing repeats or the text is shorter
+    than ``n`` tokens. Downstream curation drops or trims documents whose
+    coverage fraction exceeds a budget.
+
+    Scale shape: the token-window explode emits one 8-byte portable hash
+    per corpus token (never the window text); the duplicate-hash table
+    combines map-side to hash cardinality; the join back is hash-on-hash;
+    interval union is ONE window function partitioned by document over
+    (pos) — lead() turns overlap accounting into min(n, next-pos). No
+    step is quadratic and nothing wider than (doc_id, pos, hash) ever
+    shuffles. At 100 TB the dominant cost is the two hash shuffles, both
+    on fixed-width keys.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    sizes = toks.select("doc_id", F.size("w").alias("n_tokens"))
+    grams = (
+        toks.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {n}),"
+                    f" i -> array_join(slice(w, i + 1, {n}), ' '))"
+                )
+            ).alias("pos", "g"),
+        )
+        .select("doc_id", "pos", md5_long(F.col("g")).alias("h"))
+    )
+    dup_h = (
+        grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    )
+    dup = grams.join(dup_h.select("h"), "h")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    per_doc = (
+        dup.withColumn("nxt", F.lead("pos").over(win))
+        .withColumn(
+            "cover",
+            F.when(F.col("nxt").isNull(), F.lit(n)).otherwise(
+                F.least(F.lit(n), F.col("nxt") - F.col("pos"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_ngrams"),
+            F.sum("cover").alias("covered_tokens"),
+        )
+    )
+    return (
+        sizes.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        )
+    )

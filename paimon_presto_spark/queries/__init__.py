@@ -92,8 +92,8 @@ PRIORITY: tuple[str, ...] = (
     "events_interval_join_outer",
     "array_setops_functions",
     "map_functions",
-    "conditional_scalar_functions",
-    "width_bucket_histogram",
+    "dedup_exact_substring",
+    "sample_temperature",
     "timeseries_gap_fill",
     "agg_exact_percentiles",
     "unnest_with_ordinality",

@@ -549,3 +549,101 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_words", "logprob_sum", "avg_logprob")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+        WITH stats AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT source, n_docs, n_chars,
+                   CAST(SQRT(CAST(n_chars AS DOUBLE)) AS DECIMAL(28,10)) AS w
+            FROM stats
+        ),
+        tot AS (SELECT SUM(w) AS tw FROM weighted),
+        quotas AS (
+            SELECT source, n_docs, n_chars,
+                   CAST(FLOOR(200.0 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)))
+                       AS BIGINT) AS quota
+            FROM weighted, tot
+        ),
+        ranked AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 15) AS BIGINT), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT q.source, q.n_docs, q.n_chars, q.quota,
+               CAST(COUNT(r.doc_id) AS BIGINT) AS n_sampled,
+               CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS id_checksum
+        FROM quotas q LEFT JOIN ranked r
+          ON r.source = q.source AND r.rk <= q.quota
+        GROUP BY q.source, q.n_docs, q.n_chars, q.quota
+        ORDER BY q.source
+    """,
+    tags=("sampling", "temperature", "data-mixing", "curation"),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted multi-source sampling — the data-mixing step
+    of multilingual/multi-domain LLM corpora (α-smoothed source weights,
+    per GPT-3 / XLM-R mixing): each source's weight is its token volume
+    raised to α=0.5, quotas allocate a 200-doc budget ∝ weight, and the
+    quota is filled deterministically by portable-md5 rank so the sample
+    is reproducible across engines and resumed runs.
+
+    Scale shape: source stats are one count aggregation (|sources| rows —
+    broadcastable by construction); quota assignment is driver-free
+    arithmetic on that tiny table; the per-source fill is one md5-ranked
+    window, WindowGroupLimit-prunable exactly like
+    ``sample_stratified_exact``. Documents shuffle once, keyed by source.
+
+    Determinism: sqrt is IEEE-correctly-rounded (bit-identical in both
+    engines); the weight sum runs through DECIMAL(28,10); the final ratio
+    divides two identical doubles; sampled membership is pinned by the
+    md5 rank with doc_id tie-break, and the id checksum is an
+    order-insensitive integer sum.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    weighted = stats.withColumn(
+        "w", F.sqrt(F.col("n_chars").cast("double")).cast("decimal(28,10)")
+    )
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    quotas = weighted.crossJoin(F.broadcast(tot)).withColumn(
+        "quota",
+        F.floor(
+            F.lit(200.0) * (F.col("w").cast("double") / F.col("tw").cast("double"))
+        ).cast("bigint"),
+    )
+    rk_win = Window.partitionBy("source").orderBy(
+        md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "source", "doc_id", F.row_number().over(rk_win).alias("rk")
+    )
+    sampled = ranked.join(
+        F.broadcast(quotas.select("source", "quota")), "source"
+    ).filter(F.col("rk") <= F.col("quota"))
+    per_source = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    return (
+        quotas.join(per_source, "source", "left")
+        .select(
+            "source", "n_docs", "n_chars", "quota",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("id_checksum", F.lit(0)).alias("id_checksum"),
+        )
+        .orderBy("source")
+    )

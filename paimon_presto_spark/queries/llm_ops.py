@@ -806,3 +806,78 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("kept", 99, int(n_kept))], "stage string, stage_order int, n_dropped long"
     )
     return report.unionByName(final).orderBy("stage_order")
+
+
+@register(
+    "dedup_exact_substring",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sizes AS (SELECT doc_id, LEN(w) AS n_tokens FROM toks),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   CAST('0x' || substr(md5(
+                       array_to_string(list_slice(w, i, i + 9), ' ')
+                   ), 1, 15) AS BIGINT) AS h
+            FROM toks, UNNEST(generate_series(1, LEN(w) - 9)) AS t(i)
+            WHERE LEN(w) >= 10
+        ),
+        dup_h AS (
+            SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1
+        ),
+        dup AS (
+            SELECT grams.doc_id, grams.pos FROM grams, dup_h
+            WHERE grams.h = dup_h.h
+        ),
+        cover AS (
+            SELECT doc_id, pos,
+                   LEAST(10, COALESCE(
+                       LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                       10)) AS c
+            FROM dup
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS dup_ngrams, SUM(c) AS covered
+            FROM cover GROUP BY doc_id
+        )
+        SELECT sizes.doc_id,
+               CAST(sizes.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(per_doc.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+               CAST(COALESCE(per_doc.covered, 0) AS BIGINT) AS covered_tokens,
+               CAST(COALESCE(per_doc.covered, 0) AS DOUBLE)
+                   / CAST(sizes.n_tokens AS DOUBLE) AS dup_frac
+        FROM sizes LEFT JOIN per_doc ON sizes.doc_id = per_doc.doc_id
+        WHERE sizes.doc_id < 60
+        ORDER BY sizes.doc_id
+    """,
+    tags=("dedup", "exact-substring", "ngram", "llm-pipeline"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication (Lee et al., ACL 2022, in
+    word-window form — ``operators/dedup.repeated_ngram_spans``): every
+    10-token window is hashed corpus-wide; windows whose hash repeats are
+    duplicated spans, and per document we report the duplicated-window
+    count, the token coverage of the union of those spans, and the
+    coverage fraction that curation thresholds on. Duplicate-hash counts
+    come from ALL documents; the output is trimmed to doc_id < 60 to keep
+    the gate compact.
+    """
+    from paimon_presto_spark.operators.dedup import repeated_ngram_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    prof = repeated_ngram_spans(d, n=10)
+    return (
+        prof.filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_ngrams",
+            "covered_tokens",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
