@@ -247,6 +247,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     dim: int | None = None,
     init_sample: int | None = None,
+    assign: str = "codegen",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means over an embedding column; returns the
     (cid, centroid) list ``ivf_topk`` consumes.
@@ -276,10 +277,17 @@ def kmeans_centroids(
     past the end would otherwise inject NULL partial sums and silently
     corrupt centroids).
 
-    Codegen bound: the argmax inlines k×dim literals, which is the right
-    trade up to a few hundred centroids; past that, move the assignment
-    into an Arrow-batched pandas UDF with a broadcast centroid matrix
-    (the ``cosine_topk_pandas`` pattern) — the update pass is unchanged.
+    Codegen bound: the default ``assign="codegen"`` argmax inlines k×dim
+    literals, the right trade up to a few hundred centroids (and
+    bit-deterministic — what the pytest pins). ``assign="blas"`` lifts
+    that bound: each Arrow batch computes the argmax with one X@Cᵀ matmul
+    AND emits the per-batch Lloyd partials (bucket, count, per-dim sums)
+    in the same pass, so vectors never return to the JVM and the
+    per-iteration plan is one mapInPandas + one k-row hash aggregate,
+    independent of k in expression size. Ties resolve to the lowest
+    centroid id in both paths; the matmul reassociates float adds, so
+    near-exact-tie assignments can differ from codegen by one bucket —
+    use codegen when bit-replay matters, blas when k×dim does.
     """
     import math
 
@@ -359,24 +367,62 @@ def kmeans_centroids(
         maxsim = np.maximum(maxsim, U @ U[best_j])
     cents = [(i, [float(x) for x in X[j]]) for i, j in enumerate(chosen)]
 
+    if assign not in ("codegen", "blas"):
+        raise ValueError(f"assign must be 'codegen' or 'blas', got {assign!r}")
+
+    def _blas_partials(cents_now):
+        import pandas as pd
+
+        unit_now = _unit(cents_now)
+        cids = np.asarray([cid for cid, _ in unit_now], dtype=np.int64)
+        U = np.asarray([vec for _, vec in unit_now], dtype=np.float64)
+        cols = ["__b", "__n"] + [f"d{i}" for i in range(dim)]
+
+        def part(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+                b = np.argmax(X @ U.T, axis=1)
+                rows = []
+                for j in np.unique(b):
+                    m = b == j
+                    rows.append(
+                        [int(cids[j]), int(m.sum()), *X[m].sum(axis=0).tolist()]
+                    )
+                yield pd.DataFrame(rows, columns=cols)
+
+        schema = "__b int, __n long, " + ", ".join(f"d{i} double" for i in range(dim))
+        return v.select("__v").mapInPandas(part, schema=schema)
+
     for _ in range(max_iter):
-        assigned = v.withColumn(
-            "__b",
-            (-F.array_max(sims(F.col("__v"), _unit(cents))).getField("negcid")).cast(
-                "int"
-            ),
-        )
-        stats = (
-            assigned.groupBy("__b")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.element_at("__v", i + 1)).alias(f"d{i}")
-                    for i in range(dim)
-                ],
+        if assign == "blas":
+            stats = (
+                _blas_partials(cents)
+                .groupBy("__b")
+                .agg(
+                    F.sum("__n").alias("__n"),
+                    *[F.sum(f"d{i}").alias(f"d{i}") for i in range(dim)],
+                )
+                .collect()
             )
-            .collect()
-        )
+        else:
+            assigned = v.withColumn(
+                "__b",
+                (-F.array_max(sims(F.col("__v"), _unit(cents))).getField("negcid"))
+                .cast("int"),
+            )
+            stats = (
+                assigned.groupBy("__b")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[
+                        F.sum(F.element_at("__v", i + 1)).alias(f"d{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
         by_cid = {r["__b"]: r for r in stats}
         new_cents = []
         moved = 0.0

@@ -584,6 +584,15 @@ def test_kmeans_centroids_recover_clusters(spark):
     again = kmeans_centroids(emb, k=4, max_iter=8)
     assert cents == again
 
+    # The BLAS assignment rung (no k×dim codegen bound) recovers the same
+    # clusters: on well-separated data every assignment is far from a tie,
+    # so the matmul argmax agrees with codegen and centroids match to
+    # float-reassociation tolerance.
+    blas = kmeans_centroids(emb, k=4, max_iter=8, assign="blas")
+    assert [cid for cid, _ in blas] == [cid for cid, _ in cents]
+    for (_, a), (_, b) in zip(blas, cents):
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+
     # Trained centroids drive IVF to near-exact recall on this data.
     q = emb.filter(F.col("vec_id") < 4)
     corpus = emb.filter(F.col("vec_id") >= 4)
