@@ -614,3 +614,113 @@ def cosine_topk_pandas(
     return corpus.select(id_col, vec_col).mapInPandas(
         score, schema="q_id long, n_id long, cos_sim double"
     )
+
+
+def unit_centroids(
+    centroids: list[tuple[int, list[float]]]
+) -> list[tuple[int, list[float]]]:
+    """Unit-normalize a driver-side centroid list with plain Python floats.
+
+    Shared by the operator and any SQL oracle generator: both inline the
+    SAME post-normalization doubles, so dot(v, unit_c) is bit-identical
+    across engines (repr() round-trips IEEE doubles exactly).
+    """
+    import math
+
+    out = []
+    for cid, vec in centroids:
+        norm = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        out.append((int(cid), [float(x) / norm for x in vec]))
+    return out
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster by nearest centroid, then find
+    near-duplicate pairs ONLY within each cluster and keep one representative
+    per duplicate relation (Abbas et al. 2023, "SemDeDup" — public paper).
+
+    The 100 TB story is the clustering fence: the quadratic pair search is
+    confined to same-cluster rows via one equi-join on the cluster id, so
+    per-task work is bounded by cluster population (scale k with corpus size
+    to hold cluster size constant; a hot cluster is handled by AQE skew
+    splitting or by raising k). Assignment is the IVF map-only argmax — a
+    narrow scan, no shuffle — and the centroid list is a driver-side constant
+    (in production the output of ``kmeans_centroids``; any deterministic
+    choice keeps the result reproducible).
+
+    Keep rule, per the paper (keep the LOWEST-centroid-similarity member of
+    each close pair — the most atypical example survives), made
+    deterministic with an id tie-break: a row is dropped iff some same-
+    cluster neighbour with pair-cosine > ``threshold`` has a strictly lower
+    (cos_centroid, id) sort key.
+
+    Returns one row per input: (id, cluster, cos_centroid, status
+    kept|dropped). Reference has no counterpart (SURVEY §7 LLM-ops
+    extension).
+    """
+    unit = unit_centroids(centroids)
+
+    def sims(emb: Column) -> Column:
+        e = emb.cast("array<double>")
+        return F.array(
+            *[
+                F.struct(
+                    dot(e, F.array(*[F.lit(x) for x in v])).alias("s"),
+                    F.lit(-cid).alias("negcid"),
+                )
+                for cid, v in unit
+            ]
+        )
+
+    assigned = (
+        vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb"))
+        .withColumn("__best", F.array_max(sims(F.col("__emb"))))
+        .withColumn("cluster", (-F.col("__best.negcid")).cast("int"))
+        .withColumn("__n", l2_norm(F.col("__emb")))
+        .withColumn("cos_centroid", F.col("__best.s") / F.col("__n"))
+        .drop("__best")
+    )
+    a = assigned.select(
+        F.col("__id").alias("__ida"), F.col("__emb").alias("__emba"),
+        F.col("__n").alias("__na"), F.col("cos_centroid").alias("__ca"), "cluster",
+    )
+    b = assigned.select(
+        F.col("__id").alias("__idb"), F.col("__emb").alias("__embb"),
+        F.col("__n").alias("__nb"), F.col("cos_centroid").alias("__cb"), "cluster",
+    )
+    # Within-cluster candidates only; the neighbour must BEAT this row on
+    # the keep key for the row to drop, so each duplicate relation keeps
+    # exactly its minimum. Equi-join on cluster => bounded task work.
+    beats = (F.col("__cb") < F.col("__ca")) | (
+        (F.col("__cb") == F.col("__ca")) & (F.col("__idb") < F.col("__ida"))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter((F.col("__ida") != F.col("__idb")) & beats)
+        .filter(
+            dot(F.col("__emba"), F.col("__embb"))
+            / (F.col("__na") * F.col("__nb"))
+            > threshold
+        )
+        .select(F.col("__ida").alias("__dropped_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned["__id"] == dropped["__dropped_id"], "left"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            "cos_centroid",
+            F.when(F.col("__dropped_id").isNull(), F.lit("kept"))
+            .otherwise(F.lit("dropped"))
+            .alias("status"),
+        )
+    )

@@ -93,6 +93,7 @@ PRIORITY: tuple[str, ...] = (
     "array_setops_functions",
     "map_functions",
     "dedup_exact_substring",
+    "dedup_semantic_clusters",
     "sample_temperature",
     "timeseries_gap_fill",
     "agg_exact_percentiles",
@@ -106,7 +107,8 @@ PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "q11_important_stock",
     "q12_priority_shipmode",
-    "q14_promo_revenue",
+    # q14_promo_revenue rotated out (single-join agg shape anchored by q12/
+    # q19 in-prefix; local gate still covers it) to fund dedup_semantic_clusters
     "q15_top_supplier",
     "q16_parts_supplier",
     "q19_disjunctive_filter",

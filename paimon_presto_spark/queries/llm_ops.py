@@ -485,6 +485,93 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_CLUSTERS = 8
+#: Looser than the pairwise dedup threshold: clustering fences the search to
+#: same-cluster rows, so a lower bar still yields a selective (not
+#: degenerate) drop set — 62/500 dropped at sf0.01.
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def _oracle_semdedup(k: int, dim: int, threshold: float) -> str:
+    """DuckDB twin of ``operators/similarity.semdedup``: the same unit
+    centroids (seeded Gaussian, normalized driver-side by the SHARED
+    ``unit_centroids``) inlined as literals, the same argmax tie-break
+    (sim DESC, cid ASC), the same keep-lowest-(cos_centroid, id) rule."""
+    from paimon_presto_spark.operators.similarity import _hyperplanes, unit_centroids
+
+    cents = unit_centroids(list(enumerate(_hyperplanes(dim, k, seed=7))))
+    values = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])" for cid, v in cents
+    )
+    return f"""
+        WITH cent(cid, uv) AS (SELECT * FROM (VALUES {values})),
+        scored AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   list_dot_product(e.embedding::DOUBLE[], c.uv) AS s
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        best AS (
+            SELECT vec_id, embedding, cid, s,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cid ASC) AS rn
+            FROM scored
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid AS cluster,
+                   s / sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS cos_c
+            FROM best WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT a.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+             AND (b.cos_c < a.cos_c
+                  OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id))
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                           a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[])))
+                  > {threshold}
+        )
+        SELECT a.vec_id, a.cluster, ROUND(a.cos_c, 6) AS cos_centroid,
+               CASE WHEN d.vec_id IS NULL THEN 'kept' ELSE 'dropped' END AS status
+        FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_oracle_semdedup(SEMDEDUP_CLUSTERS, 64, SEMDEDUP_THRESHOLD),
+    tags=("dedup", "embedding", "cosine", "semdedup", "cluster"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: cluster embeddings by nearest centroid, find
+    near-dup pairs ONLY within clusters, keep the most-atypical member.
+
+    The third rung of the embedding-dedup ladder (all-pairs baseline →
+    LSH-bucketed → cluster-fenced): at 100 TB the pair search is an
+    equi-join on the cluster id, so task work is bounded by cluster
+    population, and assignment is a map-only argmax over broadcast
+    centroids (``operators/similarity.py:semdedup``). Centroids here are
+    seeded Gaussians so the DuckDB oracle replays the exact clustering; in
+    production they come from ``kmeans_centroids``.
+    """
+    from paimon_presto_spark.operators.similarity import _hyperplanes, semdedup
+
+    cents = list(enumerate(_hyperplanes(64, SEMDEDUP_CLUSTERS, seed=7)))
+    e = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(e, cents, SEMDEDUP_THRESHOLD)
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.round("cos_centroid", 6).alias("cos_centroid"),
+        "status",
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

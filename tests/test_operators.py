@@ -234,6 +234,41 @@ def test_lsh_cosine_pairs_guarantee(spark):
         assert abs(sim - got[pair]) < 1e-9
 
 
+def test_semdedup_keep_rule_and_cluster_fence(spark):
+    """semdedup contract on a hand-built 2-cluster geometry: (keep rule) the
+    lowest-centroid-cosine member of a close pair survives, id breaks ties;
+    (fence) a near-dup pair straddling two clusters is NOT deduplicated —
+    that miss is the documented recall trade that buys the bounded
+    equi-join."""
+    from paimon_presto_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),  # cluster 0, near-dup of 1, most typical
+        (1, [1.0, 0.05, 0.0, 0.0]),  # cluster 0, near-dup of 0, less typical
+        (3, [0.72, 0.70, 0.0, 0.0]),  # cluster 0 boundary …
+        (4, [0.70, 0.72, 0.0, 0.0]),  # … cluster 1 boundary: cos(3,4)>0.99
+        (5, [0.0, 1.0, 0.5, 0.0]),  # cluster 1, no close partner
+        (6, [0.0, 1.0, 0.0, 0.0]),  # cluster 1, identical twin of 7
+        (7, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    out = {r["vec_id"]: r for r in semdedup(emb, cents, 0.95).collect()}
+
+    assert len(out) == len(rows)  # one verdict per input row
+    assert {i: out[i]["cluster"] for i in out} == {
+        0: 0, 1: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 1,
+    }
+    # keep rule: (0,1) are a close pair; 1 has the LOWER centroid cosine
+    assert out[0]["status"] == "dropped" and out[1]["status"] == "kept"
+    # tie-break: identical twins -> lower id survives
+    assert out[6]["status"] == "kept" and out[7]["status"] == "dropped"
+    # cluster fence: (3,4) are near-dups across the cluster border -> both kept
+    assert out[3]["status"] == "kept" and out[4]["status"] == "kept"
+    # unpaired row untouched
+    assert out[5]["status"] == "kept"
+
+
 def test_kmeans_input_validation(spark):
     from paimon_presto_spark.operators.similarity import kmeans_centroids
 
