@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from paimon_presto_spark.functions.hashing import (
     BASE_MOD,
     HASH_PRIME,
+    affine_hash,
     hash_params,
     md5_long,
 )
@@ -490,5 +491,126 @@ def repeated_ngram_spans(
             "n_tokens",
             F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
             F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        )
+    )
+
+
+#: Bits packed per bitmap word. 63, not 64: DuckDB (and ANSI engines with
+#: checked arithmetic) reject a left shift into the BIGINT sign bit, and a
+#: cross-engine-replayable bitmap is the whole point.
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(h, m_bits: int, k_hashes: int):
+    """The k Bloom bit positions of a pre-hashed value, as column exprs.
+
+    Universal-hash family over the 60-bit md5 base (``functions/hashing``):
+    integer arithmetic end-to-end, so Spark and a SQL oracle compute the
+    identical positions.
+    """
+    return [affine_hash(h, a, b) % m_bits for a, b in hash_params(k_hashes)]
+
+
+def bloom_bitmap(
+    hashes: DataFrame, m_bits: int = 1 << 16, k_hashes: int = 4
+) -> DataFrame:
+    """Build an m_bits-wide Bloom filter over the ``h`` column as a tiny
+    (word, bm) bitmap table — at most ceil(m_bits/63) rows REGARDLESS of
+    input size, which is what makes it broadcastable by construction at
+    100 TB (contrast a broadcast of the vocabulary itself, which grows with
+    the data; cf. ADVICE on corpus-sized broadcasts).
+    """
+    pos = hashes.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("h"), m_bits, k_hashes))
+        ).alias("p")
+    )
+    return (
+        pos.withColumn("word", F.expr(f"p DIV {BLOOM_WORD_BITS}"))
+        .withColumn(
+            "mask",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bm"))
+    )
+
+
+def bloom_decontaminate(
+    train_docs: DataFrame,
+    test_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    flag_ratio: float = 0.5,
+) -> DataFrame:
+    """Bloom-filter decontamination: flag training documents whose shingles
+    mostly hit a Bloom filter built over the EVAL corpus' shingle set.
+
+    The constant-size companion to ``ngram_containment``: that operator
+    broadcasts the eval *vocabulary* (grows with the eval set); this one
+    broadcasts an m_bits-wide *bitmap* (fixed size, here 8 KiB), the classic
+    trade once eval suites get large — at the price of a bounded
+    false-positive rate ((1-e^(-kn/m))^k; size m to the eval vocabulary),
+    and false positives only ever OVER-flag (safe direction for
+    decontamination). The train side is scanned once; per shingle it pays k
+    integer hashes and a broadcast equi-join against the <=1041-row bitmap;
+    the only shuffle is the per-doc aggregation.
+
+    Returns (doc_id, n_shingles, n_hits, flagged) for each train doc, where
+    a shingle "hits" iff ALL k of its bits are set.
+    """
+    test_h = (
+        shingle_hashes(test_docs, id_col, text_col, shingle_n, distinct=False)
+        .select("h")
+        .distinct()
+    )
+    bitmap = bloom_bitmap(test_h, m_bits, k_hashes)
+    probe = (
+        shingle_hashes(train_docs, id_col, text_col, shingle_n)
+        .select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.array(*_bloom_positions(F.col("h"), m_bits, k_hashes))
+            ).alias("p"),
+        )
+        .withColumn("word", F.expr(f"p DIV {BLOOM_WORD_BITS}"))
+        .withColumn(
+            "mask",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+            ),
+        )
+    )
+    # Bitmap size is bounded by construction (ceil(m_bits/63) rows), so the
+    # broadcast hint is legitimate — never corpus-sized.
+    per_shingle = (
+        probe.join(F.broadcast(bitmap), "word", "left")
+        .withColumn(
+            "bit_set",
+            F.when(
+                F.col("bm").isNotNull()
+                & (F.col("bm").bitwiseAND(F.col("mask")) == F.col("mask")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("bit_set").alias("hit"))
+    )
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("hit").alias("n_hits"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("n_hits").cast("double") / F.col("n_shingles"))
+            >= F.lit(flag_ratio),
         )
     )

@@ -94,6 +94,7 @@ PRIORITY: tuple[str, ...] = (
     "map_functions",
     "dedup_exact_substring",
     "dedup_semantic_clusters",
+    "decontaminate_bloom",
     "sample_temperature",
     "timeseries_gap_fill",
     "agg_exact_percentiles",
@@ -109,7 +110,8 @@ PRIORITY: tuple[str, ...] = (
     "q12_priority_shipmode",
     # q14_promo_revenue rotated out (single-join agg shape anchored by q12/
     # q19 in-prefix; local gate still covers it) to fund dedup_semantic_clusters
-    "q15_top_supplier",
+    # q15_top_supplier rotated out (scalar-subquery-over-agg shape anchored
+    # by q11 in-prefix; local gate still covers it) to fund decontaminate_bloom
     "q16_parts_supplier",
     "q19_disjunctive_filter",
     "q20_excess_stock",

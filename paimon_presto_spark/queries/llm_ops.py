@@ -392,6 +392,95 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment(train, test, shingle_n=5).orderBy("doc_id")
 
 
+def _oracle_bloom_decontaminate(
+    shingle_n: int, m_bits: int, k_hashes: int, flag_ratio: float
+) -> str:
+    """DuckDB twin of ``operators/dedup.bloom_decontaminate``: identical
+    universal-hash positions, identical 63-bits-per-word bitmap, identical
+    all-k-bits hit rule — integer arithmetic end-to-end, so the bitmap is
+    replayed exactly."""
+    from paimon_presto_spark.operators.dedup import BLOOM_WORD_BITS as W
+
+    params = ", ".join(f"({a}, {b})" for a, b in hash_params(k_hashes))
+    return (
+        "WITH "
+        + _o_shingle_sql(shingle_n)
+        + f""",
+        hp(a, b) AS (SELECT * FROM (VALUES {params})),
+        test_h AS (SELECT DISTINCT {_O_HASH} AS h FROM sh WHERE doc_id % 2 = 1),
+        tpos AS (
+            SELECT ((a * (h % {BASE_MOD}) + b) % {HASH_PRIME}) % {m_bits} AS p
+            FROM test_h CROSS JOIN hp
+        ),
+        bitmap AS (
+            SELECT p // {W} AS word,
+                   bit_or(1::BIGINT << CAST(p % {W} AS INT)) AS bm
+            FROM tpos GROUP BY 1
+        ),
+        train_h AS (
+            SELECT DISTINCT doc_id, {_O_HASH} AS h FROM sh WHERE doc_id % 2 = 0
+        ),
+        ppos AS (
+            SELECT doc_id, h,
+                   ((a * (h % {BASE_MOD}) + b) % {HASH_PRIME}) % {m_bits} AS p
+            FROM train_h CROSS JOIN hp
+        ),
+        hits AS (
+            SELECT doc_id, h,
+                   MIN(CASE WHEN bm IS NOT NULL
+                             AND (bm & (1::BIGINT << CAST(p % {W} AS INT)))
+                                 = (1::BIGINT << CAST(p % {W} AS INT))
+                        THEN 1 ELSE 0 END) AS hit
+            FROM ppos LEFT JOIN bitmap ON ppos.p // {W} = bitmap.word
+            GROUP BY doc_id, h
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               (CAST(SUM(hit) AS DOUBLE) / COUNT(*)) >= {flag_ratio} AS flagged
+        FROM hits GROUP BY doc_id ORDER BY doc_id
+    """
+    )
+
+
+BLOOM_M_BITS = 1 << 16
+BLOOM_K_HASHES = 4
+BLOOM_FLAG_RATIO = 0.5
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=_oracle_bloom_decontaminate(
+        5, BLOOM_M_BITS, BLOOM_K_HASHES, BLOOM_FLAG_RATIO
+    ),
+    tags=("dedup", "decontamination", "bloom", "sketch"),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: flag training docs (even doc_id) whose
+    5-gram shingles mostly hit a Bloom filter of the eval corpus (odd
+    doc_id) — ``operators/dedup.py:bloom_decontaminate``.
+
+    The constant-size companion to ``decontaminate_ngram_overlap``: the
+    broadcast is an 8 KiB bitmap REGARDLESS of eval-set size (vs a
+    vocabulary that grows with it), at the price of a bounded
+    false-positive rate that only ever over-flags. The bitmap is replayed
+    bit-exactly by the DuckDB oracle (integer universal hashing, 63 bits
+    per word)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    from paimon_presto_spark.operators.dedup import bloom_decontaminate
+
+    return bloom_decontaminate(
+        train,
+        test,
+        shingle_n=5,
+        m_bits=BLOOM_M_BITS,
+        k_hashes=BLOOM_K_HASHES,
+        flag_ratio=BLOOM_FLAG_RATIO,
+    ).orderBy("doc_id")
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""

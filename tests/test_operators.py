@@ -234,6 +234,46 @@ def test_lsh_cosine_pairs_guarantee(spark):
         assert abs(sim - got[pair]) < 1e-9
 
 
+def test_bloom_decontaminate_no_false_negatives(spark, docs):
+    """Bloom contract: (completeness) every shingle that exactly appears in
+    the eval corpus hits the filter — false negatives are impossible by
+    construction, so n_hits >= exact n_overlap per doc; (boundedness) the
+    bitmap never exceeds ceil(m/63) rows no matter the input size; (safety
+    direction) with a filter sized to the vocabulary, FPs stay rare."""
+    from paimon_presto_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_decontaminate,
+        ngram_containment,
+        shingle_hashes,
+    )
+
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    m_bits = 1 << 16
+    got = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(train, test, shingle_n=3, m_bits=m_bits).collect()
+    }
+    # exact containment of each TRAIN doc in the EVAL vocabulary (roles
+    # swapped relative to decontaminate_ngram_overlap's entry)
+    exact = {
+        r["doc_id"]: r for r in ngram_containment(test, train, shingle_n=3).collect()
+    }
+    assert set(got) == set(exact)
+    for d, r in got.items():
+        assert r["n_shingles"] == exact[d]["n_shingles"]
+        assert r["n_hits"] >= exact[d]["n_overlap"], f"false negative in doc {d}"
+    # bitmap bounded by construction
+    h = shingle_hashes(test, "doc_id", "text", 3, distinct=False).select("h")
+    assert bloom_bitmap(h, m_bits=m_bits).count() <= (m_bits + 62) // 63
+    # FP rate sanity: total hits shouldn't exceed exact overlap by much when
+    # the filter is comfortably sized for the vocabulary
+    total_hits = sum(r["n_hits"] for r in got.values())
+    total_exact = sum(r["n_overlap"] for r in exact.values())
+    total_sh = sum(r["n_shingles"] for r in got.values())
+    assert (total_hits - total_exact) <= 0.2 * total_sh
+
+
 def test_semdedup_keep_rule_and_cluster_fence(spark):
     """semdedup contract on a hand-built 2-cluster geometry: (keep rule) the
     lowest-centroid-cosine member of a close pair survives, id breaks ties;
