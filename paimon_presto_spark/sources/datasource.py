@@ -91,13 +91,13 @@ def _load_schema(path: str, schema_id: int | None = None) -> dict:
     with open(os.path.join(sdir, f"schema-{schema_id}.json")) as fh:
         schema = json.load(fh)
     fmt = schema.get("options", {}).get("file.format", "parquet")
-    if fmt not in ("parquet", "avro"):
-        # The per-split readers are pyarrow-parquet plus the pure-Python
-        # avro codec; orc tables go through the DataFrame path
-        # (Catalog/Table), which is format-aware.
+    if fmt not in ("parquet", "orc", "avro"):
+        # The per-split readers are pyarrow parquet/orc plus the
+        # pure-Python avro codec — the full declared option surface
+        # (PrestoSqlTableOptionUtils.java:111-112 FileFormatType).
         raise NotImplementedError(
-            f"paimon DataSource supports file.format=parquet or avro (table"
-            f" has {fmt!r}); read it via paimon_presto_spark.Catalog instead"
+            f"paimon DataSource supports file.format=parquet, orc or avro"
+            f" (table has {fmt!r})"
         )
     return schema
 
@@ -461,14 +461,18 @@ class PaimonReader(DataSourceReader):
 
 
 def _read_arrow_file(f: str):
-    """Data file → pyarrow Table. Parquet rides pyarrow's native reader;
-    .avro files (``file.format=avro`` tables) decode through the
+    """Data file → pyarrow Table. Parquet and ORC ride pyarrow's native
+    readers; .avro files (``file.format=avro`` tables) decode through the
     pure-Python container codec — per-split parallelism is identical, and
     column names/values match what the writer staged, so downstream
     field-id projection and merge are format-blind."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if f.endswith(".orc"):
+        import pyarrow.orc as po
+
+        return po.read_table(f)
     if not f.endswith(".avro"):
         return pq.read_table(f)
     from paimon_presto_spark.sources import avroio

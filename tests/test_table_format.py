@@ -981,13 +981,33 @@ class TestOrcFileFormat:
         with pytest.raises(ValueError, match="unsupported file.format"):
             t.append(spark.createDataFrame([(1,)], "a int"))
 
-    def test_datasource_rejects_orc_table(self, spark, catalog, warehouse):
+    def test_datasource_reads_orc_table(self, spark, catalog):
+        from paimon_presto_spark.sources.datasource import PaimonDataSource
+
+        try:
+            spark.dataSource.register(PaimonDataSource)
+        except Exception:
+            pass
         t = catalog.create_table(
-            "default", "orc_ds", "a int", options={"file.format": "orc"})
-        t.append(spark.createDataFrame([(1,)], "a int"))
-        from paimon_presto_spark.sources.datasource import _load_schema
-        with pytest.raises(NotImplementedError, match="parquet or avro"):
-            _load_schema(t.path)
+            "default", "orc_ds", "k bigint, v string",
+            primary_keys=["k"],
+            options={"file.format": "orc"},
+        )
+        t.upsert(spark.range(0, 40).select(
+            F.col("id").alias("k"), F.lit("a").alias("v")))
+        t.upsert(spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("b").alias("v")))
+        got = spark.read.format("paimon").option("path", t.path).load()
+        assert got.count() == 40
+        byv = {
+            r["v"]: r["n"]
+            for r in got.groupBy("v").agg(F.count("*").alias("n")).collect()
+        }
+        assert byv == {"b": 10, "a": 30}
+        # matches the DataFrame-path merge
+        assert sorted((r["k"], r["v"]) for r in got.collect()) == sorted(
+            (r["k"], r["v"]) for r in t.to_df().collect()
+        )
 
 
 def test_show_create_table_roundtrip(spark, catalog):
