@@ -47,7 +47,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
+    "dedup_semantic_clusters",
     "decontaminate_ngram_overlap",
+    "decontaminate_bloom",
     "knn_bruteforce_topk",
     "knn_lsh_bucketed",
     "text_token_stats",
@@ -162,7 +164,9 @@ def main() -> None:
 SCALE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
+    "dedup_semantic_clusters",
     "decontaminate_ngram_overlap",
+    "decontaminate_bloom",
     "knn_ivf_probe",
     "dedup_exact",
 ]
@@ -179,6 +183,18 @@ def _lsh_pairs_sf1(spark, sf1_dir: str):
 
     emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
     return lsh_cosine_pairs(emb, 0.45, n_planes=8, dim=64, verify="blas")
+
+
+def _semdedup_sf1(spark, sf1_dir: str):
+    """dedup_semantic_clusters retuned for 10x the vectors: 32 centroids
+    instead of 8, holding per-cluster population (and so the quadratic
+    within-cluster pair term) constant — the 'scale k with the corpus'
+    rule the operator documents."""
+    from paimon_presto_spark.operators.similarity import _hyperplanes, semdedup
+
+    emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+    cents = list(enumerate(_hyperplanes(64, 32, seed=7)))
+    return semdedup(emb, cents, 0.35)
 
 
 def _build_sf1(spark, sf_dir: str, out_dir: str) -> None:
@@ -267,13 +283,15 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
         "synthesized_from": sf_dir,
         "queries": {},
         "plans": {},
-        "note": "dedup_embedding_lsh runs retuned for 10x vectors "
-                "(n_planes=8, BLAS verify; see _lsh_pairs_sf1)",
+        "note": "dedup_embedding_lsh and dedup_semantic_clusters run "
+                "retuned for 10x vectors (n_planes=8 / k=32; see "
+                "_lsh_pairs_sf1, _semdedup_sf1)",
     }
-    runners = {
-        name: (_lsh_pairs_sf1 if name == "dedup_embedding_lsh" else qs[name])
-        for name in SCALE_QUERIES
+    retuned = {
+        "dedup_embedding_lsh": _lsh_pairs_sf1,
+        "dedup_semantic_clusters": _semdedup_sf1,
     }
+    runners = {name: retuned.get(name, qs[name]) for name in SCALE_QUERIES}
     for name in SCALE_QUERIES:
         t0 = time.perf_counter()
         try:

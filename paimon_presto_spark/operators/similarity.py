@@ -640,6 +640,7 @@ def semdedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_backend: str = "codegen",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster by nearest centroid, then find
     near-duplicate pairs ONLY within each cluster and keep one representative
@@ -663,6 +664,24 @@ def semdedup(
     Returns one row per input: (id, cluster, cos_centroid, status
     kept|dropped). Reference has no counterpart (SURVEY §7 LLM-ops
     extension).
+
+    ``pair_backend`` picks the within-cluster scorer, exactly like
+    ``lsh_cosine_pairs``'s ``verify`` rungs: ``"codegen"`` (default)
+    expands pairs through the cluster equi-join and scores each with a JVM
+    zip_with dot — bit-reproducible against a SQL oracle; ``"blas"``
+    groups rows by cluster and resolves each group with ONE numpy matmul
+    (``applyInPandas``) — each row crosses the shuffle once instead of
+    once per candidate pair, the right rung when cluster populations reach
+    the thousands. Same drop set either way (cosines differ only by float
+    reassociation, ~1e-12, only material for pairs sitting exactly on the
+    threshold).
+
+    Codegen bound: the argmax assignment inlines k x dim literals, so its
+    one-time whole-stage-codegen compile grows with k (measured ~8 s at
+    k=32, dim=64 on a cold JVM; amortized across the corpus scan). Past a
+    few hundred centroids, assign with ``kmeans_centroids``'s fused BLAS
+    pass (``assign="blas"``) and feed the resulting (id, bucket) table in
+    place of the argmax — the fence and keep rule are unchanged.
     """
     unit = unit_centroids(centroids)
 
@@ -685,32 +704,68 @@ def semdedup(
         .withColumn("__n", l2_norm(F.col("__emb")))
         .withColumn("cos_centroid", F.col("__best.s") / F.col("__n"))
         .drop("__best")
+        .cache()
     )
-    a = assigned.select(
-        F.col("__id").alias("__ida"), F.col("__emb").alias("__emba"),
-        F.col("__n").alias("__na"), F.col("cos_centroid").alias("__ca"), "cluster",
-    )
-    b = assigned.select(
-        F.col("__id").alias("__idb"), F.col("__emb").alias("__embb"),
-        F.col("__n").alias("__nb"), F.col("cos_centroid").alias("__cb"), "cluster",
-    )
-    # Within-cluster candidates only; the neighbour must BEAT this row on
-    # the keep key for the row to drop, so each duplicate relation keeps
-    # exactly its minimum. Equi-join on cluster => bounded task work.
-    beats = (F.col("__cb") < F.col("__ca")) | (
-        (F.col("__cb") == F.col("__ca")) & (F.col("__idb") < F.col("__ida"))
-    )
-    dropped = (
-        a.join(b, "cluster")
-        .filter((F.col("__ida") != F.col("__idb")) & beats)
-        .filter(
-            dot(F.col("__emba"), F.col("__embb"))
-            / (F.col("__na") * F.col("__nb"))
-            > threshold
+    # Materialize before fan-out: the pair join reads `assigned` twice and
+    # the status join a third time — without the cache each consumer
+    # re-evaluates the k x dim argmax expression over the full corpus
+    # (measured 3x the runtime at the sf1 stress; same pattern as
+    # minhash_lsh_pairs' shingle cache).
+    assigned.count()
+    if pair_backend == "codegen":
+        a = assigned.select(
+            F.col("__id").alias("__ida"), F.col("__emb").alias("__emba"),
+            F.col("__n").alias("__na"), F.col("cos_centroid").alias("__ca"),
+            "cluster",
         )
-        .select(F.col("__ida").alias("__dropped_id"))
-        .distinct()
-    )
+        b = assigned.select(
+            F.col("__id").alias("__idb"), F.col("__emb").alias("__embb"),
+            F.col("__n").alias("__nb"), F.col("cos_centroid").alias("__cb"),
+            "cluster",
+        )
+        # Within-cluster candidates only; the neighbour must BEAT this row
+        # on the keep key for the row to drop, so each duplicate relation
+        # keeps exactly its minimum. Equi-join on cluster => bounded task
+        # work.
+        beats = (F.col("__cb") < F.col("__ca")) | (
+            (F.col("__cb") == F.col("__ca")) & (F.col("__idb") < F.col("__ida"))
+        )
+        dropped = (
+            a.join(b, "cluster")
+            .filter((F.col("__ida") != F.col("__idb")) & beats)
+            .filter(
+                dot(F.col("__emba"), F.col("__embb"))
+                / (F.col("__na") * F.col("__nb"))
+                > threshold
+            )
+            .select(F.col("__ida").alias("__dropped_id"))
+            .distinct()
+        )
+    elif pair_backend == "blas":
+        import pandas as pd
+
+        def resolve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # Sort by the keep key: a row can only be dropped by a
+            # strictly-earlier row, so one lower-triangle check of the
+            # cluster's similarity matrix resolves every pair at once.
+            pdf = pdf.sort_values(["cos_centroid", "__id"], kind="mergesort")
+            m = np.asarray(pdf["__emb"].tolist(), dtype=np.float64)
+            sims_m = (m @ m.T) / np.outer(
+                pdf["__n"].to_numpy(), pdf["__n"].to_numpy()
+            )
+            tril = np.tril(sims_m > threshold, k=-1)
+            drop = tril.any(axis=1)
+            return pd.DataFrame({"__dropped_id": pdf["__id"].to_numpy()[drop]})
+
+        dropped = (
+            assigned.select("__id", "__emb", "__n", "cos_centroid", "cluster")
+            .groupBy("cluster")
+            .applyInPandas(resolve, schema="__dropped_id long")
+        )
+    else:
+        raise ValueError(
+            f"pair_backend must be 'codegen' or 'blas', got {pair_backend!r}"
+        )
     return (
         assigned.join(
             dropped, assigned["__id"] == dropped["__dropped_id"], "left"

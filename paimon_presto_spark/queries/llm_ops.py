@@ -957,10 +957,98 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_curate_pipeline() -> str:
+    """DuckDB twin of the COMPOSED curation pipeline: each stage's oracle
+    fragment (exact-dedup grouping, quality expressions, the minhash/band/
+    Jaccard chain, recursive-CTE components, containment probe) rebased
+    onto the previous stage's survivor set — stage thresholds identical to
+    ``curate_corpus``'s defaults."""
+    gram3 = " || ' ' || ".join(f"tk[i + {j}]" for j in range(3))
+    shingle3 = (
+        f"UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),"
+        f" i -> {gram3}))"
+    )
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
+        + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + ") AS bkey FROM mh"
+        for j in range(LSH_BANDS)
+    )
+    return f"""
+        WITH RECURSIVE
+        corpus0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        evals AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        keep1 AS (SELECT MIN(doc_id) AS doc_id FROM corpus0 GROUP BY MD5(text)),
+        c1 AS (SELECT c.doc_id, c.text FROM corpus0 c
+               JOIN keep1 k ON c.doc_id = k.doc_id),
+        c2 AS (
+            SELECT doc_id, text FROM c1
+            WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 5 AND 100000
+              AND (LEN(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
+                   / LEN(text)) <= CAST(0.3 AS DOUBLE)
+        ),
+        toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM c2),
+        sh AS (SELECT DISTINCT doc_id, {shingle3} AS s FROM toks),
+        hashed AS (SELECT doc_id, {_O_HASH} AS h FROM sh),
+        mh AS (SELECT doc_id, {_o_minhash_aggs()} FROM hashed GROUP BY doc_id),
+        bands AS ({bands_union}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+        ),
+        {_O_PAIRS_CTE.format(thr=JACCARD_THRESHOLD)},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        comps AS (SELECT doc_id, MIN(label) AS component
+                  FROM reach GROUP BY doc_id),
+        drops3 AS (SELECT doc_id FROM comps WHERE component <> doc_id),
+        c3 AS (SELECT doc_id, text FROM c2
+               WHERE doc_id NOT IN (SELECT doc_id FROM drops3)),
+        etoks AS (SELECT STRING_SPLIT(text, ' ') AS tk FROM evals),
+        esh AS (SELECT DISTINCT CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) AS h
+                FROM (SELECT {shingle3} AS s FROM etoks) t),
+        ctoks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM c3),
+        csh AS (SELECT DISTINCT doc_id,
+                       CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) AS h
+                FROM (SELECT doc_id, {shingle3} AS s FROM ctoks) t),
+        cont AS (
+            SELECT c.doc_id, COUNT(*) AS n_sh,
+                   SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+            FROM csh c LEFT JOIN esh e ON c.h = e.h GROUP BY c.doc_id
+        ),
+        drops4 AS (SELECT doc_id FROM cont
+                   WHERE (CAST(n_ov AS DOUBLE) / n_sh) > CAST(0.8 AS DOUBLE)),
+        c4 AS (SELECT doc_id FROM c3
+               WHERE doc_id NOT IN (SELECT doc_id FROM drops4)),
+        n AS (SELECT (SELECT COUNT(*) FROM corpus0) AS n0,
+                     (SELECT COUNT(*) FROM c1) AS n1,
+                     (SELECT COUNT(*) FROM c2) AS n2,
+                     (SELECT COUNT(*) FROM c3) AS n3,
+                     (SELECT COUNT(*) FROM c4) AS n4)
+        SELECT stage, stage_order, n_dropped FROM (
+            SELECT 'exact_dedup' AS stage, 0 AS stage_order,
+                   CAST(n0 - n1 AS BIGINT) AS n_dropped FROM n
+            UNION ALL SELECT 'quality_filter', 1, CAST(n1 - n2 AS BIGINT) FROM n
+            UNION ALL SELECT 'near_dup_clusters', 2, CAST(n2 - n3 AS BIGINT) FROM n
+            UNION ALL SELECT 'decontaminate', 3, CAST(n3 - n4 AS BIGINT) FROM n
+            UNION ALL SELECT 'kept', 99, CAST(n4 AS BIGINT) FROM n
+        ) ORDER BY stage_order
+    """
+
+
 @register(
     "pipeline_curate_corpus",
-    oracle=None,  # multi-stage iterative composition — rows-only check;
-    # stage exactness is pinned by tests/test_operators.py
+    oracle=_oracle_curate_pipeline(),
     tags=("pipeline", "dedup", "quality", "decontaminate", "composition"),
 )
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,8 +1056,10 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     run over the documents table, using the even-id half as the corpus and
     the odd-id half as the "eval set": returns the per-stage drop report
     plus a final kept-count row. Deterministic end to end (exact dedup,
-    seeded MinHash-LSH, min-id keepers), but iterative (connected
-    components), hence rows-only.
+    seeded MinHash-LSH, min-id keepers, iterative-but-converged connected
+    components), so even the composition is oracle-gated: the DuckDB twin
+    rebases each stage's oracle fragment onto the previous stage's
+    survivors.
     """
     from paimon_presto_spark.operators.pipeline import curate_corpus
 

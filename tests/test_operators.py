@@ -307,6 +307,14 @@ def test_semdedup_keep_rule_and_cluster_fence(spark):
     assert out[3]["status"] == "kept" and out[4]["status"] == "kept"
     # unpaired row untouched
     assert out[5]["status"] == "kept"
+    # the BLAS rung (one matmul per cluster) resolves the same drop set
+    blas = {
+        r["vec_id"]: r["status"]
+        for r in semdedup(emb, cents, 0.95, pair_backend="blas").collect()
+    }
+    assert blas == {i: out[i]["status"] for i in out}
+    with pytest.raises(ValueError, match="pair_backend"):
+        semdedup(emb, cents, 0.95, pair_backend="gpu")
 
 
 def test_kmeans_input_validation(spark):

@@ -51,11 +51,11 @@ def test_oracles_are_subset_with_known_exceptions():
     qs, osql = queries(), oracle_sql()
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
-    # Only genuinely seed-dependent / iterative entries may lack an oracle.
+    # Only genuinely seed-dependent / iterative entries may lack an oracle
+    # (the composed curation pipeline graduated to oracle-backed in r3).
     assert rows_only <= {
         "sample_bernoulli",
         "knn_ivf_kmeans",
-        "pipeline_curate_corpus",
     }, rows_only
 
 
