@@ -112,6 +112,14 @@ def main() -> None:
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         pairs = lsh_cosine_pairs(emb, 0.45, n_planes=4, dim=64)
         print("LSH embedding dedup ok:", pairs.count(), "near-dup pairs")
+        # SemDeDup: cluster-fenced semantic dedup (pair search bounded per
+        # cluster) and the Bloom-bitmap decontamination variant
+        sem = qs["dedup_semantic_clusters"](spark, SF_DIR)
+        n_drop = sem.filter(F.col("status") == "dropped").count()
+        print("semdedup ok:", n_drop, "semantic dups dropped of", sem.count())
+        bloom = qs["decontaminate_bloom"](spark, SF_DIR)
+        print("bloom decontamination ok:",
+              bloom.filter(F.col("flagged")).count(), "train docs flagged")
 
         # -- multimodal: real in-process image decode ------------------------
         from paimon_presto_spark.operators.multimodal import (
