@@ -97,6 +97,8 @@ PRIORITY: tuple[str, ...] = (
     "decontaminate_bloom",
     "sample_temperature",
     "timeseries_gap_fill",
+    "join_salted_skew",
+    "agg_two_phase_skew",
     "agg_exact_percentiles",
     "unnest_with_ordinality",
     "agg_histogram_map",
@@ -107,12 +109,13 @@ PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q10_returned_items",
     "q11_important_stock",
-    "q12_priority_shipmode",
-    # q14_promo_revenue rotated out (single-join agg shape anchored by q12/
-    # q19 in-prefix; local gate still covers it) to fund dedup_semantic_clusters
+    # q12_priority_shipmode and q14_promo_revenue rotated out (single-join
+    # conditional-agg shapes anchored by q19 in-prefix; the local gate still
+    # covers them) to fund dedup_semantic_clusters and the skew entries
     # q15_top_supplier rotated out (scalar-subquery-over-agg shape anchored
     # by q11 in-prefix; local gate still covers it) to fund decontaminate_bloom
-    "q16_parts_supplier",
+    # q16_parts_supplier rotated out (distinct-agg + NOT-IN anchored by q22's
+    # anti-join + agg_grouping_sets in-prefix; local gate still covers it)
     "q19_disjunctive_filter",
     "q20_excess_stock",
     "q22_global_sales_opportunity",

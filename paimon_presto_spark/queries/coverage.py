@@ -741,3 +741,99 @@ def agg_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (operators/skew.py) — oracle-gated semantics preservation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+        SELECT s.s_nationkey AS nationkey,
+               COUNT(*) AS n_items,
+               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey
+        ORDER BY nationkey
+    """,
+    tags=("join", "skew", "salting"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``operators/skew.salted_join`` gated against the PLAIN join's SQL:
+    the salt splits each hot left key across n_salts reducers and
+    replicates the right side to match, so the result set — and therefore
+    this aggregate over it — must be IDENTICAL to the unsalted join.
+    That invariance is exactly what the oracle certifies (the salt column
+    itself is nondeterministic; the join result is salt-invariant).
+
+    100 TB shape: the fact side never broadcasts and no single reducer
+    owns a whole hot key; the price is n_salts× replication of the
+    mid-size dimension (still far below the fact's volume).
+    """
+    from paimon_presto_spark.operators.skew import salted_join
+    from paimon_presto_spark.queries.relational import dsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, ["suppkey"], n_salts=8)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "agg_two_phase_skew",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10)))
+                         AS VARCHAR) AS DOUBLE) AS sum_qty,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "skew", "salting"),
+)
+def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``operators/skew.two_phase_agg`` gated against the PLAIN GROUP BY:
+    the salt-keyed partial phase splits each hot group across n_salts
+    reducers, and because every aggregate here is decomposable (count→sum,
+    sum→sum, max→max — with SUM running in exact decimal so reassociation
+    cannot change the value), the two-phase result must equal the
+    one-phase SQL. The salt itself is nondeterministic; the result is
+    salt-invariant, which is the property the oracle certifies.
+    """
+    from paimon_presto_spark.operators.skew import two_phase_agg
+    from paimon_presto_spark.queries.relational import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = two_phase_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum(F.col("l_quantity").cast(DEC)),
+            "max_price": F.max("l_extendedprice"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("sum_qty").cast("string").cast("double").alias("sum_qty"),
+        "max_price",
+    ).orderBy("l_returnflag")
