@@ -317,6 +317,62 @@ def test_semdedup_keep_rule_and_cluster_fence(spark):
         semdedup(emb, cents, 0.95, pair_backend="gpu")
 
 
+def test_semdedup_matches_numpy_reference(spark):
+    """Randomized cross-check: semdedup (both pair backends) against an
+    independent numpy implementation of assignment + keep rule, over
+    clustered random vectors where near-dups actually occur."""
+    import numpy as np
+    from paimon_presto_spark.operators.similarity import (
+        _hyperplanes,
+        semdedup,
+        unit_centroids,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((6, 16))
+    rows = []
+    for i in range(200):
+        # half the rows are jittered copies of earlier rows -> real dups
+        if i >= 100:
+            base = np.asarray(rows[i - 100][1])
+            v = base + 0.02 * rng.standard_normal(16)
+        else:
+            v = centers[i % 6] + 0.3 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = list(enumerate(_hyperplanes(16, 4, seed=7)))
+    thr = 0.9
+
+    # numpy reference
+    X = np.asarray([v for _, v in rows])
+    U = np.asarray([v for _, v in unit_centroids(cents)])
+    scores = X @ U.T
+    # argmax with lowest-cid tie-break == np.argmax's first-max rule
+    cl = scores.argmax(axis=1)
+    nrm = np.linalg.norm(X, axis=1)
+    cos_c = scores[np.arange(len(X)), cl] / nrm
+    sims_m = (X @ X.T) / np.outer(nrm, nrm)
+    expect = {}
+    for i in range(len(X)):
+        dropped = any(
+            cl[j] == cl[i]
+            and j != i
+            and sims_m[i, j] > thr
+            and (cos_c[j], j) < (cos_c[i], i)
+            for j in range(len(X))
+        )
+        expect[i] = "dropped" if dropped else "kept"
+    assert "dropped" in expect.values()  # the scenario must exercise drops
+
+    for backend in ("codegen", "blas"):
+        got = {
+            r["vec_id"]: (r["cluster"], r["status"])
+            for r in semdedup(emb, cents, thr, pair_backend=backend).collect()
+        }
+        assert {i: got[i][0] for i in got} == {i: int(cl[i]) for i in expect}
+        assert {i: got[i][1] for i in got} == expect, backend
+
+
 def test_kmeans_input_validation(spark):
     from paimon_presto_spark.operators.similarity import kmeans_centroids
 
