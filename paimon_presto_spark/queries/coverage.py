@@ -837,3 +837,48 @@ def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("string").cast("double").alias("sum_qty"),
         "max_price",
     ).orderBy("l_returnflag")
+
+
+@register(
+    "window_value_navigation",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey) OVER wf AS last_order,
+               COALESCE(NTH_VALUE(o_orderkey, 2) OVER wf, -1) AS second_order,
+               LEAD(o_orderkey, 1, -1) OVER w AS next_order
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    tags=("window", "navigation", "first-value", "nth-value", "lead"),
+)
+def window_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-navigation window functions — first_value / last_value /
+    nth_value / lead-with-default (SURVEY §2.2 Windows family; rank
+    variants and frames have their own entries). last_value and nth_value
+    run over the FULL partition frame (the default running frame would
+    make last_value degenerate to the current row — the classic trap).
+    nth_value is NULL for 1-order customers, so it is COALESCEd to -1 to
+    keep the result column a non-nullable BIGINT (pandas hashing rule).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(wf).alias("last_order"),
+            F.coalesce(
+                F.nth_value("o_orderkey", 2).over(wf), F.lit(-1)
+            ).alias("second_order"),
+            F.lead("o_orderkey", 1, -1).over(w).alias("next_order"),
+        )
+        .orderBy("o_custkey", "first_order", "o_orderkey")
+    )
