@@ -511,6 +511,23 @@ def _bloom_positions(h, m_bits: int, k_hashes: int):
     return [affine_hash(h, a, b) % m_bits for a, b in hash_params(k_hashes)]
 
 
+def _with_word_mask(pos_df: DataFrame) -> DataFrame:
+    """Append the bitmap (word, mask) layout of position column ``p``.
+
+    The ONE place the bit layout lives: build and probe must agree on it
+    exactly or every probe silently misses (the false-negative direction
+    the operator rules out), so both derive it here.
+    """
+    return pos_df.withColumn(
+        "word", F.expr(f"p DIV {BLOOM_WORD_BITS}")
+    ).withColumn(
+        "mask",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+        ),
+    )
+
+
 def bloom_bitmap(
     hashes: DataFrame, m_bits: int = 1 << 16, k_hashes: int = 4
 ) -> DataFrame:
@@ -525,17 +542,7 @@ def bloom_bitmap(
             F.array(*_bloom_positions(F.col("h"), m_bits, k_hashes))
         ).alias("p")
     )
-    return (
-        pos.withColumn("word", F.expr(f"p DIV {BLOOM_WORD_BITS}"))
-        .withColumn(
-            "mask",
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
-            ),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bm"))
-    )
+    return _with_word_mask(pos).groupBy("word").agg(F.bit_or("mask").alias("bm"))
 
 
 def bloom_decontaminate(
@@ -570,21 +577,13 @@ def bloom_decontaminate(
         .distinct()
     )
     bitmap = bloom_bitmap(test_h, m_bits, k_hashes)
-    probe = (
-        shingle_hashes(train_docs, id_col, text_col, shingle_n)
-        .select(
+    probe = _with_word_mask(
+        shingle_hashes(train_docs, id_col, text_col, shingle_n).select(
             "doc_id",
             "h",
             F.explode(
                 F.array(*_bloom_positions(F.col("h"), m_bits, k_hashes))
             ).alias("p"),
-        )
-        .withColumn("word", F.expr(f"p DIV {BLOOM_WORD_BITS}"))
-        .withColumn(
-            "mask",
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
-            ),
         )
     )
     # Bitmap size is bounded by construction (ceil(m_bits/63) rows), so the
