@@ -169,6 +169,7 @@ SCALE_QUERIES = [
     "decontaminate_bloom",
     "knn_ivf_probe",
     "dedup_exact",
+    "pipeline_curate_corpus",
 ]
 
 
@@ -301,14 +302,22 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
             result["queries"][name] = f"ERROR {type(exc).__name__}: {exc}"[:200]
         spark.catalog.clearCache()
 
-    # Plan-shape assertion with auto-broadcast disabled: at 100 TB nothing
+    # Plan-shape check with auto-broadcast disabled: at 100 TB nothing
     # fits the threshold, so any BNLJ/Cartesian that appears here is a
     # scale-killer. Explicit broadcast() hints on bounded sides (query
     # vectors, eval vocabulary, candidate sets) legitimately survive.
+    # Violations are counted into the top-level JSON AND shouted to stderr
+    # so a regression cannot hide inside a green exit code.
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         for name in SCALE_QUERIES:
+            if name == "pipeline_curate_corpus":
+                # The pipeline entry returns a driver-local report (the
+                # stages already ran eagerly), so its "plan" is a trivial
+                # LocalTableScan; its constituent shapes are asserted via
+                # the component entries above. Timing-only here.
+                continue
             try:
                 plan = runners[name](spark, sf1_dir)._jdf.queryExecution().executedPlan().toString()
                 result["plans"][name] = {
@@ -319,6 +328,18 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
                 result["plans"][name] = f"ERROR {type(exc).__name__}: {exc}"[:200]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    violations = sum(
+        sum(p.values())
+        for p in result["plans"].values()
+        if isinstance(p, dict)
+    )
+    result["plan_violations"] = violations
+    if violations:
+        print(
+            f"SCALE REGRESSION: {violations} BroadcastNestedLoopJoin/"
+            f"CartesianProduct node(s) in scale-stress plans — see 'plans'",
+            file=sys.stderr,
+        )
     return result
 
 

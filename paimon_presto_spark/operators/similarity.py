@@ -544,6 +544,14 @@ def lsh_cosine_pairs(
     # the join form has, at a fraction of the transfer volume.
     import pandas as pd
 
+    # the codegen rung preserves the caller's id type; this rung declares
+    # an explicit applyInPandas schema, so derive it instead of assuming
+    # long ids (string doc ids are legitimate)
+    id_ddl = dict(vectors.dtypes)[id_col]
+    pd_id = (
+        "int64" if id_ddl in ("tinyint", "smallint", "int", "bigint") else "object"
+    )
+
     probes = a.select(
         F.lit(0).alias("__side"), F.col("vec_a").alias("__id"),
         F.col("emb_a").alias("__emb"), F.col("__na").alias("__norm"), "bucket",
@@ -558,7 +566,7 @@ def lsh_cosine_pairs(
         bside = pdf[pdf["__side"] == 1]
         if not len(aside) or not len(bside):
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+                {"vec_a": pd_id, "vec_b": pd_id, "cos_sim": "float64"}
             )
         am = np.asarray(aside["__emb"].tolist(), dtype=np.float64)
         bm = np.asarray(bside["__emb"].tolist(), dtype=np.float64)
@@ -573,7 +581,7 @@ def lsh_cosine_pairs(
         )
 
     return probes.unionByName(bases).groupBy("bucket").applyInPandas(
-        score, schema="vec_a long, vec_b long, cos_sim double"
+        score, schema=f"vec_a {id_ddl}, vec_b {id_ddl}, cos_sim double"
     )
 
 
@@ -760,7 +768,10 @@ def semdedup(
         dropped = (
             assigned.select("__id", "__emb", "__n", "cos_centroid", "cluster")
             .groupBy("cluster")
-            .applyInPandas(resolve, schema="__dropped_id long")
+            .applyInPandas(
+                resolve,
+                schema=f"__dropped_id {dict(assigned.dtypes)['__id']}",
+            )
         )
     else:
         raise ValueError(

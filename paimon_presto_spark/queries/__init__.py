@@ -56,14 +56,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The correctness harness grades registry entries in order and may stop at a
 # fixed count (rounds 1 and 2 each recorded exactly the first 50). The prefix
 # is ROTATED each round so every registry entry eventually earns a
-# driver-graded row: round 3 front-loads (a) every entry never graded in
-# rounds 1-2 — the round-2 additions plus ALL of round 3's new entries —
-# then (b) the round-1-harness-only entries that still fit (TPC-H chains,
-# join/set-op/sampling shapes; the round-1 harness predates the pandas-dtype
-# hardening), with q1, the table-format roundtrip, and the tumbling window
-# as cross-round sentinels. Everything else is r1- or r2-green and rotates
-# out; the local gate (tools/check_correctness.py) still verifies all of
-# them every session.
+# driver-graded row: round 3 front-loads (a) never-graded entries as far as
+# the 50-slot cap allows — the round-2 additions plus most of round 3's new
+# entries — then (b) the round-1-harness-only entries that still fit (TPC-H
+# chains, join/set-op/sampling shapes; the round-1 harness predates the
+# pandas-dtype hardening), with q1, the table-format roundtrip, and the
+# tumbling window as cross-round sentinels. Round-3 additions that did NOT
+# fit (conditional_scalar_functions, width_bucket_histogram,
+# text_pii_redaction, text_repetition_quality, sample_stratified_exact,
+# embedding_int8_quantize, doc_chunk_windows, pack_sequences_greedy,
+# window_value_navigation) are first in line for the round-4 rotation.
+# Everything outside the prefix is still verified by the local gate
+# (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
     # -- never driver-graded (rounds 1-2) --------------------------------
     # aggregation / window / scalar coverage

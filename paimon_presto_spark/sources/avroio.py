@@ -92,11 +92,11 @@ class _Reader:
 
     def read_bytes(self) -> bytes:
         n = self.read_long()
-        out = self.buf[self.pos : self.pos + n]
-        self.pos += n
-        return out
+        return self.read_fixed(n)
 
     def read_fixed(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):  # short buffer must FAIL, not
+            raise IndexError("avro: read past end of buffer")  # truncate
         out = self.buf[self.pos : self.pos + n]
         self.pos += n
         return out
@@ -248,7 +248,7 @@ def avro_to_spark_type(sch: Any) -> tuple[T.DataType, bool]:
         return (
             T.StructType(
                 [
-                    T.StructField(f["name"], *_swap(avro_to_spark_type(f["type"])))
+                    T.StructField(f["name"], *avro_to_spark_type(f["type"]))
                     for f in sch["fields"]
                 ]
             ),
@@ -257,10 +257,6 @@ def avro_to_spark_type(sch: Any) -> tuple[T.DataType, bool]:
     if isinstance(typ, (dict, list)):  # nested schema object in "type"
         return avro_to_spark_type(typ)
     raise ValueError(f"avro: unsupported schema {sch!r}")
-
-
-def _swap(t):
-    return t  # (dtype, nullable) already ordered for StructField
 
 
 # ---------------------------------------------------------------------------
@@ -358,8 +354,17 @@ def _encoder(sch: Any) -> Callable[[io.BytesIO, Any], None]:
         is_map = bool(sch.get("paimonMap"))
 
         def enc_arr(out, v):
-            if is_map and isinstance(v, dict):
-                v = [{"key": k, "value": x} for k, x in v.items()]
+            if is_map:
+                # dicts from the row path; Arrow->pandas delivers MapType
+                # as a list of (key, value) 2-tuples — normalize both.
+                if isinstance(v, dict):
+                    v = [{"key": k, "value": x} for k, x in v.items()]
+                else:
+                    v = [
+                        x if isinstance(x, dict)
+                        else {"key": x[0], "value": x[1]}
+                        for x in v
+                    ]
             v = list(v)
             if v:
                 _write_long(out, len(v))
@@ -562,28 +567,42 @@ class AvroWriter:
 
 
 def read_header(path: str) -> tuple[dict, str, bytes, int]:
-    """Parse an OCF header: (schema, codec, sync, data_offset)."""
-    with open(path, "rb") as f:
-        head = f.read(65536)
-    if head[:4] != MAGIC:
-        raise ValueError(f"not an avro container file: {path}")
-    r = _Reader(head)
-    r.pos = 4
-    meta: dict[str, bytes] = {}
+    """Parse an OCF header: (schema, codec, sync, data_offset).
+
+    The header is re-read with a doubled buffer whenever parsing runs past
+    the end — embedded schema JSON has no size bound (thousands of fields
+    from schema evolution easily clear 64 KB), and a silently truncated
+    schema would fail every read of the file.
+    """
+    size = 65536
     while True:
-        n = r.read_long()
-        if n == 0:
-            break
-        if n < 0:
-            n = -n
-            r.read_long()
-        for _ in range(n):
-            k = r.read_bytes().decode()
-            meta[k] = r.read_bytes()
-    sync = r.read_fixed(SYNC_SIZE)
-    schema = json.loads(meta["avro.schema"])
-    codec = meta.get("avro.codec", b"null").decode()
-    return schema, codec, sync, r.pos
+        with open(path, "rb") as f:
+            head = f.read(size)
+        if head[:4] != MAGIC:
+            raise ValueError(f"not an avro container file: {path}")
+        r = _Reader(head)
+        r.pos = 4
+        meta: dict[str, bytes] = {}
+        try:
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    k = r.read_bytes().decode()
+                    meta[k] = r.read_bytes()
+            sync = r.read_fixed(SYNC_SIZE)
+        except IndexError:
+            if len(head) < size:  # whole file consumed and still short
+                raise ValueError(f"avro: truncated header in {path}") from None
+            size *= 2
+            continue
+        schema = json.loads(meta["avro.schema"])
+        codec = meta.get("avro.codec", b"null").decode()
+        return schema, codec, sync, r.pos
 
 
 def read_file_rows(path: str) -> Iterator[dict]:
@@ -671,6 +690,31 @@ def write_avro_partitioned(
     file_schema = T.StructType(data_fields)
     avro_schema = spark_to_avro_schema(file_schema)
     names = [f.name for f in data_fields]
+    dir_types = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name in dir_cols
+    }
+
+    def _dir_value(c: str, v) -> str:
+        """Render one partition value the way DataFrameWriter.partitionBy
+        does: NULL -> the Hive sentinel, integer columns as plain ints
+        (Arrow->pandas floatifies nullable ints, so 3 arrives as 3.0),
+        booleans lowercase. Diverging from the parquet layout would break
+        _typed_partition at scan time (int('3.0') raises) and make NULLs
+        group as the literal string 'nan'."""
+        import numpy as np
+
+        if _is_na(v):
+            return "__HIVE_DEFAULT_PARTITION__"
+        if isinstance(v, np.generic):
+            v = v.item()
+        t = dir_types[c]
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return str(int(v))
+        if t == "boolean":
+            return "true" if v else "false"
+        return str(v)
     stat_cols = [
         n for n in names if n in statable
     ]
@@ -729,7 +773,7 @@ def write_avro_partitioned(
                     if not isinstance(key, tuple):
                         key = (key,)
                     reldir = os.sep.join(
-                        f"{c}={v}" for c, v in zip(dir_cols, key)
+                        f"{c}={_dir_value(c, v)}" for c, v in zip(dir_cols, key)
                     )
                 else:
                     reldir = ""

@@ -193,24 +193,24 @@ def _cast_to_schema(tbl, schema: dict, writing: bool = False):
     tbl = tbl.cast(pa.schema(fields))
     if not writing:
         return tbl
-    # CHAR(n) blank-padding (Spark's CHAR contract — the DataFrame write
-    # path does the same via rpad)
-    import re as _re
-
+    # CHAR(n) blank-padding and VARCHAR(n) bound enforcement, sharing the
+    # DDL parsers with the DataFrame write path (table._char_len /
+    # _varchar_len are the single source of truth for the bound rules)
     import pyarrow.compute as pc
 
+    from paimon_presto_spark.table import _char_len, _varchar_len
+
     for name, t in ddl.items():
-        m = _re.match(r"^\s*char\s*\(\s*(\d+)\s*\)\s*$", t, _re.I)
-        if m and name in tbl.column_names:
+        if name not in tbl.column_names:
+            continue
+        cn = _char_len(t)
+        if cn is not None:
             idx = tbl.column_names.index(name)
             tbl = tbl.set_column(
-                idx, name, pc.utf8_rpad(tbl.column(name), int(m.group(1)), " ")
+                idx, name, pc.utf8_rpad(tbl.column(name), cn, " ")
             )
-        # VARCHAR(n) bound enforcement (ANSI error semantics — the
-        # DataFrame write path does the same via raise_error)
-        mv = _re.match(r"^\s*varchar\s*\(\s*(\d+)\s*\)\s*$", t, _re.I)
-        if mv and name in tbl.column_names:
-            n = int(mv.group(1))
+        n = _varchar_len(t)
+        if n is not None:
             longest = pc.max(pc.utf8_length(tbl.column(name))).as_py()
             if longest is not None and longest > n:
                 raise ValueError(

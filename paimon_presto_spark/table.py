@@ -2095,13 +2095,20 @@ class Table:
         # a pre-assigned dynamic-bucket column rides along
         by_lower = {c.lower(): c for c in df.columns}
         passthrough = [F.col("__bucket")] if "__bucket" in df.columns else []
+
+        def _conform(col, ddl: str):
+            # COMPACT rewrites re-write rows already IN the table; bound
+            # enforcement there would brick compaction of legacy/foreign
+            # over-length data that reads deliberately tolerate
+            # (test_preexisting_overlength_varchar_stays_readable). Only
+            # genuinely new rows (append/upsert/delete) hit the ANSI error.
+            col = _apply_char_padding(col, ddl)
+            return col if kind == "COMPACT" else _apply_varchar_bound(col, ddl)
+
         df = df.select(
             *[
-                _apply_varchar_bound(
-                    _apply_char_padding(
-                        F.col(by_lower[f["name"].lower()]).cast(_parse_type(f["type"])),
-                        f["type"],
-                    ),
+                _conform(
+                    F.col(by_lower[f["name"].lower()]).cast(_parse_type(f["type"])),
                     f["type"],
                 ).alias(f["name"])
                 for f in schema.fields

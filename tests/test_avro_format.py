@@ -123,9 +123,79 @@ def test_unsupported_codec_rejected(tmp_path):
         avroio.AvroWriter(str(tmp_path / "x.avro"), avsc, codec="snappy")
 
 
+def test_wide_schema_header_over_64k(tmp_path):
+    """OCF headers embed the full schema JSON; a 2000-column schema clears
+    64 KB, which the fixed-size header read used to truncate silently."""
+    n_cols = 2000
+    schema = T.StructType(
+        [T.StructField(f"col_{i:04d}_padded_name", T.LongType()) for i in range(n_cols)]
+    )
+    avsc = avroio.spark_to_avro_schema(schema)
+    import json as _json
+
+    assert len(_json.dumps(avsc)) > 65536  # the scenario under test
+    p = str(tmp_path / "wide.avro")
+    w = avroio.AvroWriter(p, avsc)
+    rows = [{f"col_{i:04d}_padded_name": r * n_cols + i for i in range(n_cols)}
+            for r in range(3)]
+    for r in rows:
+        w.write(r)
+    w.close()
+    got = list(avroio.read_file_rows(p))
+    assert got == rows
+
+
 # ---------------------------------------------------------------------------
 # table integration
 # ---------------------------------------------------------------------------
+
+
+def test_avro_map_column_roundtrip(spark, catalog):
+    """map<int,string> columns ride the paimonMap array-of-records encoding;
+    Arrow->pandas hands the writer a list of (key, value) tuples, not a
+    dict — the encoder must accept both."""
+    t = catalog.create_table(
+        "default", "av_map", "k bigint, m map<int,string>",
+        options={"file.format": "avro"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, {1: "a", 2: "b"}), (2, {}), (3, None)],
+        "k bigint, m map<int,string>",
+    ))
+    got = {r["k"]: r["m"] for r in t.to_df().collect()}
+    assert got[1] == {1: "a", 2: "b"}
+    assert got[2] in ({}, None)  # empty map roundtrips as empty
+    assert got[3] is None
+
+
+def test_avro_partition_values_null_and_int(spark, catalog):
+    """Partition dirs must match the parquet writer's Hive layout: NULLs as
+    __HIVE_DEFAULT_PARTITION__ and integer values as plain ints even though
+    Arrow->pandas floatifies a nullable bigint column (3 -> 3.0)."""
+    import os as _os
+
+    t = catalog.create_table(
+        "default", "av_np", "k bigint, p bigint",
+        partition_keys=["p"],
+        options={"file.format": "avro"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 3), (2, 3), (3, None), (4, 7)], "k bigint, p bigint"
+    ))
+    dirs = set()
+    for root, _, files in _os.walk(t.path):
+        for f in files:
+            if f.endswith(".avro"):
+                dirs.add(_os.path.basename(root))
+    assert "__part_p=3" in dirs and "__part_p=7" in dirs  # not p=3.0
+    assert "__part_p=__HIVE_DEFAULT_PARTITION__" in dirs
+    got = {r["k"]: r["p"] for r in t.to_df().collect()}
+    assert got == {1: 3, 2: 3, 3: None, 4: 7}
+    # partition pruning still works over the typed values
+    from paimon_presto_spark.plans.predicate import P
+
+    scan = t.scan(predicate=P.eq("p", 7))
+    assert [r["k"] for r in scan.to_df().collect()] == [4]
 
 
 def test_avro_append_table_roundtrip(spark, catalog):

@@ -1939,6 +1939,16 @@ class TestVarcharBounds:
         spark.dataSource.register(PaimonDataSource)
         df = spark.read.format("paimon").option("path", t2.path).load()
         assert df.collect()[0]["name"] == "toolong"
+        # ... and compaction (a rewrite of rows already in the table) must
+        # not enforce the bound either — otherwise legacy data can never
+        # be compacted again
+        t2.compact()
+        t3 = catalog.get_table("default", "vch4")
+        assert t3.to_df().collect()[0]["name"] == "toolong"
+        # genuinely NEW rows still hit the ANSI error
+        with pytest.raises(Exception, match="too long|exceeds"):
+            t3.append(spark.createDataFrame(
+                [(2, "alsotoolong")], "k int, name string"))
 
     def test_varchar_bound_on_datasource_write_path(self, spark, catalog):
         t = catalog.create_table("default", "vch3", "k int, name varchar(3)")
