@@ -215,6 +215,87 @@ def minhash_lsh_pairs(
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_lsh_pairs_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    old_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs touching at least one NEW
+    document — new-vs-new plus new-vs-old — without ever re-pairing the
+    old corpus against itself.
+
+    The production resumable-pipeline shape: a 100 TB deduped corpus grows
+    by a daily increment that is orders of magnitude smaller. Because a
+    document's MinHash signature depends only on the document, yesterday's
+    signatures are still valid — pass them as ``old_signatures``
+    (doc_id, mh0..mh{k-1}) and the old corpus is NOT re-shingled for
+    candidate generation; the band join probes with the increment's bands
+    only, so candidate volume scales with |new| x bucket population, not
+    |corpus|². Old documents are re-shingled ONLY if they appear in a
+    candidate pair (a semi-join-bounded set).
+
+    Result equivalence: identical to ``minhash_lsh_pairs`` over
+    old ∪ new, restricted to pairs with >= 1 new member (signatures and
+    bucketing are per-document and deterministic) — which is exactly what
+    the registry oracle certifies.
+    """
+    rows = k // bands
+    assert bands * rows == k, "k must divide evenly into bands"
+
+    def band_df(mh: DataFrame) -> DataFrame:
+        band_cols = [
+            F.concat_ws(",", *[F.col(f"mh{j * rows + r}") for r in range(rows)])
+            for j in range(bands)
+        ]
+        return mh.select(
+            "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bkey")
+        )
+
+    new_sh = shingle_hashes(new_docs, id_col, text_col, shingle_n).cache()
+    new_sh.count()  # materialize before fan-out (see minhash_lsh_pairs)
+    new_mh = minhash_signature(new_sh, k)
+    if old_signatures is None:
+        old_signatures = minhash_signature(
+            shingle_hashes(old_docs, id_col, text_col, shingle_n), k
+        )
+    # Probe side = the increment's bands only; build side = everything.
+    # A new-new pair meets twice (each side probes) — canonicalize + distinct.
+    nb = band_df(new_mh).withColumnRenamed("doc_id", "doc_n")
+    ab = band_df(new_mh.unionByName(old_signatures))
+    cand = (
+        nb.join(ab, ["band", "bkey"])
+        .filter(F.col("doc_n") != F.col("doc_id"))
+        .select(
+            F.least("doc_n", "doc_id").alias("doc_a"),
+            F.greatest("doc_n", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # Re-shingle only the old docs that actually appear in a candidate.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    # No broadcast hint: the candidate set scales with the increment (not
+    # the corpus), but "increment" can still be large — AQE broadcasts it
+    # only when it measures small (the curate_corpus decision-set rule).
+    old_cand_sh = shingle_hashes(
+        old_docs.join(cand_ids, id_col, "left_semi"),
+        id_col,
+        text_col,
+        shingle_n,
+    )
+    sh = new_sh.unionByName(old_cand_sh)
+    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

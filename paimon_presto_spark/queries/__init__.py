@@ -98,6 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "map_functions",
     "dedup_exact_substring",
     "dedup_semantic_clusters",
+    "dedup_minhash_incremental",
     "decontaminate_bloom",
     "sample_temperature",
     "timeseries_gap_fill",
@@ -121,7 +122,8 @@ PRIORITY: tuple[str, ...] = (
     # q16_parts_supplier rotated out (distinct-agg + NOT-IN anchored by q22's
     # anti-join + agg_grouping_sets in-prefix; local gate still covers it)
     "q19_disjunctive_filter",
-    "q20_excess_stock",
+    # q20_excess_stock rotated out (nested-subquery family anchored by q11/
+    # q22 in-prefix; local gate still covers it) to fund dedup_minhash_incremental
     "q22_global_sales_opportunity",
     # joins / set ops / sampling (join_anti_not_exists rotated out: its
     # family anchor q22 stays in-prefix; the slot funds the avro roundtrip)

@@ -184,6 +184,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: doc_id split for the incremental-dedup entry: ids below are the "old"
+#: (already-deduped) corpus, the rest are the new increment.
+INCREMENTAL_SPLIT = 300
+
+
+def _oracle_minhash_incremental(split: int) -> str:
+    """Full-corpus LSH pairs restricted to pairs touching >= 1 new doc —
+    the equivalence the incremental operator promises (signatures are
+    per-document, so incremental == full ∩ touches-new)."""
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
+        + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + ") AS bkey FROM mh"
+        for j in range(LSH_BANDS)
+    )
+    return (
+        "WITH "
+        + _o_shingle_sql(3)
+        + f""",
+        hashed AS (SELECT doc_id, {_O_HASH} AS h FROM sh),
+        mh AS (SELECT doc_id, {_o_minhash_aggs()} FROM hashed GROUP BY doc_id),
+        bands AS ({bands_union}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.inter / (sa.n + sb.n - i.inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+          AND (i.doc_a >= {split} OR i.doc_b >= {split})
+        ORDER BY doc_a, doc_b
+    """
+    )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_oracle_minhash_incremental(INCREMENTAL_SPLIT),
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the documents table split into an
+    already-deduped "old" corpus (doc_id < 300) and a new increment; only
+    pairs touching the increment are produced, with the old corpus never
+    paired against itself and re-shingled only for candidate members
+    (``operators/dedup.py:minhash_lsh_pairs_incremental``). The oracle is
+    the FULL-corpus LSH pair set filtered to touches-new — certifying the
+    operator's equivalence claim, not just its plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < INCREMENTAL_SPLIT)
+    new = docs.filter(F.col("doc_id") >= INCREMENTAL_SPLIT)
+    from paimon_presto_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    return (
+        minhash_lsh_pairs_incremental(
+            old, new, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
+            threshold=JACCARD_THRESHOLD,
+        )
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _o_simhash_bits() -> tuple[str, str]:
     """(per-token bit sums, simhash reconstruction) SQL fragments."""
     sums = ",\n".join(

@@ -71,6 +71,45 @@ def test_minhash_lsh_recall_vs_exhaustive(spark, docs):
     assert strong <= set(lsh)
 
 
+def test_minhash_incremental_equals_full_minus_old_old(spark, docs):
+    """Incremental contract: pairs(old, new) == full-corpus pairs restricted
+    to pairs touching a new doc — and passing PRECOMPUTED old signatures
+    (the resumability path) produces the identical result."""
+    from paimon_presto_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_signature,
+        shingle_hashes,
+    )
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    split = ids[len(ids) // 2]
+    old = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    expect = {p: j for p, j in full.items() if p[0] >= split or p[1] >= split}
+    assert expect and len(expect) < len(full)  # both kinds must exist
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs_incremental(old, new, threshold=0.5).collect()
+    }
+    assert got == expect
+
+    # resumability: yesterday's stored signatures give the same answer
+    old_sigs = minhash_signature(shingle_hashes(old, "doc_id", "text", 3), 16)
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs_incremental(
+            old, new, threshold=0.5, old_signatures=old_sigs
+        ).collect()
+    }
+    assert got2 == expect
+
+
 def test_simhash_pairs_chunk_banding_recall(spark, docs):
     # chunk-banded pair generation must equal brute force over signatures
     sigs = simhash_signatures(docs).collect()
