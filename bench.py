@@ -46,6 +46,7 @@ HEADLINE = [
     # LLM-data pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_embedding_lsh",
     "dedup_semantic_clusters",
     "decontaminate_ngram_overlap",

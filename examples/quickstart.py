@@ -120,6 +120,10 @@ def main() -> None:
         bloom = qs["decontaminate_bloom"](spark, SF_DIR)
         print("bloom decontamination ok:",
               bloom.filter(F.col("flagged")).count(), "train docs flagged")
+        # incremental dedup: a new batch against the existing corpus —
+        # old docs are never re-paired against themselves
+        inc = qs["dedup_minhash_incremental"](spark, SF_DIR)
+        print("incremental dedup ok:", inc.count(), "pairs touch the increment")
 
         # -- multimodal: real in-process image decode ------------------------
         from paimon_presto_spark.operators.multimodal import (
