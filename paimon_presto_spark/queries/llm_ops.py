@@ -468,6 +468,43 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment(train, test, shingle_n=5).orderBy("doc_id")
 
 
+@register(
+    "eval_contamination",
+    oracle=(
+        "WITH "
+        + _o_shingle_sql(3)
+        + """,
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 1),
+        corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0)
+        SELECT c.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_overlap,
+               SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                   / COUNT(*) AS containment
+        FROM corp c LEFT JOIN ev e ON c.s = e.s
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id
+    """
+    ),
+    tags=("dedup", "decontamination", "ngram"),
+)
+def eval_contamination_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mirrored decontamination asymmetry
+    (``operators/pipeline.eval_contamination``): the EVAL shingle
+    vocabulary broadcasts (eval sets are bounded by construction) and the
+    100 TB *corpus* side is scanned once with a map-side broadcast left
+    join — the opposite side choice from ``decontaminate_ngram_overlap``,
+    whose broadcast is the probe vocabulary. Use whichever side is small.
+    """
+    from paimon_presto_spark.operators.pipeline import eval_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    evals = docs.filter(F.col("doc_id") % 2 == 1)
+    return eval_contamination(corpus, evals, shingle_n=3).orderBy("doc_id")
+
+
 def _oracle_bloom_decontaminate(
     shingle_n: int, m_bits: int, k_hashes: int, flag_ratio: float
 ) -> str:
