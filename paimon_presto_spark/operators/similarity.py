@@ -790,3 +790,107 @@ def semdedup(
             .alias("status"),
         )
     )
+
+
+def semdedup_incremental(
+    old: DataFrame,
+    new: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup: admit a NEW batch of vectors against an
+    already-deduped (published) corpus — one verdict row per new vector,
+    with the old corpus never paired against itself and never dropped.
+
+    Corpus-stability semantics, the production admission rule: an old
+    member always beats a new near-duplicate (published data does not
+    churn), while new-vs-new pairs use the standard SemDeDup keep rule
+    (lowest (cos_centroid, id) survives). This intentionally differs from
+    re-running ``semdedup`` over old ∪ new, which could retroactively
+    drop old members.
+
+    Scale shape mirrors ``minhash_lsh_pairs_incremental``: assignment is
+    the map-only argmax for BOTH sides, but at 100 TB the old side's
+    (id, cluster, cos_centroid) is a stored by-product of its own
+    admission pass — pass a DataFrame that already carries ``cluster``
+    and ``cos_centroid`` columns and the old corpus is not re-scored.
+    The pair join probes with the increment only, so candidate volume is
+    |new| x cluster population.
+    """
+    unit = unit_centroids(centroids)
+
+    def sims(emb: Column) -> Column:
+        e = emb.cast("array<double>")
+        return F.array(
+            *[
+                F.struct(
+                    dot(e, F.array(*[F.lit(x) for x in v])).alias("s"),
+                    F.lit(-cid).alias("negcid"),
+                )
+                for cid, v in unit
+            ]
+        )
+
+    def assign(df: DataFrame) -> DataFrame:
+        if "cluster" in df.columns and "cos_centroid" in df.columns:
+            # stored assignment from the corpus' own admission pass
+            return df.select(
+                F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb"),
+                l2_norm(F.col(vec_col)).alias("__n"),
+                F.col("cluster").cast("int").alias("cluster"),
+                F.col("cos_centroid").cast("double").alias("cos_centroid"),
+            )
+        return (
+            df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb"))
+            .withColumn("__best", F.array_max(sims(F.col("__emb"))))
+            .withColumn("cluster", (-F.col("__best.negcid")).cast("int"))
+            .withColumn("__n", l2_norm(F.col("__emb")))
+            .withColumn("cos_centroid", F.col("__best.s") / F.col("__n"))
+            .drop("__best")
+        )
+
+    new_a = assign(new).cache()
+    new_a.count()  # one argmax evaluation (see semdedup's cache rationale)
+    olds = assign(old)
+    a = new_a.select(
+        F.col("__id").alias("__ida"), F.col("__emb").alias("__emba"),
+        F.col("__n").alias("__na"), F.col("cos_centroid").alias("__ca"),
+        "cluster",
+    )
+    b = (
+        olds.withColumn("__isold", F.lit(True))
+        .unionByName(new_a.withColumn("__isold", F.lit(False)))
+        .select(
+            F.col("__id").alias("__idb"), F.col("__emb").alias("__embb"),
+            F.col("__n").alias("__nb"), F.col("cos_centroid").alias("__cb"),
+            "cluster", "__isold",
+        )
+    )
+    beats = F.col("__isold") | (
+        (F.col("__cb") < F.col("__ca"))
+        | ((F.col("__cb") == F.col("__ca")) & (F.col("__idb") < F.col("__ida")))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter((F.col("__ida") != F.col("__idb")) & beats)
+        .filter(
+            dot(F.col("__emba"), F.col("__embb"))
+            / (F.col("__na") * F.col("__nb"))
+            > threshold
+        )
+        .select(F.col("__ida").alias("__dropped_id"))
+        .distinct()
+    )
+    return (
+        new_a.join(dropped, new_a["__id"] == dropped["__dropped_id"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            "cos_centroid",
+            F.when(F.col("__dropped_id").isNull(), F.lit("kept"))
+            .otherwise(F.lit("dropped"))
+            .alias("status"),
+        )
+    )

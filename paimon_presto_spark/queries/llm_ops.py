@@ -774,6 +774,94 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _oracle_semdedup_incremental(
+    k: int, dim: int, threshold: float, split: int
+) -> str:
+    """DuckDB twin of ``semdedup_incremental``: same centroids/argmax as
+    ``_oracle_semdedup``, drop rule restricted to NEW rows with the
+    corpus-stability asymmetry (an old neighbour always beats a new one)."""
+    from paimon_presto_spark.operators.similarity import _hyperplanes, unit_centroids
+
+    cents = unit_centroids(list(enumerate(_hyperplanes(dim, k, seed=7))))
+    values = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])" for cid, v in cents
+    )
+    return f"""
+        WITH cent(cid, uv) AS (SELECT * FROM (VALUES {values})),
+        scored AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   list_dot_product(e.embedding::DOUBLE[], c.uv) AS s
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        best AS (
+            SELECT vec_id, embedding, cid, s,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cid ASC) AS rn
+            FROM scored
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid AS cluster,
+                   s / sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS cos_c
+            FROM best WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT a.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+             AND a.vec_id >= {split}
+             AND (b.vec_id < {split}
+                  OR b.cos_c < a.cos_c
+                  OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id))
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                           a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[])))
+                  > {threshold}
+        )
+        SELECT a.vec_id, a.cluster, ROUND(a.cos_c, 6) AS cos_centroid,
+               CASE WHEN d.vec_id IS NULL THEN 'kept' ELSE 'dropped' END AS status
+        FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        WHERE a.vec_id >= {split}
+        ORDER BY a.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_incremental",
+    oracle=_oracle_semdedup_incremental(
+        SEMDEDUP_CLUSTERS, 64, SEMDEDUP_THRESHOLD, INCREMENTAL_SPLIT
+    ),
+    tags=("dedup", "embedding", "semdedup", "cluster", "incremental"),
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: admit the new embedding batch (vec_id >= 300)
+    against the published corpus (vec_id < 300) —
+    ``operators/similarity.py:semdedup_incremental``. One verdict per NEW
+    vector; old members are never paired against each other and never
+    dropped (an old near-duplicate always wins — corpus stability), while
+    new-vs-new pairs use the standard keep rule. At 100 TB the old side's
+    assignment is a stored by-product of its own admission pass, so only
+    the increment is argmax-scored."""
+    from paimon_presto_spark.operators.similarity import (
+        _hyperplanes,
+        semdedup_incremental,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") < INCREMENTAL_SPLIT)
+    new = e.filter(F.col("vec_id") >= INCREMENTAL_SPLIT)
+    cents = list(enumerate(_hyperplanes(64, SEMDEDUP_CLUSTERS, seed=7)))
+    out = semdedup_incremental(old, new, cents, SEMDEDUP_THRESHOLD)
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.round("cos_centroid", 6).alias("cos_centroid"),
+        "status",
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -356,6 +356,51 @@ def test_semdedup_keep_rule_and_cluster_fence(spark):
         semdedup(emb, cents, 0.95, pair_backend="gpu")
 
 
+def test_semdedup_incremental_stability_and_stored_assignment(spark):
+    """Incremental contract: (stability) a new near-dup of a published old
+    member is dropped even when the standard keep rule would prefer the
+    new one; (standard rule) new-vs-new pairs keep the most atypical;
+    (resumability) passing the old side's STORED (cluster, cos_centroid)
+    gives the identical verdicts without re-scoring the old corpus."""
+    from paimon_presto_spark.operators.similarity import semdedup_incremental
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    old = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [
+            # more atypical than old 0 (lower cos_centroid): the standard
+            # rule would keep it and drop 0 — stability must drop it instead
+            (10, [1.0, 0.2, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.05, 0.0]),  # new-new pair with 12 …
+            (12, [0.0, 1.0, 0.1, 0.0]),  # … 12 is more atypical -> kept
+            (13, [0.0, 1.0, 2.0, 0.0]),  # unpaired
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["status"]
+        for r in semdedup_incremental(old, new, cents, 0.95).collect()
+    }
+    assert out == {10: "dropped", 11: "dropped", 12: "kept", 13: "kept"}
+
+    # stored-assignment path: centroids here are unit vectors, so the old
+    # row's cos_centroid is dot/norm computed by hand
+    import math
+
+    n0 = math.sqrt(1.0 + 0.05 * 0.05)
+    old_stored = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0, 0.0], 0, 1.0 / n0)],
+        "vec_id long, embedding array<double>, cluster int, cos_centroid double",
+    )
+    out2 = {
+        r["vec_id"]: r["status"]
+        for r in semdedup_incremental(old_stored, new, cents, 0.95).collect()
+    }
+    assert out2 == out
+
+
 def test_semdedup_matches_numpy_reference(spark):
     """Randomized cross-check: semdedup (both pair backends) against an
     independent numpy implementation of assignment + keep rule, over
