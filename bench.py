@@ -164,6 +164,7 @@ def main() -> None:
 
 SCALE_QUERIES = [
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_embedding_lsh",
     "dedup_semantic_clusters",
     "decontaminate_ngram_overlap",
@@ -197,6 +198,22 @@ def _semdedup_sf1(spark, sf1_dir: str):
     emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
     cents = list(enumerate(_hyperplanes(64, 32, seed=7)))
     return semdedup(emb, cents, 0.35)
+
+
+def _minhash_incremental_sf1(spark, sf1_dir: str):
+    """dedup_minhash_incremental with the split scaled to the sf1 corpus
+    (old = leading 60% of doc ids): the registry entry's fixed split=300
+    would invert the old/new asymmetry at 10x the docs."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    n = docs.count()
+    split = int(n * 0.6)
+    old = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+    return minhash_lsh_pairs_incremental(old, new, threshold=0.5)
 
 
 def _build_sf1(spark, sf_dir: str, out_dir: str) -> None:
@@ -285,13 +302,15 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
         "synthesized_from": sf_dir,
         "queries": {},
         "plans": {},
-        "note": "dedup_embedding_lsh and dedup_semantic_clusters run "
-                "retuned for 10x vectors (n_planes=8 / k=32; see "
-                "_lsh_pairs_sf1, _semdedup_sf1)",
+        "note": "dedup_embedding_lsh / dedup_semantic_clusters / "
+                "dedup_minhash_incremental run retuned for the 10x corpus "
+                "(n_planes=8, k=32, split=60%; see _lsh_pairs_sf1, "
+                "_semdedup_sf1, _minhash_incremental_sf1)",
     }
     retuned = {
         "dedup_embedding_lsh": _lsh_pairs_sf1,
         "dedup_semantic_clusters": _semdedup_sf1,
+        "dedup_minhash_incremental": _minhash_incremental_sf1,
     }
     runners = {name: retuned.get(name, qs[name]) for name in SCALE_QUERIES}
     for name in SCALE_QUERIES:

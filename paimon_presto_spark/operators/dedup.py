@@ -260,10 +260,13 @@ def minhash_lsh_pairs_incremental(
     new_sh = shingle_hashes(new_docs, id_col, text_col, shingle_n).cache()
     new_sh.count()  # materialize before fan-out (see minhash_lsh_pairs)
     new_mh = minhash_signature(new_sh, k)
+    old_sh = None
     if old_signatures is None:
-        old_signatures = minhash_signature(
-            shingle_hashes(old_docs, id_col, text_col, shingle_n), k
-        )
+        # no stored signatures: shingle the old corpus ONCE and reuse that
+        # pass for both signatures and candidate verification below
+        old_sh = shingle_hashes(old_docs, id_col, text_col, shingle_n).cache()
+        old_sh.count()
+        old_signatures = minhash_signature(old_sh, k)
     # Probe side = the increment's bands only; build side = everything.
     # A new-new pair meets twice (each side probes) — canonicalize + distinct.
     nb = band_df(new_mh).withColumnRenamed("doc_id", "doc_n")
@@ -276,7 +279,13 @@ def minhash_lsh_pairs_incremental(
             F.greatest("doc_n", "doc_id").alias("doc_b"),
         )
         .distinct()
+        .cache()
     )
+    # Materialize: cand feeds BOTH the old-side semi-join and the verify
+    # join — uncached, each consumer would re-run the signature
+    # aggregations and the band join (same rationale as
+    # minhash_lsh_pairs' signature cache).
+    cand.count()
     # Re-shingle only the old docs that actually appear in a candidate.
     cand_ids = (
         cand.select(F.col("doc_a").alias(id_col))
@@ -286,12 +295,17 @@ def minhash_lsh_pairs_incremental(
     # No broadcast hint: the candidate set scales with the increment (not
     # the corpus), but "increment" can still be large — AQE broadcasts it
     # only when it measures small (the curate_corpus decision-set rule).
-    old_cand_sh = shingle_hashes(
-        old_docs.join(cand_ids, id_col, "left_semi"),
-        id_col,
-        text_col,
-        shingle_n,
-    )
+    if old_sh is not None:
+        old_cand_sh = old_sh.join(cand_ids, id_col, "left_semi")
+    else:
+        # stored-signature path: old shingles were never computed this run,
+        # so re-shingle ONLY the candidate members (semi-join-bounded)
+        old_cand_sh = shingle_hashes(
+            old_docs.join(cand_ids, id_col, "left_semi"),
+            id_col,
+            text_col,
+            shingle_n,
+        )
     sh = new_sh.unionByName(old_cand_sh)
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
 
