@@ -390,3 +390,114 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level_s", "window_start")
     )
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+@register(
+    "events_funnel_steps",
+    oracle=f"""
+        WITH s1 AS (
+            SELECT user_id, MIN(epoch_ns(ts)) AS t1
+            FROM events WHERE event_type = '{FUNNEL_STEPS[0]}'
+            GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2, MIN(t1) AS t1
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND epoch_ns(e.ts) > s1.t1
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3, MIN(t2) AS t2
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND epoch_ns(e.ts) > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS step_order, '{FUNNEL_STEPS[0]}' AS step,
+               (SELECT COUNT(*) FROM s1) AS n_users,
+               CAST(0 AS BIGINT) AS total_lag_s
+        UNION ALL
+        SELECT 2, '{FUNNEL_STEPS[1]}',
+               (SELECT COUNT(*) FROM s2),
+               (SELECT COALESCE(CAST(SUM((t2 - t1) // {NS_PER_S}) AS BIGINT), 0) FROM s2)
+        UNION ALL
+        SELECT 3, '{FUNNEL_STEPS[2]}',
+               (SELECT COUNT(*) FROM s3),
+               (SELECT COALESCE(CAST(SUM((t3 - t2) // {NS_PER_S}) AS BIGINT), 0) FROM s3)
+        ORDER BY step_order
+    """,
+    tags=("events", "funnel", "sequence-match", "match-recognize"),
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (MATCH_RECOGNIZE-lite): per user, the first
+    signup, the first click strictly after it, and the first purchase
+    strictly after that; reported as per-step reach + summed conversion
+    lag. Mirrors the sequential-pattern queries Presto serves with
+    ``min_by``/sequence UDFs (reference exposes the raw events scan;
+    SURVEY §2.2 window/session family).
+
+    Spark shape: ONE shuffle — ``collect_list`` per user, ``array_sort``,
+    then a single ``F.aggregate`` left-fold runs the state machine inside
+    whole-stage codegen (no Python, no self-joins). The fold over the
+    ts-sorted sequence with strict ``ts >`` guards is provably equal to
+    the oracle's min-subquery chain, independent of tie order. At 100 TB
+    the per-user sequence is bounded by per-user activity, not corpus
+    size, and the final 3-row unpivot is driver-trivial. All time math is
+    integer nanoseconds (epoch-ns BIGINT; ``DIV`` avoids double rounding
+    per ADVICE r2 on rangejoin).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("et")))
+        ).alias("seq")
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"),
+    )
+    scan = F.aggregate(
+        "seq",
+        init,
+        lambda acc, e: F.struct(
+            F.when(
+                acc["t1"].isNull() & (e["et"] == FUNNEL_STEPS[0]), e["ts"]
+            ).otherwise(acc["t1"]).alias("t1"),
+            F.when(
+                acc["t2"].isNull()
+                & acc["t1"].isNotNull()
+                & (e["et"] == FUNNEL_STEPS[1])
+                & (e["ts"] > acc["t1"]),
+                e["ts"],
+            ).otherwise(acc["t2"]).alias("t2"),
+            F.when(
+                acc["t3"].isNull()
+                & acc["t2"].isNotNull()
+                & (e["et"] == FUNNEL_STEPS[2])
+                & (e["ts"] > acc["t2"]),
+                e["ts"],
+            ).otherwise(acc["t3"]).alias("t3"),
+        ),
+    )
+    hit = per_user.select(scan.alias("s")).select("s.t1", "s.t2", "s.t3")
+    totals = hit.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.coalesce(
+            F.sum(F.expr(f"(t2 - t1) DIV {NS_PER_S}")), F.lit(0)
+        ).cast("long").alias("lag2"),
+        F.coalesce(
+            F.sum(F.expr(f"(t3 - t2) DIV {NS_PER_S}")), F.lit(0)
+        ).cast("long").alias("lag3"),
+    )
+    return totals.select(
+        F.expr(
+            "stack(3, "
+            f"1, '{FUNNEL_STEPS[0]}', n1, CAST(0 AS BIGINT), "
+            f"2, '{FUNNEL_STEPS[1]}', n2, lag2, "
+            f"3, '{FUNNEL_STEPS[2]}', n3, lag3) "
+            "AS (step_order, step, n_users, total_lag_s)"
+        )
+    ).orderBy("step_order")
