@@ -708,3 +708,92 @@ def bloom_decontaminate(
             >= F.lit(flag_ratio),
         )
     )
+
+
+def remove_repeated_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 8,
+    max_count: int = 1,
+) -> DataFrame:
+    """C4/Dolma-style boilerplate stripping: drop every fixed-width word
+    chunk that repeats corpus-wide, and rebuild each document from its
+    surviving chunks.
+
+    C4 removes any three-sentence span occurring more than once in the
+    corpus; Dolma strips repeated paragraphs the same way. Here the unit
+    is a non-overlapping ``chunk_words``-word window (the corpus has no
+    sentence/paragraph markers) and any chunk whose corpus-wide occurrence
+    count exceeds ``max_count`` is removed from EVERY document containing
+    it.
+
+    100 TB shape — document text never shuffles:
+    - Chunking is a pure map (``split`` + ``sequence``/``slice`` lambdas in
+      codegen), no explode-then-groupBy re-assembly.
+    - The occurrence count aggregates 16-byte chunk hashes only
+      (shuffle 1), the Bayardo-style narrow projection every dedup
+      operator here uses.
+    - Drop decisions come back as (doc_id, chunk_idx) pairs (shuffle 2 on
+      the hash equi-join, shuffle 3 collecting the per-doc drop set) —
+      id+int rows, corpus-bounded but narrow.
+    - The rebuild is a map-side ``filter`` lambda over the doc's own chunk
+      array joined with its drop set; no broadcast hints, AQE picks the
+      strategy.
+
+    Returns (id_col, n_chunks, n_removed, rebuilt_text).
+    """
+    chunked = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.size(F.split(F.col(text_col), " ")) - 1)
+                        / F.lit(chunk_words),
+                        F.lit(0),
+                    ).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.split(F.col(text_col), " "),
+                        i * chunk_words + 1,
+                        chunk_words,
+                    ),
+                    " ",
+                ),
+            ),
+            lambda c: c != "",
+        ).alias("__chunks"),
+    )
+    units = chunked.select(
+        id_col, F.posexplode("__chunks").alias("__cidx", "__chunk")
+    ).select(id_col, "__cidx", md5_long("__chunk").alias("__h"))
+    over = (
+        units.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > max_count)
+    )
+    drops = (
+        units.join(over.select("__h"), "__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__cidx").alias("__drop"))
+    )
+    return (
+        chunked.join(drops, id_col, "left")
+        .select(
+            id_col,
+            F.size("__chunks").alias("n_chunks"),
+            F.coalesce(F.size("__drop"), F.lit(0)).alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    "__chunks",
+                    lambda c, i: ~F.coalesce(
+                        F.array_contains("__drop", i), F.lit(False)
+                    ),
+                ),
+                " ",
+            ).alias("rebuilt_text"),
+        )
+    )

@@ -65,7 +65,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # fit (conditional_scalar_functions, width_bucket_histogram,
 # text_pii_redaction, text_repetition_quality, sample_stratified_exact,
 # embedding_int8_quantize, doc_chunk_windows, pack_sequences_greedy,
-# window_value_navigation, eval_contamination, dedup_semantic_incremental)
+# window_value_navigation, eval_contamination, dedup_semantic_incremental,
+# and the late-round-3 entries table_format_sequence_field,
+# dedup_boilerplate_chunks, split_assign_hash)
 # are first in line for the round-4 rotation.
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.

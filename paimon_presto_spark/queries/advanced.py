@@ -1225,3 +1225,87 @@ def table_format_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_bucket")
     )
+
+
+@register(
+    "table_format_sequence_field",
+    oracle="""
+        SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'FRESH' ELSE 'CURRENT' END
+                   AS status,
+               CAST(CASE WHEN o_orderkey % 5 = 0 THEN 3 ELSE 2 END AS BIGINT)
+                   AS ver,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))
+                             * CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END)
+                         AS VARCHAR) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("table-format", "merge-engine", "sequence-field", "end-to-end"),
+)
+def table_format_sequence_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequence.field`` through the oracle gate: merge order is the
+    user's version column, NOT commit order (``table._sequence_fields`` /
+    ``_merge_on_read``; Paimon's public sequence.field contract, which the
+    reference connector inherits through Paimon-core merge-on-read,
+    ``PrestoPageSourceProvider.java:80-83``). Commit 1 writes every order
+    at ver=2; commit 2 REPLAYS even keys at ver=1 (stale — must change
+    nothing); commit 3 re-prices keys ≡0 (mod 5) at ver=3 (fresh — wins);
+    commit 4 sends tombstones for keys ≡0 (mod 3) at ver=0 (stale — the
+    keys survive) and commit 5 tombstones keys ≡0 (mod 7) at ver=9
+    (fresh — the keys go). The oracle restates the surviving state
+    declaratively; any commit-order merge would keep the replayed rows or
+    honor the stale deletes and break the hash.
+    """
+    import os
+    import tempfile
+
+    from paimon_presto_spark.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    wh = tempfile.mkdtemp(prefix="sqf-", dir=base)
+    cat = Catalog(spark, wh)
+    cat.create_database("sqf", ignore_if_exists=True)
+    t = cat.create_table(
+        "sqf", "orders_sqf",
+        "o_orderkey bigint, status string, o_totalprice double, ver bigint",
+        primary_keys=["o_orderkey"],
+        options={"sequence.field": "ver"},
+    )
+
+    def as_rows(df: DataFrame, status: str, ver: int, mult: int = 1) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            F.lit(status).alias("status"),
+            (F.col("o_totalprice") * mult).alias("o_totalprice"),
+            F.lit(ver).cast("bigint").alias("ver"),
+        )
+
+    t.upsert(as_rows(o, "CURRENT", ver=2))
+    t.upsert(as_rows(o.filter(F.col("o_orderkey") % 2 == 0), "REPLAYED", ver=1))
+    t.upsert(as_rows(o.filter(F.col("o_orderkey") % 5 == 0), "FRESH", ver=3, mult=2))
+    t.delete(
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", F.lit(0).cast("bigint").alias("ver"))
+    )
+    t.delete(
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", F.lit(9).cast("bigint").alias("ver"))
+    )
+    merged = t.scan().to_df()
+    return (
+        merged.groupBy("status", "ver")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("status", "ver")
+    )

@@ -647,3 +647,118 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_boilerplate_chunks",
+    oracle="""
+        WITH sp AS (
+            SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        ),
+        words AS (
+            SELECT doc_id, unnest(arr) AS w,
+                   generate_subscripts(arr, 1) AS idx
+            FROM sp
+        ),
+        chunks AS (
+            SELECT doc_id, (idx - 1) // 8 AS cidx,
+                   string_agg(w, ' ' ORDER BY idx) AS unit
+            FROM words
+            GROUP BY doc_id, (idx - 1) // 8
+            HAVING string_agg(w, ' ' ORDER BY idx) <> ''
+        ),
+        over_rep AS (
+            SELECT unit FROM chunks GROUP BY unit HAVING COUNT(*) > 1
+        ),
+        drops AS (
+            SELECT doc_id, cidx FROM chunks JOIN over_rep USING (unit)
+        )
+        SELECT c.doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN d.cidx IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               md5(COALESCE(string_agg(
+                   CASE WHEN d.cidx IS NULL THEN c.unit END,
+                   ' ' ORDER BY c.cidx), '')) AS rebuilt_md5
+        FROM chunks c
+        LEFT JOIN drops d ON c.doc_id = d.doc_id AND c.cidx = d.cidx
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id
+    """,
+    tags=("llm-pipeline", "dedup", "curation", "c4-boilerplate"),
+)
+def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style corpus-boilerplate stripping through the oracle gate:
+    every 8-word chunk occurring more than once corpus-wide is removed
+    from EVERY document, and documents are rebuilt from the survivors
+    (C4's repeated-three-sentence-span rule re-expressed over fixed word
+    windows; ``operators/dedup.remove_repeated_chunks``). Exact duplicate
+    documents therefore strip each other bare — the rebuilt md5 certifies
+    the reconstruction byte-for-byte, not just the drop counts.
+
+    Scale shape: chunking and rebuild are map-side array lambdas; the
+    corpus-wide count shuffles 16-byte hashes; drop decisions travel as
+    (doc_id, chunk_idx) pairs. Document text never shuffles.
+    """
+    from paimon_presto_spark.operators.dedup import remove_repeated_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_repeated_chunks(docs, "doc_id", "text", chunk_words=8,
+                                 max_count=1)
+    return out.select(
+        "doc_id", "n_chunks", "n_removed",
+        F.md5("rebuilt_text").alias("rebuilt_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "split_assign_hash",
+    oracle="""
+        WITH assigned AS (
+            SELECT source, n_chars,
+                   CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'valid'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM assigned
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("llm-pipeline", "curation", "sampling", "train-test-split"),
+)
+def split_assign_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/valid/test assignment — the standard
+    way a training pipeline splits a growing corpus so a document's split
+    NEVER changes as data is added (row numbers or random() both reshuffle;
+    a salted content-independent key hash does not). 90/5/5 via the
+    portable md5 bucket from ``functions/hashing.py``; the salt makes
+    independent splits (e.g. per experiment) uncorrelated.
+
+    Pure map + one aggregation on (source, split) — the scan is the job at
+    any scale; no UDFs, the bucket arithmetic runs in codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    return (
+        docs.withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 90, "train")
+            .when(F.col("bucket") < 95, "valid")
+            .otherwise("test"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("source", "split")
+    )

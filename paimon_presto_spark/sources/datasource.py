@@ -533,6 +533,18 @@ def _merge_arrow(tbl, schema: dict, engine: str):
     pks = schema["primary_keys"]
     pdf = pdf.sort_values(["__seq", "__pos"], kind="stable")
     if engine == "deduplicate":
+        # sequence.field: largest sequence value wins, commit order only
+        # breaking ties (twin of table._merge_on_read). NaN sorts first
+        # (ascending), i.e. a null sequence value always loses.
+        seqf = [
+            c.strip()
+            for c in schema.get("options", {}).get("sequence.field", "").split(",")
+            if c.strip()
+        ]
+        if seqf:
+            pdf = pdf.sort_values(
+                seqf + ["__seq", "__pos"], kind="stable", na_position="first"
+            )
         pdf = pdf.drop_duplicates(pks, keep="last")
         pdf = pdf[pdf["__row_kind"] != "D"]
     elif engine == "first-row":

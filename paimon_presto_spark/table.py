@@ -479,6 +479,13 @@ class Table:
         if schema.primary_keys and engine != "deduplicate":
             raise ValueError(
                 f"deletion-vectors support merge-engine deduplicate, got {engine!r}")
+        if schema.options.get("sequence.field"):
+            # DV upserts eagerly delete the key's OLD position; under
+            # sequence.field the old row may be the merge winner, so the
+            # eager delete would be wrong. Paimon has the same restriction.
+            raise ValueError(
+                "deletion-vectors cannot be combined with sequence.field "
+                "(an out-of-order upsert must lose to the stored row)")
 
     def _dv_hits(self, keys: DataFrame) -> DataFrame:
         """(path, pos) of currently-live rows whose primary key appears in
@@ -1243,14 +1250,27 @@ class Table:
             )
         pks = schema.primary_keys
         cols = schema.field_names()
+        seqf = _sequence_fields(schema)
         base = self.snapshot()
         next_id = (base.snapshot_id + 1) if base else 1
-        # the post-commit value per key: last write wins for deduplicate,
-        # the earliest for first-row (whose updates to existing keys are
+        if seqf:
+            # sequence.field rows may arrive pk-only (deletes): null-pad so
+            # the ordering columns exist — a null sequence value loses.
+            for c in cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(_parse_type(
+                        next(f["type"] for f in schema.fields if f["name"] == c))))
+        # the post-commit value per key: last write wins for deduplicate
+        # (largest sequence value first, under sequence.field), the
+        # earliest for first-row (whose updates to existing keys are
         # no-ops — they emit no changelog at all, matching Paimon's
         # first-row changelog contract of insert-only streams)
-        order = F.asc(POS_COL) if engine == "first-row" else F.desc(POS_COL)
-        w = Window.partitionBy(*pks).orderBy(order)
+        order = (
+            [F.asc(POS_COL)]
+            if engine == "first-row"
+            else [F.desc_nulls_last(f) for f in seqf] + [F.desc(POS_COL)]
+        )
+        w = Window.partitionBy(*pks).orderBy(*order)
         newest = (
             df.withColumn(POS_COL, F.monotonically_increasing_id())
             .withColumn("__rn", F.row_number().over(w))
@@ -1275,7 +1295,49 @@ class Table:
             keys = newest.select(*pks).distinct()
             old = self.to_df().join(F.broadcast(keys), pks, "inner").cache()
             old.count()  # pre-image used twice below; compute the merge once
-            if deletes:
+            if seqf:
+                # The batch row only takes effect if it WINS the merge
+                # against the stored row (ties go to the batch — input
+                # order). A losing upsert/delete changes nothing and must
+                # emit NO changelog.
+                tagged = (
+                    old.select(*cols).withColumn("__src", F.lit(0))
+                    .unionByName(newest.select(*cols).withColumn("__src", F.lit(1)))
+                )
+                ww = Window.partitionBy(*pks).orderBy(
+                    *[F.desc_nulls_last(f) for f in seqf], F.desc("__src")
+                )
+                winner = (
+                    tagged.withColumn("__rn", F.row_number().over(ww))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                batch_won = winner.filter(F.col("__src") == 1).drop("__src")
+                if deletes:
+                    clg = (
+                        old.join(batch_won.select(*pks), pks, "left_semi")
+                        .select(*cols)
+                        .withColumn(KIND_COL, F.lit("D"))
+                    )
+                else:
+                    had = old.select(*pks).distinct()
+                    ub = (
+                        old.join(batch_won.select(*pks), pks, "left_semi")
+                        .select(*cols)
+                        .withColumn(KIND_COL, F.lit("UB"))
+                    )
+                    ua = (
+                        batch_won.join(had, pks, "left_semi")
+                        .select(*cols)
+                        .withColumn(KIND_COL, F.lit("UA"))
+                    )
+                    ins = (
+                        batch_won.join(had, pks, "left_anti")
+                        .select(*cols)
+                        .withColumn(KIND_COL, F.lit("I"))
+                    )
+                    clg = ub.unionByName(ua).unionByName(ins)
+            elif deletes:
                 clg = old.select(*cols).withColumn(KIND_COL, F.lit("D"))
             else:
                 ub = old.select(*cols).withColumn(KIND_COL, F.lit("UB"))
@@ -2873,6 +2935,37 @@ def _commit_sorted(c: str) -> str:
     )
 
 
+def _sequence_fields(schema: TableSchema) -> list[str]:
+    """Parse + validate the ``sequence.field`` option (Paimon's
+    user-defined merge ordering: the row with the LARGEST sequence value
+    wins, commit order only breaking ties — so out-of-order ingestion,
+    e.g. a CDC replay or late-arriving partition, can never regress a
+    fresher row). Comma-separated multi-field keys compare
+    lexicographically; NULL sorts lowest (a row that doesn't carry the
+    sequence column never beats one that does)."""
+    raw = schema.options.get("sequence.field", "")
+    fields = [c.strip() for c in raw.split(",") if c.strip()]
+    if not fields:
+        return []
+    names = set(schema.field_names())
+    for f in fields:
+        if f not in names:
+            raise ValueError(f"sequence.field references unknown column {f!r}")
+        if f in schema.primary_keys:
+            raise ValueError(f"sequence.field {f!r} cannot be a primary key")
+    engine = schema.options.get("merge-engine", "deduplicate")
+    if engine in ("first-row", "aggregation"):
+        raise ValueError(
+            f"sequence.field is not supported with merge-engine {engine!r}"
+        )
+    if any(o.endswith(".sequence-group") for o in schema.options):
+        raise ValueError(
+            "sequence.field cannot be combined with fields.*.sequence-group "
+            "(pick whole-row or per-group ordering, not both)"
+        )
+    return fields
+
+
 def _merge_on_read(df: DataFrame, schema: TableSchema) -> DataFrame:
     """Collapse the change rows of a primary-key table into its current
     state, per the table's ``merge-engine`` option (A13; engine surface
@@ -2887,14 +2980,23 @@ def _merge_on_read(df: DataFrame, schema: TableSchema) -> DataFrame:
       ``fields.<name>.aggregate-function`` (sum/max/min/count;
       default last_non_null).
 
+    ``sequence.field`` (deduplicate / group-less partial-update) replaces
+    "latest commit" with "largest sequence value" as the merge order —
+    including for DELETE tombstones, so a stale delete cannot remove a
+    fresher row.
+
     All variants are one shuffle on the key: a single window or hash
     aggregate, so at scale the cost is the same as the deduplicate path
     (bounded further by bucketing + ``compact()``).
     """
     pks = schema.primary_keys
     engine = schema.options.get("merge-engine", "deduplicate")
+    seqf = _sequence_fields(schema)
     if engine == "deduplicate":
-        w = Window.partitionBy(*pks).orderBy(F.desc(SEQ_COL), F.desc(POS_COL))
+        w = Window.partitionBy(*pks).orderBy(
+            *[F.desc_nulls_last(f) for f in seqf],
+            F.desc(SEQ_COL), F.desc(POS_COL),
+        )
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -2950,15 +3052,23 @@ def _merge_on_read(df: DataFrame, schema: TableSchema) -> DataFrame:
                 )
             return df.groupBy(*pks).agg(*aggs).select(*schema.field_names())
         # Latest non-null per column, then one surviving row per key. Both
-        # windows share the same partitioning -> one shuffle.
+        # windows share the same partitioning -> one shuffle. With
+        # sequence.field, "latest" means largest sequence value (nulls
+        # lowest), commit order breaking ties.
         wa = (
             Window.partitionBy(*pks)
-            .orderBy(F.asc(SEQ_COL), F.asc(POS_COL))
+            .orderBy(
+                *[F.asc_nulls_first(f) for f in seqf],
+                F.asc(SEQ_COL), F.asc(POS_COL),
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         for c in data_cols:
             df = df.withColumn(c, F.last(c, ignorenulls=True).over(wa))
-        wd = Window.partitionBy(*pks).orderBy(F.desc(SEQ_COL), F.desc(POS_COL))
+        wd = Window.partitionBy(*pks).orderBy(
+            *[F.desc_nulls_last(f) for f in seqf],
+            F.desc(SEQ_COL), F.desc(POS_COL),
+        )
         return (
             df.withColumn("__rn", F.row_number().over(wd))
             .filter(F.col("__rn") == 1)

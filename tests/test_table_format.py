@@ -2101,3 +2101,141 @@ class TestSplitDdlFieldsProperty:
         assert split_ddl_fields("t time, u TIME(3), v struct<t:int>") == [
             ("t", "time"), ("u", "TIME(3)"), ("v", "struct<t:int>"),
         ]
+
+
+class TestSequenceField:
+    """``sequence.field``: user-defined merge ordering — the row with the
+    largest sequence value wins, commit order only breaking ties, so
+    out-of-order ingestion (CDC replay, late partitions) can never regress
+    a fresher row. Deletes compete too: a stale tombstone cannot remove a
+    newer row. Mirrors Paimon's public sequence.field contract; the
+    reference connector inherits it through Paimon core merge-on-read
+    (PrestoPageSourceProvider.java:80-83)."""
+
+    DDL = "k int, v string, ver bigint"
+
+    def _mk(self, catalog, name, **opts):
+        return catalog.create_table(
+            "default", name, self.DDL, primary_keys=["k"],
+            options={"sequence.field": "ver", **opts},
+        )
+
+    def test_out_of_order_upsert_loses(self, spark, catalog):
+        t = self._mk(catalog, "sq1")
+        t.upsert(spark.createDataFrame([(1, "new", 10), (2, "b", 5)], self.DDL))
+        t.upsert(spark.createDataFrame([(1, "stale", 3), (2, "b2", 7)], self.DDL))
+        assert rows(t.to_df()) == [(1, "new", 10), (2, "b2", 7)]
+
+    def test_tie_breaks_by_commit_order(self, spark, catalog):
+        t = self._mk(catalog, "sq2")
+        t.upsert(spark.createDataFrame([(1, "first", 5)], self.DDL))
+        t.upsert(spark.createDataFrame([(1, "second", 5)], self.DDL))
+        assert rows(t.to_df()) == [(1, "second", 5)]
+
+    def test_null_sequence_always_loses(self, spark, catalog):
+        t = self._mk(catalog, "sq3")
+        t.upsert(spark.createDataFrame([(1, "real", 1)], self.DDL))
+        t.upsert(spark.createDataFrame([(1, "nullseq", None)], self.DDL))
+        assert rows(t.to_df()) == [(1, "real", 1)]
+
+    def test_stale_delete_does_not_remove(self, spark, catalog):
+        t = self._mk(catalog, "sq4")
+        t.upsert(spark.createDataFrame([(1, "keep", 10), (2, "drop", 10)], self.DDL))
+        # tombstone with older sequence: key 1 survives
+        t.delete(spark.createDataFrame([(1, None, 3)], self.DDL))
+        # tombstone with newer sequence: key 2 removed
+        t.delete(spark.createDataFrame([(2, None, 11)], self.DDL))
+        assert rows(t.to_df()) == [(1, "keep", 10)]
+
+    def test_within_batch_winner_by_sequence(self, spark, catalog):
+        t = self._mk(catalog, "sq5")
+        t.upsert(spark.createDataFrame(
+            [(1, "low", 1), (1, "high", 9), (1, "mid", 5)], self.DDL))
+        assert rows(t.to_df()) == [(1, "high", 9)]
+
+    def test_multi_field_lexicographic(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "sq6", "k int, v string, maj int, mnr int",
+            primary_keys=["k"], options={"sequence.field": "maj,mnr"},
+        )
+        ddl = "k int, v string, maj int, mnr int"
+        t.upsert(spark.createDataFrame([(1, "a", 2, 1)], ddl))
+        t.upsert(spark.createDataFrame([(1, "b", 2, 0)], ddl))   # loses on mnr
+        t.upsert(spark.createDataFrame([(1, "c", 1, 9)], ddl))   # loses on maj
+        assert rows(t.to_df(), "v") == [("a",)]
+
+    def test_compaction_preserves_ordering(self, spark, catalog):
+        t = self._mk(catalog, "sq7")
+        t.upsert(spark.createDataFrame([(1, "new", 10)], self.DDL))
+        t.compact()
+        t.upsert(spark.createDataFrame([(1, "stale", 2)], self.DDL))
+        assert rows(t.to_df()) == [(1, "new", 10)]
+
+    def test_partial_update_orders_by_sequence(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "sq8", "k int, a string, b string, ver bigint",
+            primary_keys=["k"],
+            options={"merge-engine": "partial-update", "sequence.field": "ver"},
+        )
+        ddl = "k int, a string, b string, ver bigint"
+        t.upsert(spark.createDataFrame([(1, "a9", None, 9)], ddl))
+        # older patch: its non-null b seeds the row, but a must stay a9
+        t.upsert(spark.createDataFrame([(1, "a3", "b3", 3)], ddl))
+        assert rows(t.to_df()) == [(1, "a9", "b3", 9)]
+
+    def test_rejected_combinations(self, spark, catalog):
+        with pytest.raises(Exception) as e1:
+            t = catalog.create_table(
+                "default", "sq9", self.DDL, primary_keys=["k"],
+                options={"sequence.field": "ver", "merge-engine": "first-row"},
+            )
+            t.upsert(spark.createDataFrame([(1, "x", 1)], self.DDL))
+            t.to_df().collect()
+        assert "sequence.field" in str(e1.value)
+        with pytest.raises(ValueError, match="sequence.field"):
+            t = catalog.create_table(
+                "default", "sq10", self.DDL, primary_keys=["k"],
+                options={"sequence.field": "ver",
+                         "deletion-vectors.enabled": "true"},
+            )
+            t.upsert(spark.createDataFrame([(1, "x", 1)], self.DDL))
+        with pytest.raises(ValueError, match="unknown column"):
+            t = catalog.create_table(
+                "default", "sq11", self.DDL, primary_keys=["k"],
+                options={"sequence.field": "nope"},
+            )
+            t.upsert(spark.createDataFrame([(1, "x", 1)], self.DDL))
+            t.to_df().collect()
+
+    def test_lookup_changelog_skips_losing_writes(self, spark, catalog):
+        t = self._mk(catalog, "sq12", **{"changelog-producer": "lookup"})
+        t.upsert(spark.createDataFrame([(1, "v10", 10)], self.DDL))   # snap 1
+        t.upsert(spark.createDataFrame([(1, "stale", 3)], self.DDL))  # snap 2: loses
+        t.upsert(spark.createDataFrame([(1, "v20", 20)], self.DDL))   # snap 3: wins
+        t.delete(spark.createDataFrame([(1, None, 5)], self.DDL))     # snap 4: loses
+        t.delete(spark.createDataFrame([(1, None, 30)], self.DDL))    # snap 5: wins
+        got = [
+            (r["__seq"], r["__row_kind"], r["v"])
+            for r in t.changelog_df().orderBy("__seq", "__row_kind").collect()
+        ]
+        assert got == [
+            (1, "I", "v10"),
+            (3, "UA", "v20"), (3, "UB", "v10"),
+            (5, "D", "v20"),
+        ]
+        assert t.to_df().count() == 0
+
+    def test_datasource_bucket_merge_honors_sequence(self, spark, catalog):
+        from paimon_presto_spark.sources.datasource import PaimonDataSource
+
+        try:
+            spark.dataSource.register(PaimonDataSource)
+        except Exception:
+            pass
+        t = self._mk(catalog, "sq13", bucket="2")
+        t.upsert(spark.createDataFrame(
+            [(1, "new", 10), (2, "b", 5), (3, "c", 1)], self.DDL))
+        t.upsert(spark.createDataFrame(
+            [(1, "stale", 3), (2, "b2", 7), (3, "c2", None)], self.DDL))
+        got = rows(spark.read.format("paimon").option("path", t.path).load())
+        assert got == [(1, "new", 10), (2, "b2", 7), (3, "c", 1)]
