@@ -57,7 +57,7 @@ from dataclasses import dataclass, field
 from typing import Any, Iterable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from paimon_presto_spark import properties
@@ -670,6 +670,8 @@ class Table:
         if not self.is_primary_keyed:
             raise ValueError("append-only table: use append()")
         schema = self.schema()
+        if schema.options.get("rowkind.field"):
+            return self._upsert_with_rowkind(df, schema)
         dv_mode = schema.options.get("deletion-vectors.enabled") == "true"
         dynamic = schema.options.get("bucket") == "-1"
         clg_name = None
@@ -715,6 +717,69 @@ class Table:
         )
         if not dv_mode:
             self._maybe_auto_compact(schema)
+        return snap
+
+    def _upsert_with_rowkind(self, df: DataFrame, schema: TableSchema) -> Snapshot:
+        """CDC-batch upsert driven by ``rowkind.field`` (Paimon's public
+        option: a column of the input carries each row's kind, so ONE
+        atomic commit can mix inserts/updates and deletes — exactly what a
+        database CDC feed emits). Values ``-D``/``D``/``-U`` mark
+        tombstones; everything else is an upsert. Within the batch the
+        winner per key is resolved first (by ``sequence.field`` when set,
+        else input order — last row wins), matching Paimon's writer
+        buffer, so a key's insert+delete in one batch collapses before the
+        commit.
+        """
+        rkf = schema.options["rowkind.field"]
+        if rkf not in schema.field_names():
+            raise ValueError(f"rowkind.field references unknown column {rkf!r}")
+        if rkf in schema.primary_keys:
+            raise ValueError(f"rowkind.field {rkf!r} cannot be a primary key")
+        engine = schema.options.get("merge-engine", "deduplicate")
+        if engine != "deduplicate":
+            raise ValueError(
+                f"rowkind.field requires merge-engine deduplicate, got {engine!r}"
+            )
+        if schema.options.get("deletion-vectors.enabled") == "true":
+            raise ValueError(
+                "rowkind.field cannot be combined with deletion-vectors "
+                "(eager position deletes assume insert-only batches)"
+            )
+        pks = schema.primary_keys
+        seqf = _sequence_fields(schema)
+        w = Window.partitionBy(*pks).orderBy(
+            *[F.desc_nulls_last(f) for f in seqf], F.desc(POS_COL)
+        )
+        df = (
+            df.withColumn(POS_COL, F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", POS_COL)
+        )
+        is_del = F.upper(F.col(rkf)).isin("-D", "D", "-U")
+        kind_expr = F.when(is_del, F.lit("D")).otherwise(F.lit("I"))
+        clg_name = None
+        if schema.options.get("changelog-producer") == "lookup":
+            clg_name = self._produce_rowkind_changelog(
+                df.filter(~is_del), df.filter(is_del), schema
+            )
+        base = self.snapshot()
+        b_name = None
+        if schema.options.get("bucket") == "-1":
+            # inserts index new keys; tombstones for never-seen keys merge
+            # away wherever they land and must NOT pollute the key index
+            ins, b_name = self._assign_dynamic_buckets(df.filter(~is_del), base)
+            dels, _ = self._assign_dynamic_buckets(
+                df.filter(is_del), base, index_new_keys=False
+            )
+            df = ins.unionByName(dels)
+        need_expect = b_name is not None or clg_name is not None
+        snap = self._commit_write(
+            df, kind="UPSERT", row_kind=kind_expr,
+            bucket_index=b_name, changelog=clg_name,
+            expect=(base.snapshot_id if base else 0) if need_expect else None,
+        )
+        self._maybe_auto_compact(schema)
         return snap
 
     def delete(self, df: DataFrame) -> Snapshot:
@@ -1231,7 +1296,39 @@ class Table:
     def _produce_lookup_changelog(
         self, df: DataFrame, schema: TableSchema, deletes: bool
     ) -> str:
-        """Materialize this commit's retraction changelog: for each touched
+        """Materialize this commit's retraction changelog (see
+        ``_lookup_changelog_rows`` for the semantics)."""
+        clg, caches = self._lookup_changelog_rows(df, schema, deletes)
+        return self._write_changelog(clg, caches)
+
+    def _produce_rowkind_changelog(
+        self, ins: DataFrame, dels: DataFrame, schema: TableSchema
+    ) -> str:
+        """Changelog for a mixed rowkind.field commit: the insert rows and
+        tombstone rows of ONE atomic batch, resolved against the same base
+        snapshot, written as a single changelog dataset (keys are disjoint
+        — the caller resolved within-batch winners first)."""
+        a, ca = self._lookup_changelog_rows(ins, schema, deletes=False)
+        b, cb = self._lookup_changelog_rows(dels, schema, deletes=True)
+        return self._write_changelog(a.unionByName(b), ca + cb)
+
+    def _write_changelog(
+        self, clg: DataFrame, caches: list[DataFrame]
+    ) -> str:
+        base = self.snapshot()
+        next_id = (base.snapshot_id + 1) if base else 1
+        clg = clg.withColumn(SEQ_COL, F.lit(next_id).cast("long"))
+        name = f"clg-{next_id}-{uuid.uuid4().hex}"
+        out = os.path.join(self.meta_path, "changelog", name)
+        clg.write.mode("overwrite").parquet(out)
+        for c in caches:
+            c.unpersist()
+        return name
+
+    def _lookup_changelog_rows(
+        self, df: DataFrame, schema: TableSchema, deletes: bool
+    ) -> tuple[DataFrame, list[DataFrame]]:
+        """This commit's retraction changelog rows: for each touched
         key, the pre-image (``UB`` = Paimon's -U, or ``D`` for deletes) and
         post-image (``UA`` = +U) — brand-new keys emit ``I``.
 
@@ -1241,6 +1338,8 @@ class Table:
         instead of every consumer reconstructing old values itself. The
         lookup is a join of the (small) batch against the merged table —
         broadcast the batch keys, never the table.
+
+        Returns (rows, cached-frames-to-unpersist-after-write).
         """
         engine = schema.options.get("merge-engine", "deduplicate")
         if engine not in ("deduplicate", "first-row"):
@@ -1252,7 +1351,7 @@ class Table:
         cols = schema.field_names()
         seqf = _sequence_fields(schema)
         base = self.snapshot()
-        next_id = (base.snapshot_id + 1) if base else 1
+        caches: list[DataFrame] = []
         if seqf:
             # sequence.field rows may arrive pk-only (deletes): null-pad so
             # the ordering columns exist — a null sequence value loses.
@@ -1295,6 +1394,7 @@ class Table:
             keys = newest.select(*pks).distinct()
             old = self.to_df().join(F.broadcast(keys), pks, "inner").cache()
             old.count()  # pre-image used twice below; compute the merge once
+            caches.append(old)
             if seqf:
                 # The batch row only takes effect if it WINS the merge
                 # against the stored row (ties go to the batch — input
@@ -1357,13 +1457,7 @@ class Table:
                     .withColumn(KIND_COL, F.lit("I"))
                 )
                 clg = ub.unionByName(ua).unionByName(ins)
-        clg = clg.withColumn(SEQ_COL, F.lit(next_id).cast("long"))
-        name = f"clg-{next_id}-{uuid.uuid4().hex}"
-        out = os.path.join(self.meta_path, "changelog", name)
-        clg.write.mode("overwrite").parquet(out)
-        if base is not None and engine == "deduplicate":
-            old.unpersist()
-        return name
+        return clg, caches
 
     def changelog_df(
         self, start_snapshot: int = 0, end_snapshot: int | None = None
@@ -2129,7 +2223,7 @@ class Table:
         self,
         df: DataFrame,
         kind: str,
-        row_kind: str | None,
+        row_kind: str | Column | None,
         replace: bool | str = False,
         dv_index: str | None = None,
         bucket_index: str | None = None,
@@ -2231,7 +2325,7 @@ class Table:
         df: DataFrame,
         schema: TableSchema,
         snapshot_id: int,
-        row_kind: str | None,
+        row_kind: str | Column | None,
         staging: str,
         prefix: str = "data",
     ) -> list[dict]:
@@ -2240,11 +2334,14 @@ class Table:
         part_cols = schema.partition_keys
         out = df
         if row_kind is not None:
-            # __pos disambiguates rows of the same key within one commit
+            # __pos disambiguates rows of the same key within one commit.
+            # row_kind may be a per-row Column (rowkind.field CDC commits
+            # mixing I and D in one atomic snapshot) or a constant.
+            kind = F.lit(row_kind) if isinstance(row_kind, str) else row_kind
             out = (
                 out.withColumn(SEQ_COL, F.lit(snapshot_id).cast("long"))
                 .withColumn(POS_COL, F.monotonically_increasing_id())
-                .withColumn(KIND_COL, F.lit(row_kind))
+                .withColumn(KIND_COL, kind)
             )
         dir_cols = []
         if part_cols:

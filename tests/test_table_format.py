@@ -2239,3 +2239,105 @@ class TestSequenceField:
             [(1, "stale", 3), (2, "b2", 7), (3, "c2", None)], self.DDL))
         got = rows(spark.read.format("paimon").option("path", t.path).load())
         assert got == [(1, "new", 10), (2, "b2", 7), (3, "c", 1)]
+
+
+class TestRowkindField:
+    """``rowkind.field``: a column of the input carries each row's kind, so
+    one atomic commit can mix inserts/updates and deletes — the shape a
+    database CDC feed emits (Paimon's public rowkind.field contract)."""
+
+    DDL = "k int, v string, rk string"
+
+    def _mk(self, catalog, name, **opts):
+        return catalog.create_table(
+            "default", name, self.DDL, primary_keys=["k"],
+            options={"rowkind.field": "rk", **opts},
+        )
+
+    def test_mixed_batch_single_commit(self, spark, catalog):
+        t = self._mk(catalog, "rk1")
+        t.upsert(spark.createDataFrame(
+            [(1, "a", "+I"), (2, "b", "+I"), (3, "c", "+I")], self.DDL))
+        assert t.snapshot().snapshot_id == 1
+        t.upsert(spark.createDataFrame(
+            [(1, "a2", "+U"), (2, None, "-D"), (4, "d", "+I")], self.DDL))
+        assert t.snapshot().snapshot_id == 2  # one atomic commit
+        assert rows(t.to_df(), "k", "v") == [(1, "a2"), (3, "c"), (4, "d")]
+
+    def test_within_batch_key_collapses(self, spark, catalog):
+        t = self._mk(catalog, "rk2")
+        t.upsert(spark.createDataFrame(
+            [(1, "x", "+I"), (1, None, "-D"),      # insert then delete: gone
+             (2, None, "-D"), (2, "y", "+I")],     # delete then insert: kept
+            self.DDL))
+        assert rows(t.to_df(), "k", "v") == [(2, "y")]
+
+    def test_lowercase_and_bare_kinds(self, spark, catalog):
+        t = self._mk(catalog, "rk3")
+        t.upsert(spark.createDataFrame(
+            [(1, "a", "I"), (2, "b", "i")], self.DDL))
+        t.upsert(spark.createDataFrame([(1, None, "d")], self.DDL))
+        assert rows(t.to_df(), "k") == [(2,)]
+
+    def test_retract_kind_deletes(self, spark, catalog):
+        t = self._mk(catalog, "rk4")
+        t.upsert(spark.createDataFrame([(1, "a", "+I")], self.DDL))
+        t.upsert(spark.createDataFrame([(1, "a", "-U")], self.DDL))
+        assert t.to_df().count() == 0
+
+    def test_changelog_for_mixed_batch(self, spark, catalog):
+        t = self._mk(catalog, "rk5", **{"changelog-producer": "lookup"})
+        t.upsert(spark.createDataFrame(
+            [(1, "a", "+I"), (2, "b", "+I")], self.DDL))
+        t.upsert(spark.createDataFrame(
+            [(1, "a2", "+U"), (2, None, "-D"), (3, "c", "+I")], self.DDL))
+        got = sorted(
+            (r["__seq"], r["__row_kind"], r["k"])
+            for r in t.changelog_df().collect()
+        )
+        assert got == [
+            (1, "I", 1), (1, "I", 2),
+            (2, "D", 2), (2, "I", 3), (2, "UA", 1), (2, "UB", 1),
+        ]
+
+    def test_dynamic_bucket_tombstones_not_indexed(self, spark, catalog):
+        t = self._mk(catalog, "rk6", bucket="-1",
+                     **{"dynamic-bucket.target-row-num": "2"})
+        t.upsert(spark.createDataFrame(
+            [(1, "a", "+I"), (2, "b", "+I")], self.DDL))
+        # mixed: update 1, delete 2, tombstone for never-seen 99
+        t.upsert(spark.createDataFrame(
+            [(1, "a2", "+U"), (2, None, "-D"), (99, None, "-D")], self.DDL))
+        assert rows(t.to_df(), "k", "v") == [(1, "a2")]
+        idx = t.bucket_index_df()
+        assert idx.count() == 2  # keys 1 and 2 only; 99 never indexed
+
+    def test_sequence_field_composes(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "rk7", "k int, v string, ver bigint, rk string",
+            primary_keys=["k"],
+            options={"rowkind.field": "rk", "sequence.field": "ver"},
+        )
+        ddl = "k int, v string, ver bigint, rk string"
+        t.upsert(spark.createDataFrame([(1, "new", 10, "+I")], ddl))
+        # stale CDC delete: must NOT remove the fresher row
+        t.upsert(spark.createDataFrame([(1, None, 3, "-D")], ddl))
+        assert rows(t.to_df(), "k", "v") == [(1, "new")]
+        # fresh delete wins
+        t.upsert(spark.createDataFrame([(1, None, 20, "-D")], ddl))
+        assert t.to_df().count() == 0
+
+    def test_rejected_combinations(self, spark, catalog):
+        with pytest.raises(ValueError, match="rowkind.field"):
+            t = self._mk(catalog, "rk8",
+                         **{"deletion-vectors.enabled": "true"})
+            t.upsert(spark.createDataFrame([(1, "a", "+I")], self.DDL))
+        with pytest.raises(ValueError, match="rowkind.field"):
+            t = self._mk(catalog, "rk9", **{"merge-engine": "partial-update"})
+            t.upsert(spark.createDataFrame([(1, "a", "+I")], self.DDL))
+        with pytest.raises(ValueError, match="unknown column"):
+            t = catalog.create_table(
+                "default", "rk10", self.DDL, primary_keys=["k"],
+                options={"rowkind.field": "nope"},
+            )
+            t.upsert(spark.createDataFrame([(1, "a", "+I")], self.DDL))
