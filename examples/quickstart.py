@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F  # noqa: E402
 
 from paimon_presto_spark.catalog import Catalog  # noqa: E402
+from paimon_presto_spark.plans.predicate import P  # noqa: E402
 from paimon_presto_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -88,6 +89,36 @@ def main() -> None:
             spark.read.format("paimon").option("path", t.path).load()
         )
         print("datasource read ok:", sorted(r["uid"] for r in df.collect()))
+
+        # -- CDC ordering: sequence.field + rowkind.field --------------------
+        cdc = catalog.create_table(
+            "demo", "cdc", "k int, v string, ver bigint, rk string",
+            primary_keys=["k"],
+            options={"sequence.field": "ver", "rowkind.field": "rk"},
+        )
+        ddl = "k int, v string, ver bigint, rk string"
+        cdc.upsert(spark.createDataFrame([(1, "fresh", 10, "+I")], ddl))
+        # one atomic CDC batch: a stale replay (+U ver=3 loses) and a
+        # stale tombstone (-D ver=5 loses) — the fresh row survives both
+        cdc.upsert(spark.createDataFrame(
+            [(1, "stale", 3, "+U"), (1, None, 5, "-D"), (2, "b", 1, "+I")], ddl))
+        state = {r["k"]: r["v"] for r in cdc.to_df().collect()}
+        print("sequence/rowkind ok: out-of-order CDC kept", state)
+
+        # -- bloom file index: point lookups on unsorted columns -------------
+        bt = catalog.create_table(
+            "demo", "traces", "tid string, payload string",
+            options={"file-index.bloom-filter.columns": "tid"},
+        )
+        for part in range(3):
+            bt.append(spark.createDataFrame(
+                [(f"trace-{part}-{i}", "x") for i in range(50)],
+                "tid string, payload string").coalesce(1))
+        sc = bt.scan(predicate=P.eq("tid", "trace-1-7"))
+        hit = sc.to_df().count()
+        print("bloom index ok:", hit, "row;",
+              sc.last_plan["after_stats_skip"], "of",
+              sc.last_plan["total_files"], "files read")
 
         # -- TIME + bounded VARCHAR type mapping -----------------------------
         tt = catalog.create_table("demo", "shifts", "sid int, start_t time, code varchar(4)")

@@ -1,0 +1,93 @@
+"""Per-file bloom-filter index — Paimon's ``file-index.bloom-filter.columns``
+(public Paimon option surface; the reference connector inherits index-based
+file skipping through Paimon core's scan planning, the same hook its
+min/max skipping uses, ``PrestoSplitManager.java:46-82``).
+
+Min/max stats skip files only when the predicate column is sorted or
+clustered; a point lookup on a high-cardinality UNSORTED column (trace id,
+user id, content hash) matches every file's [min, max] and scans the whole
+table. A per-file bloom filter answers "definitely not in this file" for
+equality probes regardless of layout — at 100 TB that turns a needle
+lookup from a full scan into a handful of file reads.
+
+Design:
+- ~10 bits/distinct-key, 7 probes → ~1% false-positive rate; the filter is
+  per (file, column), built from the file's DISTINCT values at write time
+  in the same pass that collects footer stats, and stored inline in the
+  manifest entry (base64). At ~1.2 bytes per distinct value it is the same
+  order of size as the stats block; Paimon similarly embeds small indexes
+  and spills big ones to sidecar files — the spill rung is not needed at
+  this manifest's delta-member granularity.
+- Hashing is the repo's portable convention (md5-derived, engine/version
+  stable — ``functions/hashing.py`` rationale): a filter written months
+  ago keeps skipping correctly after any Spark upgrade.
+- Only equality-shaped predicates consult the index (=, IN); ranges can't.
+  Only types with an unambiguous canonical key are indexed (integers,
+  strings, booleans); floats (equality is a smell), dates and binaries
+  fall back to stats-only — never wrong, just no skip.
+- NULLs are not indexed: IS NULL keeps using the stats null_count.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+from typing import Any, Iterable, Iterator
+
+BLOOM_K = 7  # probes per key
+BITS_PER_KEY = 10  # ~1% fpp at k=7
+
+
+def bloom_key(v: Any) -> str | None:
+    """Canonical cross-path key for a value, or None if the type is not
+    indexable. Type-prefixed so ``1`` and ``'1'`` never alias."""
+    if v is None:
+        return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "b:1" if v else "b:0"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return None
+
+
+def _positions(key: str, m: int) -> Iterator[int]:
+    """k bit positions via double hashing over one md5 (Kirsch-Mitzenmacher:
+    two independent 64-bit halves compose k functions with one digest)."""
+    d = hashlib.md5(key.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd → full period
+    for i in range(BLOOM_K):
+        yield (h1 + i * h2) % m
+
+
+def build_bloom(values: Iterable[Any]) -> dict | None:
+    """Bloom descriptor {m, k, b} for a column's values, or None when
+    nothing indexable (all-null / unindexable type)."""
+    keys = {bloom_key(v) for v in values}
+    keys.discard(None)
+    if not keys:
+        return None
+    m = max(64, ((len(keys) * BITS_PER_KEY + 63) // 64) * 64)
+    bits = bytearray(m // 8)
+    for k in keys:
+        for p in _positions(k, m):
+            bits[p >> 3] |= 1 << (p & 7)
+    return {"m": m, "k": BLOOM_K, "b": base64.b64encode(bytes(bits)).decode()}
+
+
+def might_contain(bloom: dict, v: Any) -> bool:
+    """False only when `v` is DEFINITELY absent from the indexed file."""
+    key = bloom_key(v)
+    if key is None:
+        return True  # unindexable literal → no conclusion
+    bits = base64.b64decode(bloom["b"])
+    m = int(bloom["m"])
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in _positions(key, m))
+
+
+def index_columns(options: dict[str, str]) -> list[str]:
+    """Parse the ``file-index.bloom-filter.columns`` option."""
+    raw = options.get("file-index.bloom-filter.columns", "")
+    return [c.strip() for c in raw.split(",") if c.strip()]

@@ -29,6 +29,8 @@ from typing import Any, Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+from paimon_presto_spark.plans import fileindex
+
 
 class Predicate:
     def to_spark(self) -> Column:
@@ -39,6 +41,13 @@ class Predicate:
 
     def test_row(self, row: dict[str, Any]) -> bool:
         raise NotImplementedError
+
+    def test_index(self, index: dict[str, dict]) -> bool:
+        """May this file contain matching rows, per its bloom-filter index
+        (``plans.fileindex``)? True = cannot rule out (the safe default:
+        only equality shapes override). `index` maps column → bloom
+        descriptor; a column absent from the index never skips."""
+        return True
 
     def references(self) -> set[str]:
         raise NotImplementedError
@@ -133,6 +142,14 @@ class Comparison(Predicate):
         except TypeError:
             return True
 
+    def test_index(self, index) -> bool:
+        if self.op != "eq":
+            return True
+        bloom = index.get(self.column)
+        if bloom is None:
+            return True
+        return fileindex.might_contain(bloom, self.value)
+
     def references(self):
         return {self.column}
 
@@ -156,6 +173,12 @@ class In(Predicate):
 
     def test_row(self, row) -> bool:
         return row.get(self.column) in self.values
+
+    def test_index(self, index) -> bool:
+        bloom = index.get(self.column)
+        if bloom is None:
+            return True
+        return any(fileindex.might_contain(bloom, v) for v in self.values)
 
     def references(self):
         return {self.column}
@@ -275,6 +298,9 @@ class And(Predicate):
     def test_row(self, row) -> bool:
         return all(c.test_row(row) for c in self.children)
 
+    def test_index(self, index) -> bool:
+        return all(c.test_index(index) for c in self.children)
+
     def references(self):
         return set().union(*(c.references() for c in self.children))
 
@@ -295,8 +321,40 @@ class Or(Predicate):
     def test_row(self, row) -> bool:
         return any(c.test_row(row) for c in self.children)
 
+    def test_index(self, index) -> bool:
+        return any(c.test_index(index) for c in self.children)
+
     def references(self):
         return set().union(*(c.references() for c in self.children))
+
+
+def skip_safe_predicate(
+    pred: Predicate, safe_cols: set[str] | None
+) -> Predicate | None:
+    """The largest part of `pred` that may drive per-FILE skipping when
+    only `safe_cols` are allowed to prune (None = every column allowed).
+
+    Merge-on-read correctness: for a primary-key table each key's versions
+    span MANY files, and the merged value comes from the NEWEST one. A
+    per-file skip on a value column can drop the file holding the newest
+    version while keeping an older matching one — the scan then resurrects
+    a stale row. Only columns constant across a key's versions (primary
+    key + partition columns) may prune files; everything else must stay a
+    post-merge filter. Paimon core enforces the same split for its
+    primary-key scans; append tables and deletion-vector tables (whose
+    live rows are already current state) have no such constraint.
+
+    Top-level AND conjuncts prune independently (the reference's
+    TupleDomain decomposition); a conjunct referencing any unsafe column
+    is excluded whole — ORs never split.
+    """
+    if safe_cols is None:
+        return pred
+    conjs = list(pred.children) if isinstance(pred, And) else [pred]
+    keep = [c for c in conjs if c.references() <= safe_cols]
+    if not keep:
+        return None
+    return keep[0] if len(keep) == 1 else And(keep)
 
 
 class P:

@@ -65,7 +65,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from paimon_presto_spark.plans.predicate import P, Predicate
+from paimon_presto_spark.plans.predicate import P, Predicate, skip_safe_predicate
 
 
 def _meta_path(path: str, branch: str | None) -> str:
@@ -377,11 +377,26 @@ class PaimonReader(DataSourceReader):
                         _typed_partition_json(e["partition"], schema)
                     )
                 ]
-            entries = [
-                e
-                for e in entries
-                if self.predicate.test_stats(e.get("stats", {}), e["row_count"])
-            ]
+            # merge-on-read safety: pk tables (without DV) may only skip
+            # files on key/partition columns — a value-column skip can
+            # drop a key's newest version and resurrect a stale row
+            dv_on = (
+                schema.get("options", {}).get("deletion-vectors.enabled")
+                == "true"
+            )
+            safe = (
+                None
+                if (not pks or dv_on)
+                else set(pks) | set(part_keys)
+            )
+            sp = skip_safe_predicate(self.predicate, safe)
+            if sp is not None:
+                entries = [
+                    e
+                    for e in entries
+                    if sp.test_stats(e.get("stats", {}), e["row_count"])
+                    and sp.test_index(e.get("index") or {})
+                ]
         def fent(e) -> tuple[str, int]:
             return (os.path.join(self.path, e["path"]), e["schema_id"])
 

@@ -61,7 +61,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from paimon_presto_spark import properties
-from paimon_presto_spark.plans.predicate import Predicate
+from paimon_presto_spark.plans import fileindex
+from paimon_presto_spark.plans.predicate import Predicate, skip_safe_predicate
 
 SEQ_COL = "__seq"
 POS_COL = "__pos"
@@ -2385,6 +2386,19 @@ class Table:
         # register written files: move into data/, collect footer stats
         data_dir = os.path.join(self.path, "data")
         os.makedirs(data_dir, exist_ok=True)
+        # bloom file index (file-index.bloom-filter.columns): built here in
+        # the same registration pass that reads footer stats. Indexable
+        # types only (ints/strings/bools — plans.fileindex.bloom_key);
+        # avro files stay unindexed (stats-only skipping, never wrong).
+        index_cols = fileindex.index_columns(schema.options)
+        if index_cols:
+            known = {f["name"] for f in schema.fields}
+            bad = [c for c in index_cols if c not in known]
+            if bad:
+                raise ValueError(
+                    f"file-index.bloom-filter.columns references unknown "
+                    f"columns {bad}"
+                )
         entries = []
         orc_stats = (
             _orc_file_stats(self.spark, staging, fmt, statable)
@@ -2422,20 +2436,33 @@ class Table:
                     # empty task output (the orc writer emits one per empty
                     # partition) — nothing to register
                     continue
+                fidx: dict[str, dict] = {}
+                if index_cols and fmt in ("parquet", "orc"):
+                    if fmt == "parquet":
+                        itbl = pq.ParquetFile(src).read(columns=index_cols)
+                    else:
+                        from pyarrow import orc as _po
+
+                        itbl = _po.ORCFile(src).read(columns=index_cols)
+                    for c in index_cols:
+                        bl = fileindex.build_bloom(itbl.column(c).to_pylist())
+                        if bl is not None:
+                            fidx[c] = bl
                 os.rename(src, dst)
-                entries.append(
-                    {
-                        "path": os.path.relpath(dst, self.path),
-                        "partition": partition,
-                        "bucket": bucket,
-                        "row_count": n_rows,
-                        "file_size": os.path.getsize(dst),
-                        "schema_id": schema.schema_id,
-                        "min_seq": snapshot_id,
-                        "max_seq": snapshot_id,
-                        "stats": stats,
-                    }
-                )
+                entry = {
+                    "path": os.path.relpath(dst, self.path),
+                    "partition": partition,
+                    "bucket": bucket,
+                    "row_count": n_rows,
+                    "file_size": os.path.getsize(dst),
+                    "schema_id": schema.schema_id,
+                    "min_seq": snapshot_id,
+                    "max_seq": snapshot_id,
+                    "stats": stats,
+                }
+                if fidx:
+                    entry["index"] = fidx
+                entries.append(entry)
         _rmtree_quiet(staging)
         return entries
 
@@ -2879,13 +2906,26 @@ class TableScan:
                 ]
         pruned_partitions = len(entries)
 
-        # 3) per-file stats skipping (A7/A8)
+        # 3) per-file stats skipping (A7/A8). Merge-on-read safety: for a
+        #    pk table without deletion vectors, only key/partition columns
+        #    may skip files — a value-column skip could drop the file
+        #    holding a key's NEWEST version and resurrect a stale row
+        #    (see plans.predicate.skip_safe_predicate).
         if pushdown_on and self.predicate is not None:
-            entries = [
-                e
-                for e in entries
-                if self.predicate.test_stats(e.get("stats", {}), e["row_count"])
-            ]
+            dv_on = schema.options.get("deletion-vectors.enabled") == "true"
+            safe = (
+                None
+                if (not schema.primary_keys or dv_on)
+                else set(schema.primary_keys) | set(schema.partition_keys)
+            )
+            sp = skip_safe_predicate(self.predicate, safe)
+            if sp is not None:
+                entries = [
+                    e
+                    for e in entries
+                    if sp.test_stats(e.get("stats", {}), e["row_count"])
+                    and sp.test_index(e.get("index") or {})
+                ]
         self.last_plan = {
             "snapshot_id": snap.snapshot_id,
             "total_files": total,

@@ -2341,3 +2341,117 @@ class TestRowkindField:
                 options={"rowkind.field": "nope"},
             )
             t.upsert(spark.createDataFrame([(1, "a", "+I")], self.DDL))
+
+
+class TestBloomFileIndex:
+    """``file-index.bloom-filter.columns``: per-file bloom filters answer
+    point lookups on unsorted high-cardinality columns where min/max stats
+    cannot skip anything (plans/fileindex.py)."""
+
+    def test_point_lookup_skips_files(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "bf1", "id int, tag string",
+            options={"file-index.bloom-filter.columns": "tag"},
+        )
+        # two files with fully overlapping [min,max] on tag but disjoint
+        # value sets: stats keep both, bloom must drop one
+        t.append(spark.createDataFrame(
+            [(i, f"t{i:03d}") for i in range(0, 100, 2)],
+            "id int, tag string").coalesce(1))
+        t.append(spark.createDataFrame(
+            [(i, f"t{i:03d}") for i in range(1, 100, 2)],
+            "id int, tag string").coalesce(1))
+        sc = t.scan(predicate=P.eq("tag", "t014"))
+        got = sc.to_df().collect()
+        assert [(r["id"], r["tag"]) for r in got] == [(14, "t014")]
+        assert sc.last_plan["total_files"] == 2
+        assert sc.last_plan["after_stats_skip"] == 1  # bloom skipped one
+
+    def test_no_false_negatives(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "bf2", "id int, tag string",
+            options={"file-index.bloom-filter.columns": "tag,id"},
+        )
+        for start in (0, 1, 2):
+            t.append(spark.createDataFrame(
+                [(i, f"v{i}") for i in range(start, 90, 3)], "id int, tag string"))
+        for probe in (0, 13, 41, 88, 89):
+            got = t.scan(predicate=P.eq("tag", f"v{probe}")).to_df().collect()
+            assert [r["id"] for r in got] == [probe]
+            got = t.scan(predicate=P.eq("id", probe)).to_df().collect()
+            assert [r["tag"] for r in got] == [f"v{probe}"]
+
+    def test_in_predicate_uses_bloom(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "bf3", "id int, tag string",
+            options={"file-index.bloom-filter.columns": "tag"},
+        )
+        t.append(spark.createDataFrame(
+            [(i, f"t{i:03d}") for i in range(0, 100, 2)], "id int, tag string").coalesce(1))
+        t.append(spark.createDataFrame(
+            [(i, f"t{i:03d}") for i in range(1, 100, 2)], "id int, tag string").coalesce(1))
+        sc = t.scan(predicate=P.in_("tag", ["t010", "t012"]))  # both even-file
+        assert {r["id"] for r in sc.to_df().collect()} == {10, 12}
+        assert sc.last_plan["after_stats_skip"] == 1
+
+    def test_pk_table_bloom_on_key_only(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "bf4", "k int, v string", primary_keys=["k"],
+            options={"file-index.bloom-filter.columns": "k,v",
+                     "bucket": "1"},
+        )
+        t.upsert(spark.createDataFrame([(1, "x"), (2, "b")], "k int, v string"))
+        t.upsert(spark.createDataFrame([(1, "y")], "k int, v string"))
+        # value-column probe: merge-on-read safety keeps ALL files — the
+        # stale (1,'x') version must not resurrect
+        assert t.scan(predicate=P.eq("v", "x")).to_df().collect() == []
+        # pk probe: bloom may skip the second file for k=2
+        sc = t.scan(predicate=P.eq("k", 2))
+        assert [(r["k"], r["v"]) for r in sc.to_df().collect()] == [(2, "b")]
+        assert sc.last_plan["after_stats_skip"] == 1
+
+    def test_datasource_read_uses_bloom(self, spark, catalog):
+        from paimon_presto_spark.sources.datasource import PaimonDataSource
+
+        try:
+            spark.dataSource.register(PaimonDataSource)
+        except Exception:
+            pass
+        t = catalog.create_table(
+            "default", "bf5", "id int, tag string",
+            options={"file-index.bloom-filter.columns": "tag"},
+        )
+        t.append(spark.createDataFrame(
+            [(i, f"t{i:03d}") for i in range(0, 100, 2)], "id int, tag string").coalesce(1))
+        t.append(spark.createDataFrame(
+            [(i, f"t{i:03d}") for i in range(1, 100, 2)], "id int, tag string").coalesce(1))
+        df = (
+            spark.read.format("paimon").option("path", t.path).load()
+            .filter(F.col("tag") == "t014")
+        )
+        assert [(r["id"], r["tag"]) for r in df.collect()] == [(14, "t014")]
+
+    def test_unknown_index_column_rejected(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "bf6", "id int",
+            options={"file-index.bloom-filter.columns": "nope"},
+        )
+        with pytest.raises(ValueError, match="unknown"):
+            t.append(spark.createDataFrame([(1,)], "id int"))
+
+    def test_bloom_unit_properties(self):
+        import random
+
+        from paimon_presto_spark.plans.fileindex import build_bloom, might_contain
+
+        rng = random.Random(7)
+        present = [rng.randrange(10**12) for _ in range(500)]
+        bloom = build_bloom(present)
+        assert all(might_contain(bloom, v) for v in present)  # never lies
+        absent = [rng.randrange(10**12) for _ in range(2000)]
+        fp = sum(might_contain(bloom, v) for v in absent if v not in set(present))
+        assert fp / 2000 < 0.05  # ~1% design fpp, generous bound
+        # strings and ints never alias; nulls not indexed
+        b2 = build_bloom(["1", None])
+        assert might_contain(b2, "1") and not might_contain(b2, 1)
+        assert build_bloom([None, None]) is None
