@@ -894,3 +894,121 @@ def semdedup_incremental(
             .alias("status"),
         )
     )
+
+
+def pca_components(
+    emb: DataFrame,
+    vec_col: str,
+    dim: int | None = None,
+    out_dim: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Principal components of an embedding column in ONE corpus scan.
+
+    The scalable PCA shape: each partition reduces its Arrow batches to a
+    (count, sum-vector, second-moment-matrix) partial via BLAS
+    (``mapInPandas``), the partials — one (1 + d + d²)-double row per
+    partition, kilobytes regardless of corpus size — are combined on the
+    driver, and ``numpy.linalg.eigh`` runs on the d×d covariance there
+    (d is bounded; the corpus is not). No iteration, no per-row Python.
+
+    Sign convention for determinism: each component's
+    largest-|coefficient| entry is made positive, so the rotation is a
+    pure function of the data (eigh's sign choice is not).
+
+    Returns (components [out_dim × d] row-major, eigenvalues desc, mean,
+    n_rows).
+    """
+    if dim is None:
+        first = emb.select(F.col(vec_col)).filter(
+            F.col(vec_col).isNotNull()
+        ).first()
+        if first is None:
+            raise ValueError("no vectors to fit PCA on")
+        dim = len(first[0])
+    d = dim
+    v = emb.select(F.col(vec_col).alias("__v")).filter(
+        F.size("__v") == d
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(d)
+        m2 = np.zeros((d, d))
+        for pdf in batches:
+            x = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            m2 += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "m2": [m2.ravel().tolist()]}
+            )
+
+    rows = v.mapInPandas(
+        partials, schema="n long, s array<double>, m2 array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("no vectors to fit PCA on")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    m2 = np.sum([np.array(r["m2"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = m2 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    comps = evecs[:, order].T  # rows = components
+    flips = np.sign(comps[np.arange(comps.shape[0]),
+                          np.abs(comps).argmax(axis=1)])
+    comps = comps * flips[:, None]
+    k = out_dim if out_dim is not None else d
+    return comps[:k], evals[:k], mean, n
+
+
+def pca_project(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    dim: int | None = None,
+    whiten: bool = False,
+) -> DataFrame:
+    """Project embeddings onto their top ``out_dim`` principal components
+    (optionally whitened) — the standard pre-ANN dimensionality reduction:
+    fit via the one-scan partials above, then a second map-only pass does
+    the (x−mean)·Wᵀ matmul per Arrow batch. Components ride into the
+    closure as a broadcast-sized literal (out_dim × d doubles).
+
+    Returns (id_col, ``proj`` array<double>).
+    """
+    comps, evals, mean, _ = pca_components(emb, vec_col, dim=dim,
+                                           out_dim=out_dim)
+    if whiten:
+        comps = comps / np.sqrt(np.maximum(evals, 1e-12))[:, None]
+    w = comps.T.copy()  # d × k
+    mu = mean.copy()
+    d = mean.shape[0]
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            out = pd.DataFrame({
+                "__pid": pdf["__pid"],
+                "proj": ((x - mu) @ w).tolist() if x.size else [],
+            })
+            yield out
+
+    v = emb.select(
+        F.col(id_col).alias("__pid"), F.col(vec_col).alias("__v")
+    ).filter(F.size("__v") == d)
+    out_schema = f"__pid {dict(v.dtypes)['__pid']}, proj array<double>"
+    return (
+        v.mapInPandas(project, schema=out_schema)
+        .withColumnRenamed("__pid", id_col)
+    )

@@ -1309,3 +1309,63 @@ def table_format_sequence_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "ver")
     )
+
+
+@register(
+    "table_format_bloom_index",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_orderkey IN (7, 386, 1637)
+        ORDER BY o_orderkey
+    """,
+    tags=("table-format", "file-index", "bloom", "end-to-end"),
+)
+def table_format_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``file-index.bloom-filter.columns`` through the oracle gate: orders
+    are written across several commits (several files with overlapping
+    o_orderkey ranges — min/max stats alone cannot skip), then point
+    lookups must return exactly the oracle's rows while the plan audit
+    asserts the bloom index actually dropped files (``plans/fileindex.py``;
+    Paimon's public file-index option surface). A false positive only
+    costs a read; a false negative would lose a row and break the hash —
+    this entry certifies the never-lies direction end-to-end.
+    """
+    import os
+    import tempfile
+
+    from paimon_presto_spark.catalog import Catalog
+    from paimon_presto_spark.plans.predicate import P
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    wh = tempfile.mkdtemp(prefix="bfi-", dir=base)
+    cat = Catalog(spark, wh)
+    cat.create_database("bfi", ignore_if_exists=True)
+    t = cat.create_table(
+        "bfi", "orders_bfi",
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+        options={"file-index.bloom-filter.columns": "o_orderkey"},
+    )
+    # 4 commits with interleaved key ranges: every file's [min, max]
+    # covers the probes, so only the bloom filter can skip
+    for residue in range(4):
+        t.append(
+            o.filter(F.col("o_orderkey") % 4 == residue)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .coalesce(1)
+        )
+    sc = t.scan(predicate=P.in_("o_orderkey", [7, 386, 1637]))
+    out = sc.to_df()
+    plan = sc.last_plan
+    if plan["after_stats_skip"] >= plan["total_files"]:
+        raise AssertionError(
+            f"bloom index skipped nothing: {plan}"
+        )
+    return out.orderBy("o_orderkey")

@@ -762,3 +762,77 @@ def split_assign_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@register(
+    "embedding_pca_project",
+    oracle="""
+        WITH vals AS (
+            SELECT generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        per_dim AS (
+            SELECT i, COUNT(*) AS n,
+                   SUM(CAST(x AS DECIMAL(28,10))) AS s1,
+                   SUM(CAST(x * x AS DECIMAL(28,10))) AS s2
+            FROM vals GROUP BY i
+        ),
+        vars AS (
+            SELECT CAST(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                        AS DECIMAL(28,10)) AS v
+            FROM per_dim
+        ),
+        tot AS (SELECT ROUND(CAST(SUM(v) AS DOUBLE), 4) AS t FROM vars)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+               t AS total_var_raw,
+               t AS total_var_projected
+        FROM tot
+    """,
+    tags=("llm-pipeline", "embeddings", "pca", "linear-algebra"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA through the oracle gate via its conservation law:
+    an orthogonal rotation preserves total variance, so projecting onto
+    ALL principal components must reproduce the raw corpus variance
+    EXACTLY — which SQL can compute without an eigendecomposition. The
+    fit is one corpus scan of BLAS partials (count, Σx, ΣxxT per Arrow
+    batch; ``operators/similarity.pca_components``), the d×d eigh runs on
+    the driver (d bounded, corpus unbounded), and the projection is a
+    second map-only matmul pass. A non-orthonormal basis, a dropped
+    partial, or a mean-handling bug each break the equality at the 4th
+    decimal. Both variance sides aggregate per-dim decimal sums (the
+    repo's engine-portable determinism rule) before one double division.
+    """
+    from paimon_presto_spark.operators.similarity import pca_project
+
+    DECV = "decimal(28,10)"
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def total_var(df: DataFrame, vec: str) -> DataFrame:
+        vals = df.select(
+            F.posexplode(F.col(vec)).alias("i", "xf")
+        ).select("i", F.col("xf").cast("double").alias("x"))
+        per_dim = vals.groupBy("i").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(DECV)).alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast(DECV)).alias("s2"),
+        )
+        var_i = (
+            F.col("s2").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("s1").cast("double") / F.col("n"))
+        )
+        return per_dim.select(var_i.cast(DECV).alias("v")).agg(
+            F.round(F.sum("v").cast("double"), 4).alias("t")
+        )
+
+    n_vecs = emb.count()
+    raw = total_var(emb, "embedding").collect()[0]["t"]
+    proj = pca_project(emb, "vec_id", "embedding", out_dim=64)
+    projected = total_var(proj, "proj").collect()[0]["t"]
+    return spark.createDataFrame(
+        [(n_vecs, raw, projected)],
+        "n_vecs bigint, total_var_raw double, total_var_projected double",
+    )

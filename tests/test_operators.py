@@ -1136,3 +1136,58 @@ def test_interval_join_property_random_graphs(spark):
         assert got == expected
 
     run()
+
+
+def test_pca_matches_numpy_and_is_deterministic(spark):
+    """pca_components' distributed one-scan partials must agree with a
+    direct numpy PCA on the collected data (same covariance, same
+    eigenvalues, same sign-fixed components), and projection must
+    preserve total variance when out_dim == dim (orthogonal rotation)."""
+    import numpy as np
+
+    from paimon_presto_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    # anisotropic data: variance concentrated along a known direction
+    base = rng.standard_normal((400, 8))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    rows = [(i, base[i].tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>").repartition(7)
+
+    comps, evals, mean, n = pca_components(df, "emb")
+    assert n == 400
+    # numpy reference
+    x = base - base.mean(axis=0)
+    cov = (x.T @ x) / 400
+    ref_evals, ref_evecs = np.linalg.eigh(cov)
+    order = np.argsort(ref_evals)[::-1]
+    ref_evals = ref_evals[order]
+    ref = ref_evecs[:, order].T
+    flips = np.sign(ref[np.arange(8), np.abs(ref).argmax(axis=1)])
+    ref = ref * flips[:, None]
+    assert np.allclose(mean, base.mean(axis=0), atol=1e-9)
+    assert np.allclose(evals, ref_evals, atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-8)
+    # top component captures the inflated axis
+    assert abs(comps[0, 0]) > 0.99
+
+    # full-rank projection preserves total variance (orthogonality)
+    proj = pca_project(df, "vid", "emb", out_dim=8)
+    p = np.array([r["proj"] for r in proj.collect()])
+    assert np.isclose(p.var(axis=0, ddof=0).sum(),
+                      base.var(axis=0, ddof=0).sum(), rtol=1e-9)
+    # truncated projection keeps the top-eigenvalue share
+    proj2 = pca_project(df, "vid", "emb", out_dim=2)
+    p2 = np.array([r["proj"] for r in proj2.collect()])
+    assert np.isclose(p2.var(axis=0, ddof=0).sum(), evals[:2].sum(), rtol=1e-9)
+    # whitening → unit variance per output dim
+    projw = pca_project(df, "vid", "emb", out_dim=2, whiten=True)
+    pw = np.array([r["proj"] for r in projw.collect()])
+    assert np.allclose(pw.var(axis=0, ddof=0), 1.0, atol=1e-6)
+    # determinism across repartitionings (partial-combine order changes)
+    comps3, evals3, _, _ = pca_components(df.repartition(3), "emb")
+    assert np.allclose(comps3, comps, atol=1e-9)
