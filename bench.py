@@ -59,6 +59,10 @@ HEADLINE = [
     "sample_stratified_exact",
     "doc_chunk_windows",
     "pack_sequences_greedy",
+    # late round 3: chunk-level dedup, stable splits, distributed PCA
+    "dedup_boilerplate_chunks",
+    "split_assign_hash",
+    "embedding_pca_project",
 ]
 
 

@@ -824,13 +824,14 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("s1").cast("double") / F.col("n"))
             * (F.col("s1").cast("double") / F.col("n"))
         )
-        return per_dim.select(var_i.cast(DECV).alias("v")).agg(
-            F.round(F.sum("v").cast("double"), 4).alias("t")
+        return per_dim.select(var_i.cast(DECV).alias("v"), "n").agg(
+            F.round(F.sum("v").cast("double"), 4).alias("t"),
+            F.max("n").alias("n"),
         )
 
-    n_vecs = emb.count()
-    raw = total_var(emb, "embedding").collect()[0]["t"]
-    proj = pca_project(emb, "vec_id", "embedding", out_dim=64)
+    raw_row = total_var(emb, "embedding").collect()[0]
+    raw, n_vecs = raw_row["t"], raw_row["n"]
+    proj = pca_project(emb, "vec_id", "embedding", out_dim=64, dim=64)
     projected = total_var(proj, "proj").collect()[0]["t"]
     return spark.createDataFrame(
         [(n_vecs, raw, projected)],

@@ -165,3 +165,71 @@ def test_timestamp_file_skipping_never_changes_results(
         str(r["ts"]) for r in t.to_df().filter(pred.to_spark()).collect()
     )
     assert pruned == full
+
+
+pk_workload = st.lists(  # each element = one commit against the pk table
+    st.tuples(
+        st.sampled_from(["upsert", "delete"]),
+        st.lists(
+            st.tuples(st.integers(0, 6), values),  # (key, value)
+            min_size=1,
+            max_size=5,
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+pk_predicates = st.recursive(
+    st.one_of(
+        st.builds(P.eq, st.just("k"), st.integers(0, 6)),
+        st.builds(P.in_, st.just("k"),
+                  st.lists(st.integers(0, 6), min_size=1, max_size=3)),
+        st.builds(P.eq, st.just("a"), values),
+        st.builds(P.lt, st.just("a"), values),
+        st.builds(P.gte, st.just("a"), values),
+        st.builds(P.between, st.just("a"), values, values),
+    ),
+    lambda kids: st.one_of(
+        st.builds(lambda x, y: x & y, kids, kids),
+        st.builds(lambda x, y: x | y, kids, kids),
+    ),
+    max_leaves=4,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(workload=pk_workload, pred=pk_predicates)
+def test_pk_file_skipping_never_resurrects_stale_rows(
+    spark, tmp_path_factory, workload, pred
+):
+    """Merge-on-read + file skipping: for ANY upsert/delete history and ANY
+    predicate (key- or value-column), scan(predicate) must equal the full
+    merged state filtered afterwards. Value-column predicates are the trap:
+    a per-file skip on them can drop a key's newest version and resurrect
+    a stale one (plans.predicate.skip_safe_predicate)."""
+    from paimon_presto_spark.catalog import Catalog
+
+    wh = tmp_path_factory.mktemp("wh_pk_prune")
+    c = Catalog(spark, str(wh))
+    c.create_database("d", ignore_if_exists=True)
+    t = c.create_table("d", "t", "k int, a int", primary_keys=["k"],
+                       options={"bucket": "2"})
+    for op, rows in workload:
+        df = spark.createDataFrame(rows, "k int, a int")
+        if op == "upsert":
+            t.upsert(df)
+        else:
+            t.delete(df.select("k").distinct())
+    pruned = sorted(
+        (r["k"], r["a"]) for r in t.scan(predicate=pred).to_df().collect()
+    )
+    full = sorted(
+        (r["k"], r["a"])
+        for r in t.to_df().filter(pred.to_spark()).collect()
+    )
+    assert pruned == full
