@@ -317,6 +317,48 @@ class Catalog:
         s.fields = [f for f in s.fields if f["name"] != col]
         self._write_schema(t, s, s.highest_field_id)
 
+    #: options that define the table's physical/merge contract — changing
+    #: them under existing data corrupts reads, so ALTER rejects them:
+    #: bucket (use Table.rescale_bucket — it rewrites data), merge-engine
+    #: and sequence.field (they re-ORDER the already-written history),
+    #: deletion-vectors (pre-existing multi-version keys would violate the
+    #: one-live-position read invariant; recreate or compact-migrate).
+    _IMMUTABLE_OPTIONS = frozenset(
+        ["bucket", "merge-engine", "sequence.field", "deletion-vectors.enabled"]
+    )
+
+    def set_table_options(self, db: str, name: str, options: dict[str, str]) -> None:
+        """``ALTER TABLE ... SET (k = v, ...)`` — Paimon's mutable-option
+        surface (the reference exposes the same WITH-clause options at
+        CREATE, ``PrestoSqlTableOptionUtils.java:96-128``; Paimon core
+        allows altering the non-structural ones later). The change bumps
+        the schema version: already-written files keep their writer
+        schema, so e.g. switching ``file.format`` affects only new files
+        while old ones keep reading in their original format."""
+        t = self.get_table(db, name)
+        s = t.schema()
+        bad = sorted(set(options) & self._IMMUTABLE_OPTIONS)
+        if bad:
+            raise ValueError(
+                f"options {bad} are immutable after creation (bucket: use "
+                "rescale_bucket; merge-engine/sequence.field would reorder "
+                "committed history; deletion-vectors needs a migration)"
+            )
+        s.options.update({k: str(v) for k, v in options.items()})
+        self._write_schema(t, s, s.highest_field_id)
+
+    def reset_table_options(self, db: str, name: str, keys: list[str]) -> None:
+        """``ALTER TABLE ... RESET (k, ...)`` — drop options back to their
+        defaults (same immutability rules as ``set_table_options``)."""
+        bad = sorted(set(keys) & self._IMMUTABLE_OPTIONS)
+        if bad:
+            raise ValueError(f"options {bad} are immutable after creation")
+        t = self.get_table(db, name)
+        s = t.schema()
+        for k in keys:
+            s.options.pop(k, None)
+        self._write_schema(t, s, s.highest_field_id)
+
     def _write_schema(self, table: Table, s: TableSchema, highest_id: int) -> None:
         s.schema_id += 1
         s.highest_field_id = max(s.highest_field_id, highest_id)

@@ -2455,3 +2455,83 @@ class TestBloomFileIndex:
         b2 = build_bloom(["1", None])
         assert might_contain(b2, "1") and not might_contain(b2, 1)
         assert build_bloom([None, None]) is None
+
+    def test_schema_rename_degrades_index_to_no_skip(self, spark, catalog):
+        """Renaming an indexed column must stay CORRECT: old files' blooms
+        are keyed by the old name, so lookups by the new name find no
+        index entry (no skip, no wrong skip); new writes index under the
+        new name."""
+        t = catalog.create_table(
+            "default", "bf7", "id int, tag string",
+            options={"file-index.bloom-filter.columns": "tag"},
+        )
+        t.append(spark.createDataFrame(
+            [(i, f"t{i}") for i in range(0, 50, 2)],
+            "id int, tag string").coalesce(1))
+        catalog.rename_column("default", "bf7", "tag", "label")
+        # option still names the old column: writes must fail loudly until
+        # the option is updated, not silently stop indexing
+        with pytest.raises(ValueError, match="unknown"):
+            t.append(spark.createDataFrame(
+                [(1, "x")], "id int, label string").coalesce(1))
+        catalog.set_table_options(
+            "default", "bf7", {"file-index.bloom-filter.columns": "label"})
+        t.append(spark.createDataFrame(
+            [(i, f"t{i}") for i in range(1, 50, 2)],
+            "id int, label string").coalesce(1))
+        # probe by the NEW name: old file has no 'label' bloom (kept), new
+        # file skippable; every value still found
+        for probe in (2, 31):
+            sc = t.scan(predicate=P.eq("label", f"t{probe}"))
+            assert [r["id"] for r in sc.to_df().collect()] == [probe]
+
+
+class TestAlterTableOptions:
+    """ALTER TABLE SET/RESET options: non-structural options are mutable
+    (new schema version; old files keep their writer schema), the
+    physical/merge contract is not."""
+
+    def test_set_and_reset_roundtrip(self, spark, catalog):
+        t = catalog.create_table("default", "ao1", "k int, v string")
+        catalog.set_table_options(
+            "default", "ao1",
+            {"snapshot.num-retained.max": "5", "file.format": "orc"})
+        s = t.schema()
+        assert s.options["snapshot.num-retained.max"] == "5"
+        # format switch affects NEW files only; old parquet keeps reading
+        t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+        catalog.reset_table_options("default", "ao1", ["file.format"])
+        t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+        assert rows(t.to_df()) == [(1, "a"), (2, "b")]
+
+    def test_format_switch_mixes_files(self, spark, catalog):
+        t = catalog.create_table("default", "ao2", "k int, v string")
+        t.append(spark.createDataFrame([(1, "pq")], "k int, v string"))
+        catalog.set_table_options("default", "ao2", {"file.format": "orc"})
+        t.append(spark.createDataFrame([(2, "orc")], "k int, v string"))
+        assert rows(t.to_df()) == [(1, "pq"), (2, "orc")]
+        fmts = {e["path"].rsplit(".", 1)[1]
+                for e in t.manifest_entries()}
+        assert fmts == {"parquet", "orc"}
+
+    def test_changelog_producer_enables_midstream(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "ao3", "k int, v string", primary_keys=["k"])
+        t.upsert(spark.createDataFrame([(1, "a")], "k int, v string"))
+        catalog.set_table_options(
+            "default", "ao3", {"changelog-producer": "lookup"})
+        t.upsert(spark.createDataFrame([(1, "a2")], "k int, v string"))
+        kinds = sorted(
+            r["__row_kind"] for r in t.changelog_df().collect())
+        assert kinds == ["UA", "UB"]  # only the post-enable commit
+
+    def test_structural_options_rejected(self, spark, catalog):
+        catalog.create_table(
+            "default", "ao4", "k int, v string", primary_keys=["k"])
+        for k, v in [("bucket", "4"), ("merge-engine", "first-row"),
+                     ("sequence.field", "v"),
+                     ("deletion-vectors.enabled", "true")]:
+            with pytest.raises(ValueError, match="immutable"):
+                catalog.set_table_options("default", "ao4", {k: v})
+        with pytest.raises(ValueError, match="immutable"):
+            catalog.reset_table_options("default", "ao4", ["merge-engine"])
