@@ -442,3 +442,36 @@ def test_time_travel_tag_and_timestamp(registered, spark, catalog):
     with pytest.raises(Exception, match="mutually exclusive"):
         (spark.read.format("paimon").option("path", t.path)
          .option("tag", "rel").option("snapshot", "1").load().collect())
+
+
+def test_stream_reader_mixed_rowkind_commit(spark, catalog, tmp_path):
+    """A rowkind.field CDC commit mixes I and D rows in ONE snapshot; the
+    changelog stream must emit each row with its own kind, in the single
+    micro-batch of that commit."""
+    from paimon_presto_spark.sources.datasource import PaimonDataSource
+
+    spark.dataSource.register(PaimonDataSource)
+    t = catalog.create_table(
+        "default", "ds_rk", "k int, v string, rk string",
+        primary_keys=["k"], options={"rowkind.field": "rk"},
+    )
+    ddl = "k int, v string, rk string"
+    t.upsert(spark.createDataFrame([(1, "a", "+I"), (2, "b", "+I")], ddl))
+    t.upsert(spark.createDataFrame(
+        [(1, "a2", "+U"), (2, None, "-D"), (3, "c", "+I")], ddl))
+    q = (
+        spark.readStream.format("paimon")
+        .option("path", t.path).option("changelog", "true")
+        .load().writeStream.format("memory").queryName("ds_rk_out")
+        .option("checkpointLocation", str(tmp_path / "ck-rk"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["__seq"], r["k"], r["__row_kind"])
+        for r in spark.table("ds_rk_out").collect()
+    )
+    assert rows == [
+        (1, 1, "I"), (1, 2, "I"),
+        (2, 1, "I"), (2, 2, "D"), (2, 3, "I"),
+    ]
