@@ -501,3 +501,63 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (step_order, step, n_users, total_lag_s)"
         )
     ).orderBy("step_order")
+
+
+WEEK_NS = 7 * 86_400 * NS_PER_S
+
+
+@register(
+    "events_cohort_retention",
+    oracle=f"""
+        WITH act AS (
+            SELECT DISTINCT user_id, epoch_ns(ts) // {WEEK_NS} AS wk
+            FROM events
+        ),
+        cohort AS (SELECT user_id, MIN(wk) AS cw FROM act GROUP BY user_id),
+        ret AS (
+            SELECT c.cw AS cohort_week,
+                   a.wk - c.cw AS week_offset,
+                   COUNT(*) AS n_active
+            FROM act a JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT cohort_week, week_offset, n_active,
+               CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size
+        FROM ret
+        ORDER BY cohort_week, week_offset
+    """,
+    tags=("events", "cohort", "retention", "window"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the canonical product-analytics triangle:
+    users grouped by first-activity week, counted at each week offset
+    they return. Three narrow aggregations (distinct user-weeks →
+    per-user first week → per-(cohort, offset) counts) plus one window
+    for the cohort size; every shuffle carries (user_id, week) pairs,
+    never events. Integer epoch-week arithmetic (``ts DIV``, matching the
+    oracle's ``epoch_ns // week``) and integer-only outputs keep the
+    cross-engine hash trivially stable — retention RATios are left to the
+    consumer, who has both numerator and denominator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.select("user_id", F.expr(f"ts DIV {WEEK_NS}").alias("wk"))
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    ret = (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week")
+    return ret.select(
+        "cohort_week", "week_offset", "n_active",
+        F.max(
+            F.when(F.col("week_offset") == 0, F.col("n_active"))
+        ).over(w).cast("bigint").alias("cohort_size"),
+    ).orderBy("cohort_week", "week_offset")

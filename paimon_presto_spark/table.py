@@ -2649,7 +2649,9 @@ class Table:
         UTC) has a tag — the first commit of each period pins it, giving a
         reproducible corpus revision per day/hour with zero operator
         involvement. ``tag.num-retained-max`` prunes the OLDEST
-        auto-created tags only; manual tags are never touched."""
+        auto-created tags and ``tag.default-time-retained`` expires
+        auto tags past their age (Paimon's auto-tag TTL); manual tags
+        are never touched by either."""
         if schema.options.get("tag.automatic-creation") != "process-time":
             return
         period = schema.options.get("tag.creation-period", "daily")
@@ -2660,14 +2662,25 @@ class Table:
         if not os.path.exists(self._tag_path(name)):
             self.create_tag(name, snapshot_id, _auto=True)
         retain = schema.options.get("tag.num-retained-max")
+        ttl = schema.options.get("tag.default-time-retained")
+        if retain is None and ttl is None:
+            return
+        auto: list[tuple[str, int]] = []
+        for tag in self.list_tags():
+            with open(self._tag_path(tag)) as fh:
+                d = json.load(fh)
+            if d.get("tag_auto"):
+                auto.append((tag, int(d.get("tag_create_ms", 0))))
+        drop: set[str] = set()
         if retain is not None:
-            auto = []
-            for tag in self.list_tags():
-                with open(self._tag_path(tag)) as fh:
-                    if json.load(fh).get("tag_auto"):
-                        auto.append(tag)
-            for tag in sorted(auto)[: max(0, len(auto) - int(retain))]:
-                self.delete_tag(tag)
+            drop.update(
+                t for t, _ in sorted(auto)[: max(0, len(auto) - int(retain))]
+            )
+        if ttl is not None:
+            cutoff = int(time.time() * 1000) - _parse_duration_ms(ttl)
+            drop.update(t for t, created in auto if created < cutoff)
+        for tag in drop:
+            self.delete_tag(tag)
 
     def delete_tag(self, name: str) -> None:
         try:

@@ -2535,3 +2535,35 @@ class TestAlterTableOptions:
                 catalog.set_table_options("default", "ao4", {k: v})
         with pytest.raises(ValueError, match="immutable"):
             catalog.reset_table_options("default", "ao4", ["merge-engine"])
+
+
+class TestTagTimeRetention:
+    def test_auto_tag_ttl_expires_only_auto_tags(self, spark, catalog):
+        """tag.default-time-retained: auto tags past their TTL are dropped
+        at the next commit; manual tags and fresh auto tags survive."""
+        import json as _json
+
+        t = catalog.create_table(
+            "default", "ttl1", "k int, v string", primary_keys=["k"],
+            options={"tag.automatic-creation": "process-time",
+                     "tag.creation-period": "daily",
+                     "tag.default-time-retained": "1 h"},
+        )
+        ddl = "k int, v string"
+        t.upsert(spark.createDataFrame([(1, "a")], ddl))  # today's auto tag
+        t.create_tag("release-1")  # manual
+        # fabricate an auto tag from a PREVIOUS period, aged past the TTL
+        today = [x for x in t.list_tags() if x != "release-1"][0]
+        src = _json.load(open(t._tag_path(today)))
+        src["tag_name"] = "2000-01-01"
+        src["tag_create_ms"] -= 2 * 3600 * 1000
+        _json.dump(src, open(t._tag_path("2000-01-01"), "w"))
+        # age the MANUAL tag too — TTL must not touch it
+        pm = t._tag_path("release-1")
+        dm = _json.load(open(pm))
+        dm["tag_create_ms"] -= 2 * 3600 * 1000
+        _json.dump(dm, open(pm, "w"))
+        t.upsert(spark.createDataFrame([(2, "b")], ddl))  # triggers pruning
+        tags = t.list_tags()
+        assert "release-1" in tags and today in tags
+        assert "2000-01-01" not in tags
