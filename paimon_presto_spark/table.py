@@ -1313,6 +1313,68 @@ class Table:
         b, cb = self._lookup_changelog_rows(dels, schema, deletes=True)
         return self._write_changelog(a.unionByName(b), ca + cb)
 
+    def _lookup_changelog_combining(
+        self,
+        df: DataFrame,
+        schema: TableSchema,
+        deletes: bool,
+        base,
+        engine: str,
+    ) -> tuple[DataFrame, list[DataFrame]]:
+        """Lookup changelog for the COMBINING merge engines
+        (partial-update / aggregation): the post-image is the engine's
+        merge of the key's full raw history PLUS the batch — pre-
+        aggregated state cannot be combined directly (count is not
+        associative over its own output), so the lookup re-merges the
+        touched keys' change rows, the same O(touched keys) cost Paimon's
+        lookup compaction pays for these engines."""
+        pks = schema.primary_keys
+        cols = schema.field_names()
+        next_id = (base.snapshot_id + 1) if base else 1
+        empty = (
+            df.select(*[F.col(c) for c in cols if c in df.columns])
+            .limit(0)
+        )
+        for c in cols:
+            if c not in empty.columns:
+                empty = empty.withColumn(c, F.lit(None).cast(_parse_type(
+                    next(f["type"] for f in schema.fields if f["name"] == c))))
+        empty = empty.select(*cols).withColumn(KIND_COL, F.lit("I"))
+        if deletes:
+            # these engines only accept deletes under ignore-delete=true,
+            # where tombstones merge away — nothing changes, no changelog
+            return empty, []
+        batch = df.select(*cols).withColumn(
+            SEQ_COL, F.lit(next_id).cast("long")
+        ).withColumn(POS_COL, F.monotonically_increasing_id()).withColumn(
+            KIND_COL, F.lit("I")
+        )
+        keys = df.select(*pks).distinct()
+        if base is None:
+            post = _merge_on_read(batch, schema)
+            return post.select(*cols).withColumn(KIND_COL, F.lit("I")), []
+        raw_old = (
+            self.scan().to_df(merge=False)
+            .join(F.broadcast(keys), pks, "inner")
+            .select(*cols, SEQ_COL, POS_COL, KIND_COL)
+        )
+        old = _merge_on_read(raw_old, schema).cache()
+        old.count()
+        post = _merge_on_read(raw_old.unionByName(batch), schema)
+        had = old.select(*pks).distinct()
+        ub = old.select(*cols).withColumn(KIND_COL, F.lit("UB"))
+        ua = (
+            post.join(had, pks, "left_semi")
+            .select(*cols)
+            .withColumn(KIND_COL, F.lit("UA"))
+        )
+        ins = (
+            post.join(had, pks, "left_anti")
+            .select(*cols)
+            .withColumn(KIND_COL, F.lit("I"))
+        )
+        return ub.unionByName(ua).unionByName(ins), [old]
+
     def _write_changelog(
         self, clg: DataFrame, caches: list[DataFrame]
     ) -> str:
@@ -1343,16 +1405,22 @@ class Table:
         Returns (rows, cached-frames-to-unpersist-after-write).
         """
         engine = schema.options.get("merge-engine", "deduplicate")
-        if engine not in ("deduplicate", "first-row"):
+        if engine not in (
+            "deduplicate", "first-row", "partial-update", "aggregation"
+        ):
             raise ValueError(
-                "changelog-producer=lookup requires the deduplicate or "
-                "first-row merge engine"
+                f"changelog-producer=lookup does not support merge-engine "
+                f"{engine!r}"
             )
         pks = schema.primary_keys
         cols = schema.field_names()
         seqf = _sequence_fields(schema)
         base = self.snapshot()
         caches: list[DataFrame] = []
+        if engine in ("partial-update", "aggregation"):
+            return self._lookup_changelog_combining(
+                df, schema, deletes, base, engine
+            )
         if seqf:
             # sequence.field rows may arrive pk-only (deletes): null-pad so
             # the ordering columns exist — a null sequence value loses.

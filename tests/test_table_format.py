@@ -1512,15 +1512,17 @@ class TestLookupChangelogProducer:
         assert kinds == [("I", 1), ("UA", 2), ("UB", 2), ("D", 3)]
         assert t.to_df().count() == 0
 
-    def test_requires_deduplicate_engine(self, spark, catalog):
+    def test_aggregation_engine_now_produces(self, spark, catalog):
+        """Historical guard replaced: the combining engines produce lookup
+        changelogs too (TestCombiningEngineChangelog covers semantics)."""
         t = catalog.create_table(
             "default", "clg4", "k int, total int", primary_keys=["k"],
             options={"changelog-producer": "lookup",
                      "merge-engine": "aggregation",
                      "fields.total.aggregate-function": "sum"},
         )
-        with pytest.raises(ValueError, match="deduplicate"):
-            t.upsert(spark.createDataFrame([(1, 5)], "k int, total int"))
+        t.upsert(spark.createDataFrame([(1, 5)], "k int, total int"))
+        assert [r["__row_kind"] for r in t.changelog_df().collect()] == ["I"]
 
     def test_changelog_df_requires_lookup_producer(self, spark, catalog):
         t = catalog.create_table("default", "clg5", "k int", primary_keys=["k"])
@@ -2567,3 +2569,74 @@ class TestTagTimeRetention:
         tags = t.list_tags()
         assert "release-1" in tags and today in tags
         assert "2000-01-01" not in tags
+
+
+class TestCombiningEngineChangelog:
+    """changelog-producer=lookup with partial-update / aggregation: the
+    post-image re-merges the key's raw history plus the batch (state
+    alone cannot be combined — count is not associative over its own
+    output)."""
+
+    def test_partial_update_changelog_patches(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "cec1", "k int, a string, b string",
+            primary_keys=["k"],
+            options={"merge-engine": "partial-update",
+                     "changelog-producer": "lookup"},
+        )
+        ddl = "k int, a string, b string"
+        t.upsert(spark.createDataFrame([(1, "a1", None)], ddl))
+        t.upsert(spark.createDataFrame([(1, None, "b2")], ddl))  # patch b
+        rows = sorted(
+            (r["__seq"], r["__row_kind"], r["a"], r["b"])
+            for r in t.changelog_df().collect()
+        )
+        # snap1: I with (a1, null); snap2: UB old, UA patched (a1, b2)
+        assert rows == [
+            (1, "I", "a1", None),
+            (2, "UA", "a1", "b2"), (2, "UB", "a1", None),
+        ]
+
+    def test_aggregation_count_changelog_is_exact(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "cec2", "k int, total bigint, n bigint",
+            primary_keys=["k"],
+            options={"merge-engine": "aggregation",
+                     "changelog-producer": "lookup",
+                     "fields.total.aggregate-function": "sum",
+                     "fields.n.aggregate-function": "count"},
+        )
+        ddl = "k int, total bigint, n bigint"
+        t.upsert(spark.createDataFrame([(1, 10, 1), (1, 5, 1)], ddl))
+        t.upsert(spark.createDataFrame([(1, 7, 1)], ddl))
+        rows = sorted(
+            (r["__seq"], r["__row_kind"], r["total"], r["n"])
+            for r in t.changelog_df().collect()
+        )
+        # count must be 2 then 3 (rows observed), not 1 + 1 state-combines
+        assert rows == [
+            (1, "I", 15, 2),
+            (2, "UA", 22, 3), (2, "UB", 15, 2),
+        ]
+        assert [(r["total"], r["n"]) for r in t.to_df().collect()] == [(22, 3)]
+
+    def test_changelog_rebuild_equals_state(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "cec3", "k int, total bigint", primary_keys=["k"],
+            options={"merge-engine": "aggregation",
+                     "changelog-producer": "lookup",
+                     "fields.total.aggregate-function": "sum"},
+        )
+        ddl = "k int, total bigint"
+        t.upsert(spark.createDataFrame([(1, 3), (2, 4)], ddl))
+        t.upsert(spark.createDataFrame([(1, 2), (3, 9)], ddl))
+        clg = t.changelog_df()
+        applied = (
+            clg.withColumn(
+                "w", F.when(F.col("__row_kind").isin("I", "UA"), 1).otherwise(-1))
+            .groupBy("k").agg(F.sum(F.col("w") * F.col("total")).alias("total"))
+            .filter("total is not null")
+        )
+        got = {(r["k"], r["total"]) for r in applied.collect()}
+        want = {(r["k"], r["total"]) for r in t.to_df().collect()}
+        assert got == want == {(1, 5), (2, 4), (3, 9)}
