@@ -1875,7 +1875,17 @@ class Table:
         ids = self.snapshot_ids()
         expired = ids[:-keep_last]
         # Consumers pin every snapshot they have yet to read: a consumer at
-        # next_snapshot=N needs N and everything after it.
+        # next_snapshot=N needs N and everything after it. A consumer not
+        # updated within ``consumer.expiration-time`` is dropped first
+        # (Paimon's stale-consumer expiry) — a crashed reader must not pin
+        # retention forever.
+        ttl = self.schema().options.get("consumer.expiration-time")
+        if ttl is not None:
+            cutoff = int(time.time() * 1000) - _parse_duration_ms(ttl)
+            for name in list(self.list_consumers()):
+                with open(self._consumer_path(name)) as fh:
+                    if json.load(fh).get("update_ms", 0) < cutoff:
+                        self.drop_consumer(name)
         consumers = self.list_consumers()
         if consumers:
             floor = min(consumers.values())

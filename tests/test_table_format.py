@@ -2640,3 +2640,28 @@ class TestCombiningEngineChangelog:
         got = {(r["k"], r["total"]) for r in applied.collect()}
         want = {(r["k"], r["total"]) for r in t.to_df().collect()}
         assert got == want == {(1, 5), (2, 4), (3, 9)}
+
+
+def test_consumer_expiration_unpins_retention(spark, catalog):
+    """consumer.expiration-time: a consumer whose progress file has gone
+    stale is dropped at the next expire_snapshots, so a crashed reader
+    cannot pin history forever; fresh consumers keep pinning."""
+    import json as _json
+
+    t = catalog.create_table(
+        "default", "cexp", "k int", primary_keys=["k"],
+        options={"consumer.expiration-time": "1 h"},
+    )
+    for i in range(5):
+        t.upsert(spark.createDataFrame([(i,)], "k int"))
+    t.register_consumer("stale", next_snapshot=1)
+    t.register_consumer("fresh", next_snapshot=2)
+    # age the stale consumer's heartbeat beyond the TTL
+    p = t._consumer_path("stale")
+    d = _json.load(open(p))
+    d["update_ms"] -= 2 * 3600 * 1000
+    _json.dump(d, open(p, "w"))
+    expired = t.expire_snapshots(keep_last=1)
+    # stale consumer dropped; fresh consumer (next=2) pins 2..5 → only 1 goes
+    assert expired == [1]
+    assert set(t.list_consumers()) == {"fresh"}
