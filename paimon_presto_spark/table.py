@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re_mod
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -736,16 +737,31 @@ class Table:
             raise ValueError(f"rowkind.field references unknown column {rkf!r}")
         if rkf in schema.primary_keys:
             raise ValueError(f"rowkind.field {rkf!r} cannot be a primary key")
+        self._check_cdc_batch_supported(schema, "rowkind.field")
+        is_del = F.upper(F.col(rkf)).isin("-D", "D", "-U")
+        df = df.withColumn(
+            "__rk", F.when(is_del, F.lit("D")).otherwise(F.lit("I"))
+        )
+        return self._commit_cdc_batch(df, schema)
+
+    def _check_cdc_batch_supported(self, schema: TableSchema, what: str) -> None:
         engine = schema.options.get("merge-engine", "deduplicate")
         if engine != "deduplicate":
             raise ValueError(
-                f"rowkind.field requires merge-engine deduplicate, got {engine!r}"
+                f"{what} requires merge-engine deduplicate, got {engine!r}"
             )
         if schema.options.get("deletion-vectors.enabled") == "true":
             raise ValueError(
-                "rowkind.field cannot be combined with deletion-vectors "
+                f"{what} cannot be combined with deletion-vectors "
                 "(eager position deletes assume insert-only batches)"
             )
+
+    def _commit_cdc_batch(self, df: DataFrame, schema: TableSchema) -> Snapshot:
+        """ONE atomic commit of a mixed insert/tombstone batch: `df`
+        carries a ``__rk`` column ('I' or 'D') per row. Within-batch
+        winners resolve per key first (by sequence.field when set, else
+        input order), the lookup producer emits a single mixed changelog,
+        dynamic-bucket tombstones for never-seen keys are not indexed."""
         pks = schema.primary_keys
         seqf = _sequence_fields(schema)
         w = Window.partitionBy(*pks).orderBy(
@@ -757,12 +773,13 @@ class Table:
             .filter(F.col("__rn") == 1)
             .drop("__rn", POS_COL)
         )
-        is_del = F.upper(F.col(rkf)).isin("-D", "D", "-U")
-        kind_expr = F.when(is_del, F.lit("D")).otherwise(F.lit("I"))
+        is_del = F.col("__rk") == "D"
         clg_name = None
         if schema.options.get("changelog-producer") == "lookup":
             clg_name = self._produce_rowkind_changelog(
-                df.filter(~is_del), df.filter(is_del), schema
+                df.filter(~is_del).drop("__rk"),
+                df.filter(is_del).drop("__rk"),
+                schema,
             )
         base = self.snapshot()
         b_name = None
@@ -776,12 +793,102 @@ class Table:
             df = ins.unionByName(dels)
         need_expect = b_name is not None or clg_name is not None
         snap = self._commit_write(
-            df, kind="UPSERT", row_kind=kind_expr,
+            df, kind="UPSERT", row_kind=F.col("__rk"),
             bucket_index=b_name, changelog=clg_name,
             expect=(base.snapshot_id if base else 0) if need_expect else None,
         )
         self._maybe_auto_compact(schema)
         return snap
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched: str = "update",
+        matched_condition: str | None = None,
+        when_not_matched: str = "insert",
+    ) -> Snapshot:
+        """MERGE INTO in one atomic commit (the lakehouse upsert idiom;
+        Paimon ships the same statement through its Spark integration):
+
+        - ``when_matched``: ``'update'`` (source row replaces the stored
+          row), ``'delete'`` (tombstone), or ``'ignore'`` — applied only
+          where ``matched_condition`` (SQL over source columns, may
+          reference the stored row as ``target.<col>``) holds; matched
+          rows failing the condition are left untouched.
+        - ``when_not_matched``: ``'insert'`` or ``'ignore'``.
+
+        Matching is by primary key against the CURRENT merged state (one
+        broadcast semi-lookup of the batch keys — the same price the
+        changelog producer pays). The commit itself is a mixed
+        insert/tombstone batch, so readers never observe a half-applied
+        merge.
+        """
+        if not self.is_primary_keyed:
+            raise ValueError("merge_into requires a primary-key table")
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"when_matched must be update|delete|ignore, got {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched must be insert|ignore, got {when_not_matched!r}")
+        schema = self.schema()
+        self._check_cdc_batch_supported(schema, "merge_into")
+        pks = schema.primary_keys
+        cols = schema.field_names()
+        missing = [c for c in pks if c not in source.columns]
+        if missing:
+            raise ValueError(f"source is missing key columns {missing}")
+        for c in cols:
+            if c not in source.columns:
+                source = source.withColumn(c, F.lit(None).cast(_parse_type(
+                    next(f["type"] for f in schema.fields if f["name"] == c))))
+        base = self.snapshot()
+        keys = source.select(*pks).distinct()
+        if base is None:
+            existing = None
+        else:
+            existing = (
+                self.to_df()
+                .join(F.broadcast(keys), pks, "inner")
+                .select(*[F.col(c).alias(f"__t_{c}") for c in cols])
+            )
+        src = source.select(*cols)
+        if existing is None:
+            marked = src.withColumn("__matched", F.lit(False))
+            for c in cols:
+                marked = marked.withColumn(f"__t_{c}", F.lit(None).cast(
+                    _parse_type(next(
+                        f["type"] for f in schema.fields if f["name"] == c))))
+        else:
+            marked = src.join(
+                existing,
+                [F.col(k) == F.col(f"__t_{k}") for k in pks],
+                "left",
+            ).withColumn(
+                "__matched", F.col(f"__t_{pks[0]}").isNotNull()
+            )
+        # expose the stored row as target.<col> for the condition
+        cond = F.lit(True)
+        if matched_condition is not None:
+            cond = F.expr(
+                _re_mod.sub(r"\btarget\.", "__t_", matched_condition)
+            )
+        m = F.col("__matched")
+        if when_matched == "update":
+            keep = (~m) | (m & cond)
+            rk = F.lit("I")
+        elif when_matched == "delete":
+            keep = (~m) | (m & cond)
+            rk = F.when(m & cond, F.lit("D")).otherwise(F.lit("I"))
+        else:  # ignore matched
+            keep = ~m
+            rk = F.lit("I")
+        if when_not_matched == "ignore":
+            keep = keep & m if when_matched != "ignore" else F.lit(False)
+        batch = (
+            marked.filter(keep)
+            .withColumn("__rk", rk)
+            .select(*cols, "__rk")
+        )
+        return self._commit_cdc_batch(batch, schema)
 
     def delete(self, df: DataFrame) -> Snapshot:
         """Delete by primary key.
@@ -2327,9 +2434,12 @@ class Table:
         if missing:
             raise ValueError(f"input is missing columns {missing}")
         # case-insensitive resolution, declared order + declared types;
-        # a pre-assigned dynamic-bucket column rides along
+        # a pre-assigned dynamic-bucket column (and a per-row kind column
+        # for mixed CDC batches, dropped after stamping) rides along
         by_lower = {c.lower(): c for c in df.columns}
-        passthrough = [F.col("__bucket")] if "__bucket" in df.columns else []
+        passthrough = [
+            F.col(c) for c in ("__bucket", "__rk") if c in df.columns
+        ]
 
         def _conform(col, ddl: str):
             # COMPACT rewrites re-write rows already IN the table; bound
@@ -2422,6 +2532,8 @@ class Table:
                 .withColumn(POS_COL, F.monotonically_increasing_id())
                 .withColumn(KIND_COL, kind)
             )
+            if "__rk" in out.columns:  # consumed by the KIND stamp above
+                out = out.drop("__rk")
         dir_cols = []
         if part_cols:
             for k in part_cols:

@@ -2665,3 +2665,88 @@ def test_consumer_expiration_unpins_retention(spark, catalog):
     # stale consumer dropped; fresh consumer (next=2) pins 2..5 → only 1 goes
     assert expired == [1]
     assert set(t.list_consumers()) == {"fresh"}
+
+
+class TestMergeInto:
+    """merge_into: MERGE INTO semantics in one atomic commit — matched
+    rows update/delete (optionally conditioned on source AND stored
+    values), unmatched rows insert, readers never see a half-applied
+    merge."""
+
+    DDL = "k int, v string, qty int"
+
+    def _seed(self, spark, catalog, name, **opts):
+        t = catalog.create_table(
+            "default", name, self.DDL, primary_keys=["k"], options=opts or None)
+        t.upsert(spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], self.DDL))
+        return t
+
+    def test_update_and_insert(self, spark, catalog):
+        t = self._seed(spark, catalog, "mi1")
+        t.merge_into(spark.createDataFrame(
+            [(2, "b2", 21), (9, "new", 99)], self.DDL))
+        assert t.snapshot().snapshot_id == 2
+        assert rows(t.to_df()) == [
+            (1, "a", 10), (2, "b2", 21), (3, "c", 30), (9, "new", 99)]
+
+    def test_matched_delete_with_condition_on_target(self, spark, catalog):
+        t = self._seed(spark, catalog, "mi2")
+        # delete matched rows whose STORED qty exceeds 15; others untouched
+        t.merge_into(
+            spark.createDataFrame([(1, None, None), (2, None, None),
+                                   (8, "x", 8)], self.DDL),
+            when_matched="delete",
+            matched_condition="target.qty > 15",
+        )
+        assert rows(t.to_df()) == [(1, "a", 10), (3, "c", 30), (8, "x", 8)]
+
+    def test_conditional_update_leaves_nonmatching_rows(self, spark, catalog):
+        t = self._seed(spark, catalog, "mi3")
+        # only update where the SOURCE qty is higher than stored
+        t.merge_into(
+            spark.createDataFrame([(1, "a9", 99), (2, "b0", 1)], self.DDL),
+            matched_condition="qty > target.qty",
+            when_not_matched="ignore",
+        )
+        assert rows(t.to_df()) == [
+            (1, "a9", 99), (2, "b", 20), (3, "c", 30)]
+
+    def test_matched_ignore_inserts_only(self, spark, catalog):
+        t = self._seed(spark, catalog, "mi4")
+        t.merge_into(
+            spark.createDataFrame([(1, "clobber", 0), (7, "d", 7)], self.DDL),
+            when_matched="ignore",
+        )
+        assert rows(t.to_df()) == [
+            (1, "a", 10), (2, "b", 20), (3, "c", 30), (7, "d", 7)]
+
+    def test_merge_into_empty_table_inserts(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "mi5", self.DDL, primary_keys=["k"])
+        t.merge_into(spark.createDataFrame([(1, "a", 1)], self.DDL))
+        assert rows(t.to_df()) == [(1, "a", 1)]
+
+    def test_merge_emits_mixed_changelog(self, spark, catalog):
+        t = self._seed(spark, catalog, "mi6",
+                       **{"changelog-producer": "lookup"})
+        t.merge_into(
+            spark.createDataFrame([(1, "a2", 11), (2, None, None),
+                                   (7, "d", 7)], self.DDL),
+            when_matched="delete",
+            matched_condition="target.qty > 15",
+            when_not_matched="insert",
+        )
+        # k=1 matched but qty 10 <= 15 → untouched (no changelog);
+        # k=2 deleted; k=7 inserted
+        got = sorted(
+            (r["__seq"], r["__row_kind"], r["k"])
+            for r in t.changelog_df(1).collect()
+        )
+        assert got == [(2, "D", 2), (2, "I", 7)]
+        assert rows(t.to_df(), "k") == [(1,), (3,), (7,)]
+
+    def test_merge_rejected_on_append_table(self, spark, catalog):
+        t = catalog.create_table("default", "mi7", self.DDL)
+        with pytest.raises(ValueError, match="primary-key"):
+            t.merge_into(spark.createDataFrame([(1, "a", 1)], self.DDL))
