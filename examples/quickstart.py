@@ -105,6 +105,17 @@ def main() -> None:
         state = {r["k"]: r["v"] for r in cdc.to_df().collect()}
         print("sequence/rowkind ok: out-of-order CDC kept", state)
 
+        # -- MERGE INTO: one atomic conditional upsert/insert ----------------
+        # k=1 updates (ver 30 beats stored 10); k=2's stale ver=0 fails the
+        # condition and leaves the stored row untouched; k=3 inserts
+        cdc.merge_into(
+            spark.createDataFrame(
+                [(1, "merged", 30, "+U"), (2, "stale", 0, "+U"),
+                 (3, "new", 1, "+I")], ddl),
+            matched_condition="ver > target.ver",
+        )
+        print("merge_into ok:", {r["k"]: r["v"] for r in cdc.to_df().collect()})
+
         # -- bloom file index: point lookups on unsorted columns -------------
         bt = catalog.create_table(
             "demo", "traces", "tid string, payload string",
