@@ -257,20 +257,32 @@ def minhash_lsh_pairs_incremental(
             "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bkey")
         )
 
-    new_sh = shingle_hashes(new_docs, id_col, text_col, shingle_n).cache()
-    new_sh.count()  # materialize before fan-out (see minhash_lsh_pairs)
-    new_mh = minhash_signature(new_sh, k)
-    old_sh = None
     if old_signatures is None:
-        # no stored signatures: shingle the old corpus ONCE and reuse that
-        # pass for both signatures and candidate verification below
-        old_sh = shingle_hashes(old_docs, id_col, text_col, shingle_n).cache()
-        old_sh.count()
-        old_signatures = minhash_signature(old_sh, k)
+        # no stored signatures: shingle old ∪ new in ONE pass and run ONE
+        # signature aggregation over the whole corpus — per-doc signatures
+        # are independent of which side a doc is on, so splitting the
+        # corpus into two shingle passes + two MIN-combine shuffles (the
+        # previous shape) only paid the same work twice
+        all_sh = shingle_hashes(
+            old_docs.unionByName(new_docs), id_col, text_col, shingle_n
+        ).cache()
+        all_sh.count()  # materialize before fan-out (see minhash_lsh_pairs)
+        all_mh = minhash_signature(all_sh, k)
+        new_ids = new_docs.select(id_col).distinct()
+        new_sh = all_sh.join(new_ids, id_col, "left_semi")
+        new_mh = all_mh.join(new_ids, id_col, "left_semi")
+        old_sh = all_sh.join(new_ids, id_col, "left_anti")
+        ab_src = all_mh  # build side = everything, already unioned
+    else:
+        new_sh = shingle_hashes(new_docs, id_col, text_col, shingle_n).cache()
+        new_sh.count()
+        new_mh = minhash_signature(new_sh, k)
+        old_sh = None
+        ab_src = new_mh.unionByName(old_signatures)
     # Probe side = the increment's bands only; build side = everything.
     # A new-new pair meets twice (each side probes) — canonicalize + distinct.
     nb = band_df(new_mh).withColumnRenamed("doc_id", "doc_n")
-    ab = band_df(new_mh.unionByName(old_signatures))
+    ab = band_df(ab_src)
     cand = (
         nb.join(ab, ["band", "bkey"])
         .filter(F.col("doc_n") != F.col("doc_id"))
