@@ -1369,3 +1369,90 @@ def table_format_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bloom index skipped nothing: {plan}"
         )
     return out.orderBy("o_orderkey")
+
+
+@register(
+    "table_format_merge_into",
+    oracle="""
+        WITH target AS (
+            SELECT o_orderkey,
+                   'BASE' AS status,
+                   CAST(o_totalprice AS DOUBLE) AS price
+            FROM orders
+        ),
+        merged AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0 AND price > 100000
+                        THEN 'MERGED' ELSE status END AS status,
+                   CASE WHEN o_orderkey % 2 = 0 AND price > 100000
+                        THEN price * 2 ELSE price END AS price
+            FROM target
+            WHERE NOT (o_orderkey % 3 = 0 AND price <= 50000)
+        )
+        SELECT status,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(price AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE) AS total_price
+        FROM merged
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("table-format", "merge-into", "end-to-end"),
+)
+def table_format_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the oracle gate (``table.merge_into``): seed the
+    table with every order, then two merges in two atomic commits —
+    (1) conditional update: even keys double their price and flip to
+    MERGED, but only where the STORED price exceeds 100k (the
+    ``target.<col>`` condition path); (2) conditional delete: keys ≡0
+    (mod 3) are removed only where the stored price is ≤ 50k. The oracle
+    restates the surviving state declaratively; a merge that applied
+    unconditionally, matched wrongly, or half-applied breaks the hash.
+    """
+    import os
+    import tempfile
+
+    from paimon_presto_spark.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    wh = tempfile.mkdtemp(prefix="mi-", dir=base)
+    cat = Catalog(spark, wh)
+    cat.create_database("mi", ignore_if_exists=True)
+    t = cat.create_table(
+        "mi", "orders_mi",
+        "o_orderkey bigint, status string, price double",
+        primary_keys=["o_orderkey"],
+    )
+    t.upsert(o.select(
+        "o_orderkey", F.lit("BASE").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    ))
+    t.merge_into(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", F.lit("MERGED").alias("status"),
+            (F.col("o_totalprice") * 2).alias("price"),
+        ),
+        matched_condition="target.price > 100000",
+        when_not_matched="ignore",
+    )
+    t.merge_into(
+        o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey"),
+        when_matched="delete",
+        matched_condition="target.price <= 50000",
+        when_not_matched="ignore",
+    )
+    merged = t.scan().to_df()
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("price").cast(DEC)).cast("string").cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("status")
+    )
