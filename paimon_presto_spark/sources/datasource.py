@@ -679,6 +679,32 @@ class PaimonWriter(DataSourceWriter):
         self.row_kind = options.get("rowkind", "I")
         if self.row_kind not in ("I", "D"):
             raise ValueError("rowkind must be 'I' or 'D'")
+        # per-row kinds from a column of the written frame (the DataSource
+        # twin of the table option rowkind.field — one batch mixes
+        # inserts and tombstones)
+        self.rowkind_field = options.get("rowkind-field")
+        if self.rowkind_field is not None:
+            if not self.pks:
+                raise ValueError("rowkind-field requires a primary-key table")
+            if "rowkind" in options:
+                raise ValueError("rowkind and rowkind-field are exclusive")
+            names = {f["name"] for f in schema["fields"]}
+            if self.rowkind_field not in names:
+                raise ValueError(
+                    f"rowkind-field {self.rowkind_field!r} is not a column")
+        if (
+            self.pks
+            and schema.get("options", {}).get("changelog-producer") == "lookup"
+        ):
+            # the lookup producer needs a pre-commit key lookup against the
+            # merged state; task-parallel writers can't do that, and a
+            # commit WITHOUT a changelog would leave a silent hole in the
+            # retraction stream every downstream consumer reads
+            raise ValueError(
+                "primary-key table has changelog-producer=lookup; write "
+                "through Table.upsert()/delete()/merge_into() so every "
+                "commit materializes its changelog"
+            )
         if self.pks and overwrite:
             raise ValueError(
                 "overwrite mode on a primary-key table is ambiguous; use "
@@ -735,7 +761,15 @@ class PaimonWriter(DataSourceWriter):
             salt = uuid.uuid4().int & 0x7FFFFFFF
             cols["__seq"] = [self.next_snapshot] * len(rows)
             cols["__pos"] = [(salt << 32) | i for i in range(len(rows))]
-            cols["__row_kind"] = [self.row_kind] * len(rows)
+            if self.rowkind_field is not None:
+                cols["__row_kind"] = [
+                    "D"
+                    if str(r[self.rowkind_field]).upper() in ("-D", "D", "-U")
+                    else "I"
+                    for r in rows
+                ]
+            else:
+                cols["__row_kind"] = [self.row_kind] * len(rows)
         tbl = pa.table(cols)
         os.makedirs(self.staging, exist_ok=True)
         entries = []
@@ -854,7 +888,12 @@ class PaimonWriter(DataSourceWriter):
         if self.overwrite:
             kind = "OVERWRITE"
         else:
-            kind = ("DELETE" if self.row_kind == "D" else "UPSERT") if self.pks else "APPEND"
+            kind = (
+                ("DELETE" if self.row_kind == "D" and self.rowkind_field is None
+                 else "UPSERT")
+                if self.pks
+                else "APPEND"
+            )
             if prev is not None:
                 final_entries = _manifest_entries(self.meta, prev) + final_entries
         # additive commits write a DELTA member + list (O(batch), not

@@ -475,3 +475,40 @@ def test_stream_reader_mixed_rowkind_commit(spark, catalog, tmp_path):
         (1, 1, "I"), (1, 2, "I"),
         (2, 1, "I"), (2, 2, "D"), (2, 3, "I"),
     ]
+
+
+def test_writer_rowkind_field_mixed_batch(registered, spark, catalog):
+    """option('rowkind-field', col): one DataSource write mixes upserts and
+    tombstones, kinds taken per row from the column."""
+    t = catalog.create_table(
+        "default", "ds_rkw", "k int, v string, rk string",
+        primary_keys=["k"], options={"bucket": "2"},
+    )
+    ddl = "k int, v string, rk string"
+    t.upsert(spark.createDataFrame([(1, "a", "+I"), (2, "b", "+I")], ddl))
+    (
+        spark.createDataFrame(
+            [(1, "a2", "+U"), (2, None, "-D"), (3, "c", "+I")], ddl)
+        .write.format("paimon").option("path", t.path)
+        .option("rowkind-field", "rk").mode("append").save()
+    )
+    assert t.snapshot().snapshot_id == 2  # one atomic commit
+    got = sorted((r["k"], r["v"]) for r in t.to_df().collect())
+    assert got == [(1, "a2"), (3, "c")]
+
+
+def test_writer_rejects_lookup_changelog_tables(registered, spark, catalog):
+    """Batch/stream DataSource writes must not leave changelog holes on
+    lookup-producer tables — the Table API owns those writes."""
+    import pyspark.sql.utils as _u
+
+    t = catalog.create_table(
+        "default", "ds_clgw", "k int, v string", primary_keys=["k"],
+        options={"changelog-producer": "lookup"},
+    )
+    with pytest.raises(Exception, match="changelog-producer"):
+        (
+            spark.createDataFrame([(1, "a")], "k int, v string")
+            .write.format("paimon").option("path", t.path)
+            .mode("append").save()
+        )
