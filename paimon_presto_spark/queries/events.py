@@ -561,3 +561,53 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("week_offset") == 0, F.col("n_active"))
         ).over(w).cast("bigint").alias("cohort_size"),
     ).orderBy("cohort_week", "week_offset")
+
+
+@register(
+    "events_path_bigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS prev
+            FROM events
+        )
+        SELECT prev AS step_from, event_type AS step_to,
+               COUNT(*) AS n_transitions,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM seq
+        WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY n_transitions DESC, step_from, step_to
+        LIMIT 20
+    """,
+    tags=("events", "path-analysis", "sequence-mining", "window"),
+)
+def events_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the most-travelled consecutive event-type
+    transitions (bigrams) across all user journeys — the click-path
+    question behind funnel tools. One window per user orders each
+    journey (event_id breaks timestamp ties so both engines pick the
+    same predecessor), then a single aggregation counts transitions and
+    distinct travellers; the shuffle carries (user, type, type) rows,
+    never payloads. Top-20 with a deterministic tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("prev").alias("step_from"),
+            F.col("event_type").alias("step_to"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_transitions"), "step_from", "step_to")
+        .limit(20)
+    )

@@ -2933,6 +2933,7 @@ class Table:
                 e["schema_id"],
                 e["min_seq"],
                 dead.get(e["path"], 0),
+                ",".join(sorted(e.get("index", {}))),
             )
             for e in self.manifest_entries()
         ]
@@ -2940,7 +2941,7 @@ class Table:
             rows,
             "file_path string, partition string, bucket int, row_count bigint, "
             "file_size bigint, schema_id bigint, seq bigint, "
-            "delete_row_count bigint",
+            "delete_row_count bigint, index_columns string",
         )
 
     def partitions_df(self) -> DataFrame:
