@@ -198,3 +198,69 @@ def test_incremental_ranges_reconstruct_state(spark, tmp_path_factory, cmds):
             + t.incremental_df(mid, last).collect())
     )
     assert full == halves
+
+
+seq_commands = st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete"]),
+        st.lists(
+            st.tuples(
+                st.integers(0, 4),                       # key
+                st.integers(0, 50),                      # value
+                st.one_of(st.none(), st.integers(0, 9)), # version (None loses)
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cmds=seq_commands)
+def test_sequence_field_equals_versioned_replay(spark, tmp_path_factory, cmds):
+    """sequence.field merge for ANY random history must equal a replay
+    that keeps, per key, the row with the largest (version, arrival)
+    key — tombstones compete too, and NULL versions always lose to any
+    versioned row."""
+    from paimon_presto_spark.catalog import Catalog
+
+    wh = tmp_path_factory.mktemp("wh_seq")
+    c = Catalog(spark, str(wh))
+    c.create_database("d", ignore_if_exists=True)
+    t = c.create_table(
+        "d", "t", "k int, v int, ver int", primary_keys=["k"],
+        options={"sequence.field": "ver"},
+    )
+
+    # model: key -> (rank, arrival, value, is_delete); rank = (has_ver, ver)
+    model: dict[int, tuple] = {}
+    arrival = 0
+    for op, rows in cmds:
+        df = spark.createDataFrame(rows, "k int, v int, ver int")
+        if op == "upsert":
+            t.upsert(df)
+        else:
+            t.delete(df)
+        for k, v, ver in rows:
+            arrival += 1
+            rank = (ver is not None, ver if ver is not None else -1, arrival)
+            cur = model.get(k)
+            # later arrival wins ties: strictly-greater-or-equal on
+            # (has_ver, ver) with arrival as the final component
+            if cur is None or rank >= cur[0]:
+                model[k] = (rank, v, op == "delete")
+
+    want = sorted(
+        (k, val) for k, (rank, val, deleted) in model.items() if not deleted
+    )
+    got = sorted((r["k"], r["v"]) for r in t.to_df().collect())
+    assert [g[0] for g in got] == [w[0] for w in want]
+    # values must match too (not just surviving keys)
+    assert got == want
