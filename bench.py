@@ -176,6 +176,8 @@ SCALE_QUERIES = [
     "knn_ivf_probe",
     "dedup_exact",
     "pipeline_curate_corpus",
+    "dedup_boilerplate_chunks",
+    "embedding_pca_project",
 ]
 
 
@@ -336,11 +338,11 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         for name in SCALE_QUERIES:
-            if name == "pipeline_curate_corpus":
-                # The pipeline entry returns a driver-local report (the
-                # stages already ran eagerly), so its "plan" is a trivial
-                # LocalTableScan; its constituent shapes are asserted via
-                # the component entries above. Timing-only here.
+            if name in ("pipeline_curate_corpus", "embedding_pca_project"):
+                # These entries return a driver-local report (their Spark
+                # stages already ran eagerly), so the returned "plan" is a
+                # trivial LocalTableScan; their constituent shapes are
+                # map-only/aggregation-only by construction. Timing-only.
                 continue
             try:
                 plan = runners[name](spark, sf1_dir)._jdf.queryExecution().executedPlan().toString()
