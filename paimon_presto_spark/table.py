@@ -2127,6 +2127,31 @@ class Table:
             fh.write(str(snapshot_id))
         os.replace(tmp, os.path.join(self.meta_path, "snapshot", "LATEST"))
 
+    def incremental_between_timestamps(
+        self, start_ms: int, end_ms: int | None = None
+    ) -> DataFrame:
+        """Paimon's ``incremental-between-timestamp`` scan mode: the change
+        rows of every commit AFTER the last snapshot at-or-before
+        `start_ms` up to the last snapshot at-or-before `end_ms` (default
+        now). Resolves both bounds to snapshot ids against commit
+        timestamps, then delegates to ``incremental_df`` — wall-clock
+        bounds are what schedulers have ("what changed since last night's
+        run") when no one recorded snapshot ids."""
+        def at_or_before(ms: int) -> int:
+            best = 0
+            for sid in self.snapshot_ids():
+                if self.snapshot(sid).timestamp_ms <= ms:
+                    best = sid
+            return best
+
+        start = at_or_before(start_ms)
+        end = (
+            at_or_before(end_ms)
+            if end_ms is not None
+            else (self.snapshot().snapshot_id if self.snapshot() else 0)
+        )
+        return self.incremental_df(start, max(start, end))
+
     def incremental_df(
         self,
         start_snapshot: int | str,

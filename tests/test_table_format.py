@@ -2750,3 +2750,32 @@ class TestMergeInto:
         t = catalog.create_table("default", "mi7", self.DDL)
         with pytest.raises(ValueError, match="primary-key"):
             t.merge_into(spark.createDataFrame([(1, "a", 1)], self.DDL))
+
+
+def test_incremental_between_timestamps(spark, catalog):
+    """Wall-clock incremental bounds resolve to the snapshots at-or-before
+    each timestamp, then behave exactly like snapshot-id bounds."""
+    import json as _json
+    import os as _os
+
+    t = catalog.create_table("default", "ibt", "k int", primary_keys=["k"])
+    for i in range(3):
+        t.upsert(spark.createDataFrame([(i,)], "k int"))
+    # pin distinct commit timestamps: 1000ms, 2000ms, 3000ms
+    for sid, ms in ((1, 1000), (2, 2000), (3, 3000)):
+        p = _os.path.join(t.meta_path, "snapshot", f"snapshot-{sid}.json")
+        d = _json.load(open(p))
+        d["timestamp_ms"] = ms
+        _json.dump(d, open(p, "w"))
+    # bounds mid-window: start resolves to snap 1, end to snap 2 → change
+    # rows of snapshot 2 only
+    got = {r["k"] for r in t.incremental_between_timestamps(1500, 2500).collect()}
+    assert got == {1}
+    # open end: everything after snap 1
+    got = {r["k"] for r in t.incremental_between_timestamps(1000).collect()}
+    assert got == {1, 2}
+    # start before history: all three commits
+    got = {r["k"] for r in t.incremental_between_timestamps(0).collect()}
+    assert got == {0, 1, 2}
+    # start after the newest commit: empty
+    assert t.incremental_between_timestamps(9999).count() == 0
