@@ -689,7 +689,10 @@ class PaimonWriter(DataSourceWriter):
             if "rowkind" in options:
                 raise ValueError("rowkind and rowkind-field are exclusive")
             names = {f["name"] for f in schema["fields"]}
-            if self.rowkind_field not in names:
+            # "__row_kind" is the changelog stream's own kind column — a
+            # paimon→paimon CDC pipe passes it straight through (drop UB
+            # rows first: they carry pre-images, UA already replaces)
+            if self.rowkind_field not in names and self.rowkind_field != "__row_kind":
                 raise ValueError(
                     f"rowkind-field {self.rowkind_field!r} is not a column")
         if (

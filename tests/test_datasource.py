@@ -512,3 +512,46 @@ def test_writer_rejects_lookup_changelog_tables(registered, spark, catalog):
             .write.format("paimon").option("path", t.path)
             .mode("append").save()
         )
+
+
+def test_stream_cdc_replication_with_deletes(spark, catalog, tmp_path):
+    """Full CDC replication through the native source/sink protocol: the
+    changelog stream's own __row_kind drives the sink via
+    option('rowkind-field', '__row_kind'), so DELETES replicate — the
+    piece a constant-rowkind pipe cannot express. UB pre-images are
+    filtered (UA already replaces)."""
+    from paimon_presto_spark.sources.datasource import PaimonDataSource
+    import pyspark.sql.functions as F
+
+    spark.dataSource.register(PaimonDataSource)
+    src = catalog.create_table("default", "rep_src", "k int, v string",
+                               primary_keys=["k"])
+    dst = catalog.create_table("default", "rep_dst", "k int, v string",
+                               primary_keys=["k"])
+    ddl = "k int, v string"
+    ck = str(tmp_path / "rep_ck")
+
+    def run():
+        q = (
+            spark.readStream.format("paimon").option("path", src.path)
+            .option("changelog", "true").load()
+            .filter(F.col("__row_kind") != "UB")
+            .select("k", "v", "__row_kind")
+            .writeStream.format("paimon").option("path", dst.path)
+            .option("rowkind-field", "__row_kind")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    src.upsert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ddl))
+    run()
+    assert rows_set(dst) == {(1, "a"), (2, "b"), (3, "c")}
+    src.delete(spark.createDataFrame([(2, "b")], ddl))
+    src.upsert(spark.createDataFrame([(1, "a2"), (4, "d")], ddl))
+    run()
+    assert rows_set(dst) == rows_set(src) == {(1, "a2"), (3, "c"), (4, "d")}
+
+
+def rows_set(t):
+    return {(r["k"], r["v"]) for r in t.to_df().collect()}
