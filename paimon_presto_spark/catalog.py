@@ -326,6 +326,20 @@ class Catalog:
     _IMMUTABLE_OPTIONS = frozenset(
         ["bucket", "merge-engine", "sequence.field", "deletion-vectors.enabled"]
     )
+    #: per-field merge semantics are part of the same contract — changing
+    #: fields.<c>.aggregate-function (or .sequence-group / .distinct)
+    #: re-aggregates the already-committed history under new rules,
+    #: contradicting every changelog and read served so far
+    _IMMUTABLE_SUFFIXES = (".aggregate-function", ".sequence-group", ".distinct")
+
+    @classmethod
+    def _immutable_option_keys(cls, keys) -> list[str]:
+        return sorted(
+            k
+            for k in keys
+            if k in cls._IMMUTABLE_OPTIONS
+            or (k.startswith("fields.") and k.endswith(cls._IMMUTABLE_SUFFIXES))
+        )
 
     def set_table_options(self, db: str, name: str, options: dict[str, str]) -> None:
         """``ALTER TABLE ... SET (k = v, ...)`` — Paimon's mutable-option
@@ -337,12 +351,13 @@ class Catalog:
         while old ones keep reading in their original format."""
         t = self.get_table(db, name)
         s = t.schema()
-        bad = sorted(set(options) & self._IMMUTABLE_OPTIONS)
+        bad = self._immutable_option_keys(options)
         if bad:
             raise ValueError(
                 f"options {bad} are immutable after creation (bucket: use "
-                "rescale_bucket; merge-engine/sequence.field would reorder "
-                "committed history; deletion-vectors needs a migration)"
+                "rescale_bucket; merge-engine/sequence.field/fields.* merge "
+                "semantics would reorder or re-aggregate committed history; "
+                "deletion-vectors needs a migration)"
             )
         s.options.update({k: str(v) for k, v in options.items()})
         self._write_schema(t, s, s.highest_field_id)
@@ -350,7 +365,7 @@ class Catalog:
     def reset_table_options(self, db: str, name: str, keys: list[str]) -> None:
         """``ALTER TABLE ... RESET (k, ...)`` — drop options back to their
         defaults (same immutability rules as ``set_table_options``)."""
-        bad = sorted(set(keys) & self._IMMUTABLE_OPTIONS)
+        bad = self._immutable_option_keys(keys)
         if bad:
             raise ValueError(f"options {bad} are immutable after creation")
         t = self.get_table(db, name)

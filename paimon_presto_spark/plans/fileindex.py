@@ -77,14 +77,22 @@ def build_bloom(values: Iterable[Any]) -> dict | None:
     return {"m": m, "k": BLOOM_K, "b": base64.b64encode(bytes(bits)).decode()}
 
 
-def might_contain(bloom: dict, v: Any) -> bool:
-    """False only when `v` is DEFINITELY absent from the indexed file."""
+def decode(bloom: dict) -> tuple[bytes, int]:
+    """(bitset, m) of a bloom descriptor — decode once, probe many."""
+    return base64.b64decode(bloom["b"]), int(bloom["m"])
+
+
+def might_contain_decoded(bits: bytes, m: int, v: Any) -> bool:
     key = bloom_key(v)
     if key is None:
         return True  # unindexable literal → no conclusion
-    bits = base64.b64decode(bloom["b"])
-    m = int(bloom["m"])
     return all(bits[p >> 3] & (1 << (p & 7)) for p in _positions(key, m))
+
+
+def might_contain(bloom: dict, v: Any) -> bool:
+    """False only when `v` is DEFINITELY absent from the indexed file."""
+    bits, m = decode(bloom)
+    return might_contain_decoded(bits, m, v)
 
 
 def index_columns(options: dict[str, str]) -> list[str]:

@@ -178,7 +178,10 @@ class In(Predicate):
         bloom = index.get(self.column)
         if bloom is None:
             return True
-        return any(fileindex.might_contain(bloom, v) for v in self.values)
+        bits, m = fileindex.decode(bloom)  # decode once for all IN values
+        return any(
+            fileindex.might_contain_decoded(bits, m, v) for v in self.values
+        )
 
     def references(self):
         return {self.column}

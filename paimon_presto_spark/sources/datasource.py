@@ -365,18 +365,22 @@ class PaimonReader(DataSourceReader):
         part_keys = schema.get("partition_keys", [])
         pks = schema.get("primary_keys", [])
         if self.predicate is not None:
-            refs = self.predicate.references()
-            if part_keys and set(refs) & set(part_keys):
-                # partition dir values are strings; type them per the schema
-                # before predicate evaluation (int "5" == 5 is False in
-                # Python — untyped comparison would silently over-prune)
-                entries = [
-                    e
-                    for e in entries
-                    if self.predicate.test_row(
-                        _typed_partition_json(e["partition"], schema)
-                    )
-                ]
+            if part_keys:
+                # Only partition-column conjuncts may prune (the full
+                # predicate would evaluate value-column comparisons as
+                # False against a partition-only row and drop everything).
+                # Partition dir values are strings; type them per the
+                # schema before predicate evaluation (int "5" == 5 is
+                # False in Python — untyped comparison would over-prune).
+                pp = skip_safe_predicate(self.predicate, set(part_keys))
+                if pp is not None:
+                    entries = [
+                        e
+                        for e in entries
+                        if pp.test_row(
+                            _typed_partition_json(e["partition"], schema)
+                        )
+                    ]
             # merge-on-read safety: pk tables (without DV) may only skip
             # files on key/partition columns — a value-column skip can
             # drop a key's newest version and resurrect a stale row
@@ -391,12 +395,39 @@ class PaimonReader(DataSourceReader):
             )
             sp = skip_safe_predicate(self.predicate, safe)
             if sp is not None:
-                entries = [
-                    e
-                    for e in entries
-                    if sp.test_stats(e.get("stats", {}), e["row_count"])
-                    and sp.test_index(e.get("index") or {})
-                ]
+                # stats/bloom keys are writer-schema column names: rename
+                # chains can re-bind a name to different data, so both are
+                # translated through field ids to current names (renamed
+                # columns keep skipping; a re-bound name never wrong-skips)
+                cur_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+                ws_fields: dict[int, list] = {}
+
+                def translated(e: dict) -> tuple[dict, dict]:
+                    sid = e["schema_id"]
+                    wf = ws_fields.get(sid)
+                    if wf is None:
+                        wf = _load_schema(self.meta, sid)["fields"]
+                        ws_fields[sid] = wf
+                    stats, idx = {}, {}
+                    e_stats = e.get("stats") or {}
+                    e_idx = e.get("index") or {}
+                    for f in wf:
+                        cur = cur_by_id.get(f["id"])
+                        if cur is None:
+                            continue
+                        if f["name"] in e_stats:
+                            stats[cur] = e_stats[f["name"]]
+                        if f["name"] in e_idx:
+                            idx[cur] = e_idx[f["name"]]
+                    return stats, idx
+
+                def survives(e: dict) -> bool:
+                    stats, idx = translated(e)
+                    return sp.test_stats(stats, e["row_count"]) and (
+                        sp.test_index(idx)
+                    )
+
+                entries = [e for e in entries if survives(e)]
         def fent(e) -> tuple[str, int]:
             return (os.path.join(self.path, e["path"]), e["schema_id"])
 
@@ -575,6 +606,19 @@ def _merge_arrow(tbl, schema: dict, engine: str):
             for opt, val in opts.items()
             if opt.startswith("fields.") and opt.endswith(".sequence-group")
         }
+        # top-level sequence.field orders the whole row (twin of
+        # table._merge_on_read; exclusive with sequence groups, which the
+        # write path validates) — NaN sorts first, i.e. null versions lose
+        pu_seqf = [
+            c.strip()
+            for c in opts.get("sequence.field", "").split(",")
+            if c.strip()
+        ]
+        if pu_seqf:
+            pdf = pdf.sort_values(
+                pu_seqf + ["__seq", "__pos"], kind="stable",
+                na_position="first",
+            )
         if groups:
             # sequence-group semantics (pandas twin of table._merge_on_read):
             # group columns order by THEIR sequence column; commit order
@@ -681,8 +725,13 @@ class PaimonWriter(DataSourceWriter):
             raise ValueError("rowkind must be 'I' or 'D'")
         # per-row kinds from a column of the written frame (the DataSource
         # twin of the table option rowkind.field — one batch mixes
-        # inserts and tombstones)
-        self.rowkind_field = options.get("rowkind-field")
+        # inserts and tombstones). A table DECLARING rowkind.field gets it
+        # by default: its writes are CDC batches by contract, and treating
+        # a '-D' marker row as a plain insert would store the tombstone as
+        # data and leave the key alive.
+        self.rowkind_field = options.get("rowkind-field") or schema.get(
+            "options", {}
+        ).get("rowkind.field")
         if self.rowkind_field is not None:
             if not self.pks:
                 raise ValueError("rowkind-field requires a primary-key table")
@@ -741,6 +790,16 @@ class PaimonWriter(DataSourceWriter):
         import pyarrow.parquet as pq
 
         rows = list(iterator)
+        if self.rowkind_field is not None:
+            # UB rows are UPDATE pre-images: for upsert materialization the
+            # UA row already replaces the key, and writing the pre-image as
+            # an insert would race it (cross-task __pos order is salted) —
+            # the same reason Paimon's pk sinks ignore UPDATE_BEFORE.
+            rows = [
+                r
+                for r in rows
+                if str(r[self.rowkind_field]).upper() != "UB"
+            ]
         if not rows:
             return PaimonCommitMessage([])
         names = [f["name"] for f in self.schema["fields"]]

@@ -3114,14 +3114,21 @@ class TableScan:
         prune_on = properties.partition_prune_enabled(t.spark)
         pushdown_on = properties.pushdown_enabled(t.spark)
 
-        # 1) partition pruning from the structured predicate (A10 first half)
+        # 1) partition pruning from the structured predicate (A10 first
+        #    half). Only the partition-column CONJUNCTS may prune: testing
+        #    the full predicate against a partition-only row would evaluate
+        #    value-column comparisons as False (missing column) and drop
+        #    every partition — AND(pt='X', val=5) must still scan pt='X'.
         if prune_on and self.predicate is not None and schema.partition_keys:
-            entries = [
-                e
-                for e in entries
-                if self.predicate.test_row(_typed_partition(e["partition"], schema))
-                or not set(self.predicate.references()) & set(schema.partition_keys)
-            ]
+            pp = skip_safe_predicate(
+                self.predicate, set(schema.partition_keys)
+            )
+            if pp is not None:
+                entries = [
+                    e
+                    for e in entries
+                    if pp.test_row(_typed_partition(e["partition"], schema))
+                ]
         # 2) expression-over-partition-value pruning (A10 flagship:
         #    `upper(pt)='20241103'` — evaluate arbitrary SQL on the driver
         #    against one row per partition; evaluation errors keep the
@@ -3149,12 +3156,41 @@ class TableScan:
             )
             sp = skip_safe_predicate(self.predicate, safe)
             if sp is not None:
-                entries = [
-                    e
-                    for e in entries
-                    if sp.test_stats(e.get("stats", {}), e["row_count"])
-                    and sp.test_index(e.get("index") or {})
-                ]
+                # Stats AND bloom entries are keyed by the WRITER's column
+                # names; schema evolution resolves columns by field id. A
+                # rename chain can re-bind a name to different data
+                # (a->b then c->a), so both are translated through field
+                # ids to CURRENT names before testing — a renamed column
+                # keeps its skipping, a re-bound name can never wrong-skip.
+                cur_by_id = {f["id"]: f["name"] for f in schema.fields}
+                ws_fields: dict[int, list] = {}
+
+                def translated(e: dict) -> tuple[dict, dict]:
+                    sid = e["schema_id"]
+                    wf = ws_fields.get(sid)
+                    if wf is None:
+                        wf = t.schema(sid).fields
+                        ws_fields[sid] = wf
+                    stats, idx = {}, {}
+                    e_stats = e.get("stats") or {}
+                    e_idx = e.get("index") or {}
+                    for f in wf:
+                        cur = cur_by_id.get(f["id"])
+                        if cur is None:
+                            continue
+                        if f["name"] in e_stats:
+                            stats[cur] = e_stats[f["name"]]
+                        if f["name"] in e_idx:
+                            idx[cur] = e_idx[f["name"]]
+                    return stats, idx
+
+                def survives(e: dict) -> bool:
+                    stats, idx = translated(e)
+                    return sp.test_stats(stats, e["row_count"]) and (
+                        sp.test_index(idx)
+                    )
+
+                entries = [e for e in entries if survives(e)]
         self.last_plan = {
             "snapshot_id": snap.snapshot_id,
             "total_files": total,

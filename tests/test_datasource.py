@@ -532,10 +532,10 @@ def test_stream_cdc_replication_with_deletes(spark, catalog, tmp_path):
     ck = str(tmp_path / "rep_ck")
 
     def run():
+        # no UB filter needed: the sink drops pre-images itself
         q = (
             spark.readStream.format("paimon").option("path", src.path)
             .option("changelog", "true").load()
-            .filter(F.col("__row_kind") != "UB")
             .select("k", "v", "__row_kind")
             .writeStream.format("paimon").option("path", dst.path)
             .option("rowkind-field", "__row_kind")
@@ -555,3 +555,22 @@ def test_stream_cdc_replication_with_deletes(spark, catalog, tmp_path):
 
 def rows_set(t):
     return {(r["k"], r["v"]) for r in t.to_df().collect()}
+
+
+def test_writer_defaults_to_table_rowkind_field(registered, spark, catalog):
+    """Writing to a table that declares rowkind.field must honor the kind
+    column even when the write does not pass the option — a '-D' marker
+    stored as a plain insert would leave the key alive."""
+    t = catalog.create_table(
+        "default", "ds_rkopt", "k int, v string, rk string",
+        primary_keys=["k"], options={"rowkind.field": "rk"},
+    )
+    ddl = "k int, v string, rk string"
+    t.upsert(spark.createDataFrame([(1, "a", "+I"), (2, "b", "+I")], ddl))
+    (
+        spark.createDataFrame([(1, None, "-D"), (3, "c", "+I")], ddl)
+        .write.format("paimon").option("path", t.path)
+        .mode("append").save()
+    )
+    got = sorted((r["k"], r["v"]) for r in t.to_df().collect())
+    assert got == [(2, "b"), (3, "c")]

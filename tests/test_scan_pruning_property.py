@@ -233,3 +233,88 @@ def test_pk_file_skipping_never_resurrects_stale_rows(
         for r in t.to_df().filter(pred.to_spark()).collect()
     )
     assert pruned == full
+
+
+def test_partition_and_value_conjunction_keeps_partition(spark, tmp_path_factory):
+    """AND(partition-col, value-col) must prune to the partition and scan
+    it — evaluating the full predicate against partition-only rows would
+    drop EVERY partition (the value conjunct reads as False there)."""
+    from paimon_presto_spark.catalog import Catalog
+
+    wh = tmp_path_factory.mktemp("wh_pv")
+    c = Catalog(spark, str(wh))
+    c.create_database("d", ignore_if_exists=True)
+    t = c.create_table("d", "t", "pt string, val int", partition_keys=["pt"])
+    t.append(spark.createDataFrame(
+        [("X", 5), ("X", 6), ("Y", 5)], "pt string, val int"))
+    sc = t.scan(predicate=P.eq("pt", "X") & P.eq("val", 5))
+    assert [(r["pt"], r["val"]) for r in sc.to_df().collect()] == [("X", 5)]
+    assert sc.last_plan["after_partition_prune"] == 2  # pt=X files only
+    # OR mixing partition and value columns must NOT prune (conservative)
+    sc2 = t.scan(predicate=P.eq("pt", "Y") | P.eq("val", 6))
+    got = sorted((r["pt"], r["val"]) for r in sc2.to_df().collect())
+    assert got == [("X", 6), ("Y", 5)]
+    assert sc2.last_plan["after_partition_prune"] == 3
+
+
+part_layouts = st.lists(  # one append commit of (pt, a, b) rows
+    st.lists(
+        st.tuples(st.sampled_from(["X", "Y", "Z"]), values,
+                  st.one_of(st.none(), st.integers(0, 5))),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+part_predicates = st.recursive(
+    st.one_of(
+        st.builds(P.eq, st.just("pt"), st.sampled_from(["X", "Y", "Z", "W"])),
+        st.builds(P.in_, st.just("pt"),
+                  st.lists(st.sampled_from(["X", "Y", "Z"]),
+                           min_size=1, max_size=2)),
+        st.builds(P.eq, st.just("a"), values),
+        st.builds(P.lt, st.just("a"), values),
+        st.builds(P.is_null, st.just("b")),
+    ),
+    lambda kids: st.one_of(
+        st.builds(lambda x, y: x & y, kids, kids),
+        st.builds(lambda x, y: x | y, kids, kids),
+    ),
+    max_leaves=4,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(commits=part_layouts, pred=part_predicates)
+def test_partition_pruning_never_changes_results(
+    spark, tmp_path_factory, commits, pred
+):
+    """Partitioned twin of the file-skipping property: pruning + skipping
+    under ANY predicate mixing partition and value columns must equal a
+    full scan + filter."""
+    from paimon_presto_spark.catalog import Catalog
+
+    wh = tmp_path_factory.mktemp("wh_part_prune")
+    c = Catalog(spark, str(wh))
+    c.create_database("d", ignore_if_exists=True)
+    t = c.create_table("d", "t", "pt string, a int, b int",
+                       partition_keys=["pt"])
+    for rows in commits:
+        t.append(spark.createDataFrame(rows, "pt string, a int, b int"))
+    pruned = sorted(
+        ((r["pt"], r["a"], r["b"]) for r in
+         t.scan(predicate=pred).to_df().collect()),
+        key=repr,
+    )
+    full = sorted(
+        ((r["pt"], r["a"], r["b"]) for r in
+         t.to_df().filter(pred.to_spark()).collect()),
+        key=repr,
+    )
+    assert pruned == full

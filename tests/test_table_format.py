@@ -2779,3 +2779,69 @@ def test_incremental_between_timestamps(spark, catalog):
     assert got == {0, 1, 2}
     # start after the newest commit: empty
     assert t.incremental_between_timestamps(9999).count() == 0
+
+
+def test_datasource_partial_update_honors_sequence(spark, catalog):
+    """The pandas bucket merge must apply sequence.field to
+    partial-update tables exactly like table._merge_on_read (sq8)."""
+    from paimon_presto_spark.sources.datasource import PaimonDataSource
+
+    try:
+        spark.dataSource.register(PaimonDataSource)
+    except Exception:
+        pass
+    t = catalog.create_table(
+        "default", "sq14", "k int, a string, b string, ver bigint",
+        primary_keys=["k"],
+        options={"merge-engine": "partial-update", "sequence.field": "ver"},
+    )
+    ddl = "k int, a string, b string, ver bigint"
+    t.upsert(spark.createDataFrame([(1, "a9", None, 9)], ddl))
+    t.upsert(spark.createDataFrame([(1, "a3", "b3", 3)], ddl))
+    got = rows(spark.read.format("paimon").option("path", t.path).load())
+    assert got == [(1, "a9", "b3", 9)]
+    assert got == rows(t.to_df())
+
+
+def test_alter_rejects_field_merge_semantics(spark, catalog):
+    """fields.<c>.aggregate-function / .sequence-group / .distinct are
+    part of the merge contract: altering them would re-aggregate
+    committed history under new rules."""
+    catalog.create_table(
+        "default", "ao5", "k int, total bigint", primary_keys=["k"],
+        options={"merge-engine": "aggregation",
+                 "fields.total.aggregate-function": "sum"},
+    )
+    for key in ("fields.total.aggregate-function",
+                "fields.total.sequence-group",
+                "fields.total.distinct"):
+        with pytest.raises(ValueError, match="immutable"):
+            catalog.set_table_options("default", "ao5", {key: "x"})
+        with pytest.raises(ValueError, match="immutable"):
+            catalog.reset_table_options("default", "ao5", [key])
+
+
+def test_bloom_index_survives_rename_chain(spark, catalog):
+    """Rename chains can re-bind an indexed NAME to different data
+    (a->b then c->a): a stale bloom keyed 'a' must not skip files for the
+    new 'a' — filters apply only when writer and current field ids agree."""
+    t = catalog.create_table(
+        "default", "bfrc", "id int, a string, c string",
+        options={"file-index.bloom-filter.columns": "a"},
+    )
+    # file F1: old 'a' holds x-values, 'c' holds y-values
+    t.append(spark.createDataFrame(
+        [(i, f"x{i}", f"y{i}") for i in range(20)],
+        "id int, a string, c string").coalesce(1))
+    catalog.rename_column("default", "bfrc", "a", "b")
+    catalog.rename_column("default", "bfrc", "c", "a")
+    catalog.set_table_options(
+        "default", "bfrc", {"file-index.bloom-filter.columns": "a"})
+    t.append(spark.createDataFrame(
+        [(100, "zz", "aa")], "id int, b string, a string").coalesce(1))
+    # probe the NEW 'a' (old c data) for a value only in F1: the stale
+    # bloom keyed 'a' (built from x-values) would say absent — the
+    # field-id check must keep F1 and find the row
+    sc = t.scan(predicate=P.eq("a", "y7"))
+    assert [r["id"] for r in sc.to_df().collect()] == [7]
+    assert sc.last_plan["after_stats_skip"] >= 1
