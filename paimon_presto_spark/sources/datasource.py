@@ -1128,6 +1128,15 @@ class PaimonStreamReader(DataSourceStreamReader):
         self.consumer = options.get("consumer-id") or options.get("consumer_id")
         self.starting = options.get("startingoffsets", options.get(
             "startingOffsets", "earliest"))
+        # Paimon's scan.mode=from-snapshot: begin the stream AT a specific
+        # snapshot id (inclusive) — the reproducible-replay startup a
+        # backfill pipeline wants. Exclusive with startingOffsets=latest.
+        self.from_snapshot = options.get("from-snapshot")
+        if self.from_snapshot is not None:
+            if str(self.starting).lower() == "latest":
+                raise ValueError(
+                    "from-snapshot and startingOffsets=latest are exclusive")
+            self.from_snapshot = int(self.from_snapshot)
 
     def _ids(self) -> list[int]:
         sdir = os.path.join(self.meta, "snapshot")
@@ -1151,6 +1160,8 @@ class PaimonStreamReader(DataSourceStreamReader):
             if os.path.exists(cpath):
                 with open(cpath) as fh:
                     return {"snapshot": json.load(fh)["next_snapshot"] - 1}
+        if self.from_snapshot is not None:
+            return {"snapshot": max(0, self.from_snapshot - 1)}
         if str(self.starting).lower() == "latest":
             ids = self._ids()
             return {"snapshot": ids[-1] if ids else 0}

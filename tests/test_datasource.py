@@ -574,3 +574,21 @@ def test_writer_defaults_to_table_rowkind_field(registered, spark, catalog):
     )
     got = sorted((r["k"], r["v"]) for r in t.to_df().collect())
     assert got == [(2, "b"), (3, "c")]
+
+
+def test_stream_from_snapshot_startup(registered, spark, catalog, tmp_path):
+    """option('from-snapshot', N) starts the stream AT snapshot N —
+    Paimon's scan.mode=from-snapshot replay startup."""
+    t = catalog.create_table("default", "ds_fs", "k int", primary_keys=["k"])
+    for i in range(4):
+        t.upsert(spark.createDataFrame([(i,)], "k int"))
+    q = (
+        spark.readStream.format("paimon").option("path", t.path)
+        .option("changelog", "true").option("from-snapshot", "3")
+        .load().writeStream.format("memory").queryName("ds_fs_out")
+        .option("checkpointLocation", str(tmp_path / "ck-fs"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["__seq"], r["k"]) for r in spark.table("ds_fs_out").collect())
+    assert got == [(3, 2), (4, 3)]  # snapshots 3 and 4 only
