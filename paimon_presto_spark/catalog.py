@@ -341,6 +341,37 @@ class Catalog:
             or (k.startswith("fields.") and k.endswith(cls._IMMUTABLE_SUFFIXES))
         )
 
+    @classmethod
+    def _fields_option_column(cls, key: str) -> str | None:
+        if not key.startswith("fields."):
+            return None
+        for suf in cls._IMMUTABLE_SUFFIXES:
+            if key.endswith(suf):
+                return key[len("fields."):-len(suf)]
+        return None
+
+    def _exempt_uncommitted_fields(self, t: Table, bad: list[str]) -> list[str]:
+        """A fields.* merge-semantics option is only immutable when the
+        column has COMMITTED data to re-aggregate: a column added after
+        the last commit (tracked by field id, so renames can't fake it)
+        reads NULL from every committed file and may still pick its
+        aggregate function."""
+        s = t.schema()
+        cur_id = {f["name"]: f["id"] for f in s.fields}
+        committed_ids: set[int] = set()
+        for sid in t.snapshot_ids():
+            snap = t.snapshot(sid)
+            committed_ids.update(
+                f["id"] for f in t.schema(snap.schema_id).fields
+            )
+        out = []
+        for k in bad:
+            col = self._fields_option_column(k)
+            if col is not None and cur_id.get(col) not in committed_ids:
+                continue  # never-committed column: no history to corrupt
+            out.append(k)
+        return out
+
     def set_table_options(self, db: str, name: str, options: dict[str, str]) -> None:
         """``ALTER TABLE ... SET (k = v, ...)`` — Paimon's mutable-option
         surface (the reference exposes the same WITH-clause options at
@@ -351,7 +382,9 @@ class Catalog:
         while old ones keep reading in their original format."""
         t = self.get_table(db, name)
         s = t.schema()
-        bad = self._immutable_option_keys(options)
+        bad = self._exempt_uncommitted_fields(
+            t, self._immutable_option_keys(options)
+        )
         if bad:
             raise ValueError(
                 f"options {bad} are immutable after creation (bucket: use "
@@ -365,10 +398,12 @@ class Catalog:
     def reset_table_options(self, db: str, name: str, keys: list[str]) -> None:
         """``ALTER TABLE ... RESET (k, ...)`` — drop options back to their
         defaults (same immutability rules as ``set_table_options``)."""
-        bad = self._immutable_option_keys(keys)
+        t = self.get_table(db, name)
+        bad = self._exempt_uncommitted_fields(
+            t, self._immutable_option_keys(keys)
+        )
         if bad:
             raise ValueError(f"options {bad} are immutable after creation")
-        t = self.get_table(db, name)
         s = t.schema()
         for k in keys:
             s.options.pop(k, None)

@@ -267,11 +267,17 @@ def minhash_lsh_pairs_incremental(
             old_docs.unionByName(new_docs), id_col, text_col, shingle_n
         ).cache()
         all_sh.count()  # materialize before fan-out (see minhash_lsh_pairs)
-        all_mh = minhash_signature(all_sh, k)
-        new_ids = new_docs.select(id_col).distinct()
-        new_sh = all_sh.join(new_ids, id_col, "left_semi")
-        new_mh = all_mh.join(new_ids, id_col, "left_semi")
-        old_sh = all_sh.join(new_ids, id_col, "left_anti")
+        # cache the signatures too: both band-join sides consume them, and
+        # Spark does not share subplans across join sides — uncached, the
+        # corpus-wide MIN-aggregation would run twice
+        all_mh = minhash_signature(all_sh, k).cache()
+        all_mh.count()
+        # shingle/signature frames carry the canonical 'doc_id' name
+        # whatever the caller's id column is called
+        new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+        new_sh = all_sh.join(new_ids, "doc_id", "left_semi")
+        new_mh = all_mh.join(new_ids, "doc_id", "left_semi")
+        old_sh = all_sh.join(new_ids, "doc_id", "left_anti")
         ab_src = all_mh  # build side = everything, already unioned
     else:
         new_sh = shingle_hashes(new_docs, id_col, text_col, shingle_n).cache()
@@ -300,20 +306,24 @@ def minhash_lsh_pairs_incremental(
     cand.count()
     # Re-shingle only the old docs that actually appear in a candidate.
     cand_ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .union(cand.select(F.col("doc_b").alias(id_col)))
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     # No broadcast hint: the candidate set scales with the increment (not
     # the corpus), but "increment" can still be large — AQE broadcasts it
     # only when it measures small (the curate_corpus decision-set rule).
     if old_sh is not None:
-        old_cand_sh = old_sh.join(cand_ids, id_col, "left_semi")
+        old_cand_sh = old_sh.join(cand_ids, "doc_id", "left_semi")
     else:
         # stored-signature path: old shingles were never computed this run,
         # so re-shingle ONLY the candidate members (semi-join-bounded)
         old_cand_sh = shingle_hashes(
-            old_docs.join(cand_ids, id_col, "left_semi"),
+            old_docs.join(
+                cand_ids.withColumnRenamed("doc_id", id_col),
+                id_col,
+                "left_semi",
+            ),
             id_col,
             text_col,
             shingle_n,

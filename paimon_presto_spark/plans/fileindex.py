@@ -99,3 +99,33 @@ def index_columns(options: dict[str, str]) -> list[str]:
     """Parse the ``file-index.bloom-filter.columns`` option."""
     raw = options.get("file-index.bloom-filter.columns", "")
     return [c.strip() for c in raw.split(",") if c.strip()]
+
+
+def translate_entry_metadata(
+    entry: dict, cur_by_id: dict[int, str], writer_fields: list[dict]
+) -> tuple[dict, dict]:
+    """A manifest entry's (stats, bloom index) re-keyed to CURRENT column
+    names through field ids.
+
+    Stats and blooms are stored under the WRITER schema's column names,
+    but schema evolution resolves columns by field id: a rename chain
+    (a→b then c→a) re-binds a name to different data, so testing metadata
+    by name alone can wrongly skip a file (lost rows). Translating via
+    ids keeps skipping working for renamed columns and degrades re-bound
+    names to no-skip — never wrong-skip. Shared by the TableScan planner
+    and the Python DataSource (the single place the rename semantics
+    live).
+    """
+    stats: dict = {}
+    idx: dict = {}
+    e_stats = entry.get("stats") or {}
+    e_idx = entry.get("index") or {}
+    for f in writer_fields:
+        cur = cur_by_id.get(f["id"])
+        if cur is None:
+            continue
+        if f["name"] in e_stats:
+            stats[cur] = e_stats[f["name"]]
+        if f["name"] in e_idx:
+            idx[cur] = e_idx[f["name"]]
+    return stats, idx

@@ -1377,7 +1377,7 @@ def table_format_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH target AS (
             SELECT o_orderkey,
                    'BASE' AS status,
-                   CAST(o_totalprice AS DOUBLE) AS price
+                   CAST(o_totalprice AS DECIMAL(28,10)) AS price
             FROM orders
         ),
         merged AS (
@@ -1391,12 +1391,11 @@ def table_format_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT status,
                COUNT(*) AS n_orders,
-               CAST(CAST(SUM(CAST(price AS DECIMAL(28,10))) AS VARCHAR)
-                   AS DOUBLE) AS total_price
+               {o_dsum_price}
         FROM merged
         GROUP BY 1
         ORDER BY 1
-    """,
+    """.format(o_dsum_price=o_dsum("price", "total_price")),
     tags=("table-format", "merge-into", "end-to-end"),
 )
 def table_format_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1425,17 +1424,21 @@ def table_format_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_database("mi", ignore_if_exists=True)
     t = cat.create_table(
         "mi", "orders_mi",
-        "o_orderkey bigint, status string, price double",
+        "o_orderkey bigint, status string, price decimal(28,10)",
         primary_keys=["o_orderkey"],
     )
+    # price lives in DECIMAL end-to-end: the doubling happens in exact
+    # decimal arithmetic, so no engine ever casts a derived double at a
+    # 10th-decimal tie (the o_totalprice->decimal cast itself is the one
+    # every oracle in this file already relies on)
     t.upsert(o.select(
         "o_orderkey", F.lit("BASE").alias("status"),
-        F.col("o_totalprice").alias("price"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
     ))
     t.merge_into(
         o.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", F.lit("MERGED").alias("status"),
-            (F.col("o_totalprice") * 2).alias("price"),
+            (F.col("o_totalprice").cast(DEC) * 2).alias("price"),
         ),
         matched_condition="target.price > 100000",
         when_not_matched="ignore",
@@ -1451,8 +1454,7 @@ def table_format_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("price").cast(DEC)).cast("string").cast("double")
-            .alias("total_price"),
+            dsum(F.col("price"), "total_price"),
         )
         .orderBy("status")
     )

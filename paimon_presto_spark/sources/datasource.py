@@ -65,6 +65,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from paimon_presto_spark.plans import fileindex
 from paimon_presto_spark.plans.predicate import P, Predicate, skip_safe_predicate
 
 
@@ -395,34 +396,20 @@ class PaimonReader(DataSourceReader):
             )
             sp = skip_safe_predicate(self.predicate, safe)
             if sp is not None:
-                # stats/bloom keys are writer-schema column names: rename
-                # chains can re-bind a name to different data, so both are
-                # translated through field ids to current names (renamed
-                # columns keep skipping; a re-bound name never wrong-skips)
+                # stats/bloom are writer-name-keyed; translate through
+                # field ids (see fileindex.translate_entry_metadata)
                 cur_by_id = {f["id"]: f["name"] for f in schema["fields"]}
                 ws_fields: dict[int, list] = {}
 
-                def translated(e: dict) -> tuple[dict, dict]:
+                def survives(e: dict) -> bool:
                     sid = e["schema_id"]
                     wf = ws_fields.get(sid)
                     if wf is None:
                         wf = _load_schema(self.meta, sid)["fields"]
                         ws_fields[sid] = wf
-                    stats, idx = {}, {}
-                    e_stats = e.get("stats") or {}
-                    e_idx = e.get("index") or {}
-                    for f in wf:
-                        cur = cur_by_id.get(f["id"])
-                        if cur is None:
-                            continue
-                        if f["name"] in e_stats:
-                            stats[cur] = e_stats[f["name"]]
-                        if f["name"] in e_idx:
-                            idx[cur] = e_idx[f["name"]]
-                    return stats, idx
-
-                def survives(e: dict) -> bool:
-                    stats, idx = translated(e)
+                    stats, idx = fileindex.translate_entry_metadata(
+                        e, cur_by_id, wf
+                    )
                     return sp.test_stats(stats, e["row_count"]) and (
                         sp.test_index(idx)
                     )
@@ -578,19 +565,23 @@ def _merge_arrow(tbl, schema: dict, engine: str):
     pdf = tbl.to_pandas()
     pks = schema["primary_keys"]
     pdf = pdf.sort_values(["__seq", "__pos"], kind="stable")
+    # sequence.field: largest sequence value wins, commit order only
+    # breaking ties (twin of table._merge_on_read, incl. its engine
+    # validation). NaN sorts first (ascending): null versions always lose.
+    seqf = [
+        c.strip()
+        for c in schema.get("options", {}).get("sequence.field", "").split(",")
+        if c.strip()
+    ]
+    if seqf and engine in ("first-row", "aggregation"):
+        raise ValueError(
+            f"sequence.field is not supported with merge-engine {engine!r}"
+        )
+    if seqf:
+        pdf = pdf.sort_values(
+            seqf + ["__seq", "__pos"], kind="stable", na_position="first"
+        )
     if engine == "deduplicate":
-        # sequence.field: largest sequence value wins, commit order only
-        # breaking ties (twin of table._merge_on_read). NaN sorts first
-        # (ascending), i.e. a null sequence value always loses.
-        seqf = [
-            c.strip()
-            for c in schema.get("options", {}).get("sequence.field", "").split(",")
-            if c.strip()
-        ]
-        if seqf:
-            pdf = pdf.sort_values(
-                seqf + ["__seq", "__pos"], kind="stable", na_position="first"
-            )
         pdf = pdf.drop_duplicates(pks, keep="last")
         pdf = pdf[pdf["__row_kind"] != "D"]
     elif engine == "first-row":
@@ -606,19 +597,6 @@ def _merge_arrow(tbl, schema: dict, engine: str):
             for opt, val in opts.items()
             if opt.startswith("fields.") and opt.endswith(".sequence-group")
         }
-        # top-level sequence.field orders the whole row (twin of
-        # table._merge_on_read; exclusive with sequence groups, which the
-        # write path validates) — NaN sorts first, i.e. null versions lose
-        pu_seqf = [
-            c.strip()
-            for c in opts.get("sequence.field", "").split(",")
-            if c.strip()
-        ]
-        if pu_seqf:
-            pdf = pdf.sort_values(
-                pu_seqf + ["__seq", "__pos"], kind="stable",
-                na_position="first",
-            )
         if groups:
             # sequence-group semantics (pandas twin of table._merge_on_read):
             # group columns order by THEIR sequence column; commit order
@@ -791,14 +769,17 @@ class PaimonWriter(DataSourceWriter):
 
         rows = list(iterator)
         if self.rowkind_field is not None:
-            # UB rows are UPDATE pre-images: for upsert materialization the
-            # UA row already replaces the key, and writing the pre-image as
-            # an insert would race it (cross-task __pos order is salted) —
-            # the same reason Paimon's pk sinks ignore UPDATE_BEFORE.
+            # UB / -U rows are UPDATE pre-images: the UA/+U row already
+            # replaces the key, and writing the pre-image (as insert OR
+            # tombstone) would race it — cross-task __pos order is salted,
+            # so the task-parallel writer cannot resolve within-batch
+            # winners the way Table._commit_cdc_batch does. Dropping them
+            # is Paimon's own pk-sink treatment of UPDATE_BEFORE; real
+            # deletes arrive as -D/D.
             rows = [
                 r
                 for r in rows
-                if str(r[self.rowkind_field]).upper() != "UB"
+                if str(r[self.rowkind_field]).upper() not in ("UB", "-U")
             ]
         if not rows:
             return PaimonCommitMessage([])
@@ -826,7 +807,7 @@ class PaimonWriter(DataSourceWriter):
             if self.rowkind_field is not None:
                 cols["__row_kind"] = [
                     "D"
-                    if str(r[self.rowkind_field]).upper() in ("-D", "D", "-U")
+                    if str(r[self.rowkind_field]).upper() in ("-D", "D")
                     else "I"
                     for r in rows
                 ]

@@ -2138,11 +2138,10 @@ class Table:
         bounds are what schedulers have ("what changed since last night's
         run") when no one recorded snapshot ids."""
         def at_or_before(ms: int) -> int:
-            best = 0
-            for sid in self.snapshot_ids():
-                if self.snapshot(sid).timestamp_ms <= ms:
-                    best = sid
-            return best
+            try:
+                return self.snapshot_as_of(ms).snapshot_id
+            except ValueError:
+                return 0  # bound precedes all history
 
         start = at_or_before(start_ms)
         end = (
@@ -3156,36 +3155,20 @@ class TableScan:
             )
             sp = skip_safe_predicate(self.predicate, safe)
             if sp is not None:
-                # Stats AND bloom entries are keyed by the WRITER's column
-                # names; schema evolution resolves columns by field id. A
-                # rename chain can re-bind a name to different data
-                # (a->b then c->a), so both are translated through field
-                # ids to CURRENT names before testing — a renamed column
-                # keeps its skipping, a re-bound name can never wrong-skip.
+                # stats/bloom are writer-name-keyed; translate through
+                # field ids (see fileindex.translate_entry_metadata)
                 cur_by_id = {f["id"]: f["name"] for f in schema.fields}
                 ws_fields: dict[int, list] = {}
 
-                def translated(e: dict) -> tuple[dict, dict]:
+                def survives(e: dict) -> bool:
                     sid = e["schema_id"]
                     wf = ws_fields.get(sid)
                     if wf is None:
                         wf = t.schema(sid).fields
                         ws_fields[sid] = wf
-                    stats, idx = {}, {}
-                    e_stats = e.get("stats") or {}
-                    e_idx = e.get("index") or {}
-                    for f in wf:
-                        cur = cur_by_id.get(f["id"])
-                        if cur is None:
-                            continue
-                        if f["name"] in e_stats:
-                            stats[cur] = e_stats[f["name"]]
-                        if f["name"] in e_idx:
-                            idx[cur] = e_idx[f["name"]]
-                    return stats, idx
-
-                def survives(e: dict) -> bool:
-                    stats, idx = translated(e)
+                    stats, idx = fileindex.translate_entry_metadata(
+                        e, cur_by_id, wf
+                    )
                     return sp.test_stats(stats, e["row_count"]) and (
                         sp.test_index(idx)
                     )

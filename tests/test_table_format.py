@@ -2807,11 +2807,14 @@ def test_alter_rejects_field_merge_semantics(spark, catalog):
     """fields.<c>.aggregate-function / .sequence-group / .distinct are
     part of the merge contract: altering them would re-aggregate
     committed history under new rules."""
-    catalog.create_table(
+    t = catalog.create_table(
         "default", "ao5", "k int, total bigint", primary_keys=["k"],
         options={"merge-engine": "aggregation",
                  "fields.total.aggregate-function": "sum"},
     )
+    # commit data: only committed columns are locked (uncommitted ones may
+    # still pick their function — test_alter_allows_agg_function_on_new_column)
+    t.upsert(spark.createDataFrame([(1, 5)], "k int, total bigint"))
     for key in ("fields.total.aggregate-function",
                 "fields.total.sequence-group",
                 "fields.total.distinct"):
@@ -2845,3 +2848,31 @@ def test_bloom_index_survives_rename_chain(spark, catalog):
     sc = t.scan(predicate=P.eq("a", "y7"))
     assert [r["id"] for r in sc.to_df().collect()] == [7]
     assert sc.last_plan["after_stats_skip"] >= 1
+
+
+def test_alter_allows_agg_function_on_new_column(spark, catalog):
+    """A column added after the last commit has no committed history —
+    choosing its aggregate function must be allowed (by field id, so a
+    rename of an OLD column cannot fake exemption)."""
+    t = catalog.create_table(
+        "default", "ao6", "k int, total bigint", primary_keys=["k"],
+        options={"merge-engine": "aggregation",
+                 "fields.total.aggregate-function": "sum"},
+    )
+    t.upsert(spark.createDataFrame([(1, 5)], "k int, total bigint"))
+    catalog.add_column("default", "ao6", "bonus", "bigint")
+    catalog.set_table_options(
+        "default", "ao6", {"fields.bonus.aggregate-function": "max"})
+    t.upsert(spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 7)], "k int, total bigint, bonus bigint"))
+    got = t.to_df().collect()[0]
+    assert (got["total"], got["bonus"]) == (10, 10)
+    # the COMMITTED column stays locked
+    with pytest.raises(ValueError, match="immutable"):
+        catalog.set_table_options(
+            "default", "ao6", {"fields.total.aggregate-function": "max"})
+    # renaming a committed column does not unlock it
+    catalog.rename_column("default", "ao6", "total", "total2")
+    with pytest.raises(ValueError, match="immutable"):
+        catalog.set_table_options(
+            "default", "ao6", {"fields.total2.aggregate-function": "max"})
