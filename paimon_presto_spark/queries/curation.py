@@ -837,3 +837,74 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_vecs, raw, projected)],
         "n_vecs bigint, total_var_raw double, total_var_projected double",
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                                         i -> tk[i] || ' ' || tk[i + 1] || ' '
+                                              || tk[i + 2])) AS s
+            FROM toks
+        ),
+        hashed AS (
+            SELECT doc_id, CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) AS h
+            FROM sh
+        ),
+        first_seen AS (SELECT h, MIN(doc_id) AS fs FROM hashed GROUP BY h),
+        per_doc AS (
+            SELECT a.doc_id,
+                   COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN f.fs = a.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM hashed a JOIN first_seen f USING (h)
+            GROUP BY a.doc_id
+        )
+        SELECT doc_id // 50 AS doc_bucket,
+               CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+               CAST(SUM(n_novel) AS BIGINT) AS n_novel
+        FROM per_doc
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("llm-pipeline", "curation", "novelty", "dedup-aware-sampling"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per ingestion position (doc_id order), how
+    many of a document's 3-gram shingles were NEVER seen in any earlier
+    document — the dedup-aware signal curation pipelines use to decide
+    when a source is mined out (novelty ratios collapse as boilerplate
+    accumulates). Two narrow shuffles: min(doc_id) per 60-bit shingle
+    hash (first-seen owner), then one hash-keyed join back and a per-doc
+    count — shingle STRINGS never shuffle (the hash-before-distinct rule
+    every dedup operator here follows). Bucketed by 50 docs to keep the
+    verified output compact; integer-only outputs.
+    """
+    from paimon_presto_spark.operators.dedup import shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(docs, "doc_id", "text", 3)
+    first_seen = sh.groupBy("h").agg(F.min("doc_id").alias("fs"))
+    per_doc = (
+        sh.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("fs") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy(F.expr("doc_id DIV 50").alias("doc_bucket"))
+        .agg(
+            F.sum("n_shingles").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .orderBy("doc_bucket")
+    )
