@@ -806,6 +806,7 @@ class Table:
         when_matched: str = "update",
         matched_condition: str | None = None,
         when_not_matched: str = "insert",
+        update_set: dict[str, str] | None = None,
     ) -> Snapshot:
         """MERGE INTO in one atomic commit (the lakehouse upsert idiom;
         Paimon ships the same statement through its Spark integration):
@@ -816,6 +817,11 @@ class Table:
           reference the stored row as ``target.<col>``) holds; matched
           rows failing the condition are left untouched.
         - ``when_not_matched``: ``'insert'`` or ``'ignore'``.
+        - ``update_set``: column-level UPDATE (``WHEN MATCHED THEN UPDATE
+          SET col = expr``): only the listed columns change — each expr
+          is SQL over source columns and the stored row (``target.<col>``)
+          — and every unlisted column KEEPS its stored value. Without it,
+          the source row replaces the stored row whole.
 
         Matching is by primary key against the CURRENT merged state (one
         broadcast semi-lookup of the batch keys — the same price the
@@ -871,7 +877,38 @@ class Table:
             cond = F.expr(
                 _re_mod.sub(r"\btarget\.", "__t_", matched_condition)
             )
+        if update_set is not None:
+            if when_matched != "update":
+                raise ValueError("update_set requires when_matched='update'")
+            bad = [c for c in update_set if c not in cols or c in pks]
+            if bad:
+                raise ValueError(
+                    f"update_set keys must be non-key columns, got {bad}")
         m = F.col("__matched")
+        if update_set is not None:
+            # SQL MERGE SET semantics: every expr (and the condition,
+            # already captured in `cond`) evaluates against PRE-update
+            # values — one select applies all patches simultaneously so no
+            # expr can observe another column's patched value. Matched
+            # rows take stored values patched by the SET exprs; unmatched
+            # rows (inserts) keep source values untouched.
+            patched_cols = []
+            for c in cols:
+                if c in update_set:
+                    patched = F.expr(
+                        _re_mod.sub(r"\btarget\.", "__t_", update_set[c])
+                    )
+                else:
+                    patched = F.col(f"__t_{c}")
+                patched_cols.append(
+                    F.when(m, patched).otherwise(F.col(c)).alias(c)
+                )
+            marked = marked.select(
+                *patched_cols,
+                "__matched",
+                cond.alias("__cond"),
+            )
+            cond = F.col("__cond")
         if when_matched == "update":
             keep = (~m) | (m & cond)
             rk = F.lit("I")

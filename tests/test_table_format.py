@@ -2876,3 +2876,75 @@ def test_alter_allows_agg_function_on_new_column(spark, catalog):
     with pytest.raises(ValueError, match="immutable"):
         catalog.set_table_options(
             "default", "ao6", {"fields.total2.aggregate-function": "max"})
+
+
+class TestMergeIntoUpdateSet:
+    """merge_into(update_set=...): column-level WHEN MATCHED THEN UPDATE
+    SET — only listed columns change, exprs see PRE-update values, and
+    unlisted columns keep their stored values."""
+
+    DDL = "k int, v string, qty int"
+
+    def _seed(self, spark, catalog, name):
+        t = catalog.create_table(
+            "default", name, self.DDL, primary_keys=["k"])
+        t.upsert(spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], self.DDL))
+        return t
+
+    def test_partial_column_update(self, spark, catalog):
+        t = self._seed(spark, catalog, "mu1")
+        # only qty changes; v must KEEP its stored value even though the
+        # source carries a different one
+        t.merge_into(
+            spark.createDataFrame([(1, "CLOBBER", 5)], self.DDL),
+            update_set={"qty": "target.qty + qty"},
+            when_not_matched="ignore",
+        )
+        assert rows(t.to_df()) == [(1, "a", 15), (2, "b", 20)]
+
+    def test_exprs_see_pre_update_values(self, spark, catalog):
+        t = self._seed(spark, catalog, "mu2")
+        # v's expr reads target.qty; qty's expr also changes qty — both
+        # must observe the PRE-update stored value (10), not each other
+        t.merge_into(
+            spark.createDataFrame([(1, None, 7)], self.DDL),
+            update_set={
+                "v": "concat('q=', cast(target.qty as string))",
+                "qty": "target.qty * 2",
+            },
+            when_not_matched="ignore",
+        )
+        assert rows(t.to_df()) == [(1, "q=10", 20), (2, "b", 20)]
+
+    def test_inserts_keep_source_values(self, spark, catalog):
+        t = self._seed(spark, catalog, "mu3")
+        t.merge_into(
+            spark.createDataFrame([(1, "x", 1), (9, "new", 9)], self.DDL),
+            update_set={"qty": "qty"},  # matched: qty from source, v stored
+        )
+        assert rows(t.to_df()) == [(1, "a", 1), (2, "b", 20), (9, "new", 9)]
+
+    def test_condition_sees_pre_update_values(self, spark, catalog):
+        t = self._seed(spark, catalog, "mu4")
+        t.merge_into(
+            spark.createDataFrame([(1, None, 100), (2, None, 1)], self.DDL),
+            matched_condition="qty > target.qty",  # source vs stored
+            update_set={"qty": "qty"},
+            when_not_matched="ignore",
+        )
+        # k=1: 100 > 10 → updated; k=2: 1 > 20 false → untouched
+        assert rows(t.to_df()) == [(1, "a", 100), (2, "b", 20)]
+
+    def test_update_set_validation(self, spark, catalog):
+        t = self._seed(spark, catalog, "mu5")
+        with pytest.raises(ValueError, match="non-key"):
+            t.merge_into(
+                spark.createDataFrame([(1, "a", 1)], self.DDL),
+                update_set={"k": "k + 1"},
+            )
+        with pytest.raises(ValueError, match="update_set requires"):
+            t.merge_into(
+                spark.createDataFrame([(1, "a", 1)], self.DDL),
+                when_matched="delete", update_set={"qty": "qty"},
+            )
