@@ -114,6 +114,12 @@ def main() -> None:
                  (3, "new", 1, "+I")], ddl),
             matched_condition="ver > target.ver",
         )
+        # column-level SET: only v changes, ver keeps its stored value
+        cdc.merge_into(
+            spark.createDataFrame([(3, None, None, "+U")], ddl),
+            update_set={"v": "concat(target.v, '!')"},
+            when_not_matched="ignore",
+        )
         print("merge_into ok:", {r["k"]: r["v"] for r in cdc.to_df().collect()})
 
         # -- bloom file index: point lookups on unsorted columns -------------
