@@ -264,3 +264,62 @@ def test_sequence_field_equals_versioned_replay(spark, tmp_path_factory, cmds):
     assert [g[0] for g in got] == [w[0] for w in want]
     # values must match too (not just surviving keys)
     assert got == want
+
+
+merge_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["update", "delete", "ignore"]),   # when_matched
+        st.sampled_from(["insert", "ignore"]),             # when_not_matched
+        st.booleans(),                                     # condition on/off
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 40)),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda kv: kv[0],                    # one row per key
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 40)),
+                     min_size=1, max_size=4, unique_by=lambda kv: kv[0]),
+       ops=merge_ops)
+def test_merge_into_equals_dict_model(spark, tmp_path_factory, seed, ops):
+    """Random merge sequences (update/delete/ignore × insert/ignore, with
+    and without a value condition) must equal a plain dict replay of the
+    MERGE contract."""
+    from paimon_presto_spark.catalog import Catalog
+
+    wh = tmp_path_factory.mktemp("wh_merge")
+    c = Catalog(spark, str(wh))
+    c.create_database("d", ignore_if_exists=True)
+    t = c.create_table("d", "t", "k int, v int", primary_keys=["k"])
+
+    model = dict(seed)
+    t.upsert(spark.createDataFrame(seed, "k int, v int"))
+
+    for wm, wnm, use_cond, rows_in in ops:
+        df = spark.createDataFrame(rows_in, "k int, v int")
+        cond_sql = "v > target.v" if use_cond else None
+        t.merge_into(df, when_matched=wm, matched_condition=cond_sql,
+                     when_not_matched=wnm)
+        for k, v in rows_in:
+            matched = k in model
+            if matched:
+                hit = (v > model[k]) if use_cond else True
+                if wm == "update" and hit:
+                    model[k] = v
+                elif wm == "delete" and hit:
+                    del model[k]
+            elif wnm == "insert":
+                model[k] = v
+
+    got = sorted((r["k"], r["v"]) for r in t.to_df().collect())
+    assert got == sorted(model.items())
