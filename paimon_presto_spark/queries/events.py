@@ -611,3 +611,81 @@ def events_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_transitions"), "step_from", "step_to")
         .limit(20)
     )
+
+
+@register(
+    "events_window_anomaly",
+    oracle=f"""
+        WITH buckets AS (
+            SELECT (epoch_ns(ts) // {WINDOW_S * NS_PER_S}) * {WINDOW_S}
+                       AS window_start,
+                   event_type,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   COUNT(*) AS n_windows,
+                   SUM(CAST(n AS DECIMAL(28,10))) AS s1,
+                   SUM(CAST(n AS DECIMAL(28,10)) * n) AS s2
+            FROM buckets GROUP BY event_type
+        ),
+        scored AS (
+            SELECT b.window_start, b.event_type, b.n,
+                   CAST(s.s1 AS DOUBLE) / s.n_windows AS mu,
+                   SQRT(CAST(s.s2 AS DOUBLE) / s.n_windows
+                        - (CAST(s.s1 AS DOUBLE) / s.n_windows)
+                          * (CAST(s.s1 AS DOUBLE) / s.n_windows)) AS sigma
+            FROM buckets b JOIN stats s USING (event_type)
+        )
+        SELECT window_start, event_type, n,
+               ROUND((n - mu) / sigma, 4) AS zscore
+        FROM scored
+        WHERE sigma > 0 AND ABS((n - mu) / sigma) >= 2.0
+        ORDER BY ABS((n - mu) / sigma) DESC, window_start, event_type
+        LIMIT 25
+    """,
+    tags=("events", "anomaly", "zscore", "monitoring"),
+)
+def events_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: 5-minute event-count buckets scored
+    against their type's corpus mean/stddev, reporting windows at least
+    2σ out — the monitoring question behind every traffic dashboard. Two
+    aggregations (bucket counts, per-type moment sums) plus one
+    broadcastable join of per-type stats back onto buckets; the moment
+    sums ride DECIMAL so the mean/σ every bucket is scored against is
+    bit-identical across engines, and the final z arithmetic is a fixed
+    IEEE double sequence on identical operands. Top-25 with |z| and
+    deterministic tie-breaks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(f"(ts DIV {WINDOW_S * NS_PER_S}) * {WINDOW_S}")
+    buckets = ev.groupBy(
+        bucket.alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    DECV = "decimal(28,10)"
+    stats = buckets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("n").cast(DECV)).alias("s1"),
+        F.sum(F.col("n").cast(DECV) * F.col("n")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_windows")
+    sigma = F.sqrt(
+        F.col("s2").cast("double") / F.col("n_windows") - mu * mu
+    )
+    scored = (
+        buckets.join(stats, "event_type")
+        .withColumn("mu", mu)
+        .withColumn("sigma", sigma)
+        .withColumn("z", (F.col("n") - F.col("mu")) / F.col("sigma"))
+    )
+    return (
+        scored.filter((F.col("sigma") > 0) & (F.abs("z") >= 2.0))
+        .select(
+            "window_start", "event_type", "n",
+            F.round("z", 4).alias("zscore"),
+        )
+        .orderBy(F.abs("z").desc(), "window_start", "event_type")
+        .limit(25)
+    )
