@@ -69,7 +69,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # and the late-round-3 entries table_format_sequence_field,
 # dedup_boilerplate_chunks, split_assign_hash, table_format_bloom_index,
 # embedding_pca_project, events_cohort_retention, table_format_merge_into,
-# events_path_bigrams, text_ngram_novelty, events_window_anomaly)
+# events_path_bigrams, text_ngram_novelty, events_window_anomaly,
+# knn_lsh_recall)
 # are first in line for the round-4 rotation.
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.

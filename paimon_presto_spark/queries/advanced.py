@@ -1458,3 +1458,99 @@ def table_format_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def _oracle_lsh_recall(n_planes: int, dim: int, k: int, n_queries: int) -> str:
+    """DuckDB twin of the recall report: exact top-k vs the seeded-LSH
+    top-k, overlap counted per query (both over the FULL corpus, self
+    included, so the two algorithms face identical candidates)."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    probes = [0] + [1 << j for j in range(n_planes)]
+    return f"""
+        WITH exact AS (
+            SELECT q_id, n_id FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(
+                               q.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) DESC, c.vec_id
+                       ) AS rnk
+                FROM embeddings q JOIN embeddings c ON TRUE
+                WHERE q.vec_id < {n_queries}
+            ) WHERE rnk <= {k}
+        ),
+        bucketed AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ),
+        probes AS (
+            SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+                   xor(q.bucket::BIGINT, p.flip::BIGINT) AS bucket
+            FROM bucketed q, (SELECT UNNEST({probes}) AS flip) p
+            WHERE q.vec_id < {n_queries}
+        ),
+        approx AS (
+            SELECT q_id, n_id FROM (
+                SELECT s.q_id, s.n_id,
+                       ROW_NUMBER() OVER (PARTITION BY s.q_id
+                                          ORDER BY s.cos_sim DESC, s.n_id)
+                           AS rnk
+                FROM (
+                    SELECT DISTINCT pr.q_id, c.vec_id AS n_id,
+                           LIST_COSINE_SIMILARITY(pr.q_emb::DOUBLE[],
+                                                  c.embedding::DOUBLE[])
+                               AS cos_sim
+                    FROM probes pr JOIN bucketed c ON c.bucket = pr.bucket
+                ) s
+            ) WHERE rnk <= {k}
+        )
+        SELECT e.q_id,
+               CAST(COUNT(a.n_id) AS BIGINT) AS n_matched,
+               {k} AS k
+        FROM exact e
+        LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+        GROUP BY e.q_id
+        ORDER BY e.q_id
+    """
+
+
+@register(
+    "knn_lsh_recall",
+    oracle=_oracle_lsh_recall(n_planes=4, dim=64, k=10, n_queries=5),
+    tags=("similarity", "knn", "lsh", "ann", "recall", "evaluation"),
+)
+def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact brute-force
+    baseline — the evaluation loop an ANN deployment runs before trading
+    recall for scan cost. Both sides face the FULL corpus (self
+    included), so the overlap isolates the bucketing approximation;
+    seeded hyperplanes keep even this meta-metric exactly replayable by
+    the oracle. Integer outputs: matched-neighbor count and k per query.
+    """
+    from paimon_presto_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, queries, k=10).select("q_id", "n_id")
+    approx = lsh_bucketed_topk(e, queries, k=10, n_planes=4, dim=64).select(
+        F.col("q_id").alias("a_q"), F.col("n_id").alias("a_n")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("a_q")) & (F.col("n_id") == F.col("a_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("a_n").alias("n_matched"))
+        .select("q_id", "n_matched", F.lit(10).alias("k"))
+        .orderBy("q_id")
+    )
