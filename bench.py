@@ -159,11 +159,30 @@ def main() -> None:
     # cliques), and assert the scale-path plans stay free of
     # BroadcastNestedLoopJoin / CartesianProduct even with auto-broadcast
     # disabled — the shapes that must hold when data outgrows broadcast.
+    #
+    # The full scale_stress detail is printed as its OWN earlier line and
+    # written to bench_scale.json: round 3's driver artifact came back
+    # `parsed: null` because the single summary line outgrew the driver's
+    # ~2.7 KB tail capture. The FINAL line must stay the compact summary.
     try:
-        out["scale_stress"] = _scale_stress(spark, qs, sf_dir)
+        stress = _scale_stress(spark, qs, sf_dir)
     except Exception as exc:
-        out["scale_stress"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
-    print(json.dumps(out))
+        stress = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    scale_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_scale.json"
+    )
+    with open(scale_path, "w") as fh:
+        json.dump(stress, fh, indent=1)
+    print("SCALE_STRESS " + json.dumps(stress))
+    out["scale_sf1_total"] = round(
+        sum(v for v in stress.get("queries", {}).values() if isinstance(v, float)), 1
+    )
+    out["scale_plan_violations"] = stress.get("plan_violations", -1)
+    line = json.dumps(out)
+    if len(line) > 2000:  # belt-and-braces: never outgrow the tail capture
+        out["queries"] = {k: round(v, 1) for k, v in times.items()}
+        line = json.dumps(out)
+    print(line)
 
 
 SCALE_QUERIES = [

@@ -150,17 +150,18 @@ def band_candidates(mh: DataFrame, bands: int, rows: int) -> DataFrame:
 def jaccard_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact Jaccard over full shingle sets for candidate (doc_a, doc_b).
 
-    The candidate-pair side is broadcast: LSH/inverted-index candidates are
-    tiny relative to the shingle table, so the expansion join streams the
-    shingle partitions without a shuffle; only the (doc_b, key) equi-join
-    and the final per-pair count shuffle — both on compact keys.
+    No forced broadcasts: candidate-pair volume scales with the corpus's
+    duplication rate, not with a constant, so a broadcast hint here would
+    force a driver-sized collect on a heavily-duplicated crawl. All joins
+    are plain equi-joins on compact keys (doc ids / shingle hashes); AQE
+    picks broadcast at runtime when a side measures small.
     """
     key = "h" if "h" in sh.columns else "s"
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), key)
     sb = sh.select(F.col("doc_id").alias("doc_b"), key)
     inter = (
-        F.broadcast(cand)
+        cand
         .join(sa, "doc_a")
         .join(sb, ["doc_b", key])
         .groupBy("doc_a", "doc_b")
@@ -168,10 +169,8 @@ def jaccard_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    # `inter` (one row per surviving candidate pair) is the small side of the
-    # size joins — broadcast it, never `sizes` (one row per document).
     return (
-        F.broadcast(inter)
+        inter
         .join(na, "doc_a")
         .join(nb, "doc_b")
         .select(

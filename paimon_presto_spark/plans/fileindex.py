@@ -63,18 +63,24 @@ def _positions(key: str, m: int) -> Iterator[int]:
 
 
 def build_bloom(values: Iterable[Any]) -> dict | None:
-    """Bloom descriptor {m, k, b} for a column's values, or None when
-    nothing indexable (all-null / unindexable type)."""
+    """Bloom descriptor {m, k, b, t} for a column's values, or None when
+    nothing indexable (all-null / unindexable type). ``t`` records the
+    indexed type's key prefix (parquet columns are uniformly typed, so
+    there is exactly one) — probes check it before trusting the filter."""
     keys = {bloom_key(v) for v in values}
     keys.discard(None)
     if not keys:
         return None
+    prefixes = {k[:1] for k in keys}
     m = max(64, ((len(keys) * BITS_PER_KEY + 63) // 64) * 64)
     bits = bytearray(m // 8)
     for k in keys:
         for p in _positions(k, m):
             bits[p >> 3] |= 1 << (p & 7)
-    return {"m": m, "k": BLOOM_K, "b": base64.b64encode(bytes(bits)).decode()}
+    out = {"m": m, "k": BLOOM_K, "b": base64.b64encode(bytes(bits)).decode()}
+    if len(prefixes) == 1:
+        out["t"] = next(iter(prefixes))
+    return out
 
 
 def decode(bloom: dict) -> tuple[bytes, int]:
@@ -82,17 +88,34 @@ def decode(bloom: dict) -> tuple[bytes, int]:
     return base64.b64decode(bloom["b"]), int(bloom["m"])
 
 
-def might_contain_decoded(bits: bytes, m: int, v: Any) -> bool:
+def probe_key(bloom: dict, v: Any) -> str | None:
+    """Canonical key for probing `bloom` with literal `v`, or None when the
+    probe is INCONCLUSIVE: the literal is unindexable, or its type differs
+    from the column's indexed type. Spark compares under casts (``col = 5``
+    on a string column matches the row '5'), so a type-mismatched literal
+    probed as ``i:5`` against keys ``s:...`` would report definitely-absent
+    and wrong-skip a file whose rows the post-scan filter matches. A
+    descriptor without ``t`` (pre-upgrade) is likewise never trusted for a
+    literal whose type we cannot confirm matches."""
     key = bloom_key(v)
     if key is None:
-        return True  # unindexable literal → no conclusion
+        return None
+    t = bloom.get("t")
+    if t is None or key[:1] != t:
+        return None
+    return key
+
+
+def might_contain_decoded(bits: bytes, m: int, key: str | None) -> bool:
+    if key is None:
+        return True  # inconclusive probe → no conclusion
     return all(bits[p >> 3] & (1 << (p & 7)) for p in _positions(key, m))
 
 
 def might_contain(bloom: dict, v: Any) -> bool:
     """False only when `v` is DEFINITELY absent from the indexed file."""
     bits, m = decode(bloom)
-    return might_contain_decoded(bits, m, v)
+    return might_contain_decoded(bits, m, probe_key(bloom, v))
 
 
 def index_columns(options: dict[str, str]) -> list[str]:

@@ -180,7 +180,8 @@ class In(Predicate):
             return True
         bits, m = fileindex.decode(bloom)  # decode once for all IN values
         return any(
-            fileindex.might_contain_decoded(bits, m, v) for v in self.values
+            fileindex.might_contain_decoded(bits, m, fileindex.probe_key(bloom, v))
+            for v in self.values
         )
 
     def references(self):

@@ -54,92 +54,86 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The correctness harness grades registry entries in order and may stop at a
-# fixed count (rounds 1 and 2 each recorded exactly the first 50). The prefix
+# fixed count (rounds 1-3 each recorded exactly the first 50). The prefix
 # is ROTATED each round so every registry entry eventually earns a
-# driver-graded row: round 3 front-loads (a) never-graded entries as far as
-# the 50-slot cap allows — the round-2 additions plus most of round 3's new
-# entries — then (b) the round-1-harness-only entries that still fit (TPC-H
-# chains, join/set-op/sampling shapes; the round-1 harness predates the
-# pandas-dtype hardening), with q1, the table-format roundtrip, and the
-# tumbling window as cross-round sentinels. Round-3 additions that did NOT
-# fit (conditional_scalar_functions, width_bucket_histogram,
-# text_pii_redaction, text_repetition_quality, sample_stratified_exact,
-# embedding_int8_quantize, doc_chunk_windows, pack_sequences_greedy,
-# window_value_navigation, eval_contamination, dedup_semantic_incremental,
-# and the late-round-3 entries table_format_sequence_field,
-# dedup_boilerplate_chunks, split_assign_hash, table_format_bloom_index,
-# embedding_pca_project, events_cohort_retention, table_format_merge_into,
-# events_path_bigrams, text_ngram_novelty, events_window_anomaly,
-# knn_lsh_recall)
-# are first in line for the round-4 rotation.
+# driver-graded row. Round 4 front-loads (a) the 24 entries never
+# driver-graded after rounds 1-3 (all already local-gate green), then
+# (b) knn_ivf_kmeans, which gained its oracle this round after grading
+# `no_oracle` in round 3, (c) dedup_minhash_lsh, whose shared
+# jaccard_verify stage changed this round (forced candidate-pair
+# broadcasts removed), then (d) the stalest remaining rows — entries whose
+# only driver grade came from the round-1 harness (predates the
+# pandas-dtype hardening) — with q1, the table-format roundtrip, and the
+# tumbling window as cross-round sentinels. sample_bernoulli stays out by
+# design: it is a declared rows-only entry (seed-dependent), so a slot
+# spent on it buys no hash-match signal.
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded (rounds 1-2) --------------------------------
-    # aggregation / window / scalar coverage
-    "agg_grouping_sets",
-    "agg_filtered_bool",
-    "agg_corr_manual",
-    "window_rank_variants",
-    "scalar_misc_semantics",
-    "string_advanced_functions",
-    "array_lambda_functions",
-    "array_subscript_embeddings",
-    "datetime_trunc_extras",
-    "bitwise_functions",
-    "join_full_outer",
-    # LLM-pipeline operators
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_lsh",
-    "text_bpe_token_stats",
-    "text_quality_filter",
-    "doc_fingerprint",
-    "multimodal_binary_stats",
+    # -- never driver-graded after rounds 1-3 ----------------------------
+    # table format write paths
+    "table_format_merge_into",
+    "table_format_sequence_field",
+    "table_format_bloom_index",
+    # event analytics
+    "events_funnel_steps",
+    "events_cohort_retention",
+    "events_path_bigrams",
+    "events_window_anomaly",
+    # LLM-pipeline: dedup / decontamination / embeddings
+    "dedup_boilerplate_chunks",
+    "dedup_semantic_incremental",
+    "eval_contamination",
+    "knn_lsh_recall",
+    "embedding_pca_project",
+    "embedding_int8_quantize",
+    # LLM-pipeline: text quality / curation
+    "text_pii_redaction",
+    "text_repetition_quality",
+    "text_ngram_novelty",
+    "sample_stratified_exact",
+    "split_assign_hash",
+    "doc_chunk_windows",
+    "pack_sequences_greedy",
+    # scalar / window / misc coverage
+    "conditional_scalar_functions",
+    "width_bucket_histogram",
+    "window_value_navigation",
+    "assign_unique_id",
+    # -- newly oracle-gated this round (r3 row was `no_oracle`) ----------
     "knn_ivf_kmeans",
-    "pipeline_curate_corpus",
-    # round-3 additions (also never graded)
-    "events_interval_join_outer",
-    "array_setops_functions",
-    "map_functions",
-    "dedup_exact_substring",
-    "dedup_semantic_clusters",
-    "dedup_minhash_incremental",
-    "decontaminate_bloom",
-    "sample_temperature",
-    "timeseries_gap_fill",
-    "join_salted_skew",
-    "agg_two_phase_skew",
-    "agg_exact_percentiles",
-    "unnest_with_ordinality",
-    "agg_histogram_map",
-    # -- graded only by the round-1 harness ------------------------------
-    # TPC-H join chains and shapes
-    "q5_local_supplier_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    # q12_priority_shipmode and q14_promo_revenue rotated out (single-join
-    # conditional-agg shapes anchored by q19 in-prefix; the local gate still
-    # covers them) to fund dedup_semantic_clusters and the skew entries
-    # q15_top_supplier rotated out (scalar-subquery-over-agg shape anchored
-    # by q11 in-prefix; local gate still covers it) to fund decontaminate_bloom
-    # q16_parts_supplier rotated out (distinct-agg + NOT-IN anchored by q22's
-    # anti-join + agg_grouping_sets in-prefix; local gate still covers it)
-    "q19_disjunctive_filter",
-    # q20_excess_stock rotated out (nested-subquery family anchored by q11/
-    # q22 in-prefix; local gate still covers it) to fund dedup_minhash_incremental
-    "q22_global_sales_opportunity",
-    # joins / set ops / sampling (join_anti_not_exists rotated out: its
-    # family anchor q22 stays in-prefix; the slot funds the avro roundtrip)
-    "table_format_avro_roundtrip",
-    "table_format_partial_update",
-    "table_format_aggregation",
-    "text_tfidf_topk",
-    "text_unigram_logprob",
-    "setop_intersect",
-    # -- cross-round sentinels (one per core family, r2-green) -----------
+    # -- code changed this round (forced broadcasts removed in the shared
+    # jaccard_verify stage both build on) --------------------------------
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    # -- r2-only window-frame row, stalest of its family -----------------
+    "window_range_frame",
+    # -- graded only by the round-1 harness (stalest rows) ---------------
+    # (round-4 additions displace r1-only rows whose family is anchored
+    # elsewhere in-prefix — first out: case_when_bucketize (conditional
+    # family anchored by conditional_scalar_functions), filter_in_like
+    # (LIKE/IN anchored by string_functions + q19); the local gate still
+    # covers every rotated-out entry each session)
+    "agg_minmax_by",
+    "agg_rollup",
+    "agg_stats_variance",
+    "case_when_bucketize",
+    "filter_in_like",
+    "having_nation_counts",
+    "join_anti_not_exists",
+    "join_scalar_subquery",
+    "key_based_sampling",
+    "limit_offset_sort",
+    "q12_priority_shipmode",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q20_excess_stock",
+    "select_distinct_segments",
+    "setop_except",
+    "string_functions",
+    "window_lag_delta",
+    # -- cross-round sentinels (one per core family) ---------------------
     "q1_pricing_summary",
     "table_format_roundtrip",
     "events_tumbling_window",

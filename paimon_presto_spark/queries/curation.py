@@ -705,7 +705,10 @@ def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = remove_repeated_chunks(docs, "doc_id", "text", chunk_words=8,
                                  max_count=1)
-    return out.select(
+    # n_chunks > 0: the oracle's HAVING unit <> '' silently drops documents
+    # with zero non-empty chunks (empty/whitespace-only text) before its
+    # per-doc GROUP BY; mirror that here so both sides agree on such rows.
+    return out.filter(F.col("n_chunks") > 0).select(
         "doc_id", "n_chunks", "n_removed",
         F.md5("rebuilt_text").alias("rebuilt_md5"),
     ).orderBy("doc_id")

@@ -722,6 +722,18 @@ class PaimonWriter(DataSourceWriter):
             if self.rowkind_field not in names and self.rowkind_field != "__row_kind":
                 raise ValueError(
                     f"rowkind-field {self.rowkind_field!r} is not a column")
+            # mirror Table._check_cdc_batch_supported: on partial-update/
+            # aggregation tables the read path's merge filters 'D' rows
+            # before combining, so a '-D' tombstone written here would
+            # silently no-op — the Table API raises; this path must too
+            engine = schema.get("options", {}).get(
+                "merge-engine", "deduplicate")
+            if engine != "deduplicate":
+                raise ValueError(
+                    f"rowkind-field requires merge-engine deduplicate, "
+                    f"got {engine!r} (tombstones would be silently "
+                    f"discarded by the merge read path)"
+                )
         if (
             self.pks
             and schema.get("options", {}).get("changelog-producer") == "lookup"

@@ -842,10 +842,23 @@ class Table:
         missing = [c for c in pks if c not in source.columns]
         if missing:
             raise ValueError(f"source is missing key columns {missing}")
-        for c in cols:
-            if c not in source.columns:
-                source = source.withColumn(c, F.lit(None).cast(_parse_type(
-                    next(f["type"] for f in schema.fields if f["name"] == c))))
+        missing_vals = [c for c in cols
+                        if c not in pks and c not in source.columns]
+        if missing_vals and when_matched == "update" and update_set is None:
+            # Whole-row replace with a partial source would silently
+            # overwrite every unlisted stored column with NULL — SQL MERGE
+            # and Paimon both demand the columns (or an explicit SET list)
+            # instead. Null-padding is only sound for delete/ignore paths
+            # (key-only sources) and for inserts (SQL INSERT pads nulls).
+            raise ValueError(
+                f"merge_into with when_matched='update' and no update_set "
+                f"replaces the stored row whole, but the source is missing "
+                f"columns {missing_vals}; pass update_set= to patch only "
+                f"some columns, or provide every table column"
+            )
+        for c in missing_vals:
+            source = source.withColumn(c, F.lit(None).cast(_parse_type(
+                next(f["type"] for f in schema.fields if f["name"] == c))))
         base = self.snapshot()
         keys = source.select(*pks).distinct()
         if base is None:
@@ -2656,6 +2669,11 @@ class Table:
             if fmt == "orc"
             else {}
         )
+        blooms = (
+            _build_file_blooms(self.spark, staging, fmt, index_cols)
+            if index_cols and fmt in ("parquet", "orc")
+            else {}
+        )
         for root, _dirs, files in os.walk(staging):
             for fn in files:
                 if not fn.endswith("." + fmt):
@@ -2687,18 +2705,7 @@ class Table:
                     # empty task output (the orc writer emits one per empty
                     # partition) — nothing to register
                     continue
-                fidx: dict[str, dict] = {}
-                if index_cols and fmt in ("parquet", "orc"):
-                    if fmt == "parquet":
-                        itbl = pq.ParquetFile(src).read(columns=index_cols)
-                    else:
-                        from pyarrow import orc as _po
-
-                        itbl = _po.ORCFile(src).read(columns=index_cols)
-                    for c in index_cols:
-                        bl = fileindex.build_bloom(itbl.column(c).to_pylist())
-                        if bl is not None:
-                            fidx[c] = bl
+                fidx: dict[str, dict] = blooms.get(os.path.abspath(src), {})
                 os.rename(src, dst)
                 entry = {
                     "path": os.path.relpath(dst, self.path),
@@ -3803,6 +3810,64 @@ def _orc_file_stats(
                 "null_count": int(nc or 0),
             }
         out[path] = (stats, int(d["__rc"]))
+    return out
+
+
+def _build_file_blooms(
+    spark: SparkSession, staging: str, fmt: str, index_cols: list[str]
+) -> dict[str, dict]:
+    """Per-file bloom descriptors {abs_path: {col: bloom}} built
+    EXECUTOR-side in one distributed pass over the just-staged files —
+    the index twin of ``_orc_file_stats``. The previous driver path read
+    every indexed column of every written file sequentially through
+    pyarrow (O(rows) driver I/O and memory), serializing large commits on
+    bloom-indexed tables; here each file's values ship to one task
+    (grouped by ``input_file_name()``, only the indexed columns shuffle)
+    and only the ~1.2-bytes-per-distinct descriptors return to the driver.
+    """
+    import json as _json
+
+    from urllib.parse import unquote, urlparse
+
+    rd = spark.read.format(fmt).load(staging)
+    cols = [c for c in index_cols if c in rd.columns]
+    if not cols:
+        return {}
+    # Arrow→pandas turns a nullable int column into float64 (5 → 5.0),
+    # which would silently key every value wrong; coerce back by the
+    # Spark-declared type before building.
+    is_int = {
+        f.name: f.dataType.simpleString() in
+        ("tinyint", "smallint", "int", "bigint")
+        for f in rd.schema.fields
+    }
+
+    def _build(pdf):
+        import pandas as pd
+
+        fname = pdf["__f"].iloc[0]
+        out = {}
+        for c in cols:
+            vals = pdf[c].dropna()
+            if is_int.get(c) and vals.dtype.kind == "f":
+                vals = vals.astype("int64")
+            bl = fileindex.build_bloom(vals.tolist())
+            if bl is not None:
+                out[c] = bl
+        return pd.DataFrame({"__f": [fname], "__idx": [_json.dumps(out)]})
+
+    rows = (
+        rd.select(F.input_file_name().alias("__f"), *cols)
+        .groupBy("__f")
+        .applyInPandas(_build, schema="__f string, __idx string")
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        path = os.path.abspath(unquote(urlparse(r["__f"]).path))
+        idx = _json.loads(r["__idx"])
+        if idx:
+            out[path] = idx
     return out
 
 

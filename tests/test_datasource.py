@@ -557,6 +557,27 @@ def rows_set(t):
     return {(r["k"], r["v"]) for r in t.to_df().collect()}
 
 
+def test_writer_rowkind_field_rejected_on_partial_update(
+        registered, spark, catalog):
+    """rowkind-field on a partial-update (or aggregation) table must raise
+    exactly like Table.write_cdc_batch: the merge read path filters 'D'
+    rows before combining, so a tombstone would silently no-op."""
+    import pytest
+
+    t = catalog.create_table(
+        "default", "ds_rkpu", "k int, v string, rk string",
+        primary_keys=["k"],
+        options={"rowkind.field": "rk", "merge-engine": "partial-update",
+                 "bucket": "1"},
+    )
+    df = spark.createDataFrame([(1, None, "-D")], "k int, v string, rk string")
+    with pytest.raises(Exception, match="merge-engine deduplicate"):
+        (
+            df.write.format("paimon").option("path", t.path)
+            .mode("append").save()
+        )
+
+
 def test_writer_defaults_to_table_rowkind_field(registered, spark, catalog):
     """Writing to a table that declares rowkind.field must honor the kind
     column even when the write does not pass the option — a '-D' marker

@@ -30,19 +30,19 @@ def test_priority_prefix_is_valid_and_broad():
     assert len(PRIORITY) == 50
     # Every operator family must be represented in the prefix. The prefix
     # ROTATES across rounds (so every entry eventually earns a driver-graded
-    # row); these anchors are the round-3 representatives of each family.
+    # row); these anchors are the round-4 representatives of each family.
     prefix = set(PRIORITY)
     for family_member in (
         "table_format_roundtrip",
         "q1_pricing_summary",
-        "window_rank_variants",
-        "agg_grouping_sets",
-        "setop_intersect",
-        "join_full_outer",
+        "window_value_navigation",
+        "agg_rollup",
+        "setop_except",
+        "join_anti_not_exists",
         "events_tumbling_window",
-        "dedup_simhash",
+        "dedup_boilerplate_chunks",
         "knn_ivf_kmeans",
-        "text_quality_filter",
+        "text_pii_redaction",
     ):
         assert family_member in prefix
 

@@ -2453,9 +2453,15 @@ class TestBloomFileIndex:
         absent = [rng.randrange(10**12) for _ in range(2000)]
         fp = sum(might_contain(bloom, v) for v in absent if v not in set(present))
         assert fp / 2000 < 0.05  # ~1% design fpp, generous bound
-        # strings and ints never alias; nulls not indexed
+        # a type-mismatched literal is INCONCLUSIVE, never definitely-absent:
+        # Spark compares under casts (col = 5 matches the string '5'), so
+        # probing 'i:5' against a string column's keys would wrong-skip
         b2 = build_bloom(["1", None])
-        assert might_contain(b2, "1") and not might_contain(b2, 1)
+        assert might_contain(b2, "1") and might_contain(b2, 1)
+        # a descriptor stripped of its type tag (pre-upgrade manifests) is
+        # never trusted: every probe is inconclusive
+        b3 = {k: v for k, v in b2.items() if k != "t"}
+        assert might_contain(b3, "1") and might_contain(b3, "absent")
         assert build_bloom([None, None]) is None
 
     def test_schema_rename_degrades_index_to_no_skip(self, spark, catalog):
@@ -2750,6 +2756,32 @@ class TestMergeInto:
         t = catalog.create_table("default", "mi7", self.DDL)
         with pytest.raises(ValueError, match="primary-key"):
             t.merge_into(spark.createDataFrame([(1, "a", 1)], self.DDL))
+
+    def test_partial_source_whole_row_update_rejected(self, spark, catalog):
+        """A whole-row-replace MERGE from a partial source would silently
+        NULL every unlisted stored column — must raise, pointing the
+        caller at update_set (SQL MERGE / Paimon demand the same)."""
+        t = self._seed(spark, catalog, "mi8")
+        partial = spark.createDataFrame([(2, 99)], "k int, qty int")
+        with pytest.raises(ValueError, match="update_set"):
+            t.merge_into(partial)
+
+    def test_partial_source_ok_with_update_set(self, spark, catalog):
+        """The same partial source is fine with an explicit SET list:
+        unlisted columns keep stored values; inserts pad NULL."""
+        t = self._seed(spark, catalog, "mi9")
+        partial = spark.createDataFrame([(2, 99), (7, 7)], "k int, qty int")
+        t.merge_into(partial, update_set={"qty": "qty"})
+        assert rows(t.to_df()) == [
+            (1, "a", 10), (2, "b", 99), (3, "c", 30), (7, None, 7)]
+
+    def test_partial_key_only_source_ok_for_delete(self, spark, catalog):
+        """Key-only sources stay legal for the delete path (null-padding
+        is sound there: only keys matter)."""
+        t = self._seed(spark, catalog, "mi10")
+        keys = spark.createDataFrame([(1,), (3,)], "k int")
+        t.merge_into(keys, when_matched="delete", when_not_matched="ignore")
+        assert rows(t.to_df(), "k") == [(2,)]
 
 
 def test_incremental_between_timestamps(spark, catalog):
