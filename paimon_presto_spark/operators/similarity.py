@@ -279,7 +279,11 @@ def kmeans_centroids(
 
     Codegen bound: the default ``assign="codegen"`` argmax inlines k×dim
     literals, the right trade up to a few hundred centroids (and
-    bit-deterministic — what the pytest pins). ``assign="blas"`` lifts
+    bit-deterministic — what the pytest pins). Its Lloyd update sums run
+    in DECIMAL(38,18) — exact, order-independent addition — so the
+    trained centroids are identical at any partitioning AND exactly
+    replayable by a SQL oracle (``knn_ivf_kmeans``); the blas rung keeps
+    float partials (its matmul already reassociates). ``assign="blas"`` lifts
     that bound: each Arrow batch computes the argmax with one X@Cᵀ matmul
     AND emits the per-batch Lloyd partials (bucket, count, per-dim sums)
     in the same pass, so vectors never return to the JVM and the
@@ -412,12 +416,21 @@ def kmeans_centroids(
                 (-F.array_max(sims(F.col("__v"), _unit(cents))).getField("negcid"))
                 .cast("int"),
             )
+            # Decimal-domain partial sums: double addition reassociates
+            # under partial aggregation, so a plain double SUM makes the
+            # centroids depend on partitioning (and differ between
+            # engines); DECIMAL(38,18) addition is exact and
+            # order-independent, which is what lets a SQL oracle replay
+            # the whole training loop bit-for-bit. The mean converts back
+            # to double below (one correctly-rounded cast + division).
             stats = (
                 assigned.groupBy("__b")
                 .agg(
                     F.count(F.lit(1)).alias("__n"),
                     *[
-                        F.sum(F.element_at("__v", i + 1)).alias(f"d{i}")
+                        F.sum(
+                            F.element_at("__v", i + 1).cast("decimal(38,18)")
+                        ).alias(f"d{i}")
                         for i in range(dim)
                     ],
                 )
@@ -431,7 +444,9 @@ def kmeans_centroids(
             if r is None:  # empty cluster: keep previous centroid
                 new_cents.append((cid, old))
                 continue
-            vec = [r[f"d{i}"] / r["__n"] for i in range(dim)]
+            # float(Decimal) is the correctly-rounded double; double/int
+            # division is IEEE-exact — both deterministic across engines.
+            vec = [float(r[f"d{i}"]) / r["__n"] for i in range(dim)]
             moved += sum((a - b) ** 2 for a, b in zip(vec, old))
             new_cents.append((cid, vec))
         cents = new_cents

@@ -51,12 +51,10 @@ def test_oracles_are_subset_with_known_exceptions():
     qs, osql = queries(), oracle_sql()
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
-    # Only genuinely seed-dependent / iterative entries may lack an oracle
-    # (the composed curation pipeline graduated to oracle-backed in r3).
-    assert rows_only <= {
-        "sample_bernoulli",
-        "knn_ivf_kmeans",
-    }, rows_only
+    # Only genuinely seed-dependent entries may lack an oracle (the
+    # curation pipeline graduated in r3; knn_ivf_kmeans in r4 — its
+    # bounded training loop unrolls into SQL).
+    assert rows_only <= {"sample_bernoulli"}, rows_only
 
 
 def test_integer_sum_oracles_cast_to_bigint():
