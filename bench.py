@@ -190,6 +190,7 @@ SCALE_QUERIES = [
     "dedup_minhash_incremental",
     "dedup_embedding_lsh",
     "dedup_semantic_clusters",
+    "dedup_semantic_clusters_codegen",
     "decontaminate_ngram_overlap",
     "decontaminate_bloom",
     "knn_ivf_probe",
@@ -217,12 +218,26 @@ def _semdedup_sf1(spark, sf1_dir: str):
     """dedup_semantic_clusters retuned for 10x the vectors: 32 centroids
     instead of 8, holding per-cluster population (and so the quadratic
     within-cluster pair term) constant — the 'scale k with the corpus'
-    rule the operator documents."""
+    rule the operator documents. pair_backend='auto' lets the operator
+    measure the populations and pick its rung: at this stress (~625
+    rows/cluster, past SEMDEDUP_BLAS_MIN_CLUSTER) it takes the
+    one-matmul-per-cluster BLAS path, the designed 100 TB regime."""
     from paimon_presto_spark.operators.similarity import _hyperplanes, semdedup
 
     emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
     cents = list(enumerate(_hyperplanes(64, 32, seed=7)))
-    return semdedup(emb, cents, 0.35)
+    return semdedup(emb, cents, 0.35, pair_backend="auto")
+
+
+def _semdedup_sf1_codegen(spark, sf1_dir: str):
+    """The codegen rung at the same stress — benched alongside auto so the
+    crossover claim (blas beats pair-expansion once populations reach the
+    hundreds) is re-measured every round, not asserted once."""
+    from paimon_presto_spark.operators.similarity import _hyperplanes, semdedup
+
+    emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+    cents = list(enumerate(_hyperplanes(64, 32, seed=7)))
+    return semdedup(emb, cents, 0.35, pair_backend="codegen")
 
 
 def _minhash_incremental_sf1(spark, sf1_dir: str):
@@ -335,6 +350,7 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
     retuned = {
         "dedup_embedding_lsh": _lsh_pairs_sf1,
         "dedup_semantic_clusters": _semdedup_sf1,
+        "dedup_semantic_clusters_codegen": _semdedup_sf1_codegen,
         "dedup_minhash_incremental": _minhash_incremental_sf1,
     }
     runners = {name: retuned.get(name, qs[name]) for name in SCALE_QUERIES}

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,10 +42,24 @@ SYSTEM_TABLE_SUFFIXES = (
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        metastore: str = "filesystem",
+        uri: str | None = None,
+    ):
+        """``metastore``/``uri`` mirror the reference's catalog config
+        (``PaimonConfig.java:28-60``): ``filesystem`` (default) derives
+        the namespace from the warehouse layout; ``jdbc`` keeps it in a
+        SQLite database at ``uri`` (table content stays in the table
+        directories either way — see ``metastore.py``)."""
+        from paimon_presto_spark.metastore import create_metastore
+
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
+        self.metastore = create_metastore(warehouse, metastore, uri)
 
     # -- databases (A15) ---------------------------------------------------
 
@@ -54,47 +67,44 @@ class Catalog:
         return os.path.join(self.warehouse, f"{db.lower()}.db")
 
     def list_databases(self) -> list[str]:
-        return sorted(
-            d[: -len(".db")]
-            for d in os.listdir(self.warehouse)
-            if d.endswith(".db") and os.path.isdir(os.path.join(self.warehouse, d))
-        )
+        return self.metastore.list_databases()
 
     def database_exists(self, db: str) -> bool:
-        return os.path.isdir(self._db_path(db))
+        return self.metastore.database_exists(db.lower())
 
     def create_database(self, db: str, ignore_if_exists: bool = False) -> None:
-        p = self._db_path(db)
-        if os.path.isdir(p):
+        if self.database_exists(db):
             if ignore_if_exists:
                 return
             raise ValueError(f"database {db} already exists")
-        os.makedirs(p)
+        self.metastore.create_database(db.lower())
 
     def drop_database(self, db: str, cascade: bool = False) -> None:
-        p = self._db_path(db)
-        if not os.path.isdir(p):
+        if not self.database_exists(db):
             raise ValueError(f"database {db} does not exist")
-        if os.listdir(p) and not cascade:
-            raise ValueError(f"database {db} is not empty")
-        shutil.rmtree(p)
+        self.metastore.drop_database(db.lower(), cascade)
 
     # -- tables ------------------------------------------------------------
 
     def _table_path(self, db: str, name: str) -> str:
-        return os.path.join(self._db_path(db), name.lower())
+        """Registered location of the table, or its default location when
+        not (yet) registered — creators write there, readers of a missing
+        table keep failing on the absent schema directory."""
+        p = self.metastore.table_path(db.lower(), name.lower())
+        return (
+            p
+            if p is not None
+            else self.metastore.default_table_path(db.lower(), name.lower())
+        )
 
     def list_tables(self, db: str) -> list[str]:
-        p = self._db_path(db)
-        if not os.path.isdir(p):
+        if not self.database_exists(db):
             raise ValueError(f"database {db} does not exist")
-        return sorted(
-            t for t in os.listdir(p) if os.path.isdir(os.path.join(p, t, "schema"))
-        )
+        return self.metastore.list_tables(db.lower())
 
     def table_exists(self, db: str, name: str) -> bool:
         base, _ = _split_system(name)
-        return os.path.isdir(os.path.join(self._table_path(db, base), "schema"))
+        return self.metastore.table_path(db.lower(), base.lower()) is not None
 
     def create_table(
         self,
@@ -105,14 +115,21 @@ class Catalog:
         partition_keys: Iterable[str] = (),
         options: dict[str, str] | None = None,
         ignore_if_exists: bool = False,
+        location: str | None = None,
     ) -> Table:
         if not self.database_exists(db):
             raise ValueError(f"database {db} does not exist")
-        path = self._table_path(db, name)
-        if os.path.isdir(path):
+        if self.table_exists(db, name):
             if ignore_if_exists:
                 return self.get_table(db, name)
             raise ValueError(f"table {db}.{name} already exists")
+        path = location or self.metastore.default_table_path(
+            db.lower(), name.lower()
+        )
+        if os.path.isdir(path) and os.listdir(path):
+            raise ValueError(
+                f"location {path} exists and is not empty"
+            )
         if isinstance(schema, str):
             # Parse the field list ourselves: StructType.fromDDL has no
             # TIME type, but the reference surface does (mapped to
@@ -148,6 +165,7 @@ class Catalog:
         os.makedirs(os.path.join(path, "schema"))
         with open(os.path.join(path, "schema", "schema-0.json"), "w") as fh:
             json.dump(ts.to_json(), fh, indent=2)
+        self.metastore.register_table(db.lower(), name.lower(), path)
         return Table(self.spark, path)
 
     def get_table(self, db: str, name: str) -> Table:
@@ -162,21 +180,23 @@ class Catalog:
         return Table(self.spark, path)
 
     def drop_table(self, db: str, name: str, ignore_if_missing: bool = False) -> None:
-        path = self._table_path(db, name)
-        if not os.path.isdir(path):
+        if not self.table_exists(db, name):
             if ignore_if_missing:
                 return
             raise ValueError(f"table {db}.{name} does not exist")
-        shutil.rmtree(path)
+        self.metastore.unregister_table(db.lower(), name.lower())
 
     def rename_table(self, db: str, name: str, new_name: str) -> None:
-        src = self._table_path(db, name)
-        dst = self._table_path(db, new_name)
-        if not os.path.isdir(src):
+        if not self.table_exists(db, name):
             raise ValueError(f"table {db}.{name} does not exist")
-        if os.path.isdir(dst):
+        if self.table_exists(db, new_name):
             raise ValueError(f"table {db}.{new_name} already exists")
-        os.rename(src, dst)
+        self.metastore.rename_table(
+            db.lower(),
+            name.lower(),
+            new_name.lower(),
+            self.metastore.default_table_path(db.lower(), new_name.lower()),
+        )
 
     def read_table(self, db: str, name: str, **scan_kwargs) -> DataFrame:
         """Read a table (or a ``name$system`` table) as a DataFrame.

@@ -1,0 +1,286 @@
+"""Pluggable metastore backends for the catalog namespace.
+
+The reference's catalog config accepts ``metastore`` and ``uri`` next to
+``warehouse`` (``PaimonConfig.java:28-60``: the connector forwards them to
+Paimon's catalog factory, which picks filesystem / hive / jdbc). This
+module is the Spark-native rebuild of that choice point: the *namespace*
+(which databases exist, which tables they hold, where each table lives)
+is owned by a Metastore implementation, while table CONTENT — schemas,
+snapshots, manifests, data files — always stays in the table directory
+(exactly Paimon's split: the external metastore holds pointers, the
+warehouse holds the format).
+
+Backends:
+
+- ``filesystem`` (default): the namespace IS the warehouse directory
+  layout (``warehouse/<db>.db/<table>/``) — zero extra infrastructure,
+  the behavior rounds 1-3 shipped.
+- ``jdbc``: the namespace lives in a SQLite database at ``uri`` —
+  the stdlib-only stand-in for Paimon's JDBC catalog. What this buys is
+  what any external metastore buys: a second engine (or a second
+  SparkSession on another machine) pointed at the same ``uri`` sees the
+  catalog WITHOUT listing the warehouse, table paths may live outside
+  the warehouse root, and namespace changes are transactional.
+- ``hive``: recognized and rejected with an actionable error — a thrift
+  HMS client needs packages this environment does not ship; the backend
+  seam (this module) is where one would plug it.
+
+Concurrency: the JDBC backend opens one connection per operation with
+``isolation_level=None`` (autocommit) and immediate transactions for
+multi-statement ops; SQLite serializes writers, which matches the
+single-committer model the table format already assumes per table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sqlite3
+from typing import Iterator
+
+
+def create_metastore(
+    warehouse: str, metastore: str = "filesystem", uri: str | None = None
+) -> "Metastore":
+    """The reference's (metastore, uri) switch (``PaimonConfig.java:44-60``)."""
+    if metastore in (None, "", "filesystem"):
+        if uri:
+            raise ValueError(
+                "metastore='filesystem' takes no uri (the warehouse path "
+                "is the namespace); pass metastore='jdbc' to use one"
+            )
+        return FilesystemMetastore(warehouse)
+    if metastore == "jdbc":
+        if not uri:
+            raise ValueError("metastore='jdbc' requires uri=<sqlite path>")
+        return JdbcMetastore(warehouse, uri)
+    if metastore == "hive":
+        raise NotImplementedError(
+            "metastore='hive' needs a thrift Hive-metastore client, which "
+            "this environment does not ship; use metastore='jdbc' (SQLite "
+            "namespace at uri=) or the default filesystem catalog"
+        )
+    raise ValueError(
+        f"unknown metastore {metastore!r}; expected filesystem, jdbc or hive"
+    )
+
+
+class Metastore:
+    """Namespace operations the catalog delegates; all identifiers arrive
+    already lower-cased by the catalog (case-insensitive surface)."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+
+    # databases
+    def list_databases(self) -> list[str]:
+        raise NotImplementedError
+
+    def database_exists(self, db: str) -> bool:
+        raise NotImplementedError
+
+    def create_database(self, db: str) -> None:
+        raise NotImplementedError
+
+    def drop_database(self, db: str, cascade: bool) -> None:
+        raise NotImplementedError
+
+    # tables (namespace only — content lives at the returned path)
+    def default_table_path(self, db: str, table: str) -> str:
+        return os.path.join(self.warehouse, f"{db}.db", table)
+
+    def list_tables(self, db: str) -> list[str]:
+        raise NotImplementedError
+
+    def table_path(self, db: str, table: str) -> str | None:
+        """Registered location, or None when the table does not exist."""
+        raise NotImplementedError
+
+    def register_table(self, db: str, table: str, path: str) -> None:
+        raise NotImplementedError
+
+    def unregister_table(self, db: str, table: str) -> None:
+        raise NotImplementedError
+
+    def rename_table(self, db: str, old: str, new: str, new_path: str) -> None:
+        raise NotImplementedError
+
+
+class FilesystemMetastore(Metastore):
+    """Namespace = warehouse layout; registering a table is creating its
+    directory (done by the table writer), so most ops are directory probes.
+    """
+
+    def _db_path(self, db: str) -> str:
+        return os.path.join(self.warehouse, f"{db}.db")
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            d[: -len(".db")]
+            for d in os.listdir(self.warehouse)
+            if d.endswith(".db")
+            and os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def database_exists(self, db: str) -> bool:
+        return os.path.isdir(self._db_path(db))
+
+    def create_database(self, db: str) -> None:
+        os.makedirs(self._db_path(db))
+
+    def drop_database(self, db: str, cascade: bool) -> None:
+        p = self._db_path(db)
+        if os.listdir(p) and not cascade:
+            raise ValueError(f"database {db} is not empty")
+        shutil.rmtree(p)
+
+    def list_tables(self, db: str) -> list[str]:
+        p = self._db_path(db)
+        return sorted(
+            t
+            for t in os.listdir(p)
+            if os.path.isdir(os.path.join(p, t, "schema"))
+        )
+
+    def table_path(self, db: str, table: str) -> str | None:
+        p = self.default_table_path(db, table)
+        return p if os.path.isdir(os.path.join(p, "schema")) else None
+
+    def register_table(self, db: str, table: str, path: str) -> None:
+        if os.path.abspath(path) != os.path.abspath(
+            self.default_table_path(db, table)
+        ):
+            raise ValueError(
+                "filesystem metastore requires tables at their warehouse "
+                "path; external locations need metastore='jdbc'"
+            )
+        # the directory is the registration; the creator already made it
+
+    def unregister_table(self, db: str, table: str) -> None:
+        p = self.default_table_path(db, table)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    def rename_table(self, db: str, old: str, new: str, new_path: str) -> None:
+        os.rename(self.default_table_path(db, old), new_path)
+
+
+class JdbcMetastore(Metastore):
+    """SQLite-backed namespace (Paimon's JDBC catalog shape): pointers in
+    the database, content at each table's path. Table directories default
+    under the warehouse but any path is legal — the point of an external
+    metastore."""
+
+    def __init__(self, warehouse: str, uri: str):
+        super().__init__(warehouse)
+        # accept plain paths and jdbc:sqlite:/sqlite:// spellings
+        for prefix in ("jdbc:sqlite:", "sqlite://", "sqlite:"):
+            if uri.startswith(prefix):
+                uri = uri[len(prefix):]
+                break
+        self.db_file = uri
+        os.makedirs(os.path.dirname(os.path.abspath(uri)), exist_ok=True)
+        with self._conn() as c:
+            c.execute(
+                "CREATE TABLE IF NOT EXISTS databases ("
+                " name TEXT PRIMARY KEY)"
+            )
+            c.execute(
+                "CREATE TABLE IF NOT EXISTS tables ("
+                " db TEXT NOT NULL, name TEXT NOT NULL, path TEXT NOT NULL,"
+                " PRIMARY KEY (db, name))"
+            )
+
+    def _conn(self) -> sqlite3.Connection:
+        return sqlite3.connect(self.db_file, timeout=30)
+
+    def list_databases(self) -> list[str]:
+        with self._conn() as c:
+            return sorted(
+                r[0] for r in c.execute("SELECT name FROM databases")
+            )
+
+    def database_exists(self, db: str) -> bool:
+        with self._conn() as c:
+            return (
+                c.execute(
+                    "SELECT 1 FROM databases WHERE name = ?", (db,)
+                ).fetchone()
+                is not None
+            )
+
+    def create_database(self, db: str) -> None:
+        with self._conn() as c:
+            c.execute("INSERT INTO databases VALUES (?)", (db,))
+        os.makedirs(os.path.join(self.warehouse, f"{db}.db"), exist_ok=True)
+
+    def drop_database(self, db: str, cascade: bool) -> None:
+        with self._conn() as c:
+            tables = [
+                r for r in c.execute(
+                    "SELECT name, path FROM tables WHERE db = ?", (db,)
+                )
+            ]
+            if tables and not cascade:
+                raise ValueError(f"database {db} is not empty")
+            c.execute("DELETE FROM tables WHERE db = ?", (db,))
+            c.execute("DELETE FROM databases WHERE name = ?", (db,))
+        for _, path in tables:
+            shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.warehouse, f"{db}.db"), ignore_errors=True
+        )
+
+    def list_tables(self, db: str) -> list[str]:
+        with self._conn() as c:
+            return sorted(
+                r[0]
+                for r in c.execute(
+                    "SELECT name FROM tables WHERE db = ?", (db,)
+                )
+            )
+
+    def table_path(self, db: str, table: str) -> str | None:
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT path FROM tables WHERE db = ? AND name = ?",
+                (db, table),
+            ).fetchone()
+        return row[0] if row else None
+
+    def register_table(self, db: str, table: str, path: str) -> None:
+        with self._conn() as c:
+            c.execute(
+                "INSERT INTO tables VALUES (?, ?, ?)", (db, table, path)
+            )
+
+    def unregister_table(self, db: str, table: str) -> None:
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT path FROM tables WHERE db = ? AND name = ?",
+                (db, table),
+            ).fetchone()
+            c.execute(
+                "DELETE FROM tables WHERE db = ? AND name = ?", (db, table)
+            )
+        if row:
+            shutil.rmtree(row[0], ignore_errors=True)
+
+    def rename_table(self, db: str, old: str, new: str, new_path: str) -> None:
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT path FROM tables WHERE db = ? AND name = ?",
+                (db, old),
+            ).fetchone()
+            if row is None:
+                raise ValueError(f"table {db}.{old} is not registered")
+            os.rename(row[0], new_path)
+            try:
+                c.execute(
+                    "UPDATE tables SET name = ?, path = ?"
+                    " WHERE db = ? AND name = ?",
+                    (new, new_path, db, old),
+                )
+            except Exception:
+                os.rename(new_path, row[0])  # roll the move back
+                raise

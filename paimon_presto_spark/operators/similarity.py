@@ -28,6 +28,13 @@ from pyspark.sql import Column, DataFrame, Window
 
 from paimon_presto_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
+#: semdedup pair_backend="auto" crossover: largest-cluster population above
+#: which the one-matmul-per-cluster BLAS rung beats the codegen pair
+#: expansion (measured at the sf1 stress: ~625 rows/cluster → blas 4x
+#: faster; the quadratic pair term grows with population², the matmul and
+#: its Arrow shuffle grow ~linearly).
+SEMDEDUP_BLAS_MIN_CLUSTER = 512
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -695,9 +702,14 @@ def semdedup(
     groups rows by cluster and resolves each group with ONE numpy matmul
     (``applyInPandas``) — each row crosses the shuffle once instead of
     once per candidate pair, the right rung when cluster populations reach
-    the thousands. Same drop set either way (cosines differ only by float
-    reassociation, ~1e-12, only material for pairs sitting exactly on the
-    threshold).
+    the thousands. ``"auto"`` measures the populations on the (cached)
+    assignment and picks: blas once the largest cluster exceeds
+    ``SEMDEDUP_BLAS_MIN_CLUSTER`` rows — the measured sf1 crossover
+    (20k vectors / 32 clusters ≈ 625 rows/cluster: codegen 16-22 s, blas
+    4-6 s, identical drop sets; below a few hundred rows the Arrow
+    group-shuffle overhead dominates and codegen wins). Same drop set
+    either way (cosines differ only by float reassociation, ~1e-12, only
+    material for pairs sitting exactly on the threshold).
 
     Codegen bound: the argmax assignment inlines k x dim literals, so its
     one-time whole-stage-codegen compile grows with k (measured ~8 s at
@@ -735,6 +747,17 @@ def semdedup(
     # (measured 3x the runtime at the sf1 stress; same pattern as
     # minhash_lsh_pairs' shingle cache).
     assigned.count()
+    if pair_backend == "auto":
+        # one k-row aggregation over the already-cached assignment
+        max_pop = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()[0]["m"]
+        )
+        pair_backend = (
+            "blas" if max_pop > SEMDEDUP_BLAS_MIN_CLUSTER else "codegen"
+        )
     if pair_backend == "codegen":
         a = assigned.select(
             F.col("__id").alias("__ida"), F.col("__emb").alias("__emba"),
@@ -790,7 +813,8 @@ def semdedup(
         )
     else:
         raise ValueError(
-            f"pair_backend must be 'codegen' or 'blas', got {pair_backend!r}"
+            f"pair_backend must be 'codegen', 'blas' or 'auto', "
+            f"got {pair_backend!r}"
         )
     return (
         assigned.join(

@@ -75,6 +75,8 @@ PRIORITY: tuple[str, ...] = (
     "table_format_merge_into",
     "table_format_sequence_field",
     "table_format_bloom_index",
+    # round-4 addition: external (jdbc/SQLite) metastore namespace
+    "metastore_catalog_roundtrip",
     # event analytics
     "events_funnel_steps",
     "events_cohort_retention",
@@ -117,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_minmax_by",
     "agg_rollup",
     "agg_stats_variance",
-    "case_when_bucketize",
     "filter_in_like",
     "having_nation_counts",
     "join_anti_not_exists",

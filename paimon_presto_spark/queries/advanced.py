@@ -1581,6 +1581,84 @@ def table_format_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "metastore_catalog_roundtrip",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(CAST(SUM(CAST(
+                   CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0
+                        ELSE c_acctbal END AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE) AS total_bal
+        FROM customer
+        WHERE c_custkey % 11 <> 0
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("table-format", "metastore", "catalog", "end-to-end"),
+)
+def metastore_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-metastore catalog through the oracle gate: three catalog
+    INSTANCES share one SQLite namespace (``metastore='jdbc'`` — the
+    reference's metastore/uri config, ``PaimonConfig.java:28-60``). The
+    first creates the table and loads customers; the second resolves it
+    purely from the store, RENAMES it, deletes ~9% of keys and patches
+    ~8% of balances; the third reads the renamed table back. The merged
+    result must equal the oracle's declarative restatement — proving the
+    namespace handoff (create → rename → read by new name) loses no
+    pointers and the content commits survive it.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from paimon_presto_spark.catalog import Catalog
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="ms-", dir=base)
+    wh = os.path.join(root, "wh")
+    uri = os.path.join(root, "catalog.sqlite")
+
+    c1 = Catalog(spark, wh, metastore="jdbc", uri=uri)
+    c1.create_database("ms")
+    t = c1.create_table(
+        "ms", "cust",
+        "c_custkey bigint, c_name string, c_acctbal double, "
+        "c_mktsegment string",
+        primary_keys=["c_custkey"],
+    )
+    t.upsert(cust)
+
+    c2 = Catalog(spark, wh, metastore="jdbc", uri=uri)
+    c2.rename_table("ms", "cust", "cust_gold")
+    t2 = c2.get_table("ms", "cust_gold")
+    t2.delete(cust.filter(F.col("c_custkey") % 11 == 0))
+    t2.upsert(
+        cust.filter(
+            (F.col("c_custkey") % 13 == 0) & (F.col("c_custkey") % 11 != 0)
+        ).withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    )
+
+    c3 = Catalog(spark, wh, metastore="jdbc", uri=uri)
+    merged = c3.read_table("ms", "cust_gold")
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("string").cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _oracle_lsh_recall(n_planes: int, dim: int, k: int, n_queries: int) -> str:
     """DuckDB twin of the recall report: exact top-k vs the seeded-LSH
     top-k, overlap counted per query (both over the FULL corpus, self

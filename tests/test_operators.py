@@ -352,8 +352,37 @@ def test_semdedup_keep_rule_and_cluster_fence(spark):
         for r in semdedup(emb, cents, 0.95, pair_backend="blas").collect()
     }
     assert blas == {i: out[i]["status"] for i in out}
+    # auto rung: tiny clusters stay on codegen (below the crossover) and
+    # the result is unchanged either way
+    auto = {
+        r["vec_id"]: r["status"]
+        for r in semdedup(emb, cents, 0.95, pair_backend="auto").collect()
+    }
+    assert auto == {i: out[i]["status"] for i in out}
     with pytest.raises(ValueError, match="pair_backend"):
         semdedup(emb, cents, 0.95, pair_backend="gpu")
+
+
+def test_semdedup_auto_picks_blas_past_crossover(spark, monkeypatch):
+    """pair_backend='auto' must switch to the BLAS rung once the largest
+    cluster exceeds the crossover; pin it by lowering the constant and
+    checking the result still matches codegen on the same input."""
+    from paimon_presto_spark.operators import similarity as sim
+
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    codegen = {
+        r["vec_id"]: r["status"]
+        for r in sim.semdedup(emb, cents, 0.9999).collect()
+    }
+    monkeypatch.setattr(sim, "SEMDEDUP_BLAS_MIN_CLUSTER", 4)
+    auto = {
+        r["vec_id"]: r["status"]
+        for r in sim.semdedup(emb, cents, 0.9999, pair_backend="auto").collect()
+    }
+    assert auto == codegen
+    assert "dropped" in auto.values()  # the pair search actually ran
 
 
 def test_semdedup_incremental_stability_and_stored_assignment(spark):

@@ -47,6 +47,26 @@ def test_priority_prefix_is_valid_and_broad():
         assert family_member in prefix
 
 
+def test_plans_md_covers_full_registry():
+    """PLANS.md must have an audit row for EVERY registry entry — round 3
+    shipped three entries whose no-row-UDF / shuffle-shape claims were
+    never plan-audited because the audit silently lagged the registry.
+    Re-run ``tools/explain_audit.py`` after adding entries."""
+    import os
+
+    plans = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    audited = set()
+    with open(plans) as fh:
+        for line in fh:
+            if line.startswith("| ") and not line.startswith("| query"):
+                audited.add(line.split("|")[1].strip())
+    missing = set(queries()) - audited
+    assert not missing, (
+        f"registry entries with no PLANS.md audit row (re-run "
+        f"tools/explain_audit.py): {sorted(missing)}")
+
+
 def test_oracles_are_subset_with_known_exceptions():
     qs, osql = queries(), oracle_sql()
     assert set(osql) <= set(qs)
