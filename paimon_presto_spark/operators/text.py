@@ -89,3 +89,42 @@ def token_histogram(docs: DataFrame, text_col: str = "text", top: int = 1000) ->
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(top)
     )
+
+
+def posting_lists(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: one (term, doc, pos) posting per word
+    occurrence — the classic text-search layout. At 100 TB the postings
+    are the shuffle payload (term + two integers, never the document),
+    hash-partitioned by term so each term's posting list is co-located;
+    downstream term lookups become partition-pruned equi-joins. Position
+    is 1-based (matches SQL ``generate_subscripts``)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "term"),
+    ).select("term", "doc_id", (F.col("pos0") + 1).alias("pos"))
+
+
+def phrase_match(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Documents containing the exact word sequence ``phrase``, with match
+    counts: the m-way positional join over posting lists (term filters
+    prune each side to one list; joins are equi on (doc_id, pos-offset) —
+    the standard phrase-query plan of inverted-index engines). Returns
+    (doc_id, n_matches)."""
+    if not phrase:
+        raise ValueError("phrase must have at least one word")
+    cur = (
+        postings.filter(F.col("term") == phrase[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for i, word in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == word).select(
+            F.col("doc_id").alias("d_i"), F.col("pos").alias("p_i")
+        )
+        cur = cur.join(
+            nxt,
+            (F.col("doc_id") == F.col("d_i"))
+            & (F.col("p_i") == F.col("p0") + i),
+        ).select("doc_id", "p0")
+    return cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matches"))

@@ -75,8 +75,13 @@ PRIORITY: tuple[str, ...] = (
     "table_format_merge_into",
     "table_format_sequence_field",
     "table_format_bloom_index",
-    # round-4 addition: external (jdbc/SQLite) metastore namespace
+    # round-4 additions: external (jdbc/SQLite) metastore namespace,
+    # budgeted corpus selection, inverted-index phrase search, revenue
+    # attribution
     "metastore_catalog_roundtrip",
+    "select_token_budget",
+    "text_phrase_search",
+    "events_attribution",
     # event analytics
     "events_funnel_steps",
     "events_cohort_retention",
@@ -116,17 +121,19 @@ PRIORITY: tuple[str, ...] = (
     # family anchored by conditional_scalar_functions), filter_in_like
     # (LIKE/IN anchored by string_functions + q19); the local gate still
     # covers every rotated-out entry each session)
+    # (displaced so far: case_when_bucketize, filter_in_like — families
+    # anchored by conditional_scalar_functions / string_functions+q16's
+    # LIKE; q12_priority_shipmode, q14_promo_revenue — single-join
+    # conditional-agg shapes, anchored by q1's CASE aggregation and the
+    # q15/q16/q20 rows below)
     "agg_minmax_by",
     "agg_rollup",
     "agg_stats_variance",
-    "filter_in_like",
     "having_nation_counts",
     "join_anti_not_exists",
     "join_scalar_subquery",
     "key_based_sampling",
     "limit_offset_sort",
-    "q12_priority_shipmode",
-    "q14_promo_revenue",
     "q15_top_supplier",
     "q16_parts_supplier",
     "q20_excess_stock",

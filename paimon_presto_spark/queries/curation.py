@@ -911,3 +911,118 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_bucket")
     )
+
+
+@register(
+    "select_token_budget",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS toks,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS score
+            FROM documents
+        ),
+        r AS (
+            SELECT *, SUM(toks) OVER (ORDER BY score DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM r WHERE cum <= 30000
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm-pipeline", "curation", "selection", "token-budget"),
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked corpus selection under a global token budget — the
+    "take the best N-token subset" step of dataset assembly (quality
+    score here: lexical diversity = distinct-word ratio; production
+    plugs any scorer). The oracle states the obvious single-window
+    running total; the Spark side computes the SAME selection with
+    ``operators/selection.select_until_budget`` — score-range bucketing,
+    driver prefix over per-bucket totals, exact window over the ONE
+    cutoff bucket — because at 100 TB an unpartitioned
+    ``SUM OVER (ORDER BY ...)`` serializes the corpus through one task.
+    Budget arithmetic is all-integer (token counts), so the bucketed
+    decomposition equals the oracle bit-for-bit; ties pin on doc_id.
+    """
+    from paimon_presto_spark.operators.selection import select_until_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("bigint").alias("toks"),
+        (
+            F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+        ).alias("score"),
+    )
+    sel = select_until_budget(
+        scored, score_col="score", weight_col="toks",
+        budget=30000, id_col="doc_id",
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        m AS (
+            SELECT a.term || ' ' || b.term AS phrase, a.doc_id,
+                   COUNT(*) AS n
+            FROM words a
+            JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE (a.term = 'table' AND b.term = 'scan')
+               OR (a.term = 'key' AND b.term = 'order')
+            GROUP BY 1, 2
+        )
+        SELECT phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_matches,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM m
+        GROUP BY phrase
+        ORDER BY phrase
+    """,
+    tags=("llm-pipeline", "text-search", "inverted-index", "phrase"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index + exact phrase queries
+    (``operators/text.posting_lists`` / ``phrase_match``): postings are
+    (term, doc, pos) triples — the shuffle carries terms and two
+    integers, never documents — and each phrase resolves as term-pruned
+    posting-list equi-joins on (doc, pos-offset), the standard
+    phrase-query plan of search engines. Two phrases are probed; the
+    report is integer-only (doc counts, match counts, id checksum)."""
+    from paimon_presto_spark.operators.text import phrase_match, posting_lists
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = posting_lists(docs).cache()
+    out = None
+    for phrase in (["key", "order"], ["table", "scan"]):
+        m = phrase_match(post, phrase).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_matches").alias("n_matches"),
+            F.sum("doc_id").alias("id_checksum"),
+        ).select(F.lit(" ".join(phrase)).alias("phrase"), "*")
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("phrase")

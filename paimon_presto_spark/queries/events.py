@@ -689,3 +689,79 @@ def events_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs("z").desc(), "window_start", "event_type")
         .limit(25)
     )
+
+
+TOUCH_TYPES = ("click", "view")
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+        WITH w AS (
+            SELECT event_type, value,
+                   LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS last_touch,
+                   FIRST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                                    THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS first_touch
+            FROM events
+        ),
+        conv AS (SELECT * FROM w WHERE event_type = 'purchase')
+        SELECT model, touch, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               {o_dsum('value', 'revenue')}
+        FROM (
+            SELECT 'first' AS model, COALESCE(first_touch, 'none') AS touch,
+                   value FROM conv
+            UNION ALL
+            SELECT 'last', COALESCE(last_touch, 'none'), value FROM conv
+        )
+        GROUP BY model, touch
+        ORDER BY model, touch
+    """,
+    tags=("events", "attribution", "window", "navigation"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch revenue attribution: every purchase credits its
+    user's first and most recent touchpoint (click/view) at-or-before the
+    purchase — the marketing-analytics question event warehouses answer
+    with conditional value navigation. One window per model over the
+    user's timeline (``first``/``last`` with ignorenulls over a
+    conditional projection — no self-join, no per-conversion scan);
+    at 100 TB the shuffle is one user-keyed exchange shared by both
+    windows, with per-task work bounded by per-user activity. Revenue
+    rides DECIMAL; (ts, event_id) ordering pins ties.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin(*TOUCH_TYPES), F.col("event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    conv = (
+        ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    first = conv.select(
+        F.lit("first").alias("model"),
+        F.coalesce("first_touch", F.lit("none")).alias("touch"),
+        "value",
+    )
+    last = conv.select(
+        F.lit("last").alias("model"),
+        F.coalesce("last_touch", F.lit("none")).alias("touch"),
+        "value",
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("model", "touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            dsum(F.col("value"), "revenue"),
+        )
+        .orderBy("model", "touch")
+    )

@@ -1220,3 +1220,73 @@ def test_pca_matches_numpy_and_is_deterministic(spark):
     # determinism across repartitionings (partial-combine order changes)
     comps3, evals3, _, _ = pca_components(df.repartition(3), "emb")
     assert np.allclose(comps3, comps, atol=1e-9)
+
+
+def test_select_until_budget_equals_global_window(spark):
+    """The bucketed decomposition must equal the single-window running
+    total exactly, including ties (equal scores fall back to id order)
+    and the all-fits / nothing-fits edges."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from paimon_presto_spark.operators.selection import select_until_budget
+
+    rows = [
+        # (id, score, weight) — ties at score 0.5 across ids 4..6
+        (1, 0.9, 10), (2, 0.8, 25), (3, 0.7, 5),
+        (4, 0.5, 10), (5, 0.5, 10), (6, 0.5, 10),
+        (7, 0.1, 100),
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, w long")
+    win = Window.orderBy(F.desc("score"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for budget in (0, 9, 10, 40, 55, 60, 170, 1000):
+        want = sorted(
+            r["id"]
+            for r in df.withColumn("c", F.sum("w").over(win))
+            .filter(F.col("c") <= budget)
+            .collect()
+        )
+        got = sorted(
+            r["id"]
+            for r in select_until_budget(
+                df, "score", "w", budget, "id", n_buckets=4
+            ).collect()
+        )
+        assert got == want, f"budget={budget}: {got} != {want}"
+    # empty input
+    assert select_until_budget(
+        df.filter("id < 0"), "score", "w", 10, "id"
+    ).count() == 0
+
+
+def test_phrase_match_positions_and_counts(spark):
+    """phrase_match: exact adjacent-word sequences only, with per-doc
+    occurrence counts; longer phrases chain the positional join."""
+    from paimon_presto_spark.operators.text import phrase_match, posting_lists
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big table scan on big table scan"),  # 2 matches
+            (2, "table big scan"),                    # words present, not adjacent
+            (3, "a big table scan here"),             # 1 match (also 3-gram)
+            (4, "table scan"),                        # 1 match
+        ],
+        "doc_id long, text string",
+    )
+    post = posting_lists(docs)
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(post, ["table", "scan"]).collect()
+    }
+    assert got == {1: 2, 3: 1, 4: 1}
+    tri = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(post, ["big", "table", "scan"]).collect()
+    }
+    assert tri == {1: 2, 3: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one word"):
+        phrase_match(post, [])
