@@ -162,10 +162,17 @@ class Catalog:
         for k in ts.partition_keys:
             if k in ts.primary_keys and set(ts.primary_keys) <= set(ts.partition_keys):
                 raise ValueError("primary key cannot be a subset of partition keys")
-        os.makedirs(os.path.join(path, "schema"))
-        with open(os.path.join(path, "schema", "schema-0.json"), "w") as fh:
-            json.dump(ts.to_json(), fh, indent=2)
+        # register FIRST: the backend validates the location (and, on
+        # jdbc, the pointer insert is the atomic duplicate check) before
+        # any content is written, so a rejected create leaves no debris
         self.metastore.register_table(db.lower(), name.lower(), path)
+        try:
+            os.makedirs(os.path.join(path, "schema"))
+            with open(os.path.join(path, "schema", "schema-0.json"), "w") as fh:
+                json.dump(ts.to_json(), fh, indent=2)
+        except BaseException:
+            self.metastore.unregister_table(db.lower(), name.lower())
+            raise
         return Table(self.spark, path)
 
     def get_table(self, db: str, name: str) -> Table:
@@ -191,11 +198,19 @@ class Catalog:
             raise ValueError(f"table {db}.{name} does not exist")
         if self.table_exists(db, new_name):
             raise ValueError(f"table {db}.{new_name} already exists")
+        cur = self.metastore.table_path(db.lower(), name.lower())
+        default = self.metastore.default_table_path(db.lower(), name.lower())
+        # warehouse-resident tables move to the new default directory;
+        # external-location tables keep their directory — the rename is a
+        # pure pointer update (moving external data into the warehouse, or
+        # os.rename across filesystems, would both be wrong)
+        new_path = (
+            self.metastore.default_table_path(db.lower(), new_name.lower())
+            if os.path.abspath(cur) == os.path.abspath(default)
+            else cur
+        )
         self.metastore.rename_table(
-            db.lower(),
-            name.lower(),
-            new_name.lower(),
-            self.metastore.default_table_path(db.lower(), new_name.lower()),
+            db.lower(), name.lower(), new_name.lower(), new_path
         )
 
     def read_table(self, db: str, name: str, **scan_kwargs) -> DataFrame:

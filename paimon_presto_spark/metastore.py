@@ -25,10 +25,11 @@ Backends:
   HMS client needs packages this environment does not ship; the backend
   seam (this module) is where one would plug it.
 
-Concurrency: the JDBC backend opens one connection per operation with
-``isolation_level=None`` (autocommit) and immediate transactions for
-multi-statement ops; SQLite serializes writers, which matches the
-single-committer model the table format already assumes per table.
+Concurrency: the JDBC backend opens one short-lived connection per
+operation (closed on exit, committed/rolled back by the connection
+context manager — default deferred transactions); SQLite's file locking
+serializes writers, which matches the single-committer model the table
+format already assumes per table.
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ from __future__ import annotations
 import os
 import shutil
 import sqlite3
+from contextlib import contextmanager
 from typing import Iterator
 
 
@@ -191,8 +193,18 @@ class JdbcMetastore(Metastore):
                 " PRIMARY KEY (db, name))"
             )
 
-    def _conn(self) -> sqlite3.Connection:
-        return sqlite3.connect(self.db_file, timeout=30)
+    @contextmanager
+    def _conn(self) -> Iterator[sqlite3.Connection]:
+        """One short-lived connection per operation: commit/rollback via
+        the connection's own context manager, and ALWAYS close (the bare
+        ``with sqlite3.connect(...)`` idiom commits but never closes —
+        a long-lived session would leak one fd per catalog call)."""
+        con = sqlite3.connect(self.db_file, timeout=30)
+        try:
+            with con:
+                yield con
+        finally:
+            con.close()
 
     def list_databases(self) -> list[str]:
         with self._conn() as c:
@@ -274,7 +286,9 @@ class JdbcMetastore(Metastore):
             ).fetchone()
             if row is None:
                 raise ValueError(f"table {db}.{old} is not registered")
-            os.rename(row[0], new_path)
+            moved = os.path.abspath(row[0]) != os.path.abspath(new_path)
+            if moved:  # external-location renames are pointer-only
+                os.rename(row[0], new_path)
             try:
                 c.execute(
                     "UPDATE tables SET name = ?, path = ?"
@@ -282,5 +296,6 @@ class JdbcMetastore(Metastore):
                     (new, new_path, db, old),
                 )
             except Exception:
-                os.rename(new_path, row[0])  # roll the move back
+                if moved:
+                    os.rename(new_path, row[0])  # roll the move back
                 raise

@@ -57,8 +57,13 @@ def select_until_budget(
         F.floor((F.lit(mx) - F.col(score_col)) / F.lit(span) * n_buckets),
     ).cast("int")
     b = df.withColumn("__bkt", bucket)
+    # NULL weights count as 0 (the row is selected whenever the budget is
+    # not yet exhausted, and never advances the total) — uniformly, in
+    # both the whole-bucket and edge-bucket paths. Note this is saner
+    # than the raw SQL window spelling, where a NULL-weight PREFIX makes
+    # the running total NULL and silently drops those rows.
     totals = {
-        r["__bkt"]: r["w"]
+        r["__bkt"]: r["w"] or 0
         for r in b.groupBy("__bkt")
         .agg(F.sum(weight_col).alias("w"))
         .collect()
@@ -78,7 +83,11 @@ def select_until_budget(
     )
     edge = (
         b.filter(F.col("__bkt") == cutoff_bucket)
-        .withColumn("__cum", F.sum(weight_col).over(w) + F.lit(cutoff_offset))
+        .withColumn(
+            "__cum",
+            F.sum(F.coalesce(F.col(weight_col), F.lit(0))).over(w)
+            + F.lit(cutoff_offset),
+        )
         .filter(F.col("__cum") <= budget)
         .drop("__bkt", "__cum")
     )

@@ -754,7 +754,7 @@ def semdedup(
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(F.max("n").alias("m"))
             .collect()[0]["m"]
-        )
+        ) or 0  # empty input: MAX over zero groups is NULL
         pair_backend = (
             "blas" if max_pop > SEMDEDUP_BLAS_MIN_CLUSTER else "codegen"
         )

@@ -69,6 +69,16 @@ def build_bloom(values: Iterable[Any]) -> dict | None:
     there is exactly one) — probes check it before trusting the filter."""
     keys = {bloom_key(v) for v in values}
     keys.discard(None)
+    return build_bloom_from_keys(keys)
+
+
+def build_bloom_from_keys(keys: Iterable[str]) -> dict | None:
+    """``build_bloom`` over pre-canonicalized key strings — for builders
+    (the executor-side write pass) that construct the exact ``bloom_key``
+    spellings JVM-side so values never round-trip through pandas dtypes
+    (a nullable int64 column floatifies, rounding values past 2^53)."""
+    keys = set(keys)
+    keys.discard(None)
     if not keys:
         return None
     prefixes = {k[:1] for k in keys}

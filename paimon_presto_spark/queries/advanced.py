@@ -1622,6 +1622,9 @@ def metastore_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ".scratch",
     )
     os.makedirs(base, exist_ok=True)
+    for stale in os.listdir(base):  # previous runs' scratch
+        if stale.startswith("ms-"):
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
     root = tempfile.mkdtemp(prefix="ms-", dir=base)
     wh = os.path.join(root, "wh")
     uri = os.path.join(root, "catalog.sqlite")

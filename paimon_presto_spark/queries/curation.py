@@ -1025,4 +1025,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         ).select(F.lit(" ".join(phrase)).alias("phrase"), "*")
         out = m if out is None else out.unionByName(m)
-    return out.orderBy("phrase")
+    # a phrase with zero matching documents emits NO row (the oracle's
+    # GROUP BY has nothing to group); without this filter the global agg
+    # would emit (phrase, 0, NULL, NULL) and diverge
+    return out.filter(F.col("n_docs") > 0).orderBy("phrase")

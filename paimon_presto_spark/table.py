@@ -3830,17 +3830,31 @@ def _build_file_blooms(
     from urllib.parse import unquote, urlparse
 
     rd = spark.read.format(fmt).load(staging)
-    cols = [c for c in index_cols if c in rd.columns]
+    # Canonical bloom KEYS are built JVM-side (the exact strings
+    # plans.fileindex.bloom_key would produce), so values never round-trip
+    # through pandas dtypes: Arrow→pandas floatifies a nullable int64
+    # column, and int64 values past 2^53 would come back rounded — keys
+    # silently wrong, files wrongly skipped. String keys are immune.
+    types = {f.name: f.dataType.simpleString() for f in rd.schema.fields}
+    key_exprs, cols = [], []
+    for c in index_cols:
+        t = types.get(c)
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            k = F.concat(F.lit("i:"), F.col(c).cast("string"))
+        elif t in ("string", "char", "varchar") or (
+            t and (t.startswith("char(") or t.startswith("varchar("))
+        ):
+            k = F.concat(F.lit("s:"), F.col(c))
+        elif t == "boolean":
+            k = F.concat(
+                F.lit("b:"), F.when(F.col(c), "1").otherwise("0")
+            )
+        else:  # unindexable type (float/date/binary/...) — stats-only
+            continue
+        cols.append(c)
+        key_exprs.append(k.alias(f"__k_{c}"))
     if not cols:
         return {}
-    # Arrow→pandas turns a nullable int column into float64 (5 → 5.0),
-    # which would silently key every value wrong; coerce back by the
-    # Spark-declared type before building.
-    is_int = {
-        f.name: f.dataType.simpleString() in
-        ("tinyint", "smallint", "int", "bigint")
-        for f in rd.schema.fields
-    }
 
     def _build(pdf):
         import pandas as pd
@@ -3848,16 +3862,15 @@ def _build_file_blooms(
         fname = pdf["__f"].iloc[0]
         out = {}
         for c in cols:
-            vals = pdf[c].dropna()
-            if is_int.get(c) and vals.dtype.kind == "f":
-                vals = vals.astype("int64")
-            bl = fileindex.build_bloom(vals.tolist())
+            bl = fileindex.build_bloom_from_keys(
+                pdf[f"__k_{c}"].dropna().tolist()
+            )
             if bl is not None:
                 out[c] = bl
         return pd.DataFrame({"__f": [fname], "__idx": [_json.dumps(out)]})
 
     rows = (
-        rd.select(F.input_file_name().alias("__f"), *cols)
+        rd.select(F.input_file_name().alias("__f"), *key_exprs)
         .groupBy("__f")
         .applyInPandas(_build, schema="__f string, __idx string")
         .collect()

@@ -78,6 +78,34 @@ class TestJdbcMetastore:
         c.drop_table("d", "ext")  # unregisters AND removes the directory
         assert not os.path.exists(loc)
 
+    def test_rename_external_table_is_pointer_only(
+            self, spark, wh, uri, tmp_path):
+        """Renaming a table at an external location must NOT move its data
+        into the warehouse — the rename is a pure namespace update."""
+        c = Catalog(spark, wh, metastore="jdbc", uri=uri)
+        c.create_database("d")
+        loc = str(tmp_path / "ext2" / "t")
+        t = c.create_table("d", "t", "k int", location=loc)
+        t.append(spark.createDataFrame([(3,)], "k int"))
+        c.rename_table("d", "t", "t_new")
+        assert os.path.isdir(loc)  # data stayed put
+        assert not os.path.exists(os.path.join(wh, "d.db", "t_new"))
+        assert rows(c.read_table("d", "t_new")) == [(3,)]
+
+    def test_rejected_create_leaves_no_debris(self, spark, wh, tmp_path):
+        """A create_table the backend rejects must not leave a populated
+        schema directory behind (a retry at the same location must work
+        once the cause is fixed)."""
+        c = Catalog(spark, wh)
+        c.create_database("d")
+        loc = str(tmp_path / "debris" / "t")
+        with pytest.raises(ValueError, match="external"):
+            c.create_table("d", "t", "k int", location=loc)
+        assert not os.path.exists(loc)
+        # same name is still creatable at the default location
+        c.create_table("d", "t", "k int")
+        assert c.table_exists("d", "t")
+
     def test_drop_database_cascade(self, spark, wh, uri):
         c = Catalog(spark, wh, metastore="jdbc", uri=uri)
         c.create_database("d")

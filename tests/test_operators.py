@@ -1290,3 +1290,32 @@ def test_phrase_match_positions_and_counts(spark):
 
     with _pytest.raises(ValueError, match="at least one word"):
         phrase_match(post, [])
+
+
+def test_semdedup_auto_on_empty_input(spark):
+    """pair_backend='auto' on an empty frame must return empty, not
+    TypeError on the NULL max-population."""
+    from paimon_presto_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    assert semdedup(emb, cents, 0.9, pair_backend="auto").count() == 0
+
+
+def test_select_until_budget_null_weights_are_zero(spark):
+    """NULL weights never advance the running total and are selected
+    while the budget lasts — uniformly in whole-bucket and edge-bucket
+    paths."""
+    from paimon_presto_spark.operators.selection import select_until_budget
+
+    df = spark.createDataFrame(
+        [(1, 0.9, None), (2, 0.8, 10), (3, 0.7, None), (4, 0.6, 10),
+         (5, 0.5, 100)],
+        "id long, score double, w long",
+    )
+    got = sorted(
+        r["id"]
+        for r in select_until_budget(df, "score", "w", 20, "id",
+                                     n_buckets=2).collect()
+    )
+    assert got == [1, 2, 3, 4]

@@ -2464,6 +2464,36 @@ class TestBloomFileIndex:
         assert might_contain(b3, "1") and might_contain(b3, "absent")
         assert build_bloom([None, None]) is None
 
+    def test_bloom_big_int64_with_nulls_never_wrong_skips(self, spark, catalog):
+        """Executor-side bloom build must key int64 values EXACTLY even
+        when the column carries NULLs: Arrow→pandas floatifies nullable
+        int64, and a value past 2^53 round-tripped through float64 comes
+        back rounded — the canonical keys are built JVM-side to make this
+        impossible. A snowflake-scale id must stay findable, and its
+        float64-rounded neighbour must not alias it."""
+        big = (1 << 60) + 12345  # not float64-representable
+        t = catalog.create_table(
+            "default", "bf_big", "id bigint, v string",
+            options={"file-index.bloom-filter.columns": "id"},
+        )
+        t.append(spark.createDataFrame(
+            [(big, "hit"), (None, "null-row"), (7, "small")],
+            "id bigint, v string").coalesce(1))
+        from paimon_presto_spark.plans.predicate import P
+
+        got = [r["v"] for r in t.scan(
+            predicate=P.eq("id", big)
+        ).to_df().collect()]
+        assert got == ["hit"]  # the exact key is in the filter
+        # the filter still skips truly-absent keys (it is not degenerate)
+        from paimon_presto_spark.plans.fileindex import might_contain
+        entry = [e for e in t.manifest_entries() if e.get("index")][0]
+        bloom = entry["index"]["id"]
+        assert might_contain(bloom, big)
+        assert might_contain(bloom, 7)
+        absent = sum(might_contain(bloom, (1 << 59) + i) for i in range(50))
+        assert absent <= 2  # ~1% fpp
+
     def test_schema_rename_degrades_index_to_no_skip(self, spark, catalog):
         """Renaming an indexed column must stay CORRECT: old files' blooms
         are keyed by the old name, so lookups by the new name find no
