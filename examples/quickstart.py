@@ -212,6 +212,26 @@ def main() -> None:
         print("pii redaction ok:", pii.count(), "sources;",
               "packing ok:", packed.count(), "bins")
 
+        # -- external (jdbc/SQLite) metastore: pointers, not directories ----
+        ms_uri = os.path.join(wh, "ext-catalog.sqlite")
+        m1 = Catalog(spark, os.path.join(wh, "ext-wh"),
+                     metastore="jdbc", uri=ms_uri)
+        m1.create_database("shared")
+        m1.create_table("shared", "t", "k int", primary_keys=["k"]).upsert(
+            spark.createDataFrame([(1,), (2,)], "k int"))
+        m2 = Catalog(spark, os.path.join(wh, "ext-wh"),
+                     metastore="jdbc", uri=ms_uri)  # a second engine
+        m2.rename_table("shared", "t", "t_gold")
+        print("jdbc metastore ok:",
+              m1.list_tables("shared"), "visible to both instances")
+
+        # -- budgeted selection + phrase search -----------------------------
+        sel = qs2["select_token_budget"](spark, SF_DIR)
+        ph = qs2["text_phrase_search"](spark, SF_DIR)
+        print("token-budget selection ok:", sel.count(), "sources;",
+              "phrase search ok:",
+              {r["phrase"]: r["n_matches"] for r in ph.collect()})
+
         print("quickstart complete.")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
