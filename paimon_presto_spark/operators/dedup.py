@@ -818,3 +818,94 @@ def remove_repeated_chunks(
             ).alias("rebuilt_text"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundary_mod: int = 4,
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER any word
+    whose portable hash ≡ 0 (mod ``boundary_mod``) — the gear/Rabin idea
+    of rsync/LBFS/FastCDC applied at word granularity. Boundaries depend
+    only on local content, so inserting or deleting a word perturbs ONLY
+    the chunk containing the edit; every later chunk is byte-identical
+    (fixed-width windows shift globally — the failure mode
+    ``remove_repeated_chunks`` accepts for its zero-shuffle chunking).
+    Mean chunk length ≈ ``boundary_mod`` words.
+
+    Pure map: the chunk array is built with array HOFs in codegen —
+    document text does not shuffle here. Chunks that are empty strings
+    (a trailing boundary, or a lone empty word from doubled spacing) are
+    dropped, mirroring the SQL-window restatement exactly. Returns
+    (id_col, __chunks array<string>).
+    """
+    ws = F.split(F.col(text_col), " ")
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.size(ws)),
+        lambda i: md5_long(F.element_at(ws, i)) % boundary_mod == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(F.size(ws)))
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.array_join(F.slice(ws, s, e - s + 1), " "),
+        ),
+        lambda c: c != "",
+    )
+    return docs.select(F.col(id_col), chunks.alias("__chunks"))
+
+
+def remove_repeated_chunks_cdc(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundary_mod: int = 4,
+    max_count: int = 1,
+) -> DataFrame:
+    """``remove_repeated_chunks`` with content-defined instead of
+    fixed-width chunks: any CDC chunk occurring more than ``max_count``
+    times corpus-wide is dropped from every document, and documents are
+    rebuilt from the survivors. Because boundaries are content-local,
+    boilerplate repeated at DIFFERENT word offsets across documents
+    still chunks identically and is caught — the case fixed windows
+    structurally miss. Same shuffle ledger as the fixed variant: hashes
+    aggregate (shuffle 1), drop decisions come back as (doc, chunk_idx)
+    pairs (shuffles 2-3); text stays map-side.
+
+    Returns (id_col, n_chunks, n_removed, rebuilt_text).
+    """
+    chunked = cdc_chunks(docs, id_col, text_col, boundary_mod)
+    units = chunked.select(
+        id_col, F.posexplode("__chunks").alias("__cidx", "__chunk")
+    ).select(id_col, "__cidx", md5_long("__chunk").alias("__h"))
+    over = (
+        units.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > max_count)
+    )
+    drops = (
+        units.join(over.select("__h"), "__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__cidx").alias("__drop"))
+    )
+    return (
+        chunked.join(drops, id_col, "left")
+        .select(
+            id_col,
+            F.size("__chunks").alias("n_chunks"),
+            F.coalesce(F.size("__drop"), F.lit(0)).alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    "__chunks",
+                    lambda c, i: ~F.coalesce(
+                        F.array_contains("__drop", i), F.lit(False)
+                    ),
+                ),
+                " ",
+            ).alias("rebuilt_text"),
+        )
+    )

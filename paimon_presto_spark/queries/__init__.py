@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "select_token_budget",
     "text_phrase_search",
     "events_attribution",
+    "dedup_cdc_chunks",
     # event analytics
     "events_funnel_steps",
     "events_cohort_retention",
@@ -140,7 +141,8 @@ PRIORITY: tuple[str, ...] = (
     "select_distinct_segments",
     "setop_except",
     "string_functions",
-    "window_lag_delta",
+    # window_lag_delta displaced by dedup_cdc_chunks (value-navigation
+    # family anchored by window_value_navigation + events_attribution)
     # -- cross-round sentinels (one per core family) ---------------------
     "q1_pricing_summary",
     "table_format_roundtrip",

@@ -1029,3 +1029,80 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GROUP BY has nothing to group); without this filter the global agg
     # would emit (phrase, 0, NULL, NULL) and diverge
     return out.filter(F.col("n_docs") > 0).orderBy("phrase")
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle="""
+        WITH sp AS (
+            SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        ),
+        words AS (
+            SELECT doc_id, unnest(arr) AS w,
+                   generate_subscripts(arr, 1) AS idx
+            FROM sp
+        ),
+        flags AS (
+            SELECT doc_id, w, idx,
+                   CASE WHEN CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                             % 4 = 0
+                        THEN 1 ELSE 0 END AS b
+            FROM words
+        ),
+        cids AS (
+            SELECT doc_id, w, idx,
+                   COALESCE(SUM(b) OVER (
+                       PARTITION BY doc_id ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cid
+            FROM flags
+        ),
+        chunks AS (
+            SELECT doc_id, cid, string_agg(w, ' ' ORDER BY idx) AS unit
+            FROM cids GROUP BY doc_id, cid
+            HAVING string_agg(w, ' ' ORDER BY idx) <> ''
+        ),
+        over_rep AS (
+            SELECT unit FROM chunks GROUP BY unit HAVING COUNT(*) > 1
+        ),
+        drops AS (
+            SELECT doc_id, cid FROM chunks JOIN over_rep USING (unit)
+        )
+        SELECT c.doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN d.cid IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               md5(COALESCE(string_agg(
+                   CASE WHEN d.cid IS NULL THEN c.unit END,
+                   ' ' ORDER BY c.cid), '')) AS rebuilt_md5
+        FROM chunks c
+        LEFT JOIN drops d ON c.doc_id = d.doc_id AND c.cid = d.cid
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id
+    """,
+    tags=("llm-pipeline", "dedup", "curation", "content-defined-chunking"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunk boilerplate removal through the oracle gate
+    (``operators/dedup.remove_repeated_chunks_cdc``): chunk boundaries
+    fall after words whose portable hash ≡ 0 (mod 4) — the rsync/FastCDC
+    idea at word granularity — so boilerplate repeated at DIFFERENT word
+    offsets across documents still chunks identically and is caught,
+    the case ``dedup_boilerplate_chunks``'s fixed windows structurally
+    miss. Every chunk occurring more than once corpus-wide is dropped
+    from every document; the md5 of each rebuilt document certifies the
+    reconstruction byte-for-byte. The oracle restates the map-side HOF
+    chunking as the equivalent window program (boundary-count chunk ids
+    over exploded words).
+    """
+    from paimon_presto_spark.operators.dedup import remove_repeated_chunks_cdc
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_repeated_chunks_cdc(docs, "doc_id", "text",
+                                     boundary_mod=4, max_count=1)
+    # n_chunks > 0: same zero-chunk-document agreement rule as
+    # dedup_boilerplate_chunks (the oracle's HAVING drops such docs)
+    return out.filter(F.col("n_chunks") > 0).select(
+        "doc_id", "n_chunks", "n_removed",
+        F.md5("rebuilt_text").alias("rebuilt_md5"),
+    ).orderBy("doc_id")

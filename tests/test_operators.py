@@ -1319,3 +1319,57 @@ def test_select_until_budget_null_weights_are_zero(spark):
                                      n_buckets=2).collect()
     )
     assert got == [1, 2, 3, 4]
+
+
+def test_cdc_chunks_insertion_robustness(spark):
+    """The CDC property: an inserted word perturbs only the chunk
+    containing the edit — every chunk outside it is byte-identical.
+    Fixed-width windows shift every later chunk (pinned here as the
+    contrast that motivates the operator)."""
+    from paimon_presto_spark.operators.dedup import cdc_chunks
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    edited = base.replace("theta", "theta INSERTED")
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string")
+    out = {r["doc_id"]: r["__chunks"]
+           for r in cdc_chunks(docs, "doc_id", "text").collect()}
+    a, b = out[1], out[2]
+    # all chunks of the original survive except the single edited one
+    diff = set(a) ^ set(b)
+    assert len(set(a) - set(b)) == 1 and len(set(b) - set(a)) == 1
+    edited_chunk = (set(b) - set(a)).pop()
+    assert "INSERTED" in edited_chunk
+    # rejoining the chunks reproduces the documents
+    assert " ".join(a) == base and " ".join(b) == edited
+
+
+def test_cdc_dedup_catches_offset_shifted_boilerplate(spark):
+    """Boilerplate pasted at DIFFERENT word offsets chunks identically
+    under CDC and is removed from both documents — the case fixed
+    windows structurally miss."""
+    from paimon_presto_spark.operators.dedup import (
+        remove_repeated_chunks,
+        remove_repeated_chunks_cdc,
+    )
+
+    boiler = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique-tail-one"),
+            (2, "one-word-prefix " + boiler + " other-tail"),
+        ],
+        "doc_id long, text string",
+    )
+    cdc = {r["doc_id"]: r for r in remove_repeated_chunks_cdc(
+        docs, "doc_id", "text", boundary_mod=4).collect()}
+    # interior boilerplate chunks repeat across both docs and are dropped
+    assert cdc[1]["n_removed"] > 0 and cdc[2]["n_removed"] > 0
+    assert "unique-tail-one" in cdc[1]["rebuilt_text"]
+    # fixed windows at the same granularity see no repeated chunk at all
+    # (the one-word prefix shifts every window)
+    fixed = {r["doc_id"]: r for r in remove_repeated_chunks(
+        docs, "doc_id", "text", chunk_words=4).collect()}
+    assert fixed[1]["n_removed"] == 0 and fixed[2]["n_removed"] == 0
