@@ -63,6 +63,12 @@ HEADLINE = [
     "dedup_boilerplate_chunks",
     "split_assign_hash",
     "embedding_pca_project",
+    # round 4: CDC chunk dedup, budgeted selection, phrase search,
+    # attribution windows
+    "dedup_cdc_chunks",
+    "select_token_budget",
+    "text_phrase_search",
+    "events_attribution",
 ]
 
 
@@ -197,6 +203,8 @@ SCALE_QUERIES = [
     "dedup_exact",
     "pipeline_curate_corpus",
     "dedup_boilerplate_chunks",
+    "dedup_cdc_chunks",
+    "select_token_budget",
     "embedding_pca_project",
 ]
 

@@ -1779,19 +1779,30 @@ class Table:
             self.meta_path, "statistics", f"stats-{snapshot_id}.json"
         )
 
-    def analyze(self, columns: list[str] | None = None) -> dict:
+    def analyze(
+        self,
+        columns: list[str] | None = None,
+        histogram_bins: int = 0,
+    ) -> dict:
         """ANALYZE TABLE: one distributed pass over the merged table
         computing per-column null count, approximate NDV, min/max and avg
         length, stored against the current snapshot and surfaced via
         ``$statistics``.
 
+        ``histogram_bins`` > 0 additionally records an equi-depth
+        histogram (the ``histogram_bins - 1`` interior quantiles) for
+        each NUMERIC analyzed column — what a cost model needs to
+        estimate range-predicate selectivity on skewed data, where
+        min/max alone is off by orders of magnitude.
+
         Scale shape: every statistic is an algebraic/sketch aggregate
-        (count, min, max, HLL), so the whole ANALYZE is ONE map-side-
-        partial aggregation — no shuffle of data rows, no second pass,
-        constant memory per column. At 100 TB this is the only viable
-        shape; anything exact-NDV would shuffle the world. A cost-based
-        planner (or an operator picking a broadcast side) reads these
-        numbers instead of guessing.
+        (count, min, max, HLL, and the histogram's KLL/GK quantile
+        sketch), so the whole ANALYZE is ONE map-side-partial
+        aggregation — no shuffle of data rows, no second pass, constant
+        memory per column. At 100 TB this is the only viable shape;
+        anything exact-NDV would shuffle the world. A cost-based planner
+        (or an operator picking a broadcast side) reads these numbers
+        instead of guessing.
         """
         snap = self.snapshot()
         if snap is None:
@@ -1804,6 +1815,13 @@ class Table:
                 raise ValueError(f"unknown columns {sorted(unknown)}")
             names = [n for n in names if n in columns]
         df = self.to_df()
+        numeric = {
+            f["name"]
+            for f in schema.fields
+            if f["type"].split("(")[0].lower()
+            in ("tinyint", "smallint", "int", "bigint", "float", "double",
+                "decimal")
+        }
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for i, c in enumerate(names):
             aggs += [
@@ -1817,6 +1835,13 @@ class Table:
                 F.max(F.col(c).cast("string")).alias(f"__st{i}_max"),
                 F.avg(F.length(F.col(c).cast("string"))).alias(f"__st{i}_len"),
             ]
+            if histogram_bins > 0 and c in numeric:
+                qs = [j / histogram_bins for j in range(1, histogram_bins)]
+                aggs.append(
+                    F.percentile_approx(
+                        F.col(c).cast("double"), qs, 10000
+                    ).alias(f"__st{i}_hist")
+                )
         row = df.agg(*aggs).collect()[0]
         stats = {
             "snapshot_id": snap.snapshot_id,
@@ -1830,6 +1855,11 @@ class Table:
                     "min": row[f"__st{i}_min"],
                     "max": row[f"__st{i}_max"],
                     "avg_len": row[f"__st{i}_len"],
+                    **(
+                        {"histogram": row[f"__st{i}_hist"]}
+                        if f"__st{i}_hist" in row.asDict()
+                        else {}
+                    ),
                 }
                 for i, c in enumerate(names)
             },
@@ -1868,7 +1898,7 @@ class Table:
         schema = (
             "snapshot_id bigint, schema_id bigint, total_rows bigint, "
             "column_name string, null_count bigint, distinct_count bigint, "
-            "min string, max string, avg_len double"
+            "min string, max string, avg_len double, histogram array<double>"
         )
         if st is None:
             return self.spark.createDataFrame([], schema)
@@ -1876,7 +1906,7 @@ class Table:
             (
                 st["snapshot_id"], st["schema_id"], st["total_rows"],
                 c, v["null_count"], v["distinct_count"],
-                v["min"], v["max"], v["avg_len"],
+                v["min"], v["max"], v["avg_len"], v.get("histogram"),
             )
             for c, v in sorted(st["columns"].items())
         ]

@@ -1366,6 +1366,27 @@ class TestRollbackAndStatistics:
         st2 = t.latest_statistics()
         assert st2["snapshot_id"] == 2 and list(st2["columns"]) == ["k"]
 
+    def test_analyze_equi_depth_histogram(self, spark, catalog):
+        """histogram_bins=N records the N-1 interior quantiles for numeric
+        columns only — the selectivity input min/max can't provide on
+        skewed data. Sketch accuracy is exact at this row count."""
+        t = catalog.create_table("default", "anh", "k int, v string")
+        # heavy skew: 90 ones, then 10..19
+        data = [(1, "x")] * 90 + [(i, "y") for i in range(10, 20)]
+        t.append(spark.createDataFrame(data, "k int, v string"))
+        st = t.analyze(histogram_bins=4)
+        hist = st["columns"]["k"]["histogram"]
+        assert len(hist) == 3  # q25/q50/q75
+        assert hist[0] == 1.0 and hist[1] == 1.0  # skew visible
+        assert hist[2] == 1.0 or hist[2] >= 1.0
+        assert "histogram" not in st["columns"]["v"]  # strings: none
+        rows = {r["column_name"]: r for r in t.statistics_df().collect()}
+        assert rows["k"]["histogram"] == hist
+        assert rows["v"]["histogram"] is None
+        # without bins: no histogram key at all (back-compat)
+        st2 = t.analyze()
+        assert "histogram" not in st2["columns"]["k"]
+
     def test_statistics_empty_without_analyze(self, spark, catalog):
         t = catalog.create_table("default", "an2", "k int")
         t.append(spark.createDataFrame([(1,)], "k int"))
