@@ -164,14 +164,25 @@ class Catalog:
                 raise ValueError("primary key cannot be a subset of partition keys")
         # register FIRST: the backend validates the location (and, on
         # jdbc, the pointer insert is the atomic duplicate check) before
-        # any content is written, so a rejected create leaves no debris
+        # any content is written, so a rejected create leaves no debris.
+        # Rollbacks are pointer-only (forget_table) plus at most the
+        # schema directory THIS call created — never an rmtree of the
+        # location, which a concurrent creator may own.
         self.metastore.register_table(db.lower(), name.lower(), path)
+        schema_dir = os.path.join(path, "schema")
         try:
-            os.makedirs(os.path.join(path, "schema"))
-            with open(os.path.join(path, "schema", "schema-0.json"), "w") as fh:
+            os.makedirs(schema_dir)
+        except BaseException:
+            self.metastore.forget_table(db.lower(), name.lower())
+            raise
+        try:
+            with open(os.path.join(schema_dir, "schema-0.json"), "w") as fh:
                 json.dump(ts.to_json(), fh, indent=2)
         except BaseException:
-            self.metastore.unregister_table(db.lower(), name.lower())
+            self.metastore.forget_table(db.lower(), name.lower())
+            import shutil
+
+            shutil.rmtree(schema_dir, ignore_errors=True)
             raise
         return Table(self.spark, path)
 

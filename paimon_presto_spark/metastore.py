@@ -102,6 +102,15 @@ class Metastore:
         raise NotImplementedError
 
     def unregister_table(self, db: str, table: str) -> None:
+        """DROP-table semantics: remove the pointer AND the content."""
+        raise NotImplementedError
+
+    def forget_table(self, db: str, table: str) -> None:
+        """Remove ONLY the namespace pointer, never touching the path —
+        the rollback primitive for a create that failed after
+        registering (the location may hold a concurrent creator's data,
+        so drop-semantics here could destroy content this call never
+        wrote)."""
         raise NotImplementedError
 
     def rename_table(self, db: str, old: str, new: str, new_path: str) -> None:
@@ -162,6 +171,9 @@ class FilesystemMetastore(Metastore):
         p = self.default_table_path(db, table)
         if os.path.isdir(p):
             shutil.rmtree(p)
+
+    def forget_table(self, db: str, table: str) -> None:
+        pass  # the directory IS the registration; the caller owns cleanup
 
     def rename_table(self, db: str, old: str, new: str, new_path: str) -> None:
         os.rename(self.default_table_path(db, old), new_path)
@@ -278,9 +290,24 @@ class JdbcMetastore(Metastore):
         if row:
             shutil.rmtree(row[0], ignore_errors=True)
 
-    def rename_table(self, db: str, old: str, new: str, new_path: str) -> None:
+    def forget_table(self, db: str, table: str) -> None:
         with self._conn() as c:
-            row = c.execute(
+            c.execute(
+                "DELETE FROM tables WHERE db = ? AND name = ?", (db, table)
+            )
+
+    def rename_table(self, db: str, old: str, new: str, new_path: str) -> None:
+        # Explicit transaction control: BEGIN IMMEDIATE takes the write
+        # lock BEFORE the directory moves (no deferred-lock upgrade that
+        # can SQLITE_BUSY mid-way), and the commit happens INSIDE the
+        # guarded block — a failed commit must also roll the directory
+        # move back, or the pointer would name a path that no longer
+        # exists (unreachable from every engine sharing the catalog).
+        con = sqlite3.connect(self.db_file, timeout=30)
+        moved = False
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            row = con.execute(
                 "SELECT path FROM tables WHERE db = ? AND name = ?",
                 (db, old),
             ).fetchone()
@@ -289,13 +316,18 @@ class JdbcMetastore(Metastore):
             moved = os.path.abspath(row[0]) != os.path.abspath(new_path)
             if moved:  # external-location renames are pointer-only
                 os.rename(row[0], new_path)
+            con.execute(
+                "UPDATE tables SET name = ?, path = ?"
+                " WHERE db = ? AND name = ?",
+                (new, new_path, db, old),
+            )
+            con.commit()
+        except BaseException:
             try:
-                c.execute(
-                    "UPDATE tables SET name = ?, path = ?"
-                    " WHERE db = ? AND name = ?",
-                    (new, new_path, db, old),
-                )
-            except Exception:
+                con.rollback()
+            finally:
                 if moved:
                     os.rename(new_path, row[0])  # roll the move back
-                raise
+            raise
+        finally:
+            con.close()

@@ -731,6 +731,49 @@ def bloom_decontaminate(
     )
 
 
+def _drop_overrepresented_chunks(
+    chunked: DataFrame, id_col: str, max_count: int
+) -> DataFrame:
+    """Shared tail of both chunk-dedup operators (fixed-width and CDC):
+    count chunk hashes corpus-wide, mark chunks occurring more than
+    ``max_count`` times, and rebuild each document from the survivors.
+    `chunked` is (id_col, __chunks array<string>); returns
+    (id_col, n_chunks, n_removed, rebuilt_text). Shuffle ledger: the
+    occurrence count aggregates 16-byte hashes (shuffle 1); drop
+    decisions come back as (doc, chunk_idx) pairs (shuffles 2-3); the
+    rebuild is a map-side filter over the doc's own chunk array."""
+    units = chunked.select(
+        id_col, F.posexplode("__chunks").alias("__cidx", "__chunk")
+    ).select(id_col, "__cidx", md5_long("__chunk").alias("__h"))
+    over = (
+        units.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > max_count)
+    )
+    drops = (
+        units.join(over.select("__h"), "__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__cidx").alias("__drop"))
+    )
+    return (
+        chunked.join(drops, id_col, "left")
+        .select(
+            id_col,
+            F.size("__chunks").alias("n_chunks"),
+            F.coalesce(F.size("__drop"), F.lit(0)).alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    "__chunks",
+                    lambda c, i: ~F.coalesce(
+                        F.array_contains("__drop", i), F.lit(False)
+                    ),
+                ),
+                " ",
+            ).alias("rebuilt_text"),
+        )
+    )
+
+
 def remove_repeated_chunks(
     docs: DataFrame,
     id_col: str,
@@ -788,36 +831,7 @@ def remove_repeated_chunks(
             lambda c: c != "",
         ).alias("__chunks"),
     )
-    units = chunked.select(
-        id_col, F.posexplode("__chunks").alias("__cidx", "__chunk")
-    ).select(id_col, "__cidx", md5_long("__chunk").alias("__h"))
-    over = (
-        units.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") > max_count)
-    )
-    drops = (
-        units.join(over.select("__h"), "__h")
-        .groupBy(id_col)
-        .agg(F.collect_set("__cidx").alias("__drop"))
-    )
-    return (
-        chunked.join(drops, id_col, "left")
-        .select(
-            id_col,
-            F.size("__chunks").alias("n_chunks"),
-            F.coalesce(F.size("__drop"), F.lit(0)).alias("n_removed"),
-            F.array_join(
-                F.filter(
-                    "__chunks",
-                    lambda c, i: ~F.coalesce(
-                        F.array_contains("__drop", i), F.lit(False)
-                    ),
-                ),
-                " ",
-            ).alias("rebuilt_text"),
-        )
-    )
+    return _drop_overrepresented_chunks(chunked, id_col, max_count)
 
 
 def cdc_chunks(
@@ -879,33 +893,4 @@ def remove_repeated_chunks_cdc(
     Returns (id_col, n_chunks, n_removed, rebuilt_text).
     """
     chunked = cdc_chunks(docs, id_col, text_col, boundary_mod)
-    units = chunked.select(
-        id_col, F.posexplode("__chunks").alias("__cidx", "__chunk")
-    ).select(id_col, "__cidx", md5_long("__chunk").alias("__h"))
-    over = (
-        units.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") > max_count)
-    )
-    drops = (
-        units.join(over.select("__h"), "__h")
-        .groupBy(id_col)
-        .agg(F.collect_set("__cidx").alias("__drop"))
-    )
-    return (
-        chunked.join(drops, id_col, "left")
-        .select(
-            id_col,
-            F.size("__chunks").alias("n_chunks"),
-            F.coalesce(F.size("__drop"), F.lit(0)).alias("n_removed"),
-            F.array_join(
-                F.filter(
-                    "__chunks",
-                    lambda c, i: ~F.coalesce(
-                        F.array_contains("__drop", i), F.lit(False)
-                    ),
-                ),
-                " ",
-            ).alias("rebuilt_text"),
-        )
-    )
+    return _drop_overrepresented_chunks(chunked, id_col, max_count)

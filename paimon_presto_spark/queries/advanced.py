@@ -25,6 +25,37 @@ from paimon_presto_spark.queries.relational import DEC, dsum, o_dsum
 from paimon_presto_spark.sources.testdata import load_table
 
 
+def _scratch_dir(prefix: str) -> str:
+    """A fresh scratch root under the repo's gitignored ``.scratch/``,
+    reaping only roots older than one hour: a CONCURRENT battery /
+    pytest / bench run's live scratch (this query's or a sibling's) is
+    never touched — the previous per-query sweeps (rmtree-the-base,
+    rmtree-my-prefix) deleted a parallel runner's warehouse mid-flight.
+    Returned DataFrames read their scratch lazily, so the roots must
+    outlive the call; the age-based reap is what bounds the leak."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    cutoff = time.time() - 3600
+    for d in os.listdir(base):
+        full = os.path.join(base, d)
+        try:
+            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent reaper got there first
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+
 @register(
     "agg_approx_distinct",
     oracle="""
@@ -679,22 +710,13 @@ def table_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     one checkable unit (A13/A22/A24).
     """
     import os
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
     from paimon_presto_spark.plans.predicate import P
 
     o = load_table(spark, sf_dir, "orders")
     # scratch warehouse inside the repo tree (gitignored), one per run
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    import shutil
-
-    shutil.rmtree(base, ignore_errors=True)  # drop previous runs' scratch
-    os.makedirs(base, exist_ok=True)
-    wh = tempfile.mkdtemp(prefix="rt-", dir=base)
+    wh = _scratch_dir("rt-")
     cat = Catalog(spark, wh)
     cat.create_database("rt", ignore_if_exists=True)
     t = cat.create_table(
@@ -751,18 +773,12 @@ def table_format_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact same declarative oracle as the merge-on-read variant.
     """
     import os
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
     from paimon_presto_spark.plans.predicate import P
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    os.makedirs(base, exist_ok=True)
-    wh = tempfile.mkdtemp(prefix="dv-", dir=base)
+    wh = _scratch_dir("dv-")
     cat = Catalog(spark, wh)
     cat.create_database("dv", ignore_if_exists=True)
     t = cat.create_table(
@@ -820,18 +836,12 @@ def table_format_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletion-vector variants — the format must be invisible to results.
     """
     import os
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
     from paimon_presto_spark.plans.predicate import P
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    os.makedirs(base, exist_ok=True)
-    wh = tempfile.mkdtemp(prefix="av-", dir=base)
+    wh = _scratch_dir("av-")
     cat = Catalog(spark, wh)
     cat.create_database("av", ignore_if_exists=True)
     t = cat.create_table(
@@ -889,18 +899,11 @@ def table_format_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative restatement of the two mutations.
     """
     import os
-    import shutil
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    os.makedirs(base, exist_ok=True)
-    wh = tempfile.mkdtemp(prefix="cdc-", dir=base)
+    wh = _scratch_dir("cdc-")
     cat = Catalog(spark, wh)
     cat.create_database("cdc", ignore_if_exists=True)
     t = cat.create_table(
@@ -1096,18 +1099,11 @@ def table_format_retraction_changelog(spark: SparkSession, sf_dir: str) -> DataF
     source data.
     """
     import os
-    import shutil
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    os.makedirs(base, exist_ok=True)
-    wh = tempfile.mkdtemp(prefix="retr-", dir=base)
+    wh = _scratch_dir("retr-")
     cat = Catalog(spark, wh)
     cat.create_database("cdc", ignore_if_exists=True)
     t = cat.create_table(
@@ -1210,17 +1206,11 @@ def table_format_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     a column-wise interleave no per-row engine can produce.
     """
     import os
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    os.makedirs(base, exist_ok=True)
-    wh = tempfile.mkdtemp(prefix="pu-", dir=base)
+    wh = _scratch_dir("pu-")
     cat = Catalog(spark, wh)
     cat.create_database("pu", ignore_if_exists=True)
     t = cat.create_table(
@@ -1299,17 +1289,11 @@ def table_format_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted restatement, bucketed mod 10 to keep the compare compact.
     """
     import os
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    os.makedirs(base, exist_ok=True)
-    wh = tempfile.mkdtemp(prefix="ag-", dir=base)
+    wh = _scratch_dir("ag-")
     cat = Catalog(spark, wh)
     cat.create_database("ag", ignore_if_exists=True)
     t = cat.create_table(
@@ -1381,17 +1365,11 @@ def table_format_sequence_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     honor the stale deletes and break the hash.
     """
     import os
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    os.makedirs(base, exist_ok=True)
-    wh = tempfile.mkdtemp(prefix="sqf-", dir=base)
+    wh = _scratch_dir("sqf-")
     cat = Catalog(spark, wh)
     cat.create_database("sqf", ignore_if_exists=True)
     t = cat.create_table(
@@ -1455,18 +1433,12 @@ def table_format_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     this entry certifies the never-lies direction end-to-end.
     """
     import os
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
     from paimon_presto_spark.plans.predicate import P
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    os.makedirs(base, exist_ok=True)
-    wh = tempfile.mkdtemp(prefix="bfi-", dir=base)
+    wh = _scratch_dir("bfi-")
     cat = Catalog(spark, wh)
     cat.create_database("bfi", ignore_if_exists=True)
     t = cat.create_table(
@@ -1530,17 +1502,11 @@ def table_format_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconditionally, matched wrongly, or half-applied breaks the hash.
     """
     import os
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    os.makedirs(base, exist_ok=True)
-    wh = tempfile.mkdtemp(prefix="mi-", dir=base)
+    wh = _scratch_dir("mi-")
     cat = Catalog(spark, wh)
     cat.create_database("mi", ignore_if_exists=True)
     t = cat.create_table(
@@ -1609,23 +1575,13 @@ def metastore_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointers and the content commits survive it.
     """
     import os
-    import shutil
-    import tempfile
 
     from paimon_presto_spark.catalog import Catalog
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    os.makedirs(base, exist_ok=True)
-    for stale in os.listdir(base):  # previous runs' scratch
-        if stale.startswith("ms-"):
-            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="ms-", dir=base)
+    root = _scratch_dir("ms-")
     wh = os.path.join(root, "wh")
     uri = os.path.join(root, "catalog.sqlite")
 

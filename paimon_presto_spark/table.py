@@ -145,6 +145,18 @@ def _is_time_type(ddl: str) -> bool:
     return bool(_TIME_RE.match(ddl))
 
 
+#: Numeric declared-type names — the single classification shared by
+#: clustering-key normalization (z-order/Hilbert) and ANALYZE histograms.
+#: Matched on the base name so parameterized decimals count.
+NUMERIC_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+
+
+def _is_numeric_type(t: str) -> bool:
+    return t.split("(")[0].strip().lower() in NUMERIC_TYPES
+
+
 def _parse_type(ddl: str) -> T.DataType:
     """Declared type string → physical Spark type.
 
@@ -1215,11 +1227,10 @@ class Table:
             raise ValueError(f"{what} needs 2-4 columns")
         schema = self.schema()
         types = {f["name"]: f["type"] for f in schema.fields}
-        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
         bounds = {}
         for c in cols:
             cl = schema.resolve(c)
-            if not types[cl].lower().startswith(numeric):
+            if not _is_numeric_type(types[cl]):
                 raise ValueError(f"{what} column {c!r} must be numeric, got {types[cl]}")
             mns = [
                 e["stats"][cl]["min"]
@@ -1816,11 +1827,7 @@ class Table:
             names = [n for n in names if n in columns]
         df = self.to_df()
         numeric = {
-            f["name"]
-            for f in schema.fields
-            if f["type"].split("(")[0].lower()
-            in ("tinyint", "smallint", "int", "bigint", "float", "double",
-                "decimal")
+            f["name"] for f in schema.fields if _is_numeric_type(f["type"])
         }
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for i, c in enumerate(names):
@@ -1835,7 +1842,10 @@ class Table:
                 F.max(F.col(c).cast("string")).alias(f"__st{i}_max"),
                 F.avg(F.length(F.col(c).cast("string"))).alias(f"__st{i}_len"),
             ]
-            if histogram_bins > 0 and c in numeric:
+            # bins >= 2 only: percentile_approx([]) returns NULL, not [],
+            # so a 1-bin histogram (zero interior quantiles) is recorded
+            # as [] below without running the aggregate
+            if histogram_bins >= 2 and c in numeric:
                 qs = [j / histogram_bins for j in range(1, histogram_bins)]
                 aggs.append(
                     F.percentile_approx(
@@ -1858,6 +1868,8 @@ class Table:
                     **(
                         {"histogram": row[f"__st{i}_hist"]}
                         if f"__st{i}_hist" in row.asDict()
+                        else {"histogram": []}
+                        if histogram_bins == 1 and c in numeric
                         else {}
                     ),
                 }
@@ -3876,9 +3888,9 @@ def _build_file_blooms(
         ):
             k = F.concat(F.lit("s:"), F.col(c))
         elif t == "boolean":
-            k = F.concat(
-                F.lit("b:"), F.when(F.col(c), "1").otherwise("0")
-            )
+            # two explicit whens: NULL must stay NULL (unindexed), not
+            # fall through an otherwise() into 'b:0'
+            k = F.when(F.col(c), "b:1").when(~F.col(c), "b:0")
         else:  # unindexable type (float/date/binary/...) — stats-only
             continue
         cols.append(c)

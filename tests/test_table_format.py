@@ -1377,12 +1377,15 @@ class TestRollbackAndStatistics:
         st = t.analyze(histogram_bins=4)
         hist = st["columns"]["k"]["histogram"]
         assert len(hist) == 3  # q25/q50/q75
-        assert hist[0] == 1.0 and hist[1] == 1.0  # skew visible
-        assert hist[2] == 1.0 or hist[2] >= 1.0
+        # 90 of 100 rows are 1 → every quartile sits on the hot value;
+        # min/max alone (1..19) would estimate uniform
+        assert hist == [1.0, 1.0, 1.0]
         assert "histogram" not in st["columns"]["v"]  # strings: none
         rows = {r["column_name"]: r for r in t.statistics_df().collect()}
         assert rows["k"]["histogram"] == hist
         assert rows["v"]["histogram"] is None
+        # 1 bin = zero interior quantiles, recorded as [] (not NULL)
+        assert t.analyze(histogram_bins=1)["columns"]["k"]["histogram"] == []
         # without bins: no histogram key at all (back-compat)
         st2 = t.analyze()
         assert "histogram" not in st2["columns"]["k"]
