@@ -2909,6 +2909,50 @@ class Table:
     def to_df(self, **scan_kwargs) -> DataFrame:
         return self.scan(**scan_kwargs).to_df()
 
+    def fast_count(
+        self,
+        predicate: Predicate | None = None,
+        snapshot_id: int | None = None,
+        tag: str | None = None,
+    ) -> int | None:
+        """Exact COUNT(*) from manifest metadata alone — zero data I/O
+        (the count-from-stats shortcut Trino/Paimon serve for
+        ``SELECT count(*)``; at 100 TB this is planning-time vs a full
+        scan). Returns None when metadata cannot answer EXACTLY — the
+        caller falls back to ``scan().to_df().count()``:
+
+        - primary-key tables (merge-on-read collapses/deletes rows),
+        - snapshots carrying deletion vectors (positions are marked
+          deleted inside otherwise-live files),
+        - a predicate referencing any non-partition column (it filters
+          WITHIN files; partition-column predicates are constant per
+          file, so whole-file counts stay exact).
+        """
+        if tag is not None:
+            snap = self.tag_snapshot(tag)
+        else:
+            snap = (
+                self.snapshot(snapshot_id)
+                if snapshot_id is not None
+                else self.snapshot()
+            )
+        if snap is None:
+            return 0
+        schema = self.schema(snap.schema_id)
+        if schema.primary_keys or snap.dv_index:
+            return None
+        entries = self.manifest_entries(snap)
+        if predicate is not None:
+            pks = set(schema.partition_keys)
+            if not predicate.references() <= pks:
+                return None
+            entries = [
+                e
+                for e in entries
+                if predicate.test_row(_typed_partition(e["partition"], schema))
+            ]
+        return sum(e["row_count"] for e in entries)
+
     # -- tags: named immutable snapshot references (Paimon TagManager
     #    parity; surfaced through the same catalog `$` resolution the
     #    reference relies on, PrestoMetadata.java:141) -----------------------

@@ -3034,3 +3034,46 @@ class TestMergeIntoUpdateSet:
                 spark.createDataFrame([(1, "a", 1)], self.DDL),
                 when_matched="delete", update_set={"qty": "qty"},
             )
+
+
+class TestFastCount:
+    """fast_count: exact COUNT(*) from manifest metadata (zero data I/O),
+    refusing with None whenever metadata can't answer exactly."""
+
+    def test_append_table_counts_from_metadata(self, spark, catalog):
+        t = catalog.create_table(
+            "default", "fc1", "k int, pt string", partition_keys=["pt"])
+        t.append(spark.createDataFrame(
+            [(i, f"p{i % 3}") for i in range(30)], "k int, pt string"))
+        t.append(spark.createDataFrame([(99, "p0")], "k int, pt string"))
+        assert t.fast_count() == 31
+        from paimon_presto_spark.plans.predicate import P
+        # partition-only predicate: whole-file exact
+        assert t.fast_count(P.eq("pt", "p0")) == 11
+        assert t.fast_count(P.in_("pt", ["p1", "p2"])) == 20
+        # value-column predicate filters WITHIN files -> refuse
+        assert t.fast_count(P.eq("k", 5)) is None
+        # time travel
+        assert t.fast_count(snapshot_id=1) == 30
+        t.create_tag("v1", 1)
+        assert t.fast_count(tag="v1") == 30
+        # cross-check against the scan
+        assert t.fast_count() == t.to_df().count()
+
+    def test_refuses_pk_and_dv_tables(self, spark, catalog):
+        pk = catalog.create_table(
+            "default", "fc2", "k int, v int", primary_keys=["k"])
+        pk.upsert(spark.createDataFrame([(1, 1), (1, 2)], "k int, v int"))
+        assert pk.fast_count() is None  # merge-on-read collapses rows
+        ap = catalog.create_table(
+            "default", "fc3", "k int",
+            options={"deletion-vectors.enabled": "true"})
+        ap.append(spark.createDataFrame([(i,) for i in range(10)], "k int"))
+        assert ap.fast_count() == 10
+        ap.delete_where("k = 3")  # deletion vectors appear
+        assert ap.fast_count() is None
+        assert ap.to_df().count() == 9
+
+    def test_empty_table(self, spark, catalog):
+        t = catalog.create_table("default", "fc4", "k int")
+        assert t.fast_count() == 0
