@@ -204,8 +204,16 @@ SCALE_QUERIES = [
     "pipeline_curate_corpus",
     "dedup_boilerplate_chunks",
     "dedup_cdc_chunks",
+    "dedup_cdc_chunks_xxhash",
     "select_token_budget",
     "embedding_pca_project",
+    # PLANS.md flags these four "SMJ (check at scale)" — fact×fact joins
+    # where sort-merge is the intended strategy; the stress proves the
+    # plans stay SMJ (no BNLJ/Cartesian) with auto-broadcast disabled.
+    "sample_temperature",
+    "knn_lsh_recall",
+    "join_full_outer",
+    "dedup_semantic_incremental",
 ]
 
 
@@ -246,6 +254,24 @@ def _semdedup_sf1_codegen(spark, sf1_dir: str):
     emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
     cents = list(enumerate(_hyperplanes(64, 32, seed=7)))
     return semdedup(emb, cents, 0.35, pair_backend="codegen")
+
+
+def _cdc_chunks_sf1_xxhash(spark, sf1_dir: str):
+    """The production CDC rung (engine-native xxhash64 boundary) at the
+    sf1 stress — benched alongside the registry's portable-md5 twin so the
+    xxhash-vs-md5 boundary-cost claim is re-measured every round."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import remove_repeated_chunks_cdc
+
+    docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    out = remove_repeated_chunks_cdc(docs, "doc_id", "text",
+                                     boundary_mod=4, max_count=1,
+                                     boundary_hash="xxhash64")
+    return out.filter(F.col("n_chunks") > 0).select(
+        "doc_id", "n_chunks", "n_removed",
+        F.md5("rebuilt_text").alias("rebuilt_md5"),
+    )
 
 
 def _minhash_incremental_sf1(spark, sf1_dir: str):
@@ -336,6 +362,28 @@ def _fingerprint(sf_dir: str) -> str:
     return "|".join(parts)
 
 
+def _scale_runners(qs) -> dict:
+    """Build the sf1 runner map: retuned variants override the registry.
+
+    NB: no eager-default ``qs.get(name, ...)`` / ``qs[name]`` default here —
+    names like ``dedup_semantic_clusters_codegen`` exist only in the retuned
+    map, not the registry, and an eagerly-evaluated ``qs[name]`` default
+    raised KeyError before a single stress query ran (this killed the entire
+    round-4 sf1 artifact). Unit-tested in tests/test_bench_contract.py.
+    """
+    retuned = {
+        "dedup_embedding_lsh": _lsh_pairs_sf1,
+        "dedup_semantic_clusters": _semdedup_sf1,
+        "dedup_semantic_clusters_codegen": _semdedup_sf1_codegen,
+        "dedup_minhash_incremental": _minhash_incremental_sf1,
+        "dedup_cdc_chunks_xxhash": _cdc_chunks_sf1_xxhash,
+    }
+    return {
+        name: retuned[name] if name in retuned else qs[name]
+        for name in SCALE_QUERIES
+    }
+
+
 def _scale_stress(spark, qs, sf_dir: str) -> dict:
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1")
     marker = os.path.join(sf1_dir, "_built_from")
@@ -355,13 +403,7 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
                 "(n_planes=8, k=32, split=60%; see _lsh_pairs_sf1, "
                 "_semdedup_sf1, _minhash_incremental_sf1)",
     }
-    retuned = {
-        "dedup_embedding_lsh": _lsh_pairs_sf1,
-        "dedup_semantic_clusters": _semdedup_sf1,
-        "dedup_semantic_clusters_codegen": _semdedup_sf1_codegen,
-        "dedup_minhash_incremental": _minhash_incremental_sf1,
-    }
-    runners = {name: retuned.get(name, qs[name]) for name in SCALE_QUERIES}
+    runners = _scale_runners(qs)
     for name in SCALE_QUERIES:
         t0 = time.perf_counter()
         try:

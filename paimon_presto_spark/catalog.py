@@ -46,20 +46,31 @@ class Catalog:
         self,
         spark: SparkSession,
         warehouse: str,
-        metastore: str = "filesystem",
+        metastore: "str | Metastore" = "filesystem",
         uri: str | None = None,
     ):
         """``metastore``/``uri`` mirror the reference's catalog config
         (``PaimonConfig.java:28-60``): ``filesystem`` (default) derives
         the namespace from the warehouse layout; ``jdbc`` keeps it in a
         SQLite database at ``uri`` (table content stays in the table
-        directories either way — see ``metastore.py``)."""
-        from paimon_presto_spark.metastore import create_metastore
+        directories either way — see ``metastore.py``). A ``Metastore``
+        INSTANCE may be passed instead of a name — the plug point for
+        backends this environment cannot ship (e.g. a thrift HMS client),
+        mirroring Paimon's custom catalog factory; ``uri`` must then be
+        None (the instance already carries its connection)."""
+        from paimon_presto_spark.metastore import Metastore, create_metastore
 
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
-        self.metastore = create_metastore(warehouse, metastore, uri)
+        if isinstance(metastore, Metastore):
+            if uri is not None:
+                raise ValueError(
+                    "uri is meaningless with a Metastore instance"
+                )
+            self.metastore = metastore
+        else:
+            self.metastore = create_metastore(warehouse, metastore, uri)
 
     # -- databases (A15) ---------------------------------------------------
 
@@ -188,8 +199,25 @@ class Catalog:
 
     def get_table(self, db: str, name: str) -> Table:
         base, suffix = _split_system(name)
-        path = self._table_path(db, base)
+        registered = self.metastore.table_path(db.lower(), base.lower())
+        path = (
+            registered
+            if registered is not None
+            else self.metastore.default_table_path(db.lower(), base.lower())
+        )
         if not os.path.isdir(os.path.join(path, "schema")):
+            if registered is not None:
+                # A pointer with no schema directory is the footprint of a
+                # create_table killed between registering and writing
+                # schema-0.json. Name the repair instead of the generic
+                # "does not exist" (which contradicts create_table's
+                # "already exists" for the same name).
+                raise ValueError(
+                    f"table {db}.{base} is registered at {path} but has no "
+                    "schema directory (create_table was interrupted); run "
+                    f"drop_table({db!r}, {base!r}) to clear the dangling "
+                    "pointer, then re-create"
+                )
             raise ValueError(f"table {db}.{base} does not exist")
         if suffix:
             raise ValueError(
@@ -198,13 +226,28 @@ class Catalog:
         return Table(self.spark, path)
 
     def drop_table(self, db: str, name: str, ignore_if_missing: bool = False) -> None:
-        if not self.table_exists(db, name):
+        base, suffix = _split_system(name)
+        if suffix:
+            # table_exists strips the suffix, so 't$snapshots' would pass
+            # the check on base 't' while unregister_table('t$snapshots')
+            # silently no-ops — reject suffixed names outright.
+            raise ValueError(
+                f"{name} is a system table; drop the base table {base!r}"
+            )
+        if not self.table_exists(db, base):
             if ignore_if_missing:
                 return
-            raise ValueError(f"table {db}.{name} does not exist")
-        self.metastore.unregister_table(db.lower(), name.lower())
+            raise ValueError(f"table {db}.{base} does not exist")
+        self.metastore.unregister_table(db.lower(), base.lower())
 
     def rename_table(self, db: str, name: str, new_name: str) -> None:
+        base, suffix = _split_system(name)
+        nbase, nsuffix = _split_system(new_name)
+        if suffix or nsuffix:
+            raise ValueError(
+                "system tables cannot be renamed; use the base table name"
+            )
+        name, new_name = base, nbase
         if not self.table_exists(db, name):
             raise ValueError(f"table {db}.{name} does not exist")
         if self.table_exists(db, new_name):

@@ -234,8 +234,13 @@ class JdbcMetastore(Metastore):
             )
 
     def create_database(self, db: str) -> None:
-        with self._conn() as c:
-            c.execute("INSERT INTO databases VALUES (?)", (db,))
+        try:
+            with self._conn() as c:
+                c.execute("INSERT INTO databases VALUES (?)", (db,))
+        except sqlite3.IntegrityError:
+            # Two engines racing the same uri: surface the documented
+            # catalog contract, not the backend's raw exception.
+            raise ValueError(f"database {db} already exists") from None
         os.makedirs(os.path.join(self.warehouse, f"{db}.db"), exist_ok=True)
 
     def drop_database(self, db: str, cascade: bool) -> None:
@@ -273,10 +278,15 @@ class JdbcMetastore(Metastore):
         return row[0] if row else None
 
     def register_table(self, db: str, table: str, path: str) -> None:
-        with self._conn() as c:
-            c.execute(
-                "INSERT INTO tables VALUES (?, ?, ?)", (db, table, path)
-            )
+        try:
+            with self._conn() as c:
+                c.execute(
+                    "INSERT INTO tables VALUES (?, ?, ?)", (db, table, path)
+                )
+        except sqlite3.IntegrityError:
+            # The atomic duplicate check create_table relies on: racing
+            # creators must see the catalog's ValueError contract.
+            raise ValueError(f"table {db}.{table} already exists") from None
 
     def unregister_table(self, db: str, table: str) -> None:
         with self._conn() as c:

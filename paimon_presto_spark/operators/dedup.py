@@ -741,7 +741,19 @@ def _drop_overrepresented_chunks(
     (id_col, n_chunks, n_removed, rebuilt_text). Shuffle ledger: the
     occurrence count aggregates 16-byte hashes (shuffle 1); drop
     decisions come back as (doc, chunk_idx) pairs (shuffles 2-3); the
-    rebuild is a map-side filter over the doc's own chunk array."""
+    rebuild is a map-side filter over the doc's own chunk array.
+
+    ``chunked`` is consumed three times (the units explode feeds both the
+    occurrence count and the drop join, and the final rebuild joins it
+    again); the chunking map is the expensive interpreted-HOF stage, so it
+    is persisted (memory-and-disk — executor-local, spills, never
+    driver-sized) for the lifetime of the plan instead of recomputed per
+    consumer. Round 4 shipped without this persist and the CDC variant
+    recomputed its per-word hashing 3x, costing a third of the whole
+    headline bench."""
+    from pyspark import StorageLevel
+
+    chunked = chunked.persist(StorageLevel.MEMORY_AND_DISK)
     units = chunked.select(
         id_col, F.posexplode("__chunks").alias("__cidx", "__chunk")
     ).select(id_col, "__cidx", md5_long("__chunk").alias("__h"))
@@ -839,9 +851,10 @@ def cdc_chunks(
     id_col: str,
     text_col: str,
     boundary_mod: int = 4,
+    boundary_hash: str = "xxhash64",
 ) -> DataFrame:
     """Content-defined chunking: a chunk boundary falls AFTER any word
-    whose portable hash ≡ 0 (mod ``boundary_mod``) — the gear/Rabin idea
+    whose hash ≡ 0 (mod ``boundary_mod``) — the gear/Rabin idea
     of rsync/LBFS/FastCDC applied at word granularity. Boundaries depend
     only on local content, so inserting or deleting a word perturbs ONLY
     the chunk containing the edit; every later chunk is byte-identical
@@ -849,17 +862,47 @@ def cdc_chunks(
     ``remove_repeated_chunks`` accepts for its zero-shuffle chunking).
     Mean chunk length ≈ ``boundary_mod`` words.
 
-    Pure map: the chunk array is built with array HOFs in codegen —
-    document text does not shuffle here. Chunks that are empty strings
-    (a trailing boundary, or a lone empty word from doubled spacing) are
-    dropped, mirroring the SQL-window restatement exactly. Returns
+    ``boundary_hash`` picks the per-word boundary test. Array HOF lambdas
+    run on Catalyst's interpreted path (no whole-stage codegen), so the
+    per-word expression cost is the whole game here:
+
+    - ``"xxhash64"`` (default): Spark's native 64-bit hash — the cheapest
+      per-word eval, the production choice. Engine-specific bit pattern
+      (DuckDB cannot replay it).
+    - ``"md5"``: portable across engines — a 100 TB chunking resumed on a
+      different engine/version reproduces identical boundaries. ONE hex
+      digit of the digest is converted (supports ``boundary_mod`` ≤ 16);
+      round 4 converted fifteen digits per word through ``conv(hex,16,10)``
+      and that conversion alone was ~70% of the operator's runtime.
+
+    Pure map: the chunk array is built with array HOFs — document text
+    does not shuffle here. Chunks that are empty strings (a trailing
+    boundary, or a lone empty word from doubled spacing) are dropped,
+    mirroring the SQL-window restatement exactly. Returns
     (id_col, __chunks array<string>).
     """
     ws = F.split(F.col(text_col), " ")
-    bpos = F.filter(
-        F.sequence(F.lit(1), F.size(ws)),
-        lambda i: md5_long(F.element_at(ws, i)) % boundary_mod == 0,
-    )
+    if boundary_hash == "xxhash64":
+        def _is_boundary(i):
+            return F.pmod(F.xxhash64(F.element_at(ws, i)),
+                          F.lit(boundary_mod)) == 0
+    elif boundary_hash == "md5":
+        if boundary_mod > 16:
+            raise ValueError(
+                "md5 boundary uses one hex digit: boundary_mod must be <= 16"
+            )
+
+        def _is_boundary(i):
+            # Last hex digit of the digest as a 4-bit int; DuckDB replays
+            # it as CAST('0x' || substr(md5(w), 32, 1) AS BIGINT).
+            return (
+                F.conv(F.substring(F.md5(F.element_at(ws, i)), 32, 1), 16, 10)
+                .cast("int") % boundary_mod == 0
+            )
+    else:
+        raise ValueError(f"unknown boundary_hash {boundary_hash!r} "
+                         "(expected 'xxhash64' or 'md5')")
+    bpos = F.filter(F.sequence(F.lit(1), F.size(ws)), _is_boundary)
     starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
     ends = F.concat(bpos, F.array(F.size(ws)))
     chunks = F.filter(
@@ -879,6 +922,7 @@ def remove_repeated_chunks_cdc(
     text_col: str,
     boundary_mod: int = 4,
     max_count: int = 1,
+    boundary_hash: str = "xxhash64",
 ) -> DataFrame:
     """``remove_repeated_chunks`` with content-defined instead of
     fixed-width chunks: any CDC chunk occurring more than ``max_count``
@@ -892,5 +936,6 @@ def remove_repeated_chunks_cdc(
 
     Returns (id_col, n_chunks, n_removed, rebuilt_text).
     """
-    chunked = cdc_chunks(docs, id_col, text_col, boundary_mod)
+    chunked = cdc_chunks(docs, id_col, text_col, boundary_mod,
+                         boundary_hash=boundary_hash)
     return _drop_overrepresented_chunks(chunked, id_col, max_count)

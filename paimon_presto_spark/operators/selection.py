@@ -7,17 +7,27 @@ one unpartitioned window: a single task owns the running total, the
 classic global-sort bottleneck at 100 TB. ``select_until_budget``
 computes the same selection with bounded per-task work:
 
-1. one tiny aggregation finds the score range; every row maps to one of
-   ``n_buckets`` score-range buckets (map-side arithmetic, no shuffle);
+1. one tiny aggregation finds the score range and row count; every row
+   maps to one of ``n_buckets`` score-range buckets (map-side
+   arithmetic, no shuffle). ``n_buckets`` is sized from the corpus —
+   ``max(64, ceil(rows / target_edge_rows))`` — so the EXPECTED cutoff
+   bucket stays one healthy task no matter the corpus size (round 4
+   hard-coded 64 buckets, which put ~1.5 TB through the single edge
+   window at 100 TB);
 2. per-bucket weight totals (one shuffle to ``n_buckets`` rows) prefix-
    sum on the DRIVER — the only serial step, O(n_buckets);
 3. buckets strictly better than the cutoff bucket are selected whole
    (map-side filter); only the ONE cutoff bucket runs an exact
-   running-total window, over ~corpus/n_buckets rows, offset by the
-   driver's prefix.
+   running-total window, offset by the driver's prefix. If skew or
+   score ties leave that bucket larger than ``target_edge_rows``, the
+   SAME decomposition recurses into it (finer score sub-ranges; pure
+   score ties sub-range on the numeric id instead, which refines the
+   (score DESC, id ASC) tiebreak order) until the exact pass is
+   bounded.
 
 Rows with equal scores share a bucket (the bucket is a function of the
-score alone), so the bucket order refines the global (score DESC, id)
+score alone — and, one recursion level deeper, of the id that breaks
+their tie), so the bucket order refines the global (score DESC, id)
 order and the composition equals the single-window answer exactly —
 which is how the DuckDB oracle states it.
 
@@ -28,8 +38,26 @@ global serial pass into (parallel partials) + (driver-size prefix) +
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import NumericType
+
+#: Upper bound on the rows the exact edge window may own in one task.
+#: ~2M (id, score, weight) rows is tens of MB — comfortably one task.
+TARGET_EDGE_ROWS = 2_000_000
+
+#: Recursion backstop: each level divides the edge bucket by >=64, so
+#: real corpora terminate in 1-2 levels; 8 covers any adversarial skew.
+_MAX_DEPTH = 8
+
+
+def _auto_buckets(n_rows: int, target_edge_rows: int) -> int:
+    """Bucket-count rule: enough buckets that the EXPECTED bucket holds
+    at most ``target_edge_rows`` rows, never fewer than 64. The driver
+    prefix-sum stays O(buckets) — 50k entries for 1e11 rows."""
+    return max(64, math.ceil(n_rows / max(1, target_edge_rows)))
 
 
 def select_until_budget(
@@ -38,57 +66,114 @@ def select_until_budget(
     weight_col: str,
     budget: int,
     id_col: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    target_edge_rows: int = TARGET_EDGE_ROWS,
+    _depth: int = 0,
 ) -> DataFrame:
     """Rows whose running ``weight_col`` total — accumulated in
     (``score_col`` DESC, ``id_col`` ASC) order, inclusive of the current
     row — stays within ``budget``. Weights must be integers (the budget
-    comparison is exact, never float-accumulated)."""
-    rng = df.agg(
-        F.min(score_col).alias("mn"), F.max(score_col).alias("mx")
-    ).collect()[0]
-    mn, mx = rng["mn"], rng["mx"]
+    comparison is exact, never float-accumulated).
+
+    ``n_buckets=None`` (the default) sizes the bucket count from the
+    corpus via ``_auto_buckets``; pass an explicit value only to pin a
+    test shape.
+    """
+    id_numeric = isinstance(df.schema[id_col].dataType, NumericType)
+    aggs = [
+        F.min(score_col).alias("mn"),
+        F.max(score_col).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if id_numeric:
+        aggs += [F.min(id_col).alias("imn"), F.max(id_col).alias("imx")]
+    stats = df.agg(*aggs).collect()[0]
+    mn, mx = stats["mn"], stats["mx"]
     if mn is None:
         return df.limit(0)
-    span = (mx - mn) or 1.0
-    # bucket 0 holds the BEST scores; equal scores always share a bucket
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.lit(mx) - F.col(score_col)) / F.lit(span) * n_buckets),
-    ).cast("int")
+    nb = n_buckets if n_buckets is not None else _auto_buckets(
+        stats["n"], target_edge_rows
+    )
+    # Pick the bucket key. Score sub-ranges whenever scores still spread;
+    # a pure score tie (every row identical) sub-ranges on the id that
+    # breaks the tie instead — floor of a monotone map, so buckets always
+    # refine the (score DESC, id ASC) selection order. Double rounding on
+    # huge int64 ids can only MERGE adjacent buckets, never reorder them.
+    divisible = True
+    if mx > mn:
+        span = mx - mn
+        bucket = F.least(
+            F.lit(nb - 1),
+            F.floor((F.lit(mx) - F.col(score_col)) / F.lit(span) * nb),
+        ).cast("int")
+    elif id_numeric and stats["imx"] > stats["imn"]:
+        ispan = stats["imx"] - stats["imn"]
+        bucket = F.least(
+            F.lit(nb - 1),
+            F.floor(
+                (F.col(id_col) - F.lit(stats["imn"]))
+                / F.lit(float(ispan)) * nb
+            ),
+        ).cast("int")
+    else:
+        # One score, indivisible id (single row, or non-numeric ids):
+        # nothing to decompose — the exact pass takes the whole input.
+        bucket = F.lit(0)
+        divisible = False
     b = df.withColumn("__bkt", bucket)
     # NULL weights count as 0 (the row is selected whenever the budget is
     # not yet exhausted, and never advances the total) — uniformly, in
     # both the whole-bucket and edge-bucket paths. Note this is saner
     # than the raw SQL window spelling, where a NULL-weight PREFIX makes
     # the running total NULL and silently drops those rows.
-    totals = {
-        r["__bkt"]: r["w"] or 0
+    per_bucket = {
+        r["__bkt"]: (r["w"] or 0, r["c"])
         for r in b.groupBy("__bkt")
-        .agg(F.sum(weight_col).alias("w"))
+        .agg(F.sum(weight_col).alias("w"), F.count(F.lit(1)).alias("c"))
         .collect()
     }
     prefix = 0
-    cutoff_bucket, cutoff_offset = None, 0
-    for i in sorted(totals):
-        if prefix + totals[i] > budget:
-            cutoff_bucket, cutoff_offset = i, prefix
+    cutoff_bucket, cutoff_offset, cutoff_rows = None, 0, 0
+    for i in sorted(per_bucket):
+        w, c = per_bucket[i]
+        if prefix + w > budget:
+            cutoff_bucket, cutoff_offset, cutoff_rows = i, prefix, c
             break
-        prefix += totals[i]
+        prefix += w
     if cutoff_bucket is None:  # whole corpus fits the budget
         return b.drop("__bkt")
     whole = b.filter(F.col("__bkt") < cutoff_bucket).drop("__bkt")
-    w = Window.orderBy(F.desc(score_col), F.asc(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    edge = (
-        b.filter(F.col("__bkt") == cutoff_bucket)
-        .withColumn(
-            "__cum",
-            F.sum(F.coalesce(F.col(weight_col), F.lit(0))).over(w)
-            + F.lit(cutoff_offset),
+    edge_in = b.filter(F.col("__bkt") == cutoff_bucket).drop("__bkt")
+    if divisible and cutoff_rows > target_edge_rows and _depth < _MAX_DEPTH:
+        # The cutoff bucket is still oversized (skewed scores / ties):
+        # recurse the identical decomposition with the residual budget.
+        edge = select_until_budget(
+            edge_in,
+            score_col,
+            weight_col,
+            budget - cutoff_offset,
+            id_col,
+            n_buckets=None,
+            target_edge_rows=target_edge_rows,
+            _depth=_depth + 1,
         )
-        .filter(F.col("__cum") <= budget)
-        .drop("__bkt", "__cum")
-    )
+    else:
+        # Exact pass over a bounded bucket. The constant partition key
+        # keeps WindowExec's partition spec non-empty (silencing the
+        # "No Partition Defined" warning) without changing execution:
+        # this stage is intentionally one task over <= target_edge_rows.
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(F.desc(score_col), F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        edge = (
+            edge_in.withColumn(
+                "__cum",
+                F.sum(F.coalesce(F.col(weight_col), F.lit(0))).over(w)
+                + F.lit(cutoff_offset),
+            )
+            .filter(F.col("__cum") <= budget)
+            .drop("__cum")
+        )
     return whole.unionByName(edge)

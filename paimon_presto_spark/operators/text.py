@@ -128,3 +128,89 @@ def phrase_match(postings: DataFrame, phrase: list[str]) -> DataFrame:
             & (F.col("p_i") == F.col("p0") + i),
         ).select("doc_id", "p0")
     return cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+#: The rule set of gopher_quality_rules, in bit order (bit i set in
+#: ``fail_mask`` = rule i FAILED). Mirrors the document-level heuristics
+#: of Rae et al. 2021 ("Scaling Language Models: ... Gopher", §A1.1) at
+#: word granularity — the published rule family most LLM pipelines
+#: (Gopher, MassiveText, Dolma, FineWeb) start from.
+GOPHER_RULES: tuple[str, ...] = (
+    "word_count",      # min_words <= n <= max_words
+    "mean_word_len",   # 3 <= mean word length <= 10
+    "symbol_ratio",    # '#' / '...' occurrences per word < 0.1
+    "alpha_words",     # >= 80% of words contain an alphabetic char
+    "stopword_hits",   # >= 2 distinct common function words present
+)
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules with per-rule attribution.
+
+    Unlike a single keep/drop score, each rule contributes one bit to
+    ``fail_mask`` (bit order = ``GOPHER_RULES``), so a pipeline can report
+    WHY documents were dropped and tune thresholds per source — the
+    operational need the Gopher/Dolma papers call out. ``keep`` is true
+    iff every rule passes.
+
+    100 TB shape: pure map — every rule is a codegen expression over the
+    doc's own text (word splits, one regexp count, one array HOF for the
+    alpha/stopword tests); no shuffle, no UDF, trivially parallel. The
+    stopword test uses the fixed 7-word English function-word profile
+    (``STOPWORD_PROFILES['en']``) — production swaps in per-language
+    profiles keyed by a lang column.
+
+    Returns (id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+    stopword_hits, fail_mask, keep).
+    """
+    t = F.col(text_col)
+    ws = F.split(t, " ")
+    n_words = F.size(ws)
+    mean_len = F.length(F.regexp_replace(t, " ", "")) / n_words
+    symbol_ratio = (
+        F.size(F.split(t, "#", -1)) - 1
+        + F.size(F.split(t, r"\.\.\.", -1)) - 1
+    ) / n_words
+    alpha_ratio = (
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+        / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            ws, F.array(*[F.lit(w) for w in STOPWORD_PROFILES["en"]])
+        )
+    )
+    scored = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.cast("double").alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    fails = [
+        ~F.col("n_words").between(min_words, max_words),
+        ~F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len),
+        F.col("symbol_ratio") >= max_symbol_ratio,
+        F.col("alpha_word_ratio") < min_alpha_word_ratio,
+        F.col("stopword_hits") < min_stopword_hits,
+    ]
+    mask = None
+    for i, cond in enumerate(fails):
+        bit = F.when(cond, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    return scored.select(
+        "*",
+        mask.cast("int").alias("fail_mask"),
+    ).withColumn("keep", F.col("fail_mask") == 0)

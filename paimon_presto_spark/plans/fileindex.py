@@ -160,5 +160,39 @@ def translate_entry_metadata(
         if f["name"] in e_stats:
             stats[cur] = e_stats[f["name"]]
         if f["name"] in e_idx:
-            idx[cur] = e_idx[f["name"]]
+            idx[cur] = _retag_legacy(e_idx[f["name"]], f.get("type"))
     return stats, idx
+
+
+#: Declared schema type → bloom_key prefix, for re-tagging descriptors
+#: written before the ``t`` tag existed. Parquet columns are uniformly
+#: typed, so the writer-schema type determines the one prefix every key in
+#: a legacy filter carries.
+_TYPE_PREFIX = {
+    "tinyint": "i", "smallint": "i", "int": "i", "integer": "i",
+    "bigint": "i", "long": "i", "boolean": "b", "string": "s",
+}
+
+
+def _retag_legacy(bloom: dict, declared_type: str | None) -> dict:
+    """Derive the ``t`` tag from the writer schema for pre-tag descriptors.
+
+    Without this, every bloom index written before the tag was introduced
+    permanently stops skipping files (``probe_key`` treats an untagged
+    descriptor as inconclusive) until the data is rewritten — a silent
+    perf regression. The writer field's declared type is available at
+    planning time and pins the prefix exactly as the tag would; types
+    whose keys were never indexable (floats, dates, binaries) stay
+    untagged and keep the conservative no-skip behavior. CHAR/VARCHAR
+    spellings normalize to the string prefix."""
+    if "t" in bloom or declared_type is None:
+        return bloom
+    base = declared_type.split("(")[0].strip().lower()
+    prefix = _TYPE_PREFIX.get(
+        base, "s" if base in ("varchar", "char") else None
+    )
+    if prefix is None:
+        return bloom
+    out = dict(bloom)
+    out["t"] = prefix
+    return out

@@ -54,99 +54,85 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The correctness harness grades registry entries in order and may stop at a
-# fixed count (rounds 1-3 each recorded exactly the first 50). The prefix
+# fixed count (rounds 1-4 each recorded exactly the first 50). The prefix
 # is ROTATED each round so every registry entry eventually earns a
-# driver-graded row. Round 4 front-loads (a) the 24 entries never
-# driver-graded after rounds 1-3 (all already local-gate green), then
-# (b) knn_ivf_kmeans, which gained its oracle this round after grading
-# `no_oracle` in round 3, (c) dedup_minhash_lsh, whose shared
-# jaccard_verify stage changed this round (forced candidate-pair
-# broadcasts removed), then (d) the stalest remaining rows — entries whose
-# only driver grade came from the round-1 harness (predates the
-# pandas-dtype hardening) — with q1, the table-format roundtrip, and the
-# tumbling window as cross-round sentinels. sample_bernoulli stays out by
-# design: it is a declared rows-only entry (seed-dependent), so a slot
-# spent on it buys no hash-match signal.
+# driver-graded row. After round 4, every one of the 146 entries has a
+# green driver row; the round-5 policy (per VERDICT r4) is pure staleness
+# rotation: the 6 rows whose only driver grade came from round 1 (the
+# pre-pandas-dtype-hardening harness) plus all 44 rows last graded in
+# round 2 — plus every entry ADDED this round (a new entry outside the
+# prefix would sit ungraded), displacing the same number of r2 rows whose
+# family stays anchored in-prefix — exactly 50. sample_bernoulli is the
+# one declared rows-only entry (seed-dependent by design); it rotates in
+# with its r1 cohort so its rows-only row is at least re-recorded by the
+# current harness.
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
-    # -- never driver-graded after rounds 1-3 ----------------------------
-    # table format write paths
-    "table_format_merge_into",
-    "table_format_sequence_field",
-    "table_format_bloom_index",
-    # round-4 additions: external (jdbc/SQLite) metastore namespace,
-    # budgeted corpus selection, inverted-index phrase search, revenue
-    # attribution
-    "metastore_catalog_roundtrip",
-    "select_token_budget",
-    "text_phrase_search",
-    "events_attribution",
-    "dedup_cdc_chunks",
+    # -- NEW this round (never graded) -----------------------------------
+    # (displaced: q17_small_quantity — correlated-agg family anchored by
+    # q2_min_cost_supplier + q21 in-prefix)
+    "text_gopher_quality",
+    # -- last driver-graded in ROUND 1 (stalest; q12 FAILED its r1 hash
+    # under the old harness and passes the local gate today) -------------
+    "q12_priority_shipmode",
+    "q14_promo_revenue",
+    "case_when_bucketize",
+    "filter_in_like",
+    "window_lag_delta",
+    "sample_bernoulli",
+    # -- last driver-graded in ROUND 2 (all 44) --------------------------
+    # table format
+    "table_format_changelog",
+    "table_format_dv_roundtrip",
+    "table_format_retraction_changelog",
+    # TPC-H shapes
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q21_suppliers_kept_waiting",
+    # joins / subqueries / set ops
+    "join_semi_exists",
+    "quantified_comparison",
+    "null_safe_comparison",
+    "setop_union_all",
+    "nested_struct_map_access",
+    "unnest_word_counts",
+    "try_cast_tolerant",
+    # aggregates
+    "agg_approx_distinct",
+    "agg_checksum",
+    "agg_collect_reduce",
+    "agg_cube",
+    "agg_distinct",
+    "agg_hll_sketch_merge",
+    "agg_minmax_by_n",
+    "agg_percentiles",
+    # windows
+    "window_running_total",
+    "window_topn_per_nation",
+    # datetime / misc scalars / UDF
+    "datetime_functions",
+    "custom_functions_udf",
+    "events_json_props",
     # event analytics
-    "events_funnel_steps",
-    "events_cohort_retention",
-    "events_path_bigrams",
-    "events_window_anomaly",
-    # LLM-pipeline: dedup / decontamination / embeddings
-    "dedup_boilerplate_chunks",
-    "dedup_semantic_incremental",
-    "eval_contamination",
-    "knn_lsh_recall",
-    "embedding_pca_project",
-    "embedding_int8_quantize",
-    # LLM-pipeline: text quality / curation
-    "text_pii_redaction",
-    "text_repetition_quality",
-    "text_ngram_novelty",
-    "sample_stratified_exact",
-    "split_assign_hash",
-    "doc_chunk_windows",
-    "pack_sequences_greedy",
-    # scalar / window / misc coverage
-    "conditional_scalar_functions",
-    "width_bucket_histogram",
-    "window_value_navigation",
-    "assign_unique_id",
-    # -- newly oracle-gated this round (r3 row was `no_oracle`) ----------
-    "knn_ivf_kmeans",
-    # -- code changed this round (forced broadcasts removed in the shared
-    # jaccard_verify stage both build on) --------------------------------
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    # -- r2-only window-frame row, stalest of its family -----------------
-    "window_range_frame",
-    # -- graded only by the round-1 harness (stalest rows) ---------------
-    # (round-4 additions displace r1-only rows whose family is anchored
-    # elsewhere in-prefix — first out: case_when_bucketize (conditional
-    # family anchored by conditional_scalar_functions), filter_in_like
-    # (LIKE/IN anchored by string_functions + q19); the local gate still
-    # covers every rotated-out entry each session)
-    # (displaced so far: case_when_bucketize, filter_in_like — families
-    # anchored by conditional_scalar_functions / string_functions+q16's
-    # LIKE; q12_priority_shipmode, q14_promo_revenue — single-join
-    # conditional-agg shapes, anchored by q1's CASE aggregation and the
-    # q15/q16/q20 rows below)
-    "agg_minmax_by",
-    "agg_rollup",
-    "agg_stats_variance",
-    "having_nation_counts",
-    "join_anti_not_exists",
-    "join_scalar_subquery",
-    "key_based_sampling",
-    "limit_offset_sort",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q20_excess_stock",
-    "select_distinct_segments",
-    "setop_except",
-    "string_functions",
-    # window_lag_delta displaced by dedup_cdc_chunks (value-navigation
-    # family anchored by window_value_navigation + events_attribution)
-    # -- cross-round sentinels (one per core family) ---------------------
-    "q1_pricing_summary",
-    "table_format_roundtrip",
-    "events_tumbling_window",
+    "events_asof_join",
+    "events_hierarchical_rollup",
+    "events_interval_join",
+    "events_sessionization",
+    # LLM pipeline
+    "decontaminate_ngram_overlap",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "knn_bruteforce_topk",
+    "knn_ivf_probe",
+    "knn_lsh_bucketed",
+    "text_langid_stopword_density",
+    "text_token_stats",
 )
 
 

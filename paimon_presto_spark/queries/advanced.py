@@ -27,12 +27,17 @@ from paimon_presto_spark.sources.testdata import load_table
 
 def _scratch_dir(prefix: str) -> str:
     """A fresh scratch root under the repo's gitignored ``.scratch/``,
-    reaping only roots older than one hour: a CONCURRENT battery /
-    pytest / bench run's live scratch (this query's or a sibling's) is
-    never touched — the previous per-query sweeps (rmtree-the-base,
-    rmtree-my-prefix) deleted a parallel runner's warehouse mid-flight.
-    Returned DataFrames read their scratch lazily, so the roots must
-    outlive the call; the age-based reap is what bounds the leak."""
+    reaping only roots that are BOTH older than one hour AND whose owner
+    process is gone: a CONCURRENT battery / pytest / bench run's live
+    scratch (this query's or a sibling's) is never touched — the previous
+    per-query sweeps (rmtree-the-base, rmtree-my-prefix) deleted a
+    parallel runner's warehouse mid-flight, and a pure age cutoff could
+    reap a still-live run that legitimately exceeds an hour. Each root
+    records its creator's PID in ``_owner.pid``; a live owner vetoes the
+    reap regardless of age (roots without the marker — pre-upgrade — fall
+    back to age-only). Returned DataFrames read their scratch lazily, so
+    the roots must outlive the call; the liveness-gated reap is what
+    bounds the leak."""
     import os
     import shutil
     import tempfile
@@ -48,11 +53,25 @@ def _scratch_dir(prefix: str) -> str:
     for d in os.listdir(base):
         full = os.path.join(base, d)
         try:
-            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
-                shutil.rmtree(full, ignore_errors=True)
+            if not (os.path.isdir(full) and os.path.getmtime(full) < cutoff):
+                continue
+            pid_file = os.path.join(full, "_owner.pid")
+            if os.path.exists(pid_file):
+                try:
+                    pid = int(open(pid_file).read().strip())
+                    os.kill(pid, 0)  # raises if the owner is gone
+                    continue  # owner alive → never reap, however old
+                except (ValueError, ProcessLookupError):
+                    pass  # unreadable marker or dead owner → reapable
+                except PermissionError:
+                    continue  # pid exists under another uid → treat as live
+            shutil.rmtree(full, ignore_errors=True)
         except OSError:
             pass  # a concurrent reaper got there first
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    out = tempfile.mkdtemp(prefix=prefix, dir=base)
+    with open(os.path.join(out, "_owner.pid"), "w") as fh:
+        fh.write(str(os.getpid()))
+    return out
 
 
 

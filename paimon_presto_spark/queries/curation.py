@@ -1044,7 +1044,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         flags AS (
             SELECT doc_id, w, idx,
-                   CASE WHEN CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                   CASE WHEN CAST('0x' || substr(md5(w), 32, 1) AS BIGINT)
                              % 4 = 0
                         THEN 1 ELSE 0 END AS b
             FROM words
@@ -1094,15 +1094,110 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction byte-for-byte. The oracle restates the map-side HOF
     chunking as the equivalent window program (boundary-count chunk ids
     over exploded words).
+
+    This is the hash-gated PORTABLE twin (``boundary_hash='md5'`` — one
+    digest hex digit, replayable in DuckDB). Production defaults to the
+    cheaper engine-native ``xxhash64`` boundary; the sf1 scale stress
+    times that rung (``bench._cdc_chunks_sf1``).
     """
     from paimon_presto_spark.operators.dedup import remove_repeated_chunks_cdc
 
     docs = load_table(spark, sf_dir, "documents")
     out = remove_repeated_chunks_cdc(docs, "doc_id", "text",
-                                     boundary_mod=4, max_count=1)
+                                     boundary_mod=4, max_count=1,
+                                     boundary_hash="md5")
     # n_chunks > 0: same zero-chunk-document agreement rule as
     # dedup_boilerplate_chunks (the oracle's HAVING drops such docs)
     return out.filter(F.col("n_chunks") > 0).select(
         "doc_id", "n_chunks", "n_removed",
         F.md5("rebuilt_text").alias("rebuilt_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_gopher_quality",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source, text,
+                   string_split(text, ' ') AS arr
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, source,
+                   len(arr) AS n_words,
+                   length(replace(text, ' ', '')) / len(arr) AS mean_len,
+                   ((len(string_split(text, '#')) - 1)
+                    + (len(string_split(text, '...')) - 1))
+                   / CAST(len(arr) AS DOUBLE) AS sym_ratio,
+                   len(list_filter(arr, w -> regexp_matches(w, '[A-Za-z]')))
+                   / CAST(len(arr) AS DOUBLE) AS alpha_ratio,
+                   len(list_intersect(
+                       arr, ['the','a','of','to','and','is','in']
+                   )) AS stop_hits
+            FROM d
+        ),
+        f AS (
+            SELECT doc_id, source,
+                   CAST(NOT (n_words BETWEEN 30 AND 100000) AS INT) AS f_wc,
+                   CAST(NOT (mean_len BETWEEN 3.0 AND 10.0) AS INT) AS f_ml,
+                   CAST(sym_ratio >= 0.1 AS INT) AS f_sym,
+                   CAST(alpha_ratio < 0.8 AS INT) AS f_alpha,
+                   CAST(stop_hits < 2 AS INT) AS f_stop
+            FROM m
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN f_wc + f_ml + f_sym + f_alpha + f_stop = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+               CAST(SUM(f_ml) AS BIGINT) AS fail_mean_word_len,
+               CAST(SUM(f_sym) AS BIGINT) AS fail_symbol_ratio,
+               CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_words,
+               CAST(SUM(f_stop) AS BIGINT) AS fail_stopword_hits,
+               CAST(SUM(CASE WHEN f_wc + f_ml + f_sym + f_alpha + f_stop = 0
+                             THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+        FROM f
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm-pipeline", "text", "quality", "gopher-rules"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules with per-rule attribution
+    (``operators/text.gopher_quality_rules``; rule family per Rae et al.
+    2021 §A1.1): each document gets a fail bitmask over five rules
+    (word-count bounds, mean-word-length bounds, symbol ratio, alphabetic
+    -word ratio, stopword hits), and the report aggregates per-source
+    keep rates and per-rule failure counts — the "why was this dropped"
+    attribution a single keep/drop score cannot give. Pure map + one
+    integer-only groupBy; the oracle restates each rule in DuckDB's list
+    dialect. Thresholds are tuned to the test corpus's word-count range
+    (30..100k words, >=2 distinct function words) so the split exercises
+    both keep and every-rule-fail paths.
+    """
+    from paimon_presto_spark.operators.text import gopher_quality_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = gopher_quality_rules(docs, min_words=30)
+    joined = rules.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long").alias("n_keep"),
+            F.sum(F.when(F.col("fail_mask").bitwiseAND(1) > 0, 1).otherwise(0))
+            .cast("long").alias("fail_word_count"),
+            F.sum(F.when(F.col("fail_mask").bitwiseAND(2) > 0, 1).otherwise(0))
+            .cast("long").alias("fail_mean_word_len"),
+            F.sum(F.when(F.col("fail_mask").bitwiseAND(4) > 0, 1).otherwise(0))
+            .cast("long").alias("fail_symbol_ratio"),
+            F.sum(F.when(F.col("fail_mask").bitwiseAND(8) > 0, 1).otherwise(0))
+            .cast("long").alias("fail_alpha_words"),
+            F.sum(F.when(F.col("fail_mask").bitwiseAND(16) > 0, 1).otherwise(0))
+            .cast("long").alias("fail_stopword_hits"),
+            F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(F.lit(0)))
+            .cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )

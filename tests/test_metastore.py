@@ -126,6 +126,52 @@ class TestJdbcMetastore:
         with pytest.raises(ValueError, match="does not exist"):
             c.rename_table("d", "nope", "t2")
 
+    def test_racing_duplicate_surfaces_catalog_contract(self, spark, wh, uri):
+        """Two engines on the same uri racing create: the loser must see
+        the documented ValueError('already exists'), not a raw
+        sqlite3.IntegrityError (the catalog-level pre-check passes for
+        both racers; the pointer insert is the atomic arbiter)."""
+        c1 = Catalog(spark, wh, metastore="jdbc", uri=uri)
+        c2 = Catalog(spark, wh, metastore="jdbc", uri=uri)
+        c1.create_database("d")
+        with pytest.raises(ValueError, match="already exists"):
+            c2.metastore.create_database("d")
+        c1.create_table("d", "t", "k int")
+        with pytest.raises(ValueError, match="already exists"):
+            c2.metastore.register_table("d", "t", os.path.join(wh, "d.db", "t"))
+
+    def test_system_suffix_rejected_in_drop_and_rename(self, spark, wh, uri):
+        """drop/rename of 't$snapshots' must fail loudly: table_exists
+        strips the suffix, so the old code passed the existence check on
+        base 't' then silently no-opped the unregister."""
+        c = Catalog(spark, wh, metastore="jdbc", uri=uri)
+        c.create_database("d")
+        c.create_table("d", "t", "k int")
+        with pytest.raises(ValueError, match="system table"):
+            c.drop_table("d", "t$snapshots")
+        with pytest.raises(ValueError, match="system table"):
+            c.rename_table("d", "t$snapshots", "t2")
+        with pytest.raises(ValueError, match="system table"):
+            c.rename_table("d", "t", "t2$snapshots")
+        assert c.table_exists("d", "t")  # nothing was silently dropped
+
+    def test_dangling_pointer_names_the_repair(self, spark, wh, uri):
+        """A pointer whose schema dir is missing (create_table killed
+        between register and schema-0.json) must surface an actionable
+        error naming drop_table — not the generic 'does not exist' that
+        contradicts create_table's 'already exists' for the same name."""
+        c = Catalog(spark, wh, metastore="jdbc", uri=uri)
+        c.create_database("d")
+        # simulate the interrupted create: pointer registered, no schema
+        c.metastore.register_table("d", "wedged", os.path.join(wh, "d.db", "wedged"))
+        with pytest.raises(ValueError, match="drop_table"):
+            c.get_table("d", "wedged")
+        with pytest.raises(ValueError, match="already exists"):
+            c.create_table("d", "wedged", "k int")
+        c.drop_table("d", "wedged")  # the named repair clears the wedge
+        c.create_table("d", "wedged", "k int")
+        assert c.get_table("d", "wedged") is not None
+
 
 class TestBackendSelection:
     def test_filesystem_rejects_uri(self, spark, wh):
@@ -156,3 +202,141 @@ class TestBackendSelection:
         c.create_database("d")
         c2 = Catalog(spark, wh, metastore="jdbc", uri=p)
         assert c2.list_databases() == ["d"]
+
+
+class TestHiveSeam:
+    """The ``hive`` backend is an explicit non-goal in this sandbox (no
+    thrift client ships — ``create_metastore`` rejects it actionably).
+    These tests prove the SEAM is real: a Metastore adapter over a mock
+    HMS client (the thrift surface a real HiveMetastoreClient exposes —
+    get_all_databases / create_database / get_table / create_table /
+    drop_table / alter_table) drives the full catalog DDL + write + read
+    path with no catalog-side changes."""
+
+    @staticmethod
+    def _adapter(warehouse):
+        import os as _os
+        import shutil as _shutil
+
+        from paimon_presto_spark.metastore import Metastore
+
+        class MockHmsClient:
+            """Dict-backed stand-in for hive_metastore.ThriftHiveMetastore
+            .Client: databases -> {table -> location}."""
+
+            def __init__(self):
+                self.dbs: dict[str, dict[str, str]] = {}
+
+            def get_all_databases(self):
+                return sorted(self.dbs)
+
+            def create_database(self, name):
+                if name in self.dbs:
+                    raise ValueError(f"database {name} already exists")
+                self.dbs[name] = {}
+
+            def drop_database(self, name):
+                self.dbs.pop(name, None)
+
+            def get_all_tables(self, db):
+                return sorted(self.dbs.get(db, {}))
+
+            def get_table(self, db, tbl):
+                return self.dbs.get(db, {}).get(tbl)
+
+            def create_table(self, db, tbl, location):
+                if tbl in self.dbs[db]:
+                    raise ValueError(f"table {tbl} already exists")
+                self.dbs[db][tbl] = location
+
+            def drop_table(self, db, tbl):
+                self.dbs[db].pop(tbl, None)
+
+            def alter_table(self, db, old, new, location):
+                del self.dbs[db][old]
+                self.dbs[db][new] = location
+
+        class HiveMetastoreAdapter(Metastore):
+            """What a real thrift-backed Metastore would look like: every
+            seam method maps 1:1 onto an HMS client call; content-path
+            ownership rules (unregister removes content, forget is
+            pointer-only) live here exactly as in JdbcMetastore."""
+
+            def __init__(self, warehouse, client):
+                super().__init__(warehouse)
+                self.client = client
+
+            def list_databases(self):
+                return self.client.get_all_databases()
+
+            def database_exists(self, db):
+                return db in self.client.get_all_databases()
+
+            def create_database(self, db):
+                self.client.create_database(db)
+                _os.makedirs(
+                    _os.path.join(self.warehouse, f"{db}.db"), exist_ok=True
+                )
+
+            def drop_database(self, db, cascade):
+                tables = self.client.get_all_tables(db)
+                if tables and not cascade:
+                    raise ValueError(f"database {db} is not empty")
+                for t in tables:
+                    self.unregister_table(db, t)
+                self.client.drop_database(db)
+                _shutil.rmtree(
+                    _os.path.join(self.warehouse, f"{db}.db"),
+                    ignore_errors=True,
+                )
+
+            def list_tables(self, db):
+                return self.client.get_all_tables(db)
+
+            def table_path(self, db, table):
+                return self.client.get_table(db, table)
+
+            def register_table(self, db, table, path):
+                self.client.create_table(db, table, path)
+
+            def unregister_table(self, db, table):
+                path = self.client.get_table(db, table)
+                self.client.drop_table(db, table)
+                if path:
+                    _shutil.rmtree(path, ignore_errors=True)
+
+            def forget_table(self, db, table):
+                self.client.drop_table(db, table)
+
+            def rename_table(self, db, old, new, new_path):
+                cur = self.client.get_table(db, old)
+                if cur is None:
+                    raise ValueError(f"table {db}.{old} is not registered")
+                if _os.path.abspath(cur) != _os.path.abspath(new_path):
+                    _os.rename(cur, new_path)
+                self.client.alter_table(db, old, new, new_path)
+
+        return HiveMetastoreAdapter(warehouse, MockHmsClient())
+
+    def test_catalog_ddl_and_write_through_hms_adapter(self, spark, wh):
+        ms = self._adapter(wh)
+        c = Catalog(spark, wh, metastore=ms)
+        c.create_database("hdb")
+        c.create_table("hdb", "t", "k int, v string", primary_keys=["k"])
+        t = c.get_table("hdb", "t")
+        t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+        assert rows(c.read_table("hdb", "t"), "k", "v") == [(1, "a"), (2, "b")]
+        c.rename_table("hdb", "t", "t2")
+        assert c.list_tables("hdb") == ["t2"]
+        assert rows(c.read_table("hdb", "t2"), "k", "v") == [(1, "a"), (2, "b")]
+        c.drop_table("hdb", "t2")
+        assert c.list_tables("hdb") == []
+        # a second catalog over the SAME adapter sees the namespace (the
+        # second-engine visibility an external metastore exists to give)
+        c2 = Catalog(spark, wh, metastore=ms)
+        assert c2.list_databases() == ["hdb"]
+
+    def test_metastore_instance_rejects_uri(self, spark, wh):
+        ms = self._adapter(wh)
+        with pytest.raises(ValueError, match="meaningless"):
+            Catalog(spark, wh, metastore=ms, uri="x.sqlite")

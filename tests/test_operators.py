@@ -1302,6 +1302,49 @@ def test_semdedup_auto_on_empty_input(spark):
     assert semdedup(emb, cents, 0.9, pair_backend="auto").count() == 0
 
 
+def test_select_until_budget_bucket_count_rule():
+    """Pin the adaptive bucket-count rule: expected bucket size stays
+    under target_edge_rows, floor 64, driver prefix O(buckets)."""
+    from paimon_presto_spark.operators.selection import _auto_buckets
+
+    assert _auto_buckets(5_000, 2_000_000) == 64
+    assert _auto_buckets(2_000_000, 2_000_000) == 64
+    assert _auto_buckets(1_000_000_000, 2_000_000) == 500
+    assert _auto_buckets(100_000_000_000, 2_000_000) == 50_000
+    assert _auto_buckets(0, 2_000_000) == 64
+
+
+def test_select_until_budget_recurses_on_oversized_tie_bucket(spark):
+    """A tie-heavy corpus puts every row in ONE score bucket; with a tiny
+    target_edge_rows the operator must recurse (id-range sub-buckets on
+    the tie) and still equal the single-window answer exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from paimon_presto_spark.operators.selection import select_until_budget
+
+    rows = [(i, 0.5, 10) for i in range(1, 41)]  # all scores tie
+    rows += [(i, 0.9, 5) for i in range(41, 46)]  # a few better docs
+    df = spark.createDataFrame(rows, "id long, score double, w long")
+    win = Window.orderBy(F.desc("score"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for budget in (0, 25, 130, 200, 1000):
+        want = sorted(
+            r["id"]
+            for r in df.withColumn("c", F.sum("w").over(win))
+            .filter(F.col("c") <= budget)
+            .collect()
+        )
+        got = sorted(
+            r["id"]
+            for r in select_until_budget(
+                df, "score", "w", budget, "id", target_edge_rows=8
+            ).collect()
+        )
+        assert got == want, f"budget={budget}: {got} != {want}"
+
+
 def test_select_until_budget_null_weights_are_zero(spark):
     """NULL weights never advance the running total and are selected
     while the budget lasts — uniformly in whole-bucket and edge-bucket
@@ -1373,3 +1416,31 @@ def test_cdc_dedup_catches_offset_shifted_boilerplate(spark):
     fixed = {r["doc_id"]: r for r in remove_repeated_chunks(
         docs, "doc_id", "text", chunk_words=4).collect()}
     assert fixed[1]["n_removed"] == 0 and fixed[2]["n_removed"] == 0
+
+
+def test_gopher_quality_rules_bitmask_attribution(spark):
+    """Each failing rule sets exactly its own bit; keep = mask 0."""
+    from paimon_presto_spark.operators.text import gopher_quality_rules
+
+    docs = spark.createDataFrame(
+        [
+            # passes everything (enough words, stopwords, normal lengths)
+            (1, "the cat sat on a mat and the dog ran to the park again "
+                "with some more plain words here to pass the count rule ok "
+                "the end of this small but long enough test document is in"),
+            (2, "too short"),                     # word_count + stopwords
+            (3, "## ### #### ##### ###### ..."),  # symbols + alpha + more
+            (4, ("supercalifragilistic " * 40) + "the a of"),  # mean len
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_rules(
+        docs, min_words=20).collect()}
+    assert out[1]["keep"] and out[1]["fail_mask"] == 0
+    assert not out[2]["keep"]
+    assert out[2]["fail_mask"] & 1          # word_count bit
+    assert out[2]["fail_mask"] & 16         # stopword bit
+    assert out[3]["fail_mask"] & 4          # symbol bit
+    assert out[3]["fail_mask"] & 8          # alpha bit
+    assert out[4]["fail_mask"] & 2          # mean-word-len bit
+    assert not (out[4]["fail_mask"] & 1)    # 43 words: count rule passes

@@ -30,19 +30,20 @@ def test_priority_prefix_is_valid_and_broad():
     assert len(PRIORITY) == 50
     # Every operator family must be represented in the prefix. The prefix
     # ROTATES across rounds (so every entry eventually earns a driver-graded
-    # row); these anchors are the round-4 representatives of each family.
+    # row); these anchors are the round-5 representatives of each family
+    # (the round-5 prefix is the 6 r1-last + 44 r2-last stalest rows).
     prefix = set(PRIORITY)
     for family_member in (
-        "table_format_roundtrip",
-        "q1_pricing_summary",
-        "window_value_navigation",
-        "agg_rollup",
-        "setop_except",
-        "join_anti_not_exists",
-        "events_tumbling_window",
-        "dedup_boilerplate_chunks",
-        "knn_ivf_kmeans",
-        "text_pii_redaction",
+        "table_format_changelog",
+        "q6_revenue_forecast",
+        "window_topn_per_nation",
+        "agg_cube",
+        "setop_union_all",
+        "join_semi_exists",
+        "events_sessionization",
+        "dedup_exact",
+        "knn_bruteforce_topk",
+        "text_token_stats",
     ):
         assert family_member in prefix
 

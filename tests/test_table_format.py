@@ -2488,6 +2488,45 @@ class TestBloomFileIndex:
         assert might_contain(b3, "1") and might_contain(b3, "absent")
         assert build_bloom([None, None]) is None
 
+    def test_legacy_untagged_bloom_retagged_from_schema(self):
+        """A descriptor written before the ``t`` tag existed regains its
+        skipping power at planning time: translate_entry_metadata derives
+        the tag from the writer schema's declared type, so old indexes
+        keep skipping without a rewrite. Unknown/float types stay
+        untagged (conservative no-skip, never wrong-skip)."""
+        from paimon_presto_spark.plans.fileindex import (
+            build_bloom,
+            might_contain,
+            translate_entry_metadata,
+        )
+
+        legacy = {
+            k: v for k, v in build_bloom([10, 20, 30]).items() if k != "t"
+        }
+        # untagged: inconclusive for every probe (no skip possible)
+        assert might_contain(legacy, 999999)
+        entry = {"stats": {}, "index": {"uid": legacy}}
+        fields = [{"id": 0, "name": "uid", "type": "bigint"}]
+        _, idx = translate_entry_metadata(entry, {0: "uid"}, fields)
+        assert idx["uid"]["t"] == "i"
+        assert might_contain(idx["uid"], 20)          # present: still found
+        assert not might_contain(idx["uid"], 999999)  # absent: skips again
+        # the stored descriptor is not mutated in place
+        assert "t" not in legacy
+        # a float column's descriptor stays untagged → stays conservative
+        fields_f = [{"id": 0, "name": "uid", "type": "double"}]
+        _, idx_f = translate_entry_metadata(entry, {0: "uid"}, fields_f)
+        assert "t" not in idx_f["uid"]
+        # varchar spellings normalize to the string prefix
+        slegacy = {
+            k: v for k, v in build_bloom(["a", "b"]).items() if k != "t"
+        }
+        entry_s = {"stats": {}, "index": {"name": slegacy}}
+        fields_s = [{"id": 1, "name": "name", "type": "varchar(10)"}]
+        _, idx_s = translate_entry_metadata(entry_s, {1: "name"}, fields_s)
+        assert idx_s["name"]["t"] == "s"
+        assert not might_contain(idx_s["name"], "absent-key")
+
     def test_bloom_big_int64_with_nulls_never_wrong_skips(self, spark, catalog):
         """Executor-side bloom build must key int64 values EXACTLY even
         when the column carries NULLs: Arrow→pandas floatifies nullable
