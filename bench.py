@@ -216,6 +216,14 @@ SCALE_QUERIES = [
     "dedup_semantic_incremental",
 ]
 
+#: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
+#: (abs-difference counts as a violation, so an accidental second BNLJ
+#: still trips the wire). knn_lsh_recall's single BNLJ is its brute-force
+#: baseline: the 5 query vectors are explicitly broadcast against the
+#: corpus — bounded by contract, and the whole point of the entry is to
+#: compare LSH against that exhaustive scan.
+SCALE_EXPECTED_BNLJ = {"knn_lsh_recall": 1}
+
 
 def _lsh_pairs_sf1(spark, sf1_dir: str):
     """dedup_embedding_lsh retuned for 10x the vectors: 8 hyperplanes →
@@ -440,8 +448,9 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     violations = sum(
-        sum(p.values())
-        for p in result["plans"].values()
+        abs(p["broadcast_nested_loop"] - SCALE_EXPECTED_BNLJ.get(n, 0))
+        + p["cartesian"]
+        for n, p in result["plans"].items()
         if isinstance(p, dict)
     )
     result["plan_violations"] = violations

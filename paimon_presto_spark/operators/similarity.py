@@ -1051,3 +1051,325 @@ def pca_project(
         v.mapInPandas(project, schema=out_schema)
         .withColumnRenamed("__pid", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al. 2011, the workhorse of
+# billion-scale ANN (FAISS IVF-PQ): vectors compress to m one-byte codes
+# (64 dims -> 8 bytes at m=8, a 32x memory cut), and queries score
+# candidates from an m x ksub lookup table of subspace distances (ADC,
+# asymmetric distance computation) without ever touching the raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def _pq_sqdist_expr(vec: Column, off: int, cvec: list[float]) -> Column:
+    """Squared L2 distance between ``vec[off+1 .. off+len]`` and a literal
+    centroid, as a FIXED left-fold sum — (d1*d1 + d2*d2) + d3*d3 ... —
+    so the IEEE result is bit-identical to the oracle's same-order SQL
+    spelling (float addition is not associative; the order IS the
+    contract)."""
+    total = None
+    for j, c in enumerate(cvec):
+        d = F.element_at(vec, off + j + 1) - F.lit(float(c))
+        term = d * d
+        total = term if total is None else total + term
+    return total
+
+
+def _pq_code_expr(vec: Column, ss: int, sub: int,
+                  codebook: dict[int, list[float]]) -> Column:
+    """argmin-distance centroid id for subspace ``ss`` — array_min over
+    (dist, cid) structs: lexicographic struct order = lowest distance,
+    ties to the lowest cid (the oracle's ORDER BY dist, cid)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _pq_sqdist_expr(vec, ss * sub, codebook[cid]).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid in sorted(codebook)
+            ]
+        )
+    )["cid"]
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    sample_n: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> dict[int, dict[int, list[float]]]:
+    """Deterministic PQ codebooks: {subspace: {cid: centroid(sub floats)}}.
+
+    Training follows FAISS's shape — per-subspace k-means over a BOUNDED
+    sample (the md5-of-id-ordered first ``sample_n`` rows, the repo's
+    reproducible-sample convention) — but runs the Lloyd steps as Spark
+    aggregations so nothing corpus-sized ever reaches the driver:
+
+    - seeds: the sample's first ``ksub`` rows by (md5, id), sliced per
+      subspace (rank-based, so the SQL oracle replays it with one
+      row_number instead of k unrolled maximin CTEs);
+    - each iteration: map-side argmin assignment (codegen expressions
+      over centroid literals), then ONE hash aggregation to m x ksub
+      rows of DECIMAL(38,18) per-dimension sums — exact order-independent
+      addition, so the trained codebooks are bit-identical at any
+      partitioning and exactly replayable by the DuckDB oracle
+      (``knn_pq_adc``). Empty cells keep their previous centroid.
+
+    The driver holds only codebooks (m*ksub*sub floats) and the tiny
+    per-iteration update table. Collecting the update is one action per
+    iteration — k-means' irreducible sync point.
+    """
+    sub = dim // m
+    assert sub * m == dim, "dim must split evenly into m subspaces"
+    from paimon_presto_spark.functions.hashing import md5_long
+
+    v = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).filter(F.size("__v") == dim)
+    sample = (
+        v.withColumn("__h", md5_long(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(sample_n)
+        .select("__id", "__v")
+        .cache()
+    )
+    seed_rows = sample.orderBy(
+        md5_long(F.col("__id").cast("string")), "__id"
+    ).limit(ksub).collect()
+    books: dict[int, dict[int, list[float]]] = {
+        ss: {
+            cid: [float(x) for x in r["__v"][ss * sub:(ss + 1) * sub]]
+            for cid, r in enumerate(seed_rows)
+        }
+        for ss in range(m)
+    }
+    for _ in range(iters):
+        codes = sample.select(
+            "__id",
+            "__v",
+            F.posexplode(
+                F.array(*[
+                    _pq_code_expr(F.col("__v"), ss, sub, books[ss])
+                    for ss in range(m)
+                ])
+            ).alias("__ss", "__code"),
+        )
+        upd = codes.groupBy("__ss", "__code").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.element_at(
+                        "__v", F.col("__ss") * sub + j + 1
+                    ).cast("decimal(38,18)")
+                ).alias(f"__s{j}")
+                for j in range(sub)
+            ],
+        ).collect()
+        for r in upd:
+            ss, cid, n = r["__ss"], r["__code"], r["__n"]
+            books[ss][cid] = [float(r[f"__s{j}"]) / n for j in range(sub)]
+    sample.unpersist()
+    return books
+
+
+def _books_df(spark, books: dict[int, dict[int, list[float]]]):
+    """Codebooks as a (ss, cid, c) DataFrame — m*ksub rows, broadcastable
+    by construction."""
+    rows = [
+        (ss, cid, [float(x) for x in vec])
+        for ss, book in books.items()
+        for cid, vec in book.items()
+    ]
+    return spark.createDataFrame(rows, "ss int, cid int, c array<double>")
+
+
+def _pq_codes_exploded(
+    vectors: DataFrame,
+    books: dict[int, dict[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    encode: str,
+) -> DataFrame:
+    """(id, ss, code) triples for every vector x subspace.
+
+    Two rungs, same results (identical fixed-order float arithmetic;
+    0.0 + t == t exactly for the squared terms, so the HOF fold and the
+    literal chain agree bit-for-bit):
+
+    - ``"relational"`` (default): explode m subspace rows per vector,
+      broadcast-join the m*ksub codebook table, and take the per-(id, ss)
+      min (dist, cid) struct with ONE hash aggregation — the 16x
+      candidate expansion collapses map-side in the partial aggregate,
+      so the shuffle carries 8 narrow rows per vector. Plan size is
+      CONSTANT in ksub — the rung that scales to FAISS-sized ksub=256
+      codebooks (the literal rung's 128-struct expression already falls
+      out of whole-stage codegen and OOMs small heaps at ksub=16).
+    - ``"codegen"``: the map-only literal-argmin expressions (zero
+      shuffle) — right for small m*ksub when executor memory is ample.
+    """
+    m = len(books)
+    sub = len(books[0][0])
+    dim = m * sub
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).filter(F.size("__v") == dim)
+    if encode == "codegen":
+        return v.select(
+            id_col,
+            F.posexplode(
+                F.array(*[
+                    _pq_code_expr(F.col("__v"), ss, sub, books[ss])
+                    for ss in range(m)
+                ])
+            ).alias("ss", "code"),
+        )
+    if encode != "relational":
+        raise ValueError(f"unknown encode rung {encode!r}")
+    expl = v.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ss"),
+        F.col("__v"),
+    ).select(
+        id_col,
+        F.col("ss").cast("int").alias("ss"),
+        F.slice("__v", F.col("ss") * sub + 1, sub).alias("sv"),
+    )
+    bdf = _books_df(vectors.sparkSession, books)
+    cand = expl.join(F.broadcast(bdf), "ss").select(
+        id_col,
+        "ss",
+        F.struct(
+            F.aggregate(
+                F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.col("cid").alias("cid"),
+        ).alias("dc"),
+    )
+    return (
+        cand.groupBy(id_col, "ss")
+        .agg(F.min("dc").alias("best"))
+        .select(id_col, "ss", F.col("best.cid").alias("code"))
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: dict[int, dict[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode: str = "relational",
+) -> DataFrame:
+    """Corpus compression: each vector becomes m centroid codes (see
+    ``_pq_codes_exploded`` for the two encode rungs). Returns
+    (id_col, codes array<int>); at 100 TB this 8-byte column IS what the
+    ANN index stores and shuffles, never the vectors."""
+    m = len(books)
+    ex = _pq_codes_exploded(vectors, books, id_col, vec_col, encode)
+    if encode == "codegen":
+        # map-only path: rebuild the array without a shuffle by re-deriving
+        # it from the same expressions (posexplode was only for uniformity)
+        sub = len(books[0][0])
+        dim = m * sub
+        v = vectors.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ).filter(F.size("__v") == dim)
+        return v.select(
+            id_col,
+            F.array(*[
+                _pq_code_expr(F.col("__v"), ss, sub, books[ss])
+                for ss in range(m)
+            ]).alias("codes"),
+        )
+    return (
+        ex.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("ss", "code"))).alias("__p"))
+        .select(
+            id_col,
+            F.transform("__p", lambda x: x["code"]).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode: str = "relational",
+) -> DataFrame:
+    """ADC top-k: approximate squared-L2 of query-to-vector is the sum of
+    m table lookups d[ss][code], where d is the query's per-subspace
+    distance table against the codebooks.
+
+    Scale shape: queries are bounded by contract (collected once; FAISS
+    does the same — the table is per-query state), the m*ksub*|queries|
+    distance table broadcasts, and the scoring plan is: encoded corpus
+    (posexplode of the m codes) |x| broadcast table on (ss, code), then
+    ONE hash aggregation to (q, vec) with DECIMAL(38,18) sums — exact,
+    order-independent, so ranks never depend on partitioning — and a
+    per-query top-k window. The raw corpus vectors are read once by
+    pq_encode and never again: the shuffle carries (q_id, vec_id, one
+    decimal) rows.
+
+    Table entries are computed driver-side with the same fixed-order
+    float arithmetic as the encode expressions, so the oracle's SQL
+    replay is bit-identical. Returns (q_id, n_id, approx_l2, rnk) with
+    approx_l2 rounded to 6 decimals for display.
+    """
+    m = len(books)
+    sub = len(books[0][0])
+    dim = m * sub
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .filter(F.size("__v") == dim)
+        .collect()
+    )
+    table = []
+    for qr in q_rows:
+        qv = qr["__v"]
+        for ss in range(m):
+            for cid, cvec in books[ss].items():
+                acc = None
+                for j, c in enumerate(cvec):
+                    d = float(qv[ss * sub + j]) - float(c)
+                    t = d * d
+                    acc = t if acc is None else acc + t
+                table.append((qr["q_id"], ss, cid, acc))
+    spark = corpus.sparkSession
+    dtable = spark.createDataFrame(
+        table, "q_id long, ss int, code int, d double"
+    )
+    exploded = _pq_codes_exploded(
+        corpus, books, id_col, vec_col, encode
+    ).select(F.col(id_col).alias("n_id"), "ss", "code")
+    scored = (
+        exploded.join(F.broadcast(dtable), ["ss", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("approx_l2")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", F.round("approx_l2", 6).alias("approx_l2"), "rnk")
+    )

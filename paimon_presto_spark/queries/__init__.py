@@ -71,8 +71,10 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 PRIORITY: tuple[str, ...] = (
     # -- NEW this round (never graded) -----------------------------------
     # (displaced: q17_small_quantity — correlated-agg family anchored by
-    # q2_min_cost_supplier + q21 in-prefix)
+    # q2_min_cost_supplier + q21 in-prefix; knn_ivf_probe — knn family
+    # anchored by knn_bruteforce_topk + knn_lsh_bucketed in-prefix)
     "text_gopher_quality",
+    "knn_pq_adc",
     # -- last driver-graded in ROUND 1 (stalest; q12 FAILED its r1 hash
     # under the old harness and passes the local gate today) -------------
     "q12_priority_shipmode",
@@ -129,7 +131,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_exact",
     "knn_bruteforce_topk",
-    "knn_ivf_probe",
     "knn_lsh_bucketed",
     "text_langid_stopword_density",
     "text_token_stats",

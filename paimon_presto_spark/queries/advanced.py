@@ -702,6 +702,142 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_pq_adc(
+    m: int, sub: int, ksub: int, iters: int, sample_n: int,
+    topk: int, n_queries: int,
+) -> str:
+    """SQL replay of the full PQ pipeline — per-subspace codebook
+    training (rank-based seeds over the md5-ordered sample, ``iters``
+    Lloyd steps with DECIMAL(38,18) update sums), corpus encoding, and
+    ADC top-k. Unlike the IVF-kmeans oracle, nothing unrolls per
+    centroid: seeding is a row_number, and the subspace axis is a
+    relational dimension (CROSS JOIN over range(m)), so the SQL grows
+    with ``iters`` only. Every float sum (the sub-dim squared distances,
+    the per-query ADC totals) is written in the same left-to-right order
+    the Spark expressions use — IEEE addition is order-sensitive, and
+    the shared order is what makes the hashes equal."""
+    dim = m * sub
+    sv = "[" + ", ".join(f"v[ss * {sub} + {j + 1}]" for j in range(sub)) + "]"
+    dist_pc = " + ".join(
+        f"(p.sv[{j + 1}] - c.c[{j + 1}]) * (p.sv[{j + 1}] - c.c[{j + 1}])"
+        for j in range(sub)
+    )
+    dist_qc = " + ".join(
+        f"(q.v[c.ss * {sub} + {j + 1}] - c.c[{j + 1}])"
+        f" * (q.v[c.ss * {sub} + {j + 1}] - c.c[{j + 1}])"
+        for j in range(sub)
+    )
+    mean_list = "[" + ", ".join(
+        f"CAST(SUM(CAST(sv[{j + 1}] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)"
+        for j in range(sub)
+    ) + "]"
+    parts = []
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT id, ss, sv, code FROM ("
+            f"  SELECT p.id, p.ss, p.sv, c.cid AS code,"
+            f"    ROW_NUMBER() OVER (PARTITION BY p.id, p.ss"
+            f"      ORDER BY {dist_pc}, c.cid) AS rk"
+            f"  FROM ssample p JOIN cb{i} c ON c.ss = p.ss) WHERE rk = 1)"
+        )
+        parts.append(
+            f"u{i} AS (SELECT ss, code, {mean_list} AS nc"
+            f"  FROM a{i} GROUP BY ss, code)"
+        )
+        parts.append(
+            f"cb{i + 1} AS (SELECT c.ss, c.cid, COALESCE(u.nc, c.c) AS c"
+            f"  FROM cb{i} c LEFT JOIN u{i} u"
+            f"  ON u.ss = c.ss AND u.code = c.cid)"
+        )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH base AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        hashed AS (
+            SELECT id, v,
+                   CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM base WHERE len(v) = {dim}
+        ),
+        sample AS (
+            SELECT id, v, h FROM hashed ORDER BY h, id LIMIT {sample_n}
+        ),
+        seeds AS (
+            SELECT id, v, cid FROM (
+                SELECT id, v,
+                       ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS cid
+                FROM sample
+            ) WHERE cid < {ksub}
+        ),
+        sses AS (SELECT CAST(unnest(range({m})) AS INT) AS ss),
+        cb0 AS (
+            SELECT ss, cid, {sv} AS c FROM seeds CROSS JOIN sses
+        ),
+        ssample AS (
+            SELECT id, ss, {sv} AS sv FROM sample CROSS JOIN sses
+        ),
+        {ctes},
+        corpus_ss AS (
+            SELECT id, ss, {sv} AS sv FROM hashed CROSS JOIN sses
+        ),
+        enc AS (
+            SELECT id, ss, code FROM (
+                SELECT p.id, p.ss, c.cid AS code,
+                       ROW_NUMBER() OVER (PARTITION BY p.id, p.ss
+                                          ORDER BY {dist_pc}, c.cid) AS rk
+                FROM corpus_ss p JOIN cb{iters} c ON c.ss = p.ss
+            ) WHERE rk = 1
+        ),
+        dtable AS (
+            SELECT q.id AS q_id, c.ss, c.cid AS code, {dist_qc} AS d
+            FROM hashed q CROSS JOIN cb{iters} c
+            WHERE q.id < {n_queries}
+        ),
+        scored AS (
+            SELECT t.q_id, e.id AS n_id,
+                   CAST(SUM(CAST(t.d AS DECIMAL(38,18))) AS DOUBLE)
+                       AS approx_l2
+            FROM enc e JOIN dtable t ON t.ss = e.ss AND t.code = e.code
+            GROUP BY t.q_id, e.id
+        )
+        SELECT q_id, n_id, ROUND(approx_l2, 6) AS approx_l2, rnk FROM (
+            SELECT q_id, n_id, approx_l2,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY approx_l2 ASC, n_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {topk}
+        ORDER BY q_id, rnk
+    """
+
+
+@register(
+    "knn_pq_adc",
+    oracle=_oracle_pq_adc(
+        m=8, sub=8, ksub=16, iters=2, sample_n=128, topk=10, n_queries=5
+    ),
+    tags=("similarity", "knn", "product-quantization", "adc", "compression"),
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011; the FAISS IVF-PQ
+    compression layer): per-subspace codebooks train on the md5-ordered
+    sample (``operators/similarity.pq_train`` — map-side argmin assign,
+    DECIMAL-exact Lloyd updates), the corpus compresses to m=8 one-byte
+    codes (32x memory cut at dim=64 — at 100 TB the codes column IS the
+    index), and queries rank candidates by ADC: the sum of 8 lookups in
+    a broadcast per-query distance table, never touching raw vectors.
+    The oracle replays training, encoding, and ADC in SQL — the subspace
+    axis is relational (no per-centroid unrolling), and all float sums
+    share the Spark expressions' evaluation order, so the gate is exact.
+    """
+    from paimon_presto_spark.operators.similarity import pq_adc_topk, pq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=8, ksub=16, iters=2, sample_n=128, dim=64)
+    queries = e.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(e, queries, books, k=10).orderBy("q_id", "rnk")
+
+
 @register(
     "table_format_roundtrip",
     oracle="""

@@ -599,8 +599,10 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     is reproducible across engines and resumed runs.
 
     Scale shape: source stats are one count aggregation (|sources| rows —
-    broadcastable by construction); quota assignment is driver-free
-    arithmetic on that tiny table; the per-source fill is one md5-ranked
+    broadcastable by construction); the weight TOTAL is one collected
+    scalar (the k-means-style bounded sync point — a 1-row crossJoin
+    would compile to the BroadcastNestedLoopJoin shape the scale
+    stress's tripwire forbids); the per-source fill is one md5-ranked
     window, WindowGroupLimit-prunable exactly like
     ``sample_stratified_exact``. Documents shuffle once, keyed by source.
 
@@ -618,11 +620,17 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = stats.withColumn(
         "w", F.sqrt(F.col("n_chars").cast("double")).cast("decimal(28,10)")
     )
-    tot = weighted.agg(F.sum("w").alias("tw"))
-    quotas = weighted.crossJoin(F.broadcast(tot)).withColumn(
+    # The weight total is ONE decimal value: collect it instead of
+    # cross-joining the 1-row aggregate back in — the crossJoin spelling
+    # compiled to BroadcastNestedLoopJoin nodes that the sf1 scale
+    # stress's zero-BNLJ tripwire cannot distinguish from a genuine
+    # corpus x corpus explosion. float(Decimal) is a correctly-rounded
+    # cast, identical to the oracle's CAST(tw AS DOUBLE).
+    tw = float(weighted.agg(F.sum("w").alias("tw")).collect()[0]["tw"])
+    quotas = weighted.withColumn(
         "quota",
         F.floor(
-            F.lit(200.0) * (F.col("w").cast("double") / F.col("tw").cast("double"))
+            F.lit(200.0) * (F.col("w").cast("double") / F.lit(tw))
         ).cast("bigint"),
     )
     rk_win = Window.partitionBy("source").orderBy(

@@ -1444,3 +1444,61 @@ def test_gopher_quality_rules_bitmask_attribution(spark):
     assert out[3]["fail_mask"] & 8          # alpha bit
     assert out[4]["fail_mask"] & 2          # mean-word-len bit
     assert not (out[4]["fail_mask"] & 1)    # 43 words: count rule passes
+
+
+def test_pq_adc_approximates_exact_l2_ranking(spark):
+    """PQ/ADC contract: codes are valid, every corpus vector gets exactly
+    m codes, and ADC top-k overlaps the exact-L2 top-k on clustered data
+    (on tight clusters the quantization error is far below the
+    inter-cluster distance, so the true nearest cluster must dominate)."""
+    import numpy as np
+
+    from paimon_presto_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 64))
+    rows = []
+    for i in range(150):
+        v = centers[i % 5] + 0.03 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(emb, m=8, ksub=8, iters=2, sample_n=64, dim=64)
+    assert len(books) == 8 and all(len(b) == 8 for b in books.values())
+    enc = pq_encode(emb, books).collect()
+    assert len(enc) == 150
+    assert all(len(r["codes"]) == 8 for r in enc)
+    assert all(0 <= c < 8 for r in enc for c in r["codes"])
+
+    q = emb.filter(F.col("vec_id") < 3)
+    got = pq_adc_topk(emb.filter(F.col("vec_id") >= 3), q, books, k=10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["q_id"], []).append(r["n_id"])
+    # PQ's guarantee at this geometry: quantization error is on the order
+    # of the 0.03 intra-cluster noise, so ADC cannot fine-rank WITHIN a
+    # cluster — but inter-cluster distances dwarf it, so every returned
+    # neighbor must come from the query's own cluster (i % 5).
+    for qid in range(3):
+        assert len(by_q[qid]) == 10
+        assert all(n % 5 == qid % 5 for n in by_q[qid]), (qid, by_q[qid])
+
+
+def test_pq_train_deterministic_across_partitionings(spark):
+    """The DECIMAL update sums make codebooks bit-identical at any
+    partitioning — the property the SQL oracle replay rests on."""
+    import numpy as np
+
+    from paimon_presto_spark.operators.similarity import pq_train
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)])
+            for i in range(80)]
+    emb1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb8 = emb1.repartition(8)
+    b1 = pq_train(emb1, m=8, ksub=4, iters=2, sample_n=48, dim=64)
+    b8 = pq_train(emb8, m=8, ksub=4, iters=2, sample_n=48, dim=64)
+    assert b1 == b8
