@@ -282,6 +282,31 @@ def _cdc_chunks_sf1_xxhash(spark, sf1_dir: str):
     )
 
 
+def _semdedup_incremental_sf1(spark, sf1_dir: str):
+    """dedup_semantic_incremental retuned for 10x the vectors: 32
+    centroids (population-constant rule, same as _semdedup_sf1), the
+    old/new split scaled to 60% of the corpus (the registry's fixed
+    split=300 leaves a 300-row 'corpus' admitting 19,700 newcomers at
+    sf1 — inverted asymmetry), and pair_backend='auto' so the operator
+    picks its BLAS rung at these cluster populations. Round 5 ran this
+    entry registry-tuned (8 clusters, codegen pairs) and it cost 57.8 s
+    — a third of the whole sf1 stress."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.similarity import (
+        _hyperplanes,
+        semdedup_incremental,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+    n = emb.count()
+    split = int(n * 0.6)
+    old = emb.filter(F.col("vec_id") < split)
+    new = emb.filter(F.col("vec_id") >= split)
+    cents = list(enumerate(_hyperplanes(64, 32, seed=7)))
+    return semdedup_incremental(old, new, cents, 0.35, pair_backend="auto")
+
+
 def _minhash_incremental_sf1(spark, sf1_dir: str):
     """dedup_minhash_incremental with the split scaled to the sf1 corpus
     (old = leading 60% of doc ids): the registry entry's fixed split=300
@@ -385,6 +410,7 @@ def _scale_runners(qs) -> dict:
         "dedup_semantic_clusters_codegen": _semdedup_sf1_codegen,
         "dedup_minhash_incremental": _minhash_incremental_sf1,
         "dedup_cdc_chunks_xxhash": _cdc_chunks_sf1_xxhash,
+        "dedup_semantic_incremental": _semdedup_incremental_sf1,
     }
     return {
         name: retuned[name] if name in retuned else qs[name]
@@ -407,9 +433,10 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
         "queries": {},
         "plans": {},
         "note": "dedup_embedding_lsh / dedup_semantic_clusters / "
-                "dedup_minhash_incremental run retuned for the 10x corpus "
-                "(n_planes=8, k=32, split=60%; see _lsh_pairs_sf1, "
-                "_semdedup_sf1, _minhash_incremental_sf1)",
+                "dedup_minhash_incremental / dedup_semantic_incremental "
+                "run retuned for the 10x corpus (n_planes=8, k=32, "
+                "split=60%; see _lsh_pairs_sf1, _semdedup_sf1, "
+                "_minhash_incremental_sf1, _semdedup_incremental_sf1)",
     }
     runners = _scale_runners(qs)
     for name in SCALE_QUERIES:

@@ -731,6 +731,24 @@ def bloom_decontaminate(
     )
 
 
+# Chunk-dedup intermediates persisted by `_drop_overrepresented_chunks`.
+# The result DataFrame is lazy, so the cache cannot be dropped inside the
+# operator; instead each new call releases the PREVIOUS call's cache (at
+# most one corpus-sized cache lingers at a time, instead of one per call
+# accumulating across a long-lived session), and callers that want
+# immediate cleanup after materializing call `release_chunk_caches()`.
+_CHUNK_CACHES: list[DataFrame] = []
+
+
+def release_chunk_caches() -> None:
+    """Unpersist intermediates cached by earlier chunk-dedup calls.
+
+    Safe to call at any time: unpersisting an un-materialized plan only
+    means it recomputes, never a wrong result."""
+    while _CHUNK_CACHES:
+        _CHUNK_CACHES.pop().unpersist(False)
+
+
 def _drop_overrepresented_chunks(
     chunked: DataFrame, id_col: str, max_count: int
 ) -> DataFrame:
@@ -753,7 +771,9 @@ def _drop_overrepresented_chunks(
     headline bench."""
     from pyspark import StorageLevel
 
+    release_chunk_caches()
     chunked = chunked.persist(StorageLevel.MEMORY_AND_DISK)
+    _CHUNK_CACHES.append(chunked)
     units = chunked.select(
         id_col, F.posexplode("__chunks").alias("__cidx", "__chunk")
     ).select(id_col, "__cidx", md5_long("__chunk").alias("__h"))

@@ -84,13 +84,27 @@ def select_until_budget(
         F.min(score_col).alias("mn"),
         F.max(score_col).alias("mx"),
         F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(score_col).isNull().cast("long")).alias("score_nulls"),
+        F.sum(F.col(id_col).isNull().cast("long")).alias("id_nulls"),
     ]
     if id_numeric:
         aggs += [F.min(id_col).alias("imn"), F.max(id_col).alias("imx")]
     stats = df.agg(*aggs).collect()[0]
-    mn, mx = stats["mn"], stats["mx"]
-    if mn is None:
+    if stats["n"] == 0:
         return df.limit(0)
+    # NULL scores have no place in the (score DESC, id ASC) selection
+    # order, and NULL ids break the tie-break; both would otherwise
+    # surface as an opaque TypeError (None comparisons) or a NULL __bkt
+    # key deep inside the decomposition. Fail with an actionable message.
+    if stats["score_nulls"] or stats["id_nulls"]:
+        raise ValueError(
+            f"select_until_budget: NULL values in "
+            f"{score_col!r} ({stats['score_nulls']}) / "
+            f"{id_col!r} ({stats['id_nulls']}); filter or impute them "
+            f"before selection (a NULL score has no rank and a NULL id "
+            f"cannot break ties)"
+        )
+    mn, mx = stats["mn"], stats["mx"]
     nb = n_buckets if n_buckets is not None else _auto_buckets(
         stats["n"], target_edge_rows
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame, Window
 
 from paimon_presto_spark.functions.vectors import cosine_similarity, dot, l2_norm
@@ -838,6 +839,7 @@ def semdedup_incremental(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_backend: str = "codegen",
 ) -> DataFrame:
     """Incremental SemDeDup: admit a NEW batch of vectors against an
     already-deduped (published) corpus — one verdict row per new vector,
@@ -857,6 +859,17 @@ def semdedup_incremental(
     and ``cos_centroid`` columns and the old corpus is not re-scored.
     The pair join probes with the increment only, so candidate volume is
     |new| x cluster population.
+
+    ``pair_backend`` mirrors ``semdedup``'s rungs: ``"codegen"``
+    (default) expands new-vs-candidate pairs through the cluster
+    equi-join (bit-reproducible vs the SQL oracle); ``"blas"`` groups
+    each cluster's old+new rows and resolves the whole cluster with ONE
+    numpy matmul (``applyInPandas``, old rows sorted first so the
+    lower-triangle check encodes the corpus-stability asymmetry) — each
+    row crosses the shuffle once instead of once per candidate pair;
+    ``"auto"`` measures the largest cluster on the cached assignment and
+    picks blas past ``SEMDEDUP_BLAS_MIN_CLUSTER`` rows (the measured
+    crossover, same constant as ``semdedup``).
     """
     unit = unit_centroids(centroids)
 
@@ -893,35 +906,82 @@ def semdedup_incremental(
     new_a = assign(new).cache()
     new_a.count()  # one argmax evaluation (see semdedup's cache rationale)
     olds = assign(old)
-    a = new_a.select(
-        F.col("__id").alias("__ida"), F.col("__emb").alias("__emba"),
-        F.col("__n").alias("__na"), F.col("cos_centroid").alias("__ca"),
-        "cluster",
+    both = olds.withColumn("__isold", F.lit(True)).unionByName(
+        new_a.withColumn("__isold", F.lit(False))
     )
-    b = (
-        olds.withColumn("__isold", F.lit(True))
-        .unionByName(new_a.withColumn("__isold", F.lit(False)))
-        .select(
+    if pair_backend == "auto":
+        # One k-row aggregation. This re-evaluates the old side's argmax
+        # once (map-only); at 100 TB the old assignment is the stored
+        # by-product documented above, so the extra pass costs nothing.
+        max_pop = (
+            both.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()[0]["m"]
+        ) or 0
+        pair_backend = (
+            "blas" if max_pop > SEMDEDUP_BLAS_MIN_CLUSTER else "codegen"
+        )
+    if pair_backend == "codegen":
+        a = new_a.select(
+            F.col("__id").alias("__ida"), F.col("__emb").alias("__emba"),
+            F.col("__n").alias("__na"), F.col("cos_centroid").alias("__ca"),
+            "cluster",
+        )
+        b = both.select(
             F.col("__id").alias("__idb"), F.col("__emb").alias("__embb"),
             F.col("__n").alias("__nb"), F.col("cos_centroid").alias("__cb"),
             "cluster", "__isold",
         )
-    )
-    beats = F.col("__isold") | (
-        (F.col("__cb") < F.col("__ca"))
-        | ((F.col("__cb") == F.col("__ca")) & (F.col("__idb") < F.col("__ida")))
-    )
-    dropped = (
-        a.join(b, "cluster")
-        .filter((F.col("__ida") != F.col("__idb")) & beats)
-        .filter(
-            dot(F.col("__emba"), F.col("__embb"))
-            / (F.col("__na") * F.col("__nb"))
-            > threshold
+        beats = F.col("__isold") | (
+            (F.col("__cb") < F.col("__ca"))
+            | ((F.col("__cb") == F.col("__ca")) & (F.col("__idb") < F.col("__ida")))
         )
-        .select(F.col("__ida").alias("__dropped_id"))
-        .distinct()
-    )
+        dropped = (
+            a.join(b, "cluster")
+            .filter((F.col("__ida") != F.col("__idb")) & beats)
+            .filter(
+                dot(F.col("__emba"), F.col("__embb"))
+                / (F.col("__na") * F.col("__nb"))
+                > threshold
+            )
+            .select(F.col("__ida").alias("__dropped_id"))
+            .distinct()
+        )
+    elif pair_backend == "blas":
+        import pandas as pd
+
+        def resolve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # Old rows first (they beat every new row), then new rows by
+            # the keep key: a NEW row drops iff any strictly-earlier row
+            # in this order clears the threshold — one lower-triangle
+            # check of the cluster's similarity matrix resolves every
+            # pair, and old rows are masked out of the verdicts.
+            pdf = pdf.sort_values(
+                ["__isold", "cos_centroid", "__id"],
+                ascending=[False, True, True],
+                kind="mergesort",
+            )
+            m = np.asarray(pdf["__emb"].tolist(), dtype=np.float64)
+            norms = pdf["__n"].to_numpy()
+            sims_m = (m @ m.T) / np.outer(norms, norms)
+            tril = np.tril(sims_m > threshold, k=-1)
+            drop = tril.any(axis=1) & ~pdf["__isold"].to_numpy()
+            return pd.DataFrame({"__dropped_id": pdf["__id"].to_numpy()[drop]})
+
+        dropped = (
+            both.select("__id", "__emb", "__n", "cos_centroid", "cluster", "__isold")
+            .groupBy("cluster")
+            .applyInPandas(
+                resolve,
+                schema=f"__dropped_id {dict(new_a.dtypes)['__id']}",
+            )
+        )
+    else:
+        raise ValueError(
+            f"pair_backend must be 'codegen', 'blas' or 'auto', "
+            f"got {pair_backend!r}"
+        )
     return (
         new_a.join(dropped, new_a["__id"] == dropped["__dropped_id"], "left")
         .select(
@@ -1352,8 +1412,18 @@ def pq_adc_topk(
                     acc = t if acc is None else acc + t
                 table.append((qr["q_id"], ss, cid, acc))
     spark = corpus.sparkSession
+    # The distance-table schema inherits the query frame's id type (int,
+    # long, string, ...) so the (ss, code) join keys line up against any
+    # id the operator signature accepts — a hardcoded `q_id long` broke
+    # or silently coerced non-bigint ids.
     dtable = spark.createDataFrame(
-        table, "q_id long, ss int, code int, d double"
+        table,
+        T.StructType([
+            T.StructField("q_id", queries.schema[id_col].dataType),
+            T.StructField("ss", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("d", T.DoubleType()),
+        ]),
     )
     exploded = _pq_codes_exploded(
         corpus, books, id_col, vec_col, encode

@@ -1106,7 +1106,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the hash-gated PORTABLE twin (``boundary_hash='md5'`` — one
     digest hex digit, replayable in DuckDB). Production defaults to the
     cheaper engine-native ``xxhash64`` boundary; the sf1 scale stress
-    times that rung (``bench._cdc_chunks_sf1``).
+    times that rung (``bench._cdc_chunks_sf1_xxhash``).
     """
     from paimon_presto_spark.operators.dedup import remove_repeated_chunks_cdc
 

@@ -1502,3 +1502,172 @@ def test_pq_train_deterministic_across_partitionings(spark):
     b1 = pq_train(emb1, m=8, ksub=4, iters=2, sample_n=48, dim=64)
     b8 = pq_train(emb8, m=8, ksub=4, iters=2, sample_n=48, dim=64)
     assert b1 == b8
+
+
+def test_semdedup_incremental_blas_matches_codegen(spark):
+    """The BLAS rung (old-rows-first lower-triangle resolve) must produce
+    the identical verdict set as the pair-expansion codegen rung,
+    including the corpus-stability asymmetry (round-6 addition: the sf1
+    stress showed the codegen-only incremental path at 57.8 s)."""
+    from paimon_presto_spark.operators.similarity import semdedup_incremental
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    old = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, [1.0, 0.2, 0.0, 0.0]),   # stability: old 0 beats it
+            (11, [0.0, 1.0, 0.05, 0.0]),  # new-new pair with 12 …
+            (12, [0.0, 1.0, 0.1, 0.0]),   # … 12 more atypical -> kept
+            (13, [0.0, 1.0, 2.0, 0.0]),   # unpaired
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    codegen = {
+        r["vec_id"]: r["status"]
+        for r in semdedup_incremental(
+            old, new, cents, 0.95, pair_backend="codegen"
+        ).collect()
+    }
+    blas = {
+        r["vec_id"]: r["status"]
+        for r in semdedup_incremental(
+            old, new, cents, 0.95, pair_backend="blas"
+        ).collect()
+    }
+    auto = {
+        r["vec_id"]: r["status"]
+        for r in semdedup_incremental(
+            old, new, cents, 0.95, pair_backend="auto"
+        ).collect()
+    }
+    assert codegen == {10: "dropped", 11: "dropped", 12: "kept", 13: "kept"}
+    assert blas == codegen
+    assert auto == codegen
+    with pytest.raises(ValueError, match="pair_backend"):
+        semdedup_incremental(old, new, cents, 0.95, pair_backend="nope")
+
+
+def test_semdedup_incremental_blas_matches_codegen_randomized(spark):
+    """Randomized parity: clustered random vectors where near-dups occur
+    on both old-new and new-new pairs; both rungs agree exactly."""
+    import numpy as np
+
+    from paimon_presto_spark.operators.similarity import (
+        _hyperplanes,
+        semdedup_incremental,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((4, 16))
+    rows = []
+    for i in range(120):
+        base = centers[i % 4]
+        # every third vector is a jittered near-dup of a cluster-mate
+        noise = 0.01 if i % 3 == 0 else 0.6
+        v = base + noise * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = emb.filter(F.col("vec_id") < 60)
+    new = emb.filter(F.col("vec_id") >= 60)
+    cents = list(enumerate(_hyperplanes(16, 4, seed=7)))
+    codegen = {
+        r["vec_id"]: r["status"]
+        for r in semdedup_incremental(
+            old, new, cents, 0.9, pair_backend="codegen"
+        ).collect()
+    }
+    blas = {
+        r["vec_id"]: r["status"]
+        for r in semdedup_incremental(
+            old, new, cents, 0.9, pair_backend="blas"
+        ).collect()
+    }
+    assert blas == codegen
+    assert "dropped" in codegen.values()  # the pair search actually ran
+
+
+def test_select_until_budget_rejects_null_scores_and_ids(spark):
+    """NULL scores/ids fail fast with an actionable message instead of an
+    opaque TypeError (None comparison) or a silent NULL-bucket drop."""
+    from paimon_presto_spark.operators.selection import select_until_budget
+
+    with_null_score = spark.createDataFrame(
+        [(1, None, 5), (2, 0.5, 5)], "id long, score double, w long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        select_until_budget(with_null_score, "score", "w", 10, "id")
+
+    # all scores tied AND ids entirely NULL: previously None > None deep
+    # in the tie-breaking branch
+    null_ids = spark.createDataFrame(
+        [(None, 0.5, 5), (None, 0.5, 5)], "id long, score double, w long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        select_until_budget(null_ids, "score", "w", 10, "id")
+
+    # empty input still short-circuits cleanly
+    assert select_until_budget(
+        with_null_score.limit(0), "score", "w", 10, "id"
+    ).count() == 0
+
+
+def test_pq_adc_topk_accepts_non_bigint_query_ids(spark):
+    """The per-query distance table inherits the query frame's id type;
+    int and string ids must both survive the (ss, code) join (round-5
+    advisor: the schema hardcoded `q_id long`)."""
+    import numpy as np
+
+    from paimon_presto_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(emb, m=4, ksub=4, iters=1, sample_n=32, dim=16)
+
+    q_int = spark.createDataFrame(
+        [(0, rows[0][1])], "vec_id int, embedding array<double>"
+    )
+    got_int = pq_adc_topk(emb, q_int, books, k=3)
+    assert got_int.schema["q_id"].dataType.simpleString() == "int"
+    assert got_int.count() == 3
+
+    q_str = spark.createDataFrame(
+        [("qA", rows[1][1])], "vec_id string, embedding array<double>"
+    )
+    got_str = pq_adc_topk(emb, q_str, books, k=3)
+    assert got_str.schema["q_id"].dataType.simpleString() == "string"
+    assert {r["q_id"] for r in got_str.collect()} == {"qA"}
+
+
+def test_chunk_dedup_cache_is_bounded_and_releasable(spark):
+    """Each chunk-dedup call releases the previous call's persisted
+    intermediate (at most ONE corpus-sized cache lingers), and
+    release_chunk_caches() empties the ledger (round-5 advisor: the
+    persist was never unpersisted across a long-lived session)."""
+    from paimon_presto_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "a b c d x y z w")],
+        "doc_id long, text string",
+    )
+    D.release_chunk_caches()
+    out1 = D.remove_repeated_chunks(docs, "doc_id", "text", chunk_words=4)
+    out1.collect()
+    assert len(D._CHUNK_CACHES) == 1
+    cached = D._CHUNK_CACHES[0]
+    out2 = D.remove_repeated_chunks(docs, "doc_id", "text", chunk_words=2)
+    out2.collect()
+    # previous cache evicted, new one registered
+    assert len(D._CHUNK_CACHES) == 1
+    assert D._CHUNK_CACHES[0] is not cached
+    assert cached.storageLevel.useMemory is False  # unpersisted
+    D.release_chunk_caches()
+    assert D._CHUNK_CACHES == []
+    # results remain correct after release (plan just recomputes)
+    assert out2.count() == 2
