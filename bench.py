@@ -69,6 +69,10 @@ HEADLINE = [
     "select_token_budget",
     "text_phrase_search",
     "events_attribution",
+    # round 6: map-only self-dedup, priority sampling, domain mixing
+    "dedup_intra_doc_chunks",
+    "sample_priority_weighted",
+    "mix_domain_reweight",
 ]
 
 

@@ -21,9 +21,12 @@ Backends:
   SparkSession on another machine) pointed at the same ``uri`` sees the
   catalog WITHOUT listing the warehouse, table paths may live outside
   the warehouse root, and namespace changes are transactional.
-- ``hive``: recognized and rejected with an actionable error — a thrift
-  HMS client needs packages this environment does not ship; the backend
-  seam (this module) is where one would plug it.
+- ``hive``: ``HiveMetastore`` adapts a CALLER-SUPPLIED thrift client
+  (duck-typed; this module ships no thrift dependency) — pass an
+  instance to ``Catalog(metastore=...)``. The string form
+  ``metastore='hive'`` is rejected with an actionable error because no
+  thrift client ships in this environment; the adapter + its mock-HMS
+  test pin the seam a real client drops into.
 
 Concurrency: the JDBC backend opens one short-lived connection per
 operation (closed on exit, committed/rolled back by the connection
@@ -58,9 +61,11 @@ def create_metastore(
         return JdbcMetastore(warehouse, uri)
     if metastore == "hive":
         raise NotImplementedError(
-            "metastore='hive' needs a thrift Hive-metastore client, which "
-            "this environment does not ship; use metastore='jdbc' (SQLite "
-            "namespace at uri=) or the default filesystem catalog"
+            "metastore='hive' needs a connected thrift Hive-metastore "
+            "client, which this environment does not ship; construct "
+            "HiveMetastore(warehouse, client=<your thrift client>) and "
+            "pass it to Catalog(metastore=...), or use metastore='jdbc' "
+            "(SQLite namespace at uri=) / the default filesystem catalog"
         )
     raise ValueError(
         f"unknown metastore {metastore!r}; expected filesystem, jdbc or hive"
@@ -341,3 +346,122 @@ class JdbcMetastore(Metastore):
             raise
         finally:
             con.close()
+
+
+class HiveMetastore(Metastore):
+    """Hive-metastore-backed namespace, adapting a CALLER-SUPPLIED thrift
+    client (duck-typed against the HMS thrift surface — this module ships
+    no thrift dependency, which is exactly the seam the reference keeps:
+    ``PaimonConfig.java:44-60`` forwards (metastore='hive', uri) to a
+    catalog factory that owns the client).
+
+    The client must expose the standard HMS calls used below:
+    ``get_all_databases() / create_database(name, location) /
+    drop_database(name, delete_data, cascade) / get_all_tables(db) /
+    get_table(db, name) -> obj with .sd.location /
+    create_table(db, name, location) / drop_table(db, name, delete_data) /
+    alter_table(db, name, new_name, new_location)``. HMS-style errors are
+    translated by exception NAME (``NoSuchObjectException`` /
+    ``AlreadyExistsException``) to the catalog's documented ValueError
+    contract, so a real ``hmsclient``/``pymetastore`` client drops in
+    without this module importing either.
+
+    Same content split as every backend: HMS holds POINTERS (database and
+    table locations); schemas/snapshots/manifests stay in the table
+    directory. ``tests/test_metastore.py`` drives the full catalog CRUD
+    battery through a mock client to pin the adapter contract.
+    """
+
+    def __init__(self, warehouse: str, client):
+        super().__init__(warehouse)
+        self.client = client
+
+    @staticmethod
+    def _is_no_such(exc: BaseException) -> bool:
+        return type(exc).__name__ == "NoSuchObjectException"
+
+    @staticmethod
+    def _is_already(exc: BaseException) -> bool:
+        return type(exc).__name__ == "AlreadyExistsException"
+
+    def list_databases(self) -> list[str]:
+        return sorted(self.client.get_all_databases())
+
+    def database_exists(self, db: str) -> bool:
+        return db in self.client.get_all_databases()
+
+    def create_database(self, db: str) -> None:
+        location = os.path.join(self.warehouse, f"{db}.db")
+        try:
+            self.client.create_database(db, location)
+        except Exception as exc:
+            if self._is_already(exc):
+                raise ValueError(f"database {db} already exists") from None
+            raise
+        os.makedirs(location, exist_ok=True)
+
+    def drop_database(self, db: str, cascade: bool) -> None:
+        if self.client.get_all_tables(db) and not cascade:
+            raise ValueError(f"database {db} is not empty")
+        paths = [
+            self.client.get_table(db, t).sd.location
+            for t in self.client.get_all_tables(db)
+        ]
+        self.client.drop_database(db, True, cascade)
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.warehouse, f"{db}.db"), ignore_errors=True
+        )
+
+    def list_tables(self, db: str) -> list[str]:
+        return sorted(self.client.get_all_tables(db))
+
+    def table_path(self, db: str, table: str) -> str | None:
+        try:
+            return self.client.get_table(db, table).sd.location
+        except Exception as exc:
+            if self._is_no_such(exc):
+                return None
+            raise
+
+    def register_table(self, db: str, table: str, path: str) -> None:
+        try:
+            self.client.create_table(db, table, path)
+        except Exception as exc:
+            if self._is_already(exc):
+                raise ValueError(
+                    f"table {db}.{table} already exists"
+                ) from None
+            raise
+
+    def unregister_table(self, db: str, table: str) -> None:
+        path = self.table_path(db, table)
+        try:
+            self.client.drop_table(db, table, True)
+        except Exception as exc:
+            if not self._is_no_such(exc):
+                raise
+        if path:
+            shutil.rmtree(path, ignore_errors=True)
+
+    def forget_table(self, db: str, table: str) -> None:
+        try:
+            self.client.drop_table(db, table, False)
+        except Exception as exc:
+            if not self._is_no_such(exc):
+                raise
+
+    def rename_table(self, db: str, old: str, new: str, new_path: str) -> None:
+        row = self.table_path(db, old)
+        if row is None:
+            raise ValueError(f"table {db}.{old} is not registered")
+        moved = os.path.abspath(row) != os.path.abspath(new_path)
+        if moved:  # external-location renames are pointer-only
+            os.rename(row, new_path)
+        try:
+            self.client.alter_table(db, old, new, new_path)
+        except BaseException:
+            if moved:
+                os.rename(new_path, row)  # roll the move back
+            raise

@@ -866,6 +866,66 @@ def remove_repeated_chunks(
     return _drop_overrepresented_chunks(chunked, id_col, max_count)
 
 
+def remove_repeated_chunks_within_doc(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 4,
+) -> DataFrame:
+    """Within-document repeated-chunk removal (self-dedup): drop every
+    fixed-width word chunk that already occurred EARLIER in the same
+    document, keeping the first occurrence — Dolma's paragraph-level
+    self-dedup / the intra-doc half of C4's repetition cleanup, at word-
+    chunk granularity (the corpus has no paragraph markers).
+
+    100 TB shape — this is the cheapest dedup rung there is: a PURE MAP.
+    The chunk array, the first-occurrence test (``array_position`` inside
+    a ``filter`` HOF — O(chunks²) per document against its own bounded
+    chunk list, never against the corpus), and the rebuild all happen
+    row-local. Zero shuffles, zero joins, zero aggregations; scan-speed
+    at any corpus size, and the natural first stage before the corpus-
+    wide variants (``remove_repeated_chunks`` / ``_cdc``) pay their
+    hash-shuffle on already-slimmed text.
+
+    Returns (id_col, n_chunks, n_removed, rebuilt_text).
+    """
+    chunked = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.size(F.split(F.col(text_col), " ")) - 1)
+                        / F.lit(chunk_words),
+                        F.lit(0),
+                    ).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.split(F.col(text_col), " "),
+                        i * chunk_words + 1,
+                        chunk_words,
+                    ),
+                    " ",
+                ),
+            ),
+            lambda c: c != "",
+        ).alias("__chunks"),
+    )
+    # keep chunk i iff its FIRST occurrence in this document is i itself
+    # (array_position is 1-based; filter's index is 0-based)
+    kept = F.expr(
+        "filter(__chunks, (c, i) -> array_position(__chunks, c) = i + 1)"
+    )
+    return chunked.select(
+        id_col,
+        F.size("__chunks").alias("n_chunks"),
+        (F.size("__chunks") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("rebuilt_text"),
+    )
+
+
 def cdc_chunks(
     docs: DataFrame,
     id_col: str,

@@ -44,6 +44,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import NumericType
 
+from paimon_presto_spark.functions.hashing import md5_long
+
 #: Upper bound on the rows the exact edge window may own in one task.
 #: ~2M (id, score, weight) rows is tens of MB — comfortably one task.
 TARGET_EDGE_ROWS = 2_000_000
@@ -191,3 +193,51 @@ def select_until_budget(
             .drop("__cum")
         )
     return whole.unionByName(edge)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield–Lund–Thorup, "Priority sampling for estimation of arbitrary
+    subset sums", JACM 2007): each row gets priority w / u with
+    u ~ Uniform(0, 1], and the k highest-priority rows form the sample —
+    heavier rows are proportionally likelier, no row appears twice, and
+    (with the (k+1)-th priority as threshold) the sample supports
+    unbiased subset-sum estimation.
+
+    Determinism contract: u is hash-derived, not random —
+    u = (md5(id)[60 bits] + 1) / 2^60, so the sample is reproducible
+    across engines, runs, and cluster sizes, and a DuckDB oracle can
+    replay it exactly. Priorities use only IEEE correctly-rounded ops
+    (int→double casts and two divisions; no transcendentals), so
+    cross-engine priority ORDER is bit-stable — the property the hash
+    gate rests on. (Efraimidis–Spirakis keys u^(1/w) would need pow(),
+    whose libm rounding differs across engines.)
+
+    100 TB shape: the priority is a pure map over the scan; the top-k is
+    ``ORDER BY … LIMIT k`` which Spark executes as TakeOrderedAndProject
+    — per-partition heaps of size k, then a driver merge of the
+    per-partition winners. No global sort, no shuffle of the corpus.
+
+    Rows with NULL or non-positive weight are excluded (they have zero
+    inclusion probability by definition). Returns the sampled rows with
+    ``priority`` and ``rnk`` (1 = highest priority) columns appended.
+    """
+    u = (md5_long(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    pri = F.col(weight_col).cast("double") / u
+    top = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(k)
+    )
+    # rank over the k winners only (constant partition key: this window
+    # is intentionally one tiny task over k rows)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("priority"), F.asc(id_col))
+    return top.withColumn("rnk", F.row_number().over(w))

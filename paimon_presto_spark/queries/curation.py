@@ -1209,3 +1209,169 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_priority_weighted",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   CAST(n_chars AS DOUBLE)
+                   / ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) + 1) / 1152921504606846976.0)
+                       AS pri
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        r AS (
+            SELECT doc_id, n_chars, pri,
+                   ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id ASC) AS rnk
+            FROM h
+        )
+        SELECT doc_id, n_chars, ROUND(pri, 4) AS priority, rnk
+        FROM r WHERE rnk <= 50
+        ORDER BY rnk
+    """,
+    tags=("sampling", "weighted", "priority", "curation", "topk"),
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (``operators/selection.py:priority_sample``): 50 documents drawn with
+    probability proportional to ``n_chars``, no repeats — the data-mixing
+    primitive for upweighting long/high-quality documents while keeping
+    the sample a set. Priorities are w/u with hash-derived u, so the
+    sample is reproducible across engines and cluster sizes; only IEEE
+    correctly-rounded ops (casts + divisions) touch the priority, which
+    is what lets DuckDB replay the exact ranking. The top-k runs as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    from paimon_presto_spark.operators.selection import priority_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = priority_sample(d.select("doc_id", "n_chars"), "n_chars", 50, "doc_id")
+    return out.select(
+        "doc_id", "n_chars", F.round("priority", 4).alias("priority"), "rnk"
+    ).orderBy("rnk")
+
+
+@register(
+    "dedup_intra_doc_chunks",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, t.u.w AS w, t.u.i AS i
+            FROM (
+                SELECT doc_id,
+                       LIST_TRANSFORM(string_split(text, ' '),
+                                      (x, i) -> {'i': i, 'w': x}) AS iw
+                FROM documents
+            ) s, UNNEST(s.iw) AS t(u)
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(FLOOR((i - 1) / 4) AS BIGINT) AS cidx,
+                   STRING_AGG(w, ' ' ORDER BY i) AS chunk
+            FROM words
+            GROUP BY doc_id, FLOOR((i - 1) / 4)
+        ),
+        nonempty AS (SELECT * FROM chunks WHERE chunk <> ''),
+        firsts AS (
+            SELECT doc_id, cidx, chunk,
+                   MIN(cidx) OVER (PARTITION BY doc_id, chunk) AS first_cidx
+            FROM nonempty
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN cidx <> first_cidx THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               md5(STRING_AGG(chunk, ' ' ORDER BY cidx)
+                   FILTER (WHERE cidx = first_cidx)) AS rebuilt_md5
+        FROM firsts
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("dedup", "intra-doc", "self-dedup", "map-only", "curation"),
+)
+def dedup_intra_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-chunk removal
+    (``operators/dedup.py:remove_repeated_chunks_within_doc``): every
+    4-word chunk that already occurred earlier in the SAME document is
+    dropped, first occurrence kept — Dolma-style self-dedup, the cheapest
+    dedup rung (a pure map: zero shuffles, zero joins; the first-
+    occurrence test runs against the document's own bounded chunk list).
+    The md5 of each rebuilt document certifies the reconstruction; the
+    oracle restates the HOF chunking as the window program over exploded
+    words."""
+    from paimon_presto_spark.operators.dedup import (
+        remove_repeated_chunks_within_doc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_repeated_chunks_within_doc(docs, "doc_id", "text",
+                                            chunk_words=4)
+    return out.select(
+        "doc_id", "n_chunks", "n_removed",
+        F.md5("rebuilt_text").alias("rebuilt_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "mix_domain_reweight",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+            GROUP BY source
+        ),
+        m AS (
+            SELECT MIN(n_tokens) AS mn,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tot
+            FROM s
+        )
+        SELECT s.source, s.n_docs, s.n_tokens,
+               ROUND(CAST(s.n_tokens AS DOUBLE) / CAST(m.tot AS DOUBLE), 6)
+                   AS token_share,
+               ROUND(CAST(m.mn AS DOUBLE) / CAST(s.n_tokens AS DOUBLE), 6)
+                   AS accept_prob
+        FROM s, m
+        ORDER BY s.source
+    """,
+    tags=("mixing", "domain", "reweight", "curation", "aggregate"),
+)
+def mix_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-source token counts and the
+    DOWNSAMPLING acceptance probability that equalizes post-filter token
+    share across sources — accept_prob(s) = min_tokens / tokens(s), the
+    largest feasible uniform target when upsampling is off the table
+    (a filter pipeline can only drop). Composes with
+    ``sample_priority_weighted`` / ``split_assign_hash``: accept a doc
+    iff its portable hash-uniform < accept_prob(source).
+
+    100 TB shape: ONE map-side-combined aggregation keyed by source
+    (domain cardinality is tiny), a single-row global reduction
+    broadcast back — the corpus is scanned once and never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    m = s.agg(
+        F.min("n_tokens").alias("mn"),
+        F.sum("n_tokens").cast("long").alias("tot"),
+    )
+    return (
+        s.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("token_share"),
+            F.round(
+                F.col("mn").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("accept_prob"),
+        )
+        .orderBy("source")
+    )

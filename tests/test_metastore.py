@@ -205,24 +205,40 @@ class TestBackendSelection:
 
 
 class TestHiveSeam:
-    """The ``hive`` backend is an explicit non-goal in this sandbox (no
-    thrift client ships — ``create_metastore`` rejects it actionably).
-    These tests prove the SEAM is real: a Metastore adapter over a mock
-    HMS client (the thrift surface a real HiveMetastoreClient exposes —
-    get_all_databases / create_database / get_table / create_table /
-    drop_table / alter_table) drives the full catalog DDL + write + read
-    path with no catalog-side changes."""
+    """The ``hive`` backend string is an explicit non-goal in this sandbox
+    (no thrift client ships — ``create_metastore`` rejects it actionably),
+    but the product ships ``HiveMetastore``, an adapter over a CALLER-
+    SUPPLIED client duck-typed against the HMS thrift surface. These
+    tests drive that adapter — not a test-local copy — through the full
+    catalog DDL + write + read path with a thrift-faithful mock client
+    (``.sd.location`` table shape, ``NoSuchObjectException`` /
+    ``AlreadyExistsException`` error names translated by the adapter)."""
 
     @staticmethod
     def _adapter(warehouse):
-        import os as _os
-        import shutil as _shutil
+        from paimon_presto_spark.metastore import HiveMetastore
 
-        from paimon_presto_spark.metastore import Metastore
+        class NoSuchObjectException(Exception):
+            pass
+
+        class AlreadyExistsException(Exception):
+            pass
+
+        class _Sd:
+            def __init__(self, location):
+                self.location = location
+
+        class _Tbl:
+            """thrift Table: the adapter reads only .sd.location."""
+
+            def __init__(self, location):
+                self.sd = _Sd(location)
 
         class MockHmsClient:
             """Dict-backed stand-in for hive_metastore.ThriftHiveMetastore
-            .Client: databases -> {table -> location}."""
+            .Client exposing the calls HiveMetastore documents, with
+            HMS-named exceptions (the adapter matches by type NAME, so a
+            real thrift client's exceptions translate identically)."""
 
             def __init__(self):
                 self.dbs: dict[str, dict[str, str]] = {}
@@ -230,93 +246,37 @@ class TestHiveSeam:
             def get_all_databases(self):
                 return sorted(self.dbs)
 
-            def create_database(self, name):
+            def create_database(self, name, location):
                 if name in self.dbs:
-                    raise ValueError(f"database {name} already exists")
+                    raise AlreadyExistsException(name)
                 self.dbs[name] = {}
 
-            def drop_database(self, name):
+            def drop_database(self, name, delete_data, cascade):
                 self.dbs.pop(name, None)
 
             def get_all_tables(self, db):
                 return sorted(self.dbs.get(db, {}))
 
             def get_table(self, db, tbl):
-                return self.dbs.get(db, {}).get(tbl)
+                if tbl not in self.dbs.get(db, {}):
+                    raise NoSuchObjectException(f"{db}.{tbl}")
+                return _Tbl(self.dbs[db][tbl])
 
             def create_table(self, db, tbl, location):
                 if tbl in self.dbs[db]:
-                    raise ValueError(f"table {tbl} already exists")
+                    raise AlreadyExistsException(tbl)
                 self.dbs[db][tbl] = location
 
-            def drop_table(self, db, tbl):
-                self.dbs[db].pop(tbl, None)
+            def drop_table(self, db, tbl, delete_data):
+                if tbl not in self.dbs.get(db, {}):
+                    raise NoSuchObjectException(f"{db}.{tbl}")
+                self.dbs[db].pop(tbl)
 
             def alter_table(self, db, old, new, location):
                 del self.dbs[db][old]
                 self.dbs[db][new] = location
 
-        class HiveMetastoreAdapter(Metastore):
-            """What a real thrift-backed Metastore would look like: every
-            seam method maps 1:1 onto an HMS client call; content-path
-            ownership rules (unregister removes content, forget is
-            pointer-only) live here exactly as in JdbcMetastore."""
-
-            def __init__(self, warehouse, client):
-                super().__init__(warehouse)
-                self.client = client
-
-            def list_databases(self):
-                return self.client.get_all_databases()
-
-            def database_exists(self, db):
-                return db in self.client.get_all_databases()
-
-            def create_database(self, db):
-                self.client.create_database(db)
-                _os.makedirs(
-                    _os.path.join(self.warehouse, f"{db}.db"), exist_ok=True
-                )
-
-            def drop_database(self, db, cascade):
-                tables = self.client.get_all_tables(db)
-                if tables and not cascade:
-                    raise ValueError(f"database {db} is not empty")
-                for t in tables:
-                    self.unregister_table(db, t)
-                self.client.drop_database(db)
-                _shutil.rmtree(
-                    _os.path.join(self.warehouse, f"{db}.db"),
-                    ignore_errors=True,
-                )
-
-            def list_tables(self, db):
-                return self.client.get_all_tables(db)
-
-            def table_path(self, db, table):
-                return self.client.get_table(db, table)
-
-            def register_table(self, db, table, path):
-                self.client.create_table(db, table, path)
-
-            def unregister_table(self, db, table):
-                path = self.client.get_table(db, table)
-                self.client.drop_table(db, table)
-                if path:
-                    _shutil.rmtree(path, ignore_errors=True)
-
-            def forget_table(self, db, table):
-                self.client.drop_table(db, table)
-
-            def rename_table(self, db, old, new, new_path):
-                cur = self.client.get_table(db, old)
-                if cur is None:
-                    raise ValueError(f"table {db}.{old} is not registered")
-                if _os.path.abspath(cur) != _os.path.abspath(new_path):
-                    _os.rename(cur, new_path)
-                self.client.alter_table(db, old, new, new_path)
-
-        return HiveMetastoreAdapter(warehouse, MockHmsClient())
+        return HiveMetastore(warehouse, MockHmsClient())
 
     def test_catalog_ddl_and_write_through_hms_adapter(self, spark, wh):
         ms = self._adapter(wh)

@@ -1671,3 +1671,76 @@ def test_chunk_dedup_cache_is_bounded_and_releasable(spark):
     assert D._CHUNK_CACHES == []
     # results remain correct after release (plan just recomputes)
     assert out2.count() == 2
+
+
+def test_priority_sample_weighted_without_replacement(spark):
+    """Priority sampling contract: deterministic (hash-derived u), no
+    repeats, k rows exactly, heavier rows overrepresented relative to a
+    uniform draw, and non-positive/NULL weights excluded."""
+    from paimon_presto_spark.operators.selection import priority_sample
+
+    rows = [(i, 1000 if i < 10 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out1 = priority_sample(df, "w", 20, "id").collect()
+    out2 = priority_sample(df, "w", 20, "id").collect()
+    assert [r["id"] for r in out1] == [r["id"] for r in out2]  # deterministic
+    ids = [r["id"] for r in out1]
+    assert len(ids) == 20 and len(set(ids)) == 20  # without replacement
+    assert sorted(r["rnk"] for r in out1) == list(range(1, 21))
+    # the 10 heavy rows are 1000x likelier: all of them must be sampled
+    # (P[miss one] is astronomically small under any u assignment drawn
+    # from a uniform hash)
+    assert sum(1 for i in ids if i < 10) == 10
+    # priorities are sorted descending by construction
+    pris = [r["priority"] for r in sorted(out1, key=lambda r: r["rnk"])]
+    assert pris == sorted(pris, reverse=True)
+
+    withnull = spark.createDataFrame(
+        [(1, None), (2, 0), (3, -5), (4, 7)], "id long, w long"
+    )
+    kept = priority_sample(withnull, "w", 10, "id").collect()
+    assert [r["id"] for r in kept] == [4]
+
+
+def test_remove_repeated_chunks_within_doc(spark):
+    """Self-dedup semantics: a chunk repeated WITHIN a document is dropped
+    (first occurrence kept), while the same chunk appearing in another
+    document is untouched — the opposite fence of the corpus-wide
+    variants. Pure-map: the plan must contain no exchange."""
+    from paimon_presto_spark.operators.dedup import (
+        remove_repeated_chunks_within_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # chunks of 2: "a b", "c d", "a b", "e f" -> drop 3rd
+            (1, "a b c d a b e f"),
+            # same "a b" chunk in another doc: kept (no corpus fence)
+            (2, "a b x y"),
+            # no repeats
+            (3, "p q r s"),
+            # repeat with a trailing partial chunk: "g h","g h","g" -> the
+            # bare "g" partial differs from "g h" and is kept
+            (4, "g h g h g"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_chunks_within_doc(
+            docs, "doc_id", "text", chunk_words=2
+        ).collect()
+    }
+    assert out[1]["rebuilt_text"] == "a b c d e f"
+    assert (out[1]["n_chunks"], out[1]["n_removed"]) == (4, 1)
+    assert out[2]["rebuilt_text"] == "a b x y"
+    assert out[2]["n_removed"] == 0
+    assert out[3]["n_removed"] == 0
+    assert out[4]["rebuilt_text"] == "g h g"
+    assert (out[4]["n_chunks"], out[4]["n_removed"]) == (3, 1)
+    # zero-shuffle claim: no Exchange anywhere in the physical plan
+    plan = (
+        remove_repeated_chunks_within_doc(docs, "doc_id", "text", 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -30,20 +30,21 @@ def test_priority_prefix_is_valid_and_broad():
     assert len(PRIORITY) == 50
     # Every operator family must be represented in the prefix. The prefix
     # ROTATES across rounds (so every entry eventually earns a driver-graded
-    # row); these anchors are the round-5 representatives of each family
-    # (the round-5 prefix is the 6 r1-last + 44 r2-last stalest rows).
+    # row); these anchors are the round-6 representatives of each family
+    # (the round-6 prefix is 3 new entries + the 2 r2-last + 45 of the 46
+    # r3-last stalest rows).
     prefix = set(PRIORITY)
     for family_member in (
-        "table_format_changelog",
-        "q6_revenue_forecast",
-        "window_topn_per_nation",
-        "agg_cube",
-        "setop_union_all",
-        "join_semi_exists",
-        "events_sessionization",
-        "dedup_exact",
-        "knn_bruteforce_topk",
-        "text_token_stats",
+        "table_format_aggregation",
+        "q5_local_supplier_revenue",
+        "window_rank_variants",
+        "agg_grouping_sets",
+        "setop_intersect",
+        "join_full_outer",
+        "events_interval_join_outer",
+        "dedup_simhash",
+        "knn_ivf_probe",
+        "text_quality_filter",
     ):
         assert family_member in prefix
 
