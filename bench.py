@@ -73,6 +73,11 @@ HEADLINE = [
     "dedup_intra_doc_chunks",
     "sample_priority_weighted",
     "mix_domain_reweight",
+    # round 6: retrieval + importance selection + cluster canonicalization
+    "text_bm25_topk",
+    "sample_dsir_importance",
+    "knn_matryoshka_recall",
+    "dedup_keep_best_in_cluster",
 ]
 
 

@@ -47,3 +47,18 @@ def hash_params(k: int) -> list[tuple[int, int]]:
 def minhash_exprs(base_hash: Column, k: int) -> list[Column]:
     """k affine re-hashes of a shingle hash; MIN-aggregate each for MinHash."""
     return [affine_hash(base_hash, a, b) for a, b in hash_params(k)]
+
+
+def single_partition_key(col: Column | str) -> Column:
+    """A constant-0 partition key that Catalyst cannot constant-fold.
+
+    ``Window.partitionBy(F.lit(0))`` is folded to an EMPTY partition spec,
+    which makes WindowExec log "No Partition Defined" and plan a global
+    single-partition exchange — noisy even when the window input is
+    already bounded to k rows. ``hash(col) % 1`` evaluates to 0 on every
+    row but depends on a column, so the partition spec survives
+    optimization. Only use over inputs already bounded (post-LIMIT edge
+    windows, top-k rank stamping): the window still runs as one task.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.hash(c) % 1

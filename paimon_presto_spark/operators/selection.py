@@ -44,7 +44,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import NumericType
 
-from paimon_presto_spark.functions.hashing import md5_long
+from paimon_presto_spark.functions.hashing import md5_long, single_partition_key
 
 #: Upper bound on the rows the exact edge window may own in one task.
 #: ~2M (id, score, weight) rows is tens of MB — comfortably one task.
@@ -178,8 +178,10 @@ def select_until_budget(
         # keeps WindowExec's partition spec non-empty (silencing the
         # "No Partition Defined" warning) without changing execution:
         # this stage is intentionally one task over <= target_edge_rows.
+        # (F.lit(0) does NOT work here: Catalyst folds it away and the
+        # warning returns — hence the non-foldable hash(id) % 1 key.)
         w = (
-            Window.partitionBy(F.lit(0))
+            Window.partitionBy(single_partition_key(id_col))
             .orderBy(F.desc(score_col), F.asc(id_col))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -239,5 +241,91 @@ def priority_sample(
     )
     # rank over the k winners only (constant partition key: this window
     # is intentionally one tiny task over k rows)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("priority"), F.asc(id_col))
+    w = Window.partitionBy(single_partition_key(id_col)).orderBy(
+        F.desc("priority"), F.asc(id_col)
+    )
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    is_target,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how target-like its hashed
+    unigram distribution is. Returns (doc_id, n_tokens, weight_dec) where
+    ``weight_dec`` = Σ_tokens ln(p_target(bucket) / p_raw(bucket)) as a
+    DECIMAL(28,10) — higher = more target-like; resample the corpus
+    proportionally (e.g. feed the weights to ``priority_sample``).
+
+    ``is_target`` is a boolean Column marking the in-domain rows (the
+    small high-quality corpus whose distribution we want to match);
+    ``p_target`` / ``p_raw`` are add-one-smoothed hashed-unigram models
+    over ``n_buckets`` md5-derived buckets (the paper's hashed n-gram
+    features at n=1; md5 keeps the bucketing engine-portable).
+
+    Scale shape at 100 TB: tokens map to integer buckets in the scan
+    (text never shuffles — only (doc, bucket, count) triples); both
+    feature models are ONE map-side-combined aggregation down to
+    ``n_buckets`` rows, broadcast back as the log-ratio table; the
+    per-document weight is a decimal SUM keyed by doc. Two corpus scans,
+    one bounded broadcast, no UDFs, nothing quadratic.
+
+    Determinism: bucket counts and totals are exact integers; the two
+    smoothed probabilities and their ratio are correctly-rounded double
+    divisions written in the oracle's exact shape; ln() is squeezed
+    through DECIMAL(28,10); per-token contributions aggregate as
+    (count × log-ratio) products summed in DECIMAL, so partial-agg order
+    cannot matter.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("__tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("wd"),
+    ).filter(F.col("wd") != "")
+    bucketed = toks.select(
+        "doc_id", "__tgt", (md5_long("wd") % n_buckets).alias("bkt")
+    )
+    per_doc = bucketed.groupBy("doc_id", "bkt").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    model = bucketed.groupBy("bkt").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    logratio = (
+        model.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            F.log(
+                (
+                    (F.col("ct") + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(n_buckets)))
+                )
+                / (
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("tr") + F.lit(float(n_buckets)))
+                )
+            )
+            .cast("decimal(28,10)").cast("string").cast("double"),
+        )
+        .select("bkt", "lr")
+    )
+    return (
+        per_doc.join(F.broadcast(logratio), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                (F.col("cnt").cast("double") * F.col("lr")).cast(
+                    "decimal(28,10)"
+                )
+            ).alias("weight_dec"),
+        )
+    )

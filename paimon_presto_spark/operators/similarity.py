@@ -1443,3 +1443,55 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", F.round("approx_l2", 6).alias("approx_l2"), "rnk")
     )
+
+
+def truncated_dim_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    trunc_dims: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension truncation audit: per query, the
+    recall@k of ranking by cosine over only the FIRST ``trunc_dims``
+    embedding dimensions against the full-dimension ground truth —
+    (q_id, n_full, n_overlap, recall). The operational question behind
+    MRL embeddings (Kusupati et al. 2022, arXiv:2205.13147): how much
+    top-k quality survives if the index stores a prefix of each vector
+    (4x-8x less memory and dot-product work at 100 TB index scale)?
+
+    Cosine is scale-invariant, so the truncated ranking needs no
+    re-normalization — the prefix slice IS the truncated embedding.
+    Both rankings share one corpus scan pattern: broadcast queries,
+    per-query WindowGroupLimit top-k; the overlap join is k×|queries|
+    rows on both sides. Recall = |trunc∩full| / k with exact integer
+    counts (no float comparisons cross the engine boundary).
+    """
+    full = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    tq = queries.select(id_col, F.slice(vec_col, 1, trunc_dims).alias(vec_col))
+    tc = corpus.select(id_col, F.slice(vec_col, 1, trunc_dims).alias(vec_col))
+    trunc = brute_force_topk(tc, tq, k=k, id_col=id_col, vec_col=vec_col)
+    # Both top-k sets are bounded at k x |queries| rows BY CONSTRUCTION
+    # (row_number <= k), so broadcasting is safe at any corpus size —
+    # without the hint the planner sees unsized aggregates and falls back
+    # to SortMergeJoin.
+    hits = full.select("q_id", "n_id").join(
+        F.broadcast(trunc.select("q_id", "n_id")), ["q_id", "n_id"]
+    )
+    return (
+        full.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_full"))
+        .join(
+            F.broadcast(
+                hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+            ),
+            "q_id",
+            "left",
+        )
+        .na.fill({"n_overlap": 0})
+        .withColumn(
+            "recall",
+            F.col("n_overlap").cast("double") / F.col("n_full"),
+        )
+    )

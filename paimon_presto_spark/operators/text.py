@@ -6,8 +6,9 @@ shuffle is the caller's, if any).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
+from paimon_presto_spark.functions.hashing import single_partition_key
 from paimon_presto_spark.functions.text import mean_token_length, punct_ratio, token_count
 
 #: Minimal function-word profiles. Real pipelines plug fasttext-style models
@@ -214,3 +215,109 @@ def gopher_quality_rules(
         "*",
         mask.cast("int").alias("fail_mask"),
     ).withColumn("keep", F.col("fail_mask") == 0)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranking of ``docs`` against a bag of ``query_terms``:
+    (doc_id, n_terms_hit, score_dec DECIMAL, rnk), top-``k`` documents.
+    The retrieval scorer of Lucene/Elasticsearch and the lexical half of
+    most RAG stacks (Robertson & Zaragoza 2009), expressed as two count
+    aggregations and a broadcast of per-term statistics.
+
+    Scale shape (100 TB corpus, handful of query terms):
+    - Document lengths: ONE map-side-combined count keyed by doc — the
+      text never shuffles, only (doc, long).
+    - Term frequencies: the explode is filtered to the query terms BEFORE
+      the aggregation, so the tf shuffle carries only matching postings
+      (corpus-total occurrences of the query terms, not the corpus).
+    - df/idf: aggregates the tf table down to |query_terms| rows —
+      broadcast back, as is the single-row (N, avgdl) global reduction.
+    - Per-doc score: decimal SUM over ≤|query_terms| partial scores,
+      then one TakeOrderedAndProject top-k. Nothing quadratic, no UDFs.
+
+    Determinism (the oracle must replay bit-for-bit): tf/df/dl/N are
+    exact integers; avgdl and the length normalization are single
+    correctly-rounded double ops written in the same shape as the oracle
+    SQL; ln() — the one transcendental — is squeezed through
+    DECIMAL(28,10) (the registry's decimal rule); per-term scores are
+    summed as DECIMAL so partial-aggregation order cannot matter.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("wd"),
+    ).filter(F.col("wd") != "")
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        words.filter(F.col("wd").isin(query_terms))
+        .groupBy("doc_id", "wd")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("wd").agg(F.count(F.lit(1)).alias("df"))
+    # idf = ln(1 + (N - df + 0.5) / (df + 0.5)), decimal-squeezed: Java's
+    # Math.log may sit 1 ulp off libm's, so the raw value is not portable.
+    idf = (
+        df_t.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            .cast("decimal(28,10)").cast("string").cast("double"),
+        )
+        .select("wd", "idf", "n_docs", "sum_dl")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "wd")
+        .join(dl, "doc_id")
+        .withColumn(
+            "avgdl", F.col("sum_dl").cast("double") / F.col("n_docs")
+        )
+        .withColumn(
+            "term_score",
+            # Literal arithmetic stays IN the plan (lit(k1) + lit(1.0),
+            # not Python's k1 + 1.0): the oracle SQL spells the same
+            # two-literal add, so both engines round the identical op —
+            # a Python-side pre-add could differ by one ulp on ties.
+            F.col("idf")
+            * (
+                (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        (F.lit(1.0) - F.lit(b))
+                        + (F.lit(b) * F.col("dl")) / F.col("avgdl")
+                    )
+                )
+            ),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum(F.col("term_score").cast("decimal(28,10)")).alias("score_dec"),
+    )
+    # Global top-k as sort+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global sort, no unpartitioned window over the corpus);
+    # the rank window then runs over exactly k rows.
+    top = ranked.orderBy(F.desc("score_dec"), F.asc("doc_id")).limit(k)
+    w = Window.partitionBy(single_partition_key("doc_id")).orderBy(
+        F.desc("score_dec"), F.asc("doc_id")
+    )
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "n_terms_hit", "score_dec", "rnk"
+    )

@@ -57,34 +57,35 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # fixed count (each round so far recorded exactly the first 50). The prefix
 # is ROTATED each round so every registry entry eventually earns a
 # driver-graded row; every entry has had a green driver row since round 4.
-# Round-6 policy is pure staleness rotation, same as round 5: the 2 rows
-# whose most recent driver grade is round 2 (displaced from the r5 prefix
-# to make room for that round's additions) + every entry ADDED this round
-# (a new entry outside the prefix would sit ungraded) + 45 of the 46 rows
-# last graded in round 3 — exactly 50. The one displaced r3 row
-# (q10_returned_items) has its TPC-H-join family anchored in-prefix by
-# q5/q7/q8/q11/q19/q22 and rotates in next round with the r4 cohort.
-# Everything outside the prefix is still verified by the local gate
-# (tools/check_correctness.py) every session.
+# Round-6 policy is pure staleness rotation, same as round 5: every entry
+# ADDED this round (a new entry outside the prefix would sit ungraded) +
+# the 2 rows whose most recent driver grade is round 2 (displaced from the
+# r5 prefix to make room for that round's additions) + 41 of the 46 rows
+# last graded in round 3 — exactly 50. The five displaced r3 rows
+# (q10_returned_items, q5, q7, q8, q19) have their TPC-H-join family
+# anchored in-prefix by q11/q22 and rotate in next round with the r4
+# cohort. Everything outside the prefix is still verified by the local
+# gate (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
     # -- NEW this round (never graded) -----------------------------------
+    "text_bm25_topk",
+    "sample_dsir_importance",
+    "knn_matryoshka_recall",
+    "dedup_keep_best_in_cluster",
+    # -- added after the r5 grading ran (never graded) -------------------
     "sample_priority_weighted",
     "dedup_intra_doc_chunks",
     "mix_domain_reweight",
     # -- last driver-graded in ROUND 2 (stalest) -------------------------
     "knn_ivf_probe",
     "q17_small_quantity",
-    # -- last driver-graded in ROUND 3 (45 of 46; q10 displaced) ---------
+    # -- last driver-graded in ROUND 3 (41 of 46) -------------------------
     # table format
     "table_format_aggregation",
     "table_format_avro_roundtrip",
     "table_format_partial_update",
     # TPC-H shapes
-    "q5_local_supplier_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
     "q11_important_stock",
-    "q19_disjunctive_filter",
     "q22_global_sales_opportunity",
     # joins / set ops / unnest
     "join_full_outer",
@@ -163,5 +164,6 @@ def _load() -> None:
     from paimon_presto_spark.queries import llm_ops  # noqa: F401
     from paimon_presto_spark.queries import coverage  # noqa: F401
     from paimon_presto_spark.queries import curation  # noqa: F401
+    from paimon_presto_spark.queries import retrieval  # noqa: F401
 
     _loaded = True

@@ -1348,3 +1348,113 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_keep_best_in_cluster",
+    oracle=(
+        "WITH RECURSIVE "
+        + _o_shingle_sql(3)
+        + f""",
+        hashed AS (SELECT doc_id, {_O_HASH} AS h FROM sh),
+        mh AS (
+            SELECT doc_id,
+                   {_o_minhash_aggs()}
+            FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+            """
+        + "\nUNION ALL\n".join(
+            f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
+            + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+            + ") AS bkey FROM mh"
+            for j in range(LSH_BANDS)
+        )
+        + """
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+        ),
+        """
+        + _O_PAIRS_CTE.format(thr=JACCARD_THRESHOLD)
+        + """,
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        comp AS (
+            SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id
+        ),
+        best AS (
+            SELECT c.component, d.doc_id, d.n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, d.doc_id ASC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY c.component) AS n_members,
+                   SUM(d.n_chars) OVER (PARTITION BY c.component)
+                       AS total_chars
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        )
+        SELECT component, CAST(n_members AS BIGINT) AS n_members,
+               doc_id AS keeper_id, n_chars AS keeper_chars,
+               CAST(total_chars AS BIGINT) AS total_chars
+        FROM best WHERE rn = 1
+        ORDER BY component
+    """
+    ),
+    tags=("dedup", "minhash", "connected-components", "canonicalization"),
+)
+def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: resolve MinHash/LSH near-dup pairs
+    into transitive clusters (``operators/dedup.connected_components``),
+    then KEEP the best document of each cluster — max ``n_chars``, ties
+    to the smallest doc_id — instead of blindly keeping the minimum id.
+    This is how production dedup actually discards data: the keeper is
+    chosen by a quality signal, so a truncated mirror never shadows the
+    full original. One row per multi-member cluster: (component,
+    n_members, keeper_id, keeper_chars, total_chars).
+
+    Scale shape: pair generation and components are the proven banded /
+    label-propagation paths; the keeper choice adds ONE aggregation keyed
+    by component (max over a (quality, -id) struct — map-side
+    combinable), joined against the docs table on its primary key.
+    """
+    from paimon_presto_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    member = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        member.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("best"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("best.neg_id")).alias("keeper_id"),
+            F.col("best.n_chars").alias("keeper_chars"),
+            "total_chars",
+        )
+        .orderBy("component")
+    )

@@ -1,0 +1,245 @@
+"""Retrieval & data-selection operators: BM25 lexical ranking, DSIR
+importance resampling, and matryoshka embedding-truncation auditing.
+
+These extend the LLM-pipeline surface (SURVEY §7 M4) toward the
+retrieval/selection half of a training-data stack: score documents
+against queries (BM25 — the lexical ranker RAG pipelines pair with the
+ANN operators in ``operators/similarity.py``), score documents against a
+target DISTRIBUTION (DSIR — importance weights from hashed-unigram
+models, arXiv:2302.03169), and quantify what an embedding index loses by
+storing dimension prefixes (MRL truncation, arXiv:2205.13147).
+
+All three follow the registry's determinism rules: exact integer
+statistics, correctly-rounded double ops written in the oracle's exact
+shape, transcendentals squeezed through DECIMAL(28,10), and
+order-insensitive decimal sums.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from paimon_presto_spark.functions.hashing import single_partition_key
+from paimon_presto_spark.queries import register
+from paimon_presto_spark.sources.testdata import load_table
+
+#: BM25 probe terms: two common corpus words plus one absent word
+#: ("shuffle" does not occur in the synthetic corpus), so the query
+#: exercises both the hit path and the zero-df path.
+BM25_TERMS = ["merge", "window", "shuffle"]
+DSIR_BUCKETS = 256
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, w AS wd
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+            WHERE w <> ''
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        tf AS (
+            SELECT doc_id, wd, COUNT(*) AS tf
+            FROM words
+            WHERE wd IN ('merge', 'window', 'shuffle')
+            GROUP BY doc_id, wd
+        ),
+        idf AS (
+            SELECT d.wd,
+                   CAST(CAST(CAST(
+                       LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE) AS idf,
+                   s.n_docs, s.sum_dl
+            FROM (SELECT wd, COUNT(*) AS df FROM tf GROUP BY wd) d, stats s
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   idf.idf * (
+                       (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (
+                             (1.0 - 0.75)
+                             + (0.75 * dl.dl)
+                               / (CAST(idf.sum_dl AS DOUBLE) / idf.n_docs)
+                         ))
+                   ) AS term_score
+            FROM tf
+            JOIN idf ON tf.wd = idf.wd
+            JOIN dl ON dl.doc_id = tf.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_terms_hit,
+                   SUM(CAST(term_score AS DECIMAL(28,10))) AS score_dec
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms_hit,
+               CAST(CAST(score_dec AS VARCHAR) AS DOUBLE) AS score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_dec DESC, doc_id ASC)
+                    AS INT) AS rnk
+        FROM ranked
+        ORDER BY score_dec DESC, doc_id ASC
+        LIMIT 15
+    """,
+    tags=("text", "retrieval", "bm25", "ranking", "topk"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 over the documents table for a 3-term query
+    (``operators/text.py:bm25_topk``) — the lexical retrieval scorer of
+    Lucene/Elasticsearch and the BM25 half of hybrid RAG retrieval,
+    expressed as two count aggregations plus broadcast term statistics.
+    One query term ("shuffle") is absent from the corpus, exercising the
+    zero-df path. The shuffle carries only matching postings; the text
+    column never leaves the scan; the top-k is TakeOrderedAndProject."""
+    from paimon_presto_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, BM25_TERMS, k=15, k1=1.2, b=0.75)
+    return out.select(
+        "doc_id",
+        "n_terms_hit",
+        F.col("score_dec").cast("string").cast("double").alias("score"),
+        "rnk",
+    ).orderBy("rnk")
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, (lang = 'en') AS tgt, w AS wd
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+            WHERE w <> ''
+        ),
+        b AS (
+            SELECT doc_id, tgt,
+                   CAST('0x' || SUBSTR(MD5(wd), 1, 15) AS BIGINT)
+                       % {DSIR_BUCKETS} AS bkt
+            FROM toks
+        ),
+        per_doc AS (
+            SELECT doc_id, bkt, COUNT(*) AS cnt FROM b GROUP BY doc_id, bkt
+        ),
+        model AS (
+            SELECT bkt,
+                   CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   COUNT(*) AS cr
+            FROM b GROUP BY bkt
+        ),
+        totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM model),
+        lr AS (
+            SELECT bkt,
+                   CAST(CAST(CAST(LN(
+                       ((ct + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                       / ((cr + 1.0) / (tr + {DSIR_BUCKETS}.0))
+                   ) AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE) AS lr
+            FROM model, totals
+        ),
+        wts AS (
+            SELECT p.doc_id,
+                   CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
+                   SUM(CAST(CAST(p.cnt AS DOUBLE) * lr.lr
+                            AS DECIMAL(28,10))) AS weight_dec
+            FROM per_doc p JOIN lr ON p.bkt = lr.bkt
+            GROUP BY p.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST(CAST(weight_dec AS VARCHAR) AS DOUBLE) AS dsir_weight,
+               CAST(ROW_NUMBER() OVER (ORDER BY weight_dec DESC, doc_id ASC)
+                    AS INT) AS rnk
+        FROM wts
+        ORDER BY weight_dec DESC, doc_id ASC
+        LIMIT 25
+    """,
+    tags=("sampling", "dsir", "importance", "selection", "curation"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (``operators/selection.py:
+    dsir_importance_weights``): the 25 documents whose hashed-unigram
+    distribution is most like the target domain (lang='en'), by
+    importance weight Σ ln(p_target/p_raw) over 256 md5 buckets — the
+    published recipe for picking pre-training data that matches a small
+    high-quality corpus (Xie et al. 2023). Two corpus scans, a 256-row
+    broadcast log-ratio table, decimal-summed weights, and a
+    TakeOrderedAndProject top-k — nothing quadratic, no UDFs."""
+    from paimon_presto_spark.operators.selection import (
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = dsir_importance_weights(
+        docs, F.col("lang") == "en", n_buckets=DSIR_BUCKETS
+    )
+    top = wts.orderBy(F.desc("weight_dec"), F.asc("doc_id")).limit(25)
+    w = Window.partitionBy(single_partition_key("doc_id")).orderBy(
+        F.desc("weight_dec"), F.asc("doc_id")
+    )
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        F.col("weight_dec").cast("string").cast("double").alias("dsir_weight"),
+        F.row_number().over(w).alias("rnk"),
+    ).orderBy("rnk")
+
+
+@register(
+    "knn_matryoshka_recall",
+    oracle="""
+        WITH fullk AS (
+            SELECT q_id, n_id FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(
+                               q.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) DESC,
+                           c.vec_id
+                       ) AS rnk
+                FROM embeddings q JOIN embeddings c ON c.vec_id >= 8
+                WHERE q.vec_id < 8
+            ) WHERE rnk <= 10
+        ),
+        trunck AS (
+            SELECT q_id, n_id FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(
+                               (q.embedding::DOUBLE[])[1:16],
+                               (c.embedding::DOUBLE[])[1:16]) DESC,
+                           c.vec_id
+                       ) AS rnk
+                FROM embeddings q JOIN embeddings c ON c.vec_id >= 8
+                WHERE q.vec_id < 8
+            ) WHERE rnk <= 10
+        )
+        SELECT f.q_id,
+               COUNT(*) AS n_full,
+               CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlap,
+               SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                   / COUNT(*) AS recall
+        FROM fullk f
+        LEFT JOIN trunck t ON t.q_id = f.q_id AND t.n_id = f.n_id
+        GROUP BY f.q_id
+        ORDER BY f.q_id
+    """,
+    tags=("similarity", "knn", "matryoshka", "truncation", "recall"),
+)
+def knn_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (``operators/similarity.py:
+    truncated_dim_recall``): recall@10 of cosine ranking over the FIRST
+    16 of 64 embedding dimensions vs the full-dimension ground truth, for
+    8 query vectors — the measurement that justifies (or vetoes) storing
+    prefix-truncated vectors in a 100 TB ANN index (4x less memory and
+    dot-product work). Cosine is scale-invariant so the prefix needs no
+    re-normalization; recall crosses the engine boundary as exact integer
+    counts."""
+    from paimon_presto_spark.operators.similarity import truncated_dim_recall
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    c = e.filter(F.col("vec_id") >= 8)
+    return truncated_dim_recall(c, q, trunc_dims=16, k=10).orderBy("q_id")

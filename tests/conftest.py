@@ -13,6 +13,11 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("paimon-presto-spark-tests")
+        # One session-scoped JVM serves the whole suite (500+ tests, the
+        # 150+-entry registry battery, cached intermediates, broadcast
+        # refs); PySpark's 1g default heap OOMed once the registry passed
+        # ~150 entries. The box has 128 GiB — size the heap for the suite.
+        .config("spark.driver.memory", "6g")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
