@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import NumericType
 
 from paimon_presto_spark.functions.hashing import md5_long, single_partition_key
+from paimon_presto_spark.functions.numeric import decimal_squeeze
 
 #: Upper bound on the rows the exact edge window may own in one task.
 #: ~2M (id, score, weight) rows is tens of MB — comfortably one task.
@@ -303,17 +304,18 @@ def dsir_importance_weights(
         model.crossJoin(F.broadcast(totals))
         .withColumn(
             "lr",
-            F.log(
-                (
-                    (F.col("ct") + F.lit(1.0))
-                    / (F.col("tt") + F.lit(float(n_buckets)))
+            decimal_squeeze(
+                F.log(
+                    (
+                        (F.col("ct") + F.lit(1.0))
+                        / (F.col("tt") + F.lit(float(n_buckets)))
+                    )
+                    / (
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("tr") + F.lit(float(n_buckets)))
+                    )
                 )
-                / (
-                    (F.col("cr") + F.lit(1.0))
-                    / (F.col("tr") + F.lit(float(n_buckets)))
-                )
-            )
-            .cast("decimal(28,10)").cast("string").cast("double"),
+            ),
         )
         .select("bkt", "lr")
     )

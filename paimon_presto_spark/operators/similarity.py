@@ -1465,31 +1465,30 @@ def truncated_dim_recall(
     re-normalization — the prefix slice IS the truncated embedding.
     Both rankings share one corpus scan pattern: broadcast queries,
     per-query WindowGroupLimit top-k; the overlap join is k×|queries|
-    rows on both sides. Recall = |trunc∩full| / k with exact integer
+    rows on both sides. Recall = |trunc∩full| / n_full (n_full = k when
+    the corpus has at least k candidates per query) with exact integer
     counts (no float comparisons cross the engine boundary).
     """
     full = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     tq = queries.select(id_col, F.slice(vec_col, 1, trunc_dims).alias(vec_col))
     tc = corpus.select(id_col, F.slice(vec_col, 1, trunc_dims).alias(vec_col))
     trunc = brute_force_topk(tc, tq, k=k, id_col=id_col, vec_col=vec_col)
-    # Both top-k sets are bounded at k x |queries| rows BY CONSTRUCTION
-    # (row_number <= k), so broadcasting is safe at any corpus size —
-    # without the hint the planner sees unsized aggregates and falls back
-    # to SortMergeJoin.
-    hits = full.select("q_id", "n_id").join(
-        F.broadcast(trunc.select("q_id", "n_id")), ["q_id", "n_id"]
-    )
+    # ONE pass: the expensive full-dimension ranking is consumed once (a
+    # left join marking truncated-ranking hits, then a single grouped
+    # count/sum — the oracle SQL's exact shape). The truncated top-k set
+    # is bounded at k x |queries| rows BY CONSTRUCTION (row_number <= k),
+    # so broadcasting it is safe at any corpus size — without the hint
+    # the planner sees an unsized aggregate and falls back to
+    # SortMergeJoin.
+    marked = trunc.select("q_id", "n_id").withColumn("__hit", F.lit(1))
     return (
-        full.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_full"))
-        .join(
-            F.broadcast(
-                hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_overlap"))
-            ),
-            "q_id",
-            "left",
+        full.select("q_id", "n_id")
+        .join(F.broadcast(marked), ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"),
         )
-        .na.fill({"n_overlap": 0})
         .withColumn(
             "recall",
             F.col("n_overlap").cast("double") / F.col("n_full"),

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from paimon_presto_spark.functions.hashing import single_partition_key
+from paimon_presto_spark.functions.numeric import decimal_squeeze
 from paimon_presto_spark.functions.text import mean_token_length, punct_ratio, token_count
 
 #: Minimal function-word profiles. Real pipelines plug fasttext-style models
@@ -272,12 +273,13 @@ def bm25_topk(
         df_t.crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            )
-            .cast("decimal(28,10)").cast("string").cast("double"),
+            decimal_squeeze(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+            ),
         )
         .select("wd", "idf", "n_docs", "sum_dl")
     )

@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from paimon_presto_spark.functions.hashing import md5_long
+from paimon_presto_spark.functions.numeric import decimal_squeeze
 from paimon_presto_spark.queries import register
 from paimon_presto_spark.sources.testdata import load_table
 
@@ -465,10 +466,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "score",
             F.col("tf").cast("double")
-            * F.log(
-                (F.lit(1.0) + F.lit(float(n_docs)))
-                / (F.lit(1.0) + F.col("df_docs").cast("double"))
-            ).cast("decimal(28,10)").cast("string").cast("double"),
+            * decimal_squeeze(
+                F.log(
+                    (F.lit(1.0) + F.lit(float(n_docs)))
+                    / (F.lit(1.0) + F.col("df_docs").cast("double"))
+                )
+            ),
         )
     )
     win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("wd"))

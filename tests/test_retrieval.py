@@ -160,27 +160,28 @@ class TestMatryoshkaRecall:
             assert r["n_overlap"] == r["n_full"] == 5
             assert r["recall"] == 1.0
 
-    def test_orthogonal_tail_breaks_recall(self, spark):
+    def test_misleading_prefix_degrades_recall_to_zero(self, spark):
         from paimon_presto_spark.operators.similarity import (
             truncated_dim_recall,
         )
 
-        # Queries and corpus agree on dim 0; all ranking signal lives in
-        # dims 2-3, so truncating to 2 dims destroys the ordering for the
-        # adversarial corpus below (identical prefixes).
+        # Adversarial construction: the 2-dim prefix RANKS THE WRONG
+        # NEIGHBOR FIRST (strictly, no ties to rescue it). Full cosine:
+        # A=0.996 beats B=0.0; prefix cosine: B=1.0 beats A=0.9939.
         rows = [
-            (0, [1.0, 0.0, 1.0, 0.0]),   # query
-            (10, [1.0, 0.0, 1.0, 0.0]),  # true NN (identical)
-            (11, [1.0, 0.0, 0.0, 1.0]),  # same prefix, orthogonal tail
+            (0, [1.0, 0.0, 1.0, 0.0]),    # query
+            (10, [0.9, 0.1, 1.0, 0.0]),   # true NN (tail aligned)
+            (11, [1.0, 0.0, -1.0, 0.0]),  # perfect prefix, opposed tail
         ]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         q = df.filter(F.col("vec_id") == 0)
         c = df.filter(F.col("vec_id") >= 10)
         out = truncated_dim_recall(c, q, trunc_dims=2, k=1).collect()
-        # with identical 2-dim prefixes cosine ties; tie-break on n_id
-        # keeps doc 10 -> recall stays 1; widen k to see both appear
         assert out[0]["n_full"] == 1
-        out2 = truncated_dim_recall(c, q, trunc_dims=4, k=2).collect()
+        assert out[0]["n_overlap"] == 0
+        assert out[0]["recall"] == 0.0
+        # full-dimension "truncation" restores the true neighbor
+        out2 = truncated_dim_recall(c, q, trunc_dims=4, k=1).collect()
         assert out2[0]["recall"] == 1.0
 
 
