@@ -78,6 +78,7 @@ HEADLINE = [
     "sample_dsir_importance",
     "knn_matryoshka_recall",
     "dedup_keep_best_in_cluster",
+    "text_quality_logreg",
 ]
 
 
@@ -223,6 +224,14 @@ SCALE_QUERIES = [
     "knn_lsh_recall",
     "join_full_outer",
     "dedup_semantic_incremental",
+    # round 6: cluster-canonical dedup (LSH pairs -> components -> keeper
+    # agg), DSIR importance weights (two scans + 256-row broadcast), BM25
+    # (postings-only shuffle), and the map-only intra-doc self-dedup —
+    # each must stay BNLJ/Cartesian-free at 10x the corpus.
+    "dedup_keep_best_in_cluster",
+    "sample_dsir_importance",
+    "text_bm25_topk",
+    "dedup_intra_doc_chunks",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
@@ -231,7 +240,16 @@ SCALE_QUERIES = [
 #: baseline: the 5 query vectors are explicitly broadcast against the
 #: corpus — bounded by contract, and the whole point of the entry is to
 #: compare LSH against that exhaustive scan.
-SCALE_EXPECTED_BNLJ = {"knn_lsh_recall": 1}
+#: bm25 / dsir each cross-join ONE single-row global aggregate (corpus
+#: stats / smoothing totals) into the per-row expression — a broadcast of
+#: exactly one row plans as BroadcastNestedLoopJoin by definition and is
+#: bounded at any corpus size (the alternative, collecting the scalar to
+#: the driver, would split the operator into two jobs for no gain).
+SCALE_EXPECTED_BNLJ = {
+    "knn_lsh_recall": 1,
+    "sample_dsir_importance": 1,
+    "text_bm25_topk": 1,
+}
 
 
 def _lsh_pairs_sf1(spark, sf1_dir: str):

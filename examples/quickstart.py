@@ -232,6 +232,18 @@ def main() -> None:
               "phrase search ok:",
               {r["phrase"]: r["n_matches"] for r in ph.collect()})
 
+        # -- retrieval + model-based selection (round 6) --------------------
+        bm = qs2["text_bm25_topk"](spark, SF_DIR).limit(3).collect()
+        dsir = qs2["sample_dsir_importance"](spark, SF_DIR).limit(3).collect()
+        lq = qs2["text_quality_logreg"](spark, SF_DIR)
+        kept = lq.agg(F.sum("kept")).collect()[0][0]
+        mat = qs2["knn_matryoshka_recall"](spark, SF_DIR)
+        mean_recall = mat.agg(F.avg("recall")).collect()[0][0]
+        print("bm25 top doc:", bm[0]["doc_id"],
+              "| dsir top doc:", dsir[0]["doc_id"],
+              "| logreg keeps:", kept,
+              "| matryoshka mean recall@10:", round(mean_recall, 3))
+
         print("quickstart complete.")
     finally:
         shutil.rmtree(wh, ignore_errors=True)

@@ -323,3 +323,63 @@ def bm25_topk(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "doc_id", "n_terms_hit", "score_dec", "rnk"
     )
+
+
+#: Stand-in logistic-regression head for model-based quality filtering
+#: (the FineWeb-Edu / DCLM pattern: a tiny classifier scores every doc,
+#: the pipeline keeps those above a probability threshold). The weights
+#: here are fixed, documented constants over the Gopher feature vector —
+#: production swaps in a trained head; the PLUMBING (featurize -> linear
+#: score -> sigmoid -> threshold, all codegen, zero UDFs) is the part
+#: that must scale, and it is identical either way.
+QUALITY_LOGREG_WEIGHTS: dict[str, float] = {
+    "bias": -3.0,
+    "log1p_n_words": 0.4,     # longer docs mildly favored (log-scaled)
+    "mean_word_len": 0.15,    # natural prose sits ~4-6
+    "alpha_word_ratio": 1.5,  # alphabetic text favored
+    "stopword_hits": 0.5,     # function words = sentence structure
+    "symbol_ratio": -8.0,     # #/... boilerplate strongly penalized
+}
+
+
+def quality_logreg_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality scoring: a logistic-regression head over the
+    Gopher feature vector — (id, n_words, quality_prob, kept). The
+    classifier-filter stage of modern curation stacks, kept deterministic
+    and dependency-free by fixing the weights (``QUALITY_LOGREG_WEIGHTS``).
+
+    100 TB shape: pure map, exactly like ``gopher_quality_rules`` (whose
+    featurization this reuses) — every feature, the dot product, and the
+    sigmoid are codegen expressions over the doc's own text; no shuffle,
+    no UDF, no model server in the hot path.
+
+    Determinism: features are single correctly-rounded divisions of exact
+    integers; both transcendentals (ln(1+n_words), exp(-z)) are squeezed
+    through DECIMAL(28,10); the dot product accumulates left-to-right in
+    the same literal order as the oracle SQL.
+    """
+    from paimon_presto_spark.functions.numeric import decimal_squeeze
+
+    w = QUALITY_LOGREG_WEIGHTS
+    feats = gopher_quality_rules(docs, id_col=id_col, text_col=text_col)
+    ln1w = decimal_squeeze(F.log(F.lit(1.0) + F.col("n_words")))
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log1p_n_words"]) * ln1w
+        + F.lit(w["mean_word_len"]) * F.col("mean_word_len")
+        + F.lit(w["alpha_word_ratio"]) * F.col("alpha_word_ratio")
+        + F.lit(w["stopword_hits"]) * F.col("stopword_hits")
+        + F.lit(w["symbol_ratio"]) * F.col("symbol_ratio")
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + decimal_squeeze(F.exp(-z)))
+    return feats.select(
+        F.col(id_col),
+        F.col("n_words"),
+        prob.alias("quality_prob"),
+        (prob >= F.lit(threshold)).cast("int").alias("kept"),
+    )

@@ -60,18 +60,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Round-6 policy is pure staleness rotation, same as round 5: every entry
 # ADDED this round (a new entry outside the prefix would sit ungraded) +
 # the 2 rows whose most recent driver grade is round 2 (displaced from the
-# r5 prefix to make room for that round's additions) + 41 of the 46 rows
-# last graded in round 3 — exactly 50. The five displaced r3 rows
-# (q10_returned_items, q5, q7, q8, q19) have their TPC-H-join family
-# anchored in-prefix by q11/q22 and rotate in next round with the r4
-# cohort. Everything outside the prefix is still verified by the local
-# gate (tools/check_correctness.py) every session.
+# r5 prefix to make room for that round's additions) + 40 of the 46 rows
+# last graded in round 3 — exactly 50. The six displaced r3 rows
+# (q10_returned_items, q5, q7, q8, q19, q22) have their TPC-H-join family
+# anchored in-prefix by q11 and rotate in next round with the r4 cohort.
+# Everything outside the prefix is still verified by the local gate
+# (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
     # -- NEW this round (never graded) -----------------------------------
     "text_bm25_topk",
     "sample_dsir_importance",
     "knn_matryoshka_recall",
     "dedup_keep_best_in_cluster",
+    "text_quality_logreg",
     # -- added after the r5 grading ran (never graded) -------------------
     "sample_priority_weighted",
     "dedup_intra_doc_chunks",
@@ -86,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "table_format_partial_update",
     # TPC-H shapes
     "q11_important_stock",
-    "q22_global_sales_opportunity",
     # joins / set ops / unnest
     "join_full_outer",
     "join_salted_skew",

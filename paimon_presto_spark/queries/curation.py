@@ -1378,3 +1378,72 @@ def mix_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_quality_logreg",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, string_split(text, ' ') AS arr
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(arr) AS n_words,
+                   length(replace(text, ' ', '')) / len(arr) AS mean_len,
+                   ((len(string_split(text, '#')) - 1)
+                    + (len(string_split(text, '...')) - 1))
+                   / CAST(len(arr) AS DOUBLE) AS sym_ratio,
+                   len(list_filter(arr, w -> regexp_matches(w, '[A-Za-z]')))
+                   / CAST(len(arr) AS DOUBLE) AS alpha_ratio,
+                   len(list_intersect(
+                       arr, ['the','a','of','to','and','is','in']
+                   )) AS stop_hits
+            FROM d
+        ),
+        z AS (
+            SELECT doc_id, n_words,
+                   -3.0
+                   + 0.4 * CAST(CAST(CAST(LN(1.0 + n_words)
+                         AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE)
+                   + 0.15 * mean_len
+                   + 1.5 * alpha_ratio
+                   + 0.5 * stop_hits
+                   + -8.0 * sym_ratio AS z
+            FROM m
+        ),
+        p AS (
+            SELECT doc_id, n_words,
+                   1.0 / (1.0 + CAST(CAST(CAST(EXP(-z)
+                       AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE)) AS prob
+            FROM z
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               ROUND(prob, 6) AS quality_prob,
+               CAST(prob >= 0.5 AS INT) AS kept
+        FROM p
+        ORDER BY doc_id
+    """,
+    tags=("llm-pipeline", "text", "quality", "classifier", "logreg"),
+)
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (``operators/text.py:
+    quality_logreg_score``): a logistic-regression head over the Gopher
+    feature vector scores every document and thresholds at p >= 0.5 —
+    the classifier-filter stage of FineWeb-Edu / DCLM-style curation,
+    with fixed documented weights standing in for a trained head (the
+    plumbing — featurize → linear score → sigmoid → threshold, all
+    codegen, zero UDFs, zero shuffles — is what must scale, and it is
+    identical either way). Both transcendentals (ln, exp) pass through
+    the registry's decimal squeeze so DuckDB replays the probabilities
+    bit-for-bit."""
+    from paimon_presto_spark.operators.text import quality_logreg_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_logreg_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("quality_prob", 6).alias("quality_prob"),
+        "kept",
+    ).orderBy("doc_id")

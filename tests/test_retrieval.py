@@ -210,3 +210,148 @@ class TestKeepBestInCluster:
         got = {r["component"]: r["keeper_id"] for r in best.collect()}
         # cluster {1,2,3}: 2 and 3 tie on n_chars=99 -> smaller id 2 wins
         assert got == {1: 2, 7: 7}
+
+
+class TestQualityLogreg:
+    def test_probability_matches_hand_sigmoid(self, spark):
+        from paimon_presto_spark.operators.text import (
+            QUALITY_LOGREG_WEIGHTS,
+            quality_logreg_score,
+        )
+
+        rows = [
+            (1, "the cat sat of the mat and it is in there", "en", 42),
+            (2, "### ... ### ... ###", "en", 19),
+        ]
+        out = quality_logreg_score(_docs(spark, rows))
+        got = {r["doc_id"]: (float(r["quality_prob"]), r["kept"])
+               for r in out.collect()}
+
+        w = QUALITY_LOGREG_WEIGHTS
+
+        def ref(text):
+            words = text.split(" ")
+            nw = len(words)
+            ml = len(text.replace(" ", "")) / nw
+            sr = (text.count("#") + text.count("...")) / nw
+            ar = sum(1 for x in words
+                     if any(c.isalpha() and c.isascii() for c in x)) / nw
+            sh = len(set(words) & {"the", "a", "of", "to", "and", "is", "in"})
+            z = (w["bias"] + w["log1p_n_words"] * math.log(1.0 + nw)
+                 + w["mean_word_len"] * ml + w["alpha_word_ratio"] * ar
+                 + w["stopword_hits"] * sh + w["symbol_ratio"] * sr)
+            return 1.0 / (1.0 + math.exp(-z))
+
+        for doc_id, text in [(1, rows[0][1]), (2, rows[1][1])]:
+            assert got[doc_id][0] == pytest.approx(ref(text), abs=1e-6)
+        # prose doc scores higher than symbol soup, and the threshold
+        # splits them
+        assert got[1][0] > got[2][0]
+        assert got[1][1] == 1 and got[2][1] == 0
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): random corpora vs pure-Python references
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _ref_bm25(doc_words, terms, k1=1.2, b=0.75):
+    """Pure-Python BM25 over a list-of-token-lists corpus."""
+    n = len(doc_words)
+    avgdl = sum(len(ws) for ws in doc_words) / n
+    dfs = {
+        t: sum(1 for ws in doc_words if t in ws) for t in terms
+    }
+    out = {}
+    for i, ws in enumerate(doc_words):
+        s = 0.0
+        hit = 0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            hit += 1
+            idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + (b * len(ws)) / avgdl)
+            )
+        if hit:
+            out[i] = (hit, s)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus_strategy, terms=st.lists(
+    st.sampled_from(_WORDS), min_size=1, max_size=3, unique=True))
+def test_bm25_matches_reference_on_random_corpora(spark, corpus, terms):
+    from paimon_presto_spark.operators.text import bm25_topk
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(ws), "en", len(" ".join(ws))) for i, ws in
+         enumerate(corpus)],
+    )
+    out = bm25_topk(docs, list(terms), k=100)
+    got = {r["doc_id"]: (r["n_terms_hit"], float(r["score_dec"]))
+           for r in out.collect()}
+    ref = _ref_bm25(corpus, terms)
+    assert set(got) == set(ref)
+    for d, (hit, s) in ref.items():
+        assert got[d][0] == hit
+        assert got[d][1] == pytest.approx(s, abs=1e-9)
+
+
+def _ref_components(pairs):
+    """Pure-Python union-find for the expected cluster labeling."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=12,
+))
+def test_connected_components_match_union_find(spark, pairs):
+    from paimon_presto_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == _ref_components(pairs)
