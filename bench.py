@@ -79,6 +79,7 @@ HEADLINE = [
     "knn_matryoshka_recall",
     "dedup_keep_best_in_cluster",
     "text_quality_logreg",
+    "dedup_ngram_containment",
 ]
 
 

@@ -1019,3 +1019,74 @@ def remove_repeated_chunks_cdc(
     chunked = cdc_chunks(docs, id_col, text_col, boundary_mod,
                          boundary_hash=boundary_hash)
     return _drop_overrepresented_chunks(chunked, id_col, max_count)
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df: int = 20,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-duplication: DIRECTED (contained, container) pairs
+    where containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold —
+    the relation Jaccard misses by construction: a short document quoted
+    wholesale inside a much longer one has low Jaccard (the union is
+    dominated by the container) but containment ≈ 1. This is the
+    "is-a-subset" signal used to drop quote-expansions, boilerplate
+    wrappers, and re-posts with appended commentary.
+
+    Returns (contained, container, containment, n_contained,
+    n_container); both directions of every candidate pair are scored, so
+    mutual near-equality shows up as two rows.
+
+    Scale shape — identical to ``ngram_jaccard_pairs`` up to the verify
+    arithmetic: shingles are 60-bit hashes (the shuffle never carries
+    text), candidates come from an inverted-index equi-join capped at
+    document frequency ≤ ``max_df`` (bounding posting-list blow-up on
+    common shingles; cf. Bayardo et al., WWW'07), and only candidates pay
+    the exact intersection count. The directed emit is a map-side union
+    of two projections of the SAME verified pair set — no second join.
+    """
+    sh = shingle_hashes(docs, id_col, text_col, shingle_n).cache()
+    sh.count()  # populate before fan-out (see minhash_lsh_pairs)
+    df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "h").select(
+        "doc_id", "h"
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "h")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = inter.join(na, "doc_a").join(nb, "doc_b")
+    fwd = scored.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        (F.col("inter") / F.col("na")).alias("containment"),
+        F.col("na").alias("n_contained"),
+        F.col("nb").alias("n_container"),
+    )
+    rev = scored.select(
+        F.col("doc_b").alias("contained"),
+        F.col("doc_a").alias("container"),
+        (F.col("inter") / F.col("nb")).alias("containment"),
+        F.col("nb").alias("n_contained"),
+        F.col("na").alias("n_container"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -1458,3 +1458,75 @@ def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=(
+        "WITH "
+        + _o_shingle_sql(3)
+        + """,
+        df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        rare AS (
+            SELECT doc_id, sh.s FROM sh JOIN df ON sh.s = df.s
+            WHERE df.df <= 20
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        scored AS (
+            SELECT i.doc_a, i.doc_b, i.inter, sa.n AS na, sb.n AS nb
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+        ),
+        directed AS (
+            SELECT doc_a AS contained, doc_b AS container,
+                   inter / CAST(na AS DOUBLE) AS containment,
+                   na AS n_contained, nb AS n_container
+            FROM scored
+            UNION ALL
+            SELECT doc_b, doc_a, inter / CAST(nb AS DOUBLE), nb, na
+            FROM scored
+        )
+        SELECT contained, container,
+               ROUND(containment, 6) AS containment,
+               CAST(n_contained AS BIGINT) AS n_contained,
+               CAST(n_container AS BIGINT) AS n_container
+        FROM directed
+        WHERE containment >= 0.6
+        ORDER BY contained, container
+    """
+    ),
+    tags=("dedup", "containment", "ngram", "asymmetric"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection
+    (``operators/dedup.py:ngram_containment_pairs``): directed
+    (contained, container) pairs with 3-gram shingle containment ≥ 0.6 —
+    the subset relation Jaccard misses by construction (a short document
+    quoted inside a long one has low Jaccard but containment ≈ 1), used
+    to drop quote-expansions and reposts-with-commentary while keeping
+    the container. Candidates come from the df-capped inverted index;
+    only candidates pay the exact intersection; the directed emit is two
+    projections of one verified pair set."""
+    from paimon_presto_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(
+        docs, shingle_n=3, max_df=20, threshold=0.6
+    )
+    return out.select(
+        "contained", "container",
+        F.round("containment", 6).alias("containment"),
+        "n_contained", "n_container",
+    ).orderBy("contained", "container")

@@ -355,3 +355,39 @@ def test_connected_components_match_union_find(spark, pairs):
     got = {r["doc_id"]: r["component"]
            for r in connected_components(df).collect()}
     assert got == _ref_components(pairs)
+
+
+class TestNgramContainment:
+    def test_subset_doc_is_flagged_directionally(self, spark):
+        from paimon_presto_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        long_text = " ".join(f"w{i}" for i in range(30))
+        short_text = " ".join(f"w{i}" for i in range(10, 20))  # strict subset
+        other = " ".join(f"z{i}" for i in range(25))
+        docs = _docs(
+            spark,
+            [(1, long_text, "en", len(long_text)),
+             (2, short_text, "en", len(short_text)),
+             (3, other, "en", len(other))],
+        )
+        out = ngram_containment_pairs(
+            docs, shingle_n=3, max_df=20, threshold=0.9
+        ).collect()
+        pairs = {(r["contained"], r["container"]): float(r["containment"])
+                 for r in out}
+        # short doc (8 shingles) fully contained in long doc -> 1.0,
+        # but long doc (28 shingles) is NOT contained in short
+        assert pairs == {(2, 1): 1.0}
+
+    def test_identical_docs_contain_each_other(self, spark):
+        from paimon_presto_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        t = "a b c d e f g"
+        docs = _docs(spark, [(1, t, "en", 13), (2, t, "en", 13)])
+        out = ngram_containment_pairs(docs, shingle_n=3, threshold=0.99)
+        got = {(r["contained"], r["container"]) for r in out.collect()}
+        assert got == {(1, 2), (2, 1)}
