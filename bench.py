@@ -79,7 +79,11 @@ HEADLINE = [
     "knn_matryoshka_recall",
     "dedup_keep_best_in_cluster",
     "text_quality_logreg",
-    "dedup_ngram_containment",
+    # dedup_ngram_containment is registry+oracle-gated but, like its
+    # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
+    # the exact-intersection verify over full shingle sets is the
+    # deliberate-precision rung (12s at sf0.1), not the throughput path
+    # (MinHash-LSH is).
 ]
 
 

@@ -1,0 +1,97 @@
+"""Registry entries that drive the STREAMING layer end-to-end.
+
+Most of the streaming surface (changelog source, consumers, watermarked
+windows, stateful ops, table sink) is exercised by `tests/test_streaming.py`
+— streaming semantics are about when results materialize, which a SQL
+oracle cannot express. This module adds the one streaming property a batch
+oracle CAN gate bit-for-bit: **stream/batch parity**. A micro-batched
+streaming job over the same input must converge to the batch answer; the
+entry below runs the real Structured Streaming pipeline (file stream →
+stateful dedup → memory sink, availableNow trigger) inside the query and
+returns invariants of its final state.
+
+Determinism note: WHICH copy of a duplicate text survives streaming dedup
+depends on micro-batch partition order, so the output exposes only
+survivor-set invariants — the kept/dropped counts and a content-derived
+checksum over the kept set (the distinct-text set is unique even though
+the surviving doc_ids are not).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from paimon_presto_spark.functions.hashing import HASH_PRIME, md5_long
+from paimon_presto_spark.queries import register
+
+
+@register(
+    "streaming_batch_parity_dedup",
+    oracle=f"""
+        WITH kept AS (SELECT DISTINCT text FROM documents)
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_kept,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                - (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_dropped,
+            (SELECT CAST(SUM(CAST('0x' || SUBSTR(MD5(text), 1, 15)
+                                  AS BIGINT) % {HASH_PRIME}) AS BIGINT)
+             FROM kept) AS kept_checksum
+    """,
+    tags=("streaming", "dedup", "parity", "stateful"),
+)
+def streaming_batch_parity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream/batch parity for exact dedup: run the REAL Structured
+    Streaming pipeline — a file stream over the documents parquet,
+    ``streaming/dedup.py:streaming_exact_dedup`` (state-store
+    first-occurrence pass-through on 16-byte content hashes), memory
+    sink, availableNow trigger — to completion, then return survivor-set
+    invariants (kept/dropped counts + a mod-prime checksum over kept
+    content hashes). The DuckDB oracle states the batch answer
+    (``SELECT DISTINCT text``); equality IS the parity proof the
+    streaming layer's exactly-once contract promises.
+
+    100 TB shape: the streaming job is the scale path itself — state
+    rows are 16-byte keys (never documents), micro-batches bound memory,
+    and with a watermark the state expires (``dropDuplicatesWithin
+    Watermark``); the batch comparison is the correctness harness, run
+    at test scale only.
+    """
+    from paimon_presto_spark.streaming.dedup import streaming_exact_dedup
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    name = f"parity_dedup_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        # The streaming file source requires a DIRECTORY; point it at the
+        # sf_dir and glob-filter to the documents file.
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", "text")
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    kept = spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(md5_long("text") % HASH_PRIME).alias("kept_checksum"),
+    )
+    total = spark.read.parquet(path).count()
+    return kept.select(
+        "n_kept",
+        (F.lit(total) - F.col("n_kept")).cast("long").alias("n_dropped"),
+        "kept_checksum",
+    ).select("n_kept", "n_dropped", "kept_checksum")
