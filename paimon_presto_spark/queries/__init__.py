@@ -61,11 +61,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # ADDED this round (a new entry outside the prefix would sit ungraded) +
 # the 2 rows whose most recent driver grade is round 2 (displaced from the
 # r5 prefix to make room for that round's additions) + 40 of the 46 rows
-# last graded in round 3 — exactly 50. The eight displaced r3 rows
+# last graded in round 3 — exactly 50. The nine displaced r3 rows
 # (q10_returned_items, q5, q7, q8, q19, q22, agg_histogram_map,
-# timeseries_gap_fill) keep their families anchored in-prefix (TPC-H
-# joins by q11, aggregates by agg_grouping_sets, windows by
-# window_rank_variants) and rotate in next round with the r4 cohort.
+# timeseries_gap_fill, datetime_trunc_extras) keep their families
+# anchored in-prefix (TPC-H joins by q11, aggregates by
+# agg_grouping_sets, windows by window_rank_variants, datetime by
+# scalar_misc_semantics/map_functions cohort) and rotate in next round
+# with the r4 cohort.
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
@@ -77,6 +79,7 @@ PRIORITY: tuple[str, ...] = (
     "text_quality_logreg",
     "dedup_ngram_containment",
     "streaming_batch_parity_dedup",
+    "text_bigram_perplexity",
     # -- added after the r5 grading ran (never graded) -------------------
     "sample_priority_weighted",
     "dedup_intra_doc_chunks",
@@ -110,7 +113,6 @@ PRIORITY: tuple[str, ...] = (
     "array_setops_functions",
     "array_subscript_embeddings",
     "bitwise_functions",
-    "datetime_trunc_extras",
     "map_functions",
     "scalar_misc_semantics",
     "string_advanced_functions",

@@ -1447,3 +1447,119 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("quality_prob", 6).alias("quality_prob"),
         "kept",
     ).orderBy("doc_id")
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        bi AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                                         i -> tk[i])) AS w1,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                                         i -> tk[i + 1])) AS w2
+            FROM toks
+        ),
+        bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+        cc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsize
+            FROM toks, UNNEST(tk) AS t(w)
+        ),
+        scored AS (
+            SELECT bi.doc_id,
+                   CAST(LN((bc.c2 + 0.5) / (cc.c1 + 0.5 * v.vsize))
+                        AS DECIMAL(28,10)) AS lp
+            FROM bi
+            JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+            JOIN cc ON bi.w1 = cc.w1, v
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) AS logprob_sum
+            FROM scored
+            WHERE doc_id < 40
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, logprob_sum,
+               ROUND(CAST(CAST(CAST(EXP(-(logprob_sum / n_bigrams))
+                   AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE), 6)
+                   AS perplexity
+        FROM agg
+        ORDER BY doc_id
+    """,
+    tags=("text", "quality", "language-model", "bigram", "perplexity"),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity per document (add-0.5-smoothed
+    p(w_i | w_{i-1}) estimated from the corpus itself) — one modeling
+    rung above ``text_unigram_logprob``: word-ORDER quality now counts,
+    so shuffled-word soup that fools a unigram model scores high
+    perplexity here. The KenLM-style perplexity filter of CCNet/FineWeb
+    pipelines, at n=2 and with the neural parts removed.
+
+    Scale shape: bigram extraction is a pure map (an index-zip over the
+    doc's own token array — no self-join, no window); the bigram count
+    table aggregates map-side and is JOINED on (w1, w2) by shuffle (it
+    is vocabulary², potentially too large to broadcast — the context
+    count table c(w1) is vocabulary-sized and reduces from it); per-doc
+    decimal sums combine map-side. The corpus text never shuffles.
+
+    Determinism: counts are exact integers; the smoothed probability is
+    one correctly-rounded division (0.5*V is exact); both ln() and the
+    final exp() pass through DECIMAL(28,10).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("w1"),
+                F.element_at(arr, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bi = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vsize = (
+        d.select(F.explode(arr).alias("w")).select("w").distinct().count()
+    )
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(F.broadcast(cc), "w1")
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c2") + F.lit(0.5))
+                / (F.col("c1") + F.lit(0.5) * F.lit(float(vsize)))
+            ).cast("decimal(28,10)"),
+        )
+    )
+    agg = (
+        scored.filter(F.col("doc_id") < 40)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").cast("string").cast("double").alias("logprob_sum"),
+        )
+    )
+    from paimon_presto_spark.functions.numeric import decimal_squeeze
+
+    ppl = decimal_squeeze(
+        F.exp(-(F.col("logprob_sum") / F.col("n_bigrams")))
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "logprob_sum",
+        F.round(ppl, 6).alias("perplexity"),
+    ).orderBy("doc_id")

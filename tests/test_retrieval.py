@@ -391,3 +391,30 @@ class TestNgramContainment:
         out = ngram_containment_pairs(docs, shingle_n=3, threshold=0.99)
         got = {(r["contained"], r["container"]) for r in out.collect()}
         assert got == {(1, 2), (2, 1)}
+
+
+class TestBigramPerplexity:
+    def test_word_order_soup_scores_worse(self, spark):
+        """A doc whose bigrams never occur elsewhere (shuffled word
+        order) must show higher perplexity than one matching the
+        corpus's dominant word order — the signal unigram LMs miss."""
+        from paimon_presto_spark.queries.curation import (
+            text_bigram_perplexity,
+        )
+        import os
+        import tempfile
+
+        rows = (
+            [(i, "a b c d e", "en", 9) for i in range(20)]      # dominant order
+            + [(30, "a b c d e", "en", 9),                       # conforming
+               (31, "e d c b a", "en", 9)]                        # same words, reversed
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            _docs(spark, rows).write.parquet(
+                os.path.join(tmp, "documents.parquet")
+            )
+            out = text_bigram_perplexity(spark, tmp).collect()
+        ppl = {r["doc_id"]: r["perplexity"] for r in out}
+        assert ppl[31] > ppl[30]
+        # conforming doc matches the corpus mode -> near-minimal ppl
+        assert ppl[30] == min(ppl.values())
