@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-DEC = "decimal(28,10)"
+from paimon_presto_spark.functions.numeric import DEC
 
 
 def hierarchical_rollup(

@@ -362,9 +362,16 @@ def quality_logreg_score(
     integers; both transcendentals (ln(1+n_words), exp(-z)) are squeezed
     through DECIMAL(28,10); the dot product accumulates left-to-right in
     the same literal order as the oracle SQL.
-    """
-    from paimon_presto_spark.functions.numeric import decimal_squeeze
 
+    Overflow guard: z is clamped at -40 before the sigmoid. Without it a
+    symbol-heavy doc (symbol_ratio ≈ 5 ⇒ z ≈ -40+) makes exp(-z) exceed
+    DECIMAL(28,10)'s 1e18 integer range — a job-killing
+    NUMERIC_VALUE_OUT_OF_RANGE under ANSI, silent NULLs otherwise.
+    sigmoid(-40) ≈ 4e-18 rounds to probability 0, so the clamp is
+    value-invisible; exp(+large) is never a risk (it squeezes to decimal
+    0 and the sigmoid saturates at 1). The oracle applies the identical
+    GREATEST(z, -40.0).
+    """
     w = QUALITY_LOGREG_WEIGHTS
     feats = gopher_quality_rules(docs, id_col=id_col, text_col=text_col)
     ln1w = decimal_squeeze(F.log(F.lit(1.0) + F.col("n_words")))
@@ -376,6 +383,7 @@ def quality_logreg_score(
         + F.lit(w["stopword_hits"]) * F.col("stopword_hits")
         + F.lit(w["symbol_ratio"]) * F.col("symbol_ratio")
     )
+    z = F.greatest(z, F.lit(-40.0))
     prob = F.lit(1.0) / (F.lit(1.0) + decimal_squeeze(F.exp(-z)))
     return feats.select(
         F.col(id_col),

@@ -58,10 +58,10 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # is ROTATED each round so every registry entry eventually earns a
 # driver-graded row; every entry has had a green driver row since round 4.
 # Round-6 policy is pure staleness rotation, same as round 5: every entry
-# ADDED this round (a new entry outside the prefix would sit ungraded) +
-# the 2 rows whose most recent driver grade is round 2 (displaced from the
-# r5 prefix to make room for that round's additions) + 40 of the 46 rows
-# last graded in round 3 — exactly 50. The nine displaced r3 rows
+# ADDED this round (a new entry outside the prefix would sit ungraded — 8
+# round-6 entries + 3 added after the r5 grading ran) + the 2 rows whose
+# most recent driver grade is round 2 + 37 of the 46 rows last graded in
+# round 3 — exactly 50 (8+3+2+37). The nine displaced r3 rows
 # (q10_returned_items, q5, q7, q8, q19, q22, agg_histogram_map,
 # timeseries_gap_fill, datetime_trunc_extras) keep their families
 # anchored in-prefix (TPC-H joins by q11, aggregates by

@@ -1403,13 +1403,16 @@ def mix_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         z AS (
             SELECT doc_id, n_words,
-                   -3.0
-                   + 0.4 * CAST(CAST(CAST(LN(1.0 + n_words)
-                         AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE)
-                   + 0.15 * mean_len
-                   + 1.5 * alpha_ratio
-                   + 0.5 * stop_hits
-                   + -8.0 * sym_ratio AS z
+                   GREATEST(
+                       -3.0
+                       + 0.4 * CAST(CAST(CAST(LN(1.0 + n_words)
+                             AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE)
+                       + 0.15 * mean_len
+                       + 1.5 * alpha_ratio
+                       + 0.5 * stop_hits
+                       + -8.0 * sym_ratio,
+                       -40.0
+                   ) AS z
             FROM m
         ),
         p AS (
@@ -1552,8 +1555,6 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp").cast("string").cast("double").alias("logprob_sum"),
         )
     )
-    from paimon_presto_spark.functions.numeric import decimal_squeeze
-
     ppl = decimal_squeeze(
         F.exp(-(F.col("logprob_sum") / F.col("n_bigrams")))
     )

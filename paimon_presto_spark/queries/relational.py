@@ -21,10 +21,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from paimon_presto_spark.functions.hashing import md5_long
+from paimon_presto_spark.functions.numeric import DEC
 from paimon_presto_spark.queries import register
 from paimon_presto_spark.sources.testdata import load_table
-
-DEC = "decimal(28,10)"
 
 
 def dsum(c: Column, alias: str) -> Column:

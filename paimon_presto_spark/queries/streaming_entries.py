@@ -85,13 +85,21 @@ def streaming_batch_parity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    kept = spark.table(name).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum(md5_long("text") % HASH_PRIME).alias("kept_checksum"),
+    # Materialize the two survivor-set scalars EAGERLY, then drop the
+    # memory-sink view: a lazily returned plan would pin the sink's
+    # in-driver copy of the kept rows for the session lifetime, leaking
+    # one corpus per invocation across bench/gate loops.
+    row = (
+        spark.table(name)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(md5_long("text") % HASH_PRIME).alias("kept_checksum"),
+        )
+        .collect()[0]
     )
+    spark.catalog.dropTempView(name)
     total = spark.read.parquet(path).count()
-    return kept.select(
-        "n_kept",
-        (F.lit(total) - F.col("n_kept")).cast("long").alias("n_dropped"),
-        "kept_checksum",
-    ).select("n_kept", "n_dropped", "kept_checksum")
+    return spark.createDataFrame(
+        [(row["n_kept"], total - row["n_kept"], row["kept_checksum"])],
+        "n_kept long, n_dropped long, kept_checksum long",
+    )

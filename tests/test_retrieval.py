@@ -418,3 +418,19 @@ class TestBigramPerplexity:
         assert ppl[31] > ppl[30]
         # conforming doc matches the corpus mode -> near-minimal ppl
         assert ppl[30] == min(ppl.values())
+
+
+def test_quality_logreg_survives_symbol_heavy_doc(spark):
+    """Regression: a doc dominated by '#'/'...' drives z below -40;
+    without the clamp exp(-z) overflows DECIMAL(28,10) (ANSI crash /
+    silent NULLs). The clamp must keep the job alive with prob ~ 0."""
+    from paimon_presto_spark.operators.text import quality_logreg_score
+
+    soup = " ".join(["#" * 10] * 5)  # symbol_ratio = 10, z ~ -80
+    docs = _docs(spark, [(1, soup, "en", len(soup)),
+                         (2, "the cat is on the mat", "en", 21)])
+    got = {r["doc_id"]: (r["quality_prob"], r["kept"])
+           for r in quality_logreg_score(docs).collect()}
+    assert got[1][0] is not None and got[1][1] == 0
+    assert got[1][0] == pytest.approx(0.0, abs=1e-15)
+    assert got[2][0] is not None
