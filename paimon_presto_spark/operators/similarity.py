@@ -147,6 +147,47 @@ def lsh_bucketed_topk(
     )
 
 
+def _unit_centroids(
+    centroids: list[tuple[int, list[float]]],
+) -> list[tuple[int, list[float]]]:
+    """Unit-normalize centroids driver-side: argmax over dot(emb,
+    unit_cvec) equals argmax over cosine(emb, cvec) because 1/|emb| is a
+    common positive factor. Assignment then needs no |emb| and no
+    division."""
+    import math
+
+    unit = []
+    for cid, vec in centroids:
+        norm = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        unit.append((int(cid), [float(x) / norm for x in vec]))
+    return unit
+
+
+def _centroid_sims(emb: Column, unit: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<s, negcid>> of dot products against unit centroids:
+    struct ordering gives "highest sim, then lowest cid" for both
+    array_max (top-1) and reversed array_sort (top-n) — the oracle's
+    ORDER BY sim DESC, cid ASC. Map-only codegen, no crossJoin."""
+    e = emb.cast("array<double>")
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        e,
+                        F.array(*[F.lit(x) for x in v]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("s"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, v in unit
+        ]
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,38 +210,10 @@ def ivf_topk(
     touches |corpus|/|centroids| × n_probe candidate rows instead of the
     full corpus per query.
     """
-    import math
-
-    # Unit-normalize centroids driver-side: argmax over dot(emb, unit_cvec)
-    # equals argmax over cosine(emb, cvec) because 1/|emb| is a common
-    # positive factor. Assignment then needs no |emb| and no division.
-    unit = []
-    for cid, vec in centroids:
-        norm = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
-        unit.append((int(cid), [float(x) / norm for x in vec]))
+    unit = _unit_centroids(centroids)
 
     def sims(emb: Column) -> Column:
-        # array<struct<s, negcid>>: struct ordering gives "highest sim,
-        # then lowest cid" for both array_max (top-1) and reversed
-        # array_sort (top-n) — the oracle's ORDER BY sim DESC, cid ASC.
-        e = emb.cast("array<double>")
-        return F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            e,
-                            F.array(*[F.lit(x) for x in v]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("s"),
-                    F.lit(-cid).alias("negcid"),
-                )
-                for cid, v in unit
-            ]
-        )
+        return _centroid_sims(emb, unit)
 
     # Map-only assignment: the per-row argmax/top-n over |centroids| is one
     # array expression — no crossJoin expansion, no shuffle, no window. At
@@ -1493,4 +1506,113 @@ def truncated_dim_recall(
             "recall",
             F.col("n_overlap").cast("double") / F.col("n_full"),
         )
+    )
+
+
+def ivf_pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode: str = "relational",
+) -> DataFrame:
+    """IVF-PQ ANN — the FAISS big-index layout, both halves composed:
+    the coarse quantizer prunes WHICH rows are scored (each query reads
+    only its ``n_probe`` posting lists), PQ-ADC prunes WHAT is read per
+    row (m one-byte codes instead of the raw vector). At 100 TB the
+    index is (bucket, codes) — a handful of bytes per vector — and a
+    query touches |corpus| × n_probe / |lists| candidates through table
+    lookups, never raw embeddings.
+
+    Plan shape: coarse assignment is the same map-only argmax expression
+    as ``ivf_topk`` (no crossJoin, no shuffle); the PQ code explode joins
+    the broadcast (q_id, bucket) probe pairs on bucket, then the
+    broadcast per-query distance table on (q_id, ss, code); ONE hash
+    aggregation with DECIMAL(38,18) sums (exact, order-independent)
+    feeds the per-query top-k window. Returns (q_id, n_id, approx_l2,
+    rnk).
+    """
+    m = len(books)
+    sub = len(books[0][0])
+    dim = m * sub
+    unit = _unit_centroids(centroids)
+    # corpus: one bucket per row + m PQ codes, in one map-only pass
+    enc = pq_encode(corpus, books, id_col, vec_col, encode).join(
+        corpus.select(
+            F.col(id_col),
+            (-F.array_max(
+                _centroid_sims(F.col(vec_col), unit)
+            ).getField("negcid")).cast("int").alias("bucket"),
+        ),
+        id_col,
+    )
+    exploded = enc.select(
+        F.col(id_col).alias("n_id"),
+        "bucket",
+        F.posexplode("codes").alias("ss", "code"),
+    )
+    # queries: probed buckets (driver-tiny) + per-query distance tables
+    q_probes = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(_centroid_sims(F.col(vec_col), unit))
+                    ),
+                    1,
+                    n_probe,
+                ),
+                lambda s: (-s["negcid"]).cast("int"),
+            )
+        ).alias("bucket"),
+    )
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .filter(F.size("__v") == dim)
+        .collect()
+    )
+    table = []
+    for qr in q_rows:
+        qv = qr["__v"]
+        for ss in range(m):
+            for cid, cvec in books[ss].items():
+                acc = None
+                for j, c in enumerate(cvec):
+                    d = float(qv[ss * sub + j]) - float(c)
+                    t = d * d
+                    acc = t if acc is None else acc + t
+                table.append((qr["q_id"], ss, cid, acc))
+    spark = corpus.sparkSession
+    dtable = spark.createDataFrame(
+        table,
+        T.StructType([
+            T.StructField("q_id", queries.schema[id_col].dataType),
+            T.StructField("ss", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("d", T.DoubleType()),
+        ]),
+    )
+    scored = (
+        exploded.join(F.broadcast(q_probes), "bucket")
+        .join(F.broadcast(dtable), ["q_id", "ss", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("approx_l2")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", F.round("approx_l2", 6).alias("approx_l2"), "rnk")
     )

@@ -58,12 +58,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # is ROTATED each round so every registry entry eventually earns a
 # driver-graded row; every entry has had a green driver row since round 4.
 # Round-6 policy is pure staleness rotation, same as round 5: every entry
-# ADDED this round (a new entry outside the prefix would sit ungraded — 8
+# ADDED this round (a new entry outside the prefix would sit ungraded — 9
 # round-6 entries + 3 added after the r5 grading ran) + the 2 rows whose
-# most recent driver grade is round 2 + 37 of the 46 rows last graded in
-# round 3 — exactly 50 (8+3+2+37). The nine displaced r3 rows
+# most recent driver grade is round 2 + 36 of the 46 rows last graded in
+# round 3 — exactly 50 (9+3+2+36). The ten displaced r3 rows
 # (q10_returned_items, q5, q7, q8, q19, q22, agg_histogram_map,
-# timeseries_gap_fill, datetime_trunc_extras) keep their families
+# timeseries_gap_fill, datetime_trunc_extras, array_setops_functions)
+# keep their families
 # anchored in-prefix (TPC-H joins by q11, aggregates by
 # agg_grouping_sets, windows by window_rank_variants, datetime by
 # scalar_misc_semantics/map_functions cohort) and rotate in next round
@@ -80,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_containment",
     "streaming_batch_parity_dedup",
     "text_bigram_perplexity",
+    "knn_ivf_pq_adc",
     # -- added after the r5 grading ran (never graded) -------------------
     "sample_priority_weighted",
     "dedup_intra_doc_chunks",
@@ -110,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "window_rank_variants",
     # scalars / arrays / maps / datetime
     "array_lambda_functions",
-    "array_setops_functions",
     "array_subscript_embeddings",
     "bitwise_functions",
     "map_functions",

@@ -1867,3 +1867,171 @@ def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_matched", F.lit(10).alias("k"))
         .orderBy("q_id")
     )
+
+
+def _oracle_ivf_pq_adc(
+    m: int, sub: int, ksub: int, iters: int, sample_n: int,
+    topk: int, n_queries: int, n_probe: int,
+) -> str:
+    """SQL replay of the COMPOSED FAISS-style index: the coarse IVF
+    quantizer (literal centroids, same CTE text as ``_oracle_ivf_knn``)
+    restricts which (query, corpus) pairs are scored, and the full PQ
+    pipeline (training + encoding + ADC, same CTEs as
+    ``_oracle_pq_adc``) supplies the scores. The only new SQL is the
+    scored join: probe pairs gate the enc x dtable lookup."""
+    dim = m * sub
+    cents = ",\n".join(
+        f"({cid}, [{', '.join(repr(x) for x in vec)}]::DOUBLE[])"
+        for cid, vec in _ivf_cents()
+    )
+    sv = "[" + ", ".join(f"v[ss * {sub} + {j + 1}]" for j in range(sub)) + "]"
+    dist_pc = " + ".join(
+        f"(p.sv[{j + 1}] - c.c[{j + 1}]) * (p.sv[{j + 1}] - c.c[{j + 1}])"
+        for j in range(sub)
+    )
+    dist_qc = " + ".join(
+        f"(q.v[c.ss * {sub} + {j + 1}] - c.c[{j + 1}])"
+        f" * (q.v[c.ss * {sub} + {j + 1}] - c.c[{j + 1}])"
+        for j in range(sub)
+    )
+    mean_list = "[" + ", ".join(
+        f"CAST(SUM(CAST(sv[{j + 1}] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)"
+        for j in range(sub)
+    ) + "]"
+    parts = []
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT id, ss, sv, code FROM ("
+            f"  SELECT p.id, p.ss, p.sv, c.cid AS code,"
+            f"    ROW_NUMBER() OVER (PARTITION BY p.id, p.ss"
+            f"      ORDER BY {dist_pc}, c.cid) AS rk"
+            f"  FROM ssample p JOIN cb{i} c ON c.ss = p.ss) WHERE rk = 1)"
+        )
+        parts.append(
+            f"u{i} AS (SELECT ss, code, {mean_list} AS nc"
+            f"  FROM a{i} GROUP BY ss, code)"
+        )
+        parts.append(
+            f"cb{i + 1} AS (SELECT c.ss, c.cid, COALESCE(u.nc, c.c) AS c"
+            f"  FROM cb{i} c LEFT JOIN u{i} u"
+            f"  ON u.ss = c.ss AND u.code = c.cid)"
+        )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH cent(cid, cvec) AS (VALUES {cents}),
+        base AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        hashed AS (
+            SELECT id, v,
+                   CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM base WHERE len(v) = {dim}
+        ),
+        cassign AS (
+            SELECT id, cid AS bucket FROM (
+                SELECT e.id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.id
+                           ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec)
+                                    DESC, c.cid
+                       ) AS rk
+                FROM hashed e, cent c
+            ) WHERE rk = 1
+        ),
+        qprobe AS (
+            SELECT id AS q_id, cid AS bucket FROM (
+                SELECT e.id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.id
+                           ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec)
+                                    DESC, c.cid
+                       ) AS rk
+                FROM hashed e, cent c
+                WHERE e.id < {n_queries}
+            ) WHERE rk <= {n_probe}
+        ),
+        sample AS (
+            SELECT id, v, h FROM hashed ORDER BY h, id LIMIT {sample_n}
+        ),
+        seeds AS (
+            SELECT id, v, cid FROM (
+                SELECT id, v,
+                       ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS cid
+                FROM sample
+            ) WHERE cid < {ksub}
+        ),
+        sses AS (SELECT CAST(unnest(range({m})) AS INT) AS ss),
+        cb0 AS (
+            SELECT ss, cid, {sv} AS c FROM seeds CROSS JOIN sses
+        ),
+        ssample AS (
+            SELECT id, ss, {sv} AS sv FROM sample CROSS JOIN sses
+        ),
+        {ctes},
+        corpus_ss AS (
+            SELECT id, ss, {sv} AS sv FROM hashed CROSS JOIN sses
+        ),
+        enc AS (
+            SELECT id, ss, code FROM (
+                SELECT p.id, p.ss, c.cid AS code,
+                       ROW_NUMBER() OVER (PARTITION BY p.id, p.ss
+                                          ORDER BY {dist_pc}, c.cid) AS rk
+                FROM corpus_ss p JOIN cb{iters} c ON c.ss = p.ss
+            ) WHERE rk = 1
+        ),
+        dtable AS (
+            SELECT q.id AS q_id, c.ss, c.cid AS code, {dist_qc} AS d
+            FROM hashed q CROSS JOIN cb{iters} c
+            WHERE q.id < {n_queries}
+        ),
+        scored AS (
+            SELECT t.q_id, e.id AS n_id,
+                   CAST(SUM(CAST(t.d AS DECIMAL(38,18))) AS DOUBLE)
+                       AS approx_l2
+            FROM enc e
+            JOIN cassign ca ON ca.id = e.id
+            JOIN qprobe qp ON qp.bucket = ca.bucket
+            JOIN dtable t ON t.q_id = qp.q_id
+                         AND t.ss = e.ss AND t.code = e.code
+            GROUP BY t.q_id, e.id
+        )
+        SELECT q_id, n_id, ROUND(approx_l2, 6) AS approx_l2, rnk FROM (
+            SELECT q_id, n_id, approx_l2,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY approx_l2 ASC, n_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {topk}
+        ORDER BY q_id, rnk
+    """
+
+
+@register(
+    "knn_ivf_pq_adc",
+    oracle=_oracle_ivf_pq_adc(
+        m=8, sub=8, ksub=16, iters=2, sample_n=128, topk=10,
+        n_queries=5, n_probe=IVF_PROBE,
+    ),
+    tags=("similarity", "knn", "ivf", "product-quantization", "adc"),
+)
+def knn_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed — the FAISS big-index layout
+    (``operators/similarity.py:ivf_pq_adc_topk``): the coarse quantizer
+    prunes WHICH rows each query scores (n_probe=4 of 16 posting lists),
+    PQ-ADC prunes WHAT is read per candidate (m=8 one-byte codes, a 32x
+    memory cut at dim=64). At 100 TB the stored index is (bucket, codes)
+    — bytes per vector — and a query's cost is posting-list-bounded
+    table lookups, never raw embeddings. The oracle replays the coarse
+    assignment (literal centroids) AND the full PQ pipeline (training,
+    encoding, ADC) in SQL, gated by the same probe pairs."""
+    from paimon_presto_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+        pq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=8, ksub=16, iters=2, sample_n=128, dim=64)
+    queries = e.filter(F.col("vec_id") < 5)
+    return ivf_pq_adc_topk(
+        e, queries, _ivf_cents(), books, k=10, n_probe=IVF_PROBE
+    ).orderBy("q_id", "rnk")

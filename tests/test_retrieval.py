@@ -434,3 +434,28 @@ def test_quality_logreg_survives_symbol_heavy_doc(spark):
     assert got[1][0] is not None and got[1][1] == 0
     assert got[1][0] == pytest.approx(0.0, abs=1e-15)
     assert got[2][0] is not None
+
+
+def test_ivf_pq_with_all_lists_probed_equals_plain_pq(spark):
+    """Identity: probing EVERY posting list disables the IVF pruning, so
+    IVF-PQ must return exactly the plain PQ-ADC ranking — pinning that
+    the composition changes candidate SELECTION only, never scores."""
+    from paimon_presto_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+        pq_adc_topk,
+        pq_train,
+    )
+    from paimon_presto_spark.queries.advanced import _ivf_cents
+
+    from paimon_presto_spark.sources.testdata import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_train(e, m=8, ksub=16, iters=1, sample_n=64, dim=64)
+    q = e.filter(F.col("vec_id") < 3)
+    cents = _ivf_cents()
+    composed = ivf_pq_adc_topk(
+        e, q, cents, books, k=5, n_probe=len(cents)
+    ).collect()
+    plain = pq_adc_topk(e, q, books, k=5).collect()
+    key = lambda r: (r["q_id"], r["rnk"], r["n_id"], r["approx_l2"])  # noqa: E731
+    assert sorted(map(key, composed)) == sorted(map(key, plain))
