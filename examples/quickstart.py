@@ -244,6 +244,15 @@ def main() -> None:
               "| logreg keeps:", kept,
               "| matryoshka mean recall@10:", round(mean_recall, 3))
 
+        # -- containment dedup, bigram LM, stream/batch parity ---------------
+        cont = qs2["dedup_ngram_containment"](spark, SF_DIR)
+        ppl = qs2["text_bigram_perplexity"](spark, SF_DIR).limit(3).collect()
+        par = qs2["streaming_batch_parity_dedup"](spark, SF_DIR).collect()[0]
+        print("containment pairs:", cont.count(),
+              "| bigram ppl(doc0):", ppl[0]["perplexity"],
+              "| stream/batch parity kept:", par["n_kept"],
+              "dropped:", par["n_dropped"])
+
         print("quickstart complete.")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
