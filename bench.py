@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_keep_best_in_cluster",
     "text_quality_logreg",
     "text_bigram_perplexity",
+    "agg_weighted_median",
     # dedup_ngram_containment is registry+oracle-gated but, like its
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
     # the exact-intersection verify over full shingle sets is the

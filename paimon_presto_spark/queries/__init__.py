@@ -58,13 +58,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # is ROTATED each round so every registry entry eventually earns a
 # driver-graded row; every entry has had a green driver row since round 4.
 # Round-6 policy is pure staleness rotation, same as round 5: every entry
-# ADDED this round (a new entry outside the prefix would sit ungraded — 9
-# round-6 entries + 3 added after the r5 grading ran) + the 2 rows whose
-# most recent driver grade is round 2 + 36 of the 46 rows last graded in
-# round 3 — exactly 50 (9+3+2+36). The ten displaced r3 rows
-# (q10_returned_items, q5, q7, q8, q19, q22, agg_histogram_map,
-# timeseries_gap_fill, datetime_trunc_extras, array_setops_functions)
-# keep their families
+# ADDED this round (a new entry outside the prefix would sit ungraded —
+# 10 round-6 entries + 3 added after the r5 grading ran) + the 2 rows
+# whose most recent driver grade is round 2 + 35 of the 46 rows last
+# graded in round 3 — exactly 50 (10+3+2+35). The eleven displaced r3
+# rows (q10_returned_items, q5, q7, q8, q19, q22, agg_histogram_map,
+# timeseries_gap_fill, datetime_trunc_extras, array_setops_functions,
+# unnest_with_ordinality) keep their families
 # anchored in-prefix (TPC-H joins by q11, aggregates by
 # agg_grouping_sets, windows by window_rank_variants, datetime by
 # scalar_misc_semantics/map_functions cohort) and rotate in next round
@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "streaming_batch_parity_dedup",
     "text_bigram_perplexity",
     "knn_ivf_pq_adc",
+    "agg_weighted_median",
     # -- added after the r5 grading ran (never graded) -------------------
     "sample_priority_weighted",
     "dedup_intra_doc_chunks",
@@ -100,7 +101,6 @@ PRIORITY: tuple[str, ...] = (
     "join_full_outer",
     "join_salted_skew",
     "setop_intersect",
-    "unnest_with_ordinality",
     "events_interval_join_outer",
     # aggregates
     "agg_corr_manual",

@@ -2035,3 +2035,81 @@ def knn_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_adc_topk(
         e, queries, _ivf_cents(), books, k=10, n_probe=IVF_PROBE
     ).orderBy("q_id", "rnk")
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+        WITH c AS (
+            SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+                   SUM(CAST(l_quantity AS DECIMAL(28,10))) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum,
+                   SUM(CAST(l_quantity AS DECIMAL(28,10))) OVER (
+                       PARTITION BY l_returnflag
+                   ) AS tot
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               l_extendedprice AS weighted_median,
+               CAST(tot AS BIGINT) AS total_qty
+        FROM c
+        WHERE 2 * cum >= tot
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        ) = 1
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "weighted-median", "window", "percentile"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the aggregate Spark (and most engines) lack as
+    a builtin: per return flag, the smallest extended price whose
+    cumulative quantity weight reaches half the group's total (lower
+    weighted median; ties broken by the (orderkey, linenumber) key so
+    the chosen ROW is unique). percentile() weights every row equally;
+    this weights rows by a measure — the shape needed for "median price
+    weighted by volume" analytics and for token-weighted corpus stats.
+
+    Exactness: weights accumulate as DECIMAL(28,10) (exact integers
+    here), so the running total is order-independent and the 2*cum >= tot
+    test is exact integer arithmetic in both engines — no float ever
+    enters the decision.
+
+    Scale shape: one window partitioned BY THE GROUP (each group is one
+    task — the standard SQL shape; a group too large for one task takes
+    the bucketed running-sum decomposition documented in
+    ``operators/selection.py``), then a per-group min-struct aggregation
+    over the satisfying suffix. Nothing global, no driver loops.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        F.sum(F.col("l_quantity").cast(DEC)).over(wo).alias("cum"),
+        F.sum(F.col("l_quantity").cast(DEC)).over(wp).alias("tot"),
+    )
+    sat = c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+    return (
+        sat.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.struct("l_extendedprice", "l_orderkey", "l_linenumber")
+            ).alias("m"),
+            F.first(F.col("tot").cast("long")).alias("total_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("m.l_extendedprice").alias("weighted_median"),
+            "total_qty",
+        )
+        .orderBy("l_returnflag")
+    )

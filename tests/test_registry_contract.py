@@ -31,8 +31,8 @@ def test_priority_prefix_is_valid_and_broad():
     # Every operator family must be represented in the prefix. The prefix
     # ROTATES across rounds (so every entry eventually earns a driver-graded
     # row); these anchors are the round-6 representatives of each family
-    # (the round-6 prefix is 9 new entries + 3 added after the r5 grading
-    # ran + the 2 r2-last + 36 of the 46 r3-last stalest rows).
+    # (the round-6 prefix is 10 new entries + 3 added after the r5 grading
+    # ran + the 2 r2-last + 35 of the 46 r3-last stalest rows).
     prefix = set(PRIORITY)
     for family_member in (
         "table_format_aggregation",
