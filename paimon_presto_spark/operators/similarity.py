@@ -1269,8 +1269,16 @@ def _pq_codes_exploded(
     id_col: str,
     vec_col: str,
     encode: str,
+    carry: dict[str, "Column"] | None = None,
 ) -> DataFrame:
-    """(id, ss, code) triples for every vector x subspace.
+    """(id, ss, code[, carry...]) triples for every vector x subspace.
+
+    ``carry`` maps output-column names to expressions over the INPUT row
+    (e.g. an IVF bucket derived from the vector); they ride the same
+    single corpus scan instead of forcing callers into a second scan
+    plus an id-join. Carried values are functionally dependent on the
+    id, so adding them to the relational rung's group keys changes no
+    group.
 
     Two rungs, same results (identical fixed-order float arithmetic;
     0.0 + t == t exactly for the squared terms, so the HOF fold and the
@@ -1290,13 +1298,17 @@ def _pq_codes_exploded(
     m = len(books)
     sub = len(books[0][0])
     dim = m * sub
+    carry = carry or {}
+    cnames = list(carry)
     v = vectors.select(
         F.col(id_col),
+        *[expr.alias(nm) for nm, expr in carry.items()],
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).filter(F.size("__v") == dim)
     if encode == "codegen":
         return v.select(
             id_col,
+            *cnames,
             F.posexplode(
                 F.array(*[
                     _pq_code_expr(F.col("__v"), ss, sub, books[ss])
@@ -1308,16 +1320,19 @@ def _pq_codes_exploded(
         raise ValueError(f"unknown encode rung {encode!r}")
     expl = v.select(
         id_col,
+        *cnames,
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ss"),
         F.col("__v"),
     ).select(
         id_col,
+        *cnames,
         F.col("ss").cast("int").alias("ss"),
         F.slice("__v", F.col("ss") * sub + 1, sub).alias("sv"),
     )
     bdf = _books_df(vectors.sparkSession, books)
     cand = expl.join(F.broadcast(bdf), "ss").select(
         id_col,
+        *cnames,
         "ss",
         F.struct(
             F.aggregate(
@@ -1329,9 +1344,9 @@ def _pq_codes_exploded(
         ).alias("dc"),
     )
     return (
-        cand.groupBy(id_col, "ss")
+        cand.groupBy(id_col, *cnames, "ss")
         .agg(F.min("dc").alias("best"))
-        .select(id_col, "ss", F.col("best.cid").alias("code"))
+        .select(id_col, *cnames, "ss", F.col("best.cid").alias("code"))
     )
 
 
@@ -1374,6 +1389,52 @@ def pq_encode(
     )
 
 
+def _adc_distance_table(
+    queries: DataFrame,
+    books: dict[int, dict[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC distance table: (q_id, ss, code, d) with d the
+    squared L2 between the query's subvector and each codebook centroid.
+    Queries are bounded by contract (collected once — FAISS keeps the
+    same per-query state); entries use the SAME fixed-order float
+    accumulation as the encode expressions so the oracle's SQL replay is
+    bit-identical, and the q_id field inherits the query frame's id type
+    (a hardcoded bigint broke non-bigint ids)."""
+    m = len(books)
+    sub = len(books[0][0])
+    dim = m * sub
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .filter(F.size("__v") == dim)
+        .collect()
+    )
+    table = []
+    for qr in q_rows:
+        qv = qr["__v"]
+        for ss in range(m):
+            for cid, cvec in books[ss].items():
+                acc = None
+                for j, c in enumerate(cvec):
+                    d = float(qv[ss * sub + j]) - float(c)
+                    t = d * d
+                    acc = t if acc is None else acc + t
+                table.append((qr["q_id"], ss, cid, acc))
+    return queries.sparkSession.createDataFrame(
+        table,
+        T.StructType([
+            T.StructField("q_id", queries.schema[id_col].dataType),
+            T.StructField("ss", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("d", T.DoubleType()),
+        ]),
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1402,42 +1463,7 @@ def pq_adc_topk(
     replay is bit-identical. Returns (q_id, n_id, approx_l2, rnk) with
     approx_l2 rounded to 6 decimals for display.
     """
-    m = len(books)
-    sub = len(books[0][0])
-    dim = m * sub
-    q_rows = (
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-        )
-        .filter(F.size("__v") == dim)
-        .collect()
-    )
-    table = []
-    for qr in q_rows:
-        qv = qr["__v"]
-        for ss in range(m):
-            for cid, cvec in books[ss].items():
-                acc = None
-                for j, c in enumerate(cvec):
-                    d = float(qv[ss * sub + j]) - float(c)
-                    t = d * d
-                    acc = t if acc is None else acc + t
-                table.append((qr["q_id"], ss, cid, acc))
-    spark = corpus.sparkSession
-    # The distance-table schema inherits the query frame's id type (int,
-    # long, string, ...) so the (ss, code) join keys line up against any
-    # id the operator signature accepts — a hardcoded `q_id long` broke
-    # or silently coerced non-bigint ids.
-    dtable = spark.createDataFrame(
-        table,
-        T.StructType([
-            T.StructField("q_id", queries.schema[id_col].dataType),
-            T.StructField("ss", T.IntegerType()),
-            T.StructField("code", T.IntegerType()),
-            T.StructField("d", T.DoubleType()),
-        ]),
-    )
+    dtable = _adc_distance_table(queries, books, id_col, vec_col)
     exploded = _pq_codes_exploded(
         corpus, books, id_col, vec_col, encode
     ).select(F.col(id_col).alias("n_id"), "ss", "code")
@@ -1536,25 +1562,23 @@ def ivf_pq_adc_topk(
     feeds the per-query top-k window. Returns (q_id, n_id, approx_l2,
     rnk).
     """
-    m = len(books)
-    sub = len(books[0][0])
-    dim = m * sub
     unit = _unit_centroids(centroids)
-    # corpus: one bucket per row + m PQ codes, in one map-only pass
-    enc = pq_encode(corpus, books, id_col, vec_col, encode).join(
-        corpus.select(
-            F.col(id_col),
-            (-F.array_max(
-                _centroid_sims(F.col(vec_col), unit)
-            ).getField("negcid")).cast("int").alias("bucket"),
-        ),
+    # ONE corpus scan: the PQ code explode carries the IVF bucket (a
+    # map-only argmax over the same row) — no second scan, no id-join.
+    exploded = _pq_codes_exploded(
+        corpus,
+        books,
         id_col,
-    )
-    exploded = enc.select(
-        F.col(id_col).alias("n_id"),
-        "bucket",
-        F.posexplode("codes").alias("ss", "code"),
-    )
+        vec_col,
+        encode,
+        carry={
+            "bucket": (
+                -F.array_max(
+                    _centroid_sims(F.col(vec_col), unit)
+                ).getField("negcid")
+            ).cast("int")
+        },
+    ).select(F.col(id_col).alias("n_id"), "bucket", "ss", "code")
     # queries: probed buckets (driver-tiny) + per-query distance tables
     q_probes = queries.select(
         F.col(id_col).alias("q_id"),
@@ -1571,35 +1595,7 @@ def ivf_pq_adc_topk(
             )
         ).alias("bucket"),
     )
-    q_rows = (
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-        )
-        .filter(F.size("__v") == dim)
-        .collect()
-    )
-    table = []
-    for qr in q_rows:
-        qv = qr["__v"]
-        for ss in range(m):
-            for cid, cvec in books[ss].items():
-                acc = None
-                for j, c in enumerate(cvec):
-                    d = float(qv[ss * sub + j]) - float(c)
-                    t = d * d
-                    acc = t if acc is None else acc + t
-                table.append((qr["q_id"], ss, cid, acc))
-    spark = corpus.sparkSession
-    dtable = spark.createDataFrame(
-        table,
-        T.StructType([
-            T.StructField("q_id", queries.schema[id_col].dataType),
-            T.StructField("ss", T.IntegerType()),
-            T.StructField("code", T.IntegerType()),
-            T.StructField("d", T.DoubleType()),
-        ]),
-    )
+    dtable = _adc_distance_table(queries, books, id_col, vec_col)
     scored = (
         exploded.join(F.broadcast(q_probes), "bucket")
         .join(F.broadcast(dtable), ["q_id", "ss", "code"])

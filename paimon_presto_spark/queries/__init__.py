@@ -90,7 +90,7 @@ PRIORITY: tuple[str, ...] = (
     # -- last driver-graded in ROUND 2 (stalest) -------------------------
     "knn_ivf_probe",
     "q17_small_quantity",
-    # -- last driver-graded in ROUND 3 (41 of 46) -------------------------
+    # -- last driver-graded in ROUND 3 (35 of 46) -------------------------
     # table format
     "table_format_aggregation",
     "table_format_avro_roundtrip",

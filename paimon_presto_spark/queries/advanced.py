@@ -702,21 +702,12 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_pq_adc(
-    m: int, sub: int, ksub: int, iters: int, sample_n: int,
-    topk: int, n_queries: int,
-) -> str:
-    """SQL replay of the full PQ pipeline — per-subspace codebook
-    training (rank-based seeds over the md5-ordered sample, ``iters``
-    Lloyd steps with DECIMAL(38,18) update sums), corpus encoding, and
-    ADC top-k. Unlike the IVF-kmeans oracle, nothing unrolls per
-    centroid: seeding is a row_number, and the subspace axis is a
-    relational dimension (CROSS JOIN over range(m)), so the SQL grows
-    with ``iters`` only. Every float sum (the sub-dim squared distances,
-    the per-query ADC totals) is written in the same left-to-right order
-    the Spark expressions use — IEEE addition is order-sensitive, and
-    the shared order is what makes the hashes equal."""
-    dim = m * sub
+def _pq_sql_fragments(m: int, sub: int, iters: int) -> dict[str, str]:
+    """Shared SQL text of the PQ pipeline, used VERBATIM by both
+    ``_oracle_pq_adc`` and ``_oracle_ivf_pq_adc`` — one definition so a
+    fix to the training/encoding/ADC arithmetic cannot desynchronize the
+    two oracles (the composed entry would otherwise silently grade
+    against a stale PQ pipeline)."""
     sv = "[" + ", ".join(f"v[ss * {sub} + {j + 1}]" for j in range(sub)) + "]"
     dist_pc = " + ".join(
         f"(p.sv[{j + 1}] - c.c[{j + 1}]) * (p.sv[{j + 1}] - c.c[{j + 1}])"
@@ -749,7 +740,32 @@ def _oracle_pq_adc(
             f"  FROM cb{i} c LEFT JOIN u{i} u"
             f"  ON u.ss = c.ss AND u.code = c.cid)"
         )
-    ctes = ",\n        ".join(parts)
+    return {
+        "sv": sv,
+        "dist_pc": dist_pc,
+        "dist_qc": dist_qc,
+        "lloyd_ctes": ",\n        ".join(parts),
+    }
+
+
+def _oracle_pq_adc(
+    m: int, sub: int, ksub: int, iters: int, sample_n: int,
+    topk: int, n_queries: int,
+) -> str:
+    """SQL replay of the full PQ pipeline — per-subspace codebook
+    training (rank-based seeds over the md5-ordered sample, ``iters``
+    Lloyd steps with DECIMAL(38,18) update sums), corpus encoding, and
+    ADC top-k. Unlike the IVF-kmeans oracle, nothing unrolls per
+    centroid: seeding is a row_number, and the subspace axis is a
+    relational dimension (CROSS JOIN over range(m)), so the SQL grows
+    with ``iters`` only. Every float sum (the sub-dim squared distances,
+    the per-query ADC totals) is written in the same left-to-right order
+    the Spark expressions use — IEEE addition is order-sensitive, and
+    the shared order is what makes the hashes equal."""
+    dim = m * sub
+    fr = _pq_sql_fragments(m, sub, iters)
+    sv, dist_pc, dist_qc = fr["sv"], fr["dist_pc"], fr["dist_qc"]
+    ctes = fr["lloyd_ctes"]
     return f"""
         WITH base AS (
             SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1884,39 +1900,9 @@ def _oracle_ivf_pq_adc(
         f"({cid}, [{', '.join(repr(x) for x in vec)}]::DOUBLE[])"
         for cid, vec in _ivf_cents()
     )
-    sv = "[" + ", ".join(f"v[ss * {sub} + {j + 1}]" for j in range(sub)) + "]"
-    dist_pc = " + ".join(
-        f"(p.sv[{j + 1}] - c.c[{j + 1}]) * (p.sv[{j + 1}] - c.c[{j + 1}])"
-        for j in range(sub)
-    )
-    dist_qc = " + ".join(
-        f"(q.v[c.ss * {sub} + {j + 1}] - c.c[{j + 1}])"
-        f" * (q.v[c.ss * {sub} + {j + 1}] - c.c[{j + 1}])"
-        for j in range(sub)
-    )
-    mean_list = "[" + ", ".join(
-        f"CAST(SUM(CAST(sv[{j + 1}] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)"
-        for j in range(sub)
-    ) + "]"
-    parts = []
-    for i in range(iters):
-        parts.append(
-            f"a{i} AS (SELECT id, ss, sv, code FROM ("
-            f"  SELECT p.id, p.ss, p.sv, c.cid AS code,"
-            f"    ROW_NUMBER() OVER (PARTITION BY p.id, p.ss"
-            f"      ORDER BY {dist_pc}, c.cid) AS rk"
-            f"  FROM ssample p JOIN cb{i} c ON c.ss = p.ss) WHERE rk = 1)"
-        )
-        parts.append(
-            f"u{i} AS (SELECT ss, code, {mean_list} AS nc"
-            f"  FROM a{i} GROUP BY ss, code)"
-        )
-        parts.append(
-            f"cb{i + 1} AS (SELECT c.ss, c.cid, COALESCE(u.nc, c.c) AS c"
-            f"  FROM cb{i} c LEFT JOIN u{i} u"
-            f"  ON u.ss = c.ss AND u.code = c.cid)"
-        )
-    ctes = ",\n        ".join(parts)
+    fr = _pq_sql_fragments(m, sub, iters)
+    sv, dist_pc, dist_qc = fr["sv"], fr["dist_pc"], fr["dist_qc"]
+    ctes = fr["lloyd_ctes"]
     return f"""
         WITH cent(cid, cvec) AS (VALUES {cents}),
         base AS (
