@@ -407,7 +407,11 @@ class HiveMetastore(Metastore):
             self.client.get_table(db, t).sd.location
             for t in self.client.get_all_tables(db)
         ]
-        self.client.drop_database(db, True, cascade)
+        # delete_data=False: HMS holds POINTERS only — content removal is
+        # this adapter's job (below). delete_data=True would have a real
+        # HMS delete the same locations we rmtree, a double-delete that
+        # also contradicts the pointer/content split documented above.
+        self.client.drop_database(db, False, cascade)
         for p in paths:
             shutil.rmtree(p, ignore_errors=True)
         shutil.rmtree(
@@ -438,7 +442,10 @@ class HiveMetastore(Metastore):
     def unregister_table(self, db: str, table: str) -> None:
         path = self.table_path(db, table)
         try:
-            self.client.drop_table(db, table, True)
+            # delete_data=False — the adapter owns content removal (the
+            # rmtree below); see drop_database for the pointer/content
+            # split rationale.
+            self.client.drop_table(db, table, False)
         except Exception as exc:
             if not self._is_no_such(exc):
                 raise

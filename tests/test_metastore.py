@@ -242,6 +242,11 @@ class TestHiveSeam:
 
             def __init__(self):
                 self.dbs: dict[str, dict[str, str]] = {}
+                # every delete_data flag the adapter ever passes — the
+                # adapter owns content removal, so True here would make a
+                # real HMS double-delete the same locations (round-7
+                # advisor finding)
+                self.delete_data_flags: list[bool] = []
 
             def get_all_databases(self):
                 return sorted(self.dbs)
@@ -252,6 +257,7 @@ class TestHiveSeam:
                 self.dbs[name] = {}
 
             def drop_database(self, name, delete_data, cascade):
+                self.delete_data_flags.append(delete_data)
                 self.dbs.pop(name, None)
 
             def get_all_tables(self, db):
@@ -268,6 +274,7 @@ class TestHiveSeam:
                 self.dbs[db][tbl] = location
 
             def drop_table(self, db, tbl, delete_data):
+                self.delete_data_flags.append(delete_data)
                 if tbl not in self.dbs.get(db, {}):
                     raise NoSuchObjectException(f"{db}.{tbl}")
                 self.dbs[db].pop(tbl)
@@ -295,6 +302,12 @@ class TestHiveSeam:
         # second-engine visibility an external metastore exists to give)
         c2 = Catalog(spark, wh, metastore=ms)
         assert c2.list_databases() == ["hdb"]
+        c2.drop_database("hdb", cascade=True)
+        # pointer/content split: the adapter rmtree's locations itself and
+        # must NEVER ask HMS to also delete data (delete_data=True would
+        # double-delete with a real metastore)
+        assert ms.client.delete_data_flags, "drops never reached the client"
+        assert not any(ms.client.delete_data_flags)
 
     def test_metastore_instance_rejects_uri(self, spark, wh):
         ms = self._adapter(wh)
