@@ -81,6 +81,11 @@ HEADLINE = [
     "text_quality_logreg",
     "text_bigram_perplexity",
     "agg_weighted_median",
+    # round 7: posting-list-pruned ANN probe (round-6 verdict: keep the
+    # headline set monotone — membership is asserted below), shared-pass
+    # weighted quartiles
+    "knn_ivf_probe",
+    "agg_weighted_quartiles",
     # dedup_ngram_containment is registry+oracle-gated but, like its
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
     # the exact-intersection verify over full shingle sets is the
@@ -89,7 +94,29 @@ HEADLINE = [
 ]
 
 
+def _assert_headline_monotone() -> None:
+    """The headline set may only GROW round over round: a silently
+    dropped query breaks round-over-round bench diffs (round-6 verdict —
+    knn_ivf_probe fell out of the r6 map unnoticed). Compares against the
+    most recent recorded BENCH_r{N}.json, if any."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not recs:
+        return
+    with open(recs[-1]) as fh:
+        rec = json.load(fh)
+    prev = set((rec.get("parsed") or rec).get("queries") or {})
+    missing = prev - set(HEADLINE)
+    assert not missing, (
+        f"headline bench set shrank vs {os.path.basename(recs[-1])}: "
+        f"missing {sorted(missing)}"
+    )
+
+
 def main() -> None:
+    _assert_headline_monotone()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0

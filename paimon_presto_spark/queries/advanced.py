@@ -2055,47 +2055,108 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median — the aggregate Spark (and most engines) lack as
     a builtin: per return flag, the smallest extended price whose
     cumulative quantity weight reaches half the group's total (lower
-    weighted median; ties broken by the (orderkey, linenumber) key so
-    the chosen ROW is unique). percentile() weights every row equally;
-    this weights rows by a measure — the shape needed for "median price
+    weighted median). percentile() weights every row equally; this
+    weights rows by a measure — the shape needed for "median price
     weighted by volume" analytics and for token-weighted corpus stats.
 
     Exactness: weights accumulate as DECIMAL(28,10) (exact integers
     here), so the running total is order-independent and the 2*cum >= tot
     test is exact integer arithmetic in both engines — no float ever
-    enters the decision.
+    enters the decision. The oracle's tie-break columns pick a unique
+    crossing ROW, but with non-negative weights every intra-tie order
+    crosses at the same VALUE, so the value-only operator matches it.
 
-    Scale shape: one window partitioned BY THE GROUP (each group is one
-    task — the standard SQL shape; a group too large for one task takes
-    the bucketed running-sum decomposition documented in
-    ``operators/selection.py``), then a per-group min-struct aggregation
-    over the satisfying suffix. Nothing global, no driver loops.
+    Scale shape (``operators/quantile.py:weighted_quantile``): the
+    round-6 spelling ran ONE window partitioned by the 3-value group —
+    each group a single serial task at any scale. Now the bucketed
+    running-sum decomposition (``operators/selection.py``'s pattern,
+    generalized to quantile thresholds): rows map to value-range buckets,
+    per-(group, bucket) weight sums prefix-sum along the <=n_buckets
+    bucket axis, and only the ONE crossing bucket per group runs an
+    exact per-row pass, bounded by ``target_edge_rows`` (4096 here so
+    the decomposition engages — and is therefore oracle-gated — at test
+    scale; production uses the 2M default).
     """
+    from paimon_presto_spark.operators.quantile import weighted_median
+
     li = load_table(spark, sf_dir, "lineitem")
-    wo = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = weighted_median(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        ["l_returnflag"],
+        target_edge_rows=4096,
     )
-    wp = Window.partitionBy("l_returnflag")
-    c = li.select(
-        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
-        F.sum(F.col("l_quantity").cast(DEC)).over(wo).alias("cum"),
-        F.sum(F.col("l_quantity").cast(DEC)).over(wp).alias("tot"),
-    )
-    sat = c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+    return out.select(
+        "l_returnflag",
+        "weighted_median",
+        F.col("total_weight_dec").cast("long").alias("total_qty"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_weighted_quartiles",
+    oracle="""
+        WITH c AS (
+            SELECT l_returnflag, l_extendedprice,
+                   SUM(CAST(l_quantity AS DECIMAL(28,10))) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum,
+                   SUM(CAST(l_quantity AS DECIMAL(28,10))) OVER (
+                       PARTITION BY l_returnflag
+                   ) AS tot
+            FROM lineitem
+        ),
+        q1 AS (
+            SELECT l_returnflag, MIN(l_extendedprice) AS q25
+            FROM c WHERE 4 * cum >= tot GROUP BY l_returnflag
+        ),
+        q3 AS (
+            SELECT l_returnflag, MIN(l_extendedprice) AS q75
+            FROM c WHERE 4 * cum >= 3 * tot GROUP BY l_returnflag
+        )
+        SELECT q1.l_returnflag, q1.q25, q3.q75,
+               CAST(q3.q75 AS DECIMAL(18,2))
+                   - CAST(q1.q25 AS DECIMAL(18,2)) AS iqr
+        FROM q1 JOIN q3 ON q1.l_returnflag = q3.l_returnflag
+        ORDER BY q1.l_returnflag
+    """,
+    tags=("aggregate", "weighted-median", "percentile", "quantile"),
+)
+def agg_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quartiles + IQR per group — ``weighted_quantile`` at
+    arbitrary rational q (1/4 and 3/4 here), the generalization the
+    weighted-median decomposition was built for: the crossing test is
+    ``q_den * cum >= q_num * tot`` in exact DECIMAL, so ANY rational
+    quantile is oracle-gateable. The weighted IQR is the spread measure
+    for token-weighted corpus stats (e.g. "price spread weighted by
+    volume"). Same bucketed scale shape as ``agg_weighted_median``, and
+    BOTH quartiles share one persisted input and one level-0 bucket pass
+    (the corpus is scanned and bucketed once; only the small per-edge
+    passes are per-quantile); the MIN-over-satisfying-rows oracle
+    spelling is equivalent to the crossing row's value because
+    cumulative weight is monotone.
+    """
+    from paimon_presto_spark.operators.quantile import weighted_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
     return (
-        sat.groupBy("l_returnflag")
-        .agg(
-            F.min(
-                F.struct("l_extendedprice", "l_orderkey", "l_linenumber")
-            ).alias("m"),
-            F.first(F.col("tot").cast("long")).alias("total_qty"),
+        weighted_quantiles(
+            li,
+            "l_extendedprice",
+            "l_quantity",
+            ["l_returnflag"],
+            [(1, 4, "q25"), (3, 4, "q75")],
+            target_edge_rows=4096,
         )
         .select(
-            "l_returnflag",
-            F.col("m.l_extendedprice").alias("weighted_median"),
-            "total_qty",
+            "l_returnflag", "q25", "q75",
+            (
+                F.col("q75").cast("decimal(18,2)")
+                - F.col("q25").cast("decimal(18,2)")
+            ).alias("iqr"),
         )
         .orderBy("l_returnflag")
     )

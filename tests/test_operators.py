@@ -1744,3 +1744,164 @@ def test_remove_repeated_chunks_within_doc(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted quantiles (operators/quantile.py)
+# ---------------------------------------------------------------------------
+
+
+def _wq_reference(spark, df, quantiles):
+    """Single-window reference: the textbook SQL spelling the bucketed
+    decomposition must reproduce exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    DEC = "decimal(28,10)"
+    wo = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("g")
+    c = df.select(
+        "g",
+        "v",
+        F.sum(F.coalesce(F.col("w").cast(DEC), F.lit(0).cast(DEC)))
+        .over(wo)
+        .alias("cum"),
+        F.sum(F.coalesce(F.col("w").cast(DEC), F.lit(0).cast(DEC)))
+        .over(wp)
+        .alias("tot"),
+    )
+    out = {}
+    for num, den, name in quantiles:
+        sat = c.filter(F.lit(den) * F.col("cum") >= F.lit(num) * F.col("tot"))
+        for r in sat.groupBy("g").agg(F.min("v").alias("m")).collect():
+            out[(r["g"], name)] = r["m"]
+    return out
+
+
+def test_weighted_quantiles_decomposition_equals_single_window(spark):
+    """The bucketed running-sum decomposition returns the SAME values as
+    the one-window spelling on a multi-bucket fixture — at every edge
+    size, including ones that force multi-level recursion (round-6
+    verdict: agg_weighted_median must not be a single task per group)."""
+    from paimon_presto_spark.operators.quantile import weighted_quantiles
+
+    # skewed values, heavy ties, a weight-0 run, and a tiny group
+    rows = (
+        [("a", float(v), v % 7 + 1) for v in range(1, 301)]
+        + [("a", 42.0, 5)] * 50          # heavy tie inside the range
+        + [("a", 1e6, 1)]                # extreme outlier bucket
+        + [("b", 3.0, 0), ("b", 4.0, 0)] # zero-total group
+        + [("c", 9.0, 2)]                # single-row group
+    )
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    quantiles = [(1, 2, "med"), (1, 4, "q25"), (3, 4, "q75")]
+    ref = _wq_reference(spark, df, quantiles)
+    for ter in (100_000, 40, 5):  # no-decomp / one level / deep recursion
+        got = weighted_quantiles(
+            df, "v", "w", ["g"], quantiles, target_edge_rows=ter
+        ).collect()
+        for r in got:
+            for _, _, name in quantiles:
+                assert r[name] == ref[(r["g"], name)], (ter, r["g"], name)
+
+
+def test_weighted_quantiles_null_weight_counts_zero(spark):
+    """NULL weights count as 0 uniformly (the raw-SQL window spelling
+    would NULL-poison the running total instead)."""
+    from paimon_presto_spark.operators.quantile import weighted_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0, None), ("a", 2.0, 1), ("a", 3.0, 1)],
+        "g string, v double, w int",
+    )
+    got = weighted_median(df, "v", "w", ["g"], target_edge_rows=1).collect()
+    assert got[0]["weighted_median"] == 2.0
+    assert int(got[0]["total_weight_dec"]) == 2
+
+
+def test_weighted_quantiles_contract_errors(spark):
+    """NULL values and negative weights raise actionably; malformed
+    quantile specs are rejected before any job runs."""
+    import pytest
+
+    from paimon_presto_spark.operators.quantile import (
+        weighted_median,
+        weighted_quantiles,
+    )
+
+    with pytest.raises(ValueError, match="NULL 'v'"):
+        weighted_median(
+            spark.createDataFrame([("x", None, 1)], "g string, v double, w int"),
+            "v", "w", ["g"],
+        )
+    with pytest.raises(ValueError, match="negative 'w'"):
+        weighted_median(
+            spark.createDataFrame([("x", 1.0, -1)], "g string, v double, w int"),
+            "v", "w", ["g"],
+        )
+    df = spark.createDataFrame([("x", 1.0, 1)], "g string, v double, w int")
+    with pytest.raises(ValueError, match="0 < q_num <= q_den"):
+        weighted_quantiles(df, "v", "w", ["g"], [(3, 2, "bad")])
+    with pytest.raises(ValueError, match="duplicate"):
+        weighted_quantiles(df, "v", "w", ["g"], [(1, 2, "m"), (1, 4, "m")])
+    with pytest.raises(ValueError, match="non-empty"):
+        weighted_quantiles(df, "v", "w", ["g"], [])
+
+
+def test_weighted_quantiles_cache_ledger_bounded(spark):
+    """Each call evicts the previous call's persisted intermediates (the
+    dedup chunk-cache policy); release empties the ledger and results
+    stay correct afterwards (plans just recompute)."""
+    from paimon_presto_spark.operators import quantile as Q
+
+    df = spark.createDataFrame(
+        [("a", float(v), 1) for v in range(1, 41)], "g string, v double, w int"
+    )
+    Q.release_quantile_caches()
+    out1 = Q.weighted_median(df, "v", "w", ["g"], target_edge_rows=5)
+    n1 = len(Q._QUANTILE_CACHES)
+    assert n1 >= 2  # base + at least one per-level intermediate
+    out2 = Q.weighted_median(df, "v", "w", ["g"], target_edge_rows=5)
+    assert len(Q._QUANTILE_CACHES) == n1  # previous call's caches evicted
+    Q.release_quantile_caches()
+    assert Q._QUANTILE_CACHES == []
+    assert out1.collect()[0]["weighted_median"] == 20.0
+    assert out2.collect()[0]["weighted_median"] == 20.0
+
+
+def test_weighted_quantiles_bucketed_plan_shape(spark):
+    """When the decomposition engages, the executed plan carries the
+    bucket stage (no raw-row window partitioned by the bare group): the
+    round-6 verdict's 'no full-group single-task window' criterion.
+
+    Two quantiles are requested so ``__qid`` is non-constant: with a
+    single one Catalyst folds the literal qid out of the partition spec
+    and the (bounded) edge window prints as a bare-group window."""
+    from paimon_presto_spark.operators.quantile import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(v), 1) for v in range(1, 201)], "g string, v double, w int"
+    )
+    out = weighted_quantiles(
+        df, "v", "w", ["g"], [(1, 2, "med"), (3, 4, "q75")],
+        target_edge_rows=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan  # bucket decomposition present
+    # Window nodes print as `Window [funcs], [partition], [order]`. The
+    # full-group shape this decomposition removes is a raw-row window:
+    # ordered by the value with only the bare group as partition. Allowed
+    # windows are the bucket prefix-sum (ordered by __bkt) and the exact
+    # edge pass (value-ordered but partitioned by (group, __qid) over
+    # <= target_edge_rows rows).
+    import re
+
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert specs, "no Window nodes found — plan format changed?"
+    for partition, order in specs:
+        if "__v" in order:
+            assert "__qid" in partition, (partition, order)

@@ -30,21 +30,21 @@ def test_priority_prefix_is_valid_and_broad():
     assert len(PRIORITY) == 50
     # Every operator family must be represented in the prefix. The prefix
     # ROTATES across rounds (so every entry eventually earns a driver-graded
-    # row); these anchors are the round-6 representatives of each family
-    # (the round-6 prefix is 10 new entries + 3 added after the r5 grading
-    # ran + the 2 r2-last + 35 of the 46 r3-last stalest rows).
+    # row); these anchors are the round-7 representatives of each family
+    # (the round-7 prefix is the round-7 additions + all 11 r3-last rows +
+    # the stalest r4-last rows filling 50).
     prefix = set(PRIORITY)
     for family_member in (
-        "table_format_aggregation",
-        "q11_important_stock",
-        "window_rank_variants",
-        "agg_grouping_sets",
-        "setop_intersect",
-        "join_full_outer",
-        "events_interval_join_outer",
-        "dedup_simhash",
-        "knn_ivf_probe",
-        "text_quality_filter",
+        "table_format_roundtrip",
+        "q5_local_supplier_revenue",
+        "window_range_frame",
+        "agg_histogram_map",
+        "setop_except",
+        "join_anti_not_exists",
+        "events_funnel_steps",
+        "dedup_minhash_lsh",
+        "knn_ivf_kmeans",
+        "text_repetition_quality",
     ):
         assert family_member in prefix
 
