@@ -266,6 +266,12 @@ SCALE_QUERIES = [
     "sample_dsir_importance",
     "text_bm25_topk",
     "dedup_intra_doc_chunks",
+    # round 7: the stored-index ANN probe (build once, probe the (bucket,
+    # codes) table — the FAISS production split) and the bucketed
+    # weighted-median decomposition (no single-task-per-group window) —
+    # both must stay BNLJ/Cartesian-free at 10x the corpus.
+    "knn_ivf_pq_stored",
+    "agg_weighted_median",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY

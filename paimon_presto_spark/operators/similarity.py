@@ -1606,3 +1606,129 @@ def ivf_pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", F.round("approx_l2", 6).alias("approx_l2"), "rnk")
     )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: dict[int, dict[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode: str = "relational",
+) -> DataFrame:
+    """Materializable IVF-PQ index: (id_col, bucket, codes array<int>) —
+    the FAISS train-once contract's stored half. At 100 TB the index is
+    built ONCE (this one corpus scan: coarse-quantizer argmax for the
+    bucket, PQ argmin per subspace for the codes) and persisted as a
+    table; every later query probes the stored bytes and never touches a
+    raw embedding again (``ivf_pq_probe_topk``). ``knn_ivf_pq_adc``
+    retrains/re-encodes inside the query — correct, but the wrong cost
+    model for a standing index; this pair splits build from probe, the
+    same store-and-reuse step MinHash signatures
+    (``dedup.py:minhash_lsh_pairs_incremental``) and SemDeDup assignments
+    (``semdedup_incremental``) already have.
+
+    Row payload is m one-byte codes + one int bucket — the 32x memory cut
+    at dim=64 that makes posting lists scannable from storage.
+    """
+    unit = unit_centroids(centroids)
+    bucket = {
+        "bucket": (
+            -F.array_max(
+                _centroid_sims(F.col(vec_col), unit)
+            ).getField("negcid")
+        ).cast("int")
+    }
+    if encode == "codegen":
+        m = len(books)
+        sub = len(books[0][0])
+        dim = m * sub
+        v = corpus.select(
+            F.col(id_col),
+            bucket["bucket"].alias("bucket"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ).filter(F.size("__v") == dim)
+        return v.select(
+            id_col,
+            "bucket",
+            F.array(*[
+                _pq_code_expr(F.col("__v"), ss, sub, books[ss])
+                for ss in range(m)
+            ]).alias("codes"),
+        )
+    ex = _pq_codes_exploded(
+        corpus, books, id_col, vec_col, encode, carry=bucket
+    )
+    return (
+        ex.groupBy(id_col, "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("ss", "code"))).alias("__p"))
+        .select(
+            id_col,
+            "bucket",
+            F.transform("__p", lambda x: x["code"]).alias("codes"),
+        )
+    )
+
+
+def ivf_pq_probe_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a STORED IVF-PQ index (``ivf_pq_index``'s (id, bucket,
+    codes) table): identical results to ``ivf_pq_adc_topk`` over the same
+    corpus/books, but the corpus side is never trained, encoded, or even
+    read as vectors — the plan over the index is posexplode(codes) plus
+    two broadcast joins. ``centroids``/``books`` shape only the QUERY
+    side (probe assignment + the per-query ADC table), which is bounded
+    by contract.
+
+    Scale shape: the probe-pair join prunes the stored posting lists to
+    n_probe/|lists| of the index; scores are m broadcast table lookups
+    summed as DECIMAL(38,18) (exact, order-independent); the per-query
+    top-k is a WindowGroupLimit window. Nothing corpus-sized shuffles but
+    the (q_id, n_id, decimal) partial-aggregated score rows.
+    """
+    unit = unit_centroids(centroids)
+    exploded = index.select(
+        F.col(id_col).alias("n_id"),
+        "bucket",
+        F.posexplode("codes").alias("ss", "code"),
+    )
+    q_probes = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(_centroid_sims(F.col(vec_col), unit))
+                    ),
+                    1,
+                    n_probe,
+                ),
+                lambda s: (-s["negcid"]).cast("int"),
+            )
+        ).alias("bucket"),
+    )
+    dtable = _adc_distance_table(queries, books, id_col, vec_col)
+    scored = (
+        exploded.join(F.broadcast(q_probes), "bucket")
+        .join(F.broadcast(dtable), ["q_id", "ss", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("approx_l2")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", F.round("approx_l2", 6).alias("approx_l2"), "rnk")
+    )

@@ -69,6 +69,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 PRIORITY: tuple[str, ...] = (
     # -- NEW this round (never graded) -----------------------------------
     "agg_weighted_quartiles",
+    "knn_ivf_pq_stored",
     # -- last driver-graded in ROUND 3 (all 11) ---------------------------
     "q5_local_supplier_revenue",
     "q7_volume_shipping",
@@ -81,7 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill",
     "unnest_with_ordinality",
     "agg_histogram_map",
-    # -- last driver-graded in ROUND 4 (38 of 50; 12 rotate in round 8) ---
+    # -- last driver-graded in ROUND 4 (37 of 50; 13 rotate in round 8) ---
     # TPC-H shapes
     "q1_pricing_summary",
     "q15_top_supplier",
@@ -123,7 +124,6 @@ PRIORITY: tuple[str, ...] = (
     "knn_lsh_recall",
     "embedding_int8_quantize",
     "select_token_budget",
-    "sample_stratified_exact",
     # LLM pipeline: text
     "text_pii_redaction",
     "text_repetition_quality",

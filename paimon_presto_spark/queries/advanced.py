@@ -12,6 +12,8 @@ DuckDB oracle instead of a rows-only pass.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -2020,6 +2022,66 @@ def knn_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5)
     return ivf_pq_adc_topk(
         e, queries, _ivf_cents(), books, k=10, n_probe=IVF_PROBE
+    ).orderBy("q_id", "rnk")
+
+
+@register(
+    "knn_ivf_pq_stored",
+    oracle=_oracle_ivf_pq_adc(
+        m=8, sub=8, ksub=16, iters=2, sample_n=128, topk=10,
+        n_queries=8, n_probe=IVF_PROBE,
+    ),
+    tags=("similarity", "knn", "ivf", "product-quantization", "index"),
+)
+def knn_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with a PERSISTED index — FAISS's train-once contract
+    (``operators/similarity.py:ivf_pq_index`` / ``ivf_pq_probe_topk``):
+    the (id, bucket, codes) table and the codebook table are WRITTEN as
+    parquet once, then the query path reads the stored bytes — no
+    pq_train, no encode, not even a vector read over the corpus side (its
+    plan is a FileScan of the index + posexplode + two broadcast joins).
+    ``knn_ivf_pq_adc`` proves the composition; this entry proves the
+    production split: at 100 TB the index is built by one pipeline run
+    and probed forever (round-6 verdict #3). Results are identical to
+    running the full pipeline — which is exactly what the oracle replays
+    in SQL (training + encoding + ADC, gated by probe pairs), so the
+    stored index's fidelity is hash-certified, not assumed."""
+    from paimon_presto_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_probe_topk,
+        pq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=8, ksub=16, iters=2, sample_n=128, dim=64)
+    wh = _scratch_dir("ivfpq-")
+    idx_path = os.path.join(wh, "ivf_pq_index")
+    books_path = os.path.join(wh, "ivf_pq_books")
+    # build once: ONE corpus scan writes the (id, bucket, codes) table;
+    # codebooks persist alongside as (ss, cid, c) rows
+    ivf_pq_index(e, _ivf_cents(), books, encode="relational").write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    spark.createDataFrame(
+        [
+            (ss, cid, [float(x) for x in vec])
+            for ss, book in books.items()
+            for cid, vec in book.items()
+        ],
+        "ss int, cid int, c array<double>",
+    ).write.mode("overwrite").parquet(books_path)
+    # probe forever: codebooks re-hydrate from the stored table (driver-
+    # tiny by construction: m*ksub rows), the corpus side is only the
+    # stored index
+    stored_books: dict[int, dict[int, list[float]]] = {}
+    for r in spark.read.parquet(books_path).collect():
+        stored_books.setdefault(r["ss"], {})[r["cid"]] = [
+            float(x) for x in r["c"]
+        ]
+    index = spark.read.parquet(idx_path)
+    queries = e.filter(F.col("vec_id") < 8)
+    return ivf_pq_probe_topk(
+        index, queries, _ivf_cents(), stored_books, k=10, n_probe=IVF_PROBE
     ).orderBy("q_id", "rnk")
 
 

@@ -1905,3 +1905,48 @@ def test_weighted_quantiles_bucketed_plan_shape(spark):
     for partition, order in specs:
         if "__v" in order:
             assert "__qid" in partition, (partition, order)
+
+
+def test_ivf_pq_stored_index_probe_matches_full_pipeline(spark, tmp_path):
+    """FAISS train-once contract: probing a PERSISTED (id, bucket, codes)
+    index returns byte-identical results to the in-query IVF-PQ pipeline,
+    and the probe plan never reads corpus vectors (its only corpus-side
+    scan is the index parquet)."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.similarity import (
+        _hyperplanes,
+        ivf_pq_adc_topk,
+        ivf_pq_index,
+        ivf_pq_probe_topk,
+        pq_train,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    dim, m = 16, 4
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = list(enumerate(_hyperplanes(dim, 4, seed=3)))
+    books = pq_train(emb, m=m, ksub=8, iters=1, sample_n=32, dim=dim)
+    q = emb.filter(F.col("vec_id") < 3)
+
+    idx_path = str(tmp_path / "idx")
+    ivf_pq_index(emb, cents, books).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    probe = ivf_pq_probe_topk(index, q, cents, books, k=5, n_probe=2)
+    full = ivf_pq_adc_topk(emb, q, cents, books, k=5, n_probe=2)
+    assert sorted(map(tuple, probe.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    # every file scan is the stored index; the corpus vectors are never
+    # read (the only embedding access is the bounded local query rows)
+    assert scans and all("codes" in ln for ln in scans), scans
+    assert not any("embedding" in ln for ln in scans), scans
+    # codegen encode rung produces the same stored codes
+    a = ivf_pq_index(emb, cents, books, encode="codegen")
+    b = ivf_pq_index(emb, cents, books, encode="relational")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
