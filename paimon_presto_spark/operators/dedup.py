@@ -488,7 +488,16 @@ def keep_first_of_clusters(pairs: DataFrame, docs: DataFrame, id_col: str) -> Da
     return docs.join(drops, id_col, "left_anti")
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+#: ``algorithm="auto"`` runs min-label propagation this many rounds
+#: before concluding the graph is deep and restarting with the
+#: alternating-star algorithm (near-dup clusters converge in 2-3 rounds;
+#: anything still moving after 8 is chain-shaped).
+_STAR_SWITCH_BUDGET = 8
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, algorithm: str = "propagation"
+) -> DataFrame:
     """Exact duplicate CLUSTERS from pairwise matches: (doc_id, component)
     where component is the minimum doc id reachable through the undirected
     pair graph — so one representative per transitively-connected cluster,
@@ -496,16 +505,37 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     (a chain a~b, b~c must collapse to ONE keeper even though a~c was
     never scored).
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors — a join + groupBy(min) per
-    round, converging in O(component diameter) rounds (near-dup clusters
-    are shallow; `max_iter` caps adversarial chains). Each round
-    localCheckpoints to truncate lineage — the standard Spark iterative
-    pattern. At extreme scale swap the propagation loop for alternating
-    large-star/small-star rounds (Kiveris et al., "Connected Components
-    in MapReduce"), which squares the convergence rate; the per-round
-    shuffle shape is identical.
+    Three rungs, identical results (the component label is the reachable
+    minimum, a property of the graph, not the algorithm):
+
+    - ``"propagation"`` (default): each round every node takes the min
+      label among itself and its neighbors — a join + groupBy(min) per
+      round, O(component DIAMETER) rounds with a driver ``count()``
+      action each. Right for near-dup graphs, whose clusters are shallow
+      (2-3 rounds); `max_iter` caps adversarial chains.
+    - ``"star"``: alternating large-star/small-star rounds (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", SOCC 2014) —
+      O(log n) rounds REGARDLESS of diameter, so a million-node chain
+      takes ~20 rounds instead of a million. Per-round shuffle shape is
+      the same join + groupBy(min); the round count is what changes.
+    - ``"auto"``: propagation for ``_STAR_SWITCH_BUDGET`` rounds; if the
+      labels are still moving (the graph is deeper than any real near-dup
+      cluster) it abandons the walk and restarts with the star algorithm
+      — the iteration-budget escalation a 100 TB pipeline wants when the
+      pair graph's shape is unknown.
     """
+    if algorithm == "star":
+        return _connected_components_star(pairs, max_iter)
+    if algorithm not in ("propagation", "auto"):
+        raise ValueError(
+            f"algorithm must be 'propagation', 'star' or 'auto', "
+            f"got {algorithm!r}"
+        )
+    budget = (
+        min(max_iter, _STAR_SWITCH_BUDGET)
+        if algorithm == "auto"
+        else max_iter
+    )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
@@ -518,7 +548,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    converged = False
+    for _ in range(budget):
         msgs = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "component")
@@ -536,9 +567,98 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if algorithm == "auto" and not converged:
+        # deeper than the walk budget — restart with the O(log n) rung
+        return _connected_components_star(pairs, max_iter)
     return labels
+
+
+def _connected_components_star(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Alternating large-star/small-star min-id connected components
+    (Kiveris et al., SOCC 2014). Each round:
+
+    - large-star: every node u connects its LARGER neighbors to
+      m = min(N(u) ∪ {u}) — emitted from the smaller endpoint of every
+      edge, so the whole edge set is rewritten each round;
+    - small-star: with edges canonicalized (u > v), every node connects
+      its smaller neighbors AND itself to min(N(u) ∪ {u}).
+
+    The fixed point of the pair is a forest of min-rooted stars (the
+    paper's Theorem 1), reached in O(log n) rounds regardless of
+    component diameter — the property the plain propagation walk lacks.
+    Convergence is detected by an (order-insensitive) count+hash checksum
+    of the canonical edge set: one tiny aggregation per round (the hash
+    is loop control only — no engine-native hash ever reaches results).
+    Returns (doc_id, component) for every node of ``pairs``.
+    """
+    e0 = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    # canonical: u > v (each edge points at its smaller endpoint)
+    edges = (
+        e0.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # -- large-star ---------------------------------------------------
+        both = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least("__mv", F.col("u")).alias("m"))
+        )
+        edges = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star (edges satisfy u > v ≥ m here) --------------------
+        m2 = edges.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            edges.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact, order-free, and immune to ANSI-mode
+            # long overflow when the 64-bit hashes accumulate
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at the fixed point edges are (node, component-min) stars; roots and
+    # isolated nodes (none from pairs, but kept for safety) label themselves
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b")))
+        .distinct()
+    )
+    return (
+        nodes.join(edges.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("v"), F.col("doc_id")).alias("component"),
+        )
+    )
 
 
 def repeated_ngram_spans(

@@ -425,6 +425,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to one keeper even though a~c was never scored. Component id
     = min doc_id, so keepers are deterministic. The oracle recomputes the
     same pair graph and walks it with a recursive CTE.
+
+    algorithm="auto": the propagation walk (diameter-bounded) with the
+    alternating large-star/small-star escalation when a graph turns out
+    chain-shaped — the labels are a property of the graph, so the rung
+    choice cannot change this oracle-gated result.
     """
     docs = load_table(spark, sf_dir, "documents")
     from paimon_presto_spark.operators.dedup import connected_components
@@ -433,7 +438,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
         threshold=JACCARD_THRESHOLD,
     ).select("doc_a", "doc_b")
-    return connected_components(pairs).orderBy("doc_id")
+    return connected_components(pairs, algorithm="auto").orderBy("doc_id")
 
 
 @register(
@@ -1425,7 +1430,9 @@ def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_members, keeper_id, keeper_chars, total_chars).
 
     Scale shape: pair generation and components are the proven banded /
-    label-propagation paths; the keeper choice adds ONE aggregation keyed
+    label-propagation paths (algorithm="auto" escalates to the O(log n)
+    alternating-star rung if the pair graph is deeper than any real
+    near-dup cluster); the keeper choice adds ONE aggregation keyed
     by component (max over a (quality, -id) struct — map-side
     combinable), joined against the docs table on its primary key.
     """
@@ -1436,7 +1443,7 @@ def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
         threshold=JACCARD_THRESHOLD,
     ).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, algorithm="auto")
     member = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
     return (
         member.groupBy("component")

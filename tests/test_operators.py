@@ -1950,3 +1950,39 @@ def test_ivf_pq_stored_index_probe_matches_full_pipeline(spark, tmp_path):
     a = ivf_pq_index(emb, cents, books, encode="codegen")
     b = ivf_pq_index(emb, cents, books, encode="relational")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_connected_components_star_rung_chain_equivalence(spark):
+    """Alternating large-star/small-star CC (Kiveris et al.) returns the
+    same min-id labels as propagation on shallow graphs, and stays EXACT
+    on a chain DEEPER than the propagation walk's round budget — the
+    O(log n)-vs-O(diameter) escalation 'auto' exists for."""
+    from paimon_presto_spark.operators.dedup import connected_components
+
+    # shallow graph: all three rungs agree
+    shallow = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    outs = {
+        al: sorted(
+            map(tuple, connected_components(shallow, algorithm=al).collect())
+        )
+        for al in ("propagation", "star", "auto")
+    }
+    assert outs["propagation"] == outs["star"] == outs["auto"]
+    # chain of diameter 40 with a 25-round budget: the walk CANNOT finish
+    # (sanity-checking the premise), star and auto still converge exactly
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    prop = connected_components(chain, max_iter=25, algorithm="propagation")
+    assert any(r["component"] != 0 for r in prop.collect())
+    for al in ("star", "auto"):
+        got = connected_components(chain, max_iter=25, algorithm=al).collect()
+        assert all(r["component"] == 0 for r in got), al
+        assert len(got) == 41
+    import pytest
+
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(shallow, algorithm="bogus")
