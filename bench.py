@@ -83,9 +83,11 @@ HEADLINE = [
     "agg_weighted_median",
     # round 7: posting-list-pruned ANN probe (round-6 verdict: keep the
     # headline set monotone — membership is asserted below), shared-pass
-    # weighted quartiles
+    # weighted quartiles, weighted APSS, hybrid-retriever fusion
     "knn_ivf_probe",
     "agg_weighted_quartiles",
+    "dedup_tfidf_cosine",
+    "retrieval_rrf_fusion",
     # dedup_ngram_containment is registry+oracle-gated but, like its
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
     # the exact-intersection verify over full shingle sets is the

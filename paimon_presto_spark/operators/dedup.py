@@ -1223,3 +1223,107 @@ def ngram_containment_pairs(
         F.col("na").alias("n_container"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """WEIGHTED all-pairs similarity: (doc_a, doc_b, cosine, n_shared)
+    pairs whose tf-idf cosine ≥ threshold — the APSS problem (Bayardo et
+    al., "Scaling Up All Pairs Similarity Search", WWW'07). Jaccard and
+    containment treat every shingle equally; tf-idf cosine weights terms
+    by rarity, so two documents sharing distinctive vocabulary match even
+    when their boilerplate differs — the template-resistant near-dup
+    signal, and the classic sparse-vector sibling of the embedding-cosine
+    operators in ``operators/similarity.py``.
+
+    Scale shape — the corpus text never shuffles:
+    - term frequencies combine map-side per (doc, term-hash); terms move
+      as 60-bit md5 hashes (collisions merge two terms corpus-wide —
+      deterministic, both engines hash identically);
+    - document frequency / idf aggregate the tf table down to vocabulary
+      size and SHUFFLE-join back (never broadcast: raw web-scale
+      vocabularies are driver-OOM-sized);
+    - candidates come from the df-capped inverted index (posting lists of
+      common terms are dropped — they contribute little idf weight and
+      quadratic candidates; the Bayardo bound). ``max_df=None`` (default)
+      scales the cap WITH the corpus — max(50, N // 10) — so the same
+      call finds pairs at any corpus size (a fixed cap that admits pairs
+      at one scale filters everything at 10x: a term's absolute df grows
+      linearly with N while its distinctiveness is relative);
+    - only candidates pay the exact dot product, summed per pair as
+      DECIMAL over products of identical doubles (order-free).
+
+    Determinism: idf = ln((1+N)/(1+df)) is decimal-squeezed (Java vs
+    libm log differ by 1 ulp); norms sum w² as DECIMAL then take one
+    IEEE-correctly-rounded sqrt; cosine divides identical doubles. The
+    DuckDB oracle replays every step bit-for-bit.
+    """
+    n_docs = docs.select(id_col).distinct().count()
+    if max_df is None:
+        max_df = max(50, n_docs // 10)
+    w = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("wd"),
+        )
+        .filter(F.col("wd") != "")
+        .select("doc_id", md5_long("wd").alias("t"))
+    )
+    tf = w.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    from paimon_presto_spark.functions.numeric import decimal_squeeze
+
+    weighted = tf.join(df_t, "t").select(
+        "doc_id",
+        "t",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * decimal_squeeze(
+                F.log(
+                    (F.lit(1.0) + F.lit(float(n_docs)))
+                    / (F.lit(1.0) + F.col("df").cast("double"))
+                )
+            )
+        ).alias("wt"),
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,10)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    rare = weighted.filter(F.col("df") <= max_df)
+    a = rare.select(F.col("doc_id").alias("doc_a"), "t", F.col("wt").alias("wa"))
+    b = rare.select(F.col("doc_id").alias("doc_b"), "t", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+            "n_shared",
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

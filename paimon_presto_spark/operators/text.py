@@ -391,3 +391,50 @@ def quality_logreg_score(
         prob.alias("quality_prob"),
         (prob >= F.lit(threshold)).cast("int").alias("kept"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    merge per-query rankings from heterogeneous retrievers into one list
+    by score = Σ_r 1/(c + rank_r) — rank-level fusion, so a lexical BM25
+    score and a dense cosine never need calibrating against each other
+    (the hybrid-retrieval standard; c=60 is the paper's constant).
+
+    Each input is a (q_id, n_id, rnk) frame — any retriever's top-k (the
+    ANN operators in ``operators/similarity.py``, ``bm25_topk``'s rank
+    output, ...). Returns (q_id, n_id, rrf_score, n_lists, rnk) — the
+    fused per-query top-``k``, with ``n_lists`` = how many input
+    rankings surfaced the candidate.
+
+    Scale shape: inputs are top-k-bounded by construction (k x |queries|
+    rows each), so the union + one hash aggregation + per-query window
+    is all bounded work — fusion cost never depends on corpus size.
+    Determinism: 1/(c + rnk) is one correctly-rounded double division of
+    exact integers; contributions sum as DECIMAL(28,10) (order-free), so
+    fused ranks are reproducible and oracle-gateable.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    u = rankings[0].select("q_id", "n_id", "rnk")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("q_id", "n_id", "rnk"))
+    scored = u.groupBy("q_id", "n_id").agg(
+        F.sum(
+            (
+                F.lit(1.0) / (F.lit(float(c)) + F.col("rnk").cast("double"))
+            ).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rrf_score", "n_lists", "rnk")
+    )

@@ -70,6 +70,8 @@ PRIORITY: tuple[str, ...] = (
     # -- NEW this round (never graded) -----------------------------------
     "agg_weighted_quartiles",
     "knn_ivf_pq_stored",
+    "dedup_tfidf_cosine",
+    "retrieval_rrf_fusion",
     # -- last driver-graded in ROUND 3 (all 11) ---------------------------
     "q5_local_supplier_revenue",
     "q7_volume_shipping",
@@ -82,7 +84,7 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill",
     "unnest_with_ordinality",
     "agg_histogram_map",
-    # -- last driver-graded in ROUND 4 (37 of 50; 13 rotate in round 8) ---
+    # -- last driver-graded in ROUND 4 (35 of 50; 15 rotate in round 8) ---
     # TPC-H shapes
     "q1_pricing_summary",
     "q15_top_supplier",
@@ -94,7 +96,6 @@ PRIORITY: tuple[str, ...] = (
     "metastore_catalog_roundtrip",
     # joins / set ops / sampling / misc relational
     "join_anti_not_exists",
-    "join_scalar_subquery",
     "setop_except",
     "select_distinct_segments",
     "limit_offset_sort",
@@ -103,7 +104,6 @@ PRIORITY: tuple[str, ...] = (
     "having_nation_counts",
     # aggregates / windows / scalars
     "agg_stats_variance",
-    "agg_minmax_by",
     "agg_rollup",
     "window_range_frame",
     "window_value_navigation",

@@ -1537,3 +1537,80 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment", 6).alias("containment"),
         "n_contained", "n_container",
     ).orderBy("contained", "container")
+
+
+@register(
+    "dedup_tfidf_cosine",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(u.w), 1, 15) AS BIGINT) AS t
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+            WHERE u.w <> ''
+        ),
+        nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd,
+                      GREATEST(50, COUNT(DISTINCT doc_id) // 10) AS cap
+               FROM documents),
+        tf AS (
+            SELECT doc_id, t, COUNT(*) AS tf FROM words GROUP BY doc_id, t
+        ),
+        dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        wt AS (
+            SELECT tf.doc_id, tf.t, dft.df,
+                   CAST(tf.tf AS DOUBLE)
+                       * CAST(CAST(CAST(LN((1.0 + nn.nd)
+                             / (1.0 + CAST(dft.df AS DOUBLE)))
+                         AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE) AS wt
+            FROM tf JOIN dft ON tf.t = dft.t, nn
+        ),
+        capv AS (SELECT cap FROM nn),
+        nrm AS (
+            SELECT doc_id,
+                   SQRT(CAST(SUM(CAST(wt * wt AS DECIMAL(28,10)))
+                        AS DOUBLE)) AS nrm
+            FROM wt GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(28,10)))
+                        AS DOUBLE) AS dot,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM wt a JOIN wt b ON a.t = b.t AND a.doc_id < b.doc_id
+            WHERE a.df <= (SELECT cap FROM capv)
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d.doc_a, d.doc_b,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine,
+               d.n_shared
+        FROM dots d
+        JOIN nrm na ON na.doc_id = d.doc_a
+        JOIN nrm nb ON nb.doc_id = d.doc_b
+        WHERE d.dot / (na.nrm * nb.nrm) >= 0.25
+        ORDER BY d.doc_a, d.doc_b
+    """,
+    tags=("dedup", "tfidf", "cosine", "apss", "weighted"),
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted all-pairs similarity
+    (``operators/dedup.py:tfidf_cosine_pairs``): document pairs whose
+    TF-IDF cosine ≥ 0.25 (df cap max(50, N/10): a term's absolute df
+    grows with the corpus while distinctiveness is relative, so the cap
+    scales too — a fixed cap filters every pair at 10x) — Bayardo et
+    al.'s APSS, the sparse-vector
+    sibling of embedding cosine. Terms weight by rarity, so shared
+    distinctive vocabulary matches documents whose boilerplate differs —
+    the template-resistant near-dup signal Jaccard (equal-weight
+    shingles) misses. Candidates come from the df-capped inverted index
+    (common terms carry little idf and quadratic posting lists); norms
+    stay exact over ALL terms; dots/norms sum as DECIMAL over products
+    of identical doubles, idf is decimal-squeezed, sqrt is IEEE-correct
+    in both engines — the oracle replays every step bit-for-bit."""
+    from paimon_presto_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_cosine_pairs(docs, threshold=0.25)
+    return out.select(
+        "doc_a", "doc_b",
+        F.round("cosine", 6).alias("cosine"),
+        "n_shared",
+    ).orderBy("doc_a", "doc_b")

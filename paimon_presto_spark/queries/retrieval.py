@@ -243,3 +243,78 @@ def knn_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8)
     c = e.filter(F.col("vec_id") >= 8)
     return truncated_dim_recall(c, q, trunc_dims=16, k=10).orderBy("q_id")
+
+
+def _oracle_rrf_fusion(k: int, c: int, n_queries: int) -> str:
+    """DuckDB twin of the hybrid-fusion entry: both constituent rankings
+    replay through their existing oracle builders (IVF probe, LSH
+    multiprobe) as CTE subqueries, then the RRF formula — 1/(c+rnk) is
+    one exact-integer double division, summed as DECIMAL (order-free)."""
+    from paimon_presto_spark.queries.advanced import (
+        IVF_PROBE,
+        _oracle_ivf_knn,
+        _oracle_lsh_knn,
+    )
+
+    r_ivf = _oracle_ivf_knn(k=k, n_queries=n_queries)
+    r_lsh = _oracle_lsh_knn(n_planes=4, dim=64, k=k, n_queries=n_queries)
+    return f"""
+        WITH r_ivf AS ({r_ivf}),
+        r_lsh AS ({r_lsh}),
+        u AS (
+            SELECT q_id, n_id, rnk FROM r_ivf
+            UNION ALL
+            SELECT q_id, n_id, rnk FROM r_lsh
+        ),
+        fused AS (
+            SELECT q_id, n_id,
+                   CAST(SUM(CAST(1.0 / ({c}.0 + CAST(rnk AS DOUBLE))
+                        AS DECIMAL(28,10))) AS DOUBLE) AS rrf_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_lists
+            FROM u GROUP BY q_id, n_id
+        )
+        SELECT q_id, n_id, ROUND(rrf_score, 6) AS rrf_score, n_lists, rnk
+        FROM (
+            SELECT q_id, n_id, rrf_score, n_lists,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY rrf_score DESC, n_id) AS rnk
+            FROM fused
+        ) WHERE rnk <= {k}
+        ORDER BY q_id, rnk
+    """
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=_oracle_rrf_fusion(k=10, c=60, n_queries=5),
+    tags=("retrieval", "fusion", "rrf", "hybrid", "ann"),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retriever fusion (``operators/text.py:rrf_fuse``):
+    reciprocal-rank fusion of two heterogeneous ANN rankings — IVF
+    posting-list probe and LSH multiprobe — per query, score =
+    Σ 1/(60+rank). RRF is THE standard for merging retrievers whose raw
+    scores aren't comparable (BM25 vs dense cosine in RAG stacks; two
+    differently-biased ANN indexes here): rank-level fusion needs no
+    score calibration, and candidates surfaced by BOTH lists rise.
+    Fusion cost is bounded by k x |queries| x |lists| regardless of
+    corpus size; both constituent rankings replay exactly in the oracle,
+    so the fused list is hash-gated end to end."""
+    from paimon_presto_spark.operators.similarity import (
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+    from paimon_presto_spark.operators.text import rrf_fuse
+    from paimon_presto_spark.queries.advanced import IVF_PROBE, _ivf_cents
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    r_ivf = ivf_topk(e, queries, _ivf_cents(), k=10, n_probe=IVF_PROBE)
+    r_lsh = lsh_bucketed_topk(e, queries, k=10, n_planes=4, dim=64)
+    out = rrf_fuse([r_ivf, r_lsh], k=10, c=60)
+    return out.select(
+        "q_id", "n_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "n_lists", "rnk",
+    ).orderBy("q_id", "rnk")
+

@@ -1986,3 +1986,55 @@ def test_connected_components_star_rung_chain_equivalence(spark):
 
     with pytest.raises(ValueError, match="algorithm"):
         connected_components(shallow, algorithm="bogus")
+
+
+def test_tfidf_cosine_pairs_weighted_vs_unweighted(spark):
+    """TF-IDF cosine finds the pair sharing DISTINCTIVE vocabulary and
+    scores it above a pair sharing only boilerplate — the weighting
+    Jaccard lacks; the corpus-relative df cap keeps candidates at any N."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import tfidf_cosine_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " zephyr quasar nebula"),
+            (2, boiler + " zephyr quasar nebula"),   # distinctive match w/ 1
+            (3, boiler + " apple banana cherry"),
+            (4, boiler + " dates elderberry figs"),  # only boilerplate w/ 3
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_pairs(docs, max_df=3, threshold=0.0).collect()
+    cos = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in out}
+    assert cos[(1, 2)] > cos.get((3, 4), 0.0)
+    assert cos[(1, 2)] > 0.5
+    # corpus-relative default cap floors at 50 for tiny corpora
+    assert tfidf_cosine_pairs(docs, threshold=0.0).count() > 0
+
+
+def test_rrf_fuse_rank_level_fusion(spark):
+    """RRF: candidates surfaced by BOTH lists beat single-list leaders
+    with similar ranks; score = sum(1/(c+rnk)) exactly; empty input
+    rejected."""
+    import pytest
+
+    from paimon_presto_spark.operators.text import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "q_id long, n_id long, rnk int"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 12, 3)], "q_id long, n_id long, rnk int"
+    )
+    out = {r["n_id"]: r for r in rrf_fuse([r1, r2], k=10).collect()}
+    # 11 appears rank 2 + rank 1 -> beats 10 (single rank-1)
+    assert out[11]["rnk"] == 1 and out[11]["n_lists"] == 2
+    assert out[10]["n_lists"] == 1
+    # contributions round to DECIMAL(28,10) before summing
+    assert abs(out[11]["rrf_score"] - (1 / 62 + 1 / 61)) < 2e-10
+    # both-lists candidate 12 (3+3) beats single-list 13 (rank 2)
+    assert out[12]["rrf_score"] > out[13]["rrf_score"]
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], k=5)
