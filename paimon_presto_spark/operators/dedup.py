@@ -608,6 +608,7 @@ def _connected_components_star(
         .localCheckpoint()
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # -- large-star ---------------------------------------------------
         both = edges.union(
@@ -643,8 +644,22 @@ def _connected_components_star(
         ).collect()[0]
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # An unconverged edge set is NOT a star forest: labels would be
+        # wrong AND a multi-parent node would duplicate doc_id rows in
+        # the read-out below — fail loudly instead (the propagation rung
+        # at least returns well-formed partial labels; this one cannot).
+        # Star rounds are O(log n): 25 covers ~2^25 nodes, so exhaustion
+        # means a pathological graph or a too-small explicit budget.
+        raise RuntimeError(
+            f"connected_components(algorithm='star') did not converge "
+            f"within max_iter={max_iter} rounds; raise max_iter "
+            f"(each round is O(log n) progress, so a small increase "
+            f"goes far)"
+        )
     # at the fixed point edges are (node, component-min) stars; roots and
     # isolated nodes (none from pairs, but kept for safety) label themselves
     nodes = (

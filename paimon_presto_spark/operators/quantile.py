@@ -116,6 +116,13 @@ def weighted_quantiles(
     names = [name for _, _, name in quantiles]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate quantile out_cols: {names}")
+    reserved = set(group_cols) | {"total_weight_dec"}
+    clashes = [n for n in names if n in reserved]
+    if clashes:
+        raise ValueError(
+            f"quantile out_cols {clashes} collide with group columns or "
+            f"the reserved 'total_weight_dec' output column"
+        )
     for q_num, q_den, name in quantiles:
         if not 0 < q_num <= q_den:
             raise ValueError(
@@ -155,6 +162,7 @@ def weighted_quantiles(
         thr,
         target_edge_rows,
         _depth=0,
+        _n_quantiles=len(quantiles),
         _validate=(value_col, weight_col),
     )
     out = totals
@@ -217,6 +225,7 @@ def _locate_crossing(
     thr: DataFrame,
     target_edge_rows: int,
     _depth: int,
+    _n_quantiles: int = 1,
     _validate: tuple[str, str] | None = None,
 ) -> DataFrame:
     """One row per (group, __qid): the smallest ``__v`` where
@@ -250,6 +259,18 @@ def _locate_crossing(
             F.sum(F.col("__v").isNull().cast("long")).alias("__vn"),
             F.sum((F.col("__w") < 0).cast("long")).alias("__wn"),
         ]
+        # A NULL group key would silently vanish through every internal
+        # equi-join (null-unsafe equality), not error — count those rows
+        # here (grouping collapses all-NULL keys into one stats row, so
+        # the count must ride the same aggregation).
+        aggs += [
+            F.sum(
+                sum(
+                    (F.col(g).isNull().cast("long") for g in group_cols),
+                    F.lit(0),
+                )
+            ).alias("__gn")
+        ]
     stats = base.groupBy(*key).agg(*aggs).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -275,15 +296,24 @@ def _locate_crossing(
         F.sum((F.col("__mx") > F.col("__mn")).cast("long")).alias("n_groups"),
     ]
     if _validate is not None:
-        scalar_aggs += [F.sum("__vn").alias("vn"), F.sum("__wn").alias("wn")]
+        scalar_aggs += [
+            F.sum("__vn").alias("vn"),
+            F.sum("__wn").alias("wn"),
+            F.sum("__gn").alias("gn"),
+        ]
+    scalar_aggs += [F.count(F.lit(1)).alias("n_all")]
     scalars = stats.select(*scalar_aggs).collect()[0]
-    if _validate is not None and (scalars["vn"] or scalars["wn"]):
+    if _validate is not None and (
+        scalars["vn"] or scalars["wn"] or scalars["gn"]
+    ):
         value_col, weight_col = _validate
         raise ValueError(
             f"weighted_quantiles: {scalars['vn']} NULL {value_col!r} "
-            f"values / {scalars['wn']} negative {weight_col!r} weights; "
-            f"filter or impute them first (NULL values have no rank; "
-            f"negative weights break the monotone cumulative sum)"
+            f"values / {scalars['wn']} negative {weight_col!r} weights / "
+            f"{scalars['gn']} NULL group-key cells; filter or impute "
+            f"them first (NULL values have no rank; negative weights "
+            f"break the monotone cumulative sum; NULL group keys would "
+            f"silently drop through the internal equi-joins)"
         )
     if not scalars["n_groups"]:
         return done
@@ -292,13 +322,17 @@ def _locate_crossing(
     # sized. With FEW groups a plain equi-join would shuffle the entire
     # row set into |groups| partitions — 3 serial tasks for a 3-flag
     # median, the very bottleneck this decomposition removes — so they
-    # broadcast whenever the measured group count is driver-safe; past
-    # the bound the hint is withheld and AQE chooses (many groups also
-    # means the shuffle parallelizes fine).
+    # broadcast whenever the measured size is driver-safe; past the bound
+    # the hint is withheld and AQE chooses (many groups also means the
+    # shuffle parallelizes fine). The gate measures ALL stats rows x
+    # quantiles — thr carries one row per (group, quantile) over every
+    # group including single-valued 'done' ones, so gating on the open
+    # subset alone could force-broadcast a frame as large as the corpus'
+    # group count.
     def bc(small: DataFrame) -> DataFrame:
         return (
             F.broadcast(small)
-            if scalars["n_groups"] <= _BROADCAST_GROUP_BOUND
+            if scalars["n_all"] * _n_quantiles <= _BROADCAST_GROUP_BOUND
             else small
         )
 
@@ -388,7 +422,8 @@ def _locate_crossing(
     # bucket pass and both joins that produced it.
     _QUANTILE_CACHES.append(edge)
     deeper = _locate_crossing(
-        edge, group_cols, thr2, target_edge_rows, _depth + 1
+        edge, group_cols, thr2, target_edge_rows, _depth + 1,
+        _n_quantiles=1,  # deeper stats rows are (group, qid) pairs already
     )
     return done.unionByName(deeper)
 

@@ -251,7 +251,6 @@ def _oracle_rrf_fusion(k: int, c: int, n_queries: int) -> str:
     multiprobe) as CTE subqueries, then the RRF formula — 1/(c+rnk) is
     one exact-integer double division, summed as DECIMAL (order-free)."""
     from paimon_presto_spark.queries.advanced import (
-        IVF_PROBE,
         _oracle_ivf_knn,
         _oracle_lsh_knn,
     )

@@ -1843,11 +1843,22 @@ def test_weighted_quantiles_contract_errors(spark):
             spark.createDataFrame([("x", 1.0, -1)], "g string, v double, w int"),
             "v", "w", ["g"],
         )
+    with pytest.raises(ValueError, match="NULL group-key"):
+        weighted_median(
+            spark.createDataFrame(
+                [("x", 1.0, 1), (None, 2.0, 1)], "g string, v double, w int"
+            ),
+            "v", "w", ["g"],
+        )
     df = spark.createDataFrame([("x", 1.0, 1)], "g string, v double, w int")
     with pytest.raises(ValueError, match="0 < q_num <= q_den"):
         weighted_quantiles(df, "v", "w", ["g"], [(3, 2, "bad")])
     with pytest.raises(ValueError, match="duplicate"):
         weighted_quantiles(df, "v", "w", ["g"], [(1, 2, "m"), (1, 4, "m")])
+    with pytest.raises(ValueError, match="collide"):
+        weighted_quantiles(df, "v", "w", ["g"], [(1, 2, "g")])
+    with pytest.raises(ValueError, match="collide"):
+        weighted_quantiles(df, "v", "w", ["g"], [(1, 2, "total_weight_dec")])
     with pytest.raises(ValueError, match="non-empty"):
         weighted_quantiles(df, "v", "w", ["g"], [])
 
@@ -1986,6 +1997,10 @@ def test_connected_components_star_rung_chain_equivalence(spark):
 
     with pytest.raises(ValueError, match="algorithm"):
         connected_components(shallow, algorithm="bogus")
+    # an unconverged star edge set is NOT a star forest — partial labels
+    # would be wrong (and possibly duplicated), so exhaustion raises
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1, algorithm="star")
 
 
 def test_tfidf_cosine_pairs_weighted_vs_unweighted(spark):
