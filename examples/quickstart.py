@@ -253,6 +253,19 @@ def main() -> None:
               "| stream/batch parity kept:", par["n_kept"],
               "dropped:", par["n_dropped"])
 
+        # -- round 7: weighted quantiles, stored ANN index, APSS, RRF -------
+        wm = qs2["agg_weighted_median"](spark, SF_DIR).collect()
+        wq = qs2["agg_weighted_quartiles"](spark, SF_DIR).limit(1).collect()[0]
+        stored = qs2["knn_ivf_pq_stored"](spark, SF_DIR)
+        apss = qs2["dedup_tfidf_cosine"](spark, SF_DIR)
+        rrf = qs2["retrieval_rrf_fusion"](spark, SF_DIR).limit(1).collect()[0]
+        print("weighted median per flag:",
+              {r["l_returnflag"]: r["weighted_median"] for r in wm},
+              "| IQR(A):", float(wq["iqr"]),
+              "| stored-index ANN rows:", stored.count(),
+              "| tf-idf cosine pairs:", apss.count(),
+              "| rrf top hit:", rrf["n_id"], f"({rrf['n_lists']} lists)")
+
         print("quickstart complete.")
     finally:
         shutil.rmtree(wh, ignore_errors=True)

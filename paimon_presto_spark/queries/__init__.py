@@ -74,6 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "knn_ivf_pq_stored",
     "dedup_tfidf_cosine",
     "retrieval_rrf_fusion",
+    "knn_ivf_pq_append",
     # -- last driver-graded in ROUND 3 (all 11) ---------------------------
     "q5_local_supplier_revenue",
     "q7_volume_shipping",
@@ -86,7 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill",
     "unnest_with_ordinality",
     "agg_histogram_map",
-    # -- last driver-graded in ROUND 4 (35 of 50; 15 rotate in round 8) ---
+    # -- last driver-graded in ROUND 4 (34 of 50; 16 rotate in round 8) ---
     # TPC-H shapes
     "q1_pricing_summary",
     "q15_top_supplier",
@@ -99,7 +100,6 @@ PRIORITY: tuple[str, ...] = (
     # joins / set ops / sampling / misc relational
     "join_anti_not_exists",
     "setop_except",
-    "select_distinct_segments",
     "limit_offset_sort",
     "key_based_sampling",
     "assign_unique_id",

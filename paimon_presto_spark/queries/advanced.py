@@ -2086,6 +2086,56 @@ def knn_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf_pq_append",
+    oracle=_oracle_ivf_pq_adc(
+        m=8, sub=8, ksub=16, iters=2, sample_n=128, topk=10,
+        n_queries=3, n_probe=IVF_PROBE,
+    ),
+    tags=("similarity", "knn", "ivf", "product-quantization",
+          "incremental"),
+)
+def knn_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index APPEND — the daily-increment half of the
+    train-once contract, completing the lifecycle next to
+    ``knn_ivf_pq_stored`` (build → store → APPEND → probe): the stored
+    corpus (vec_id < 300) is read back as its persisted (id, bucket,
+    codes) table and NEVER re-encoded; only the increment runs the
+    coarse-argmax + PQ-encode scan (its pushed filter shows in the plan),
+    exactly how FAISS `add()`s to a trained index — codes are
+    per-vector, so index(old) ∪ index(new) == index(old ∪ new), which is
+    what the full-pipeline oracle replays. (Codebooks here train over the
+    md5-sample of the FULL corpus so the oracle's training replay lines
+    up; production trains once on the initial corpus and the appended
+    codes simply quantize against those frozen books — the append path
+    itself is identical.) The same resumable shape as
+    ``dedup_minhash_incremental``'s stored signatures and
+    ``dedup_semantic_incremental``'s stored assignments."""
+    from paimon_presto_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_probe_topk,
+        pq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=8, ksub=16, iters=2, sample_n=128, dim=64)
+    old = e.filter(F.col("vec_id") < 300)
+    new = e.filter(F.col("vec_id") >= 300)
+    wh = _scratch_dir("ivfapp-")
+    idx_path = os.path.join(wh, "ivf_pq_index_old")
+    ivf_pq_index(old, _ivf_cents(), books, encode="relational").write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    # append: stored half read back as bytes; only the increment encodes
+    combined = spark.read.parquet(idx_path).unionByName(
+        ivf_pq_index(new, _ivf_cents(), books, encode="relational")
+    )
+    queries = e.filter(F.col("vec_id") < 3)
+    return ivf_pq_probe_topk(
+        combined, queries, _ivf_cents(), books, k=10, n_probe=IVF_PROBE
+    ).orderBy("q_id", "rnk")
+
+
+@register(
     "agg_weighted_median",
     oracle="""
         WITH c AS (
