@@ -88,6 +88,8 @@ HEADLINE = [
     "agg_weighted_quartiles",
     "dedup_tfidf_cosine",
     "retrieval_rrf_fusion",
+    "sample_priority_per_source",
+    "text_vocab_stats",
     # dedup_ngram_containment is registry+oracle-gated but, like its
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
     # the exact-intersection verify over full shingle sets is the

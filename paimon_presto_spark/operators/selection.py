@@ -331,3 +331,40 @@ def dsir_importance_weights(
             ).alias("weight_dec"),
         )
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Weighted sampling without replacement, ``k`` rows PER GROUP — the
+    per-domain variant of ``priority_sample`` (same Duffield–Lund–Thorup
+    priorities, same hash-derived determinism contract): how a mixing
+    pipeline downsamples each source to a quota while keeping heavy
+    documents proportionally likelier WITHIN their source.
+
+    100 TB shape: the priority is a pure map; the per-group top-k is a
+    rank window that Spark executes with WindowGroupLimit pushdown —
+    per-partition top-k heaps per group BEFORE the shuffle, so the
+    exchange carries at most k rows per (partition, group), never the
+    corpus. No driver state, group cardinality unbounded.
+
+    Rows with NULL or non-positive weight are excluded (zero inclusion
+    probability). Returns the sampled rows with ``priority`` and ``rnk``
+    (1 = highest priority within the group) appended.
+    """
+    u = (md5_long(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("priority"), F.asc(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", F.col(weight_col).cast("double") / u)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

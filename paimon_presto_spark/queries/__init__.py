@@ -75,6 +75,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_tfidf_cosine",
     "retrieval_rrf_fusion",
     "knn_ivf_pq_append",
+    "sample_priority_per_source",
+    "text_vocab_stats",
     # -- last driver-graded in ROUND 3 (all 11) ---------------------------
     "q5_local_supplier_revenue",
     "q7_volume_shipping",
@@ -87,9 +89,8 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill",
     "unnest_with_ordinality",
     "agg_histogram_map",
-    # -- last driver-graded in ROUND 4 (34 of 50; 16 rotate in round 8) ---
+    # -- last driver-graded in ROUND 4 (32 of 50; 18 rotate in round 8) ---
     # TPC-H shapes
-    "q1_pricing_summary",
     "q15_top_supplier",
     "q16_parts_supplier",
     "q20_excess_stock",
@@ -112,7 +113,6 @@ PRIORITY: tuple[str, ...] = (
     "string_functions",
     "conditional_scalar_functions",
     # events
-    "events_tumbling_window",
     "events_funnel_steps",
     "events_cohort_retention",
     # LLM pipeline: dedup / similarity / selection

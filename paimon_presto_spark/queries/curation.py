@@ -1580,3 +1580,123 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logprob_sum",
         F.round(ppl, 6).alias("perplexity"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sample_priority_per_source",
+    oracle="""
+        WITH h AS (
+            SELECT source, doc_id, n_chars,
+                   CAST(n_chars AS DOUBLE)
+                   / ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) + 1) / 1152921504606846976.0)
+                       AS pri
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        r AS (
+            SELECT source, doc_id, n_chars, pri,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY pri DESC, doc_id ASC) AS rnk
+            FROM h
+        )
+        SELECT source, doc_id, n_chars, ROUND(pri, 4) AS priority, rnk
+        FROM r WHERE rnk <= 3
+        ORDER BY source, rnk
+    """,
+    tags=("sampling", "weighted", "priority", "per-group", "mixing"),
+)
+def sample_priority_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain weighted sampling without replacement
+    (``operators/selection.py:priority_sample_per_group``): 3 documents
+    PER SOURCE drawn with probability proportional to ``n_chars`` — the
+    quota-per-domain mixing primitive (every source keeps representation;
+    heavy documents are proportionally likelier within theirs), next to
+    the global top-k of ``sample_priority_weighted``. Same hash-derived
+    priorities, so DuckDB replays the exact ranking; the per-group top-k
+    runs as a WindowGroupLimit-pruned rank window — per-partition heaps
+    per group, the exchange never carries the corpus."""
+    from paimon_presto_spark.operators.selection import (
+        priority_sample_per_group,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = priority_sample_per_group(
+        d.select("source", "doc_id", "n_chars"), "n_chars", 3, "doc_id",
+        ["source"],
+    )
+    return out.select(
+        "source", "doc_id", "n_chars",
+        F.round("priority", 4).alias("priority"), "rnk",
+    ).orderBy("source", "rnk")
+
+
+@register(
+    "text_vocab_stats",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, w AS wd
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+            WHERE w <> ''
+        ),
+        vocab AS (
+            SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY wd
+        ),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(MAX(cnt) AS BIGINT) AS top_freq
+            FROM vocab
+        )
+        SELECT n_tokens, n_types, n_hapax,
+               ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                   AS type_token_ratio,
+               ROUND(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+                   AS hapax_fraction,
+               ROUND(CAST(top_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                   AS top_token_share
+        FROM tot
+    """,
+    tags=("text", "vocabulary", "zipf", "corpus-stats", "analysis"),
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary health audit: token count, type count (distinct
+    vocabulary), hapax-legomena fraction (types occurring once — the
+    noise/typo tail that OOM-sizes naive vocabulary broadcasts), and the
+    top token's corpus share — the Zipf sanity numbers a curation
+    pipeline checks before/after cleaning (a junk-heavy crawl shows
+    hapax_fraction near 1; boilerplate-heavy shows a fat top_token_share).
+
+    Scale shape: ONE (word-hashless, count-only) aggregation to
+    vocabulary size, then ONE reduction to a single row; exact integer
+    counts, two exact double divisions. The corpus text never shuffles —
+    only (word, count) partials. All derived ratios divide identical
+    values in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("wd")).filter(
+        F.col("wd") != ""
+    )
+    vocab = w.groupBy("wd").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+        F.max("cnt").alias("top_freq"),
+    )
+    return tot.select(
+        "n_tokens", "n_types", "n_hapax",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"),
+            6,
+        ).alias("hapax_fraction"),
+        F.round(
+            F.col("top_freq").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("top_token_share"),
+    )

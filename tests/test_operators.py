@@ -2053,3 +2053,34 @@ def test_rrf_fuse_rank_level_fusion(spark):
     assert out[12]["rrf_score"] > out[13]["rrf_score"]
     with pytest.raises(ValueError, match="non-empty"):
         rrf_fuse([], k=5)
+
+
+def test_priority_sample_per_group_quota_and_determinism(spark):
+    """Per-group priority sampling: exactly k rows per group (fewer only
+    when the group is smaller), no repeats, deterministic across runs,
+    non-positive weights excluded, and within-group overrepresentation
+    of heavy rows."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.selection import (
+        priority_sample_per_group,
+    )
+
+    rows = [("a", i, 1 if i < 90 else 1000) for i in range(100)] + [
+        ("b", 1000 + j, j % 3) for j in range(10)  # some zero weights
+    ] + [("c", 2000, 5)]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    out = priority_sample_per_group(df, "w", 5, "id", ["g"]).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["g"], []).append(r)
+    assert len(per["a"]) == 5 and len(per["c"]) == 1
+    assert all(r["w"] > 0 for r in per["b"])  # zero weights excluded
+    assert [r["rnk"] for r in sorted(per["a"], key=lambda r: r["rnk"])] == [
+        1, 2, 3, 4, 5
+    ]
+    # heavy rows (w=1000, ids 90-99) dominate group a's sample
+    heavy = sum(1 for r in per["a"] if r["id"] >= 90)
+    assert heavy >= 4
+    again = priority_sample_per_group(df, "w", 5, "id", ["g"]).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
