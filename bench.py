@@ -90,7 +90,8 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "sample_priority_per_source",
     "text_vocab_stats",
-    # dedup_ngram_containment is registry+oracle-gated but, like its
+    # dedup_ngram_containment and dedup_minhash_recall are
+    # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
     # the exact-intersection verify over full shingle sets is the
     # deliberate-precision rung (12s at sf0.1), not the throughput path

@@ -1614,3 +1614,84 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         "n_shared",
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_minhash_recall",
+    oracle=(
+        "WITH "
+        + _o_shingle_sql(3)
+        + f""",
+        hashed AS (SELECT doc_id, {_O_HASH} AS h FROM sh),
+        mh AS (
+            SELECT doc_id,
+                   {_o_minhash_aggs()}
+            FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+            """
+        + "\nUNION ALL\n".join(
+            f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
+            + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+            + ") AS bkey FROM mh"
+            for j in range(LSH_BANDS)
+        )
+        + """
+        ),
+        lsh AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+        ),
+        tcand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM hashed a
+            JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM tcand c
+            JOIN hashed sa ON sa.doc_id = c.doc_a
+            JOIN hashed sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+        truth AS (
+            SELECT i.doc_a, i.doc_b,
+                   i.inter / (sa.n + sb.n - i.inter) AS j
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.3
+        ),
+        marked AS (
+            SELECT t.j,
+                   CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+            FROM truth t
+            LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+        )
+        SELECT CAST(LEAST(9, FLOOR(j * 10)) AS INT) AS jband,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(SUM(hit) AS BIGINT) AS n_found,
+               ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS recall
+        FROM marked GROUP BY 1 ORDER BY jband
+    """
+    ),
+    tags=("dedup", "minhash", "lsh", "recall", "audit"),
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH recall per Jaccard decile
+    (``operators/dedup.py:minhash_recall_audit``): exact ground-truth
+    pairs (uncapped inverted index — exhaustive above Jaccard 0) bucketed
+    by decile and checked against the banded candidate set — the LSH
+    S-curve as DATA for this corpus and (k=16, bands=4), the dedup twin
+    of ``knn_lsh_recall``. The audit one runs before trusting a banding
+    at a new threshold; deliberate-precision rung (sampled at 100 TB)."""
+    from paimon_presto_spark.operators.dedup import minhash_recall_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_recall_audit(
+        docs, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS, min_jaccard=0.3
+    ).orderBy("jband")
