@@ -331,6 +331,32 @@ def minhash_lsh_pairs_incremental(
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
 
 
+def _inverted_index_pairs(
+    sh: DataFrame, max_df: int | None = None
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs sharing a shingle hash — the
+    inverted-index self-join every exact-similarity rung starts from.
+    ``max_df`` caps posting lists (the Bayardo bound on quadratic
+    blow-up); ``None`` keeps every list — EXHAUSTIVE above similarity 0,
+    which is what the recall audit's ground truth requires. Shared by the
+    Jaccard, containment, and recall-audit paths so a candidate-shape fix
+    (e.g. hot-shingle skew handling) lands once."""
+    rare = sh
+    if max_df is not None:
+        df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        rare = sh.join(df_counts.filter(F.col("df") <= max_df), "h").select(
+            "doc_id", "h"
+        )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "h")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -350,16 +376,7 @@ def ngram_jaccard_pairs(
     sh = shingle_hashes(docs, id_col, text_col, shingle_n).cache()
     _CHUNK_CACHES.append(sh)
     sh.count()  # populate before fan-out (see minhash_lsh_pairs)
-    df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "h").select("doc_id", "h")
-    a = rare.select(F.col("doc_id").alias("doc_a"), "h")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "h")
-    cand = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _inverted_index_pairs(sh, max_df)
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -1199,18 +1216,7 @@ def ngram_containment_pairs(
     sh = shingle_hashes(docs, id_col, text_col, shingle_n).cache()
     _CHUNK_CACHES.append(sh)
     sh.count()  # populate before fan-out (see minhash_lsh_pairs)
-    df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "h").select(
-        "doc_id", "h"
-    )
-    a = rare.select(F.col("doc_id").alias("doc_a"), "h")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "h")
-    cand = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _inverted_index_pairs(sh, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "h")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -1369,18 +1375,15 @@ def minhash_recall_audit(
     the Jaccard verifier it shares machinery with — not the throughput
     path.
     """
+    # same contract the production banding enforces: a k that does not
+    # split evenly would silently audit a TRUNCATED signature that
+    # minhash_lsh_pairs itself refuses to run
+    assert k % bands == 0, "k must divide evenly into bands"
     release_chunk_caches()
     sh = shingle_hashes(docs, id_col, text_col, shingle_n).cache()
     _CHUNK_CACHES.append(sh)
     sh.count()  # populate before fan-out (see minhash_lsh_pairs)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    truth_cand = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    truth_cand = _inverted_index_pairs(sh, max_df=None)
     truth = jaccard_verify(truth_cand, sh).filter(
         F.col("jaccard") >= min_jaccard
     )

@@ -198,6 +198,20 @@ def select_until_budget(
     return whole.unionByName(edge)
 
 
+def _priority_expr(weight_col: str, id_col: str):
+    """The shared priority expression: w / u with u = (md5(id)+1)/2^60.
+
+    Single-sourced on purpose — this exact IEEE expression tree (int->
+    double casts and two divisions, no transcendentals) is what the
+    DuckDB oracles replay bit-for-bit; both sampling variants and both
+    oracle SQL spellings must track the same formula.
+    """
+    u = (md5_long(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    return F.col(weight_col).cast("double") / u
+
+
 def priority_sample(
     df: DataFrame,
     weight_col: str,
@@ -230,13 +244,9 @@ def priority_sample(
     inclusion probability by definition). Returns the sampled rows with
     ``priority`` and ``rnk`` (1 = highest priority) columns appended.
     """
-    u = (md5_long(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
-        float(1 << 60)
-    )
-    pri = F.col(weight_col).cast("double") / u
     top = (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("priority", pri)
+        .withColumn("priority", _priority_expr(weight_col, id_col))
         .orderBy(F.desc("priority"), F.asc(id_col))
         .limit(k)
     )
@@ -356,15 +366,12 @@ def priority_sample_per_group(
     probability). Returns the sampled rows with ``priority`` and ``rnk``
     (1 = highest priority within the group) appended.
     """
-    u = (md5_long(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
-        float(1 << 60)
-    )
     w = Window.partitionBy(*group_cols).orderBy(
         F.desc("priority"), F.asc(id_col)
     )
     return (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("priority", F.col(weight_col).cast("double") / u)
+        .withColumn("priority", _priority_expr(weight_col, id_col))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )

@@ -2075,6 +2075,9 @@ def test_priority_sample_per_group_quota_and_determinism(spark):
     for r in out:
         per.setdefault(r["g"], []).append(r)
     assert len(per["a"]) == 5 and len(per["c"]) == 1
+    # group b has 6 positive-weight rows, so k=5 must yield exactly 5 —
+    # a rank computed before the weight filter would over-prune here
+    assert len(per["b"]) == 5
     assert all(r["w"] > 0 for r in per["b"])  # zero weights excluded
     assert [r["rnk"] for r in sorted(per["a"], key=lambda r: r["rnk"])] == [
         1, 2, 3, 4, 5
