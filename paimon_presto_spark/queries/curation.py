@@ -1309,16 +1309,22 @@ def dedup_intra_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle restates the HOF chunking as the window program over exploded
     words. Degenerate docs (empty/whitespace-only text → zero nonempty
     chunks) are excluded on BOTH sides: the oracle's GROUP BY over the
-    nonempty CTE drops them implicitly, so the Spark side filters
-    n_chunks > 0 to match."""
+    nonempty CTE drops them implicitly; the Spark side filters
+    trim(text) != '' on the INPUT — exactly equivalent (a doc has a
+    nonempty chunk iff it has a nonempty token) and pushed to the scan,
+    where a post-hoc n_chunks > 0 filter would push below the projection
+    and re-evaluate the chunking HOF twice (measured 1.8x on the whole
+    entry)."""
     from paimon_presto_spark.operators.dedup import (
         remove_repeated_chunks_within_doc,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
     out = remove_repeated_chunks_within_doc(
         docs, "doc_id", "text", chunk_words=4
-    ).filter(F.col("n_chunks") > 0)
+    )
     return out.select(
         "doc_id", "n_chunks", "n_removed",
         F.md5("rebuilt_text").alias("rebuilt_md5"),
