@@ -78,6 +78,7 @@ PRIORITY: tuple[str, ...] = (
     "sample_priority_per_source",
     "text_vocab_stats",
     "dedup_minhash_recall",
+    "streaming_batch_parity_window",
     # -- last driver-graded in ROUND 3 (all 11) ---------------------------
     "q5_local_supplier_revenue",
     "q7_volume_shipping",
@@ -90,7 +91,7 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill",
     "unnest_with_ordinality",
     "agg_histogram_map",
-    # -- last driver-graded in ROUND 4 (31 of 50; 19 rotate in round 8) ---
+    # -- last driver-graded in ROUND 4 (30 of 50; 20 rotate in round 8) ---
     # TPC-H shapes
     "q15_top_supplier",
     "q16_parts_supplier",
@@ -103,7 +104,6 @@ PRIORITY: tuple[str, ...] = (
     "join_anti_not_exists",
     "setop_except",
     "limit_offset_sort",
-    "assign_unique_id",
     "having_nation_counts",
     # aggregates / windows / scalars
     "agg_stats_variance",

@@ -103,3 +103,91 @@ def streaming_batch_parity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n_kept"], total - row["n_kept"], row["kept_checksum"])],
         "n_kept long, n_dropped long, kept_checksum long",
     )
+
+
+@register(
+    "streaming_batch_parity_window",
+    oracle="""
+        SELECT (epoch_ns(ts) // 600000000000) * 600 AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR)
+                    AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "window-agg", "parity", "watermark"),
+)
+def streaming_batch_parity_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream/batch parity for WINDOWED AGGREGATION — the second (and
+    fully value-hashed) oracle-gated face of the streaming layer, next to
+    ``streaming_batch_parity_dedup``'s invariant gate: a real Structured
+    Streaming job (file stream over the events parquet → 10-minute
+    ``F.window`` tumbling aggregation → memory sink, complete output,
+    availableNow trigger) runs to completion inside the query, and its
+    final state must equal the batch GROUP BY bit-for-bit — counts are
+    exact integers and the value sum accumulates as DECIMAL(28,10), so
+    unlike dedup there is NO partition-order ambiguity to hide behind.
+
+    Complete output mode is the parity harness (every window stays
+    addressable at stream end); a production job uses update/append with
+    a watermark so state expires — same aggregation operator, different
+    retention. State rows are (window, event_type) keys — bounded by time
+    span x type cardinality, never by event volume.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # normalize either testdata flavor (TIMESTAMP(NANOS)->long under
+    # nanosAsLong, or TIMESTAMP(MICROS)) to a proper timestamp for
+    # F.window — the same fork sources/testdata.load_table applies
+    if schema["ts"].dataType.typeName().startswith("timestamp"):
+        tscol = F.col("ts").cast("timestamp")
+    else:  # epoch-nanos long
+        tscol = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    agg = (
+        stream.select(tscol.alias("__ts"), "event_type", "value")
+        .groupBy(F.window("__ts", "600 seconds"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("__tv"),
+        )
+    )
+    name = f"parity_window_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # Materialize eagerly and drop the memory-sink view (same leak-avoid
+    # rationale as the dedup parity entry).
+    rows = (
+        spark.table(name)
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("__tv").cast("string").cast("double").alias("total_value"),
+        )
+        .collect()
+    )
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        [(r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+         for r in rows],
+        "window_start long, event_type string, n_events long, "
+        "total_value double",
+    ).orderBy("window_start", "event_type")
