@@ -63,7 +63,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the stalest round-4 rows to fill 50. The displaced r4 rows keep their
 # families anchored in-prefix (see tests/test_registry_contract.py's
 # anchor list) and rotate in next round with the rest of the r4 cohort
-# (15 r4 rows remain for round 8, then the r5 cohort). Cohort membership
+# (20 r4 rows remain for round 8, then the r5 cohort). Cohort membership
 # comes from the CORRECTNESS_r0N.json artifacts (an entry's latest round
 # with a recorded row), not from past PRIORITY lists.
 # Everything outside the prefix is still verified by the local gate

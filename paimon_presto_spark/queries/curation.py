@@ -1307,20 +1307,21 @@ def dedup_intra_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence test runs against the document's own bounded chunk list).
     The md5 of each rebuilt document certifies the reconstruction; the
     oracle restates the HOF chunking as the window program over exploded
-    words. Degenerate docs (empty/whitespace-only text → zero nonempty
-    chunks) are excluded on BOTH sides: the oracle's GROUP BY over the
-    nonempty CTE drops them implicitly; the Spark side filters
-    trim(text) != '' on the INPUT — exactly equivalent (a doc has a
-    nonempty chunk iff it has a nonempty token) and pushed to the scan,
-    where a post-hoc n_chunks > 0 filter would push below the projection
-    and re-evaluate the chunking HOF twice (measured 1.8x on the whole
-    entry)."""
+    words. Degenerate docs (zero nonempty chunks) are excluded on BOTH
+    sides: the oracle's GROUP BY over the nonempty CTE drops them
+    implicitly; the Spark side filters text != '' on the INPUT — exactly
+    equivalent, because a chunk is empty only when its slice is the
+    single empty token of an empty string (a whitespace-only doc's chunk
+    is the space-JOINED empties — nonempty, and both engines KEEP it) —
+    and pushed to the scan, where a post-hoc n_chunks > 0 filter would
+    push below the projection and re-evaluate the chunking HOF twice
+    (measured 1.8x on the whole entry)."""
     from paimon_presto_spark.operators.dedup import (
         remove_repeated_chunks_within_doc,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.trim(F.col("text")) != ""
+        F.col("text") != ""
     )
     out = remove_repeated_chunks_within_doc(
         docs, "doc_id", "text", chunk_words=4

@@ -151,8 +151,9 @@ def streaming_batch_parity_window(
     # F.window — the same fork sources/testdata.load_table applies
     if schema["ts"].dataType.typeName().startswith("timestamp"):
         tscol = F.col("ts").cast("timestamp")
-    else:  # epoch-nanos long
-        tscol = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    else:  # epoch-nanos long: exact INTEGER division (float /1000 is
+        # lossy near 1.7e18 — the registry's integer-math-on-nanos rule)
+        tscol = F.timestamp_micros(F.expr("ts div 1000"))
     agg = (
         stream.select(tscol.alias("__ts"), "event_type", "value")
         .groupBy(F.window("__ts", "600 seconds"), "event_type")
