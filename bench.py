@@ -90,6 +90,11 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "sample_priority_per_source",
     "text_vocab_stats",
+    # round 7 (late): SQ8 coarse-scan ANN, held-out trigram backoff LM,
+    # threshold-pruned exact heavy hitters
+    "knn_sq8_rerank",
+    "text_trigram_backoff",
+    "text_heavy_hitters",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:

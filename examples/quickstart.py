@@ -266,6 +266,14 @@ def main() -> None:
               "| tf-idf cosine pairs:", apss.count(),
               "| rrf top hit:", rrf["n_id"], f"({rrf['n_lists']} lists)")
 
+        # -- late round 7: SQ8 re-rank ANN, trigram LM, heavy hitters --------
+        sq8 = qs2["knn_sq8_rerank"](spark, SF_DIR).limit(1).collect()[0]
+        tri = qs2["text_trigram_backoff"](spark, SF_DIR).limit(1).collect()[0]
+        hh = qs2["text_heavy_hitters"](spark, SF_DIR).limit(1).collect()[0]
+        print("sq8 top hit:", sq8["n_id"], f"(int_dot {sq8['int_dot']})",
+              "| trigram ppl(doc1):", tri["perplexity"],
+              "| top heavy hitter:", hh["wd"], f"({hh['cnt']}x)")
+
         print("quickstart complete.")
     finally:
         shutil.rmtree(wh, ignore_errors=True)

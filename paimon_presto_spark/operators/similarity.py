@@ -1732,3 +1732,79 @@ def ivf_pq_probe_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", F.round("approx_l2", 6).alias("approx_l2"), "rnk")
     )
+
+
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    coarse_k: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 scan + exact re-rank: (q_id, n_id, int_dot, cos_sim, rnk).
+
+    The two-stage scalar-quantization ANN shape (FAISS ``SQ8`` +
+    ``refine``): stage 1 scores every corpus vector with an INTEGER dot
+    product over symmetric int8 codes (``floor(x * 127/max|x| + 0.5)`` —
+    scale-free, so codes encode direction only) and keeps the top
+    ``coarse_k`` per query; stage 2 re-scores only those candidates with
+    the exact full-precision cosine and keeps ``k``.
+
+    Scale shape: the corpus scan reads 4x fewer bytes once codes are a
+    stored column (int8 vs float32); the coarse score is pure integer
+    codegen (exact in both engines — the coarse CUT is bit-reproducible,
+    unlike float-scored ANN cuts); only |Q| x coarse_k rows reach the
+    exact stage. Both stages are WindowGroupLimit windows — no global
+    sort. The coarse ranking ignores the per-vector spread factor
+    ``||x||/max|x|`` (a dequantized-corrected score would need float
+    compares); ``coarse_k >> k`` headroom absorbs it and the re-rank
+    restores exact order.
+    """
+    def coded(df: DataFrame, pre: str) -> DataFrame:
+        vec = F.col(vec_col)
+        mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+        out = df.withColumn("__mx", mx).filter(F.col("__mx") > 0)
+        codes = F.transform(
+            vec,
+            lambda x: F.floor(
+                x.cast("double") * (F.lit(127.0) / F.col("__mx")) + F.lit(0.5)
+            ).cast("long"),
+        )
+        return out.select(
+            F.col(id_col).alias(f"{pre}_id"),
+            F.col(vec_col).alias(f"{pre}_emb"),
+            codes.alias(f"{pre}_codes"),
+        ).withColumn(f"__{pre}n", l2_norm(F.col(f"{pre}_emb")))
+
+    q = F.broadcast(coded(queries, "q"))
+    c = coded(corpus, "n")
+    int_dot = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("n_codes"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("int_dot"), F.asc("n_id"))
+    coarse = (
+        c.crossJoin(q)
+        .withColumn("int_dot", int_dot)
+        .withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= coarse_k)
+    )
+    we = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("n_id"))
+    return (
+        coarse.withColumn(
+            "cos_raw",
+            dot(F.col("q_emb"), F.col("n_emb"))
+            / (F.col("__qn") * F.col("__nn")),
+        )
+        .withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            "int_dot",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            "rnk",
+        )
+    )

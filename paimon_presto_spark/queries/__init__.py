@@ -79,6 +79,10 @@ PRIORITY: tuple[str, ...] = (
     "text_vocab_stats",
     "dedup_minhash_recall",
     "streaming_batch_parity_window",
+    "knn_sq8_rerank",
+    "text_trigram_backoff",
+    "text_heavy_hitters",
+    "streaming_batch_parity_session",
     # -- last driver-graded in ROUND 3 (all 11) ---------------------------
     "q5_local_supplier_revenue",
     "q7_volume_shipping",
@@ -91,14 +95,9 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill",
     "unnest_with_ordinality",
     "agg_histogram_map",
-    # -- last driver-graded in ROUND 4 (30 of 50; 20 rotate in round 8) ---
-    # TPC-H shapes
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q20_excess_stock",
+    # -- last driver-graded in ROUND 4 (26 of 50; 24 rotate in round 8) ---
     # table format / catalog
     "table_format_roundtrip",
-    "table_format_sequence_field",
     "metastore_catalog_roundtrip",
     # joins / set ops / sampling / misc relational
     "join_anti_not_exists",

@@ -1707,3 +1707,280 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_token_share"),
     )
+
+
+@register(
+    "text_trigram_backoff",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        tri AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                         i -> tk[i])) AS w1,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                         i -> tk[i + 1])) AS w2,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                         i -> tk[i + 2])) AS w3
+            FROM toks
+        ),
+        bi AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                                         i -> tk[i])) AS w1,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                                         i -> tk[i + 1])) AS w2
+            FROM toks
+        ),
+        tc AS (
+            SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri
+            WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3
+        ),
+        c12 AS (
+            SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12 FROM tc
+            GROUP BY w1, w2
+        ),
+        bc AS (
+            SELECT w1 AS b1, w2 AS b2, COUNT(*) AS c2 FROM bi
+            WHERE doc_id % 2 = 0 GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT b1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY b1
+        ),
+        uni AS (
+            SELECT w, COUNT(*) AS cu
+            FROM toks, UNNEST(tk) AS t(w)
+            WHERE doc_id % 2 = 0 GROUP BY w
+        ),
+        nv AS (
+            SELECT CAST(SUM(cu) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM uni
+        ),
+        scored AS (
+            SELECT tri.doc_id,
+                   CAST(LN(CASE
+                       WHEN tc.c3 IS NOT NULL
+                           THEN CAST(tc.c3 AS DOUBLE) / c12.c12
+                       WHEN bc.c2 IS NOT NULL
+                           THEN CAST(0.4 AS DOUBLE)
+                                * (CAST(bc.c2 AS DOUBLE) / c1.c1)
+                       ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                            * ((COALESCE(uni.cu, 0) + 0.5)
+                               / (nv.n + 0.5 * nv.v))
+                   END) AS DECIMAL(28,10)) AS lp
+            FROM tri
+            LEFT JOIN tc ON tri.w1 = tc.w1 AND tri.w2 = tc.w2
+                        AND tri.w3 = tc.w3
+            LEFT JOIN c12 ON tri.w1 = c12.w1 AND tri.w2 = c12.w2
+            LEFT JOIN bc ON tri.w2 = bc.b1 AND tri.w3 = bc.b2
+            LEFT JOIN c1 ON tri.w2 = c1.b1
+            LEFT JOIN uni ON tri.w3 = uni.w
+            CROSS JOIN nv
+            WHERE tri.doc_id % 2 = 1 AND tri.doc_id < 80
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                   CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) AS logprob_sum
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_trigrams, logprob_sum,
+               ROUND(CAST(CAST(CAST(EXP(-(logprob_sum / n_trigrams))
+                   AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE), 6)
+                   AS perplexity
+        FROM agg
+        ORDER BY doc_id
+    """,
+    tags=("text", "quality", "language-model", "trigram", "backoff"),
+)
+def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff perplexity on HELD-OUT documents — the
+    modeling rung above ``text_bigram_perplexity``, and the first entry
+    where the model corpus and the scored corpus are disjoint (train =
+    even doc_ids, score = odd doc_ids < 80), so the backoff chain
+    actually fires: a scored trigram unseen in training falls back to
+    the training bigram at the stupid-backoff discount (0.4, Brants et
+    al., "Large Language Models in Machine Translation", EMNLP 2007),
+    then to the add-0.5-smoothed training unigram at 0.4^2. Stupid
+    backoff is THE web-scale n-gram scheme precisely because its
+    statistics are raw counts (no Kneser-Ney continuation counts), so
+    every model table is a combiner-friendly COUNT aggregation.
+
+    Scale shape: trigram/bigram extraction is a map-side index-zip (no
+    self-join); all five model tables join by SHUFFLE on their n-gram
+    keys — never broadcast (a web corpus's raw trigram table is far past
+    driver memory; round-6 verdict rule) — and AQE may still broadcast
+    small ones at test scale; the single-row (N, V) scalar rides a
+    driver literal exactly like ``text_bigram_perplexity``'s vocabulary
+    size. Per-doc decimal sums combine map-side; corpus text never
+    shuffles.
+
+    Determinism: counts are exact integers; each CASE arm is written
+    with identical operation order in both engines (one correctly-
+    rounded division, then exact-literal multiplies); ln/exp pass
+    through DECIMAL(28,10); the backoff ARM CHOICE is an integer
+    NULL-test, so the selected formula can never differ cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+
+    def ngrams(n: int) -> DataFrame:
+        fields = lambda i: [  # noqa: E731
+            F.element_at(arr, i + j).alias(f"w{j + 1}") for j in range(n)
+        ]
+        grams = F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                lambda i: F.struct(*fields(i)),
+            ),
+        ).otherwise(F.array())
+        return d.select("doc_id", F.explode(grams).alias("g")).select(
+            "doc_id", *[F.col(f"g.w{j + 1}").alias(f"w{j + 1}") for j in range(n)]
+        )
+
+    train = F.col("doc_id") % 2 == 0
+    tri, bi = ngrams(3), ngrams(2)
+    tc = tri.filter(train).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    c12 = tc.groupBy("w1", "w2").agg(F.sum("c3").alias("c12"))
+    bc = (
+        bi.filter(train)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .select(F.col("w1").alias("b1"), F.col("w2").alias("b2"), "c2")
+    )
+    c1 = bc.groupBy("b1").agg(F.sum("c2").alias("c1"))
+    uni = (
+        d.filter(train)
+        .select(F.explode(arr).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n_tokens, v_size = (
+        uni.agg(F.sum("cu"), F.count(F.lit(1))).collect()[0][0:2]
+    )
+    s = (
+        tri.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 80))
+        .join(tc, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(bc, (F.col("w2") == F.col("b1")) & (F.col("w3") == F.col("b2")), "left")
+        .join(c1.withColumnRenamed("b1", "u1"), F.col("w2") == F.col("u1"), "left")
+        .join(uni, F.col("w3") == F.col("w"), "left")
+    )
+    prob = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c12"),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(0.4) * (F.col("c2").cast("double") / F.col("c1")),
+        )
+        .otherwise(
+            F.lit(0.4)
+            * F.lit(0.4)
+            * (
+                (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(0.5))
+                / F.lit(float(n_tokens) + 0.5 * float(v_size))
+            )
+        )
+    )
+    agg = (
+        s.withColumn("lp", F.log(prob).cast("decimal(28,10)"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("lp").cast("string").cast("double").alias("logprob_sum"),
+        )
+    )
+    ppl = decimal_squeeze(F.exp(-(F.col("logprob_sum") / F.col("n_trigrams"))))
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        "logprob_sum",
+        F.round(ppl, 6).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
+HH_SALTS = 8
+HH_MIN_COUNT = 50
+HH_SHARE_DIV = 2000
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, w AS wd
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+            WHERE w <> ''
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM words),
+        c AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM words GROUP BY wd)
+        SELECT wd, cnt,
+               ROUND(CAST(cnt AS DOUBLE) / tot.n, 6) AS share
+        FROM c, tot
+        WHERE cnt >= GREATEST({HH_MIN_COUNT}, tot.n // {HH_SHARE_DIV})
+        ORDER BY cnt DESC, wd
+    """,
+    tags=("text", "heavy-hitters", "frequency", "two-phase", "skew"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter tokens (count >= max(50, N/2000)) via the
+    two-phase threshold-pruned shape — the candidate-generation pass that
+    frequency-caps a vocabulary before LM scoring
+    (``text_bigram_perplexity``'s KenLM-style cap) or seeds stopword
+    lists.
+
+    Scale shape — why not one ``GROUP BY token``: on a web corpus the
+    token key space is 10^8+ with catastrophic skew (a top token can be
+    10^10 rows — one hot reducer). Phase 1 counts (salt, token) partials
+    with ``salt = doc_id % 8``, so a hot key is split 8 ways and the
+    combiner absorbs it map-side. The PIGEONHOLE cut then prunes: any
+    token with global count >= T has some salt-partial >= ceil(T/8), so
+    tokens whose every partial is below that bound can never be heavy —
+    at web scale that discards ~all of the vocabulary long tail before
+    anything global happens. Phase 2 re-sums ONLY the surviving
+    candidates' partials (a semi-join against a candidate set bounded by
+    8*N/T keys BY CONSTRUCTION — broadcast-safe at any corpus size,
+    unlike a vocabulary table) and applies the exact threshold. No false
+    negatives (pigeonhole), no false positives (exact recount): the
+    output equals the naive GROUP BY, which is what the oracle runs.
+
+    Determinism: integer counts end-to-end; one rounded division for the
+    share column; the threshold max(50, N // 2000) uses integer floor
+    division in both engines.
+    """
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        (F.col("doc_id") % HH_SALTS).alias("salt"),
+        F.explode(F.split("text", " ")).alias("wd"),
+    ).filter(F.col("wd") != "")
+    p1 = w.groupBy("salt", "wd").agg(F.count(F.lit(1)).alias("cnt"))
+    total = int(p1.agg(F.sum("cnt")).collect()[0][0] or 0)
+    threshold = max(HH_MIN_COUNT, total // HH_SHARE_DIV)
+    cands = (
+        p1.filter(F.col("cnt") >= int(math.ceil(threshold / HH_SALTS)))
+        .select("wd")
+        .distinct()
+    )
+    exact = (
+        p1.join(F.broadcast(cands), "wd", "leftsemi")
+        .groupBy("wd")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )
+    return exact.select(
+        "wd",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.lit(float(total)), 6).alias(
+            "share"
+        ),
+    ).orderBy(F.desc("cnt"), F.asc("wd"))

@@ -317,3 +317,74 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lists", "rnk",
     ).orderBy("q_id", "rnk")
 
+
+
+@register(
+    "knn_sq8_rerank",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   list_aggregate(
+                       list_transform(embedding,
+                                      x -> abs(CAST(x AS DOUBLE))), 'max')
+                       AS mx
+            FROM embeddings
+        ),
+        coded AS (
+            SELECT vec_id, emb,
+                   list_transform(
+                       emb,
+                       x -> floor(x * (127.0 / mx) + 0.5)) AS codes
+            FROM base WHERE mx > 0
+        ),
+        pairs AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   CAST(list_dot_product(q.codes, c.codes) AS BIGINT)
+                       AS int_dot,
+                   q.emb AS q_emb, c.emb AS n_emb
+            FROM coded q JOIN coded c ON c.vec_id >= 5
+            WHERE q.vec_id < 5
+        ),
+        coarse AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY int_dot DESC, n_id ASC) AS crnk
+            FROM pairs
+        ),
+        rer AS (
+            SELECT q_id, n_id, int_dot,
+                   ROUND(LIST_COSINE_SIMILARITY(q_emb, n_emb), 6) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY LIST_COSINE_SIMILARITY(q_emb, n_emb) DESC,
+                                n_id ASC) AS rnk
+            FROM coarse WHERE crnk <= 25
+        )
+        SELECT q_id, n_id, int_dot, cos_sim, rnk
+        FROM rer WHERE rnk <= 10
+        ORDER BY q_id, rnk
+    """,
+    tags=("similarity", "knn", "quantization", "sq8", "rerank"),
+)
+def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: int8 coarse scan + exact top-k re-rank
+    (``operators/similarity.py:sq8_rerank_topk``) — the third production
+    index family next to IVF-PQ (``knn_ivf_pq_stored``) and LSH
+    (``knn_lsh_bucketed``): SQ8 keeps per-dimension resolution (no
+    codebook training), cuts scanned bytes 4x, and its coarse stage is
+    pure INTEGER codegen, so the candidate cut itself is bit-reproducible
+    across engines — which is why this entry can hash-gate both stages
+    end to end (coarse_k=25 candidates, k=10 exact survivors). Same
+    query/corpus split as ``knn_bruteforce_topk`` (the recall baseline:
+    any coarse-stage loss shows up as a diff against it)."""
+    from paimon_presto_spark.operators.similarity import sq8_rerank_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = sq8_rerank_topk(
+        e.filter(F.col("vec_id") >= 5),
+        e.filter(F.col("vec_id") < 5),
+        k=10,
+        coarse_k=25,
+    )
+    return out.orderBy("q_id", "rnk")

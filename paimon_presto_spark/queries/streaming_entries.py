@@ -192,3 +192,126 @@ def streaming_batch_parity_window(
         "window_start long, event_type string, n_events long, "
         "total_value double",
     ).orderBy("window_start", "event_type")
+
+
+SESSION_GAP_S = 1800
+US_PER_S = 1_000_000
+
+
+@register(
+    "streaming_batch_parity_session",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                   LAG(epoch_ns(ts) // 1000) OVER w AS prev_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_ns(ts) // 1000, event_id)
+        ), flagged AS (
+            SELECT user_id, event_id, ts_us,
+                   CASE WHEN prev_us IS NULL
+                             OR ts_us - prev_us > {SESSION_GAP_S * US_PER_S}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM seq
+        ), sessions AS (
+            SELECT user_id, ts_us,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               (MAX(ts_us) - MIN(ts_us)) // {US_PER_S} AS duration_s
+        FROM sessions
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start_us
+    """,
+    tags=("streaming", "session-window", "parity", "stateful"),
+)
+def streaming_batch_parity_session(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream/batch parity for SESSION WINDOWS — the third oracle-gated
+    face of the streaming layer, and the one with genuinely dynamic
+    state: unlike tumbling windows (fixed keys) or dedup (append-only
+    keys), ``F.session_window`` state rows MERGE as late events bridge
+    two open sessions, which is exactly what the batch lag/prefix-sum
+    construction (``events_sessionization``) computes declaratively. The
+    real Structured Streaming job (file stream over the events parquet →
+    30-min-gap session aggregation → memory sink, complete output,
+    availableNow trigger) runs to completion inside the query; its final
+    per-(user, session) rows must equal the batch answer bit-for-bit.
+
+    Boundary semantics are PINNED, not assumed: Spark merges sessions at
+    exactly-gap spacing (delta == gap -> one session; split only when
+    delta > gap — verified empirically, tests/test_r7_late_ops.py), so
+    the oracle's new-session rule is the strict ``>``. All arithmetic is
+    integer microseconds (nanos div 1000 in both engines); counts and
+    epoch values are exact integers — no float anywhere.
+
+    100 TB shape: streaming state is per-OPEN-session (bounded by active
+    users x gap, not event volume) and a production job adds a watermark
+    so closed sessions evict; complete mode is the parity harness at
+    test scale. The batch twin shuffles once on user_id.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # normalize either testdata ts flavor to integer microseconds, then to
+    # a proper timestamp for session_window (same fork as the window
+    # parity entry; integer division keeps it exact near 1.7e18 nanos)
+    if schema["ts"].dataType.typeName().startswith("timestamp"):
+        us = (F.unix_micros(F.col("ts").cast("timestamp"))).alias("ts_us")
+    else:
+        us = F.expr("ts div 1000").alias("ts_us")
+    agg = (
+        stream.select("user_id", us)
+        .withColumn("__ts", F.timestamp_micros(F.col("ts_us")))
+        .groupBy(
+            F.session_window("__ts", f"{SESSION_GAP_S} seconds"), "user_id"
+        )
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts_us").alias("__max_us"),
+        )
+    )
+    name = f"parity_session_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = (
+        spark.table(name)
+        .select(
+            "user_id",
+            "session_start_us",
+            "n_events",
+            F.expr(f"(__max_us - session_start_us) div {US_PER_S}")
+            .alias("duration_s"),
+        )
+        .collect()
+    )
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        [
+            (r["user_id"], r["session_start_us"], r["n_events"],
+             r["duration_s"])
+            for r in rows
+        ],
+        "user_id long, session_start_us long, n_events long, duration_s long",
+    ).orderBy("user_id", "session_start_us")
