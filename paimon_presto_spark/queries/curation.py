@@ -1860,9 +1860,10 @@ def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
-    n_tokens, v_size = (
-        uni.agg(F.sum("cu"), F.count(F.lit(1))).collect()[0][0:2]
-    )
+    # empty-train guard: SUM over zero rows is NULL — degrade to the
+    # oracle's NULL-score shape instead of a driver TypeError
+    _nv = uni.agg(F.sum("cu"), F.count(F.lit(1))).collect()[0]
+    n_tokens, v_size = int(_nv[0] or 0), int(_nv[1] or 0)
     s = (
         tri.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 80))
         .join(tc, ["w1", "w2", "w3"], "left")
@@ -1956,8 +1957,6 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     share column; the threshold max(50, N // 2000) uses integer floor
     division in both engines.
     """
-    import math
-
     d = load_table(spark, sf_dir, "documents")
     w = d.select(
         (F.col("doc_id") % HH_SALTS).alias("salt"),
@@ -1966,8 +1965,10 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = w.groupBy("salt", "wd").agg(F.count(F.lit(1)).alias("cnt"))
     total = int(p1.agg(F.sum("cnt")).collect()[0][0] or 0)
     threshold = max(HH_MIN_COUNT, total // HH_SHARE_DIV)
+    # integer ceiling — float division would break the pigeonhole bound
+    # (and the integer-math-end-to-end claim) once threshold nears 2^53
     cands = (
-        p1.filter(F.col("cnt") >= int(math.ceil(threshold / HH_SALTS)))
+        p1.filter(F.col("cnt") >= -(-threshold // HH_SALTS))
         .select("wd")
         .distinct()
     )

@@ -152,8 +152,10 @@ def streaming_batch_parity_window(
     if schema["ts"].dataType.typeName().startswith("timestamp"):
         tscol = F.col("ts").cast("timestamp")
     else:  # epoch-nanos long: exact INTEGER division (float /1000 is
-        # lossy near 1.7e18 — the registry's integer-math-on-nanos rule)
-        tscol = F.timestamp_micros(F.expr("ts div 1000"))
+        # lossy near 1.7e18 — the registry's integer-math-on-nanos rule).
+        # pmod makes it FLOOR division, matching DuckDB's `//` on
+        # pre-1970 (negative) nanos where `div` truncates toward zero.
+        tscol = F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
     agg = (
         stream.select(tscol.alias("__ts"), "event_type", "value")
         .groupBy(F.window("__ts", "600 seconds"), "event_type")
@@ -271,7 +273,9 @@ def streaming_batch_parity_session(
     if schema["ts"].dataType.typeName().startswith("timestamp"):
         us = (F.unix_micros(F.col("ts").cast("timestamp"))).alias("ts_us")
     else:
-        us = F.expr("ts div 1000").alias("ts_us")
+        # FLOOR division (pmod form): DuckDB's `//` floors, Spark's
+        # `div` truncates toward zero — they differ on pre-1970 nanos
+        us = F.expr("(ts - pmod(ts, 1000)) div 1000").alias("ts_us")
     agg = (
         stream.select("user_id", us)
         .withColumn("__ts", F.timestamp_micros(F.col("ts_us")))

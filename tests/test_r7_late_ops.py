@@ -222,12 +222,10 @@ class TestHeavyHitters:
         """Above 100k tokens the threshold becomes N // 2000, not 50."""
         from paimon_presto_spark.queries.curation import text_heavy_hitters
 
-        # 3000 docs x 40 tokens of filler (one doc_id-unique token each,
-        # repeated 40x -> each filler type has exactly 40 < threshold),
-        # plus one token with 70 occurrences: N = 120070,
-        # threshold = max(50, 60) = 60 -> only 'big' (70 >= 60) survives;
-        # 40-count fillers would have passed a fixed 50-only threshold...
-        # wait, 40 < 50 anyway; use 55-count probe to prove the 60 bound.
+        # 3000 filler docs (each a doc-unique token repeated 40x), one
+        # 70-count token, one 55-count probe: N = 120125, so the relative
+        # threshold N // 2000 = 60 governs — the probe (55 >= the fixed
+        # floor of 50) must still be rejected, proving the 60 bound.
         docs = [
             (i, " ".join([f"w{i}"] * 40), "en", "s", 10) for i in range(3000)
         ]
