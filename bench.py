@@ -95,6 +95,11 @@ HEADLINE = [
     "knn_sq8_rerank",
     "text_trigram_backoff",
     "text_heavy_hitters",
+    # round 7 (late): decoder-in-the-gate multimodal pipelines — Arrow-
+    # batched mapInPandas decode/resize/WAV-parse, the designed slow path
+    "multimodal_image_pipeline",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
@@ -282,6 +287,14 @@ SCALE_QUERIES = [
     # both must stay BNLJ/Cartesian-free at 10x the corpus.
     "knn_ivf_pq_stored",
     "agg_weighted_median",
+    # late round 7: SQ8 coarse scan (one declared BNLJ: the <=5 query
+    # vectors broadcast against the corpus — the scan IS the index),
+    # trigram backoff (five shuffle-joined model tables, none broadcast),
+    # and heavy hitters (pigeonhole prune; candidate broadcast is bounded
+    # by 8*N/T keys by construction) — each must stay clean at 10x.
+    "knn_sq8_rerank",
+    "text_trigram_backoff",
+    "text_heavy_hitters",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
@@ -299,6 +312,10 @@ SCALE_EXPECTED_BNLJ = {
     "knn_lsh_recall": 1,
     "sample_dsir_importance": 1,
     "text_bm25_topk": 1,
+    # the SQ8 coarse stage broadcasts the <=5 query vectors against the
+    # corpus scan — bounded by the query-batch contract, same class as
+    # knn_lsh_recall's exhaustive baseline
+    "knn_sq8_rerank": 1,
 }
 
 

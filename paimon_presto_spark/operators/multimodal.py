@@ -22,6 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -526,7 +527,11 @@ def extract_audio_features(
             raise NotImplementedError(
                 f"{8 * sw}-bit WAV unsupported; install librosa/soundfile"
             )
-        rms = (sum(v * v for v in vals) / len(vals)) ** 0.5 if vals else 0.0
+        # math.sqrt, not ** 0.5: sqrt is IEEE-correctly-rounded and equals
+        # SQL engines' SQRT bit-for-bit; pow(x, 0.5) is not guaranteed to
+        rms = (
+            math.sqrt(sum(v * v for v in vals) / len(vals)) if vals else 0.0
+        )
         dur_ms = int(nframes * 1000 / rate) if rate else 0
         return rate, nch, nframes, dur_ms, rms
 

@@ -63,7 +63,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the stalest round-4 rows to fill 50. The displaced r4 rows keep their
 # families anchored in-prefix (see tests/test_registry_contract.py's
 # anchor list) and rotate in next round with the rest of the r4 cohort
-# (20 r4 rows remain for round 8, then the r5 cohort). Cohort membership
+# (27 r4 rows remain for round 8, then the r5 cohort). Cohort membership
 # comes from the CORRECTNESS_r0N.json artifacts (an entry's latest round
 # with a recorded row), not from past PRIORITY lists.
 # Everything outside the prefix is still verified by the local gate
@@ -83,6 +83,9 @@ PRIORITY: tuple[str, ...] = (
     "text_trigram_backoff",
     "text_heavy_hitters",
     "streaming_batch_parity_session",
+    "multimodal_image_pipeline",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
     # -- last driver-graded in ROUND 3 (all 11) ---------------------------
     "q5_local_supplier_revenue",
     "q7_volume_shipping",
@@ -95,21 +98,18 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill",
     "unnest_with_ordinality",
     "agg_histogram_map",
-    # -- last driver-graded in ROUND 4 (26 of 50; 24 rotate in round 8) ---
+    # -- last driver-graded in ROUND 4 (23 of 50; 27 rotate in round 8) ---
     # table format / catalog
     "table_format_roundtrip",
     "metastore_catalog_roundtrip",
     # joins / set ops / sampling / misc relational
     "join_anti_not_exists",
     "setop_except",
-    "limit_offset_sort",
-    "having_nation_counts",
     # aggregates / windows / scalars
     "agg_stats_variance",
     "agg_rollup",
     "window_range_frame",
     "window_value_navigation",
-    "string_functions",
     "conditional_scalar_functions",
     # events
     "events_funnel_steps",
@@ -165,5 +165,6 @@ def _load() -> None:
     from paimon_presto_spark.queries import curation  # noqa: F401
     from paimon_presto_spark.queries import retrieval  # noqa: F401
     from paimon_presto_spark.queries import streaming_entries  # noqa: F401
+    from paimon_presto_spark.queries import multimodal_entries  # noqa: F401
 
     _loaded = True

@@ -1,0 +1,316 @@
+"""Oracle-gated multimodal entries driving the REAL decode paths.
+
+``multimodal_binary_stats`` (queries/advanced.py) gates the opaque-binary
+plumbing; these two entries gate the DECODERS themselves: each synthesizes
+deterministic media payloads (binary PPM images / PCM-16 WAV clips) whose
+pixel/sample values are a closed-form function of ``doc_id``, pushes them
+through the real Arrow-batched decode / resize / feature operators in
+``operators/multimodal.py``, and hash-compares the DECODED statistics
+against a DuckDB oracle that evaluates the same closed form symbolically —
+the decoder, the nearest-neighbor resampler, and the WAV parser sit
+INSIDE the correctness gate, not beside it.
+
+Scale shape (both entries): synthesis and decode are 1→1 mapInPandas
+stages — pure Arrow-batched maps, no shuffle; the only exchange is the
+final per-corpus aggregation-free ORDER BY at output (and a tiny 1-1
+feature join in the image entry). At 100 TB the payload column never
+shuffles; partition sizing follows OUTPUT bytes when a resize shrinks
+10x (see operators/multimodal.py:resize_images).
+
+Determinism: pixel/sample math is integer end-to-end; the one float (WAV
+RMS) is sqrt(exact_int / n) — two correctly-rounded IEEE ops both engines
+share — squeezed through DECIMAL(28,10).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from paimon_presto_spark.functions.numeric import decimal_squeeze
+from paimon_presto_spark.queries import register
+from paimon_presto_spark.sources.testdata import load_table
+
+#: number of documents turned into synthetic media rows
+MEDIA_DOCS = 20
+
+
+def _image_media(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): one binary-PPM image per doc; gray pixel
+    (r, c) = (doc_id*31 + r*7 + c*13) % 256, size (8 + id%5) x (6 + id%4)."""
+    import pandas as pd
+
+    from paimon_presto_spark.operators.multimodal import encode_ppm
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 5, 6 + did % 4
+                px = []
+                for r in range(h):
+                    line = bytearray()
+                    for c in range(w):
+                        g = (did * 31 + r * 7 + c * 13) % 256
+                        line += bytes((g, g, g))
+                    px.append(bytes(line))
+                rows.append((did, encode_ppm(w, h, px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+
+
+@register(
+    "multimodal_image_pipeline",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+            FROM documents WHERE doc_id < {MEDIA_DOCS}
+        ),
+        px AS (
+            SELECT d.doc_id, d.w, d.h,
+                   CAST(SUM((d.doc_id * 31
+                             + LEAST(y.y * d.h // 4, d.h - 1) * 7
+                             + LEAST(x.x * d.w // 4, d.w - 1) * 13) % 256)
+                        AS BIGINT) AS r_sum
+            FROM d, UNNEST(range(4)) AS y(y), UNNEST(range(4)) AS x(x)
+            GROUP BY d.doc_id, d.w, d.h
+        )
+        SELECT doc_id, w AS width, h AS height,
+               CAST(3 + LEN(CAST(w AS VARCHAR)) + 1
+                    + LEN(CAST(h AS VARCHAR)) + 5 + w * h * 3
+                    AS BIGINT) AS n_bytes_in,
+               CAST(11 + 48 AS BIGINT) AS n_bytes_out,
+               r_sum
+        FROM px
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "image", "decode", "resize", "arrow"),
+)
+def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode → nearest-neighbor resize → re-decode, hash-gated:
+    synthesizes one deterministic binary-PPM image per document (pixel
+    values a closed-form function of doc_id), runs the REAL
+    ``extract_image_features`` (decoded dimensions) and ``resize_images``
+    (decode → 4x4 nearest resample → PPM re-encode) operators, re-decodes
+    the resized payload, and returns integer statistics — decoded source
+    dims, input/output byte counts, and the red-channel sum over the
+    resized thumbnail. The DuckDB oracle never touches a byte of image
+    data: it evaluates the same pixel formula through the same
+    ``min(y*h//4, h-1)`` resample index map symbolically, so a
+    one-pixel-off decoder or resampler fails the hash.
+
+    The decode stack prefers pillow when installed and falls back to the
+    built-in pure-Python PNG/BMP/PPM codecs (this environment) — PPM is
+    lossless, so the gate holds on either path.
+    """
+    from paimon_presto_spark.operators.multimodal import (
+        decode_image_pixels,
+        extract_image_features,
+        resize_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MEDIA_DOCS
+    )
+    media = _image_media(d)
+    feats = extract_image_features(media).select(
+        "media_id", "width", "height"
+    )
+    resized = resize_images(media, out_width=4, out_height=4)
+
+    import pandas as pd
+
+    def rsum(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload, nbi, nbo in zip(
+                pdf["media_id"], pdf["resized"],
+                pdf["n_bytes_in"], pdf["n_bytes_out"],
+            ):
+                _, _, px = decode_image_pixels(bytes(payload))
+                rows.append(
+                    (
+                        int(mid),
+                        int(nbi),
+                        int(nbo),
+                        sum(row[0::3][i] for row in px for i in range(4)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes_in", "n_bytes_out", "r_sum"],
+            )
+
+    stats = resized.mapInPandas(
+        rsum,
+        schema="media_id bigint, n_bytes_in bigint, n_bytes_out bigint, "
+               "r_sum bigint",
+    )
+    return (
+        feats.join(stats, "media_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "width",
+            "height",
+            "n_bytes_in",
+            "n_bytes_out",
+            "r_sum",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, 64 + doc_id % 32 AS n
+            FROM documents WHERE doc_id < {MEDIA_DOCS}
+        ),
+        s AS (
+            SELECT d.doc_id, d.n,
+                   ((d.doc_id * 37 + i.i * 11) % 2048) - 1024 AS v
+            FROM d, UNNEST(range(d.n)) AS i(i)
+        ),
+        agg AS (
+            SELECT doc_id, n, SUM(v * v) AS ss FROM s GROUP BY doc_id, n
+        )
+        SELECT doc_id,
+               8000 AS sample_rate,
+               1 AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(TRUNC(CAST(n * 1000 AS DOUBLE) / 8000) AS BIGINT)
+                   AS duration_ms,
+               ROUND(CAST(CAST(CAST(SQRT(CAST(ss AS DOUBLE) / n)
+                   AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE), 6) AS rms
+        FROM agg
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "wav", "decode", "arrow"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV parse hash-gated: synthesizes one PCM-16 mono WAV clip per
+    document (sample i = ((doc_id*37 + i*11) % 2048) - 1024, written with
+    the stdlib ``wave`` module), runs the REAL ``extract_audio_features``
+    parser (rate / channels / frame count / duration / RMS), and compares
+    against the oracle's symbolic evaluation of the same sample formula.
+    RMS = sqrt(exact-integer energy / n) — both engines perform the same
+    two correctly-rounded IEEE ops (the operator uses math.sqrt, not
+    pow(x, 0.5), for exactly this reason), squeezed through
+    DECIMAL(28,10); duration mirrors the parser's float-divide-then-
+    truncate with TRUNC over the same double division.
+    """
+    import io
+    import wave
+
+    import pandas as pd
+
+    from paimon_presto_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 32
+                frames = b"".join(
+                    (((did * 37 + i * 11) % 2048) - 1024).to_bytes(
+                        2, "little", signed=True
+                    )
+                    for i in range(n)
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(frames)
+                rows.append((did, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MEDIA_DOCS
+    )
+    media = d.select("doc_id").mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    out = extract_audio_features(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        F.round(decimal_squeeze(F.col("rms")), 6).alias("rms"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, LEN(text) AS tl,
+                   (doc_id % 5 + 1) * 1750 AS dur
+            FROM documents
+            WHERE doc_id < {MEDIA_DOCS}
+              AND OCTET_LENGTH(ENCODE(text)) = LEN(text)
+        ),
+        f AS (
+            SELECT doc_id, i.i AS frame_idx, i.i * 1000 AS frame_ts_ms,
+                   i.i % GREATEST(tl, 1) AS off, text, tl
+            FROM d, UNNEST(range(GREATEST(dur // 1000, 1))) AS i(i)
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+               CAST(LEAST(16, tl - off) AS BIGINT) AS frame_len,
+               md5(SUBSTRING(text, off + 1, 16)) AS frame_digest
+        FROM f
+        ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "video", "frame-sample", "arrow", "stub"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, 1→N Arrow-batched — completes the
+    decode / feature / resize / FRAME-SAMPLE quartet under the hash gate.
+    The real path demuxes with PyAV (absent here, raises
+    NotImplementedError naming the dependency — the designed stub); the
+    deterministic fake decoder stands in, and THAT is what this entry
+    gates: one row per sampled frame (``max(1, duration_ms // 1000)``
+    frames, ts = i*1000 ms), each frame a byte-slice of the payload that
+    the oracle reproduces with string arithmetic. Frames come back as
+    length + md5 digest (binary columns can't ride the pandas hash
+    compare). Docs are filtered to pure-ASCII text IN BOTH ENGINES so the
+    oracle's character slicing equals the operator's byte slicing by
+    construction, not by luck.
+
+    Scale shape: a pure 1→N mapInPandas explode — the variable-fanout
+    batch shape real frame extraction needs (output rows ≫ input rows;
+    partition sizing follows frames, not clips). Nothing shuffles.
+    """
+    from paimon_presto_spark.operators.multimodal import sample_frames
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < MEDIA_DOCS)
+        .filter(F.octet_length("text") == F.length("text"))
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        ((F.col("doc_id") % 5 + 1) * 1750).alias("duration_ms"),
+    )
+    frames = sample_frames(media, every_ms=1000, use_fake_decoder=True)
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "frame_ts_ms",
+        F.length("frame").cast("long").alias("frame_len"),
+        F.md5("frame").alias("frame_digest"),
+    ).orderBy("doc_id", "frame_idx")

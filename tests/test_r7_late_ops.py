@@ -257,3 +257,81 @@ class TestSessionWindowBoundary:
 
         assert n_sessions(1800) == 1  # delta == gap -> one session
         assert n_sessions(1801) == 2  # delta > gap -> split
+
+
+class TestMultimodalEntries:
+    def test_image_pipeline_matches_python_reference(self, spark, tmp_path):
+        """Decode -> 4x4 nearest resize -> re-decode must reproduce the
+        closed-form pixel formula through the real codec stack."""
+        from paimon_presto_spark.queries.multimodal_entries import (
+            multimodal_image_pipeline,
+        )
+
+        docs = [(i, "x", "en", "s", 1) for i in (0, 3, 7)]
+        sf_dir = _write_docs(spark, tmp_path, docs)
+        got = {
+            r["doc_id"]: (
+                r["width"], r["height"], r["n_bytes_in"],
+                r["n_bytes_out"], r["r_sum"],
+            )
+            for r in multimodal_image_pipeline(spark, sf_dir).collect()
+        }
+
+        def ref(did):
+            w, h = 8 + did % 5, 6 + did % 4
+            rs = 0
+            for y in range(4):
+                sy = min(y * h // 4, h - 1)
+                for x in range(4):
+                    sx = min(x * w // 4, w - 1)
+                    rs += (did * 31 + sy * 7 + sx * 13) % 256
+            nbi = len(b"P6\n%d %d\n255\n" % (w, h)) + w * h * 3
+            return (w, h, nbi, 59, rs)
+
+        assert got == {i: ref(i) for i in (0, 3, 7)}
+
+    def test_audio_features_match_python_reference(self, spark, tmp_path):
+        from paimon_presto_spark.queries.multimodal_entries import (
+            multimodal_audio_features,
+        )
+
+        docs = [(i, "x", "en", "s", 1) for i in (1, 5)]
+        sf_dir = _write_docs(spark, tmp_path, docs)
+        got = {
+            r["doc_id"]: (
+                r["sample_rate"], r["n_channels"], r["n_samples"],
+                r["duration_ms"], r["rms"],
+            )
+            for r in multimodal_audio_features(spark, sf_dir).collect()
+        }
+        for did in (1, 5):
+            n = 64 + did % 32
+            vals = [((did * 37 + i * 11) % 2048) - 1024 for i in range(n)]
+            rms = math.sqrt(sum(v * v for v in vals) / n)
+            row = got[did]
+            assert row[:4] == (8000, 1, n, int(n * 1000 / 8000))
+            assert row[4] == pytest.approx(rms, abs=1e-6)
+
+    def test_frame_sample_fanout_and_digest(self, spark, tmp_path):
+        """1->N frame explode: max(1, dur//1000) frames per doc, each a
+        16-byte payload slice at offset i % len."""
+        import hashlib
+
+        from paimon_presto_spark.queries.multimodal_entries import (
+            multimodal_frame_sample,
+        )
+
+        text = "abcdefghijklmnopqrstuvwxyz0123456789"
+        docs = [(0, text, "en", "s", 36), (6, text, "en", "s", 36)]
+        sf_dir = _write_docs(spark, tmp_path, docs)
+        out = multimodal_frame_sample(spark, sf_dir).collect()
+        # doc 0: dur = 1750 -> 1 frame; doc 6: dur = 3500 -> 3 frames
+        assert [(r["doc_id"], r["frame_idx"]) for r in out] == [
+            (0, 0), (6, 0), (6, 1), (6, 2)
+        ]
+        for r in out:
+            off = r["frame_idx"] % len(text)
+            frame = text.encode()[off:][:16]
+            assert r["frame_ts_ms"] == r["frame_idx"] * 1000
+            assert r["frame_len"] == len(frame)
+            assert r["frame_digest"] == hashlib.md5(frame).hexdigest()
