@@ -243,10 +243,23 @@ def main() -> None:
         sum(v for v in stress.get("queries", {}).values() if isinstance(v, float)), 1
     )
     out["scale_plan_violations"] = stress.get("plan_violations", -1)
+    # Full per-query detail always survives on disk — the compact stdout
+    # line may have to shed precision or rows to fit the driver's tail
+    # capture, and nothing should be lost when it does.
+    head_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_headline.json"
+    )
+    with open(head_path, "w") as fh:
+        json.dump(out, fh, indent=1)
     line = json.dumps(out)
-    if len(line) > 2000:  # belt-and-braces: never outgrow the tail capture
+    if len(line) > 2000:  # tier 1: 1-decimal values + compact separators
         out["queries"] = {k: round(v, 1) for k, v in times.items()}
-        line = json.dumps(out)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 2000:  # tier 2: keep the most expensive rows only
+        keep = dict(sorted(times.items(), key=lambda kv: -kv[1])[:40])
+        out["queries"] = {k: round(v, 1) for k, v in keep.items()}
+        out["queries_dropped"] = len(times) - len(keep)
+        line = json.dumps(out, separators=(",", ":"))
     print(line)
 
 

@@ -116,7 +116,10 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < MEDIA_DOCS
     )
-    media = _image_media(d)
+    # cache: the synthesized media feeds BOTH the feature branch and the
+    # resize branch — uncached, the documents scan and the Python synth
+    # stage would execute twice
+    media = _image_media(d).cache()
     feats = extract_image_features(media).select(
         "media_id", "width", "height"
     )
@@ -137,7 +140,7 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(mid),
                         int(nbi),
                         int(nbo),
-                        sum(row[0::3][i] for row in px for i in range(4)),
+                        sum(sum(row[0::3]) for row in px),
                     )
                 )
             yield pd.DataFrame(

@@ -55,10 +55,24 @@ def test_bench_json_line_shape():
         "scale_plan_violations": 0,
     }
     line = json.dumps(out)
-    if len(line) > 2000:
+    if len(line) > 2000:  # tier 1 (mirrors bench.main)
         out["queries"] = {k: round(v, 1) for k, v in out["queries"].items()}
-        line = json.dumps(out)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 2000:  # tier 2: most-expensive-rows-only fallback
+        keep = dict(
+            sorted(out["queries"].items(), key=lambda kv: -kv[1])[:40]
+        )
+        out["queries"] = {k: round(v, 1) for k, v in keep.items()}
+        out["queries_dropped"] = len(bench.HEADLINE) - len(keep)
+        line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= 2000
+    # the full-detail sidecar keeps every row, so tier-2 drops lose nothing
+    assert "bench_headline.json" in open(
+        bench.os.path.join(
+            bench.os.path.dirname(bench.os.path.abspath(bench.__file__)),
+            "bench.py",
+        )
+    ).read()
 
 
 def test_bench_module_importable_fresh():
