@@ -100,6 +100,9 @@ HEADLINE = [
     "multimodal_image_pipeline",
     "multimodal_audio_features",
     "multimodal_frame_sample",
+    # round 7 (late): iterative graph compute — 3 unrolled PageRank
+    # iterations as one lazy plan, rank-vs-edges shuffle joins
+    "graph_pagerank_tokens",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
@@ -308,6 +311,10 @@ SCALE_QUERIES = [
     "knn_sq8_rerank",
     "text_trigram_backoff",
     "text_heavy_hitters",
+    # iterative PageRank: the rank-vs-edge-list shuffle join must stay a
+    # hash/SMJ join at 10x; its 3 BNLJs are the per-iteration single-row
+    # dangling-mass scalars (declared below)
+    "graph_pagerank_tokens",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
@@ -329,6 +336,9 @@ SCALE_EXPECTED_BNLJ = {
     # corpus scan — bounded by the query-batch contract, same class as
     # knn_lsh_recall's exhaustive baseline
     "knn_sq8_rerank": 1,
+    # the final iteration's single-row dangling-mass scalar (earlier
+    # iterations are behind localCheckpoint lineage cuts)
+    "graph_pagerank_tokens": 1,
 }
 
 

@@ -274,6 +274,19 @@ def main() -> None:
               "| trigram ppl(doc1):", tri["perplexity"],
               "| top heavy hitter:", hh["wd"], f"({hh['cnt']}x)")
 
+        # -- multimodal: real decode/resize/WAV-parse under the hash gate ----
+        img = qs2["multimodal_image_pipeline"](spark, SF_DIR).limit(1).collect()[0]
+        aud = qs2["multimodal_audio_features"](spark, SF_DIR).limit(1).collect()[0]
+        frm = qs2["multimodal_frame_sample"](spark, SF_DIR)
+        print(f"image doc0: {img['width']}x{img['height']}",
+              f"resized r_sum {img['r_sum']}",
+              f"| audio doc0: {aud['n_samples']} samples rms {aud['rms']}",
+              "| frames sampled:", frm.count())
+
+        # -- iterative graph compute: token-transition PageRank --------------
+        prk = qs2["graph_pagerank_tokens"](spark, SF_DIR).limit(1).collect()[0]
+        print("top pagerank token:", prk["token"], f"({prk['pagerank']})")
+
         print("quickstart complete.")
     finally:
         shutil.rmtree(wh, ignore_errors=True)

@@ -1985,3 +1985,192 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     ).orderBy(F.desc("cnt"), F.asc("wd"))
+
+
+PR_DAMP = "0.85"
+PR_BASE = "0.15"
+PR_ITERS = 3
+
+
+def _oracle_pagerank(iters: int = PR_ITERS) -> str:
+    """DuckDB oracle for fixed-iteration weighted PageRank over the token
+    transition (bigram) graph, with dangling-mass redistribution. Each
+    iteration's ranks pass through DECIMAL(28,10) so both engines carry
+    IDENTICAL doubles into the next iteration."""
+    sql = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        bi AS (
+            SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                                         i -> tk[i])) AS w1,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                                         i -> tk[i + 1])) AS w2
+            FROM toks
+        ),
+        e AS (
+            SELECT w1, w2, COUNT(*) AS c2 FROM bi
+            WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+        ),
+        outd AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM e GROUP BY w1),
+        nodes AS (
+            SELECT w FROM (
+                SELECT w1 AS w FROM e UNION SELECT w2 AS w FROM e
+            ) GROUP BY w
+        ),
+        nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        pr0 AS (
+            SELECT w, CAST(CAST(CAST(1.0 / nv.n AS DECIMAL(28,10))
+                AS VARCHAR) AS DOUBLE) AS pr
+            FROM nodes, nv
+        )"""
+    for t in range(1, iters + 1):
+        p = t - 1
+        sql += f""",
+        dang{p} AS (
+            SELECT CAST(CAST(CAST(COALESCE(SUM(
+                       CAST(pr0_.pr AS DECIMAL(28,10))), 0)
+                AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE) AS m
+            FROM pr{p} pr0_
+            LEFT JOIN outd ON pr0_.w = outd.w1
+            WHERE outd.w1 IS NULL
+        ),
+        contrib{t} AS (
+            SELECT e.w2 AS w,
+                   CAST(CAST(CAST(SUM(CAST(
+                       p_.pr * (CAST(e.c2 AS DOUBLE) / outd.c1)
+                   AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS VARCHAR)
+                       AS DOUBLE) AS s
+            FROM e
+            JOIN outd ON e.w1 = outd.w1
+            JOIN pr{p} p_ ON e.w1 = p_.w
+            GROUP BY e.w2
+        ),
+        pr{t} AS (
+            SELECT nodes.w,
+                   CAST(CAST(CAST(
+                       CAST({PR_BASE} AS DOUBLE) / nv.n
+                       + CAST({PR_DAMP} AS DOUBLE)
+                         * (COALESCE(contrib{t}.s, 0)
+                            + dang{p}.m / nv.n)
+                   AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE) AS pr
+            FROM nodes
+            LEFT JOIN contrib{t} ON nodes.w = contrib{t}.w,
+            nv, dang{p}
+        )"""
+    sql += f"""
+        SELECT w AS token, ROUND(pr, 6) AS pagerank
+        FROM pr{iters}
+        ORDER BY pr DESC, w
+    """
+    return sql
+
+
+@register(
+    "graph_pagerank_tokens",
+    oracle=_oracle_pagerank(),
+    tags=("graph", "pagerank", "iterative", "bigram", "decimal"),
+)
+def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 fixed iterations, d=0.85, dangling-mass
+    redistribution) over the token TRANSITION graph — nodes are corpus
+    tokens, edge (w1 -> w2) weighted by bigram count. The iterative-
+    graph-algorithm shape (the same join pattern as distributed PageRank
+    over a web graph) proven bit-for-bit under the hash gate: each
+    iteration is ONE shuffle join of the rank vector against the edge
+    list plus a single-row dangling-mass scalar, and every iteration's
+    ranks pass through DECIMAL(28,10) so partial-aggregation order can
+    never leak into the next iteration's inputs in either engine.
+
+    Scale shape: the edge list (vocabulary² sparse, like the bigram LM
+    table) NEVER broadcasts — rank-vector-vs-edges is a shuffle join on
+    w1, re-using the hash partitioning across iterations; the dangling
+    scalar is one row per iteration (the declared bounded-BNLJ class,
+    like bm25's corpus stats); the rank vector is O(vocabulary). The
+    rank vector is localCheckpoint-ed each iteration (the connected-
+    components trade, ``operators/dedup.py``): pr is referenced TWICE
+    per iteration (dangling + contributions), so a fully lazy unroll
+    re-embeds every prior iteration's plan in both branches — 2^t plan
+    growth and redundant recomputation (measured: 7 BNLJ nodes in the
+    lazy plan vs the true 1 per final iteration). Lineage truncation
+    makes each iteration pay exactly one rank-vs-edges join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("w1"),
+                F.element_at(arr, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bi = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    e = (
+        bi.filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    outd = e.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    nodes = (
+        e.select(F.col("w1").alias("w"))
+        .union(e.select(F.col("w2").alias("w")))
+        .distinct()
+    )
+    # model tables feed every iteration: materialize once
+    e = e.localCheckpoint()
+    outd = outd.localCheckpoint()
+    nodes = nodes.localCheckpoint()
+    n = nodes.count()
+
+    def squeeze(col):
+        return col.cast("decimal(28,10)").cast("string").cast("double")
+
+    pr = nodes.withColumn("pr", squeeze(F.lit(1.0) / F.lit(float(n))))
+    for _ in range(PR_ITERS):
+        pr = pr.localCheckpoint()  # cut lineage: see docstring
+        dang = (
+            pr.join(outd, pr.w == outd.w1, "left_anti")
+            .agg(
+                squeeze(
+                    F.coalesce(
+                        F.sum(F.col("pr").cast("decimal(28,10)")), F.lit(0)
+                    )
+                ).alias("m")
+            )
+        )
+        contrib = (
+            e.join(outd, "w1")
+            .join(pr.select(F.col("w").alias("w1"), "pr"), "w1")
+            .groupBy(F.col("w2").alias("w"))
+            .agg(
+                squeeze(
+                    F.sum(
+                        (
+                            F.col("pr")
+                            * (F.col("c2").cast("double") / F.col("c1"))
+                        ).cast("decimal(28,10)")
+                    )
+                ).alias("s")
+            )
+        )
+        pr = (
+            nodes.join(contrib, "w", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "w",
+                squeeze(
+                    F.lit(0.15) / F.lit(float(n))
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0))
+                        + F.col("m") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("w").alias("token"), F.round("pr", 6).alias("pagerank")
+    ).orderBy(F.desc("pr"), F.asc("w"))

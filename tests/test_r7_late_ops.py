@@ -335,3 +335,56 @@ class TestMultimodalEntries:
             assert r["frame_ts_ms"] == r["frame_idx"] * 1000
             assert r["frame_len"] == len(frame)
             assert r["frame_digest"] == hashlib.md5(frame).hexdigest()
+
+
+class TestPageRank:
+    def test_matches_python_power_iteration(self, spark, tmp_path):
+        """3 unrolled iterations must equal a plain-Python power iteration
+        with the same decimal squeeze, and total rank must stay ~1."""
+        from paimon_presto_spark.queries.curation import (
+            PR_ITERS,
+            graph_pagerank_tokens,
+        )
+
+        docs = [
+            (0, "a b a c", "en", "s", 7),
+            (1, "b c b a", "en", "s", 7),
+            (2, "c a", "en", "s", 3),
+        ]
+        sf_dir = _write_docs(spark, tmp_path, docs)
+        got = {
+            r["token"]: r["pagerank"]
+            for r in graph_pagerank_tokens(spark, sf_dir).collect()
+        }
+
+        # edges: bigrams of all docs
+        from collections import Counter
+
+        edges = Counter()
+        for _, text, *_ in docs:
+            tk = text.split(" ")
+            for i in range(len(tk) - 1):
+                edges[(tk[i], tk[i + 1])] += 1
+        out = Counter()
+        for (w1, _), c in edges.items():
+            out[w1] += c
+        nodes = sorted({w for e in edges for w in e})
+        n = len(nodes)
+
+        def sq(x):
+            return float(f"{x:.10f}")
+
+        pr = {w: sq(1.0 / n) for w in nodes}
+        for _ in range(PR_ITERS):
+            dang = sq(sum(round(pr[w], 10) for w in nodes if w not in out))
+            contrib = {}
+            for (w1, w2), c in edges.items():
+                contrib[w2] = contrib.get(w2, 0) + round(
+                    pr[w1] * (c / out[w1]), 10
+                )
+            pr = {
+                w: sq(0.15 / n + 0.85 * (sq(contrib.get(w, 0)) + dang / n))
+                for w in nodes
+            }
+        assert got == {w: round(pr[w], 6) for w in nodes}
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-3)
