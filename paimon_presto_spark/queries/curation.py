@@ -1809,13 +1809,15 @@ def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     every model table is a combiner-friendly COUNT aggregation.
 
     Scale shape: trigram/bigram extraction is a map-side index-zip (no
-    self-join); all five model tables join by SHUFFLE on their n-gram
-    keys — never broadcast (a web corpus's raw trigram table is far past
-    driver memory; round-6 verdict rule) — and AQE may still broadcast
-    small ones at test scale; the single-row (N, V) scalar rides a
-    driver literal exactly like ``text_bigram_perplexity``'s vocabulary
-    size. Per-doc decimal sums combine map-side; corpus text never
-    shuffles.
+    self-join); the context totals (c12, c1) pre-join onto the MODEL
+    side, so the corpus-sized scoring stream shuffles exactly THREE
+    times (trigram / bigram / unigram keys) instead of five; every model
+    join is a SHUFFLE — never broadcast (a web corpus's raw trigram
+    table is far past driver memory; round-6 verdict rule) — and AQE may
+    still broadcast small ones at test scale; the single-row (N, V)
+    scalar rides a driver literal exactly like
+    ``text_bigram_perplexity``'s vocabulary size. Per-doc decimal sums
+    combine map-side; corpus text never shuffles.
 
     Determinism: counts are exact integers; each CASE arm is written
     with identical operation order in both engines (one correctly-
@@ -1864,12 +1866,18 @@ def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's NULL-score shape instead of a driver TypeError
     _nv = uni.agg(F.sum("cu"), F.count(F.lit(1))).collect()[0]
     n_tokens, v_size = int(_nv[0] or 0), int(_nv[1] or 0)
+    # Pre-join the context totals onto the MODEL side so the corpus-sized
+    # trigram stream shuffles 3 times, not 5: c12 is only read when the
+    # trigram hit (first arm) and c1 only when the bigram hit (second
+    # arm), so attaching them to tc/bc rows loses nothing — the stream
+    # side is the one that outgrows everything at 100 TB, the model-side
+    # prejoins are vocabulary-bounded.
+    tm = tc.join(c12, ["w1", "w2"])
+    bm = bc.join(c1, "b1")
     s = (
         tri.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 80))
-        .join(tc, ["w1", "w2", "w3"], "left")
-        .join(c12, ["w1", "w2"], "left")
-        .join(bc, (F.col("w2") == F.col("b1")) & (F.col("w3") == F.col("b2")), "left")
-        .join(c1.withColumnRenamed("b1", "u1"), F.col("w2") == F.col("u1"), "left")
+        .join(tm, ["w1", "w2", "w3"], "left")
+        .join(bm, (F.col("w2") == F.col("b1")) & (F.col("w3") == F.col("b2")), "left")
         .join(uni, F.col("w3") == F.col("w"), "left")
     )
     prob = (
