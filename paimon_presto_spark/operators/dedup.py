@@ -1314,6 +1314,14 @@ def tfidf_cosine_pairs(
             )
         ).alias("wt"),
     )
+    # Ledgered cache: weighted feeds THREE consumers (norms + both sides
+    # of the candidate self-join) — uncached, each re-runs the full
+    # tokenize/hash/tf/idf lineage over the corpus (same fan-out class as
+    # the shingle caches above).
+    release_chunk_caches()
+    weighted = weighted.cache()
+    _CHUNK_CACHES.append(weighted)
+    weighted.count()  # populate before fan-out
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(
             F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,10)")).cast(

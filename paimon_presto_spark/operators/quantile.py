@@ -286,8 +286,10 @@ def _locate_crossing(
         done = done_stats.join(
             thr.select(*group_cols, "__qid"), group_cols
         ).select(*group_cols, "__qid", F.col("__mn").alias("__v"))
+    # drop ALL validation columns (validation already raised above) so
+    # none of them ride the broadcast into the per-row bucket join
     open_stats = stats.filter(F.col("__mx") > F.col("__mn")).drop(
-        "__vn", "__wn"
+        "__vn", "__wn", "__gn"
     )
     scalar_aggs = [
         F.max(F.when(F.col("__mx") > F.col("__mn"), F.col("__n"))).alias(

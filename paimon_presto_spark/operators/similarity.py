@@ -1760,6 +1760,12 @@ def sq8_rerank_topk(
     ``||x||/max|x|`` (a dequantized-corrected score would need float
     compares); ``coarse_k >> k`` headroom absorbs it and the re-rank
     restores exact order.
+
+    All-zero vectors have no direction to encode and are dropped on BOTH
+    sides: a zero corpus vector never appears as a neighbor, and a zero
+    QUERY vector yields no output rows for its q_id (callers fusing
+    per-query results should treat a missing q_id as "no results", the
+    same contract as an empty corpus).
     """
     def coded(df: DataFrame, pre: str) -> DataFrame:
         vec = F.col(vec_col)

@@ -153,7 +153,10 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id bigint, n_bytes_in bigint, n_bytes_out bigint, "
                "r_sum bigint",
     )
-    return (
+    # materialize eagerly, then release the media cache — a lazily
+    # returned plan would pin one cached frame per invocation across
+    # bench/gate loops (the streaming entries' leak-avoid pattern)
+    rows = (
         feats.join(stats, "media_id")
         .select(
             F.col("media_id").alias("doc_id"),
@@ -163,8 +166,14 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bytes_out",
             "r_sum",
         )
-        .orderBy("doc_id")
+        .collect()
     )
+    media.unpersist()
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "doc_id long, width int, height int, n_bytes_in bigint, "
+        "n_bytes_out bigint, r_sum bigint",
+    ).orderBy("doc_id")
 
 
 @register(
