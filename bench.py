@@ -103,6 +103,8 @@ HEADLINE = [
     # round 7 (late): iterative graph compute — 3 unrolled PageRank
     # iterations as one lazy plan, rank-vs-edges shuffle joins
     "graph_pagerank_tokens",
+    # round 7 (late): mergeable Count-Min sketch rollup
+    "agg_count_min_sketch",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:

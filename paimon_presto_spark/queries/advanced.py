@@ -2272,3 +2272,93 @@ def agg_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+CMS_PROBES = (1, 7, 13)
+CMS_EPS = 0.001
+CMS_CONF = 0.99
+CMS_SEED = 42
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+        WITH probes AS (
+            SELECT UNNEST([{", ".join(str(p) for p in CMS_PROBES)}])
+                AS probe_key
+        )
+        SELECT o.o_orderpriority, p.probe_key,
+               CAST(SUM(CASE WHEN o.o_custkey = p.probe_key
+                             THEN 1 ELSE 0 END) AS BIGINT) AS exact_cnt,
+               1 AS merged_ok
+        FROM orders o, probes p
+        GROUP BY o.o_orderpriority, p.probe_key
+        ORDER BY o_orderpriority, probe_key
+    """,
+    tags=("aggregation", "approx", "count-min", "sketch", "mergeable"),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Count-Min frequency sketches — the point-frequency
+    sibling of ``agg_hll_sketch_merge``'s distinct-count rollup: build
+    one CMS per fine-grained (priority, status) group with Spark's
+    built-in ``count_min_sketch`` aggregate, MERGE the serialized
+    sketches up to priority on the driver
+    (``CountMinSketch.readFrom``/``mergeInPlace`` — sketches are
+    KB-sized mergeable state, the pre-aggregated-store pattern: rollups
+    never rescan the fact table), then probe three customer keys against
+    each merged sketch. The hash-gated contract is the CMS guarantee
+    itself, which merging must preserve: estimate >= exact (CMS never
+    undercounts) and estimate <= exact + eps*N with eps=0.001 at the
+    fixed seed — each probe's flag rides the comparison while the exact
+    counts pin the values. Bit-compat of sketch BYTES across engines is
+    a non-goal (SURVEY §7 risk 3), exactly as for HLL.
+
+    Scale shape: ONE fact-table pass builds all sub-sketches
+    (combiner-friendly aggregate state); the driver merge touches
+    |groups| x ~KB, never data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    probe_aggs = [
+        F.sum((F.col("o_custkey") == k).cast("long")).alias(f"x{k}")
+        for k in CMS_PROBES
+    ]
+    sub = (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.expr(
+                f"count_min_sketch(o_custkey, {CMS_EPS}d, {CMS_CONF}d, "
+                f"{CMS_SEED})"
+            ).alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+            *probe_aggs,
+        )
+        .collect()
+    )
+    jvm = spark.sparkContext._jvm
+    cms_cls = jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged: dict[str, object] = {}
+    totals: dict[str, int] = {}
+    exact: dict[str, dict[int, int]] = {}
+    for row in sub:
+        pri = row["o_orderpriority"]
+        sk = cms_cls.readFrom(bytes(row["sk"]))
+        if pri in merged:
+            merged[pri].mergeInPlace(sk)
+        else:
+            merged[pri] = sk
+        totals[pri] = totals.get(pri, 0) + int(row["n"])
+        ex = exact.setdefault(pri, {k: 0 for k in CMS_PROBES})
+        for k in CMS_PROBES:
+            ex[k] += int(row[f"x{k}"])
+    out = []
+    for pri in sorted(merged):
+        slack = CMS_EPS * totals[pri]
+        for k in CMS_PROBES:
+            est = int(merged[pri].estimateCount(k))
+            ok = int(exact[pri][k] <= est <= exact[pri][k] + slack)
+            out.append((pri, k, exact[pri][k], ok))
+    return spark.createDataFrame(
+        out,
+        "o_orderpriority string, probe_key int, exact_cnt long, "
+        "merged_ok int",
+    ).orderBy("o_orderpriority", "probe_key")
