@@ -63,7 +63,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the stalest round-4 rows to fill 50. The displaced r4 rows keep their
 # families anchored in-prefix (see tests/test_registry_contract.py's
 # anchor list) and rotate in next round with the rest of the r4 cohort
-# (29 r4 rows remain for round 8, then the r5 cohort). Cohort membership
+# (30 r4 rows remain for round 8, then the r5 cohort). Cohort membership
 # comes from the CORRECTNESS_r0N.json artifacts (an entry's latest round
 # with a recorded row), not from past PRIORITY lists.
 # Everything outside the prefix is still verified by the local gate
@@ -88,6 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "graph_pagerank_tokens",
     "agg_count_min_sketch",
+    "streaming_batch_parity_interval_join",
     # -- last driver-graded in ROUND 3 (all 11) ---------------------------
     "q5_local_supplier_revenue",
     "q7_volume_shipping",
@@ -100,7 +101,7 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill",
     "unnest_with_ordinality",
     "agg_histogram_map",
-    # -- last driver-graded in ROUND 4 (21 of 50; 29 rotate in round 8) ---
+    # -- last driver-graded in ROUND 4 (20 of 50; 30 rotate in round 8) ---
     # table format / catalog
     "table_format_roundtrip",
     "metastore_catalog_roundtrip",
@@ -118,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "dedup_semantic_incremental",
-    "dedup_boilerplate_chunks",
     "dedup_cdc_chunks",
     "eval_contamination",
     "knn_ivf_kmeans",

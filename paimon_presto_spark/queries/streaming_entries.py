@@ -5,10 +5,12 @@ windows, stateful ops, table sink) is exercised by `tests/test_streaming.py`
 — streaming semantics are about when results materialize, which a SQL
 oracle cannot express. This module adds the one streaming property a batch
 oracle CAN gate bit-for-bit: **stream/batch parity**. A micro-batched
-streaming job over the same input must converge to the batch answer; the
-entry below runs the real Structured Streaming pipeline (file stream →
-stateful dedup → memory sink, availableNow trigger) inside the query and
-returns invariants of its final state.
+streaming job over the same input must converge to the batch answer. Four
+entries run real Structured Streaming pipelines (file stream → operator →
+memory sink, availableNow trigger) to completion inside the query, one
+per state-shape class: append-only keys (stateful dedup), fixed keys
+(tumbling windowed aggregation), MERGING keys (gap session windows), and
+two-sided buffered state (the stream-stream interval join).
 
 Determinism note: WHICH copy of a duplicate text survives streaming dedup
 depends on micro-batch partition order, so the output exposes only
@@ -319,3 +321,111 @@ def streaming_batch_parity_session(
         ],
         "user_id long, session_start_us long, n_events long, duration_s long",
     ).orderBy("user_id", "session_start_us")
+
+
+IVJ_WINDOW_S = 21600  # 6h view->purchase attribution window
+
+
+@register(
+    "streaming_batch_parity_interval_join",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000 AS us
+            FROM events
+        )
+        SELECT v.event_id AS v_event_id, p.event_id AS p_event_id,
+               v.user_id,
+               (p.us - v.us) // 1000000 AS delta_s
+        FROM e v JOIN e p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.us >= v.us
+         AND p.us <= v.us + CAST({IVJ_WINDOW_S} AS BIGINT) * 1000000
+        ORDER BY v_event_id, p_event_id
+    """,
+    tags=("streaming", "stream-stream-join", "parity", "interval"),
+)
+def streaming_batch_parity_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream/batch parity for the STREAM-STREAM interval join — the
+    fourth and hardest face of the streaming layer under the hash gate:
+    two real file streams over the same events parquet (views and
+    purchases), watermarked on both sides, inner-joined on user with a
+    6-hour event-time range; every (view, purchase) attribution pair the
+    streaming job emits must equal the batch join bit-for-bit. Unlike
+    aggregation parity there is no final-state convergence to hide
+    behind — stream-stream inner joins emit EACH match exactly once as
+    the second side arrives, so a duplicate or a dropped match fails the
+    row hash directly.
+
+    The time-range condition is what bounds the join state at scale
+    (each side retains only rows inside the watermark + range horizon —
+    state is rate x window, never history); the generous watermark delay
+    here guarantees no late-drop at test scale, where availableNow
+    delivers everything in order anyway. All arithmetic is integer
+    microseconds (same floor-division rule as the other parity entries).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    if schema["ts"].dataType.typeName().startswith("timestamp"):
+        us_expr = "unix_micros(cast(ts as timestamp))"
+    else:
+        us_expr = "(ts - pmod(ts, 1000)) div 1000"
+
+    def side(event_type: str, pre: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .selectExpr(
+                f"event_id AS {pre}_event_id",
+                f"user_id AS {pre}_user_id",
+                f"{us_expr} AS {pre}_us",
+            )
+            .withColumn(f"{pre}_ts", F.timestamp_micros(F.col(f"{pre}_us")))
+            .withWatermark(f"{pre}_ts", "3650 days")
+        )
+
+    joined = side("view", "v").join(
+        side("purchase", "p"),
+        F.expr(
+            f"""
+            v_user_id = p_user_id
+            AND p_ts >= v_ts
+            AND p_ts <= v_ts + interval {IVJ_WINDOW_S} seconds
+            """
+        ),
+    )
+    name = f"parity_ivj_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = (
+        spark.table(name)
+        .select(
+            "v_event_id",
+            "p_event_id",
+            F.col("v_user_id").alias("user_id"),
+            F.expr("(p_us - v_us) div 1000000").alias("delta_s"),
+        )
+        .collect()
+    )
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        [
+            (r["v_event_id"], r["p_event_id"], r["user_id"], r["delta_s"])
+            for r in rows
+        ],
+        "v_event_id long, p_event_id long, user_id long, delta_s long",
+    ).orderBy("v_event_id", "p_event_id")
