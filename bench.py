@@ -105,6 +105,9 @@ HEADLINE = [
     "graph_pagerank_tokens",
     # round 7 (late): mergeable Count-Min sketch rollup
     "agg_count_min_sketch",
+    # round 7 (late): stored-codes SQ8 probe (coarse scan reads only the
+    # persisted int8 index; refine joins candidates back by id)
+    "knn_sq8_stored",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:

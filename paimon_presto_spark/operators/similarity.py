@@ -1734,6 +1734,106 @@ def ivf_pq_probe_topk(
     )
 
 
+def _sq8_coded(
+    df: DataFrame, pre: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """(pre_id, pre_emb, pre_codes, __pre-n): symmetric max-abs int8
+    codes (scale-free — direction only) + the l2 norm; all-zero vectors
+    are dropped (no direction to encode)."""
+    vec = F.col(vec_col)
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    out = df.withColumn("__mx", mx).filter(F.col("__mx") > 0)
+    codes = F.transform(
+        vec,
+        lambda x: F.floor(
+            x.cast("double") * (F.lit(127.0) / F.col("__mx")) + F.lit(0.5)
+        ).cast("long"),
+    )
+    return out.select(
+        F.col(id_col).alias(f"{pre}_id"),
+        F.col(vec_col).alias(f"{pre}_emb"),
+        codes.alias(f"{pre}_codes"),
+    ).withColumn(f"__{pre}n", l2_norm(F.col(f"{pre}_emb")))
+
+
+def sq8_codes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materializable SQ8 index: (id_col, codes array<long>) — the stored
+    column the coarse scan reads instead of float32 vectors (4x fewer
+    bytes; int8 at rest once the writer narrows the type). Codes are
+    per-vector, so appends encode only the increment:
+    codes(old) ∪ codes(new) == codes(old ∪ new)."""
+    return _sq8_coded(corpus, "n", id_col, vec_col).select(
+        F.col("n_id").alias(id_col), F.col("n_codes").alias("codes")
+    )
+
+
+def sq8_probe_topk(
+    codes_df: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    coarse_k: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 probe over a STORED codes table: (q_id, n_id, int_dot,
+    cos_sim, rnk) — identical results to ``sq8_rerank_topk``, different
+    read path: the coarse integer scan touches ONLY ``codes_df`` (the
+    persisted index — no quantization, no vector reads), and the exact
+    refine stage joins the |Q| x coarse_k survivors back to the
+    full-precision corpus by id (the FAISS ``refine`` topology: the
+    big-vector table is read candidate-wise, never scanned).
+    """
+    q = F.broadcast(_sq8_coded(queries, "q", id_col, vec_col))
+    c = codes_df.select(
+        F.col(id_col).alias("n_id"), F.col("codes").alias("n_codes")
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("n_codes"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("int_dot"), F.asc("n_id"))
+    coarse = (
+        c.crossJoin(q.drop("q_emb"))
+        .withColumn("int_dot", int_dot)
+        .withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= coarse_k)
+        .drop("n_codes", "q_codes")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
+    ).withColumn("__nn", l2_norm(F.col("n_emb")))
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+        )
+    )
+    we = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("n_id"))
+    return (
+        coarse.join(full, "n_id")
+        .join(qv, "q_id")
+        .withColumn(
+            "cos_raw",
+            dot(F.col("q_emb"), F.col("n_emb"))
+            / (F.col("__qn") * F.col("__nn")),
+        )
+        .withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            "int_dot",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            "rnk",
+        )
+    )
+
+
 def sq8_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1767,24 +1867,8 @@ def sq8_rerank_topk(
     per-query results should treat a missing q_id as "no results", the
     same contract as an empty corpus).
     """
-    def coded(df: DataFrame, pre: str) -> DataFrame:
-        vec = F.col(vec_col)
-        mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
-        out = df.withColumn("__mx", mx).filter(F.col("__mx") > 0)
-        codes = F.transform(
-            vec,
-            lambda x: F.floor(
-                x.cast("double") * (F.lit(127.0) / F.col("__mx")) + F.lit(0.5)
-            ).cast("long"),
-        )
-        return out.select(
-            F.col(id_col).alias(f"{pre}_id"),
-            F.col(vec_col).alias(f"{pre}_emb"),
-            codes.alias(f"{pre}_codes"),
-        ).withColumn(f"__{pre}n", l2_norm(F.col(f"{pre}_emb")))
-
-    q = F.broadcast(coded(queries, "q"))
-    c = coded(corpus, "n")
+    q = F.broadcast(_sq8_coded(queries, "q", id_col, vec_col))
+    c = _sq8_coded(corpus, "n", id_col, vec_col)
     int_dot = F.aggregate(
         F.zip_with(F.col("q_codes"), F.col("n_codes"), lambda a, b: a * b),
         F.lit(0).cast("long"),

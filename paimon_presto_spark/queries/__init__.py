@@ -63,7 +63,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the stalest round-4 rows to fill 50. The displaced r4 rows keep their
 # families anchored in-prefix (see tests/test_registry_contract.py's
 # anchor list) and rotate in next round with the rest of the r4 cohort
-# (30 r4 rows remain for round 8, then the r5 cohort). Cohort membership
+# (31 r4 rows remain for round 8, then the r5 cohort). Cohort membership
 # comes from the CORRECTNESS_r0N.json artifacts (an entry's latest round
 # with a recorded row), not from past PRIORITY lists.
 # Everything outside the prefix is still verified by the local gate
@@ -89,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "graph_pagerank_tokens",
     "agg_count_min_sketch",
     "streaming_batch_parity_interval_join",
+    "knn_sq8_stored",
     # -- last driver-graded in ROUND 3 (all 11) ---------------------------
     "q5_local_supplier_revenue",
     "q7_volume_shipping",
@@ -101,7 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill",
     "unnest_with_ordinality",
     "agg_histogram_map",
-    # -- last driver-graded in ROUND 4 (20 of 50; 30 rotate in round 8) ---
+    # -- last driver-graded in ROUND 4 (19 of 50; 31 rotate in round 8) ---
     # table format / catalog
     "table_format_roundtrip",
     "metastore_catalog_roundtrip",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "join_anti_not_exists",
     "setop_except",
     # aggregates / windows / scalars
-    "agg_stats_variance",
     "agg_rollup",
     "window_range_frame",
     "conditional_scalar_functions",

@@ -319,9 +319,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register(
-    "knn_sq8_rerank",
-    oracle="""
+_SQ8_ORACLE = """
         WITH base AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb,
                    list_aggregate(
@@ -364,7 +362,12 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q_id, n_id, int_dot, cos_sim, rnk
         FROM rer WHERE rnk <= 10
         ORDER BY q_id, rnk
-    """,
+"""
+
+
+@register(
+    "knn_sq8_rerank",
+    oracle=_SQ8_ORACLE,
     tags=("similarity", "knn", "quantization", "sq8", "rerank"),
 )
 def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,3 +391,54 @@ def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_k=25,
     )
     return out.orderBy("q_id", "rnk")
+
+
+@register(
+    "knn_sq8_stored",
+    oracle=_SQ8_ORACLE,
+    tags=("similarity", "knn", "quantization", "sq8", "index", "stored"),
+)
+def knn_sq8_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 with a PERSISTED codes table — the stored-column split the
+    inline entry's docstring promises (``operators/similarity.py:
+    sq8_codes`` / ``sq8_probe_topk``): the (id, codes) table is WRITTEN
+    as parquet once, the coarse integer scan reads ONLY those stored
+    codes (4x fewer bytes than float32 vectors, no re-quantization), and
+    the exact refine stage joins the |Q| x coarse_k survivors back to
+    the full-precision corpus BY ID — the big-vector table is read
+    candidate-wise, never scanned (the FAISS ``refine`` topology, the
+    SQ8 sibling of ``knn_ivf_pq_stored``'s train-once contract).
+    Results are identical to the inline two-stage pipeline, so this
+    entry shares ``knn_sq8_rerank``'s oracle verbatim: the stored
+    index's fidelity is hash-certified, not assumed. Appends encode
+    only the increment — codes are per-vector."""
+    import os as _os
+    import shutil
+    import tempfile as _tempfile
+
+    from paimon_presto_spark.operators.similarity import (
+        sq8_codes,
+        sq8_probe_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    wh = _tempfile.mkdtemp(prefix="sq8-")
+    try:
+        codes_path = _os.path.join(wh, "sq8_codes")
+        sq8_codes(corpus).write.mode("overwrite").parquet(codes_path)
+        out = sq8_probe_topk(
+            spark.read.parquet(codes_path),
+            corpus,
+            e.filter(F.col("vec_id") < 5),
+            k=10,
+            coarse_k=25,
+        ).orderBy("q_id", "rnk")
+        # materialize before the index directory disappears
+        rows = out.collect()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "q_id long, n_id long, int_dot long, cos_sim double, rnk int",
+    ).orderBy("q_id", "rnk")

@@ -388,3 +388,33 @@ class TestPageRank:
             }
         assert got == {w: round(pr[w], 6) for w in nodes}
         assert sum(got.values()) == pytest.approx(1.0, abs=1e-3)
+
+
+class TestSQ8Stored:
+    def test_stored_probe_equals_inline_rerank(self, spark, tmp_path):
+        """Probing a persisted codes table + id-joined refine must equal
+        the inline two-stage pipeline row for row."""
+        import numpy as np
+
+        from paimon_presto_spark.operators.similarity import (
+            sq8_codes,
+            sq8_probe_topk,
+            sq8_rerank_topk,
+        )
+
+        rng = np.random.default_rng(23)
+        rows = [
+            (i, rng.standard_normal(8).round(4).tolist(), "x")
+            for i in range(25)
+        ]
+        df = _vecs(spark, rows)
+        corpus = df.filter("vec_id >= 3")
+        queries = df.filter("vec_id < 3")
+        path = str(tmp_path / "codes")
+        sq8_codes(corpus).write.parquet(path)
+        stored = sq8_probe_topk(
+            spark.read.parquet(path), corpus, queries, k=4, coarse_k=8
+        )
+        inline = sq8_rerank_topk(corpus, queries, k=4, coarse_k=8)
+        assert sorted(map(tuple, stored.collect()), key=lambda t: (t[0], t[4])) \
+            == sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[4]))
