@@ -138,6 +138,18 @@ def _assert_headline_monotone() -> None:
     )
 
 
+def _write_sidecar(name: str, payload: dict, directory: str | None = None) -> str:
+    """Persist a full-detail JSON sidecar next to bench.py (or into
+    ``directory``). The stdout summary line may shed precision or rows to
+    fit the driver's tail capture; the sidecar never does — it is written
+    from the payload BEFORE any truncation tier touches it."""
+    directory = directory or os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(directory, name)
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    return path
+
+
 def main() -> None:
     _assert_headline_monotone()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -241,11 +253,7 @@ def main() -> None:
         stress = _scale_stress(spark, qs, sf_dir)
     except Exception as exc:
         stress = {"error": f"{type(exc).__name__}: {exc}"[:300]}
-    scale_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_scale.json"
-    )
-    with open(scale_path, "w") as fh:
-        json.dump(stress, fh, indent=1)
+    _write_sidecar("bench_scale.json", stress)
     print("SCALE_STRESS " + json.dumps(stress))
     out["scale_sf1_total"] = round(
         sum(v for v in stress.get("queries", {}).values() if isinstance(v, float)), 1
@@ -253,12 +261,9 @@ def main() -> None:
     out["scale_plan_violations"] = stress.get("plan_violations", -1)
     # Full per-query detail always survives on disk — the compact stdout
     # line may have to shed precision or rows to fit the driver's tail
-    # capture, and nothing should be lost when it does.
-    head_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_headline.json"
-    )
-    with open(head_path, "w") as fh:
-        json.dump(out, fh, indent=1)
+    # capture, and nothing should be lost when it does. (The sidecar is
+    # written BEFORE the truncation tiers below mutate `out`.)
+    _write_sidecar("bench_headline.json", out)
     line = json.dumps(out)
     if len(line) > 2000:  # tier 1: 1-decimal values + compact separators
         out["queries"] = {k: round(v, 1) for k, v in times.items()}
@@ -429,6 +434,27 @@ def _semdedup_incremental_sf1(spark, sf1_dir: str):
     return semdedup_incremental(old, new, cents, 0.35, pair_backend="auto")
 
 
+def _weighted_median_sf1(spark, sf1_dir: str):
+    """agg_weighted_median with the bucketed decomposition FORCED
+    (4096-row edges): the registry entry takes the adaptive direct path
+    at its group sizes (round-7 verdict — production default engages the
+    decomposition only past 2M-row groups), so the sf1 stress pins the
+    decomposition's plan shape here instead of losing that coverage."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.quantile import weighted_median
+
+    li = spark.read.parquet(os.path.join(sf1_dir, "lineitem.parquet"))
+    out = weighted_median(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"],
+        target_edge_rows=4096,
+    )
+    return out.select(
+        "l_returnflag", "weighted_median",
+        F.col("total_weight_dec").cast("long").alias("total_qty"),
+    ).orderBy("l_returnflag")
+
+
 def _minhash_incremental_sf1(spark, sf1_dir: str):
     """dedup_minhash_incremental with the split scaled to the sf1 corpus
     (old = leading 60% of doc ids): the registry entry's fixed split=300
@@ -533,6 +559,7 @@ def _scale_runners(qs) -> dict:
         "dedup_minhash_incremental": _minhash_incremental_sf1,
         "dedup_cdc_chunks_xxhash": _cdc_chunks_sf1_xxhash,
         "dedup_semantic_incremental": _semdedup_incremental_sf1,
+        "agg_weighted_median": _weighted_median_sf1,
     }
     return {
         name: retuned[name] if name in retuned else qs[name]

@@ -2185,9 +2185,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalized to quantile thresholds): rows map to value-range buckets,
     per-(group, bucket) weight sums prefix-sum along the <=n_buckets
     bucket axis, and only the ONE crossing bucket per group runs an
-    exact per-row pass, bounded by ``target_edge_rows`` (4096 here so
-    the decomposition engages — and is therefore oracle-gated — at test
-    scale; production uses the 2M default).
+    exact per-row pass, bounded by ``target_edge_rows``. Engagement is
+    adaptive (the operator's level-0 base case): groups at or under the
+    production 2M default take ONE direct bounded window — exactly the
+    edge pass, no bucket round — so this entry runs the small-scale path
+    at bench scale while ``agg_weighted_quartiles`` keeps the full
+    decomposition oracle-gated by forcing 4096-row edges.
     """
     from paimon_presto_spark.operators.quantile import weighted_median
 
@@ -2197,7 +2200,6 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         "l_quantity",
         ["l_returnflag"],
-        target_edge_rows=4096,
     )
     return out.select(
         "l_returnflag",
@@ -2308,8 +2310,13 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     never rescan the fact table), then probe three customer keys against
     each merged sketch. The hash-gated contract is the CMS guarantee
     itself, which merging must preserve: estimate >= exact (CMS never
-    undercounts) and estimate <= exact + eps*N with eps=0.001 at the
-    fixed seed — each probe's flag rides the comparison while the exact
+    undercounts — unconditional, holds for every seed and dataset) and
+    estimate <= exact + 8*eps*N with eps=0.001 — the one-sided eps*N
+    bound only holds at the sketch's 0.99 confidence PER PROBE, so the
+    gate widens it 8x (a miss needs all d=ceil(ln(1/0.01)) hash rows to
+    collide 8x past expectation — vanishingly unlikely at any scale
+    factor) rather than bet the correctness gate on a fixed-seed
+    coincidence. Each probe's flag rides the comparison while the exact
     counts pin the values. Bit-compat of sketch BYTES across engines is
     a non-goal (SURVEY §7 risk 3), exactly as for HLL.
 
@@ -2352,7 +2359,7 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ex[k] += int(row[f"x{k}"])
     out = []
     for pri in sorted(merged):
-        slack = CMS_EPS * totals[pri]
+        slack = 8 * CMS_EPS * totals[pri]
         for k in CMS_PROBES:
             est = int(merged[pri].estimateCount(k))
             ok = int(exact[pri][k] <= est <= exact[pri][k] + slack)

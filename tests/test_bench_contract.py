@@ -66,13 +66,22 @@ def test_bench_json_line_shape():
         out["queries_dropped"] = len(bench.HEADLINE) - len(keep)
         line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= 2000
-    # the full-detail sidecar keeps every row, so tier-2 drops lose nothing
-    assert "bench_headline.json" in open(
-        bench.os.path.join(
-            bench.os.path.dirname(bench.os.path.abspath(bench.__file__)),
-            "bench.py",
-        )
-    ).read()
+
+
+def test_sidecar_write_preserves_full_detail(tmp_path):
+    """The full-detail sidecar keeps every row at full precision, so the
+    stdout line's tier-2 drops lose nothing: exercise the actual write
+    helper and compare contents, not source text."""
+    payload = {
+        "metric": "headline_total",
+        "value": 1234.567,
+        "queries": {n: 3.141 for n in bench.HEADLINE},
+    }
+    path = bench._write_sidecar(
+        "bench_headline.json", payload, directory=str(tmp_path)
+    )
+    with open(path) as fh:
+        assert json.load(fh) == payload
 
 
 def test_bench_module_importable_fresh():
