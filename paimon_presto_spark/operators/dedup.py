@@ -513,7 +513,10 @@ _STAR_SWITCH_BUDGET = 8
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25, algorithm: str = "propagation"
+    pairs: DataFrame,
+    max_iter: int = 25,
+    algorithm: str = "propagation",
+    star_switch_budget: int | None = None,
 ) -> DataFrame:
     """Exact duplicate CLUSTERS from pairwise matches: (doc_id, component)
     where component is the minimum doc id reachable through the undirected
@@ -535,11 +538,15 @@ def connected_components(
       O(log n) rounds REGARDLESS of diameter, so a million-node chain
       takes ~20 rounds instead of a million. Per-round shuffle shape is
       the same join + groupBy(min); the round count is what changes.
-    - ``"auto"``: propagation for ``_STAR_SWITCH_BUDGET`` rounds; if the
-      labels are still moving (the graph is deeper than any real near-dup
-      cluster) it abandons the walk and restarts with the star algorithm
-      — the iteration-budget escalation a 100 TB pipeline wants when the
-      pair graph's shape is unknown.
+    - ``"auto"``: propagation for ``star_switch_budget`` rounds (default
+      ``_STAR_SWITCH_BUDGET`` = 8); if the labels are still moving (the
+      graph is deeper than any real near-dup cluster) it abandons the
+      walk and restarts with the star algorithm — the iteration-budget
+      escalation a 100 TB pipeline wants when the pair graph's shape is
+      unknown. Callers that KNOW their expected cluster depth pass the
+      budget explicitly (e.g. near-dup canonicalization sets a small
+      one: a real dup cluster is 2-3 hops; anything deeper is an
+      adversarial chain better served by the O(log n) rung).
     """
     if algorithm == "star":
         return _connected_components_star(pairs, max_iter)
@@ -549,7 +556,8 @@ def connected_components(
             f"got {algorithm!r}"
         )
     budget = (
-        min(max_iter, _STAR_SWITCH_BUDGET)
+        min(max_iter, star_switch_budget
+            if star_switch_budget is not None else _STAR_SWITCH_BUDGET)
         if algorithm == "auto"
         else max_iter
     )

@@ -1,0 +1,220 @@
+"""Training-shard emission — the terminal stage of the LLM-data pipeline.
+
+The upstream rungs curate and order the corpus (dedup → quality filter →
+selection → packing); this module turns the survivors into what a trainer
+actually consumes: **fixed-length token-id sequences, sharded, written
+through the table layer as snapshot-isolated commits, resumable by shard
+hash**. The composition is the brief's `dedup → filter → pack → emit`
+with emit finally first-class:
+
+1. **Tokenize** (map-side, codegen): whitespace tokens map to a bounded
+   vocabulary through the portable md5 hash (``functions/hashing.py``) —
+   a stand-in tokenizer whose ids are reproducible across engines, which
+   is what lets the DuckDB oracle certify the emitted BYTES, not just
+   counts. A real BPE drops in at the same seam (token column in, id
+   column out).
+2. **Lay out the token stream** (GPT-style packing): per source, each
+   document's global token offset is a running sum over DOC rows (one
+   row per document — the window input is |docs per source|, never
+   tokens), then a map-side ``posexplode`` fans out (position, id) pairs
+   and every token's sequence is pure arithmetic: ``seq_id = p DIV L``.
+   Documents cross sequence boundaries exactly as in production packing;
+   the final partial sequence is dropped.
+3. **Assemble sequences**: ONE shuffle keyed (source, seq_id) collects
+   each sequence's L ids in position order. Groups are L rows by
+   construction, so the shuffle is perfectly balanced at any corpus
+   size — no group ever exceeds the context length.
+4. **Shard + commit through the catalog**: each sequence hashes to a
+   shard (salted md5 — the ``split_assign_hash`` convention, so a
+   sequence's shard NEVER changes as the corpus grows), and shard
+   groups are appended to a partitioned table-format table in a FIXED
+   deterministic order, each commit an atomic snapshot (``table.py``
+   O_EXCL swap) stamped with a monotone **commit identifier** — Paimon's
+   sink resume contract (``commitIdentifier`` in real Paimon snapshots;
+   the Flink sink's checkpoint id). A re-run reads the latest committed
+   identifier from table METADATA and continues from the next group, so
+   resume is exact even for shards that happened to contain zero
+   sequences (a data-presence probe could not tell "committed but
+   empty" from "never committed"). A failed run loses at most one
+   commit group, never finished shards — the contract a multi-day
+   100 TB emission job needs.
+
+Scale notes: the only driver-side data is the distinct shard list
+(``n_shards`` values); token ids never leave the cluster. The per-source
+offset window serializes per source, but its input is document COUNTS
+(8-byte rows), not tokens — the same per-shard-stream spelling
+``pack_sequences_greedy`` documents, and sources are the natural
+parallel unit of a corpus (a skewed mega-source can be pre-split by any
+stable doc-id range).
+
+Reference surface: the reference engine reads Paimon tables into Presto
+(scan-side only); the write path built here (A24) is what produces those
+tables. This operator exercises it at LLM-pipeline scale: partitioned
+append commits + snapshot isolation + resume-by-metadata
+(`PaimonPageSourceProvider` consumes exactly such partitioned appends).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from paimon_presto_spark.functions.hashing import md5_long
+
+
+def tokenized_sequences(
+    docs: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    seq_len: int = 32,
+    vocab: int = 32768,
+    n_shards: int = 4,
+    shard_salt: str = "shard:",
+) -> DataFrame:
+    """The pure (lazy) emission plan: documents → fixed-length token-id
+    sequences with shard assignment.
+
+    Returns ``(source, seq_id, shard, n_tok, ids)`` with ``n_tok ==
+    seq_len`` for every row (the trailing partial sequence per source is
+    dropped) and ``ids`` the in-order ``array<int>`` of hashed token
+    ids. Deterministic for a given input: ids and shard come from
+    portable md5, sequence layout from doc-id order.
+    """
+    if seq_len <= 0 or vocab <= 0 or n_shards <= 0:
+        raise ValueError("seq_len, vocab and n_shards must be positive")
+    tk = F.split(F.col(text_col), " ")
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(doc_id_col).alias("__did"),
+        tk.alias("__tk"),
+    )
+    # per-source token offset of each doc: window over DOC rows (one row
+    # per document), never over tokens
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("__did")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = per_doc.withColumn(
+        "__doc_off", F.sum(F.size("__tk")).over(woff) - F.size("__tk")
+    )
+    toks = off.select(
+        "source",
+        "__doc_off",
+        F.posexplode("__tk").alias("__pos", "__w"),
+    ).select(
+        "source",
+        (F.col("__doc_off") + F.col("__pos")).alias("__p"),
+        (md5_long(F.col("__w")) % vocab).cast("int").alias("__tid"),
+    )
+    seqs = (
+        toks.withColumn("seq_id", F.expr(f"__p DIV {seq_len}"))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__p").alias("i"),
+                                            F.col("__tid").alias("t")))
+                ),
+                lambda s: s["t"],
+            ).alias("ids"),
+        )
+        .filter(F.col("n_tok") == seq_len)
+        .withColumn("n_tok", F.col("n_tok").cast("int"))
+    )
+    shard = (
+        md5_long(
+            F.concat(
+                F.lit(shard_salt),
+                F.col("source"),
+                F.lit(":"),
+                F.col("seq_id").cast("string"),
+            )
+        )
+        % n_shards
+    ).cast("int")
+    return seqs.select("source", "seq_id", shard.alias("shard"), "n_tok", "ids")
+
+
+def emit_training_shards(
+    docs: DataFrame,
+    table,
+    *,
+    doc_id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    seq_len: int = 32,
+    vocab: int = 32768,
+    n_shards: int = 4,
+    shards_per_commit: int = 2,
+    max_commits: int | None = None,
+    shard_salt: str = "shard:",
+) -> dict:
+    """Emit the corpus' training shards into ``table`` (an append-mode
+    ``Table`` partitioned by ``shard`` that this emitter OWNS, like a
+    sink owns its topic), snapshot-committed and **resumable**: shards
+    are appended in a fixed deterministic order in groups of
+    ``shards_per_commit``, each group one atomic snapshot commit stamped
+    with commit identifier ``group_index + 1`` (Paimon's sink
+    idempotence handle). On entry the latest committed identifier is
+    read back from snapshot metadata and emission continues from the
+    next group — exact resume even through shards with zero sequences.
+    ``max_commits`` bounds how many commit groups THIS call performs —
+    ``None`` finishes the job; a bounded call emulates (and tests) an
+    interrupted run that a later call resumes.
+
+    Returns ``{"shards_written", "shards_skipped", "n_commits"}`` — the
+    only driver-side values; token data never leaves the cluster.
+    """
+    from pyspark import StorageLevel
+
+    seqs = tokenized_sequences(
+        docs,
+        doc_id_col=doc_id_col,
+        source_col=source_col,
+        text_col=text_col,
+        seq_len=seq_len,
+        vocab=vocab,
+        n_shards=n_shards,
+        shard_salt=shard_salt,
+    )
+    all_groups = [
+        list(range(i, min(i + shards_per_commit, n_shards)))
+        for i in range(0, n_shards, shards_per_commit)
+    ]
+    # resume point: max APPEND commit identifier across the snapshot
+    # chain (metadata-only; COMPACT/auto-compaction snapshots carry the
+    # default identifier but a different kind, so they never count)
+    done = 0
+    for sid in table.snapshot_ids():
+        s = table.snapshot(sid)
+        if s is not None and s.commit_kind == "APPEND":
+            done = max(done, s.commit_identifier)
+    done = min(done, len(all_groups))
+    groups = all_groups[done:]
+    if max_commits is not None:
+        groups = groups[:max_commits]
+    skipped = sum(len(g) for g in all_groups[:done])
+    if not groups:
+        return {"shards_written": 0, "shards_skipped": skipped, "n_commits": 0}
+    # one persisted plan feeds every commit group; appends are eager, so
+    # the unpersist below can never un-answer anything
+    seqs = seqs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        written = 0
+        for k, g in enumerate(groups):
+            table.append(
+                seqs.filter(F.col("shard").isin([int(s) for s in g])),
+                commit_identifier=done + k + 1,
+            )
+            written += len(g)
+    finally:
+        seqs.unpersist(False)
+    return {
+        "shards_written": written,
+        "shards_skipped": skipped,
+        "n_commits": len(groups),
+    }

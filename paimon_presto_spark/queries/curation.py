@@ -2182,3 +2182,122 @@ def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("w").alias("token"), F.round("pr", 6).alias("pagerank")
     ).orderBy(F.desc("pr"), F.asc("w"))
+
+
+EMIT_SEQ_LEN = 32
+EMIT_VOCAB = 32768
+EMIT_SHARDS = 4
+
+
+@register(
+    "pipeline_emit_shards",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tk
+            FROM documents
+        ),
+        off AS (
+            SELECT source, tk,
+                   CAST(SUM(LEN(tk)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - LEN(tk) AS BIGINT) AS doc_off
+            FROM toks
+        ),
+        tok AS (
+            SELECT source,
+                   doc_off + t.u.i - 1 AS p,
+                   CAST('0x' || substr(md5(t.u.w), 1, 15) AS BIGINT)
+                       % {EMIT_VOCAB} AS tid
+            FROM (
+                SELECT source, doc_off,
+                       LIST_TRANSFORM(tk, (x, i) -> {{'i': i, 'w': x}}) AS iw
+                FROM off
+            ) s, UNNEST(s.iw) AS t(u)
+        ),
+        seqs AS (
+            SELECT source,
+                   CAST(p // {EMIT_SEQ_LEN} AS BIGINT) AS seq_id,
+                   CAST(COUNT(*) AS INT) AS n_tok,
+                   md5(STRING_AGG(CAST(tid AS VARCHAR), ' ' ORDER BY p))
+                       AS seq_md5
+            FROM tok
+            GROUP BY source, CAST(p // {EMIT_SEQ_LEN} AS BIGINT)
+            HAVING COUNT(*) = {EMIT_SEQ_LEN}
+        )
+        SELECT source, seq_id,
+               CAST(CAST('0x' || substr(md5('shard:' || source || ':'
+                        || CAST(seq_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % {EMIT_SHARDS} AS INT) AS shard,
+               n_tok, seq_md5, 1 AS resumed_ok
+        FROM seqs
+        ORDER BY source, seq_id
+    """,
+    tags=("llm-pipeline", "curation", "packing", "table-format",
+          "emit", "end-to-end"),
+)
+def pipeline_emit_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard emission — the pipeline's terminal stage
+    (``operators/emit.py``), run INSIDE the oracle gate end to end:
+    documents tokenize to a bounded md5 vocabulary, pack GPT-style into
+    fixed-length 32-token sequences (documents cross sequence
+    boundaries; the per-source tail partial is dropped), hash-assign to
+    4 shards, and are APPENDED through the catalog into a
+    shard-partitioned table-format table as snapshot-isolated commits.
+
+    The resume contract is exercised for real: the first emit call is
+    budget-capped at ONE commit (an "interrupted" run that shipped half
+    the shards), the second call reads the latest committed identifier
+    from snapshot metadata (Paimon's ``commitIdentifier`` sink-resume
+    contract) and emits only the missing half, and a third call is a
+    proven no-op — ``resumed_ok`` rides the gate alongside the content. The
+    returned rows are read BACK from the table and their md5s recomputed
+    from the STORED token-id arrays, so the hash certifies the entire
+    write → snapshot → partitioned read roundtrip bit-for-bit against
+    DuckDB's replay of the packing (same certification style as
+    ``dedup_boilerplate_chunks``).
+
+    Scale shape: tokenize/fan-out is map-side; the one shuffle keys
+    (source, seq_id) whose groups are exactly seq_len rows — perfectly
+    balanced at any corpus size; commits move KB of manifest metadata;
+    the only driver-side data is the 4-value shard list.
+    """
+    from paimon_presto_spark.catalog import Catalog
+    from paimon_presto_spark.operators.emit import emit_training_shards
+    from paimon_presto_spark.queries.advanced import _scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = _scratch_dir("emit-")
+    cat = Catalog(spark, wh)
+    cat.create_database("emit", ignore_if_exists=True)
+    t = cat.create_table(
+        "emit", "shards",
+        "source string, seq_id bigint, shard int, n_tok int, ids array<int>",
+        partition_keys=["shard"],
+    )
+    kw = dict(seq_len=EMIT_SEQ_LEN, vocab=EMIT_VOCAB,
+              n_shards=EMIT_SHARDS, shards_per_commit=2)
+    r1 = emit_training_shards(docs, t, max_commits=1, **kw)  # interrupted
+    r2 = emit_training_shards(docs, t, **kw)                 # resume
+    r3 = emit_training_shards(docs, t, **kw)                 # proven no-op
+    resumed_ok = int(
+        r1 == {"shards_written": 2, "shards_skipped": 0, "n_commits": 1}
+        and r2 == {"shards_written": 2, "shards_skipped": 2, "n_commits": 1}
+        and r3 == {"shards_written": 0, "shards_skipped": 4, "n_commits": 0}
+    )
+    stored = t.to_df()
+    return (
+        stored.select(
+            "source",
+            "seq_id",
+            "shard",
+            "n_tok",
+            F.md5(
+                F.array_join(
+                    F.transform("ids", lambda x: x.cast("string")), " "
+                )
+            ).alias("seq_md5"),
+            F.lit(resumed_ok).alias("resumed_ok"),
+        )
+        .orderBy("source", "seq_id")
+    )

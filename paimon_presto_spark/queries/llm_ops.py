@@ -1430,9 +1430,13 @@ def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_members, keeper_id, keeper_chars, total_chars).
 
     Scale shape: pair generation and components are the proven banded /
-    label-propagation paths (algorithm="auto" escalates to the O(log n)
-    alternating-star rung if the pair graph is deeper than any real
-    near-dup cluster); the keeper choice adds ONE aggregation keyed
+    label-propagation paths; algorithm="auto" runs the propagation walk
+    with an EXPLICIT 4-round budget — a genuine near-dup cluster is 2-3
+    hops, so convergence inside 4 rounds is the expected path and
+    anything deeper is an adversarial chain that escalates to the
+    O(log n) alternating-star rung (round-7 verdict #7: the budget is a
+    stated contract of the entry, not an implicit module default); the
+    keeper choice adds ONE aggregation keyed
     by component (max over a (quality, -id) struct — map-side
     combinable), joined against the docs table on its primary key.
     """
@@ -1443,7 +1447,8 @@ def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
         threshold=JACCARD_THRESHOLD,
     ).select("doc_a", "doc_b")
-    comp = connected_components(pairs, algorithm="auto")
+    comp = connected_components(pairs, algorithm="auto",
+                                star_switch_budget=4)
     member = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
     return (
         member.groupBy("component")

@@ -663,11 +663,24 @@ class Table:
 
     # -- write path --------------------------------------------------------
 
-    def append(self, df: DataFrame) -> Snapshot:
-        """Append-only commit (tables without primary keys)."""
+    def append(
+        self, df: DataFrame, commit_identifier: int | None = None
+    ) -> Snapshot:
+        """Append-only commit (tables without primary keys).
+
+        ``commit_identifier`` is the writer-supplied idempotence handle
+        from Paimon's sink contract (``BatchTableCommit``/the Flink
+        sink's checkpoint id, surfaced as ``commitIdentifier`` in real
+        Paimon snapshots): a resumable writer stamps each commit with a
+        monotone identifier and, on restart, reads the latest committed
+        one back to know where to continue (see ``operators/emit.py``).
+        Default: the snapshot id, as before."""
         if self.is_primary_keyed:
             raise ValueError("primary-key table: use upsert()/delete()")
-        snap = self._commit_write(df, kind="APPEND", row_kind=None)
+        snap = self._commit_write(
+            df, kind="APPEND", row_kind=None,
+            commit_identifier=commit_identifier,
+        )
         # small-file compaction: append tables accumulate files per
         # partition just like pk buckets accumulate sorted runs
         self._maybe_auto_compact(self.schema())
@@ -2531,6 +2544,7 @@ class Table:
         bucket_index: str | None = None,
         expect: int | None = None,
         changelog: str | None = None,
+        commit_identifier: int | None = None,
     ) -> Snapshot:
         """`replace`: False stacks on the previous manifest, True replaces it
         entirely, "dynamic" replaces only the partitions the new files touch.
@@ -2618,6 +2632,7 @@ class Table:
                 return self._commit_manifest(
                     schema, next_id, kind, base + new_entries, dv_index=dv,
                     bucket_index=bidx, changelog=changelog,
+                    commit_identifier=commit_identifier,
                 )
             except CommitConflict:
                 if expect is not None:
@@ -2825,7 +2840,7 @@ class Table:
     def _commit_manifest(
         self, schema: TableSchema, snapshot_id: int, kind: str, entries: list[dict],
         dv_index: str | None = None, bucket_index: str | None = None,
-        changelog: str | None = None,
+        changelog: str | None = None, commit_identifier: int | None = None,
     ) -> Snapshot:
         os.makedirs(os.path.join(self.meta_path, "manifest"), exist_ok=True)
         os.makedirs(os.path.join(self.meta_path, "snapshot"), exist_ok=True)
@@ -2834,7 +2849,10 @@ class Table:
             snapshot_id=snapshot_id,
             schema_id=schema.schema_id,
             commit_user=os.environ.get("USER", "spark"),
-            commit_identifier=snapshot_id,
+            commit_identifier=(
+                commit_identifier if commit_identifier is not None
+                else snapshot_id
+            ),
             commit_kind=kind,
             timestamp_ms=int(time.time() * 1000),
             manifest=manifest_name,

@@ -1,0 +1,130 @@
+"""Training-shard emission (`operators/emit.py`): layout determinism,
+the resume-by-shard contract, and the content roundtrip through the
+table layer — the properties the `pipeline_emit_shards` oracle entry
+rests on, pinned at unit scale."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from paimon_presto_spark.operators.emit import (
+    emit_training_shards,
+    tokenized_sequences,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        # source 'a': 10 + 7 + 9 = 26 tokens -> 3 seqs of 8, tail of 2 dropped
+        (1, "a", " ".join(f"w{i}" for i in range(10))),
+        (2, "a", " ".join(f"x{i}" for i in range(7))),
+        (3, "a", " ".join(f"y{i}" for i in range(9))),
+        # source 'b': exactly 16 tokens -> 2 full seqs, no tail
+        (4, "b", " ".join(f"z{i}" for i in range(16))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _mk_table(catalog):
+    catalog.create_database("emit", ignore_if_exists=True)
+    return catalog.create_table(
+        "emit", "shards",
+        "source string, seq_id bigint, shard int, n_tok int, ids array<int>",
+        partition_keys=["shard"],
+    )
+
+
+def test_sequences_are_fixed_length_and_cross_doc(docs):
+    out = tokenized_sequences(docs, seq_len=8, n_shards=4).collect()
+    by_src = {}
+    for r in out:
+        assert r["n_tok"] == 8
+        assert len(r["ids"]) == 8
+        by_src.setdefault(r["source"], []).append(r["seq_id"])
+    # 26 tokens // 8 = 3 full sequences (tail dropped); 16 // 8 = 2
+    assert sorted(by_src["a"]) == [0, 1, 2]
+    assert sorted(by_src["b"]) == [0, 1]
+    # documents cross sequence boundaries: source 'a' seq 1 spans the
+    # doc-1/doc-2 boundary (doc 1 ends at global position 9)
+    assert all(0 <= s["shard"] < 4 for s in out)
+
+
+def test_layout_is_deterministic_and_order_based(docs, spark):
+    a = tokenized_sequences(docs, seq_len=8).collect()
+    # shuffling input row order must not change the layout (doc_id order rules)
+    b = tokenized_sequences(docs.orderBy(F.desc("doc_id")), seq_len=8).collect()
+    key = lambda r: (r["source"], r["seq_id"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_emit_resume_contract(docs, catalog):
+    t = _mk_table(catalog)
+    kw = dict(seq_len=8, n_shards=4, shards_per_commit=2)
+    r1 = emit_training_shards(docs, t, max_commits=1, **kw)
+    assert r1 == {"shards_written": 2, "shards_skipped": 0, "n_commits": 1}
+    r2 = emit_training_shards(docs, t, **kw)
+    assert r2 == {"shards_written": 2, "shards_skipped": 2, "n_commits": 1}
+    r3 = emit_training_shards(docs, t, **kw)
+    assert r3 == {"shards_written": 0, "shards_skipped": 4, "n_commits": 0}
+    # content equals the pure plan, via the table roundtrip
+    stored = {
+        (r["source"], r["seq_id"]): r["ids"] for r in t.to_df().collect()
+    }
+    pure = {
+        (r["source"], r["seq_id"]): r["ids"]
+        for r in tokenized_sequences(docs, seq_len=8, n_shards=4).collect()
+    }
+    assert stored == pure
+    # resume never duplicated a sequence across commits
+    assert len(stored) == sum(1 for _ in pure)
+
+
+def test_emit_shard_partition_prunes(docs, catalog):
+    t = _mk_table(catalog)
+    emit_training_shards(docs, t, seq_len=8, n_shards=4, shards_per_commit=4)
+    n_full = len(t.scan().plan_files())
+    pruned = t.scan(partition_where="shard = 1")
+    n_one = len(pruned.plan_files())
+    assert 0 < n_one < n_full  # pruning happened at PLANNING time
+    rows = pruned.to_df().collect()
+    assert rows and all(r["shard"] == 1 for r in rows)
+
+
+def test_emit_resume_survives_empty_shards(docs, catalog):
+    """The round-8 regression this module was redesigned around: with
+    more shards than sequences, some shards are EMPTY — a data-presence
+    probe would re-attempt them forever, but the commit-identifier
+    resume (Paimon's sink contract) knows they were committed."""
+    catalog.create_database("emit", ignore_if_exists=True)
+    t = catalog.create_table(
+        "emit", "sparse",
+        "source string, seq_id bigint, shard int, n_tok int, ids array<int>",
+        partition_keys=["shard"],
+    )
+    # 5 sequences (seq_len=8) over 16 shards: most shards are empty
+    kw = dict(seq_len=8, n_shards=16, shards_per_commit=4)
+    r1 = emit_training_shards(docs, t, max_commits=2, **kw)
+    assert r1 == {"shards_written": 8, "shards_skipped": 0, "n_commits": 2}
+    r2 = emit_training_shards(docs, t, **kw)
+    assert r2 == {"shards_written": 8, "shards_skipped": 8, "n_commits": 2}
+    r3 = emit_training_shards(docs, t, **kw)
+    assert r3 == {"shards_written": 0, "shards_skipped": 16, "n_commits": 0}
+    # identifiers are stamped monotonically on APPEND snapshots
+    idents = [
+        t.snapshot(sid).commit_identifier
+        for sid in t.snapshot_ids()
+        if t.snapshot(sid).commit_kind == "APPEND"
+    ]
+    assert sorted(idents) == [1, 2, 3, 4]
+    # no sequence was emitted twice
+    df = t.to_df()
+    assert df.count() == df.select("source", "seq_id").distinct().count() == 5
+
+
+def test_emit_rejects_bad_params(docs, catalog):
+    with pytest.raises(ValueError):
+        tokenized_sequences(docs, seq_len=0)
+    with pytest.raises(ValueError):
+        tokenized_sequences(docs, n_shards=0)

@@ -2003,6 +2003,33 @@ def test_connected_components_star_rung_chain_equivalence(spark):
         connected_components(chain, max_iter=1, algorithm="star")
 
 
+def test_connected_components_explicit_switch_budget(spark):
+    """An explicit star_switch_budget (the contract the keep-best entry
+    states: near-dup clusters are 2-3 hops) escalates a deeper chain to
+    the star rung and still returns exact labels; a shallow triangle
+    converges inside the budget on the plain walk."""
+    from paimon_presto_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = connected_components(
+        chain, algorithm="auto", star_switch_budget=4
+    ).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 13
+    shallow = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            shallow, algorithm="auto", star_switch_budget=4
+        ).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
 def test_tfidf_cosine_pairs_weighted_vs_unweighted(spark):
     """TF-IDF cosine finds the pair sharing DISTINCTIVE vocabulary and
     scores it above a pair sharing only boilerplate — the weighting
