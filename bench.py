@@ -108,6 +108,13 @@ HEADLINE = [
     # round 7 (late): stored-codes SQ8 probe (coarse scan reads only the
     # persisted int8 index; refine joins candidates back by id)
     "knn_sq8_stored",
+    # round 8: the pipeline's terminal stage (tokenize → GPT-pack →
+    # shard → snapshot-committed emit, timed END TO END incl. the
+    # catalog writes and the read-back), the graded nDCG ranking audit,
+    # and the domain-epoch planner
+    "pipeline_emit_shards",
+    "retrieval_ndcg_eval",
+    "mix_epoch_schedule",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
@@ -343,6 +350,11 @@ SCALE_QUERIES = [
     "retrieval_rrf_fusion",
     "dedup_tfidf_cosine",
     "knn_ivf_pq_append",
+    # round 8: shard emission at 10x the corpus — the plan of the
+    # returned read-back is the partitioned table scan; the emit itself
+    # (window over doc counts + one (source, seq_id)-keyed shuffle +
+    # commit metadata) runs eagerly inside
+    "pipeline_emit_shards",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY

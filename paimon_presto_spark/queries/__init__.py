@@ -57,77 +57,69 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # fixed count (each round so far recorded exactly the first 50). The prefix
 # is ROTATED each round so every registry entry eventually earns a
 # driver-graded row; every entry has had a green driver row since round 4.
-# Round-7 policy is pure staleness rotation, same as rounds 5-6: every
+# Round-8 policy is pure staleness rotation, same as rounds 5-7: every
 # entry ADDED this round (a new entry outside the prefix would sit
-# ungraded) + the 11 rows whose most recent driver grade is round 3 +
-# the stalest round-4 rows to fill 50. The displaced r4 rows keep their
-# families anchored in-prefix (see tests/test_registry_contract.py's
-# anchor list) and rotate in next round with the rest of the r4 cohort
-# (31 r4 rows remain for round 8, then the r5 cohort). Cohort membership
-# comes from the CORRECTNESS_r0N.json artifacts (an entry's latest round
-# with a recorded row), not from past PRIORITY lists.
+# ungraded) + ALL 31 rows whose most recent driver grade is round 4 +
+# the stalest round-5 rows filling 50 (13 of the 50-row r5 cohort start
+# rotating; the rest follow in round 9). Cohort membership comes from
+# the CORRECTNESS_r0N.json artifacts (an entry's latest round with a
+# recorded row), not from past PRIORITY lists.
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
     # -- NEW this round (never graded) -----------------------------------
-    "agg_weighted_quartiles",
-    "knn_ivf_pq_stored",
-    "dedup_tfidf_cosine",
-    "retrieval_rrf_fusion",
-    "knn_ivf_pq_append",
-    "sample_priority_per_source",
-    "text_vocab_stats",
-    "dedup_minhash_recall",
-    "streaming_batch_parity_window",
-    "knn_sq8_rerank",
-    "text_trigram_backoff",
-    "text_heavy_hitters",
-    "streaming_batch_parity_session",
-    "multimodal_image_pipeline",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "graph_pagerank_tokens",
-    "agg_count_min_sketch",
-    "streaming_batch_parity_interval_join",
-    "knn_sq8_stored",
-    # -- last driver-graded in ROUND 3 (all 11) ---------------------------
-    "q5_local_supplier_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q19_disjunctive_filter",
-    "q22_global_sales_opportunity",
-    "datetime_trunc_extras",
-    "array_setops_functions",
-    "timeseries_gap_fill",
-    "unnest_with_ordinality",
-    "agg_histogram_map",
-    # -- last driver-graded in ROUND 4 (19 of 50; 31 rotate in round 8) ---
-    # table format / catalog
-    "table_format_roundtrip",
-    "metastore_catalog_roundtrip",
-    # joins / set ops / sampling / misc relational
-    "join_anti_not_exists",
-    "setop_except",
-    # aggregates / windows / scalars
-    "agg_rollup",
-    "window_range_frame",
-    "conditional_scalar_functions",
-    # events
-    "events_funnel_steps",
-    # LLM pipeline: dedup / similarity / selection
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "dedup_semantic_incremental",
-    "dedup_cdc_chunks",
-    "eval_contamination",
-    "knn_ivf_kmeans",
-    "knn_lsh_recall",
-    "embedding_int8_quantize",
-    "select_token_budget",
-    # LLM pipeline: text
-    "text_pii_redaction",
-    "text_repetition_quality",
+    "pipeline_emit_shards",
+    "table_format_zorder",
+    "table_format_hilbert",
+    "mix_epoch_schedule",
+    "retrieval_ndcg_eval",
+    "relational_pivot_unpivot",
+    # -- last driver-graded in ROUND 4 (all 31 remaining) -----------------
+    "agg_minmax_by",
+    "agg_stats_variance",
+    "assign_unique_id",
+    "dedup_boilerplate_chunks",
+    "doc_chunk_windows",
+    "embedding_pca_project",
+    "events_attribution",
+    "events_cohort_retention",
+    "events_path_bigrams",
+    "events_tumbling_window",
+    "events_window_anomaly",
+    "having_nation_counts",
+    "join_scalar_subquery",
+    "key_based_sampling",
+    "limit_offset_sort",
+    "pack_sequences_greedy",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q1_pricing_summary",
+    "q20_excess_stock",
+    "sample_stratified_exact",
+    "select_distinct_segments",
+    "split_assign_hash",
+    "string_functions",
+    "table_format_bloom_index",
+    "table_format_merge_into",
+    "table_format_sequence_field",
+    "text_ngram_novelty",
+    "text_phrase_search",
+    "width_bucket_histogram",
+    "window_value_navigation",
+    # -- stalest ROUND-5 rows filling 50 (the r5 cohort starts rotating) --
+    "agg_approx_distinct",
+    "agg_cube",
+    "agg_hll_sketch_merge",
+    "q3_shipping_priority",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "events_asof_join",
+    "events_sessionization",
+    "dedup_exact",
+    "knn_lsh_bucketed",
+    "table_format_changelog",
+    "setop_union_all",
+    "custom_functions_udf",
 )
 
 

@@ -2369,3 +2369,150 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority string, probe_key int, exact_cnt long, "
         "merged_ok int",
     ).orderBy("o_orderpriority", "probe_key")
+
+
+@register(
+    "table_format_zorder",
+    oracle="""
+        SELECT CAST(l_partkey % 8 AS BIGINT) AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS BIGINT)
+                   AS sum_qty,
+               1 AS zorder_ok
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("table-format", "zorder", "clustering", "compaction",
+          "data-skipping"),
+)
+def table_format_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order sort-compaction INSIDE the oracle gate (Paimon's
+    ``sort-compact`` action, ``table.py:compact(strategy="zorder")``):
+    lineitem lands in an append table, is rewritten clustered on the
+    bit-interleaved (l_partkey, l_suppkey) Z-value, and the entry gates
+    BOTH halves of the feature's contract:
+
+    - **content**: the post-compaction read must aggregate to exactly
+      the oracle's answer over raw lineitem — a clustering rewrite may
+      move rows between files but never change them;
+    - **clustering** (``zorder_ok``): quarter-range predicates on EACH
+      z-column independently must skip more than half the files at
+      PLANNING time (manifest min/max stats, zero data I/O) — the
+      multi-column data-skipping property that lexicographic sort cannot
+      give and the whole reason to Z-order a 100 TB table whose queries
+      filter on different columns.
+
+    The skip probe is scale-free: predicate bounds come from the
+    table's own min/max, so the entry certifies the same geometry at
+    any sf. File counts and plan decisions never touch data — they are
+    manifest reads, the planning path A7/A8 pin.
+    """
+    from paimon_presto_spark.catalog import Catalog
+    from paimon_presto_spark.plans.predicate import P
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    wh = _scratch_dir("zo-")
+    cat = Catalog(spark, wh)
+    cat.create_database("zo", ignore_if_exists=True)
+    t = cat.create_table(
+        "zo", "li_z",
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_quantity double",
+    )
+    # spread the append over several files so clustering has work to do
+    t.append(li.repartition(8))
+    t.compact(sort_by=["l_partkey", "l_suppkey"], strategy="zorder")
+
+    bounds = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    pk_lo, pk_hi = bounds[0], bounds[0] + max(1, (bounds[1] - bounds[0]) // 4)
+    sk_lo, sk_hi = bounds[2], bounds[2] + max(1, (bounds[3] - bounds[2]) // 4)
+    total = len(t.scan().plan_files())
+    kept_pk = len(t.scan(predicate=P.between("l_partkey", pk_lo, pk_hi)).plan_files())
+    kept_sk = len(t.scan(predicate=P.between("l_suppkey", sk_lo, sk_hi)).plan_files())
+    zorder_ok = int(
+        total > 4 and kept_pk <= total // 2 and kept_sk <= total // 2
+    )
+    return (
+        t.to_df()
+        .groupBy((F.col("l_partkey") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("bigint").alias("sum_qty"),
+        )
+        .withColumn("zorder_ok", F.lit(zorder_ok))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "table_format_hilbert",
+    oracle="""
+        SELECT CAST(l_suppkey % 8 AS BIGINT) AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS BIGINT)
+                   AS sum_qty,
+               1 AS hilbert_ok
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("table-format", "hilbert", "clustering", "compaction",
+          "data-skipping"),
+)
+def table_format_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve sort-compaction under the oracle gate — Paimon
+    upstream's second clustering choice next to ``table_format_zorder``
+    (``table.py:compact(strategy="hilbert")``, Skilling's transform as
+    an Arrow-batched kernel — the one designed Python pass in the table
+    layer, here exercised inside the hash gate): same contract as the
+    Z-order twin — content preserved exactly through the rewrite, and
+    quarter-range predicates on EACH curve column independently must
+    skip more than half the files at planning time. The Hilbert curve
+    has no Z-shaped jumps, so file bounding boxes are tighter on
+    average; this entry pins that it actually CLUSTERS, not just runs.
+    """
+    from paimon_presto_spark.catalog import Catalog
+    from paimon_presto_spark.plans.predicate import P
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    wh = _scratch_dir("hb-")
+    cat = Catalog(spark, wh)
+    cat.create_database("hb", ignore_if_exists=True)
+    t = cat.create_table(
+        "hb", "li_h",
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_quantity double",
+    )
+    t.append(li.repartition(8))
+    t.compact(sort_by=["l_partkey", "l_suppkey"], strategy="hilbert")
+
+    bounds = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    pk_lo, pk_hi = bounds[0], bounds[0] + max(1, (bounds[1] - bounds[0]) // 4)
+    sk_lo, sk_hi = bounds[2], bounds[2] + max(1, (bounds[3] - bounds[2]) // 4)
+    total = len(t.scan().plan_files())
+    kept_pk = len(t.scan(predicate=P.between("l_partkey", pk_lo, pk_hi)).plan_files())
+    kept_sk = len(t.scan(predicate=P.between("l_suppkey", sk_lo, sk_hi)).plan_files())
+    hilbert_ok = int(
+        total > 4 and kept_pk <= total // 2 and kept_sk <= total // 2
+    )
+    return (
+        t.to_df()
+        .groupBy((F.col("l_suppkey") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("bigint").alias("sum_qty"),
+        )
+        .withColumn("hilbert_ok", F.lit(hilbert_ok))
+        .orderBy("bucket")
+    )

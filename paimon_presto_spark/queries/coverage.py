@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from paimon_presto_spark.queries import register
+from paimon_presto_spark.queries.relational import DEC
 from paimon_presto_spark.sources.testdata import load_table
 
 
@@ -881,4 +882,65 @@ def window_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("o_orderkey", 1, -1).over(w).alias("next_order"),
         )
         .orderBy("o_custkey", "first_order", "o_orderkey")
+    )
+
+
+@register(
+    "relational_pivot_unpivot",
+    oracle="""
+        WITH grid AS (SELECT DISTINCT o_orderpriority FROM orders),
+             st(o_orderstatus) AS (VALUES ('F'), ('O'), ('P'))
+        SELECT g.o_orderpriority, st.o_orderstatus,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               COALESCE(CAST(CAST(SUM(CAST(o.o_totalprice
+                   AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE), 0.0)
+                   AS total_price
+        FROM grid g
+        CROSS JOIN st
+        LEFT JOIN orders o
+               ON o.o_orderpriority = g.o_orderpriority
+              AND o.o_orderstatus = st.o_orderstatus
+        GROUP BY g.o_orderpriority, st.o_orderstatus
+        ORDER BY g.o_orderpriority, st.o_orderstatus
+    """,
+    tags=("relational", "pivot", "unpivot", "stack", "aggregation"),
+)
+def relational_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT → UNPIVOT roundtrip — the reshaping surface
+    (``DataFrame.pivot`` / ``stack``; Presto spells the same reshape
+    with CASE aggregates + ``map_agg``): order counts and decimal price
+    totals pivot into one wide column set per order status, then
+    ``stack`` unpivots the wide frame back to long, and the roundtrip
+    must equal the oracle's direct grouped aggregation over the full
+    (priority x status) grid — absent combinations must surface as
+    0-count rows, not vanish (the COALESCE both engines apply).
+
+    Pivot with EXPLICIT values is the scale-correct spelling: Spark
+    skips the extra distinct-values job and the plan is one hash
+    aggregation producing all pivot columns in a single pass — at any
+    corpus size the reshape costs exactly one shuffle on the group key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string")
+            .cast("double").alias("tp"),
+        )
+    )
+    stack = F.expr(
+        "stack(3, 'F', F_n, F_tp, 'O', O_n, O_tp, 'P', P_n, P_tp) "
+        "AS (o_orderstatus, n_raw, tp_raw)"
+    )
+    return (
+        wide.select("o_orderpriority", stack)
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.coalesce(F.col("n_raw"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("tp_raw"), F.lit(0.0)).alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
     )

@@ -2301,3 +2301,113 @@ def pipeline_emit_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "seq_id")
     )
+
+
+@register(
+    "mix_epoch_schedule",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                       AS n_tok,
+                   CAST(1 + CAST('0x' || substr(md5('mix:' || source), 1, 15)
+                                 AS BIGINT) % 4 AS INT) AS weight
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+                   CAST(SUM(weight) AS BIGINT) AS total_w
+            FROM s
+        ),
+        e AS (
+            SELECT source, n_tok, weight,
+                   CAST(2 * total_tok * weight AS DOUBLE)
+                       / (total_w * n_tok) AS epochs_raw,
+                   CAST(FLOOR(LEAST(
+                       CAST(2 * total_tok * weight AS DOUBLE) / total_w,
+                       4.0 * n_tok)) AS BIGINT) AS eff_tok
+            FROM s, tot
+        ),
+        t2 AS (SELECT CAST(SUM(eff_tok) AS BIGINT) AS total_eff FROM e)
+        SELECT source, n_tok, weight,
+               ROUND(LEAST(epochs_raw, 4.0), 6) AS epochs,
+               CAST(epochs_raw > 4.0 AS INT) AS capped,
+               eff_tok,
+               ROUND(CAST(eff_tok AS DOUBLE) / total_eff, 6) AS final_share
+        FROM e, t2
+        ORDER BY source
+    """,
+    tags=("llm-pipeline", "curation", "mixing", "epochs", "scheduling"),
+)
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-epoch scheduling — the data-mixing decision a training run
+    makes BEFORE sampling: given target mixture weights per source (here
+    a portable hash-derived 1..4, standing in for a quality/composition
+    policy) and a total token budget (2x the corpus), compute how many
+    EPOCHS of each domain to draw. Small domains that would need more
+    than the repetition cap (4 epochs — the "don't repeat data too often"
+    rule) are capped, their effective token count floored, and the final
+    realized mixture share renormalized over the capped totals — so the
+    schedule states both the intent (epochs) and the achievable mixture
+    (final_share) in one pass.
+
+    Complements ``mix_domain_reweight`` (per-row sampling probabilities)
+    and ``sample_priority_per_source`` (the draw itself): this entry is
+    the planner above them. Scale shape: one scan aggregates per-source
+    token counts; everything after operates on |sources| rows, with the
+    two global totals carried as single-row broadcasts (the declared
+    bm25/dsir scalar class). Exactness: every ratio is a SINGLE IEEE
+    division of exact integers, sums run over integers — no float
+    accumulation anywhere, so both engines agree bit-for-bit at round 6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tok"))
+        .withColumn(
+            "weight",
+            (
+                F.lit(1)
+                + md5_long(F.concat(F.lit("mix:"), F.col("source"))) % 4
+            ).cast("int"),
+        )
+    )
+    tot = s.agg(
+        F.sum("n_tok").alias("total_tok"),
+        F.sum("weight").cast("long").alias("total_w"),
+    )
+    e = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "epochs_raw",
+            (F.lit(2) * F.col("total_tok") * F.col("weight")).cast("double")
+            / (F.col("total_w") * F.col("n_tok")),
+        )
+        .withColumn(
+            "eff_tok",
+            F.floor(
+                F.least(
+                    (F.lit(2) * F.col("total_tok") * F.col("weight"))
+                    .cast("double") / F.col("total_w"),
+                    F.lit(4.0) * F.col("n_tok"),
+                )
+            ).cast("long"),
+        )
+    )
+    t2 = e.agg(F.sum("eff_tok").alias("total_eff"))
+    return (
+        e.crossJoin(F.broadcast(t2))
+        .select(
+            "source",
+            "n_tok",
+            "weight",
+            F.round(F.least(F.col("epochs_raw"), F.lit(4.0)), 6).alias("epochs"),
+            (F.col("epochs_raw") > 4.0).cast("int").alias("capped"),
+            "eff_tok",
+            F.round(
+                F.col("eff_tok").cast("double") / F.col("total_eff"), 6
+            ).alias("final_share"),
+        )
+        .orderBy("source")
+    )

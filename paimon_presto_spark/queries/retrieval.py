@@ -442,3 +442,174 @@ def knn_sq8_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(r) for r in rows],
         "q_id long, n_id long, int_dot long, cos_sim double, rnk int",
     ).orderBy("q_id", "rnk")
+
+
+def _ndcg_constants(k: int = 10) -> tuple[str, str]:
+    """Shared nDCG discount table: a CASE over ranks mapping r ->
+    round(1/log2(r+1), 12) as a fixed-point literal, plus the ideal DCG
+    (graded relevance 10..1) as an exact decimal literal — IDENTICAL
+    text injected into the Spark expression and the DuckDB oracle, so
+    the only float op either engine performs is one final division of
+    bit-equal inputs (log2 itself never runs inside a query engine)."""
+    import math
+    from decimal import Decimal
+
+    ws = {r: f"{1.0 / math.log2(r + 1):.12f}" for r in range(1, k + 1)}
+    case = (
+        "CASE rnk "
+        + " ".join(f"WHEN {r} THEN {w}" for r, w in ws.items())
+        + " ELSE 0.000000000000 END"
+    )
+    idcg = sum(Decimal(k + 1 - r) * Decimal(ws[r]) for r in range(1, k + 1))
+    return case, str(idcg)
+
+
+_NDCG_CASE, _NDCG_IDCG = _ndcg_constants(10)
+
+
+def _ndcg_oracle() -> str:
+    from paimon_presto_spark.queries.advanced import IVF_PROBE, _ivf_cents
+
+    cents = ",\n".join(
+        f"({cid}, [{', '.join(repr(x) for x in vec)}]::DOUBLE[])"
+        for cid, vec in _ivf_cents()
+    )
+    return f"""
+        WITH cent(cid, cvec) AS (VALUES {cents}),
+        cassign AS (
+            SELECT vec_id, embedding, cid AS bucket FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(
+                               e.embedding::DOUBLE[], c.cvec) DESC, c.cid
+                       ) AS rk
+                FROM embeddings e, cent c
+            ) WHERE rk = 1
+        ),
+        qassign AS (
+            SELECT vec_id, embedding, cid AS bucket FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(
+                               e.embedding::DOUBLE[], c.cvec) DESC, c.cid
+                       ) AS rk
+                FROM embeddings e, cent c
+                WHERE e.vec_id < 5
+            ) WHERE rk <= {IVF_PROBE}
+        ),
+        scored AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+                   ROUND(LIST_COSINE_SIMILARITY(q.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 6)
+                       AS cos_sim
+            FROM qassign q JOIN cassign c ON q.bucket = c.bucket
+        ),
+        approx AS (
+            SELECT q_id, n_id, rnk FROM (
+                SELECT q_id, n_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY cos_sim DESC, n_id) AS rnk
+                FROM scored
+            ) WHERE rnk <= 10
+        ),
+        exact AS (
+            SELECT q_id, n_id, rx FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(
+                               q.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) DESC, c.vec_id
+                       ) AS rx
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 5
+            ) WHERE rx <= 10
+        ),
+        joined AS (
+            SELECT a.q_id, a.rnk,
+                   COALESCE(11 - e.rx, 0) AS rel
+            FROM approx a
+            LEFT JOIN exact e ON a.q_id = e.q_id AND a.n_id = e.n_id
+        )
+        SELECT q_id,
+               CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS INT)
+                   AS hits,
+               ROUND(CAST(SUM(rel * ({_NDCG_CASE})) AS DOUBLE)
+                     / CAST({_NDCG_IDCG} AS DOUBLE), 6) AS ndcg
+        FROM joined
+        GROUP BY q_id
+        ORDER BY q_id
+    """
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle=_ndcg_oracle(),
+    tags=("retrieval", "evaluation", "ndcg", "ranking", "ann"),
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking-quality audit: nDCG@10 of the IVF multi-probe
+    ranking against the exact-cosine ground truth, per query — the
+    retrieval-eval metric that complements ``dedup_minhash_recall`` /
+    ``knn_lsh_recall`` (set recall weighs every hit equally; nDCG
+    charges the index for returning the right neighbors in the WRONG
+    order). Ground-truth relevance is graded by exact rank (11-r for
+    the true top-10), discounts come from a shared literal table
+    (``_ndcg_constants``), and both engines accumulate the DCG in exact
+    DECIMAL before one final IEEE division — so an approximation-quality
+    METRIC is itself hash-gated, not eyeballed.
+
+    Scale shape: the IVF side is the posting-list-pruned probe
+    (`knn_ivf_probe`); the exact side is the bounded |Q| x corpus
+    broadcast scan every recall audit pays by definition (the
+    knn_lsh_recall class); the metric itself is one |Q| x 10 join +
+    aggregation — free. At 100 TB the audit runs on a sampled query
+    panel exactly like this one.
+    """
+    from paimon_presto_spark.operators.similarity import (
+        cosine_similarity,
+        ivf_topk,
+    )
+    from paimon_presto_spark.queries.advanced import IVF_PROBE, _ivf_cents
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    approx = ivf_topk(
+        e, queries, _ivf_cents(), k=10, n_probe=IVF_PROBE
+    ).select("q_id", "n_id", "rnk")
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    wx = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("n_id"))
+    exact = (
+        c.crossJoin(q)
+        .withColumn("cos_raw", cosine_similarity(F.col("q_emb"), F.col("n_emb")))
+        .withColumn("rx", F.row_number().over(wx))
+        .filter(F.col("rx") <= 10)
+        .select("q_id", "n_id", "rx")
+    )
+    j = approx.join(exact, ["q_id", "n_id"], "left").withColumn(
+        "rel", F.coalesce(F.lit(11) - F.col("rx"), F.lit(0))
+    )
+    return (
+        j.groupBy("q_id")
+        .agg(
+            F.sum((F.col("rel") > 0).cast("int")).cast("int").alias("hits"),
+            F.sum(F.col("rel") * F.expr(_NDCG_CASE)).alias("dcg"),
+        )
+        .select(
+            "q_id",
+            "hits",
+            F.round(
+                F.col("dcg").cast("double")
+                / F.expr(f"CAST({_NDCG_IDCG} AS DOUBLE)"),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy("q_id")
+    )

@@ -30,21 +30,21 @@ def test_priority_prefix_is_valid_and_broad():
     assert len(PRIORITY) == 50
     # Every operator family must be represented in the prefix. The prefix
     # ROTATES across rounds (so every entry eventually earns a driver-graded
-    # row); these anchors are the round-7 representatives of each family
-    # (the round-7 prefix is the round-7 additions + all 11 r3-last rows +
-    # the stalest r4-last rows filling 50).
+    # row); these anchors are the round-8 representatives of each family
+    # (the round-8 prefix is the round-8 additions + all 31 r4-last rows +
+    # the stalest r5-last rows filling 50).
     prefix = set(PRIORITY)
     for family_member in (
-        "table_format_roundtrip",
-        "q5_local_supplier_revenue",
-        "window_range_frame",
-        "agg_histogram_map",
-        "setop_except",
-        "join_anti_not_exists",
-        "events_funnel_steps",
-        "dedup_minhash_lsh",
-        "knn_ivf_kmeans",
-        "text_repetition_quality",
+        "table_format_merge_into",
+        "q1_pricing_summary",
+        "window_value_navigation",
+        "width_bucket_histogram",
+        "setop_union_all",
+        "join_scalar_subquery",
+        "events_attribution",
+        "dedup_boilerplate_chunks",
+        "knn_lsh_bucketed",
+        "text_ngram_novelty",
     ):
         assert family_member in prefix
 
