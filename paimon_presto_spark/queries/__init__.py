@@ -74,6 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "mix_epoch_schedule",
     "retrieval_ndcg_eval",
     "relational_pivot_unpivot",
+    "table_format_branches",
     # -- last driver-graded in ROUND 4 (all 31 remaining) -----------------
     "agg_minmax_by",
     "agg_stats_variance",
@@ -119,7 +120,6 @@ PRIORITY: tuple[str, ...] = (
     "knn_lsh_bucketed",
     "table_format_changelog",
     "setop_union_all",
-    "custom_functions_udf",
 )
 
 

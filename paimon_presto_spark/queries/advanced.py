@@ -2516,3 +2516,78 @@ def table_format_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hilbert_ok", F.lit(hilbert_ok))
         .orderBy("bucket")
     )
+
+
+@register(
+    "table_format_branches",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(
+                   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE) AS total_price,
+               1 AS branch_isolated
+        FROM orders
+        WHERE o_orderkey % 97 <> 0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("table-format", "branches", "fast-forward", "end-to-end"),
+)
+def table_format_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branches under the oracle gate — the metadata-fork lifecycle
+    (``table.py:create_branch`` / ``fast_forward``, Paimon's branch
+    feature): orders land on main, a ``fix`` branch forks (metadata
+    only — every data file shared), the branch takes a price patch and
+    a delete, and the gate certifies BOTH branch properties:
+
+    - **isolation** (``branch_isolated``): main still reads the
+      untouched base row count after the branch committed its
+      mutations — branch writes never leak into main's lineage;
+    - **merge**: after ``fast_forward`` the main read must equal the
+      oracle's declarative restatement of the branch's mutations — the
+      fork's snapshots/manifests graft onto main losslessly (the
+      metadata twin of a git fast-forward; data files were shared all
+      along, so the merge moves zero bytes of data).
+
+    The dev-branch-then-promote workflow a production lakehouse uses
+    for risky backfills, here exercised end to end inside the hash gate
+    rather than only in unit tests.
+    """
+    from paimon_presto_spark.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    wh = _scratch_dir("br-")
+    cat = Catalog(spark, wh)
+    cat.create_database("br", ignore_if_exists=True)
+    t = cat.create_table(
+        "br", "orders_br",
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+        "o_orderpriority string",
+        primary_keys=["o_orderkey"],
+    )
+    t.upsert(o)
+    n_base = t.to_df().count()
+    br = t.create_branch("fix")
+    br.upsert(
+        o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+    )
+    br.delete(o.filter(F.col("o_orderkey") % 97 == 0))
+    branch_isolated = int(t.to_df().count() == n_base)
+    t.fast_forward("fix")
+    return (
+        t.to_df()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string")
+            .cast("double").alias("total_price"),
+        )
+        .withColumn("branch_isolated", F.lit(branch_isolated))
+        .orderBy("o_orderpriority")
+    )
