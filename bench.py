@@ -566,11 +566,13 @@ def _stored_ann_split(spark, data_dir: str, with_plans: bool = False) -> tuple[d
                         ),
                         "cartesian": p.count("CartesianProduct"),
                         "broadcast_hash": p.count("BroadcastHashJoin"),
-                        # the corpus-vector file may appear ONLY as the
-                        # bounded query/refine side, never as a full
+                        # the corpus-vector file may appear ONLY in its
+                        # bounded designed roles, never as a full
                         # training/encode scan: the ivf probe reads it
-                        # once (queries), the sq8 probe twice (queries +
-                        # the id-joined refine)
+                        # once (queries); the sq8 probe three times
+                        # (query coarse-coding + query full-precision +
+                        # the id-joined candidate refine) — see
+                        # STORED_PROBE_EXPECT
                         "embeddings_scans": p.count("embeddings.parquet"),
                     }
             finally:
@@ -799,11 +801,18 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         for name in SCALE_QUERIES:
-            if name in ("pipeline_curate_corpus", "embedding_pca_project"):
-                # These entries return a driver-local report (their Spark
-                # stages already ran eagerly), so the returned "plan" is a
-                # trivial LocalTableScan; their constituent shapes are
-                # map-only/aggregation-only by construction. Timing-only.
+            if name in (
+                "pipeline_curate_corpus",
+                "embedding_pca_project",
+                "pipeline_emit_shards",
+            ):
+                # These entries run their Spark stages eagerly inside the
+                # call (curate/pca return driver-local reports; emit
+                # commits shards then returns the table read-back), so
+                # the returned "plan" is a LocalTableScan / plain
+                # partitioned FileScan that cannot contain the joins
+                # being policed — re-running them here would pay a full
+                # second sf1 execution to shape-check nothing. Timing-only.
                 continue
             try:
                 plan = runners[name](spark, sf1_dir)._jdf.queryExecution().executedPlan().toString()

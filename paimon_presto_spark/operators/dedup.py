@@ -548,6 +548,11 @@ def connected_components(
       one: a real dup cluster is 2-3 hops; anything deeper is an
       adversarial chain better served by the O(log n) rung).
     """
+    if algorithm != "auto" and star_switch_budget is not None:
+        raise ValueError(
+            "star_switch_budget only applies to algorithm='auto' — "
+            f"passing it with {algorithm!r} would be silently ignored"
+        )
     if algorithm == "star":
         return _connected_components_star(pairs, max_iter)
     if algorithm not in ("propagation", "auto"):

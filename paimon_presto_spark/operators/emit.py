@@ -35,7 +35,9 @@ with emit finally first-class:
    identifier from table METADATA and continues from the next group, so
    resume is exact even for shards that happened to contain zero
    sequences (a data-presence probe could not tell "committed but
-   empty" from "never committed"). A failed run loses at most one
+   empty" from "never committed"). Each identifier also carries a
+   32-bit fingerprint of the emission geometry, so resuming with
+   changed parameters raises instead of silently mis-mapping progress. A failed run loses at most one
    commit group, never finished shards — the contract a multi-day
    100 TB emission job needs.
 
@@ -168,8 +170,22 @@ def emit_training_shards(
 
     Returns ``{"shards_written", "shards_skipped", "n_commits"}`` — the
     only driver-side values; token data never leaves the cluster.
+
+    The emission GEOMETRY (seq_len, vocab, n_shards, shards_per_commit,
+    shard_salt) is part of the resume contract: the commit identifier
+    packs the group index with a 32-bit fingerprint of the geometry, and
+    a resume whose parameters differ from what was committed raises
+    instead of silently skipping or double-emitting shards (counting
+    groups under a CHANGED geometry would mis-map the progress point —
+    e.g. a finer shards_per_commit on resume would treat the job as
+    finished with shards never written).
     """
     from pyspark import StorageLevel
+
+    if shards_per_commit < 1:
+        raise ValueError(f"shards_per_commit must be >= 1, got {shards_per_commit}")
+    if max_commits is not None and max_commits < 0:
+        raise ValueError(f"max_commits must be >= 0, got {max_commits}")
 
     seqs = tokenized_sequences(
         docs,
@@ -185,14 +201,27 @@ def emit_training_shards(
         list(range(i, min(i + shards_per_commit, n_shards)))
         for i in range(0, n_shards, shards_per_commit)
     ]
+    fp = _geometry_fingerprint(
+        seq_len, vocab, n_shards, shards_per_commit, shard_salt
+    )
     # resume point: max APPEND commit identifier across the snapshot
     # chain (metadata-only; COMPACT/auto-compaction snapshots carry the
-    # default identifier but a different kind, so they never count)
+    # default identifier but a different kind, so they never count).
+    # identifier = group_index << 32 | geometry fingerprint — monotone
+    # within one geometry, and a geometry change is detected, not guessed.
     done = 0
     for sid in table.snapshot_ids():
         s = table.snapshot(sid)
-        if s is not None and s.commit_kind == "APPEND":
-            done = max(done, s.commit_identifier)
+        if s is None or s.commit_kind != "APPEND":
+            continue
+        if (s.commit_identifier & 0xFFFFFFFF) != fp:
+            raise ValueError(
+                "emit_training_shards: table was emitted with a different "
+                "geometry (seq_len/vocab/n_shards/shards_per_commit/"
+                "shard_salt); resume with the original parameters or emit "
+                "into a fresh table"
+            )
+        done = max(done, s.commit_identifier >> 32)
     done = min(done, len(all_groups))
     groups = all_groups[done:]
     if max_commits is not None:
@@ -208,7 +237,7 @@ def emit_training_shards(
         for k, g in enumerate(groups):
             table.append(
                 seqs.filter(F.col("shard").isin([int(s) for s in g])),
-                commit_identifier=done + k + 1,
+                commit_identifier=((done + k + 1) << 32) | fp,
             )
             written += len(g)
     finally:
@@ -218,3 +247,15 @@ def emit_training_shards(
         "shards_skipped": skipped,
         "n_commits": len(groups),
     }
+
+
+def _geometry_fingerprint(
+    seq_len: int, vocab: int, n_shards: int, shards_per_commit: int,
+    salt: str,
+) -> int:
+    """32-bit stable fingerprint of the emission geometry, packed into
+    the low half of every emit commit identifier."""
+    import zlib
+
+    key = f"{seq_len}|{vocab}|{n_shards}|{shards_per_commit}|{salt}"
+    return zlib.crc32(key.encode()) & 0xFFFFFFFF

@@ -60,7 +60,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Round-8 policy is pure staleness rotation, same as rounds 5-7: every
 # entry ADDED this round (a new entry outside the prefix would sit
 # ungraded) + ALL 31 rows whose most recent driver grade is round 4 +
-# the stalest round-5 rows filling 50 (13 of the 50-row r5 cohort start
+# the stalest round-5 rows filling 50 (12 of the 50-row r5 cohort start
 # rotating; the rest follow in round 9). Cohort membership comes from
 # the CORRECTNESS_r0N.json artifacts (an entry's latest round with a
 # recorded row), not from past PRIORITY lists.

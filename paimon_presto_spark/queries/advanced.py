@@ -2408,23 +2408,45 @@ def table_format_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     any sf. File counts and plan decisions never touch data — they are
     manifest reads, the planning path A7/A8 pin.
     """
+    return _clustered_compact_entry(
+        spark, sf_dir, strategy="zorder", prefix="zo",
+        bucket_col="l_partkey", flag_name="zorder_ok",
+    )
+
+
+def _clustered_compact_entry(
+    spark: SparkSession,
+    sf_dir: str,
+    strategy: str,
+    prefix: str,
+    bucket_col: str,
+    flag_name: str,
+) -> DataFrame:
+    """Shared scaffolding for the clustering-rewrite gate entries
+    (``table_format_zorder`` / ``table_format_hilbert``): append
+    lineitem spread over several files, sort-compact with ``strategy``
+    on (l_partkey, l_suppkey), probe quarter-range file skipping on
+    EACH clustering column at planning time, and return the content
+    aggregate carrying the skip flag — one geometry check, two
+    strategies, no drift between the twins.
+    """
     from paimon_presto_spark.catalog import Catalog
     from paimon_presto_spark.plans.predicate import P
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
-    wh = _scratch_dir("zo-")
+    wh = _scratch_dir(f"{prefix}-")
     cat = Catalog(spark, wh)
-    cat.create_database("zo", ignore_if_exists=True)
+    cat.create_database(prefix, ignore_if_exists=True)
     t = cat.create_table(
-        "zo", "li_z",
+        prefix, f"li_{strategy}",
         "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
         "l_quantity double",
     )
     # spread the append over several files so clustering has work to do
     t.append(li.repartition(8))
-    t.compact(sort_by=["l_partkey", "l_suppkey"], strategy="zorder")
+    t.compact(sort_by=["l_partkey", "l_suppkey"], strategy=strategy)
 
     bounds = li.agg(
         F.min("l_partkey"), F.max("l_partkey"),
@@ -2435,17 +2457,17 @@ def table_format_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = len(t.scan().plan_files())
     kept_pk = len(t.scan(predicate=P.between("l_partkey", pk_lo, pk_hi)).plan_files())
     kept_sk = len(t.scan(predicate=P.between("l_suppkey", sk_lo, sk_hi)).plan_files())
-    zorder_ok = int(
+    clustered_ok = int(
         total > 4 and kept_pk <= total // 2 and kept_sk <= total // 2
     )
     return (
         t.to_df()
-        .groupBy((F.col("l_partkey") % 8).alias("bucket"))
+        .groupBy((F.col(bucket_col) % 8).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("l_quantity").cast(DEC)).cast("bigint").alias("sum_qty"),
         )
-        .withColumn("zorder_ok", F.lit(zorder_ok))
+        .withColumn(flag_name, F.lit(clustered_ok))
         .orderBy("bucket")
     )
 
@@ -2477,44 +2499,9 @@ def table_format_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no Z-shaped jumps, so file bounding boxes are tighter on
     average; this entry pins that it actually CLUSTERS, not just runs.
     """
-    from paimon_presto_spark.catalog import Catalog
-    from paimon_presto_spark.plans.predicate import P
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
-    )
-    wh = _scratch_dir("hb-")
-    cat = Catalog(spark, wh)
-    cat.create_database("hb", ignore_if_exists=True)
-    t = cat.create_table(
-        "hb", "li_h",
-        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
-        "l_quantity double",
-    )
-    t.append(li.repartition(8))
-    t.compact(sort_by=["l_partkey", "l_suppkey"], strategy="hilbert")
-
-    bounds = li.agg(
-        F.min("l_partkey"), F.max("l_partkey"),
-        F.min("l_suppkey"), F.max("l_suppkey"),
-    ).collect()[0]
-    pk_lo, pk_hi = bounds[0], bounds[0] + max(1, (bounds[1] - bounds[0]) // 4)
-    sk_lo, sk_hi = bounds[2], bounds[2] + max(1, (bounds[3] - bounds[2]) // 4)
-    total = len(t.scan().plan_files())
-    kept_pk = len(t.scan(predicate=P.between("l_partkey", pk_lo, pk_hi)).plan_files())
-    kept_sk = len(t.scan(predicate=P.between("l_suppkey", sk_lo, sk_hi)).plan_files())
-    hilbert_ok = int(
-        total > 4 and kept_pk <= total // 2 and kept_sk <= total // 2
-    )
-    return (
-        t.to_df()
-        .groupBy((F.col("l_suppkey") % 8).alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast("bigint").alias("sum_qty"),
-        )
-        .withColumn("hilbert_ok", F.lit(hilbert_ok))
-        .orderBy("bucket")
+    return _clustered_compact_entry(
+        spark, sf_dir, strategy="hilbert", prefix="hb",
+        bucket_col="l_suppkey", flag_name="hilbert_ok",
     )
 
 

@@ -500,17 +500,23 @@ def _ndcg_oracle() -> str:
             ) WHERE rk <= {IVF_PROBE}
         ),
         scored AS (
-            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
-                   ROUND(LIST_COSINE_SIMILARITY(q.embedding::DOUBLE[],
-                                                c.embedding::DOUBLE[]), 6)
-                       AS cos_sim
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   LIST_COSINE_SIMILARITY(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]) AS cos_raw
             FROM qassign q JOIN cassign c ON q.bucket = c.bucket
         ),
         approx AS (
+            -- rank by the RAW cosine (n_id tie-break), exactly as
+            -- ivf_topk's window does: nDCG turns any intra-top-10 rank
+            -- flip into a value diff, so the approx ordering must mirror
+            -- the Spark side bit-for-bit (the unrounded cross-engine
+            -- ordering is the long-green knn_bruteforce_topk contract);
+            -- (q_id, n_id) pairs are unique — a corpus row has ONE
+            -- coarse bucket — so no DISTINCT is needed before ranking
             SELECT q_id, n_id, rnk FROM (
                 SELECT q_id, n_id,
                        ROW_NUMBER() OVER (PARTITION BY q_id
-                                          ORDER BY cos_sim DESC, n_id) AS rnk
+                                          ORDER BY cos_raw DESC, n_id) AS rnk
                 FROM scored
             ) WHERE rnk <= 10
         ),

@@ -111,13 +111,15 @@ def test_emit_resume_survives_empty_shards(docs, catalog):
     assert r2 == {"shards_written": 8, "shards_skipped": 8, "n_commits": 2}
     r3 = emit_training_shards(docs, t, **kw)
     assert r3 == {"shards_written": 0, "shards_skipped": 16, "n_commits": 0}
-    # identifiers are stamped monotonically on APPEND snapshots
+    # identifiers are stamped monotonically on APPEND snapshots: the high
+    # half carries the group index, the low half the geometry fingerprint
     idents = [
         t.snapshot(sid).commit_identifier
         for sid in t.snapshot_ids()
         if t.snapshot(sid).commit_kind == "APPEND"
     ]
-    assert sorted(idents) == [1, 2, 3, 4]
+    assert sorted(i >> 32 for i in idents) == [1, 2, 3, 4]
+    assert len({i & 0xFFFFFFFF for i in idents}) == 1
     # no sequence was emitted twice
     df = t.to_df()
     assert df.count() == df.select("source", "seq_id").distinct().count() == 5
@@ -128,3 +130,34 @@ def test_emit_rejects_bad_params(docs, catalog):
         tokenized_sequences(docs, seq_len=0)
     with pytest.raises(ValueError):
         tokenized_sequences(docs, n_shards=0)
+    t = _mk_table(catalog)
+    with pytest.raises(ValueError, match="shards_per_commit"):
+        emit_training_shards(docs, t, shards_per_commit=0)
+    with pytest.raises(ValueError, match="max_commits"):
+        emit_training_shards(docs, t, max_commits=-1)
+
+
+def test_emit_resume_rejects_changed_geometry(docs, catalog):
+    """A resume under different parameters would mis-map the progress
+    point (finer shards_per_commit on resume reads as 'finished' with
+    shards never written) — the geometry fingerprint in the commit
+    identifier turns that silent loss into an error."""
+    catalog.create_database("emit", ignore_if_exists=True)
+    t = catalog.create_table(
+        "emit", "geom",
+        "source string, seq_id bigint, shard int, n_tok int, ids array<int>",
+        partition_keys=["shard"],
+    )
+    emit_training_shards(
+        docs, t, seq_len=8, n_shards=4, shards_per_commit=1, max_commits=2
+    )
+    with pytest.raises(ValueError, match="different[ \\n]+geometry"):
+        emit_training_shards(docs, t, seq_len=8, n_shards=4,
+                             shards_per_commit=2)
+    with pytest.raises(ValueError, match="different[ \\n]+geometry"):
+        emit_training_shards(docs, t, seq_len=16, n_shards=4,
+                             shards_per_commit=1)
+    # the original geometry resumes exactly
+    r = emit_training_shards(docs, t, seq_len=8, n_shards=4,
+                             shards_per_commit=1)
+    assert r == {"shards_written": 2, "shards_skipped": 2, "n_commits": 2}
