@@ -627,6 +627,50 @@ def _ivf_pq_append_sf1(spark, sf1_dir: str):
     ).orderBy("q_id", "rnk")
 
 
+def _tfidf_cosine_sf1(spark, sf1_dir: str):
+    """dedup_tfidf_cosine retuned for the synthesized sf1 corpus. The
+    shared sf1 build decorrelates replicas at the SHINGLE level
+    (vowel-rotation), but at the WORD level every word without those
+    letters is identical across replicas — the 10 replicas of each doc
+    are genuine near-dup cliques to TF-IDF (~45 true pairs per original,
+    ~225k pairs corpus-wide), which breaks the stress' 'replicas are
+    unrelated documents, a clean 10x scale-up' premise for word-level
+    operators (round-8 run: >1 GB of collected pairs, then 550 s even
+    with exact prefix filtering, all spent on TRUE pairs). Same fix as
+    the embeddings' dimension-shift: decorrelate at the operator's OWN
+    granularity — suffix every word with its replica id (one map), so
+    replicas share no vocabulary and the corpus is a clean 10x. Output
+    is aggregated per probe doc (count + decimal cosine sum forces the
+    full pair computation) so the driver never ships raw pairs.
+"""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    rep = (F.col("doc_id") % 10).cast("string")
+    docs = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split("text", " "), lambda w: F.concat(w, F.lit("_"), rep)
+            ),
+            " ",
+        ),
+    )
+    # cap df at the SLICE scale: suffixing partitions the vocabulary
+    # into 10 independent 5000-doc corpora, so the corpus-relative
+    # default (N/10 = 5000) would never bite — every slice-common
+    # template word would flood the index (measured: ~50k paired docs
+    # and 425 s). Each slice is an sf0.1-sized corpus; its honest cap
+    # is 5000 // 10.
+    pairs = tfidf_cosine_pairs(docs, threshold=0.25, max_df=500)
+    return pairs.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("cosine").cast("decimal(28,10)")).alias("sum_cos"),
+    )
+
+
 def _weighted_median_sf1(spark, sf1_dir: str):
     """agg_weighted_median with the bucketed decomposition FORCED
     (4096-row edges): the registry entry takes the adaptive direct path
@@ -754,6 +798,7 @@ def _scale_runners(qs) -> dict:
         "dedup_semantic_incremental": _semdedup_incremental_sf1,
         "agg_weighted_median": _weighted_median_sf1,
         "knn_ivf_pq_append": _ivf_pq_append_sf1,
+        "dedup_tfidf_cosine": _tfidf_cosine_sf1,
     }
     return {
         name: retuned[name] if name in retuned else qs[name]

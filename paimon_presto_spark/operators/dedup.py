@@ -1265,6 +1265,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     max_df: int | None = None,
     threshold: float = 0.3,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """WEIGHTED all-pairs similarity: (doc_a, doc_b, cosine, n_shared)
     pairs whose tf-idf cosine ≥ threshold — the APSS problem (Bayardo et
@@ -1289,6 +1290,20 @@ def tfidf_cosine_pairs(
       call finds pairs at any corpus size (a fixed cap that admits pairs
       at one scale filters everything at 10x: a term's absolute df grows
       linearly with N while its distinctiveness is relative);
+    - ``prefix_filter`` (default, Bayardo/PPJoin prefix filtering —
+      EXACT, the output is identical): each doc indexes only the terms
+      whose suffix potential ``Σ u_d(t') · maxu(t')`` (terms at or after
+      t in the global (maxu DESC, t ASC) order, u = tf-idf weight over
+      the doc's FULL norm) still reaches ``threshold``. For any pair
+      with cosine ≥ threshold, the shared term that is smallest in that
+      global order has suffix potential ≥ the pair's cosine in BOTH
+      docs, so both index it and the prefix-prefix join finds the pair
+      (the WWW'07 argument). Common low-idf terms have tiny maxu, sort
+      last, and fall out of every prefix — which is what keeps candidate
+      volume survivable when a corpus shares a lot of vocabulary (the
+      df cap alone admits 500-doc posting lists at N=5000: an sf1
+      stress without the prefix filter generated hundreds of millions
+      of candidate rows and ran the executors into GC death);
     - only candidates pay the exact dot product, summed per pair as
       DECIMAL over products of identical doubles (order-free).
 
@@ -1345,17 +1360,60 @@ def tfidf_cosine_pairs(
     rare = weighted.filter(F.col("df") <= max_df)
     a = rare.select(F.col("doc_id").alias("doc_a"), "t", F.col("wt").alias("wa"))
     b = rare.select(F.col("doc_id").alias("doc_b"), "t", F.col("wt").alias("wb"))
-    dots = (
-        a.join(b, "t")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,10)"))
-            .cast("double")
-            .alias("dot"),
-            F.count(F.lit(1)).alias("n_shared"),
+    if prefix_filter:
+        # normalized weights u = wt / full-norm, term ceiling maxu(t),
+        # per-doc suffix potentials along the global (maxu DESC, t ASC)
+        # order — a doc indexes t only while pot >= threshold. Exact:
+        # every qualifying pair's smallest-ordered shared term is
+        # indexed by both members (suffix potential >= the pair's
+        # cosine there), so the prefix-prefix join misses nothing; the
+        # exact dot below then discards any over-admitted candidate.
+        unit = rare.join(norms, "doc_id").select(
+            "doc_id", "t", (F.col("wt") / F.col("nrm")).alias("u")
         )
-    )
+        maxu = unit.groupBy("t").agg(F.max("u").alias("mxu"))
+        wsuf = (
+            Window.partitionBy("doc_id")
+            .orderBy(F.asc("mxu"), F.desc("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        indexed = (
+            unit.join(maxu, "t")
+            .withColumn("pot", F.sum(F.col("u") * F.col("mxu")).over(wsuf))
+            .filter(F.col("pot") >= threshold)
+            .select("doc_id", "t")
+        )
+        cand = (
+            indexed.select(F.col("doc_id").alias("doc_a"), "t")
+            .join(indexed.select(F.col("doc_id").alias("doc_b"), "t"), "t")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # exact dot over ALL shared capped terms of each candidate pair
+        dots = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "t"])
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,10)"))
+                .cast("double")
+                .alias("dot"),
+                F.count(F.lit(1)).alias("n_shared"),
+            )
+        )
+    else:
+        dots = (
+            a.join(b, "t")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,10)"))
+                .cast("double")
+                .alias("dot"),
+                F.count(F.lit(1)).alias("n_shared"),
+            )
+        )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     return (

@@ -74,6 +74,7 @@ def tokenized_sequences(
     vocab: int = 32768,
     n_shards: int = 4,
     shard_salt: str = "shard:",
+    eos_id: int | None = None,
 ) -> DataFrame:
     """The pure (lazy) emission plan: documents → fixed-length token-id
     sequences with shard assignment.
@@ -83,14 +84,26 @@ def tokenized_sequences(
     dropped) and ``ids`` the in-order ``array<int>`` of hashed token
     ids. Deterministic for a given input: ids and shard come from
     portable md5, sequence layout from doc-id order.
+
+    ``eos_id`` (production packing's document separator): when set, that
+    id is appended after every document's tokens BEFORE the stream is
+    cut into sequences, so a trainer can mask attention across document
+    boundaries. It changes offsets/contents but no plan shape.
     """
     if seq_len <= 0 or vocab <= 0 or n_shards <= 0:
         raise ValueError("seq_len, vocab and n_shards must be positive")
-    tk = F.split(F.col(text_col), " ")
+    # hash words -> bounded ids map-side (array lambda in codegen), then
+    # optionally terminate each document with the EOS separator
+    ids_arr = F.transform(
+        F.split(F.col(text_col), " "),
+        lambda w: (md5_long(w) % vocab).cast("int"),
+    )
+    if eos_id is not None:
+        ids_arr = F.concat(ids_arr, F.array(F.lit(int(eos_id)).cast("int")))
     per_doc = docs.select(
         F.col(source_col).alias("source"),
         F.col(doc_id_col).alias("__did"),
-        tk.alias("__tk"),
+        ids_arr.alias("__ids"),
     )
     # per-source token offset of each doc: window over DOC rows (one row
     # per document), never over tokens
@@ -100,16 +113,16 @@ def tokenized_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     off = per_doc.withColumn(
-        "__doc_off", F.sum(F.size("__tk")).over(woff) - F.size("__tk")
+        "__doc_off", F.sum(F.size("__ids")).over(woff) - F.size("__ids")
     )
     toks = off.select(
         "source",
         "__doc_off",
-        F.posexplode("__tk").alias("__pos", "__w"),
+        F.posexplode("__ids").alias("__pos", "__tid"),
     ).select(
         "source",
         (F.col("__doc_off") + F.col("__pos")).alias("__p"),
-        (md5_long(F.col("__w")) % vocab).cast("int").alias("__tid"),
+        "__tid",
     )
     seqs = (
         toks.withColumn("seq_id", F.expr(f"__p DIV {seq_len}"))

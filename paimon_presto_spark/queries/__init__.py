@@ -60,7 +60,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Round-8 policy is pure staleness rotation, same as rounds 5-7: every
 # entry ADDED this round (a new entry outside the prefix would sit
 # ungraded) + ALL 31 rows whose most recent driver grade is round 4 +
-# the stalest round-5 rows filling 50 (12 of the 50-row r5 cohort start
+# the stalest round-5 rows filling 50 (11 of the 50-row r5 cohort start
 # rotating; the rest follow in round 9). Cohort membership comes from
 # the CORRECTNESS_r0N.json artifacts (an entry's latest round with a
 # recorded row), not from past PRIORITY lists.
@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "retrieval_ndcg_eval",
     "relational_pivot_unpivot",
     "table_format_branches",
+    "table_format_orc_roundtrip",
     # -- last driver-graded in ROUND 4 (all 31 remaining) -----------------
     "agg_minmax_by",
     "agg_stats_variance",
@@ -110,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     # -- stalest ROUND-5 rows filling 50 (the r5 cohort starts rotating) --
     "agg_approx_distinct",
     "agg_cube",
-    "agg_hll_sketch_merge",
     "q3_shipping_priority",
     "q6_revenue_forecast",
     "q9_product_profit",

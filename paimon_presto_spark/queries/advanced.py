@@ -2578,3 +2578,68 @@ def table_format_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("branch_isolated", F.lit(branch_isolated))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "table_format_orc_roundtrip",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(
+                   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderkey % 97 <> 0
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("table-format", "orc", "merge-on-read", "end-to-end"),
+)
+def table_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``table_format_roundtrip`` mutation script replayed on an ORC
+    table (``file.format=orc`` — Paimon's own default data format,
+    ``PrestoSqlTableOptionUtils`` maps the same option): upsert → ~1%
+    delete → ~1% patch upsert → merged read with a pushed predicate must
+    equal the identical declarative oracle. ORC rides Spark's vectorized
+    JVM reader exactly like parquet; writer-side manifest stats come
+    from the ORC footers, so min/max file skipping and the MoR window
+    are format-invariant — which is precisely what sharing the parquet
+    twin's oracle certifies.
+    """
+    from paimon_presto_spark.catalog import Catalog
+    from paimon_presto_spark.plans.predicate import P
+
+    o = load_table(spark, sf_dir, "orders")
+    wh = _scratch_dir("orc-")
+    cat = Catalog(spark, wh)
+    cat.create_database("orc", ignore_if_exists=True)
+    t = cat.create_table(
+        "orc", "orders_orc",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+        primary_keys=["o_orderkey"],
+        options={"file.format": "orc"},
+    )
+    t.upsert(o)
+    t.delete(o.filter(F.col("o_orderkey") % 97 == 0))
+    t.upsert(
+        o.filter(
+            (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    merged = t.scan(
+        predicate=P.gte("o_orderdate", "1996-01-01 00:00:00")
+    ).to_df().filter(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

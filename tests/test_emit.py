@@ -51,6 +51,25 @@ def test_sequences_are_fixed_length_and_cross_doc(docs):
     assert all(0 <= s["shard"] < 4 for s in out)
 
 
+def test_eos_separator_terminates_documents(docs):
+    """eos_id appends the separator after EVERY document before the
+    stream is cut, so boundaries survive packing: with seq_len 9 and
+    docs of 10/7/9 tokens, source 'a' has 29 ids and eos sits exactly
+    at global positions 10, 18, 28."""
+    out = tokenized_sequences(docs, seq_len=9, n_shards=2, eos_id=0)
+    flat = {}
+    for r in out.collect():
+        for i, t in enumerate(r["ids"]):
+            flat.setdefault(r["source"], {})[r["seq_id"] * 9 + i] = t
+    a = flat["a"]
+    # 29 ids -> 3 full sequences of 9 (positions 0..26 kept)
+    assert len(a) == 27
+    eos_positions = {p for p, t in a.items() if t == 0}
+    assert {10, 18} <= eos_positions  # position 28 fell in the dropped tail
+    # no word hashes to 0 by accident in this fixture
+    assert eos_positions == {10, 18}
+
+
 def test_layout_is_deterministic_and_order_based(docs, spark):
     a = tokenized_sequences(docs, seq_len=8).collect()
     # shuffling input row order must not change the layout (doc_id order rules)

@@ -2114,3 +2114,37 @@ def test_priority_sample_per_group_quota_and_determinism(spark):
     assert heavy >= 4
     again = priority_sample_per_group(df, "w", 5, "id", ["g"]).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_tfidf_prefix_filter_is_exact(spark):
+    """Bayardo prefix filtering is an EXACT optimization: pairs from the
+    prefix-indexed path equal the naive inverted-join path bit-for-bit
+    at several thresholds (including ones where the prefix prunes most
+    of the index)."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    for d in range(40):
+        toks = [words[(d + j) % len(words)] for j in range(1 + d % 7)]
+        toks += [f"rare{d % 13}", f"rare{(d * 3) % 13}"]
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for thr in (0.2, 0.5, 0.8):
+        naive = {
+            (r["doc_a"], r["doc_b"]): (round(r["cosine"], 9), r["n_shared"])
+            for r in tfidf_cosine_pairs(
+                docs, threshold=thr, prefix_filter=False
+            ).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"]): (round(r["cosine"], 9), r["n_shared"])
+            for r in tfidf_cosine_pairs(
+                docs, threshold=thr, prefix_filter=True
+            ).collect()
+        }
+        assert pref == naive, thr
