@@ -649,11 +649,17 @@ def _tfidf_cosine_sf1(spark, sf1_dir: str):
 
     docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
     rep = (F.col("doc_id") % 10).cast("string")
+    # suffix only NON-EMPTY tokens: split() yields '' for padded/empty
+    # text, which the operator's wd != '' filter drops — suffixing it
+    # would resurrect '' as a real term '_<i>' shared by every such doc
     docs = docs.withColumn(
         "text",
         F.array_join(
             F.transform(
-                F.split("text", " "), lambda w: F.concat(w, F.lit("_"), rep)
+                F.split("text", " "),
+                lambda w: F.when(w == "", w).otherwise(
+                    F.concat(w, F.lit("_"), rep)
+                ),
             ),
             " ",
         ),

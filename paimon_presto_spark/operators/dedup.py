@@ -1259,13 +1259,18 @@ def ngram_containment_pairs(
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
+#: prefix_filter="auto" engages the Bayardo index reduction above this
+#: estimated naive-candidate volume (Σ df² over capped terms)
+_PREFIX_FILTER_AUTO = 20_000_000
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
     threshold: float = 0.3,
-    prefix_filter: bool = True,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """WEIGHTED all-pairs similarity: (doc_a, doc_b, cosine, n_shared)
     pairs whose tf-idf cosine ≥ threshold — the APSS problem (Bayardo et
@@ -1290,8 +1295,8 @@ def tfidf_cosine_pairs(
       call finds pairs at any corpus size (a fixed cap that admits pairs
       at one scale filters everything at 10x: a term's absolute df grows
       linearly with N while its distinctiveness is relative);
-    - ``prefix_filter`` (default, Bayardo/PPJoin prefix filtering —
-      EXACT, the output is identical): each doc indexes only the terms
+    - ``prefix_filter`` (Bayardo/PPJoin prefix filtering — EXACT, the
+      output is identical): each doc indexes only the terms
       whose suffix potential ``Σ u_d(t') · maxu(t')`` (terms at or after
       t in the global (maxu DESC, t ASC) order, u = tf-idf weight over
       the doc's FULL norm) still reaches ``threshold``. For any pair
@@ -1303,7 +1308,13 @@ def tfidf_cosine_pairs(
       volume survivable when a corpus shares a lot of vocabulary (the
       df cap alone admits 500-doc posting lists at N=5000: an sf1
       stress without the prefix filter generated hundreds of millions
-      of candidate rows and ran the executors into GC death);
+      of candidate rows and ran the executors into GC death).
+      ``"auto"`` (default) engages it only when the naive candidate
+      estimate Σ df² over capped terms — one tiny aggregate on the
+      already-built vocabulary table — exceeds ``_PREFIX_FILTER_AUTO``
+      (20M): small corpora keep the cheap one-join path, big ones get
+      the armor, and the adaptive gate itself never scans data (the
+      weighted-quantile engagement rule, applied here);
     - only candidates pay the exact dot product, summed per pair as
       DECIMAL over products of identical doubles (order-free).
 
@@ -1360,6 +1371,16 @@ def tfidf_cosine_pairs(
     rare = weighted.filter(F.col("df") <= max_df)
     a = rare.select(F.col("doc_id").alias("doc_a"), "t", F.col("wt").alias("wa"))
     b = rare.select(F.col("doc_id").alias("doc_b"), "t", F.col("wt").alias("wb"))
+    if prefix_filter == "auto":
+        # estimated naive candidate volume = sum of df^2 over the capped
+        # vocabulary — an aggregate over the (cached-lineage) term table,
+        # never over the corpus
+        est = (
+            df_t.filter(F.col("df") <= max_df)
+            .agg(F.sum(F.col("df").cast("long") * F.col("df")))
+            .collect()[0][0]
+        )
+        prefix_filter = bool(est is not None and est > _PREFIX_FILTER_AUTO)
     if prefix_filter:
         # normalized weights u = wt / full-norm, term ceiling maxu(t),
         # per-doc suffix potentials along the global (maxu DESC, t ASC)
@@ -1377,12 +1398,26 @@ def tfidf_cosine_pairs(
             .orderBy(F.asc("mxu"), F.desc("t"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # the admission test carries a 1e-9 slack: `pot` is a plain
+        # double running sum while the FINAL pair predicate divides a
+        # DECIMAL-summed dot by exact norms, so at a razor-edge
+        # threshold (pot == cosine == threshold in real arithmetic, e.g.
+        # exact duplicates at threshold=1.0) double rounding could
+        # under-shoot `pot` and prune a pair the naive path emits.
+        # Over-admission is always safe — candidates are a superset and
+        # the exact dot below decides membership.
         indexed = (
             unit.join(maxu, "t")
             .withColumn("pot", F.sum(F.col("u") * F.col("mxu")).over(wsuf))
-            .filter(F.col("pot") >= threshold)
+            .filter(F.col("pot") >= threshold - 1e-9)
             .select("doc_id", "t")
         )
+        # Ledgered cache (same rule as `weighted` above): `indexed`
+        # feeds BOTH sides of the candidate self-join — uncached, the
+        # norms join + maxu aggregate + per-doc suffix window would run
+        # twice per call.
+        indexed = indexed.cache()
+        _CHUNK_CACHES.append(indexed)
         cand = (
             indexed.select(F.col("doc_id").alias("doc_a"), "t")
             .join(indexed.select(F.col("doc_id").alias("doc_b"), "t"), "t")

@@ -88,10 +88,20 @@ def tokenized_sequences(
     ``eos_id`` (production packing's document separator): when set, that
     id is appended after every document's tokens BEFORE the stream is
     cut into sequences, so a trainer can mask attention across document
-    boundaries. It changes offsets/contents but no plan shape.
+    boundaries. It changes offsets/contents but no plan shape. The
+    separator must live OUTSIDE the hash range — ``eos_id >= vocab`` —
+    otherwise roughly 1-in-vocab ordinary words would collide with it
+    and split documents mid-sentence (a real tokenizer reserves special
+    ids the same way).
     """
     if seq_len <= 0 or vocab <= 0 or n_shards <= 0:
         raise ValueError("seq_len, vocab and n_shards must be positive")
+    if eos_id is not None and 0 <= eos_id < vocab:
+        raise ValueError(
+            f"eos_id must be outside the hash range [0, {vocab}) — a "
+            f"separator inside it collides with ~1-in-{vocab} ordinary "
+            f"words and creates false document boundaries"
+        )
     # hash words -> bounded ids map-side (array lambda in codegen), then
     # optionally terminate each document with the EOS separator
     ids_arr = F.transform(
@@ -167,6 +177,7 @@ def emit_training_shards(
     shards_per_commit: int = 2,
     max_commits: int | None = None,
     shard_salt: str = "shard:",
+    eos_id: int | None = None,
 ) -> dict:
     """Emit the corpus' training shards into ``table`` (an append-mode
     ``Table`` partitioned by ``shard`` that this emitter OWNS, like a
@@ -209,13 +220,14 @@ def emit_training_shards(
         vocab=vocab,
         n_shards=n_shards,
         shard_salt=shard_salt,
+        eos_id=eos_id,
     )
     all_groups = [
         list(range(i, min(i + shards_per_commit, n_shards)))
         for i in range(0, n_shards, shards_per_commit)
     ]
     fp = _geometry_fingerprint(
-        seq_len, vocab, n_shards, shards_per_commit, shard_salt
+        seq_len, vocab, n_shards, shards_per_commit, shard_salt, eos_id
     )
     # resume point: max APPEND commit identifier across the snapshot
     # chain (metadata-only; COMPACT/auto-compaction snapshots carry the
@@ -264,11 +276,14 @@ def emit_training_shards(
 
 def _geometry_fingerprint(
     seq_len: int, vocab: int, n_shards: int, shards_per_commit: int,
-    salt: str,
+    salt: str, eos_id: int | None,
 ) -> int:
     """32-bit stable fingerprint of the emission geometry, packed into
-    the low half of every emit commit identifier."""
+    the low half of every emit commit identifier. Every parameter that
+    changes sequence CONTENTS or the shard map belongs here — eos_id
+    included: a resume with a different separator would silently append
+    sequences that don't match the committed ones."""
     import zlib
 
-    key = f"{seq_len}|{vocab}|{n_shards}|{shards_per_commit}|{salt}"
+    key = f"{seq_len}|{vocab}|{n_shards}|{shards_per_commit}|{salt}|{eos_id}"
     return zlib.crc32(key.encode()) & 0xFFFFFFFF

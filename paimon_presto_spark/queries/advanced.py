@@ -856,9 +856,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(e, queries, books, k=10).orderBy("q_id", "rnk")
 
 
-@register(
-    "table_format_roundtrip",
-    oracle="""
+_ROUNDTRIP_ORACLE = """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
                CAST(CAST(SUM(CAST(
@@ -870,7 +868,68 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
-    """,
+    """
+
+
+def _roundtrip_script(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    options: dict[str, str] | None = None,
+    delete_via: str = "df",
+) -> DataFrame:
+    """Shared mutation script for the roundtrip twins
+    (``table_format_roundtrip`` / ``_dv_`` / ``_avro_`` / ``_orc_``):
+    upsert orders into a pk table created with ``options``, delete ~1%
+    of keys (as a row DataFrame or, for the DV twin, via row-level
+    ``delete_where``), price-patch ~1% with a second upsert, and
+    aggregate a predicate-pushed merged read. All four entries share
+    ``_ROUNDTRIP_ORACLE`` verbatim — the storage/merge machinery under
+    test must be invisible to results, and a single script means the
+    twins can never silently diverge."""
+    from paimon_presto_spark.catalog import Catalog
+    from paimon_presto_spark.plans.predicate import P
+
+    o = load_table(spark, sf_dir, "orders")
+    wh = _scratch_dir(f"{prefix}-")
+    cat = Catalog(spark, wh)
+    cat.create_database(prefix, ignore_if_exists=True)
+    t = cat.create_table(
+        prefix, f"orders_{prefix}",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+        primary_keys=["o_orderkey"],
+        options=options or {},
+    )
+    t.upsert(o)
+    if delete_via == "where":
+        t.delete_where("o_orderkey % 97 = 0")
+    else:
+        t.delete(o.filter(F.col("o_orderkey") % 97 == 0))
+    t.upsert(
+        o.filter(
+            (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    merged = t.scan(
+        predicate=P.gte("o_orderdate", "1996-01-01 00:00:00")
+    ).to_df().filter(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "table_format_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
     tags=("table-format", "merge-on-read", "end-to-end"),
 )
 def table_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,58 +941,12 @@ def table_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed files → snapshot commit → merge-on-read → stats pruning as
     one checkable unit (A13/A22/A24).
     """
-    import os
-
-    from paimon_presto_spark.catalog import Catalog
-    from paimon_presto_spark.plans.predicate import P
-
-    o = load_table(spark, sf_dir, "orders")
-    # scratch warehouse inside the repo tree (gitignored), one per run
-    wh = _scratch_dir("rt-")
-    cat = Catalog(spark, wh)
-    cat.create_database("rt", ignore_if_exists=True)
-    t = cat.create_table(
-        "rt", "orders_rt",
-        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
-        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
-        primary_keys=["o_orderkey"],
-    )
-    t.upsert(o)
-    t.delete(o.filter(F.col("o_orderkey") % 97 == 0))
-    t.upsert(
-        o.filter(
-            (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
-        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
-    )
-    merged = t.scan(
-        predicate=P.gte("o_orderdate", "1996-01-01 00:00:00")
-    ).to_df().filter(F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
-    return (
-        merged.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double")
-            .alias("total_price"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    return _roundtrip_script(spark, sf_dir, "rt")
 
 
 @register(
     "table_format_dv_roundtrip",
-    oracle="""
-        SELECT o_orderpriority,
-               COUNT(*) AS n_orders,
-               CAST(CAST(SUM(CAST(
-                   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000.0
-                        ELSE o_totalprice END AS DECIMAL(28,10))) AS VARCHAR)
-                   AS DOUBLE) AS total_price
-        FROM orders
-        WHERE o_orderkey % 97 <> 0
-          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-    """,
+    oracle=_ROUNDTRIP_ORACLE,
     tags=("table-format", "deletion-vectors", "end-to-end"),
 )
 def table_format_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,58 +958,15 @@ def table_format_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast position anti-join — NO key-shuffle window — yet must equal
     the exact same declarative oracle as the merge-on-read variant.
     """
-    import os
-
-    from paimon_presto_spark.catalog import Catalog
-    from paimon_presto_spark.plans.predicate import P
-
-    o = load_table(spark, sf_dir, "orders")
-    wh = _scratch_dir("dv-")
-    cat = Catalog(spark, wh)
-    cat.create_database("dv", ignore_if_exists=True)
-    t = cat.create_table(
-        "dv", "orders_dv",
-        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
-        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
-        primary_keys=["o_orderkey"],
-        options={"deletion-vectors.enabled": "true"},
-    )
-    t.upsert(o)
-    t.delete_where("o_orderkey % 97 = 0")
-    t.upsert(
-        o.filter(
-            (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
-        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
-    )
-    merged = t.scan(
-        predicate=P.gte("o_orderdate", "1996-01-01 00:00:00")
-    ).to_df().filter(F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
-    return (
-        merged.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double")
-            .alias("total_price"),
-        )
-        .orderBy("o_orderpriority")
+    return _roundtrip_script(
+        spark, sf_dir, "dv",
+        options={"deletion-vectors.enabled": "true"}, delete_via="where",
     )
 
 
 @register(
     "table_format_avro_roundtrip",
-    oracle="""
-        SELECT o_orderpriority,
-               COUNT(*) AS n_orders,
-               CAST(CAST(SUM(CAST(
-                   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000.0
-                        ELSE o_totalprice END AS DECIMAL(28,10))) AS VARCHAR)
-                   AS DOUBLE) AS total_price
-        FROM orders
-        WHERE o_orderkey % 97 <> 0
-          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-    """,
+    oracle=_ROUNDTRIP_ORACLE,
     tags=("table-format", "avro", "end-to-end"),
 )
 def table_format_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,40 +978,8 @@ def table_format_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of parquet footers. Same declarative oracle as the parquet and
     deletion-vector variants — the format must be invisible to results.
     """
-    import os
-
-    from paimon_presto_spark.catalog import Catalog
-    from paimon_presto_spark.plans.predicate import P
-
-    o = load_table(spark, sf_dir, "orders")
-    wh = _scratch_dir("av-")
-    cat = Catalog(spark, wh)
-    cat.create_database("av", ignore_if_exists=True)
-    t = cat.create_table(
-        "av", "orders_av",
-        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
-        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
-        primary_keys=["o_orderkey"],
-        options={"file.format": "avro"},
-    )
-    t.upsert(o)
-    t.delete(o.filter(F.col("o_orderkey") % 97 == 0))
-    t.upsert(
-        o.filter(
-            (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
-        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
-    )
-    merged = t.scan(
-        predicate=P.gte("o_orderdate", "1996-01-01 00:00:00")
-    ).to_df().filter(F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
-    return (
-        merged.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double")
-            .alias("total_price"),
-        )
-        .orderBy("o_orderpriority")
+    return _roundtrip_script(
+        spark, sf_dir, "av", options={"file.format": "avro"}
     )
 
 
@@ -2582,19 +2520,7 @@ def table_format_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "table_format_orc_roundtrip",
-    oracle="""
-        SELECT o_orderpriority,
-               COUNT(*) AS n_orders,
-               CAST(CAST(SUM(CAST(
-                   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000.0
-                        ELSE o_totalprice END AS DECIMAL(28,10))) AS VARCHAR)
-                   AS DOUBLE) AS total_price
-        FROM orders
-        WHERE o_orderkey % 97 <> 0
-          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-    """,
+    oracle=_ROUNDTRIP_ORACLE,
     tags=("table-format", "orc", "merge-on-read", "end-to-end"),
 )
 def table_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2608,38 +2534,7 @@ def table_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     are format-invariant — which is precisely what sharing the parquet
     twin's oracle certifies.
     """
-    from paimon_presto_spark.catalog import Catalog
-    from paimon_presto_spark.plans.predicate import P
+    return _roundtrip_script(
+        spark, sf_dir, "orc", options={"file.format": "orc"}
+    )
 
-    o = load_table(spark, sf_dir, "orders")
-    wh = _scratch_dir("orc-")
-    cat = Catalog(spark, wh)
-    cat.create_database("orc", ignore_if_exists=True)
-    t = cat.create_table(
-        "orc", "orders_orc",
-        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
-        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
-        primary_keys=["o_orderkey"],
-        options={"file.format": "orc"},
-    )
-    t.upsert(o)
-    t.delete(o.filter(F.col("o_orderkey") % 97 == 0))
-    t.upsert(
-        o.filter(
-            (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
-        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
-    )
-    merged = t.scan(
-        predicate=P.gte("o_orderdate", "1996-01-01 00:00:00")
-    ).to_df().filter(
-        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
-    )
-    return (
-        merged.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double")
-            .alias("total_price"),
-        )
-        .orderBy("o_orderpriority")
-    )

@@ -1613,7 +1613,11 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paimon_presto_spark.operators.dedup import tfidf_cosine_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    out = tfidf_cosine_pairs(docs, threshold=0.25)
+    # prefix filtering FORCED so the Bayardo index-reduction path stays
+    # oracle-gated at test scale (production's "auto" default engages it
+    # only past the 20M-candidate estimate — the forced-engagement-twin
+    # rule from agg_weighted_quartiles)
+    out = tfidf_cosine_pairs(docs, threshold=0.25, prefix_filter=True)
     return out.select(
         "doc_a", "doc_b",
         F.round("cosine", 6).alias("cosine"),

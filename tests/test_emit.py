@@ -55,8 +55,14 @@ def test_eos_separator_terminates_documents(docs):
     """eos_id appends the separator after EVERY document before the
     stream is cut, so boundaries survive packing: with seq_len 9 and
     docs of 10/7/9 tokens, source 'a' has 29 ids and eos sits exactly
-    at global positions 10, 18, 28."""
-    out = tokenized_sequences(docs, seq_len=9, n_shards=2, eos_id=0)
+    at global positions 10, 18, 28. The separator lives OUTSIDE the
+    hash range (eos_id >= vocab is enforced), so no word can ever
+    collide with it — the positions below are certain, not
+    fixture-lucky."""
+    import pytest
+
+    EOS = 32768  # == vocab: the first reserved id outside the hash range
+    out = tokenized_sequences(docs, seq_len=9, n_shards=2, eos_id=EOS)
     flat = {}
     for r in out.collect():
         for i, t in enumerate(r["ids"]):
@@ -64,10 +70,11 @@ def test_eos_separator_terminates_documents(docs):
     a = flat["a"]
     # 29 ids -> 3 full sequences of 9 (positions 0..26 kept)
     assert len(a) == 27
-    eos_positions = {p for p, t in a.items() if t == 0}
-    assert {10, 18} <= eos_positions  # position 28 fell in the dropped tail
-    # no word hashes to 0 by accident in this fixture
-    assert eos_positions == {10, 18}
+    eos_positions = {p for p, t in a.items() if t == EOS}
+    assert eos_positions == {10, 18}  # position 28 fell in the dropped tail
+    # an in-range separator is rejected outright
+    with pytest.raises(ValueError, match="eos_id"):
+        tokenized_sequences(docs, eos_id=0)
 
 
 def test_layout_is_deterministic_and_order_based(docs, spark):

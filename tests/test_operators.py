@@ -2148,3 +2148,15 @@ def test_tfidf_prefix_filter_is_exact(spark):
             ).collect()
         }
         assert pref == naive, thr
+
+    # razor-edge threshold: exact duplicates at threshold=1.0 — the
+    # suffix potential is a double running sum with zero real-arithmetic
+    # slack, exactly where the admission's 1e-9 guard earns its keep
+    dups = spark.createDataFrame(
+        [(1, "alpha beta rare1"), (2, "alpha beta rare1"),
+         (3, "gamma delta rare2")],
+        "doc_id long, text string",
+    )
+    exact = tfidf_cosine_pairs(dups, threshold=1.0, prefix_filter=True)
+    got = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    assert got == {(1, 2)}
