@@ -115,6 +115,9 @@ HEADLINE = [
     "pipeline_emit_shards",
     "retrieval_ndcg_eval",
     "mix_epoch_schedule",
+    # round 8: iterative-SQL surface — Spark 4 recursive CTE (UnionLoop),
+    # log-depth hierarchy walk with no shuffle inside the loop
+    "relational_recursive_cte",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:

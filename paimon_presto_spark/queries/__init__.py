@@ -76,6 +76,9 @@ PRIORITY: tuple[str, ...] = (
     "relational_pivot_unpivot",
     "table_format_branches",
     "table_format_orc_roundtrip",
+    "relational_recursive_cte",
+    "streaming_batch_parity_stream_static",
+    "table_format_expire_lifecycle",
     # -- last driver-graded in ROUND 4 (all 31 remaining) -----------------
     "agg_minmax_by",
     "agg_stats_variance",
@@ -108,12 +111,11 @@ PRIORITY: tuple[str, ...] = (
     "text_phrase_search",
     "width_bucket_histogram",
     "window_value_navigation",
-    # -- stalest ROUND-5 rows filling 50 (the r5 cohort starts rotating) --
+    # -- stalest ROUND-5 rows filling 50 (the r5 cohort starts rotating;
+    #    q3/q6/q9 moved to the round-9 rotation when three more round-8
+    #    entries landed — q1 already anchors the TPC-H family this round) --
     "agg_approx_distinct",
     "agg_cube",
-    "q3_shipping_priority",
-    "q6_revenue_forecast",
-    "q9_product_profit",
     "events_asof_join",
     "events_sessionization",
     "dedup_exact",

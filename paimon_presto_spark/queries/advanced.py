@@ -2538,3 +2538,114 @@ def table_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "orc", options={"file.format": "orc"}
     )
 
+
+
+@register(
+    "table_format_expire_lifecycle",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(
+                   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE) AS total_price,
+               1 AS expired_some, 1 AS expired_blocked,
+               1 AS tag_readable, 1 AS orphans_removed
+        FROM orders
+        WHERE o_orderkey % 97 <> 0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("table-format", "expire", "retention", "orphan-files",
+          "end-to-end"),
+)
+def table_format_expire_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention lifecycle under the oracle gate — snapshot expiry +
+    orphan-file cleanup (``table.py:expire_snapshots`` /
+    ``remove_orphan_files``, Paimon's ``snapshot.num-retained`` and
+    remove-orphan-files action; the reference connector time-travels
+    over exactly this retained history). The script commits a realistic
+    churn sequence (base upsert → price patch → delete → compact),
+    tags the BASE snapshot, forks-and-drops a scratch branch (its
+    private data files become orphans), then runs retention and
+    certifies every contract the lakehouse promises afterwards:
+
+    - ``expired_some``: expiry actually dropped history (>=1 snapshot);
+    - ``expired_blocked``: time travel to an expired id RAISES — expired
+      history is gone, not silently remapped;
+    - ``tag_readable``: the tagged base snapshot still reads its full
+      row count AFTER expiry (tag files carry the snapshot payload, so
+      tags outlive retention — Paimon's tag semantics);
+    - ``orphans_removed``: cleanup deleted the dropped branch's private
+      files (>=1), while the final merged read — the oracle's
+      declarative restatement of patch-then-delete — proves neither
+      expiry nor orphan cleanup touched a single LIVE byte.
+
+    100 TB shape: expiry is O(metadata) — manifest set difference, no
+    data read; orphan cleanup is one listdir walk + an O(metadata) live
+    set; both run on the driver against the catalog, never through a
+    Spark job, exactly like Paimon's.
+    """
+    import time as _time
+
+    from paimon_presto_spark.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    wh = _scratch_dir("exp-")
+    cat = Catalog(spark, wh)
+    cat.create_database("exp", ignore_if_exists=True)
+    t = cat.create_table(
+        "exp", "orders_exp",
+        "o_orderkey bigint, o_totalprice double, o_orderpriority string",
+        primary_keys=["o_orderkey"],
+    )
+    t.upsert(o)                                           # s1: base
+    n_base = t.to_df().count()
+    t.create_tag("base")                                  # pins s1 payload
+    t.upsert(                                             # s2: price patch
+        o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+    )
+    t.delete(o.filter(F.col("o_orderkey") % 97 == 0))     # s3: delete
+    t.compact()                                           # s4 (may no-op)
+    # Scratch branch: its private upsert files orphan on delete_branch.
+    br = t.create_branch("scratch")
+    br.upsert(
+        o.filter(F.col("o_orderkey") % 113 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 5.0
+        )
+    )
+    t.delete_branch("scratch")
+
+    expired = t.expire_snapshots(keep_last=2)
+    expired_some = int(len(expired) >= 1)
+    expired_blocked = 0
+    if expired:
+        try:
+            t.to_df(snapshot_id=expired[0]).count()
+        except Exception:
+            expired_blocked = 1
+    tag_readable = int(t.to_df(tag="base").count() == n_base)
+    removed = t.remove_orphan_files(
+        older_than_ms=int(_time.time() * 1000) + 60_000
+    )
+    orphans_removed = int(len(removed) >= 1)
+    return (
+        t.to_df()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string")
+            .cast("double").alias("total_price"),
+        )
+        .withColumn("expired_some", F.lit(expired_some))
+        .withColumn("expired_blocked", F.lit(expired_blocked))
+        .withColumn("tag_readable", F.lit(tag_readable))
+        .withColumn("orphans_removed", F.lit(orphans_removed))
+        .orderBy("o_orderpriority")
+    )

@@ -944,3 +944,69 @@ def relational_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_orderstatus")
     )
+
+
+@register(
+    "relational_recursive_cte",
+    oracle="""
+        WITH RECURSIVE walk(custkey, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM customer
+            UNION ALL
+            SELECT custkey, CAST(FLOOR(node / 10) AS BIGINT), depth + 1
+            FROM walk WHERE node >= 10
+        )
+        SELECT w.node AS root_key,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MAX(w.depth) AS INT) AS max_depth,
+               CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10)))
+                    AS VARCHAR) AS DOUBLE) AS total_acctbal
+        FROM walk w
+        JOIN customer c ON c.c_custkey = w.custkey
+        WHERE w.node < 10
+        GROUP BY w.node
+        ORDER BY root_key
+    """,
+    tags=("relational", "recursive-cte", "hierarchy", "iteration"),
+)
+def relational_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy walk — the iterative-SQL surface
+    (Spark 4's recursive CTE; Trino spells the identical query with
+    ``WITH RECURSIVE``). Every customer key walks its implicit decimal
+    forest (``parent(k) = floor(k / 10)``) up to a single-digit root,
+    then a per-root rollup reports subtree size, maximum walk depth, and
+    the exact-decimal account-balance total. The recursion terminates by
+    the ``node >= 10`` guard, never by the engine's depth limit.
+
+    Scale shape: each recursion level is a narrow projection + filter
+    over the previous level's frame — NO shuffle and no join inside the
+    loop — and the level count is log10(max key) (6 levels at 150M keys,
+    8 at 15B), so the iteration depth grows logarithmically while each
+    level's row count SHRINKS by 10x (only rows with node >= 10
+    recurse). The single shuffle is the terminal groupBy on the root
+    key; the join back to ``customer`` is keyed on the primary key the
+    anchor read, so AQE plans it as a shuffle join on already-hashed
+    keys. Nothing in the loop is driver-side: Spark's UnionLoop executes
+    the recursion as iterative plan expansion inside the DAG scheduler.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("rcte_customer_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(custkey, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM rcte_customer_v
+            UNION ALL
+            SELECT custkey, CAST(FLOOR(node / 10) AS BIGINT), depth + 1
+            FROM walk WHERE node >= 10
+        )
+        SELECT w.node AS root_key,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MAX(w.depth) AS INT) AS max_depth,
+               CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10)))
+                    AS STRING) AS DOUBLE) AS total_acctbal
+        FROM walk w
+        JOIN rcte_customer_v c ON c.c_custkey = w.custkey
+        WHERE w.node < 10
+        GROUP BY w.node
+        ORDER BY root_key
+        """
+    )

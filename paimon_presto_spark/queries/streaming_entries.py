@@ -5,12 +5,13 @@ windows, stateful ops, table sink) is exercised by `tests/test_streaming.py`
 — streaming semantics are about when results materialize, which a SQL
 oracle cannot express. This module adds the one streaming property a batch
 oracle CAN gate bit-for-bit: **stream/batch parity**. A micro-batched
-streaming job over the same input must converge to the batch answer. Four
+streaming job over the same input must converge to the batch answer. Five
 entries run real Structured Streaming pipelines (file stream → operator →
 memory sink, availableNow trigger) to completion inside the query, one
 per state-shape class: append-only keys (stateful dedup), fixed keys
-(tumbling windowed aggregation), MERGING keys (gap session windows), and
-two-sided buffered state (the stream-stream interval join).
+(tumbling windowed aggregation), MERGING keys (gap session windows),
+two-sided buffered state (the stream-stream interval join), and the
+stateless per-batch dimension join (stream-static enrichment).
 
 Determinism note: WHICH copy of a duplicate text survives streaming dedup
 depends on micro-batch partition order, so the output exposes only
@@ -429,3 +430,102 @@ def streaming_batch_parity_interval_join(
         ],
         "v_event_id long, p_event_id long, user_id long, delta_s long",
     ).orderBy("v_event_id", "p_event_id")
+
+
+@register(
+    "streaming_batch_parity_stream_static",
+    oracle="""
+        SELECT e.event_type,
+               COALESCE(c.c_mktsegment, 'NONE') AS mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(CAST(SUM(CAST(e.value AS DECIMAL(28,10))) AS VARCHAR)
+                    AS DOUBLE) AS total_value
+        FROM events e
+        LEFT JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY e.event_type, COALESCE(c.c_mktsegment, 'NONE')
+        ORDER BY event_type, mktsegment
+    """,
+    tags=("streaming", "stream-static-join", "parity", "enrichment"),
+)
+def streaming_batch_parity_stream_static(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream/batch parity for the STREAM-STATIC join — the fifth
+    state-shape of the streaming layer under the hash gate, and the only
+    STATELESS one: a real file stream over the events parquet is
+    LEFT-joined per micro-batch against the static customer dimension
+    (market-segment enrichment, unmatched users kept as 'NONE'), then
+    aggregated per (event_type, segment). The batch oracle is the plain
+    relational join; equality proves the per-batch join neither drops
+    nor duplicates stream rows across micro-batch boundaries.
+
+    100 TB shape: this is THE enrichment pattern for streaming ingest —
+    the static side is a bounded dimension (broadcast per micro-batch;
+    no state store, no watermark — the join holds no stream rows
+    across batches, so memory is one micro-batch x one dimension
+    regardless of stream history). The aggregation downstream runs in
+    UPDATE mode over a key space bounded by |event_type| x |segment|,
+    and the batch comparison is the harness, run at test scale.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    customer = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    enriched = (
+        stream.join(
+            F.broadcast(customer),
+            stream.user_id == customer.c_custkey,
+            "left",
+        )
+        .select(
+            "event_type",
+            F.coalesce(F.col("c_mktsegment"), F.lit("NONE"))
+            .alias("mktsegment"),
+            "value",
+        )
+        .groupBy("event_type", "mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("tv_dec"),
+        )
+    )
+    name = f"parity_ss_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = (
+        spark.table(name)
+        .select(
+            "event_type",
+            "mktsegment",
+            "n_events",
+            F.col("tv_dec").cast("string").cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    )
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        [
+            (r["event_type"], r["mktsegment"], r["n_events"],
+             r["total_value"])
+            for r in rows
+        ],
+        "event_type string, mktsegment string, n_events long, "
+        "total_value double",
+    ).orderBy("event_type", "mktsegment")
