@@ -118,6 +118,10 @@ HEADLINE = [
     # round 8: iterative-SQL surface — Spark 4 recursive CTE (UnionLoop),
     # log-depth hierarchy walk with no shuffle inside the loop
     "relational_recursive_cte",
+    # round 8: the zero-shuffle co-located bucket join (write two
+    # co-bucketed pk tables, join inside the scan — timed END TO END
+    # incl. both table writes, like the other lifecycle entries)
+    "join_bucket_colocated",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:

@@ -79,6 +79,7 @@ PRIORITY: tuple[str, ...] = (
     "relational_recursive_cte",
     "streaming_batch_parity_stream_static",
     "table_format_expire_lifecycle",
+    "join_bucket_colocated",
     # -- last driver-graded in ROUND 4 (all 31 remaining) -----------------
     "agg_minmax_by",
     "agg_stats_variance",
@@ -112,13 +113,13 @@ PRIORITY: tuple[str, ...] = (
     "width_bucket_histogram",
     "window_value_navigation",
     # -- stalest ROUND-5 rows filling 50 (the r5 cohort starts rotating;
-    #    q3/q6/q9 moved to the round-9 rotation when three more round-8
-    #    entries landed — q1 already anchors the TPC-H family this round) --
+    #    q3/q6/q9/dedup_exact moved to the round-9 rotation as round-8
+    #    entries landed — q1 anchors TPC-H, dedup_boilerplate_chunks
+    #    anchors dedup this round) --
     "agg_approx_distinct",
     "agg_cube",
     "events_asof_join",
     "events_sessionization",
-    "dedup_exact",
     "knn_lsh_bucketed",
     "table_format_changelog",
     "setop_union_all",

@@ -2649,3 +2649,95 @@ def table_format_expire_lifecycle(
         .withColumn("orphans_removed", F.lit(orphans_removed))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_bucket_colocated",
+    oracle="""
+        WITH prof AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10)))
+                        AS VARCHAR) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN p.n_items IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_matched,
+               CAST(SUM(COALESCE(p.n_items, 0)) AS BIGINT) AS total_items,
+               CAST(CAST(SUM(CAST(COALESCE(p.sum_qty, 0.0)
+                    AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_qty
+        FROM orders o LEFT JOIN prof p ON p.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "bucket", "colocated", "shuffle-free", "table-format"),
+)
+def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucket join — the ZERO-SHUFFLE join
+    (``sources/colocated.colocated_join``): orders and a per-order
+    lineitem profile are upserted into two pk tables bucketed 8-ways on
+    the SAME key by the same xxhash64 layout, then LEFT-joined
+    bucket-for-bucket INSIDE the scan — one task merges bucket b of both
+    sides (merge-on-read included) and arrow-hash-joins them. The plan
+    contains no Spark join node and no Exchange for the join: the only
+    shuffle in this entry is the final per-priority rollup. Orders with
+    no lineitems survive as null-extended rows (n_matched counts them
+    out), and the oracle restates the whole thing as a plain relational
+    LEFT JOIN.
+
+    100 TB shape: the shuffle was paid ONCE at write time (rows landed
+    in key buckets); every subsequent join on that key is one aligned
+    scan task per bucket — the same layout contract the reference
+    exposes one split per bucket for (``PaimonSplitManager``), and the
+    reason nightly fact x profile joins on a bucketed lakehouse cost no
+    network. Bucket counts, pk-equality, and key types are validated
+    driver-side; dynamic-bucket tables are rejected (key-index layouts
+    need not align).
+    """
+    from paimon_presto_spark.catalog import Catalog
+    from paimon_presto_spark.sources.colocated import colocated_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("string").cast("double")
+        .alias("sum_qty"),
+    )
+    wh = _scratch_dir("coloc-")
+    cat = Catalog(spark, wh)
+    cat.create_database("cl", ignore_if_exists=True)
+    t_orders = cat.create_table(
+        "cl", "orders_b",
+        "o_orderkey bigint, o_totalprice double, o_orderpriority string",
+        primary_keys=["o_orderkey"], options={"bucket": "8"},
+    )
+    t_orders.upsert(o)
+    t_prof = cat.create_table(
+        "cl", "order_profile",
+        "l_orderkey bigint, n_items bigint, sum_qty double",
+        primary_keys=["l_orderkey"], options={"bucket": "8"},
+    )
+    t_prof.upsert(prof)
+    j = colocated_join(
+        spark, t_orders, t_prof,
+        left_on="o_orderkey", right_on="l_orderkey", how="left",
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("n_items").isNull(), 0).otherwise(1)
+            ).alias("n_matched"),
+            F.sum(F.coalesce(F.col("n_items"), F.lit(0)))
+            .alias("total_items"),
+            F.sum(F.coalesce(F.col("sum_qty"), F.lit(0.0)).cast(DEC))
+            .cast("string").cast("double").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

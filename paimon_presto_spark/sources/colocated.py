@@ -1,0 +1,294 @@
+"""Co-located bucket join: join two co-bucketed tables with ZERO shuffle.
+
+The table format's pk tables hash every row to a fixed bucket by
+``pmod(xxhash64(pk columns...), bucket)`` (``functions/xxhash.spark_bucket``
+on the DataSource write path, ``F.xxhash64`` on the table-layer path —
+bit-identical layouts). Two tables bucketed on their join key by the SAME
+function therefore agree bucket-for-bucket: every joinable row pair lives
+in the same bucket id. This module exploits that layout the way Paimon's
+own bucketed-join / Hive's SMB join / Spark's bucketed-table join do — the
+join executes INSIDE the scan, one task per bucket, no Exchange and no
+Spark join node in the plan:
+
+    plan per split:  read+merge left bucket b  ─┐
+                                                ├─ arrow hash join → rows
+                     read+merge right bucket b ─┘
+
+At 100 TB this is the difference between a nightly fact×profile join
+costing two full-table shuffles and costing none: the shuffle was paid
+ONCE at write time (rows landed in key buckets), and every subsequent
+join on that key is embarrassingly parallel over buckets. The reference
+connector reads Paimon's identical layout (reference:
+``PaimonSplitManager`` exposes one split per bucket precisely so the host
+engine can schedule aligned reads).
+
+Requirements (validated, driver-side):
+- both sides are PRIMARY-KEY tables with a FIXED bucket count
+  (``bucket`` > 0 — dynamic ``bucket=-1`` assigns by key index, not by
+  hash, so two tables' layouts need not agree);
+- equal bucket counts;
+- the join keys are exactly each side's primary key columns, in pk
+  order, with matching types (the bucket hash runs over the pk columns
+  in schema order; hashing int32 5 and int64 5 differs).
+
+Each split merges its bucket on both sides first (merge-on-read), then
+joins — so the join sees exactly the tables' current versions, deletion
+vectors and all. Missing right buckets yield null-extended rows under
+``how="left"`` and nothing under ``how="inner"``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from paimon_presto_spark.sources.datasource import (
+    PaimonPartition,
+    PaimonReader,
+    _arrow_type,
+    _load_schema,
+    _manifest_entries,
+    _meta_path,
+    read_split_arrow,
+    spark_ddl_type,
+)
+
+_HOW = {"inner": "inner", "left": "left outer"}
+
+
+def _side_options(options: dict, side: str) -> dict:
+    out = {"path": options[side]}
+    for k in ("branch", "snapshot", "tag", "as-of-timestamp-ms"):
+        v = options.get(f"{side}_{k}")
+        if v is not None:
+            out[k] = v
+    return out
+
+
+def _plan_side(options: dict, side: str):
+    """(schema, {(partition_json, bucket): PaimonPartition}) for one side."""
+    r = PaimonReader(_side_options(options, side))
+    snap = r._snapshot()
+    if snap is None:
+        return _load_schema(r.meta), {}
+    schema = _load_schema(r.meta, snap["schema_id"])
+    entries = _manifest_entries(r.meta, snap)
+    data_root = options[side]
+    dv_map: dict[str, list[int]] = {}
+    if snap.get("dv_index"):
+        import pyarrow.parquet as pq
+
+        dvt = pq.read_table(os.path.join(data_root, "index", snap["dv_index"]))
+        for p, pos in zip(
+            dvt.column("path").to_pylist(), dvt.column("pos").to_pylist()
+        ):
+            dv_map.setdefault(os.path.join(data_root, p), []).append(pos)
+    merge = schema.get("options", {}).get("merge-engine", "deduplicate")
+    groups: dict[tuple[str, int], list[tuple[str, int]]] = {}
+    for e in entries:
+        key = (json.dumps(e["partition"], sort_keys=True), e["bucket"])
+        groups.setdefault(key, []).append(
+            (os.path.join(data_root, e["path"]), e["schema_id"])
+        )
+    parts = {}
+    for key, files in groups.items():
+        dv = {f: dv_map[f] for f, _ in files if f in dv_map} or None
+        parts[key] = PaimonPartition(r.meta, files, merge, schema, dv)
+    return schema, parts
+
+
+def _field_types(schema: dict) -> dict[str, str]:
+    return {f["name"]: f["type"] for f in schema["fields"]}
+
+
+def _validate(lschema: dict, rschema: dict, lon: list[str], ron: list[str]):
+    for side, schema, on in (("left", lschema, lon), ("right", rschema, ron)):
+        pks = schema.get("primary_keys", [])
+        if not pks:
+            raise ValueError(
+                f"colocated join: {side} table has no primary key — only "
+                "pk tables have a hash-bucketed layout"
+            )
+        nb = int(schema.get("options", {}).get("bucket", "4"))
+        if nb <= 0:
+            raise ValueError(
+                f"colocated join: {side} table uses dynamic bucketing "
+                "(bucket=-1) — its layout is key-index-assigned, not "
+                "hash-aligned"
+            )
+        if list(on) != list(pks):
+            raise ValueError(
+                f"colocated join: {side} join keys {list(on)} must be "
+                f"exactly the primary key columns {list(pks)} in pk order "
+                "(the bucket hash runs over the pk columns)"
+            )
+    lb = int(lschema.get("options", {}).get("bucket", "4"))
+    rb = int(rschema.get("options", {}).get("bucket", "4"))
+    if lb != rb:
+        raise ValueError(
+            f"colocated join: bucket counts differ (left {lb}, right {rb}) "
+            "— pmod alignment needs equal counts"
+        )
+    lt, rt = _field_types(lschema), _field_types(rschema)
+    for a, b in zip(lon, ron):
+        if lt[a].lower() != rt[b].lower():
+            raise ValueError(
+                f"colocated join: key type mismatch {a}:{lt[a]} vs "
+                f"{b}:{rt[b]} — xxhash64 is type-dependent, so equal "
+                "values in different types land in different buckets"
+            )
+    if len(lon) != len(ron):
+        raise ValueError("colocated join: left_on/right_on length mismatch")
+
+
+def _output_fields(lschema: dict, rschema: dict, ron: list[str]):
+    """Output column spec: all left fields, then right non-key fields
+    (collisions with ANY left name suffixed ``_r`` — mirrors pyarrow's
+    ``right_suffix`` behavior so the joined table's names match)."""
+    left_names = [f["name"] for f in lschema["fields"]]
+    out = [(f["name"], f["name"], f["type"]) for f in lschema["fields"]]
+    for f in rschema["fields"]:
+        if f["name"] in ron:
+            continue
+        name = f["name"] + "_r" if f["name"] in left_names else f["name"]
+        out.append((name, name, f["type"]))
+    return out
+
+
+class ColocatedSplit(InputPartition):
+    def __init__(self, left, right, left_on, right_on, how, rschema, out):
+        self.left = left            # PaimonPartition
+        self.right = right          # PaimonPartition | None (left join)
+        self.left_on = left_on
+        self.right_on = right_on
+        self.how = how
+        self.rschema = rschema      # right table schema (for empty side)
+        self.out = out              # output (name, name, type) triples
+
+
+class ColocatedJoinReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        lschema, self.lparts = _plan_side(options, "left")
+        rschema, self.rparts = _plan_side(options, "right")
+        self.left_on = [c.strip() for c in options["left_on"].split(",")]
+        self.right_on = [
+            c.strip() for c in options.get("right_on", options["left_on"]).split(",")
+        ]
+        self.how = options.get("how", "inner")
+        if self.how not in _HOW:
+            raise ValueError(f"colocated join: how must be one of {list(_HOW)}")
+        _validate(lschema, rschema, self.left_on, self.right_on)
+        self.rschema = rschema
+        self.out = _output_fields(lschema, rschema, self.right_on)
+
+    def partitions(self) -> Sequence[ColocatedSplit]:
+        splits = []
+        for key, lp in self.lparts.items():
+            rp = self.rparts.get(key)
+            if rp is None and self.how == "inner":
+                continue  # inner join: a bucket with no right rows is empty
+            splits.append(
+                ColocatedSplit(
+                    lp, rp, self.left_on, self.right_on, self.how,
+                    self.rschema, self.out,
+                )
+            )
+        # right-only buckets contribute nothing under inner/left join
+        return splits or [
+            ColocatedSplit(
+                PaimonPartition("", [], None, {"fields": []}),
+                None, self.left_on, self.right_on, self.how,
+                self.rschema, self.out,
+            )
+        ]
+
+    def read(self, split: ColocatedSplit):
+        import pyarrow as pa
+
+        left = read_split_arrow(split.left)
+        if left is None:
+            return iter(())
+        if split.right is not None:
+            right = read_split_arrow(split.right)
+        else:
+            right = None
+        if right is None:
+            cols, names = [], []
+            for f in split.rschema["fields"]:
+                names.append(f["name"])
+                cols.append(
+                    pa.array([], type=_arrow_type(f["type"]) or pa.string())
+                )
+            right = pa.table(dict(zip(names, cols)))
+        joined = left.join(
+            right,
+            keys=split.left_on,
+            right_keys=split.right_on,
+            join_type=_HOW[split.how],
+            right_suffix="_r",
+        )
+        joined = joined.select([name for name, _, _ in split.out])
+        if joined.num_rows == 0:
+            return iter(())
+        return iter(joined.to_batches(max_chunksize=4096))
+
+
+class ColocatedJoinDataSource(DataSource):
+    """``spark.read.format("paimon_colocated").option("left", a.path)
+    .option("right", b.path).option("left_on", "k").load()`` — or use
+    ``colocated_join()`` below."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paimon_colocated"
+
+    def schema(self) -> str:
+        lschema = _load_schema(
+            _meta_path(self.options["left"], self.options.get("left_branch"))
+        )
+        rschema = _load_schema(
+            _meta_path(self.options["right"], self.options.get("right_branch"))
+        )
+        lon = [c.strip() for c in self.options["left_on"].split(",")]
+        ron = [
+            c.strip()
+            for c in self.options.get("right_on", self.options["left_on"]).split(",")
+        ]
+        _validate(lschema, rschema, lon, ron)
+        out = _output_fields(lschema, rschema, ron)
+        return ", ".join(f"`{n}` {spark_ddl_type(t)}" for n, _, t in out)
+
+    def reader(self, schema) -> ColocatedJoinReader:
+        return ColocatedJoinReader(self.options)
+
+
+def colocated_join(spark, left, right, left_on, right_on=None, how="inner"):
+    """Shuffle-free bucket-aligned join of two co-bucketed pk tables.
+
+    ``left`` / ``right``: Table objects or table paths. ``left_on`` /
+    ``right_on``: join key column lists (must equal each side's primary
+    keys). Returns a DataFrame whose plan contains NO join node and NO
+    Exchange — one scan task per bucket performs the merge-on-read of
+    both sides plus the arrow hash join.
+    """
+    lp = getattr(left, "path", left)
+    rp = getattr(right, "path", right)
+    if isinstance(left_on, str):
+        left_on = [left_on]
+    right_on = left_on if right_on is None else right_on
+    if isinstance(right_on, str):
+        right_on = [right_on]
+    spark.dataSource.register(ColocatedJoinDataSource)
+    return (
+        spark.read.format("paimon_colocated")
+        .option("left", lp)
+        .option("right", rp)
+        .option("left_on", ",".join(left_on))
+        .option("right_on", ",".join(right_on))
+        .option("how", how)
+        .load()
+    )

@@ -454,43 +454,53 @@ class PaimonReader(DataSourceReader):
         ] or [PaimonPartition(self.meta, [], merge, schema)]
 
     def read(self, partition: PaimonPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        schema = partition.schema
-        names = [f["name"] for f in schema["fields"]]
-        if not partition.files:
+        tbl = read_split_arrow(partition)
+        if tbl is None:
             return iter(())
-        # field-id projection: files written under older schemas render
-        # through the snapshot schema (renames follow the id, dropped
-        # columns vanish, added columns null-fill) — the A18 contract,
-        # same as table._project_to on the DataFrame path
-        writer_schemas = {
-            sid: _load_schema(partition.path, sid)
-            for sid in {sid for _, sid in partition.files}
-        }
-
-        def read_one(f: str):
-            t = _read_arrow_file(f)
-            dead = (partition.dv or {}).get(f)
-            if dead:
-                import numpy as np
-
-                mask = np.ones(t.num_rows, dtype=bool)
-                mask[dead] = False  # drop deletion-vector positions at scan
-                t = t.filter(pa.array(mask))
-            return t
-
-        tables = [
-            _project_arrow(read_one(f), writer_schemas[sid], schema)
-            for f, sid in partition.files
-        ]
-        tbl = pa.concat_tables(tables, promote_options="permissive")
-        if partition.merge is not None:
-            tbl = _merge_arrow(tbl, schema, partition.merge)
-        tbl = tbl.select([n for n in names if n in tbl.column_names])
-        tbl = _cast_to_schema(tbl, schema)
         return iter(tbl.to_batches(max_chunksize=4096))
+
+
+def read_split_arrow(partition: PaimonPartition):
+    """One (partition, bucket) split → a fully merged pyarrow Table in the
+    snapshot schema (or None for an empty split). This is the executor-side
+    read path shared by ``PaimonReader`` and the co-located bucket join
+    (``sources/colocated.py``): field-id projection across writer schemas,
+    deletion-vector position drops, merge-on-read, schema cast."""
+    import pyarrow as pa
+
+    schema = partition.schema
+    names = [f["name"] for f in schema["fields"]]
+    if not partition.files:
+        return None
+    # field-id projection: files written under older schemas render
+    # through the snapshot schema (renames follow the id, dropped
+    # columns vanish, added columns null-fill) — the A18 contract,
+    # same as table._project_to on the DataFrame path
+    writer_schemas = {
+        sid: _load_schema(partition.path, sid)
+        for sid in {sid for _, sid in partition.files}
+    }
+
+    def read_one(f: str):
+        t = _read_arrow_file(f)
+        dead = (partition.dv or {}).get(f)
+        if dead:
+            import numpy as np
+
+            mask = np.ones(t.num_rows, dtype=bool)
+            mask[dead] = False  # drop deletion-vector positions at scan
+            t = t.filter(pa.array(mask))
+        return t
+
+    tables = [
+        _project_arrow(read_one(f), writer_schemas[sid], schema)
+        for f, sid in partition.files
+    ]
+    tbl = pa.concat_tables(tables, promote_options="permissive")
+    if partition.merge is not None:
+        tbl = _merge_arrow(tbl, schema, partition.merge)
+    tbl = tbl.select([n for n in names if n in tbl.column_names])
+    return _cast_to_schema(tbl, schema)
 
 
 def _read_arrow_file(f: str):
@@ -1325,6 +1335,25 @@ def _dv_positions(path: str, dv_name: str) -> dict[str, list[int]]:
     return out
 
 
+def spark_ddl_type(t: str) -> str:
+    """Table-schema type → Spark DDL type for Python-DataSource schemas.
+
+    TIME is stored/read as micros-since-midnight bigint (the
+    table._parse_type convention); Spark's DDL parser has no TIME.
+    CHAR(n)/VARCHAR(n) read as plain string — the bound/padding are
+    write-side concerns, and Spark's Arrow conversion for Python data
+    sources rejects Char/VarcharType."""
+    import re as _re
+
+    from paimon_presto_spark.table import _is_time_type
+
+    if _is_time_type(t):
+        return "bigint"
+    if _re.match(r"^\s*(var)?char\s*\(\s*\d+\s*\)\s*$", t, _re.I):
+        return "string"
+    return t
+
+
 class PaimonDataSource(DataSource):
     """``spark.dataSource.register(PaimonDataSource)`` then
     ``spark.read.format("paimon").option("path", table_dir).load()``;
@@ -1339,23 +1368,10 @@ class PaimonDataSource(DataSource):
         schema = _load_schema(
             _meta_path(self.options["path"], self.options.get("branch"))
         )
-        import re as _re
-
-        from paimon_presto_spark.table import _is_time_type
-
-        def spark_ddl(t: str) -> str:
-            # TIME is stored/read as micros-since-midnight bigint (the
-            # table._parse_type convention); Spark's DDL parser has no
-            # TIME. CHAR(n)/VARCHAR(n) read as plain string — the bound/
-            # padding are write-side concerns, and Spark's Arrow
-            # conversion for Python data sources rejects Char/VarcharType.
-            if _is_time_type(t):
-                return "bigint"
-            if _re.match(r"^\s*(var)?char\s*\(\s*\d+\s*\)\s*$", t, _re.I):
-                return "string"
-            return t
-
-        cols = ", ".join(f"`{f['name']}` {spark_ddl(f['type'])}" for f in schema["fields"])
+        cols = ", ".join(
+            f"`{f['name']}` {spark_ddl_type(f['type'])}"
+            for f in schema["fields"]
+        )
         if self.options.get("changelog") == "true":
             cols += f", `{_SEQ}` bigint, `{_KIND}` string"
         return cols

@@ -1,0 +1,182 @@
+"""Co-located bucket join (``sources/colocated.py``): correctness vs the
+declarative Spark join, null-extension under how="left", merge-on-read and
+deletion-vector visibility inside the per-bucket join, plan shape (no join
+node, no Exchange), and every driver-side validation rule."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from paimon_presto_spark.sources.colocated import colocated_join
+
+
+def _mk_tables(catalog, spark, n=200, buckets=4):
+    left = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("lval"),
+        (F.col("id") % 5).cast("string").alias("grp"),
+    )
+    # right covers only even keys: odd keys are unmatched on the left side
+    right = spark.range(0, n, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") + 100).alias("rval"),
+    )
+    tl = catalog.create_table(
+        "default", "co_left", "k bigint, lval bigint, grp string",
+        primary_keys=["k"], options={"bucket": str(buckets)},
+    )
+    tl.upsert(left)
+    tr = catalog.create_table(
+        "default", "co_right", "k bigint, rval bigint",
+        primary_keys=["k"], options={"bucket": str(buckets)},
+    )
+    tr.upsert(right)
+    return tl, tr, left, right
+
+
+def test_inner_matches_spark_join(catalog, spark):
+    tl, tr, left, right = _mk_tables(catalog, spark)
+    got = colocated_join(spark, tl, tr, left_on="k").orderBy("k")
+    exp = left.join(right, "k", "inner").orderBy("k")
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in exp.select("k", "lval", "grp", "rval").collect()
+    ]
+
+
+def test_left_join_null_extends(catalog, spark):
+    tl, tr, left, right = _mk_tables(catalog, spark)
+    got = colocated_join(spark, tl, tr, left_on="k", how="left")
+    assert got.count() == left.count()
+    unmatched = got.filter(F.col("rval").isNull()).count()
+    assert unmatched == left.count() - right.count()
+
+
+def test_plan_has_no_join_or_exchange(catalog, spark):
+    tl, tr, *_ = _mk_tables(catalog, spark)
+    plan = (
+        colocated_join(spark, tl, tr, left_on="k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "BatchScan" in plan
+
+
+def test_join_sees_upserts_and_deletes(catalog, spark):
+    """The per-bucket read is the MERGED current version of both sides:
+    an upsert overwrite and a delete on the right table must be exactly
+    what the join observes."""
+    tl, tr, left, right = _mk_tables(catalog, spark)
+    tr.upsert(
+        spark.range(0, 10, 2).select(
+            F.col("id").alias("k"), F.lit(-1).alias("rval")
+        )
+    )
+    tr.delete(spark.range(20, 30, 2).select(F.col("id").alias("k")))
+    got = {r["k"]: r["rval"] for r in
+           colocated_join(spark, tl, tr, left_on="k").collect()}
+    assert got[0] == -1 and got[8] == -1          # patched rows
+    assert 20 not in got and 28 not in got        # deleted rows
+    assert got[30] == 130                          # untouched rows
+
+
+def test_different_key_names(catalog, spark):
+    left = spark.range(50).select(F.col("id").alias("a"))
+    right = spark.range(50).select(
+        F.col("id").alias("b"), F.lit(1).alias("x")
+    )
+    tl = catalog.create_table(
+        "default", "kn_left", "a bigint", primary_keys=["a"],
+        options={"bucket": "4"},
+    )
+    tl.upsert(left)
+    tr = catalog.create_table(
+        "default", "kn_right", "b bigint, x int", primary_keys=["b"],
+        options={"bucket": "4"},
+    )
+    tr.upsert(right)
+    got = colocated_join(spark, tl, tr, left_on="a", right_on="b")
+    assert got.count() == 50
+    assert got.columns == ["a", "x"]  # right key dropped from output
+
+
+def test_collision_suffix(catalog, spark):
+    left = spark.range(10).select(F.col("id").alias("k"),
+                                  F.lit(1).alias("v"))
+    right = spark.range(10).select(F.col("id").alias("k"),
+                                   F.lit(2).alias("v"))
+    tl = catalog.create_table(
+        "default", "cs_left", "k bigint, v int", primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    tl.upsert(left)
+    tr = catalog.create_table(
+        "default", "cs_right", "k bigint, v int", primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    tr.upsert(right)
+    got = colocated_join(spark, tl, tr, left_on="k")
+    assert got.columns == ["k", "v", "v_r"]
+    row = got.filter(F.col("k") == 3).collect()[0]
+    assert (row["v"], row["v_r"]) == (1, 2)
+
+
+def _expect_reject(spark, tl, tr, match, **kw):
+    with pytest.raises(Exception, match=match):
+        colocated_join(spark, tl, tr, **kw).collect()
+
+
+def test_validation_rules(catalog, spark):
+    base = spark.range(20).select(F.col("id").alias("k"),
+                                  F.lit(1).alias("v"))
+    t4 = catalog.create_table(
+        "default", "v_b4", "k bigint, v int", primary_keys=["k"],
+        options={"bucket": "4"},
+    )
+    t4.upsert(base)
+    t8 = catalog.create_table(
+        "default", "v_b8", "k bigint, v int", primary_keys=["k"],
+        options={"bucket": "8"},
+    )
+    t8.upsert(base)
+    _expect_reject(spark, t4, t8, "bucket counts differ", left_on="k")
+
+    tdyn = catalog.create_table(
+        "default", "v_dyn", "k bigint, v int", primary_keys=["k"],
+        options={"bucket": "-1"},
+    )
+    tdyn.upsert(base)
+    _expect_reject(spark, t4, tdyn, "dynamic bucketing", left_on="k")
+
+    tapp = catalog.create_table("default", "v_app", "k bigint, v int")
+    tapp.append(base)
+    _expect_reject(spark, t4, tapp, "no primary key", left_on="k")
+
+    # join key != pk
+    _expect_reject(
+        spark, t4, t8, "must be exactly the primary key",
+        left_on="v", right_on="v",
+    )
+
+    tint = catalog.create_table(
+        "default", "v_int", "k int, v int", primary_keys=["k"],
+        options={"bucket": "4"},
+    )
+    tint.upsert(base.select(F.col("k").cast("int").alias("k"), "v"))
+    _expect_reject(spark, t4, tint, "key type mismatch", left_on="k")
+
+
+def test_empty_right_table(catalog, spark):
+    left = spark.range(10).select(F.col("id").alias("k"))
+    tl = catalog.create_table(
+        "default", "e_left", "k bigint", primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    tl.upsert(left)
+    tr = catalog.create_table(
+        "default", "e_right", "k bigint, x int", primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    assert colocated_join(spark, tl, tr, left_on="k").count() == 0
+    lj = colocated_join(spark, tl, tr, left_on="k", how="left")
+    assert lj.count() == 10
+    assert lj.filter(F.col("x").isNull()).count() == 10
