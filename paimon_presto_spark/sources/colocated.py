@@ -29,7 +29,12 @@ Requirements (validated, driver-side):
 - equal bucket counts;
 - the join keys are exactly each side's primary key columns, in pk
   order, with matching types (the bucket hash runs over the pk columns
-  in schema order; hashing int32 5 and int64 5 differs).
+  in schema order; hashing int32 5 and int64 5 differs);
+- partition layouts align: both sides partition by the same join-key
+  columns under the left_on<->right_on renaming, or neither side is
+  partitioned (splits pair per (partition, bucket));
+- no nested (array/map/struct) columns on either side — pyarrow's hash
+  join cannot carry them as payload; project them away first.
 
 Each split merges its bucket on both sides first (merge-on-read), then
 joins — so the join sees exactly the tables' current versions, deletion
@@ -51,7 +56,7 @@ from paimon_presto_spark.sources.datasource import (
     _arrow_type,
     _load_schema,
     _manifest_entries,
-    _meta_path,
+    dv_index_map,
     read_split_arrow,
     spark_ddl_type,
 )
@@ -68,8 +73,26 @@ def _side_options(options: dict, side: str) -> dict:
     return out
 
 
-def _plan_side(options: dict, side: str):
-    """(schema, {(partition_json, bucket): PaimonPartition}) for one side."""
+def _side_schema(options: dict, side: str) -> dict:
+    """The SNAPSHOT-resolved schema for one side — honors the same
+    ``<side>_snapshot`` / ``<side>_tag`` / ``<side>_as-of-timestamp-ms``
+    time-travel options the planner does, so the declared read schema can
+    never diverge from the batches the splits emit under schema
+    evolution."""
+    r = PaimonReader(_side_options(options, side))
+    snap = r._snapshot()
+    if snap is None:
+        return _load_schema(r.meta)
+    return _load_schema(r.meta, snap["schema_id"])
+
+
+def _plan_side(options: dict, side: str, rename: dict[str, str] | None = None):
+    """(schema, {(partition_json, bucket): PaimonPartition}) for one side.
+
+    ``rename`` maps this side's partition column names to the LEFT side's
+    names before the group key is serialized, so the two sides' keys
+    compare under one naming (``right_on`` keys may differ from
+    ``left_on``)."""
     r = PaimonReader(_side_options(options, side))
     snap = r._snapshot()
     if snap is None:
@@ -77,19 +100,14 @@ def _plan_side(options: dict, side: str):
     schema = _load_schema(r.meta, snap["schema_id"])
     entries = _manifest_entries(r.meta, snap)
     data_root = options[side]
-    dv_map: dict[str, list[int]] = {}
-    if snap.get("dv_index"):
-        import pyarrow.parquet as pq
-
-        dvt = pq.read_table(os.path.join(data_root, "index", snap["dv_index"]))
-        for p, pos in zip(
-            dvt.column("path").to_pylist(), dvt.column("pos").to_pylist()
-        ):
-            dv_map.setdefault(os.path.join(data_root, p), []).append(pos)
+    dv_map = dv_index_map(data_root, snap)
     merge = schema.get("options", {}).get("merge-engine", "deduplicate")
     groups: dict[tuple[str, int], list[tuple[str, int]]] = {}
     for e in entries:
-        key = (json.dumps(e["partition"], sort_keys=True), e["bucket"])
+        part = e["partition"]
+        if rename:
+            part = {rename.get(k, k): v for k, v in part.items()}
+        key = (json.dumps(part, sort_keys=True), e["bucket"])
         groups.setdefault(key, []).append(
             (os.path.join(data_root, e["path"]), e["schema_id"])
         )
@@ -104,7 +122,13 @@ def _field_types(schema: dict) -> dict[str, str]:
     return {f["name"]: f["type"] for f in schema["fields"]}
 
 
+def _is_nested(t: str) -> bool:
+    return t.strip().lower().startswith(("array", "map", "struct"))
+
+
 def _validate(lschema: dict, rschema: dict, lon: list[str], ron: list[str]):
+    if len(lon) != len(ron):
+        raise ValueError("colocated join: left_on/right_on length mismatch")
     for side, schema, on in (("left", lschema, lon), ("right", rschema, ron)):
         pks = schema.get("primary_keys", [])
         if not pks:
@@ -140,8 +164,40 @@ def _validate(lschema: dict, rschema: dict, lon: list[str], ron: list[str]):
                 f"{b}:{rt[b]} — xxhash64 is type-dependent, so equal "
                 "values in different types land in different buckets"
             )
-    if len(lon) != len(ron):
-        raise ValueError("colocated join: left_on/right_on length mismatch")
+    # Partition layout must ALIGN, not just exist: splits pair on the
+    # partition-value dict (keyed by column name), so the two sides'
+    # partition columns must be the same join-key columns under the
+    # left_on<->right_on renaming — otherwise no left key ever equals a
+    # right key and the join silently degenerates (all-null left join /
+    # empty inner join).
+    ren = dict(zip(ron, lon))
+    lp = lschema.get("partition_keys", []) or []
+    rp = rschema.get("partition_keys", []) or []
+    bad = [k for k in lp if k not in lon] + [k for k in rp if k not in ron]
+    if bad:
+        raise ValueError(
+            f"colocated join: partition columns {bad} are not join keys — "
+            "bucket alignment is undefined for partitions outside the key"
+        )
+    if sorted(lp) != sorted(ren[k] for k in rp):
+        raise ValueError(
+            f"colocated join: partition layouts differ (left {lp}, right "
+            f"{rp}) — splits pair per (partition, bucket), so both sides "
+            "must partition by the same join-key columns (or neither)"
+        )
+    # pyarrow's hash join rejects nested payload columns, and the
+    # empty-right-bucket fallback could not type them faithfully either.
+    nested = [
+        f"{side}.{f['name']}:{f['type']}"
+        for side, schema in (("left", lschema), ("right", rschema))
+        for f in schema["fields"]
+        if _is_nested(f["type"])
+    ]
+    if nested:
+        raise ValueError(
+            f"colocated join: nested columns are not supported ({nested}) "
+            "— project them away before the join"
+        )
 
 
 def _output_fields(lschema: dict, rschema: dict, ron: list[str]):
@@ -171,9 +227,6 @@ class ColocatedSplit(InputPartition):
 
 class ColocatedJoinReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.options = dict(options)
-        lschema, self.lparts = _plan_side(options, "left")
-        rschema, self.rparts = _plan_side(options, "right")
         self.left_on = [c.strip() for c in options["left_on"].split(",")]
         self.right_on = [
             c.strip() for c in options.get("right_on", options["left_on"]).split(",")
@@ -181,6 +234,10 @@ class ColocatedJoinReader(DataSourceReader):
         self.how = options.get("how", "inner")
         if self.how not in _HOW:
             raise ValueError(f"colocated join: how must be one of {list(_HOW)}")
+        lschema, self.lparts = _plan_side(options, "left")
+        rschema, self.rparts = _plan_side(
+            options, "right", rename=dict(zip(self.right_on, self.left_on))
+        )
         _validate(lschema, rschema, self.left_on, self.right_on)
         self.rschema = rschema
         self.out = _output_fields(lschema, rschema, self.right_on)
@@ -247,12 +304,8 @@ class ColocatedJoinDataSource(DataSource):
         return "paimon_colocated"
 
     def schema(self) -> str:
-        lschema = _load_schema(
-            _meta_path(self.options["left"], self.options.get("left_branch"))
-        )
-        rschema = _load_schema(
-            _meta_path(self.options["right"], self.options.get("right_branch"))
-        )
+        lschema = _side_schema(self.options, "left")
+        rschema = _side_schema(self.options, "right")
         lon = [c.strip() for c in self.options["left_on"].split(",")]
         ron = [
             c.strip()

@@ -418,19 +418,7 @@ class PaimonReader(DataSourceReader):
         def fent(e) -> tuple[str, int]:
             return (os.path.join(self.path, e["path"]), e["schema_id"])
 
-        # deletion-vector index: per-file deleted positions, handed to each
-        # split so the reader drops them at scan time (plays the reference
-        # page-source position filter; the index is small — planner-side
-        # read is a metadata read, like the manifest itself)
-        dv_map: dict[str, list[int]] = {}
-        if snap.get("dv_index"):
-            import pyarrow.parquet as pq
-
-            dvt = pq.read_table(os.path.join(self.path, "index", snap["dv_index"]))
-            for p, pos in zip(
-                dvt.column("path").to_pylist(), dvt.column("pos").to_pylist()
-            ):
-                dv_map.setdefault(os.path.join(self.path, p), []).append(pos)
+        dv_map = dv_index_map(self.path, snap)
 
         def dv_for(files: list[tuple[str, int]]) -> dict[str, list[int]] | None:
             sub = {f: dv_map[f] for f, _ in files if f in dv_map}
@@ -458,6 +446,26 @@ class PaimonReader(DataSourceReader):
         if tbl is None:
             return iter(())
         return iter(tbl.to_batches(max_chunksize=4096))
+
+
+def dv_index_map(data_root: str, snap: dict) -> dict[str, list[int]]:
+    """Deletion-vector index → {absolute data path: deleted positions}.
+
+    Per-file deleted positions, handed to each split so the reader drops
+    them at scan time (plays the reference page-source position filter;
+    the index is small — planner-side read is a metadata read, like the
+    manifest itself). Shared by ``PaimonReader.partitions`` and the
+    co-located join planner (``sources/colocated.py``)."""
+    dv_map: dict[str, list[int]] = {}
+    if snap.get("dv_index"):
+        import pyarrow.parquet as pq
+
+        dvt = pq.read_table(os.path.join(data_root, "index", snap["dv_index"]))
+        for p, pos in zip(
+            dvt.column("path").to_pylist(), dvt.column("pos").to_pylist()
+        ):
+            dv_map.setdefault(os.path.join(data_root, p), []).append(pos)
+    return dv_map
 
 
 def read_split_arrow(partition: PaimonPartition):

@@ -180,3 +180,115 @@ def test_empty_right_table(catalog, spark):
     lj = colocated_join(spark, tl, tr, left_on="k", how="left")
     assert lj.count() == 10
     assert lj.filter(F.col("x").isNull()).count() == 10
+
+
+def test_partitioned_aligned_join(catalog, spark):
+    """Both sides partitioned by the same join-key column (under the
+    left_on<->right_on renaming): splits pair per (partition, bucket) and
+    the join is exact."""
+    left = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("grp"),
+        F.col("id").alias("k"),
+        F.lit(1).alias("lv"),
+    )
+    right = spark.range(0, 100, 2).select(
+        (F.col("id") % 4).cast("string").alias("g2"),
+        F.col("id").alias("k2"),
+        F.lit(2).alias("rv"),
+    )
+    tl = catalog.create_table(
+        "default", "p_left", "grp string, k bigint, lv int",
+        primary_keys=["grp", "k"], partition_keys=["grp"],
+        options={"bucket": "2"},
+    )
+    tl.upsert(left)
+    tr = catalog.create_table(
+        "default", "p_right", "g2 string, k2 bigint, rv int",
+        primary_keys=["g2", "k2"], partition_keys=["g2"],
+        options={"bucket": "2"},
+    )
+    tr.upsert(right)
+    got = colocated_join(
+        spark, tl, tr, left_on=["grp", "k"], right_on=["g2", "k2"]
+    )
+    assert got.count() == 50
+    lj = colocated_join(
+        spark, tl, tr, left_on=["grp", "k"], right_on=["g2", "k2"],
+        how="left",
+    )
+    assert lj.count() == 100
+    assert lj.filter(F.col("rv").isNull()).count() == 50
+
+
+def test_partition_layout_mismatch_rejected(catalog, spark):
+    """Partitioned x unpartitioned must raise, not silently misalign."""
+    left = spark.range(20).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        F.col("id").alias("k"),
+    )
+    tl = catalog.create_table(
+        "default", "pm_left", "grp string, k bigint",
+        primary_keys=["grp", "k"], partition_keys=["grp"],
+        options={"bucket": "2"},
+    )
+    tl.upsert(left)
+    tr = catalog.create_table(
+        "default", "pm_right", "grp string, k bigint, x int",
+        primary_keys=["grp", "k"], options={"bucket": "2"},
+    )
+    tr.upsert(left.withColumn("x", F.lit(1)))
+    _expect_reject(
+        spark, tl, tr, "partition layouts differ", left_on=["grp", "k"]
+    )
+
+
+def test_nested_columns_rejected(catalog, spark):
+    tl = catalog.create_table(
+        "default", "n_left", "k bigint, v int", primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    tl.upsert(spark.range(5).select(F.col("id").alias("k"),
+                                    F.lit(1).alias("v")))
+    tr = catalog.create_table(
+        "default", "n_right", "k bigint, arr array<int>",
+        primary_keys=["k"], options={"bucket": "2"},
+    )
+    tr.upsert(
+        spark.range(5).select(F.col("id").alias("k"),
+                              F.array(F.lit(1)).alias("arr"))
+    )
+    _expect_reject(spark, tl, tr, "nested columns", left_on="k")
+
+
+def test_time_travel_options(catalog, spark):
+    """left_snapshot/right_snapshot pin each side; the declared schema and
+    the emitted batches resolve through the SAME snapshot."""
+    from paimon_presto_spark.sources.colocated import ColocatedJoinDataSource
+
+    tl = catalog.create_table(
+        "default", "tt_left", "k bigint, v int", primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    tl.upsert(spark.range(10).select(F.col("id").alias("k"),
+                                     F.lit(1).alias("v")))
+    tr = catalog.create_table(
+        "default", "tt_right", "k bigint, x int", primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    s1 = tr.upsert(
+        spark.range(10).select(F.col("id").alias("k"), F.lit(7).alias("x"))
+    )
+    tr.upsert(
+        spark.range(10).select(F.col("id").alias("k"), F.lit(9).alias("x"))
+    )
+    spark.dataSource.register(ColocatedJoinDataSource)
+    pinned = (
+        spark.read.format("paimon_colocated")
+        .option("left", tl.path).option("right", tr.path)
+        .option("left_on", "k").option("right_on", "k")
+        .option("right_snapshot", str(s1.snapshot_id))
+        .load()
+    )
+    assert {r["x"] for r in pinned.collect()} == {7}
+    latest = colocated_join(spark, tl, tr, left_on="k")
+    assert {r["x"] for r in latest.collect()} == {9}
