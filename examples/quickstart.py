@@ -287,6 +287,33 @@ def main() -> None:
         prk = qs2["graph_pagerank_tokens"](spark, SF_DIR).limit(1).collect()[0]
         print("top pagerank token:", prk["token"], f"({prk['pagerank']})")
 
+        # -- zero-shuffle co-located bucket join ------------------------------
+        from paimon_presto_spark.sources.colocated import colocated_join
+
+        t_a = catalog.create_table(
+            "demo", "co_orders",
+            "o_orderkey bigint, o_totalprice double",
+            primary_keys=["o_orderkey"], options={"bucket": "4"},
+        )
+        t_a.upsert(
+            spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+            .select("o_orderkey", "o_totalprice")
+        )
+        t_b = catalog.create_table(
+            "demo", "co_profile", "o_orderkey bigint, n_items bigint",
+            primary_keys=["o_orderkey"], options={"bucket": "4"},
+        )
+        t_b.upsert(
+            spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+            .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        cj = colocated_join(spark, t_a, t_b, left_on="o_orderkey")
+        cj_plan = cj._jdf.queryExecution().executedPlan().toString()
+        print("colocated join ok:", cj.count(), "rows;",
+              "no join node in plan:", "Join" not in cj_plan,
+              "| no exchange:", "Exchange" not in cj_plan)
+
         print("quickstart complete.")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
