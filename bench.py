@@ -122,6 +122,10 @@ HEADLINE = [
     # co-bucketed pk tables, join inside the scan — timed END TO END
     # incl. both table writes, like the other lifecycle entries)
     "join_bucket_colocated",
+    # round 8: the composed daily-ingest lifecycle (quality gate →
+    # incremental near-dup admit → snapshot-committed append → corpus
+    # read-back checksum), timed end to end incl. the catalog writes
+    "pipeline_incremental_ingest",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
@@ -362,6 +366,10 @@ SCALE_QUERIES = [
     # (window over doc counts + one (source, seq_id)-keyed shuffle +
     # commit metadata) runs eagerly inside
     "pipeline_emit_shards",
+    # round 8: the composed daily-ingest lifecycle at 10x — the
+    # incremental band join must keep candidate volume |new| x bucket,
+    # and the admit/append path must stay BNLJ/Cartesian-free
+    "pipeline_incremental_ingest",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
@@ -863,6 +871,7 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
                 "pipeline_curate_corpus",
                 "embedding_pca_project",
                 "pipeline_emit_shards",
+                "pipeline_incremental_ingest",
             ):
                 # These entries run their Spark stages eagerly inside the
                 # call (curate/pca return driver-local reports; emit

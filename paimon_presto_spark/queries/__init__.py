@@ -80,6 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "streaming_batch_parity_stream_static",
     "table_format_expire_lifecycle",
     "join_bucket_colocated",
+    "pipeline_incremental_ingest",
     # -- last driver-graded in ROUND 4 (all 31 remaining) -----------------
     "agg_minmax_by",
     "agg_stats_variance",
@@ -113,12 +114,12 @@ PRIORITY: tuple[str, ...] = (
     "width_bucket_histogram",
     "window_value_navigation",
     # -- stalest ROUND-5 rows filling 50 (the r5 cohort starts rotating;
-    #    q3/q6/q9/dedup_exact moved to the round-9 rotation as round-8
-    #    entries landed — q1 anchors TPC-H, dedup_boilerplate_chunks
-    #    anchors dedup this round) --
+    #    q3/q6/q9/dedup_exact/events_asof_join moved to the round-9
+    #    rotation as round-8 entries landed — q1 anchors TPC-H,
+    #    dedup_boilerplate_chunks anchors dedup, events_attribution
+    #    anchors events this round) --
     "agg_approx_distinct",
     "agg_cube",
-    "events_asof_join",
     "events_sessionization",
     "knn_lsh_bucketed",
     "table_format_changelog",

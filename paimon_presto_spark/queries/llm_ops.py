@@ -1704,3 +1704,198 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_recall_audit(
         docs, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS, min_jaccard=0.3
     ).orderBy("jband")
+
+
+def _oracle_incremental_ingest() -> str:
+    """Declarative replay of the composed daily-ingest pipeline: quality
+    gate on the increment, near-dup admit (a new doc is dropped iff it
+    pairs with ANY old doc or with a smaller-id new doc — the greedy
+    keep-min rule over the pair graph, never transitive), old corpus
+    immutable, final corpus = old ∪ admitted certified by a content
+    checksum."""
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
+        + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + ") AS bkey FROM mh"
+        for j in range(LSH_BANDS)
+    )
+    return (
+        "WITH "
+        + _o_shingle_sql(3)
+        + f""",
+        old AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+        newq AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id % 3 = 0
+              AND LEN(string_split(text, ' ')) >= 5
+        ),
+        elig AS (SELECT doc_id FROM old UNION ALL SELECT doc_id FROM newq),
+        hashed AS (
+            SELECT sh.doc_id, {_O_HASH} AS h
+            FROM sh JOIN elig ON elig.doc_id = sh.doc_id
+        ),
+        mh AS (SELECT doc_id, {_o_minhash_aggs()} FROM hashed GROUP BY doc_id),
+        bands AS ({bands_union}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        sizes AS (
+            SELECT sh.doc_id, COUNT(*) AS n
+            FROM sh JOIN elig ON elig.doc_id = sh.doc_id
+            GROUP BY sh.doc_id
+        ),
+        pairs AS (
+            SELECT i.doc_a, i.doc_b FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+        ),
+        dropped AS (
+            SELECT DISTINCT d FROM (
+                SELECT p.doc_b AS d FROM pairs p
+                JOIN newq nb ON nb.doc_id = p.doc_b
+                UNION ALL
+                SELECT p.doc_a FROM pairs p
+                JOIN newq na ON na.doc_id = p.doc_a
+                JOIN old ob ON ob.doc_id = p.doc_b
+            )
+        ),
+        admitted AS (
+            SELECT doc_id FROM newq
+            WHERE doc_id NOT IN (SELECT d FROM dropped)
+        ),
+        final AS (
+            SELECT d.doc_id, d.text FROM documents d
+            WHERE d.doc_id IN (SELECT doc_id FROM old)
+               OR d.doc_id IN (SELECT doc_id FROM admitted)
+        )
+        SELECT * FROM (
+            SELECT 'new_arrivals' AS stage, 0 AS stage_order,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                    WHERE doc_id % 3 = 0) AS n
+            UNION ALL
+            SELECT 'quality_dropped', 1,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                    WHERE doc_id % 3 = 0)
+                   - (SELECT CAST(COUNT(*) AS BIGINT) FROM newq)
+            UNION ALL
+            SELECT 'dup_dropped', 2,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM dropped)
+            UNION ALL
+            SELECT 'admitted', 3,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM admitted)
+            UNION ALL
+            SELECT 'corpus_final', 4,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM final)
+            UNION ALL
+            SELECT 'corpus_checksum', 5,
+                   (SELECT CAST(SUM(CAST('0x' || SUBSTR(MD5(text), 1, 15)
+                                         AS BIGINT) % {HASH_PRIME})
+                           AS BIGINT) FROM final)
+        ) ORDER BY stage_order
+    """
+    )
+
+
+@register(
+    "pipeline_incremental_ingest",
+    oracle=_oracle_incremental_ingest(),
+    tags=("pipeline", "incremental", "dedup", "quality", "table-format",
+          "composition"),
+)
+def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed DAILY-INGEST lifecycle — the operational twin of
+    ``pipeline_curate_corpus``: a snapshot-committed corpus table holds
+    yesterday's curated documents; today's increment (doc_id % 3 == 0)
+    passes a quality gate (>= 5 tokens), is near-dup-admitted against
+    old ∪ earlier-admitted-new via the INCREMENTAL MinHash-LSH path
+    (``operators/dedup.minhash_lsh_pairs_incremental`` — the old corpus
+    is never re-paired against itself), and the survivors append to the
+    corpus through the catalog as one atomic snapshot. The gate
+    certifies the per-stage accounting AND the final corpus read back
+    FROM THE TABLE (count + content checksum) — proving the admit
+    decisions and the table-layer commit compose losslessly.
+
+    Admit rule (greedy keep-min over the pair graph, deliberately NOT
+    transitive): a new doc is dropped iff it pairs with any old doc or
+    with a smaller-id new doc. Old documents are immutable — ingest
+    never revokes yesterday's corpus.
+
+    100 TB shape: the increment is orders of magnitude smaller than the
+    corpus; candidate volume scales with |new| x bucket population (the
+    band join probes with the increment's bands only), the quality gate
+    is map-only, and the append is one snapshot commit. The full-corpus
+    re-read here is the test-scale certification, not the production
+    path (production trusts the incremental invariant this oracle
+    proves).
+    """
+    from paimon_presto_spark.catalog import Catalog
+    from paimon_presto_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+    from paimon_presto_spark.queries.advanced import _scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    n_new = new.count()
+    newq = new.filter(F.size(F.split(F.col("text"), " ")) >= 5)
+    n_newq = newq.count()
+
+    wh = _scratch_dir("ingest-")
+    cat = Catalog(spark, wh)
+    cat.create_database("ing", ignore_if_exists=True)
+    corpus = cat.create_table(
+        "ing", "corpus", "doc_id bigint, text string",
+        primary_keys=["doc_id"], options={"bucket": "4"},
+    )
+    corpus.upsert(old)                       # snapshot 1: yesterday's corpus
+
+    pairs = minhash_lsh_pairs_incremental(
+        old, newq, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    ).select("doc_a", "doc_b")
+    new_ids = newq.select(F.col("doc_id").alias("nid"))
+    old_ids = old.select(F.col("doc_id").alias("oid"))
+    # a pair's doc_b is dropped whenever it is NEW (partner is old or a
+    # smaller-id new doc either way); doc_a is dropped only when its
+    # partner is OLD (a larger-id NEW partner drops the partner, not us)
+    drop_b = pairs.join(new_ids, pairs.doc_b == new_ids.nid).select("nid")
+    drop_a = (
+        pairs.join(new_ids, pairs.doc_a == new_ids.nid)
+        .join(old_ids, pairs.doc_b == old_ids.oid)
+        .select("nid")
+    )
+    dropped = drop_b.unionByName(drop_a).distinct()
+    n_dropped = dropped.count()
+    admitted = newq.join(
+        dropped, newq.doc_id == dropped.nid, "left_anti"
+    )
+    corpus.upsert(admitted)                  # snapshot 2: today's commit
+
+    final = corpus.to_df()
+    row = final.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(md5_long("text") % HASH_PRIME).alias("ck"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("new_arrivals", 0, int(n_new)),
+            ("quality_dropped", 1, int(n_new - n_newq)),
+            ("dup_dropped", 2, int(n_dropped)),
+            ("admitted", 3, int(n_newq - n_dropped)),
+            ("corpus_final", 4, int(row["n"])),
+            ("corpus_checksum", 5, int(row["ck"])),
+        ],
+        "stage string, stage_order int, n long",
+    ).orderBy("stage_order")
