@@ -366,9 +366,12 @@ SCALE_QUERIES = [
     # (window over doc counts + one (source, seq_id)-keyed shuffle +
     # commit metadata) runs eagerly inside
     "pipeline_emit_shards",
-    # round 8: the composed daily-ingest lifecycle at 10x — the
-    # incremental band join must keep candidate volume |new| x bucket,
-    # and the admit/append path must stay BNLJ/Cartesian-free
+    # round 8: the composed daily-ingest lifecycle at 10x, TIMING-ONLY
+    # (like curate/emit it runs its stages eagerly and returns a
+    # driver-local report, so the returned plan can't be shape-checked;
+    # the admit path's join shapes are policed through
+    # dedup_minhash_incremental's plan row, which runs the same
+    # incremental band join)
     "pipeline_incremental_ingest",
 ]
 

@@ -76,6 +76,19 @@ def _o_minhash_aggs() -> str:
     )
 
 
+def _o_bands_union(src: str = "mh") -> str:
+    """LSH band rows from a minhash CTE — (doc_id, band, bkey) via one
+    SELECT per band. One definition for every oracle that bands; the
+    band-key layout (LSH_ROWS signature chunks concatenated) must match
+    ``operators/dedup.minhash_lsh_pairs`` exactly."""
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
+        + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + f") AS bkey FROM {src}"
+        for j in range(LSH_BANDS)
+    )
+
+
 
 
 _O_JACCARD_TAIL = """
@@ -146,12 +159,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bands AS (
             """
-        + "\nUNION ALL\n".join(
-            f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
-            + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
-            + ") AS bkey FROM mh"
-            for j in range(LSH_BANDS)
-        )
+        + _o_bands_union()
         + """
         ),
         cand AS (
@@ -193,12 +201,7 @@ def _oracle_minhash_incremental(split: int) -> str:
     """Full-corpus LSH pairs restricted to pairs touching >= 1 new doc —
     the equivalence the incremental operator promises (signatures are
     per-document, so incremental == full ∩ touches-new)."""
-    bands_union = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
-        + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
-        + ") AS bkey FROM mh"
-        for j in range(LSH_BANDS)
-    )
+    bands_union = _o_bands_union()
     return (
         "WITH "
         + _o_shingle_sql(3)
@@ -385,12 +388,7 @@ _O_PAIRS_CTE = """
         ),
         bands AS (
             """
-        + "\nUNION ALL\n".join(
-            f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
-            + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
-            + ") AS bkey FROM mh"
-            for j in range(LSH_BANDS)
-        )
+        + _o_bands_union()
         + """
         ),
         cand AS (
@@ -1174,12 +1172,7 @@ def _oracle_curate_pipeline() -> str:
         f"UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),"
         f" i -> {gram3}))"
     )
-    bands_union = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
-        + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
-        + ") AS bkey FROM mh"
-        for j in range(LSH_BANDS)
-    )
+    bands_union = _o_bands_union()
     return f"""
         WITH RECURSIVE
         corpus0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
@@ -1369,12 +1362,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bands AS (
             """
-        + "\nUNION ALL\n".join(
-            f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
-            + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
-            + ") AS bkey FROM mh"
-            for j in range(LSH_BANDS)
-        )
+        + _o_bands_union()
         + """
         ),
         cand AS (
@@ -1639,12 +1627,7 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bands AS (
             """
-        + "\nUNION ALL\n".join(
-            f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
-            + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
-            + ") AS bkey FROM mh"
-            for j in range(LSH_BANDS)
-        )
+        + _o_bands_union()
         + """
         ),
         lsh AS (
@@ -1713,12 +1696,7 @@ def _oracle_incremental_ingest() -> str:
     keep-min rule over the pair graph, never transitive), old corpus
     immutable, final corpus = old ∪ admitted certified by a content
     checksum."""
-    bands_union = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {j} AS band, CONCAT_WS(',', "
-        + ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
-        + ") AS bkey FROM mh"
-        for j in range(LSH_BANDS)
-    )
+    bands_union = _o_bands_union()
     return (
         "WITH "
         + _o_shingle_sql(3)
@@ -1727,7 +1705,7 @@ def _oracle_incremental_ingest() -> str:
         newq AS (
             SELECT doc_id FROM documents
             WHERE doc_id % 3 = 0
-              AND LEN(string_split(text, ' ')) >= 5
+              AND LEN(string_split(text, ' ')) >= 20
         ),
         elig AS (SELECT doc_id FROM old UNION ALL SELECT doc_id FROM newq),
         hashed AS (
@@ -1817,8 +1795,11 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed DAILY-INGEST lifecycle — the operational twin of
     ``pipeline_curate_corpus``: a snapshot-committed corpus table holds
     yesterday's curated documents; today's increment (doc_id % 3 == 0)
-    passes a quality gate (>= 5 tokens), is near-dup-admitted against
-    old ∪ earlier-admitted-new via the INCREMENTAL MinHash-LSH path
+    passes a quality gate (>= 20 tokens — a threshold that actually
+    bisects the test corpora, so the gate predicate's cross-engine
+    parity is certified non-trivially), is near-dup-admitted against
+    the old corpus and smaller-id members of the increment via the
+    INCREMENTAL MinHash-LSH path
     (``operators/dedup.minhash_lsh_pairs_incremental`` — the old corpus
     is never re-paired against itself), and the survivors append to the
     corpus through the catalog as one atomic snapshot. The gate
@@ -1828,8 +1809,9 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Admit rule (greedy keep-min over the pair graph, deliberately NOT
     transitive): a new doc is dropped iff it pairs with any old doc or
-    with a smaller-id new doc. Old documents are immutable — ingest
-    never revokes yesterday's corpus.
+    with a smaller-id new doc — whether or not that smaller doc is
+    itself admitted. Old documents are immutable — ingest never revokes
+    yesterday's corpus.
 
     100 TB shape: the increment is orders of magnitude smaller than the
     corpus; candidate volume scales with |new| x bucket population (the
@@ -1849,7 +1831,7 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 == 0)
     n_new = new.count()
-    newq = new.filter(F.size(F.split(F.col("text"), " ")) >= 5)
+    newq = new.filter(F.size(F.split(F.col("text"), " ")) >= 20)
     n_newq = newq.count()
 
     wh = _scratch_dir("ingest-")
@@ -1876,12 +1858,17 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(old_ids, pairs.doc_b == old_ids.oid)
         .select("nid")
     )
-    dropped = drop_b.unionByName(drop_a).distinct()
+    # cache: the drop set is consumed by its own count AND the admit
+    # anti-join, and each branch above re-runs the Jaccard-verify
+    # intersection join — without the cache the expensive candidate
+    # verification executes ~4x (review round 8)
+    dropped = drop_b.unionByName(drop_a).distinct().cache()
     n_dropped = dropped.count()
     admitted = newq.join(
         dropped, newq.doc_id == dropped.nid, "left_anti"
     )
     corpus.upsert(admitted)                  # snapshot 2: today's commit
+    dropped.unpersist()
 
     final = corpus.to_df()
     row = final.agg(
