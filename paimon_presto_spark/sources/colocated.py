@@ -241,10 +241,42 @@ class ColocatedJoinReader(DataSourceReader):
         _validate(lschema, rschema, self.left_on, self.right_on)
         self.rschema = rschema
         self.out = _output_fields(lschema, rschema, self.right_on)
+        self._n_buckets = int(lschema.get("options", {}).get("bucket", "4"))
+        self._key_types = {
+            c: _field_types(lschema)[c] for c in self.left_on
+        }
+        self._pinned: dict = {}
+
+    def pushFilters(self, filters):
+        """Advisory pushdown: an equality on EVERY join-key column pins
+        the row's bucket (the write layout hashed exactly these columns),
+        so a point lookup on the joined view plans ONE split instead of
+        one per bucket. All filters are returned — Spark re-applies them
+        (same contract as ``PaimonReader.pushFilters``)."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[-1] in self.left_on
+            ):
+                self._pinned[f.attribute[-1]] = f.value
+        return iter(filters)
 
     def partitions(self) -> Sequence[ColocatedSplit]:
+        target_bucket = None
+        if set(self._pinned) == set(self.left_on):
+            from paimon_presto_spark.functions.xxhash import spark_bucket
+
+            target_bucket = spark_bucket(
+                self._n_buckets,
+                [(self._pinned[c], self._key_types[c]) for c in self.left_on],
+            )
         splits = []
         for key, lp in self.lparts.items():
+            if target_bucket is not None and key[1] != target_bucket:
+                continue  # key-pinned point lookup: one bucket holds it
             rp = self.rparts.get(key)
             if rp is None and self.how == "inner":
                 continue  # inner join: a bucket with no right rows is empty

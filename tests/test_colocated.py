@@ -292,3 +292,43 @@ def test_time_travel_options(catalog, spark):
     assert {r["x"] for r in pinned.collect()} == {7}
     latest = colocated_join(spark, tl, tr, left_on="k")
     assert {r["x"] for r in latest.collect()} == {9}
+
+
+def test_point_lookup_prunes_to_one_bucket(catalog, spark):
+    """An equality on every join-key column pins the bucket: the scan
+    plans ONE split (the pushFilters bucket prune), and the lookup is
+    still exact."""
+    tl, tr, left, right = _mk_tables(catalog, spark, n=200, buckets=4)
+    q = colocated_join(spark, tl, tr, left_on="k").filter(F.col("k") == 42)
+    rows = q.collect()
+    assert [(r["k"], r["lval"], r["rval"]) for r in rows] == [(42, 84, 142)]
+    # the filtered scan reads one input partition; unfiltered reads all 4
+    assert q.rdd.getNumPartitions() == 1
+    assert (
+        colocated_join(spark, tl, tr, left_on="k").rdd.getNumPartitions()
+        == 4
+    )
+    # a partial key pin (one of two pk columns) must NOT prune
+    left2 = spark.range(40).select(
+        (F.col("id") % 3).alias("a"), F.col("id").alias("b"),
+        F.lit(1).alias("v"),
+    )
+    ta = catalog.create_table(
+        "default", "pl_left", "a bigint, b bigint, v int",
+        primary_keys=["a", "b"], options={"bucket": "4"},
+    )
+    ta.upsert(left2)
+    tb = catalog.create_table(
+        "default", "pl_right", "a bigint, b bigint, w int",
+        primary_keys=["a", "b"], options={"bucket": "4"},
+    )
+    tb.upsert(left2.withColumnRenamed("v", "w"))
+    partial = colocated_join(
+        spark, ta, tb, left_on=["a", "b"]
+    ).filter(F.col("a") == 1)
+    assert partial.count() == 13  # ids 1,4,...,37
+    full = colocated_join(
+        spark, ta, tb, left_on=["a", "b"]
+    ).filter((F.col("a") == 1) & (F.col("b") == 4))
+    assert [(r["a"], r["b"]) for r in full.collect()] == [(1, 4)]
+    assert full.rdd.getNumPartitions() == 1
