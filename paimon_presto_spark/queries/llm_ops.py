@@ -1780,6 +1780,10 @@ def _oracle_incremental_ingest() -> str:
                    (SELECT CAST(SUM(CAST('0x' || SUBSTR(MD5(text), 1, 15)
                                          AS BIGINT) % {HASH_PRIME})
                            AS BIGINT) FROM final)
+            UNION ALL
+            SELECT 'index_final', 6,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM old)
+                   + (SELECT CAST(COUNT(*) AS BIGINT) FROM admitted)
         ) ORDER BY stage_order
     """
     )
@@ -1802,10 +1806,17 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     INCREMENTAL MinHash-LSH path
     (``operators/dedup.minhash_lsh_pairs_incremental`` — the old corpus
     is never re-paired against itself), and the survivors append to the
-    corpus through the catalog as one atomic snapshot. The gate
-    certifies the per-stage accounting AND the final corpus read back
-    FROM THE TABLE (count + content checksum) — proving the admit
-    decisions and the table-layer commit compose losslessly.
+    corpus through the catalog as one atomic snapshot. The MinHash
+    signature index is itself a CATALOG TABLE (the dedup twin of the
+    stored IVF-PQ ANN index): seeded once from yesterday's corpus,
+    READ BACK as ``old_signatures`` for the probe — so the old corpus
+    is not even re-shingled for candidate generation, only candidate
+    members are (semi-join-bounded) — and maintained by appending the
+    admitted increment's signatures after the commit. The gate
+    certifies the per-stage accounting, the final corpus read back
+    FROM THE TABLE (count + content checksum), AND the maintained
+    index's row count — proving the admit decisions, the table-layer
+    commit, and the index maintenance compose losslessly.
 
     Admit rule (greedy keep-min over the pair graph, deliberately NOT
     transitive): a new doc is dropped iff it pairs with any old doc or
@@ -1824,6 +1835,8 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paimon_presto_spark.catalog import Catalog
     from paimon_presto_spark.operators.dedup import (
         minhash_lsh_pairs_incremental,
+        minhash_signature,
+        shingle_hashes,
     )
     from paimon_presto_spark.queries.advanced import _scratch_dir
 
@@ -1842,10 +1855,23 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         primary_keys=["doc_id"], options={"bucket": "4"},
     )
     corpus.upsert(old)                       # snapshot 1: yesterday's corpus
+    sig_ddl = "doc_id bigint, " + ", ".join(
+        f"mh{i} bigint" for i in range(MINHASH_K)
+    )
+    sig_index = cat.create_table(
+        "ing", "signatures", sig_ddl,
+        primary_keys=["doc_id"], options={"bucket": "4"},
+    )
+    sig_index.upsert(                        # seed: yesterday's index
+        minhash_signature(
+            shingle_hashes(old, "doc_id", "text", 3), MINHASH_K
+        )
+    )
 
     pairs = minhash_lsh_pairs_incremental(
         old, newq, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
         threshold=JACCARD_THRESHOLD,
+        old_signatures=sig_index.to_df(),    # probe the STORED index
     ).select("doc_a", "doc_b")
     new_ids = newq.select(F.col("doc_id").alias("nid"))
     old_ids = old.select(F.col("doc_id").alias("oid"))
@@ -1868,6 +1894,11 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         dropped, newq.doc_id == dropped.nid, "left_anti"
     )
     corpus.upsert(admitted)                  # snapshot 2: today's commit
+    sig_index.upsert(                        # index maintenance: only the
+        minhash_signature(                   # admitted increment encodes
+            shingle_hashes(admitted, "doc_id", "text", 3), MINHASH_K
+        )
+    )
     dropped.unpersist()
 
     final = corpus.to_df()
@@ -1875,6 +1906,7 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(md5_long("text") % HASH_PRIME).alias("ck"),
     ).collect()[0]
+    n_index = sig_index.to_df().count()
     return spark.createDataFrame(
         [
             ("new_arrivals", 0, int(n_new)),
@@ -1883,6 +1915,7 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("admitted", 3, int(n_newq - n_dropped)),
             ("corpus_final", 4, int(row["n"])),
             ("corpus_checksum", 5, int(row["ck"])),
+            ("index_final", 6, int(n_index)),
         ],
         "stage string, stage_order int, n long",
     ).orderBy("stage_order")
