@@ -1418,6 +1418,7 @@ def tfidf_cosine_pairs(
         # twice per call.
         indexed = indexed.cache()
         _CHUNK_CACHES.append(indexed)
+        indexed.count()  # populate before fan-out (same rule as `weighted`)
         cand = (
             indexed.select(F.col("doc_id").alias("doc_a"), "t")
             .join(indexed.select(F.col("doc_id").alias("doc_b"), "t"), "t")

@@ -227,7 +227,8 @@ def emit_training_shards(
         for i in range(0, n_shards, shards_per_commit)
     ]
     fp = _geometry_fingerprint(
-        seq_len, vocab, n_shards, shards_per_commit, shard_salt, eos_id
+        seq_len, vocab, n_shards, shards_per_commit, shard_salt, eos_id,
+        (doc_id_col, source_col, text_col),
     )
     # resume point: max APPEND commit identifier across the snapshot
     # chain (metadata-only; COMPACT/auto-compaction snapshots carry the
@@ -243,8 +244,8 @@ def emit_training_shards(
             raise ValueError(
                 "emit_training_shards: table was emitted with a different "
                 "geometry (seq_len/vocab/n_shards/shards_per_commit/"
-                "shard_salt); resume with the original parameters or emit "
-                "into a fresh table"
+                "shard_salt/eos_id/input columns); resume with the "
+                "original parameters or emit into a fresh table"
             )
         done = max(done, s.commit_identifier >> 32)
     done = min(done, len(all_groups))
@@ -276,14 +277,18 @@ def emit_training_shards(
 
 def _geometry_fingerprint(
     seq_len: int, vocab: int, n_shards: int, shards_per_commit: int,
-    salt: str, eos_id: int | None,
+    salt: str, eos_id: int | None, cols: tuple[str, str, str],
 ) -> int:
     """32-bit stable fingerprint of the emission geometry, packed into
     the low half of every emit commit identifier. Every parameter that
     changes sequence CONTENTS or the shard map belongs here — eos_id
-    included: a resume with a different separator would silently append
-    sequences that don't match the committed ones."""
+    and the INPUT COLUMN names included: a resume with a different
+    separator, or packing from a different text/source/id column, would
+    silently append sequences that don't match the committed ones."""
     import zlib
 
-    key = f"{seq_len}|{vocab}|{n_shards}|{shards_per_commit}|{salt}|{eos_id}"
+    key = (
+        f"{seq_len}|{vocab}|{n_shards}|{shards_per_commit}|{salt}|{eos_id}"
+        f"|{'|'.join(cols)}"
+    )
     return zlib.crc32(key.encode()) & 0xFFFFFFFF

@@ -1781,8 +1781,12 @@ def _oracle_incremental_ingest() -> str:
                                          AS BIGINT) % {HASH_PRIME})
                            AS BIGINT) FROM final)
             UNION ALL
+            -- a doc with < 3 tokens yields no shingles and therefore no
+            -- signature row; admitted docs always qualify (>= 20 tokens)
             SELECT 'index_final', 6,
-                   (SELECT CAST(COUNT(*) AS BIGINT) FROM old)
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d
+                    WHERE d.doc_id % 3 <> 0
+                      AND LEN(string_split(d.text, ' ')) >= 3)
                    + (SELECT CAST(COUNT(*) AS BIGINT) FROM admitted)
         ) ORDER BY stage_order
     """

@@ -269,10 +269,20 @@ class ColocatedJoinReader(DataSourceReader):
         if set(self._pinned) == set(self.left_on):
             from paimon_presto_spark.functions.xxhash import spark_bucket
 
-            target_bucket = spark_bucket(
-                self._n_buckets,
-                [(self._pinned[c], self._key_types[c]) for c in self.left_on],
-            )
+            try:
+                target_bucket = spark_bucket(
+                    self._n_buckets,
+                    [
+                        (self._pinned[c], self._key_types[c])
+                        for c in self.left_on
+                    ],
+                )
+            except TypeError:
+                # key type outside spark_xxhash64's replicated set (e.g.
+                # double/timestamp — the table layer buckets those via
+                # F.xxhash64 on the JVM): skip the prune, never fail the
+                # query — Spark re-applies every filter anyway
+                target_bucket = None
         splits = []
         for key, lp in self.lparts.items():
             if target_bucket is not None and key[1] != target_bucket:
