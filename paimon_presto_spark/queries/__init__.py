@@ -59,11 +59,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # driver-graded row; every entry has had a green driver row since round 4.
 # Round-8 policy is pure staleness rotation, same as rounds 5-7: every
 # entry ADDED this round (a new entry outside the prefix would sit
-# ungraded) + ALL 31 rows whose most recent driver grade is round 4 +
-# the stalest round-5 rows filling 50 (11 of the 50-row r5 cohort start
-# rotating; the rest follow in round 9). Cohort membership comes from
-# the CORRECTNESS_r0N.json artifacts (an entry's latest round with a
-# recorded row), not from past PRIORITY lists.
+# ungraded; 14 by round end) + ALL 31 rows whose most recent driver
+# grade is round 4 + the stalest round-5 rows filling 50 (5 of the
+# 50-row r5 cohort start rotating; the rest follow in round 9). Cohort
+# membership comes from the CORRECTNESS_r0N.json artifacts (an entry's
+# latest round with a recorded row), not from past PRIORITY lists.
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
@@ -81,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "table_format_expire_lifecycle",
     "join_bucket_colocated",
     "pipeline_incremental_ingest",
+    "table_format_dynamic_bucket",
     # -- last driver-graded in ROUND 4 (all 31 remaining) -----------------
     "agg_minmax_by",
     "agg_stats_variance",
@@ -114,15 +115,15 @@ PRIORITY: tuple[str, ...] = (
     "width_bucket_histogram",
     "window_value_navigation",
     # -- stalest ROUND-5 rows filling 50 (the r5 cohort starts rotating;
-    #    q3/q6/q9/dedup_exact/events_asof_join moved to the round-9
-    #    rotation as round-8 entries landed — q1 anchors TPC-H,
-    #    dedup_boilerplate_chunks anchors dedup, events_attribution
-    #    anchors events this round) --
+    #    q3/q6/q9/dedup_exact/events_asof_join/table_format_changelog
+    #    moved to the round-9 rotation as round-8 entries landed — q1
+    #    anchors TPC-H, dedup_boilerplate_chunks anchors dedup,
+    #    events_attribution anchors events, table_format_merge_into
+    #    anchors the table format this round) --
     "agg_approx_distinct",
     "agg_cube",
     "events_sessionization",
     "knn_lsh_bucketed",
-    "table_format_changelog",
     "setop_union_all",
 )
 

@@ -2541,6 +2541,31 @@ def table_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_format_dynamic_bucket",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("table-format", "dynamic-bucket", "merge-on-read", "end-to-end"),
+)
+def table_format_dynamic_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The roundtrip mutation script on a DYNAMIC-bucket table
+    (``bucket=-1`` with a small ``dynamic-bucket.target-row-num`` so the
+    script provably spans multiple assigned buckets): upsert -> ~1%
+    delete -> ~1% patch upsert -> merged read with a pushed predicate
+    must equal the shared declarative oracle verbatim. Dynamic
+    bucketing assigns each key a bucket ONCE via the persistent key
+    index (``table.py:_assign_dynamic_buckets``) instead of
+    pmod(hash, n) — bucket count grows with data, rescale rewrites
+    never happen, and a key's bucket never changes so per-bucket
+    merge-on-read stays correct; this entry proves the whole
+    index-assignment machinery is invisible to results under the same
+    hash gate the fixed-bucket/DV/avro/orc twins pass.
+    """
+    return _roundtrip_script(
+        spark, sf_dir, "dyn",
+        options={"bucket": "-1", "dynamic-bucket.target-row-num": "4000"},
+    )
+
+
+@register(
     "table_format_expire_lifecycle",
     oracle="""
         SELECT o_orderpriority,
