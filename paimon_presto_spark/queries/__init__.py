@@ -59,8 +59,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # driver-graded row; every entry has had a green driver row since round 4.
 # Round-8 policy is pure staleness rotation, same as rounds 5-7: every
 # entry ADDED this round (a new entry outside the prefix would sit
-# ungraded; 14 by round end) + ALL 31 rows whose most recent driver
-# grade is round 4 + the stalest round-5 rows filling 50 (5 of the
+# ungraded; 15 by round end) + ALL 31 rows whose most recent driver
+# grade is round 4 + the stalest round-5 rows filling 50 (4 of the
 # 50-row r5 cohort start rotating; the rest follow in round 9). Cohort
 # membership comes from the CORRECTNESS_r0N.json artifacts (an entry's
 # latest round with a recorded row), not from past PRIORITY lists.
@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "join_bucket_colocated",
     "pipeline_incremental_ingest",
     "table_format_dynamic_bucket",
+    "table_format_rollback",
     # -- last driver-graded in ROUND 4 (all 31 remaining) -----------------
     "agg_minmax_by",
     "agg_stats_variance",
@@ -115,13 +116,12 @@ PRIORITY: tuple[str, ...] = (
     "width_bucket_histogram",
     "window_value_navigation",
     # -- stalest ROUND-5 rows filling 50 (the r5 cohort starts rotating;
-    #    q3/q6/q9/dedup_exact/events_asof_join/table_format_changelog
+    #    q3/q6/q9/dedup_exact/events_asof_join/table_format_changelog/agg_cube
     #    moved to the round-9 rotation as round-8 entries landed — q1
     #    anchors TPC-H, dedup_boilerplate_chunks anchors dedup,
     #    events_attribution anchors events, table_format_merge_into
     #    anchors the table format this round) --
     "agg_approx_distinct",
-    "agg_cube",
     "events_sessionization",
     "knn_lsh_bucketed",
     "setop_union_all",

@@ -2766,3 +2766,101 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "table_format_rollback",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(
+                   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE) AS total_price,
+               1 AS bad_tag_dropped, 1 AS keep_tag_kept,
+               1 AS orphans_reclaimed
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("table-format", "rollback", "time-travel", "orphan-files",
+          "end-to-end"),
+)
+def table_format_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback under the oracle gate — the undo lifecycle
+    (``table.py:rollback_to``, Paimon's rollback_to procedure): orders
+    land as the base snapshot (tagged ``keep``), a BAD batch follows (a
+    price corruption and a spurious delete, tagged ``bad``), then the
+    table rolls back to the base and takes a clean patch on the
+    restored lineage. The gate certifies every rollback contract:
+
+    - the final read equals base + clean patch — the bad commits left
+      no trace in results (the oracle never mentions them);
+    - ``bad_tag_dropped``: the tag pinned to a rolled-back snapshot is
+      gone (Paimon's RollbackHelper reconciliation) while
+      ``keep_tag_kept``: the base tag still reads its full count;
+    - ``orphans_reclaimed``: the bad commits' data files became
+      orphans and ``remove_orphan_files`` deleted them (>=1) — and the
+      final aggregation runs AFTER cleanup, proving reclamation touched
+      no live byte.
+
+    100 TB shape: rollback is metadata-only — O(#snapshots) file
+    deletes and a LATEST pointer swap, independent of data size; the
+    stranded bytes are reclaimed by the same O(metadata) orphan walk
+    the retention entry exercises. This is the operational answer to a
+    bad backfill: undo in seconds, reclaim asynchronously.
+    """
+    import time as _time
+
+    from paimon_presto_spark.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    wh = _scratch_dir("rb-")
+    cat = Catalog(spark, wh)
+    cat.create_database("rb", ignore_if_exists=True)
+    t = cat.create_table(
+        "rb", "orders_rb",
+        "o_orderkey bigint, o_totalprice double, o_orderpriority string",
+        primary_keys=["o_orderkey"],
+    )
+    base = t.upsert(o)                                     # s1: base
+    n_base = t.to_df().count()
+    t.create_tag("keep")
+    t.upsert(                                              # s2: corruption
+        o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 9999.0
+        )
+    )
+    t.delete(o.filter(F.col("o_orderkey") % 11 == 0))      # s3: bad delete
+    t.create_tag("bad")
+
+    t.rollback_to(base.snapshot_id)
+    tags = t.list_tags()
+    bad_tag_dropped = int("bad" not in tags)
+    keep_tag_kept = int(
+        "keep" in tags and t.to_df(tag="keep").count() == n_base
+    )
+    removed = t.remove_orphan_files(
+        older_than_ms=int(_time.time() * 1000) + 60_000
+    )
+    orphans_reclaimed = int(len(removed) >= 1)
+    t.upsert(                                              # clean patch on
+        o.filter(F.col("o_orderkey") % 101 == 0).withColumn(  # restored head
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+    )
+    return (
+        t.to_df()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string")
+            .cast("double").alias("total_price"),
+        )
+        .withColumn("bad_tag_dropped", F.lit(bad_tag_dropped))
+        .withColumn("keep_tag_kept", F.lit(keep_tag_kept))
+        .withColumn("orphans_reclaimed", F.lit(orphans_reclaimed))
+        .orderBy("o_orderpriority")
+    )
