@@ -43,14 +43,27 @@ def get_spark(app_name: str = "paimon-presto-spark") -> SparkSession:
     return spark
 
 
+# Confs the engine REQUIRES at runtime (vs merely prefers). These must be
+# settable on a live session (verified: both are runtime-settable in Spark
+# 4.x) because the driver harness builds its own SparkSession and only ever
+# routes through tune_session. `spark.sql.python.filterPushdown.enabled`
+# defaults to FALSE upstream; without it every Python DataSource that
+# implements pushFilters() (sources/datasource.py, sources/colocated.py)
+# hard-fails at reader init with [DATA_SOURCE_PUSHDOWN_DISABLED].
+_REQUIRED_RUNTIME = (
+    "spark.sql.session.timeZone",
+    "spark.sql.python.filterPushdown.enabled",
+)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply this engine's runtime conf to an externally created session.
 
     The driver harness creates its own SparkSession; queries route through
-    here so determinism-critical settings (UTC timestamps, ANSI off) hold
-    regardless of who built the session.
+    here so determinism-critical settings (UTC timestamps, Python-source
+    filter pushdown) hold regardless of who built the session.
     """
-    for key in ("spark.sql.session.timeZone",):
+    for key in _REQUIRED_RUNTIME:
         try:
             spark.conf.set(key, _DEFAULTS[key])
         except Exception:  # pragma: no cover - conf may be static

@@ -377,6 +377,15 @@ def colocated_join(spark, left, right, left_on, right_on=None, how="inner"):
     right_on = left_on if right_on is None else right_on
     if isinstance(right_on, str):
         right_on = [right_on]
+    # Belt-and-braces: ColocatedJoinReader implements pushFilters(), which
+    # Spark refuses to initialize unless this conf (default FALSE) is on.
+    # tune_session() also sets it, but a caller holding a raw session must
+    # not hit [DATA_SOURCE_PUSHDOWN_DISABLED] for a conf nobody told them
+    # about — the conf is runtime-settable, so set it here too.
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # pragma: no cover - conf may be static in odd envs
+        pass
     spark.dataSource.register(ColocatedJoinDataSource)
     return (
         spark.read.format("paimon_colocated")

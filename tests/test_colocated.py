@@ -332,3 +332,54 @@ def test_point_lookup_prunes_to_one_bucket(catalog, spark):
     ).filter((F.col("a") == 1) & (F.col("b") == 4))
     assert [(r["a"], r["b"]) for r in full.collect()] == [(1, 4)]
     assert full.rdd.getNumPartitions() == 1
+
+
+class TestUntunedSession:
+    """Round-8 post-mortem: the driver builds its OWN SparkSession, where
+    ``spark.sql.python.filterPushdown.enabled`` defaults to FALSE, and
+    conftest's global conf masked exactly that — `join_bucket_colocated`
+    was the round's only red CORRECTNESS row while every test passed.
+    These tests flip the conf OFF first, mimicking the driver, and prove
+    both self-heal paths: tune_session() and colocated_join() itself."""
+
+    CONF = "spark.sql.python.filterPushdown.enabled"
+
+    def _with_conf_off(self, spark, fn):
+        prev = spark.conf.get(self.CONF, "true")
+        spark.conf.set(self.CONF, "false")
+        try:
+            return fn()
+        finally:
+            spark.conf.set(self.CONF, prev)
+
+    def test_tune_session_sets_required_confs(self, spark):
+        from paimon_presto_spark.session import tune_session
+
+        def check():
+            tune_session(spark)
+            assert spark.conf.get(self.CONF) == "true"
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+        self._with_conf_off(spark, check)
+
+    def test_colocated_join_self_heals(self, catalog, spark):
+        tl, tr, left, right = _mk_tables(catalog, spark, n=60)
+
+        def run():
+            got = colocated_join(spark, tl, tr, left_on="k")
+            assert got.count() == right.count()
+
+        self._with_conf_off(spark, run)
+
+    def test_driver_contract_entry_runs_untuned(self, spark):
+        """The exact driver shape: call the wrapped __spark_entry__ entry
+        on a session nobody tuned."""
+        import importlib
+        mod = importlib.import_module("__spark_entry__")
+        q = mod.queries()["join_bucket_colocated"]
+
+        def run():
+            df = q(spark, "/root/testdata/sf0.001")
+            assert df.count() > 0
+
+        self._with_conf_off(spark, run)
