@@ -408,35 +408,60 @@ def simhash_pairs(
     max_hamming: int = 2,
     chunks: int = 4,
 ) -> DataFrame:
-    """Pairs at Hamming distance ≤ max_hamming, via chunk banding.
+    """Pairs at Hamming distance ≤ max_hamming over text SimHash signatures
+    (``simhash_signatures`` → ``hamming_banded_pairs``); see the latter for
+    the pigeonhole-recall argument."""
+    sigs = simhash_signatures(docs, id_col, text_col, bits)
+    return hamming_banded_pairs(
+        sigs, sig_col="simhash", id_col="doc_id",
+        bits=bits, max_hamming=max_hamming, chunks=chunks,
+    )
+
+
+def hamming_banded_pairs(
+    sigs: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 2,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs of ids whose ``sig_col`` values sit at Hamming distance
+    ≤ max_hamming, via chunk banding over ANY integer signature column
+    (SimHash over text, perceptual aHash over images — the banding is
+    signature-agnostic).
 
     Pigeonhole: ≤ max_hamming flipped bits across `chunks` chunks leaves at
     least chunks - max_hamming chunks intact, so joining on each intact
     chunk recalls every qualifying pair — requires chunks > max_hamming.
-    No all-pairs scan: the join is an equi-join on (chunk_idx, chunk_value).
+    No all-pairs scan: the join is an equi-join on (chunk_idx, chunk_value);
+    the shifted-mask chunk extraction is sign-safe for full-width 64-bit
+    signatures (arithmetic shiftright fills sign bits; the mask strips
+    them).
     """
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
     assert bits % chunks == 0
     width = bits // chunks
     mask = (1 << width) - 1
-    sigs = simhash_signatures(docs, id_col, text_col, bits)
     chunk_cols = [
-        (F.shiftright(F.col("simhash"), j * width).bitwiseAND(mask)).alias(f"c{j}")
+        (F.shiftright(F.col(sig_col), j * width).bitwiseAND(mask)).alias(f"c{j}")
         for j in range(chunks)
     ]
-    ch = sigs.select("doc_id", "simhash", *chunk_cols)
+    ch = sigs.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"), *chunk_cols
+    )
     exploded = ch.select(
         "doc_id",
-        "simhash",
+        "sig",
         F.posexplode(F.array(*[F.col(f"c{j}") for j in range(chunks)])).alias(
             "chunk", "cval"
         ),
     )
     a = exploded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "cval"
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sim_a"), "chunk", "cval"
     )
     b = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "cval"
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sim_b"), "chunk", "cval"
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (

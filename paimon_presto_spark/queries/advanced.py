@@ -2676,6 +2676,40 @@ def table_format_expire_lifecycle(
     )
 
 
+def _colocated_order_tables(spark: SparkSession, sf_dir: str):
+    """Build the co-bucketed pk pair the colocated-join entries share:
+    orders and a per-order lineitem profile, both bucketed 8-ways on the
+    order key by the same xxhash64 layout (the write-time shuffle that
+    every later bucket-aligned join amortizes)."""
+    from paimon_presto_spark.catalog import Catalog
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("string").cast("double")
+        .alias("sum_qty"),
+    )
+    wh = _scratch_dir("coloc-")
+    cat = Catalog(spark, wh)
+    cat.create_database("cl", ignore_if_exists=True)
+    t_orders = cat.create_table(
+        "cl", "orders_b",
+        "o_orderkey bigint, o_totalprice double, o_orderpriority string",
+        primary_keys=["o_orderkey"], options={"bucket": "8"},
+    )
+    t_orders.upsert(o)
+    t_prof = cat.create_table(
+        "cl", "order_profile",
+        "l_orderkey bigint, n_items bigint, sum_qty double",
+        primary_keys=["l_orderkey"], options={"bucket": "8"},
+    )
+    t_prof.upsert(prof)
+    return t_orders, t_prof
+
+
 @register(
     "join_bucket_colocated",
     oracle="""
@@ -2721,33 +2755,9 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side; dynamic-bucket tables are rejected (key-index layouts
     need not align).
     """
-    from paimon_presto_spark.catalog import Catalog
     from paimon_presto_spark.sources.colocated import colocated_join
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    prof = li.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_quantity").cast(DEC)).cast("string").cast("double")
-        .alias("sum_qty"),
-    )
-    wh = _scratch_dir("coloc-")
-    cat = Catalog(spark, wh)
-    cat.create_database("cl", ignore_if_exists=True)
-    t_orders = cat.create_table(
-        "cl", "orders_b",
-        "o_orderkey bigint, o_totalprice double, o_orderpriority string",
-        primary_keys=["o_orderkey"], options={"bucket": "8"},
-    )
-    t_orders.upsert(o)
-    t_prof = cat.create_table(
-        "cl", "order_profile",
-        "l_orderkey bigint, n_items bigint, sum_qty double",
-        primary_keys=["l_orderkey"], options={"bucket": "8"},
-    )
-    t_prof.upsert(prof)
+    t_orders, t_prof = _colocated_order_tables(spark, sf_dir)
     j = colocated_join(
         spark, t_orders, t_prof,
         left_on="o_orderkey", right_on="l_orderkey", how="left",
@@ -2765,6 +2775,82 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string").cast("double").alias("total_qty"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "join_bucket_colocated_lookup",
+    oracle="""
+        WITH prof AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10)))
+                        AS VARCHAR) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        k AS (SELECT MIN(o_orderkey) AS k FROM orders)
+        SELECT o.o_orderkey, o.o_orderpriority,
+               CAST(COALESCE(p.n_items, 0) AS BIGINT) AS n_items,
+               COALESCE(p.sum_qty, 0.0) AS sum_qty,
+               CAST(1 AS BIGINT) AS pinned_splits,
+               CAST(8 AS BIGINT) AS full_splits
+        FROM orders o
+        JOIN k ON o.o_orderkey = k.k
+        LEFT JOIN prof p ON p.l_orderkey = o.o_orderkey
+    """,
+    tags=("join", "bucket", "colocated", "point-lookup", "pushdown",
+          "table-format"),
+)
+def join_bucket_colocated_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup THROUGH the colocated join — the pushFilters bucket
+    prune under the oracle gate: the same co-bucketed orders x profile
+    pair as ``join_bucket_colocated``, probed with ``o_orderkey = k``
+    (k = the corpus minimum, collected as a bounded one-row agg). The
+    equality literal reaches ``ColocatedJoinReader.pushFilters``
+    (``sources/colocated.py``), which hashes the key through the SAME
+    xxhash64 bucket layout the write path used and plans exactly ONE
+    split out of 8 — the result row carries ``pinned_splits`` (planned
+    partitions of the filtered view, must be 1) and ``full_splits``
+    (unfiltered view, must be 8), and the DuckDB oracle hardcodes 1/8,
+    so a broken or silently-disabled prune FAILS the hash gate, not just
+    a bench assertion. Round-8 lesson baked into the gate: this entry
+    dies loudly if filter pushdown is ever off or mis-pinned.
+
+    100 TB shape: a key lookup on a bucketed lakehouse join costs one
+    task reading two bucket files — no scan of the other N-1 buckets,
+    no shuffle, no driver-side index. The reference exposes the same
+    layout one split per bucket (``PaimonSplitManager``); pinning is the
+    degenerate-but-critical case every serving path hits.
+    """
+    from paimon_presto_spark.sources.colocated import colocated_join
+
+    t_orders, t_prof = _colocated_order_tables(spark, sf_dir)
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.min("o_orderkey").alias("k"))
+        .collect()[0]["k"]
+    )
+    # SEPARATE handles for the pinned and full views: Spark's Python
+    # DataSource caches planned partitions per .load() handle, and a
+    # filterless scan REUSES the last filtered scan's pruned plan
+    # (upstream behavior, pinned by tests/test_pushdown_reuse.py) — one
+    # shared handle here would report full_splits == 1.
+    pinned = colocated_join(
+        spark, t_orders, t_prof,
+        left_on="o_orderkey", right_on="l_orderkey", how="left",
+    ).filter(F.col("o_orderkey") == k)
+    n_pinned = pinned.rdd.getNumPartitions()
+    n_full = colocated_join(
+        spark, t_orders, t_prof,
+        left_on="o_orderkey", right_on="l_orderkey", how="left",
+    ).rdd.getNumPartitions()
+    return pinned.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.coalesce(F.col("n_items"), F.lit(0)).alias("n_items"),
+        F.coalesce(F.col("sum_qty"), F.lit(0.0)).alias("sum_qty"),
+        F.lit(n_pinned).cast("long").alias("pinned_splits"),
+        F.lit(n_full).cast("long").alias("full_splits"),
     )
 
 

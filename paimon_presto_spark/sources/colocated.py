@@ -252,9 +252,17 @@ class ColocatedJoinReader(DataSourceReader):
         the row's bucket (the write layout hashed exactly these columns),
         so a point lookup on the joined view plans ONE split instead of
         one per bucket. All filters are returned — Spark re-applies them
-        (same contract as ``PaimonReader.pushFilters``)."""
+        (same contract as ``PaimonReader.pushFilters``).
+
+        The reader instance OUTLIVES one scan (Spark holds it per
+        relation, in a long-lived worker), so the pin must be rebuilt
+        from THIS scan's filters — round-9 fix: accumulating across calls
+        let a pinned lookup leak its bucket prune into a later full scan
+        of the same DataFrame handle, silently dropping the other N-1
+        buckets' rows."""
         from pyspark.sql.datasource import EqualTo
 
+        self._pinned = {}
         for f in filters:
             if (
                 isinstance(f, EqualTo)
@@ -265,15 +273,19 @@ class ColocatedJoinReader(DataSourceReader):
         return iter(filters)
 
     def partitions(self) -> Sequence[ColocatedSplit]:
+        # Consume the pin: belt-and-braces against a scan that never
+        # calls pushFilters — a stale pin must at worst cost an unpruned
+        # scan (filters are re-applied by Spark), never drop buckets.
+        pinned, self._pinned = self._pinned, {}
         target_bucket = None
-        if set(self._pinned) == set(self.left_on):
+        if set(pinned) == set(self.left_on):
             from paimon_presto_spark.functions.xxhash import spark_bucket
 
             try:
                 target_bucket = spark_bucket(
                     self._n_buckets,
                     [
-                        (self._pinned[c], self._key_types[c])
+                        (pinned[c], self._key_types[c])
                         for c in self.left_on
                     ],
                 )

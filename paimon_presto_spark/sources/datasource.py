@@ -17,6 +17,14 @@ Spark's `pyspark.sql.datasource` SPI):
   .java:283-284`).
 - ``PaimonReader.partitions``   — one input partition per (partition,
   bucket) group for primary-key tables, one per file for append-only.
+
+KNOWN UPSTREAM HAZARD (Spark 4.1.2, pinned by tests/test_pushdown_reuse
+.py): Spark caches a Python data source's planned partitions per
+``.load()`` handle and re-runs pushdown planning only when the current
+query carries a convertible filter — so on a REUSED handle, a filterless
+scan silently reuses the last filtered scan's PRUNED plan and drops rows.
+Use one ``.load()`` per query (``Table.to_df()`` and ``colocated_join()``
+already do); never cache and re-filter one handle.
 - ``PaimonReader.read``         — pyarrow parquet scan per partition,
   yielding Arrow RecordBatches; primary-key groups are merged IN the
   partition (pandas), which is the **shuffle-free merge-on-read**: bucketed

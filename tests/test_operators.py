@@ -2160,3 +2160,64 @@ def test_tfidf_prefix_filter_is_exact(spark):
     exact = tfidf_cosine_pairs(dups, threshold=1.0, prefix_filter=True)
     got = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
     assert got == {(1, 2)}
+
+
+def test_hamming_banded_pairs_negative_64bit_signatures(spark):
+    """Full-width 64-bit signatures (bit 63 set -> negative bigint) must
+    band sign-safely: arithmetic shiftright fills sign bits, the chunk
+    mask strips them. Brute force over the signature set is the truth."""
+    from paimon_presto_spark.operators.dedup import hamming_banded_pairs
+
+    sigs = [
+        (1, -(1 << 63) | 0b1011),          # negative: top bit set
+        (2, -(1 << 63) | 0b1001),          # hamming 1 to doc 1
+        (3, 0b1011),                        # differs from doc 1 only in bit 63
+        (4, -(1 << 63) | 0b1011 | (1 << 40)),  # hamming 1 to doc 1
+        (5, 0x7FFF_FFFF_FFFF_FFFF),
+    ]
+    df = spark.createDataFrame(sigs, "doc_id bigint, sig bigint")
+    by_id = dict(sigs)
+    ids = sorted(by_id)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hm = bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1")
+            if hm <= 3:
+                brute.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in hamming_banded_pairs(
+            df, sig_col="sig", bits=64, max_hamming=3, chunks=8
+        ).collect()
+    }
+    assert got == brute
+    assert (1, 2) in got and (1, 3) in got and (1, 5) not in got
+
+
+def test_dedup_image_phash_cluster_structure(spark):
+    """48 synthetic images -> exactly 8 clusters of 4, 4 of 3, 4
+    singletons; every keeper maximizes n_chars within its cluster."""
+    from collections import Counter
+
+    from paimon_presto_spark.queries.multimodal_entries import (
+        dedup_image_phash,
+    )
+
+    rows = dedup_image_phash(spark, "/root/testdata/sf0.001").collect()
+    sizes = Counter(r["cluster_size"] for r in rows)
+    assert sizes == {4: 8, 3: 4, 1: 4}
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    seen = set()
+    for r in rows:
+        members = [int(m) for m in r["members"].split(",")]
+        assert r["kept_doc_id"] in members
+        best = max(members, key=lambda m: (docs[m], -m))
+        assert r["kept_doc_id"] == best
+        assert r["total_chars"] == sum(docs[m] for m in members)
+        seen.update(members)
+    assert seen == set(range(48))
