@@ -126,6 +126,12 @@ HEADLINE = [
     # incremental near-dup admit → snapshot-committed append → corpus
     # read-back checksum), timed end to end incl. the catalog writes
     "pipeline_incremental_ingest",
+    # round 9: perceptual-hash image near-dup (real decode + banded
+    # Hamming pairs + components + keep-best) and the pinned point
+    # lookup through the colocated join (1-of-8 bucket splits planned,
+    # split counts oracle-gated in the result row)
+    "dedup_image_phash",
+    "join_bucket_colocated_lookup",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
@@ -267,6 +273,16 @@ def main() -> None:
         out["stored_ann"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     spark.catalog.clearCache()
 
+    # Colocated point-lookup split (round-8 verdict #5): build once,
+    # lookup timed apart, 1-of-8 split pinning asserted.
+    try:
+        out["colocated_lookup"] = _colocated_lookup_split(spark, sf_dir)
+    except Exception as exc:
+        out["colocated_lookup"] = {
+            "error": f"{type(exc).__name__}: {exc}"[:200]
+        }
+    spark.catalog.clearCache()
+
     # Scale stress (never voids the bench): run the LLM-pipeline operators
     # once at a synthesized sf1 (10x documents/embeddings, per-replica text
     # perturbation so replicas are unrelated documents, not near-dup
@@ -373,6 +389,14 @@ SCALE_QUERIES = [
     # dedup_minhash_incremental's plan row, which runs the same
     # incremental band join)
     "pipeline_incremental_ingest",
+    # round 9 (verdict #2): the zero-shuffle colocated join's ENTIRE
+    # value proposition is scale — its sf1 plan must carry no join node
+    # and no exchange for the join (asserted via SCALE_EXPECTED_NO_JOIN);
+    # nDCG carries the 2 SMJ nodes PLANS.md flags "check at scale"; the
+    # recursive CTE walks loop DEPTH, which must not grow with data size.
+    "join_bucket_colocated",
+    "retrieval_ndcg_eval",
+    "relational_recursive_cte",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
@@ -398,6 +422,13 @@ SCALE_EXPECTED_BNLJ = {
     # iterations are behind localCheckpoint lineage cuts)
     "graph_pagerank_tokens": 1,
 }
+
+#: Entries whose sf1 executed plan must contain NO join node of any kind
+#: (and therefore no join exchange): the colocated bucket join executes
+#: INSIDE per-bucket scan tasks, so the only legitimate plan nodes above
+#: the scan are the final rollup's aggregation + its one exchange. Any
+#: "*Join" substring in the plan means the zero-shuffle contract broke.
+SCALE_EXPECTED_NO_JOIN = {"join_bucket_colocated"}
 
 #: Probe-ONLY plan expectations for the stored-ANN split (asserted in
 #: the sf1 stress alongside SCALE_EXPECTED_BNLJ): the stored side must
@@ -497,6 +528,55 @@ def _semdedup_incremental_sf1(spark, sf1_dir: str):
     new = emb.filter(F.col("vec_id") >= split)
     cents = list(enumerate(_hyperplanes(64, 32, seed=7)))
     return semdedup_incremental(old, new, cents, 0.35, pair_backend="auto")
+
+
+def _colocated_lookup_split(spark, data_dir: str) -> dict:
+    """Time the colocated join's point-lookup path with the build paid
+    once (round-8 verdict #5): build the co-bucketed orders x profile
+    pair, then time (a) the full bucket-aligned join and (b) a key
+    lookup whose EqualTo literal pins ONE bucket via pushFilters. The
+    split counts are asserted here AND oracle-gated by the
+    join_bucket_colocated_lookup entry; `violations` goes nonzero if the
+    pin ever plans more than 1-of-N splits (or the full view fewer).
+    Fresh handle per query — see tests/test_pushdown_reuse.py."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.queries.advanced import _colocated_order_tables
+    from paimon_presto_spark.sources.colocated import colocated_join
+
+    t0 = time.perf_counter()
+    t_orders, t_prof = _colocated_order_tables(spark, data_dir)
+    k = (
+        spark.read.parquet(os.path.join(data_dir, "orders.parquet"))
+        .agg(F.min("o_orderkey").alias("k")).collect()[0]["k"]
+    )
+    res = {"build": round(time.perf_counter() - t0, 3)}
+
+    def j():
+        return colocated_join(
+            spark, t_orders, t_prof,
+            left_on="o_orderkey", right_on="l_orderkey", how="left",
+        )
+
+    t0 = time.perf_counter()
+    j().collect()
+    res["full_join"] = round(time.perf_counter() - t0, 3)
+    res["full_splits"] = j().rdd.getNumPartitions()
+
+    t0 = time.perf_counter()
+    rows = j().filter(F.col("o_orderkey") == k).collect()
+    res["lookup"] = round(time.perf_counter() - t0, 3)
+    res["pinned_splits"] = (
+        j().filter(F.col("o_orderkey") == k).rdd.getNumPartitions()
+    )
+    res["violations"] = (
+        int(res["pinned_splits"] != 1)
+        + int(res["full_splits"] != 8)
+        + int(len(rows) != 1)
+    )
+    if res["violations"]:
+        print(f"COLOCATED LOOKUP REGRESSION: {res}", file=sys.stderr)
+    return res
 
 
 def _stored_ann_split(spark, data_dir: str, with_plans: bool = False) -> tuple[dict, dict]:
@@ -890,6 +970,8 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
                     "broadcast_nested_loop": plan.count("BroadcastNestedLoopJoin"),
                     "cartesian": plan.count("CartesianProduct"),
                 }
+                if name in SCALE_EXPECTED_NO_JOIN:
+                    result["plans"][name]["join_nodes"] = plan.count("Join")
             except Exception as exc:
                 result["plans"][name] = f"ERROR {type(exc).__name__}: {exc}"[:200]
     finally:
@@ -908,6 +990,7 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
     violations = sum(
         abs(p["broadcast_nested_loop"] - SCALE_EXPECTED_BNLJ.get(n, 0))
         + p["cartesian"]
+        + p.get("join_nodes", 0)
         for n, p in result["plans"].items()
         if isinstance(p, dict)
     )

@@ -230,6 +230,25 @@ def emit_training_shards(
         seq_len, vocab, n_shards, shards_per_commit, shard_salt, eos_id,
         (doc_id_col, source_col, text_col),
     )
+    # Legacy compat: tables emitted before the fingerprint learned the
+    # input column names carry the col-less key. If the table's existing
+    # APPEND chain was committed entirely under that legacy fingerprint,
+    # keep using it for this table — validation and new commits alike —
+    # so pre-change tables stay resumable (for them the column names
+    # were never part of the contract; new tables get the richer key).
+    fp_legacy = _geometry_fingerprint(
+        seq_len, vocab, n_shards, shards_per_commit, shard_salt, eos_id,
+        None,
+    )
+    if fp_legacy != fp:
+        chain = [
+            s.commit_identifier & 0xFFFFFFFF
+            for sid in table.snapshot_ids()
+            if (s := table.snapshot(sid)) is not None
+            and s.commit_kind == "APPEND"
+        ]
+        if chain and all(x == fp_legacy for x in chain):
+            fp = fp_legacy
     # resume point: max APPEND commit identifier across the snapshot
     # chain (metadata-only; COMPACT/auto-compaction snapshots carry the
     # default identifier but a different kind, so they never count).
@@ -277,18 +296,20 @@ def emit_training_shards(
 
 def _geometry_fingerprint(
     seq_len: int, vocab: int, n_shards: int, shards_per_commit: int,
-    salt: str, eos_id: int | None, cols: tuple[str, str, str],
+    salt: str, eos_id: int | None, cols: tuple[str, str, str] | None,
 ) -> int:
     """32-bit stable fingerprint of the emission geometry, packed into
     the low half of every emit commit identifier. Every parameter that
     changes sequence CONTENTS or the shard map belongs here — eos_id
     and the INPUT COLUMN names included: a resume with a different
     separator, or packing from a different text/source/id column, would
-    silently append sequences that don't match the committed ones."""
+    silently append sequences that don't match the committed ones.
+    ``cols=None`` reproduces the pre-round-9 col-less key, accepted for
+    tables whose whole existing chain was committed under it (see the
+    legacy-compat branch in ``emit_training_shards``)."""
     import zlib
 
-    key = (
-        f"{seq_len}|{vocab}|{n_shards}|{shards_per_commit}|{salt}|{eos_id}"
-        f"|{'|'.join(cols)}"
-    )
+    key = f"{seq_len}|{vocab}|{n_shards}|{shards_per_commit}|{salt}|{eos_id}"
+    if cols is not None:
+        key += f"|{'|'.join(cols)}"
     return zlib.crc32(key.encode()) & 0xFFFFFFFF

@@ -57,74 +57,70 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # fixed count (each round so far recorded exactly the first 50). The prefix
 # is ROTATED each round so every registry entry eventually earns a
 # driver-graded row; every entry has had a green driver row since round 4.
-# Round-8 policy is pure staleness rotation, same as rounds 5-7: every
-# entry ADDED this round (a new entry outside the prefix would sit
-# ungraded; 15 by round end) + ALL 31 rows whose most recent driver
-# grade is round 4 + the stalest round-5 rows filling 50 (4 of the
-# 50-row r5 cohort start rotating; the rest follow in round 9). Cohort
-# membership comes from the CORRECTNESS_r0N.json artifacts (an entry's
-# latest round with a recorded row), not from past PRIORITY lists.
+# Round-9 policy is pure staleness rotation, same as rounds 5-8: the 2
+# entries ADDED this round + the one round-8 RED row (join_bucket_colocated,
+# an env-conf failure fixed this round - it must re-earn a green driver row)
+# + ALL 46 rows whose most recent driver grade is round 5 + setop_intersect
+# (the set-operation family anchor; no set-op sits in the r5 cohort) = 50.
+# Cohort membership comes from the CORRECTNESS_r0N.json artifacts (an
+# entry's latest round with a recorded row), not from past PRIORITY lists.
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
     # -- NEW this round (never graded) -----------------------------------
-    "pipeline_emit_shards",
-    "table_format_zorder",
-    "table_format_hilbert",
-    "mix_epoch_schedule",
-    "retrieval_ndcg_eval",
-    "relational_pivot_unpivot",
-    "table_format_branches",
-    "table_format_orc_roundtrip",
-    "relational_recursive_cte",
-    "streaming_batch_parity_stream_static",
-    "table_format_expire_lifecycle",
+    "dedup_image_phash",
+    "join_bucket_colocated_lookup",
+    # -- round-8 red row, conf-propagation fix must be re-graded ----------
     "join_bucket_colocated",
-    "pipeline_incremental_ingest",
-    "table_format_dynamic_bucket",
-    "table_format_rollback",
-    # -- last driver-graded in ROUND 4 (all 31 remaining) -----------------
-    "agg_minmax_by",
-    "agg_stats_variance",
-    "assign_unique_id",
-    "dedup_boilerplate_chunks",
-    "doc_chunk_windows",
-    "embedding_pca_project",
-    "events_attribution",
-    "events_cohort_retention",
-    "events_path_bigrams",
-    "events_tumbling_window",
-    "events_window_anomaly",
-    "having_nation_counts",
-    "join_scalar_subquery",
-    "key_based_sampling",
-    "limit_offset_sort",
-    "pack_sequences_greedy",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q1_pricing_summary",
-    "q20_excess_stock",
-    "sample_stratified_exact",
-    "select_distinct_segments",
-    "split_assign_hash",
-    "string_functions",
-    "table_format_bloom_index",
-    "table_format_merge_into",
-    "table_format_sequence_field",
-    "text_ngram_novelty",
-    "text_phrase_search",
-    "width_bucket_histogram",
-    "window_value_navigation",
-    # -- stalest ROUND-5 rows filling 50 (the r5 cohort starts rotating;
-    #    q3/q6/q9/dedup_exact/events_asof_join/table_format_changelog/agg_cube
-    #    moved to the round-9 rotation as round-8 entries landed — q1
-    #    anchors TPC-H, dedup_boilerplate_chunks anchors dedup,
-    #    events_attribution anchors events, table_format_merge_into
-    #    anchors the table format this round) --
-    "agg_approx_distinct",
-    "events_sessionization",
-    "knn_lsh_bucketed",
-    "setop_union_all",
+    # -- last driver-graded in ROUND 5 (all 46 remaining) -----------------
+    "agg_checksum",
+    "agg_collect_reduce",
+    "agg_cube",
+    "agg_distinct",
+    "agg_hll_sketch_merge",
+    "agg_minmax_by_n",
+    "agg_percentiles",
+    "case_when_bucketize",
+    "custom_functions_udf",
+    "datetime_functions",
+    "decontaminate_ngram_overlap",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "events_asof_join",
+    "events_hierarchical_rollup",
+    "events_interval_join",
+    "events_json_props",
+    "filter_in_like",
+    "join_semi_exists",
+    "knn_bruteforce_topk",
+    "knn_pq_adc",
+    "nested_struct_map_access",
+    "null_safe_comparison",
+    "q12_priority_shipmode",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q21_suppliers_kept_waiting",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "quantified_comparison",
+    "sample_bernoulli",
+    "table_format_changelog",
+    "table_format_dv_roundtrip",
+    "table_format_retraction_changelog",
+    "text_gopher_quality",
+    "text_langid_stopword_density",
+    "text_token_stats",
+    "try_cast_tolerant",
+    "unnest_word_counts",
+    "window_lag_delta",
+    "window_running_total",
+    "window_topn_per_nation",
+    # -- family anchor fill (stalest r6 set-op) ---------------------------
+    "setop_intersect",
 )
 
 

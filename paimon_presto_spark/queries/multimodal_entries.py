@@ -401,8 +401,8 @@ def _neardup_image_media(docs: DataFrame) -> DataFrame:
             FROM cells a JOIN cells b
               ON a.p = b.p AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
-            HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
-                   <= {PHASH_MAX_HAMMING}
+            HAVING CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                   AS BIGINT) <= {PHASH_MAX_HAMMING}
         ),
         edges AS (
             SELECT da, db FROM ham UNION ALL SELECT db AS da, da AS db FROM ham

@@ -463,9 +463,10 @@ def streaming_batch_parity_stream_static(
     the static side is a bounded dimension (broadcast per micro-batch;
     no state store, no watermark — the join holds no stream rows
     across batches, so memory is one micro-batch x one dimension
-    regardless of stream history). The aggregation downstream runs in
-    UPDATE mode over a key space bounded by |event_type| x |segment|,
-    and the batch comparison is the harness, run at test scale.
+    regardless of stream history). The downstream aggregation's key
+    space is bounded by |event_type| x |segment|; at test scale it runs
+    in COMPLETE mode on the memory sink (the production shape is UPDATE
+    mode into an upsert sink), and the batch comparison is the harness.
     """
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema

@@ -29,7 +29,9 @@ Requirements (validated, driver-side):
 - equal bucket counts;
 - the join keys are exactly each side's primary key columns, in pk
   order, with matching types (the bucket hash runs over the pk columns
-  in schema order; hashing int32 5 and int64 5 differs);
+  in primary-key order — the same order the write path at
+  ``table.py`` and the pushFilters prune hash use; hashing int32 5 and
+  int64 5 differs);
 - partition layouts align: both sides partition by the same join-key
   columns under the left_on<->right_on renaming, or neither side is
   partitioned (splits pair per (partition, bucket));
@@ -358,6 +360,27 @@ class ColocatedJoinDataSource(DataSource):
         return "paimon_colocated"
 
     def schema(self) -> str:
+        # Pin each side's snapshot at schema time (unless the caller
+        # already time-travels): the pin rides the existing
+        # ``<side>_snapshot`` option into the pickled DataSource, so
+        # reader() plans the EXACT snapshot the declared schema came
+        # from — a commit landing between schema() and reader() can no
+        # longer diverge the declared schema from the emitted batches,
+        # and reader() reuses the resolution instead of re-walking the
+        # snapshot directory.
+        for side in ("left", "right"):
+            pinned = any(
+                self.options.get(f"{side}_{k}") is not None
+                for k in ("snapshot", "tag", "as-of-timestamp-ms")
+            )
+            if not pinned:
+                snap = PaimonReader(
+                    _side_options(self.options, side)
+                )._snapshot()
+                if snap is not None:
+                    self.options[f"{side}_snapshot"] = str(
+                        snap["snapshot_id"]
+                    )
         lschema = _side_schema(self.options, "left")
         rschema = _side_schema(self.options, "right")
         lon = [c.strip() for c in self.options["left_on"].split(",")]

@@ -187,3 +187,37 @@ def test_emit_resume_rejects_changed_geometry(docs, catalog):
     r = emit_training_shards(docs, t, seq_len=8, n_shards=4,
                              shards_per_commit=1)
     assert r == {"shards_written": 2, "shards_skipped": 2, "n_commits": 2}
+
+
+def test_emit_resume_accepts_legacy_fingerprint(docs, catalog, monkeypatch):
+    """Tables emitted before the fingerprint learned the input column
+    names (round 9) must stay resumable: if the whole existing APPEND
+    chain carries the legacy col-less fingerprint, the resume adopts it
+    instead of raising 'different geometry'."""
+    import paimon_presto_spark.operators.emit as emit_mod
+
+    t = _mk_table(catalog)
+    kw = dict(seq_len=8, n_shards=4, shards_per_commit=2)
+
+    # emulate the pre-round-9 writer: fingerprints never include cols
+    real_fp = emit_mod._geometry_fingerprint
+
+    def legacy_fp(seq_len, vocab, n_shards, shards_per_commit, salt,
+                  eos_id, cols):
+        return real_fp(seq_len, vocab, n_shards, shards_per_commit, salt,
+                       eos_id, None)
+
+    monkeypatch.setattr(emit_mod, "_geometry_fingerprint", legacy_fp)
+    r1 = emit_mod.emit_training_shards(docs, t, max_commits=1, **kw)
+    assert r1["shards_written"] == 2
+    monkeypatch.undo()
+
+    # resume with the CURRENT code: must adopt the legacy key and finish
+    r2 = emit_mod.emit_training_shards(docs, t, **kw)
+    assert r2 == {"shards_written": 2, "shards_skipped": 2, "n_commits": 1}
+    # a genuinely different geometry still dies loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="different geometry"):
+        emit_mod.emit_training_shards(
+            docs, t, seq_len=16, n_shards=4, shards_per_commit=2
+        )

@@ -30,21 +30,21 @@ def test_priority_prefix_is_valid_and_broad():
     assert len(PRIORITY) == 50
     # Every operator family must be represented in the prefix. The prefix
     # ROTATES across rounds (so every entry eventually earns a driver-graded
-    # row); these anchors are the round-8 representatives of each family
-    # (the round-8 prefix is the round-8 additions + all 31 r4-last rows +
-    # the stalest r5-last rows filling 50).
+    # row); these anchors are the round-9 representatives of each family
+    # (the round-9 prefix is the 2 round-9 additions + the round-8 red row
+    # + all 46 r5-last rows + setop_intersect as the set-op family anchor).
     prefix = set(PRIORITY)
     for family_member in (
-        "table_format_merge_into",
-        "q1_pricing_summary",
-        "window_value_navigation",
-        "width_bucket_histogram",
-        "setop_union_all",
-        "join_scalar_subquery",
-        "events_attribution",
-        "dedup_boilerplate_chunks",
-        "knn_lsh_bucketed",
-        "text_ngram_novelty",
+        "table_format_changelog",
+        "q3_shipping_priority",
+        "window_topn_per_nation",
+        "agg_percentiles",
+        "setop_intersect",
+        "join_semi_exists",
+        "events_asof_join",
+        "dedup_image_phash",
+        "knn_bruteforce_topk",
+        "text_gopher_quality",
     ):
         assert family_member in prefix
 
