@@ -314,6 +314,27 @@ def main() -> None:
               "no join node in plan:", "Join" not in cj_plan,
               "| no exchange:", "Exchange" not in cj_plan)
 
+        # -- point lookup through the colocated join: pushFilters pins the
+        # bucket, so 1 of 4 splits is planned (fresh handle per query —
+        # see tests/test_pushdown_reuse.py for why)
+        k = t_a.to_df().agg(F.min("o_orderkey")).collect()[0][0]
+        lookup = colocated_join(spark, t_a, t_b, left_on="o_orderkey").filter(
+            F.col("o_orderkey") == k
+        )
+        print("colocated lookup ok:", lookup.count(), "row;",
+              "splits planned:", lookup.rdd.getNumPartitions(), "of 4")
+
+        # -- perceptual-hash image dedup: decode -> aHash -> banded
+        # Hamming pairs -> clusters -> keep best by quality
+        from paimon_presto_spark.queries.multimodal_entries import (
+            dedup_image_phash,
+        )
+
+        clusters = dedup_image_phash(spark, SF_DIR).collect()
+        print("image phash dedup ok:", len(clusters), "clusters;",
+              "largest keeps doc",
+              max(clusters, key=lambda r: r["cluster_size"])["kept_doc_id"])
+
         print("quickstart complete.")
     finally:
         shutil.rmtree(wh, ignore_errors=True)

@@ -1397,14 +1397,14 @@ def tfidf_cosine_pairs(
     a = rare.select(F.col("doc_id").alias("doc_a"), "t", F.col("wt").alias("wa"))
     b = rare.select(F.col("doc_id").alias("doc_b"), "t", F.col("wt").alias("wb"))
     if prefix_filter == "auto":
-        # estimated naive candidate volume = sum of df^2 over the capped
-        # vocabulary — an aggregate over the (cached-lineage) term table,
-        # never over the corpus
-        est = (
-            df_t.filter(F.col("df") <= max_df)
-            .agg(F.sum(F.col("df").cast("long") * F.col("df")))
-            .collect()[0][0]
-        )
+        # estimated naive candidate volume = Σ df² over the capped
+        # vocabulary. Computed as Σ df over the CAPPED ROWS of the
+        # cached `weighted` table (term t contributes df rows, each
+        # carrying df, so the row-sum IS Σ df²) — one aggregate over an
+        # in-memory cache, never a lineage recompute: the previous
+        # df_t-based estimate re-ran the full tokenize/tf pipeline and
+        # cost ~1 s at sf0.1, more than the decision could save.
+        est = rare.agg(F.sum(F.col("df").cast("long"))).collect()[0][0]
         prefix_filter = bool(est is not None and est > _PREFIX_FILTER_AUTO)
     if prefix_filter:
         # normalized weights u = wt / full-norm, term ceiling maxu(t),

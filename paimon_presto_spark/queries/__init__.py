@@ -65,7 +65,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Cohort membership comes from the CORRECTNESS_r0N.json artifacts (an
 # entry's latest round with a recorded row), not from past PRIORITY lists.
 # Everything outside the prefix is still verified by the local gate
-# (tools/check_correctness.py) every session.
+# (tools/check_correctness.py) every session. dedup_tfidf_cosine_prefix
+# (the round-9 forced-engagement twin, added after the prefix filled)
+# shares its oracle SQL with the graded headline entry and waits for the
+# round-10 rotation; the prefix machinery is additionally property-tested
+# bit-identical to the naive path at 3 thresholds.
 PRIORITY: tuple[str, ...] = (
     # -- NEW this round (never graded) -----------------------------------
     "dedup_image_phash",

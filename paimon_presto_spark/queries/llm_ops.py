@@ -1532,9 +1532,8 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("contained", "container")
 
 
-@register(
-    "dedup_tfidf_cosine",
-    oracle="""
+#: shared by the adaptive headline entry and its forced-engagement twin
+_TFIDF_COSINE_ORACLE = """
         WITH words AS (
             SELECT doc_id,
                    CAST('0x' || substr(md5(u.w), 1, 15) AS BIGINT) AS t
@@ -1580,7 +1579,12 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nrm nb ON nb.doc_id = d.doc_b
         WHERE d.dot / (na.nrm * nb.nrm) >= 0.25
         ORDER BY d.doc_a, d.doc_b
-    """,
+"""
+
+
+@register(
+    "dedup_tfidf_cosine",
+    oracle=_TFIDF_COSINE_ORACLE,
     tags=("dedup", "tfidf", "cosine", "apss", "weighted"),
 )
 def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1601,10 +1605,41 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paimon_presto_spark.operators.dedup import tfidf_cosine_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    # prefix filtering FORCED so the Bayardo index-reduction path stays
-    # oracle-gated at test scale (production's "auto" default engages it
-    # only past the 20M-candidate estimate — the forced-engagement-twin
-    # rule from agg_weighted_quartiles)
+    # prefix_filter="auto": the production default (round-9 verdict #6 —
+    # the adaptive-engagement pattern that fixed weighted-median). The
+    # engagement estimate Σ df² is one aggregate over the operator's
+    # already-cached weighted table (free at any scale); small corpora
+    # keep the cheap one-join path, big ones get the Bayardo armor. The
+    # forced-engagement twin dedup_tfidf_cosine_prefix keeps the prefix
+    # path itself under the oracle gate.
+    out = tfidf_cosine_pairs(docs, threshold=0.25, prefix_filter="auto")
+    return out.select(
+        "doc_a", "doc_b",
+        F.round("cosine", 6).alias("cosine"),
+        "n_shared",
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_tfidf_cosine_prefix",
+    oracle=_TFIDF_COSINE_ORACLE,
+    tags=("dedup", "tfidf", "cosine", "apss", "prefix-filter", "twin"),
+)
+def dedup_tfidf_cosine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forced-engagement twin of ``dedup_tfidf_cosine``: the EXACT
+    Bayardo/PPJoin prefix-filtered path (suffix-potential indexing over
+    the global (maxu DESC, t ASC) term order, prefix-prefix candidate
+    join, exact-dot verify), forced ON regardless of the corpus-size
+    estimate so the index-reduction machinery stays oracle-gated at test
+    scale — the same twin rule as agg_weighted_quartiles for the
+    decomposition path. The oracle is the SHARED naive replay: prefix
+    filtering is output-invariant by theorem (WWW'07), so both entries
+    hash against the identical SQL, and a prefix bug that drops or
+    over-admits one candidate pair fails THIS entry's gate while the
+    adaptive headline entry keeps benching the production default."""
+    from paimon_presto_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
     out = tfidf_cosine_pairs(docs, threshold=0.25, prefix_filter=True)
     return out.select(
         "doc_a", "doc_b",
