@@ -421,6 +421,12 @@ SCALE_EXPECTED_BNLJ = {
     # the final iteration's single-row dangling-mass scalar (earlier
     # iterations are behind localCheckpoint lineage cuts)
     "graph_pagerank_tokens": 1,
+    # the exact-cosine ground-truth side of the nDCG audit broadcasts the
+    # bounded |Q| query panel (5 vectors) against the corpus scan — the
+    # same declared class as knn_lsh_recall's exhaustive baseline; every
+    # recall/ranking audit pays this scan by definition, and at 100 TB
+    # the panel stays a sampled constant while the scan parallelizes
+    "retrieval_ndcg_eval": 1,
 }
 
 #: Entries whose sf1 executed plan must contain NO join node of any kind
