@@ -940,10 +940,30 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
     for name in SCALE_QUERIES:
         t0 = time.perf_counter()
         try:
-            runners[name](spark, sf1_dir).collect()
+            df = runners[name](spark, sf1_dir)
+            df.collect()
             result["queries"][name] = round(time.perf_counter() - t0, 3)
+            if name in SCALE_EXPECTED_NO_JOIN:
+                # Capture the no-join assertion from the TIMED pass's
+                # DataFrame: these entries build scratch tables eagerly
+                # inside the call, so re-invoking them in the plan loop
+                # below would pay the full sf1 write cost a second time —
+                # and a join-free plan can't be changed by the
+                # auto-broadcast toggle that motivates that loop.
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                result["plans"][name] = {
+                    "broadcast_nested_loop": plan.count(
+                        "BroadcastNestedLoopJoin"
+                    ),
+                    "cartesian": plan.count("CartesianProduct"),
+                    "join_nodes": plan.count("Join"),
+                }
         except Exception as exc:
             result["queries"][name] = f"ERROR {type(exc).__name__}: {exc}"[:200]
+            if name in SCALE_EXPECTED_NO_JOIN:
+                result["plans"][name] = (
+                    f"ERROR {type(exc).__name__}: {exc}"[:200]
+                )
         spark.catalog.clearCache()
 
     # Plan-shape check with auto-broadcast disabled: at 100 TB nothing
@@ -956,6 +976,8 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         for name in SCALE_QUERIES:
+            if name in SCALE_EXPECTED_NO_JOIN:
+                continue  # plan captured from the timed pass above
             if name in (
                 "pipeline_curate_corpus",
                 "embedding_pca_project",
@@ -994,11 +1016,16 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
         result["stored_ann_plans"] = {}
 
     violations = sum(
-        abs(p["broadcast_nested_loop"] - SCALE_EXPECTED_BNLJ.get(n, 0))
-        + p["cartesian"]
-        + p.get("join_nodes", 0)
-        for n, p in result["plans"].items()
+        (
+            abs(p["broadcast_nested_loop"] - SCALE_EXPECTED_BNLJ.get(n, 0))
+            + p["cartesian"]
+            + p.get("join_nodes", 0)
+        )
         if isinstance(p, dict)
+        # an unrenderable plan is an UNVERIFIED gate, not a pass: count
+        # it as a violation so an errored entry can't exit green
+        else 1
+        for n, p in result["plans"].items()
     )
     for n, p in result["stored_ann_plans"].items():
         exp = STORED_PROBE_EXPECT[n]

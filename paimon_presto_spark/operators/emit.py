@@ -226,47 +226,54 @@ def emit_training_shards(
         list(range(i, min(i + shards_per_commit, n_shards)))
         for i in range(0, n_shards, shards_per_commit)
     ]
+    cols = (doc_id_col, source_col, text_col)
     fp = _geometry_fingerprint(
         seq_len, vocab, n_shards, shards_per_commit, shard_salt, eos_id,
-        (doc_id_col, source_col, text_col),
+        cols,
     )
+    # ONE metadata walk serves both the legacy-adoption check and the
+    # resume point (each table.snapshot(sid) is a file read).
+    chain = [
+        s.commit_identifier
+        for sid in table.snapshot_ids()
+        if (s := table.snapshot(sid)) is not None
+        and s.commit_kind == "APPEND"
+    ]
     # Legacy compat: tables emitted before the fingerprint learned the
-    # input column names carry the col-less key. If the table's existing
-    # APPEND chain was committed entirely under that legacy fingerprint,
-    # keep using it for this table — validation and new commits alike —
-    # so pre-change tables stay resumable (for them the column names
-    # were never part of the contract; new tables get the richer key).
+    # input column names carry the col-less key. Adopt it — validation
+    # and new commits alike — ONLY when (a) the whole existing APPEND
+    # chain was committed under it and (b) this resume uses the DEFAULT
+    # column triple: for a default-col resume the legacy key proves the
+    # same thing the richer key would, while a custom-col resume against
+    # a col-less chain is UNVERIFIABLE (the old writer never recorded
+    # which columns it packed) and must fail closed rather than silently
+    # append sequences packed from different columns.
     fp_legacy = _geometry_fingerprint(
         seq_len, vocab, n_shards, shards_per_commit, shard_salt, eos_id,
         None,
     )
-    if fp_legacy != fp:
-        chain = [
-            s.commit_identifier & 0xFFFFFFFF
-            for sid in table.snapshot_ids()
-            if (s := table.snapshot(sid)) is not None
-            and s.commit_kind == "APPEND"
-        ]
-        if chain and all(x == fp_legacy for x in chain):
-            fp = fp_legacy
+    if (
+        fp_legacy != fp
+        and cols == ("doc_id", "source", "text")
+        and chain
+        and all((c & 0xFFFFFFFF) == fp_legacy for c in chain)
+    ):
+        fp = fp_legacy
     # resume point: max APPEND commit identifier across the snapshot
     # chain (metadata-only; COMPACT/auto-compaction snapshots carry the
     # default identifier but a different kind, so they never count).
     # identifier = group_index << 32 | geometry fingerprint — monotone
     # within one geometry, and a geometry change is detected, not guessed.
     done = 0
-    for sid in table.snapshot_ids():
-        s = table.snapshot(sid)
-        if s is None or s.commit_kind != "APPEND":
-            continue
-        if (s.commit_identifier & 0xFFFFFFFF) != fp:
+    for ident in chain:
+        if (ident & 0xFFFFFFFF) != fp:
             raise ValueError(
                 "emit_training_shards: table was emitted with a different "
                 "geometry (seq_len/vocab/n_shards/shards_per_commit/"
                 "shard_salt/eos_id/input columns); resume with the "
                 "original parameters or emit into a fresh table"
             )
-        done = max(done, s.commit_identifier >> 32)
+        done = max(done, ident >> 32)
     done = min(done, len(all_groups))
     groups = all_groups[done:]
     if max_commits is not None:

@@ -221,3 +221,33 @@ def test_emit_resume_accepts_legacy_fingerprint(docs, catalog, monkeypatch):
         emit_mod.emit_training_shards(
             docs, t, seq_len=16, n_shards=4, shards_per_commit=2
         )
+
+
+def test_emit_legacy_adoption_refuses_custom_columns(
+    docs, catalog, monkeypatch
+):
+    """A col-less legacy chain is UNVERIFIABLE for a custom-column
+    resume (the old writer never recorded which columns it packed), so
+    adoption is limited to the default column triple — a custom-col
+    resume must fail closed instead of silently appending sequences
+    packed from different columns."""
+    import pytest as _pytest
+
+    import paimon_presto_spark.operators.emit as emit_mod
+
+    t = _mk_table(catalog)
+    kw = dict(seq_len=8, n_shards=4, shards_per_commit=2)
+    real_fp = emit_mod._geometry_fingerprint
+
+    def legacy_fp(seq_len, vocab, n_shards, shards_per_commit, salt,
+                  eos_id, cols):
+        return real_fp(seq_len, vocab, n_shards, shards_per_commit, salt,
+                       eos_id, None)
+
+    monkeypatch.setattr(emit_mod, "_geometry_fingerprint", legacy_fp)
+    emit_mod.emit_training_shards(docs, t, max_commits=1, **kw)
+    monkeypatch.undo()
+
+    docs2 = docs.withColumnRenamed("text", "body")
+    with _pytest.raises(ValueError, match="different geometry"):
+        emit_mod.emit_training_shards(docs2, t, text_col="body", **kw)
