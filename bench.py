@@ -397,6 +397,11 @@ SCALE_QUERIES = [
     "join_bucket_colocated",
     "retrieval_ndcg_eval",
     "relational_recursive_cte",
+    # round 9: the chunk-banded Hamming pair machinery now backs TWO
+    # dedup families (text SimHash + image perceptual hash share
+    # hamming_banded_pairs) — the text entry carries it into the stress:
+    # banded equi-joins only, no all-pairs, at 10x the corpus.
+    "dedup_simhash",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
