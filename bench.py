@@ -399,8 +399,10 @@ SCALE_QUERIES = [
     "relational_recursive_cte",
     # round 9: the chunk-banded Hamming pair machinery now backs TWO
     # dedup families (text SimHash + image perceptual hash share
-    # hamming_banded_pairs) — the text entry carries it into the stress:
-    # banded equi-joins only, no all-pairs, at 10x the corpus.
+    # hamming_banded_pairs). The registry entry only clusters exact
+    # signature collisions, so the stress runs the RETUNED
+    # _simhash_banded_sf1 (simhash_pairs → hamming_banded_pairs at
+    # 48 bits / 4 chunks): banded equi-joins only, no all-pairs, at 10x.
     "dedup_simhash",
 ]
 
@@ -736,6 +738,30 @@ def _ivf_pq_append_sf1(spark, sf1_dir: str):
     ).orderBy("q_id", "rnk")
 
 
+def _simhash_banded_sf1(spark, sf1_dir: str):
+    """dedup_simhash retuned for sf1 to drive the BANDED path: the
+    registry entry clusters on exact signature collisions (one groupBy,
+    no join — trivially scale-safe), but the machinery the stress must
+    police is ``simhash_pairs`` → ``hamming_banded_pairs``, now backing
+    both text SimHash and image perceptual-hash dedup. At 10x the corpus
+    the signature widens to 48 bits / 4 chunks (12-bit chunk values →
+    4096 buckets per chunk position) so per-bucket populations stay
+    ~dozen-doc sized — the width-vs-corpus tuning a 100 TB run makes;
+    8-bit chunks at this scale would pool hundreds of docs per bucket.
+    Output is aggregated per doc (count + min hamming) so the driver
+    never ships raw pairs."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    pairs = simhash_pairs(docs, bits=48, max_hamming=2, chunks=4)
+    return pairs.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("hamming").alias("min_hamming"),
+    )
+
+
 def _tfidf_cosine_sf1(spark, sf1_dir: str):
     """dedup_tfidf_cosine retuned for the synthesized sf1 corpus. The
     shared sf1 build decorrelates replicas at the SHINGLE level
@@ -914,6 +940,7 @@ def _scale_runners(qs) -> dict:
         "agg_weighted_median": _weighted_median_sf1,
         "knn_ivf_pq_append": _ivf_pq_append_sf1,
         "dedup_tfidf_cosine": _tfidf_cosine_sf1,
+        "dedup_simhash": _simhash_banded_sf1,
     }
     return {
         name: retuned[name] if name in retuned else qs[name]
@@ -948,13 +975,21 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
             df = runners[name](spark, sf1_dir)
             df.collect()
             result["queries"][name] = round(time.perf_counter() - t0, 3)
-            if name in SCALE_EXPECTED_NO_JOIN:
-                # Capture the no-join assertion from the TIMED pass's
-                # DataFrame: these entries build scratch tables eagerly
-                # inside the call, so re-invoking them in the plan loop
-                # below would pay the full sf1 write cost a second time —
-                # and a join-free plan can't be changed by the
-                # auto-broadcast toggle that motivates that loop.
+        except Exception as exc:
+            result["queries"][name] = f"ERROR {type(exc).__name__}: {exc}"[:200]
+            df = None
+        if name in SCALE_EXPECTED_NO_JOIN:
+            # Capture the no-join assertion from the TIMED pass's
+            # DataFrame: these entries build scratch tables eagerly
+            # inside the call, so re-invoking them in the plan loop
+            # below would pay the full sf1 write cost a second time —
+            # and a join-free plan can't be changed by the
+            # auto-broadcast toggle that motivates that loop. Its OWN
+            # try: a plan-render hiccup must record a plan error (which
+            # counts as a violation), never clobber a valid timing.
+            try:
+                if df is None:
+                    raise RuntimeError("query errored; no plan to render")
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 result["plans"][name] = {
                     "broadcast_nested_loop": plan.count(
@@ -963,9 +998,7 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
                     "cartesian": plan.count("CartesianProduct"),
                     "join_nodes": plan.count("Join"),
                 }
-        except Exception as exc:
-            result["queries"][name] = f"ERROR {type(exc).__name__}: {exc}"[:200]
-            if name in SCALE_EXPECTED_NO_JOIN:
+            except Exception as exc:
                 result["plans"][name] = (
                     f"ERROR {type(exc).__name__}: {exc}"[:200]
                 )
@@ -1003,8 +1036,6 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
                     "broadcast_nested_loop": plan.count("BroadcastNestedLoopJoin"),
                     "cartesian": plan.count("CartesianProduct"),
                 }
-                if name in SCALE_EXPECTED_NO_JOIN:
-                    result["plans"][name]["join_nodes"] = plan.count("Join")
             except Exception as exc:
                 result["plans"][name] = f"ERROR {type(exc).__name__}: {exc}"[:200]
     finally:

@@ -252,12 +252,10 @@ def emit_training_shards(
         seq_len, vocab, n_shards, shards_per_commit, shard_salt, eos_id,
         None,
     )
-    if (
-        fp_legacy != fp
-        and cols == ("doc_id", "source", "text")
-        and chain
-        and all((c & 0xFFFFFFFF) == fp_legacy for c in chain)
-    ):
+    legacy_chain = bool(chain) and all(
+        (c & 0xFFFFFFFF) == fp_legacy for c in chain
+    )
+    if fp_legacy != fp and legacy_chain and cols == ("doc_id", "source", "text"):
         fp = fp_legacy
     # resume point: max APPEND commit identifier across the snapshot
     # chain (metadata-only; COMPACT/auto-compaction snapshots carry the
@@ -267,6 +265,22 @@ def emit_training_shards(
     done = 0
     for ident in chain:
         if (ident & 0xFFFFFFFF) != fp:
+            if legacy_chain and fp != fp_legacy:
+                # not a geometry mismatch: the chain predates the
+                # column-aware fingerprint and this resume uses custom
+                # columns, which the old writer never recorded — there
+                # is nothing to validate against, so say THAT instead of
+                # sending the caller in circles over parameters that are
+                # already correct.
+                raise ValueError(
+                    "emit_training_shards: this table was emitted by a "
+                    "pre-column-fingerprint writer, which did not record "
+                    "the input columns; a resume with non-default "
+                    "doc_id/source/text columns cannot be validated "
+                    "against it. Emit into a fresh table (or resume with "
+                    "the default column names if those are what the "
+                    "original emit actually used)."
+                )
             raise ValueError(
                 "emit_training_shards: table was emitted with a different "
                 "geometry (seq_len/vocab/n_shards/shards_per_commit/"

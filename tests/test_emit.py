@@ -249,5 +249,5 @@ def test_emit_legacy_adoption_refuses_custom_columns(
     monkeypatch.undo()
 
     docs2 = docs.withColumnRenamed("text", "body")
-    with _pytest.raises(ValueError, match="different geometry"):
+    with _pytest.raises(ValueError, match="pre-column-fingerprint"):
         emit_mod.emit_training_shards(docs2, t, text_col="body", **kw)
