@@ -57,23 +57,22 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # fixed count (each round so far recorded exactly the first 50). The prefix
 # is ROTATED each round so every registry entry eventually earns a
 # driver-graded row; every entry has had a green driver row since round 4.
-# Round-9 policy is pure staleness rotation, same as rounds 5-8: the 2
-# entries ADDED this round + the one round-8 RED row (join_bucket_colocated,
-# an env-conf failure fixed this round - it must re-earn a green driver row)
-# + ALL 46 rows whose most recent driver grade is round 5 + setop_intersect
-# (the set-operation family anchor; no set-op sits in the r5 cohort) = 50.
-# Cohort membership comes from the CORRECTNESS_r0N.json artifacts (an
-# entry's latest round with a recorded row), not from past PRIORITY lists.
-# Everything outside the prefix is still verified by the local gate
-# (tools/check_correctness.py) every session. dedup_tfidf_cosine_prefix
-# (the round-9 forced-engagement twin, added after the prefix filled)
-# shares its oracle SQL with the graded headline entry and waits for the
-# round-10 rotation; the prefix machinery is additionally property-tested
-# bit-identical to the naive path at 3 thresholds.
+# Round-9 policy is pure staleness rotation, same as rounds 5-8: the 3
+# entries ADDED this round (every new entry earns its driver row in its
+# own round — the standing rule) + the one round-8 RED row
+# (join_bucket_colocated, an env-conf failure fixed this round — it must
+# re-earn a green driver row) + ALL 46 rows whose most recent driver
+# grade is round 5 = 50 exactly. Cohort membership comes from the
+# CORRECTNESS_r0N.json artifacts (an entry's latest round with a
+# recorded row), not from past PRIORITY lists. Everything outside the
+# prefix is still verified by the local gate (tools/check_correctness.py)
+# every session. No set-operation row sits in this prefix (none is r5-
+# stale); the family is regraded with the r6 cohort in round 10.
 PRIORITY: tuple[str, ...] = (
     # -- NEW this round (never graded) -----------------------------------
     "dedup_image_phash",
     "join_bucket_colocated_lookup",
+    "dedup_tfidf_cosine_prefix",
     # -- round-8 red row, conf-propagation fix must be re-graded ----------
     "join_bucket_colocated",
     # -- last driver-graded in ROUND 5 (all 46 remaining) -----------------
@@ -123,8 +122,6 @@ PRIORITY: tuple[str, ...] = (
     "window_lag_delta",
     "window_running_total",
     "window_topn_per_nation",
-    # -- family anchor fill (stalest r6 set-op) ---------------------------
-    "setop_intersect",
 )
 
 

@@ -28,21 +28,23 @@ def test_priority_prefix_is_valid_and_broad():
     names = list(qs)
     assert names[: len(PRIORITY)] == list(PRIORITY)
     assert len(PRIORITY) == 50
-    # Every operator family must be represented in the prefix. The prefix
-    # ROTATES across rounds (so every entry eventually earns a driver-graded
-    # row); these anchors are the round-9 representatives of each family
-    # (the round-9 prefix is the 2 round-9 additions + the round-8 red row
-    # + all 46 r5-last rows + setop_intersect as the set-op family anchor).
+    # Every operator family present in the rotating cohort must be
+    # represented in the prefix. The prefix ROTATES across rounds (so
+    # every entry eventually earns a driver-graded row); these anchors
+    # are the round-9 representatives (the round-9 prefix is the 3
+    # round-9 additions + the round-8 red row + all 46 r5-last rows; no
+    # set-op row is r5-stale, so that family regrades with the r6 cohort
+    # in round 10).
     prefix = set(PRIORITY)
     for family_member in (
         "table_format_changelog",
         "q3_shipping_priority",
         "window_topn_per_nation",
         "agg_percentiles",
-        "setop_intersect",
         "join_semi_exists",
         "events_asof_join",
         "dedup_image_phash",
+        "dedup_tfidf_cosine_prefix",
         "knn_bruteforce_topk",
         "text_gopher_quality",
     ):
