@@ -85,3 +85,60 @@ def test_colocated_equals_spark_join(spark, tmp_path_factory, case):
     else:
         exp = sorted((k, k + 1000, rstate.get(k)) for k in lkeys)
     assert got == exp
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    case=st.tuples(
+        st.sampled_from([2, 4, 8]),                        # bucket count
+        st.sets(st.integers(0, 60), min_size=3, max_size=20),  # keys
+        st.integers(0, 60),                                # probe key
+    )
+)
+def test_pinned_lookup_equals_filter_and_plans_one_split(
+    spark, tmp_path_factory, case
+):
+    """For ANY bucket count and key universe, a key-equality probe
+    through the colocated join (a) plans exactly ONE split and (b)
+    returns exactly the rows the unpruned join filtered to that key —
+    whether or not the probe key exists on either side. Fresh handle per
+    query (tests/test_pushdown_reuse.py explains why)."""
+    from paimon_presto_spark.catalog import Catalog
+
+    buckets, keys, probe = case
+    n = next(_seq)
+    wh = str(tmp_path_factory.mktemp(f"coloc_pin_{n}"))
+    cat = Catalog(spark, wh)
+    cat.create_database("p")
+    left = spark.createDataFrame(
+        [(k, k + 1000) for k in sorted(keys)], "k bigint, lv bigint"
+    )
+    right = spark.createDataFrame(
+        [(k, k + 2000) for k in sorted(keys) if k % 2 == 0],
+        "k bigint, rv bigint",
+    )
+    tl = cat.create_table(
+        "p", "pl", "k bigint, lv bigint", primary_keys=["k"],
+        options={"bucket": str(buckets)},
+    )
+    tl.upsert(left)
+    tr = cat.create_table(
+        "p", "pr", "k bigint, rv bigint", primary_keys=["k"],
+        options={"bucket": str(buckets)},
+    )
+    tr.upsert(right)
+
+    def j():
+        return colocated_join(spark, tl, tr, left_on="k", how="left")
+
+    pinned = j().filter(F.col("k") == probe)
+    assert pinned.rdd.getNumPartitions() == 1
+    got = sorted(tuple(r) for r in pinned.collect())
+    exp = sorted(
+        tuple(r) for r in j().collect() if r["k"] == probe
+    )
+    assert got == exp
