@@ -57,71 +57,68 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # fixed count (each round so far recorded exactly the first 50). The prefix
 # is ROTATED each round so every registry entry eventually earns a
 # driver-graded row; every entry has had a green driver row since round 4.
-# Round-9 policy is pure staleness rotation, same as rounds 5-8: the 3
-# entries ADDED this round (every new entry earns its driver row in its
-# own round — the standing rule) + the one round-8 RED row
-# (join_bucket_colocated, an env-conf failure fixed this round — it must
-# re-earn a green driver row) + ALL 46 rows whose most recent driver
-# grade is round 5 = 50 exactly. Cohort membership comes from the
-# CORRECTNESS_r0N.json artifacts (an entry's latest round with a
-# recorded row), not from past PRIORITY lists. Everything outside the
-# prefix is still verified by the local gate (tools/check_correctness.py)
-# every session. No set-operation row sits in this prefix (none is r5-
-# stale); the family is regraded with the r6 cohort in round 10.
+# Round-10 policy is pure staleness rotation, same as rounds 5-9: ALL 50
+# rows whose most recent driver grade is round 6 (computed from the
+# CORRECTNESS_r0N.json artifacts — an entry's latest round with a
+# recorded row, not past PRIORITY lists) fill the prefix exactly. This
+# cohort includes the whole set-operation family (setop_intersect here;
+# union_all/except were regraded r8/r7) per the round-9 plan. Any entry
+# ADDED in round 10 enters the prefix in the same commit (the standing
+# new-entry rule) and displaces the tail r6 row(s) to round 11.
+# Everything outside the prefix is still verified by the local gate
+# (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
-    # -- NEW this round (never graded) -----------------------------------
-    "dedup_image_phash",
-    "join_bucket_colocated_lookup",
-    "dedup_tfidf_cosine_prefix",
-    # -- round-8 red row, conf-propagation fix must be re-graded ----------
-    "join_bucket_colocated",
-    # -- last driver-graded in ROUND 5 (all 46 remaining) -----------------
-    "agg_checksum",
-    "agg_collect_reduce",
-    "agg_cube",
-    "agg_distinct",
-    "agg_hll_sketch_merge",
-    "agg_minmax_by_n",
-    "agg_percentiles",
-    "case_when_bucketize",
-    "custom_functions_udf",
-    "datetime_functions",
-    "decontaminate_ngram_overlap",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "events_asof_join",
-    "events_hierarchical_rollup",
-    "events_interval_join",
-    "events_json_props",
-    "filter_in_like",
-    "join_semi_exists",
-    "knn_bruteforce_topk",
-    "knn_pq_adc",
-    "nested_struct_map_access",
-    "null_safe_comparison",
-    "q12_priority_shipmode",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q21_suppliers_kept_waiting",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q9_product_profit",
-    "quantified_comparison",
-    "sample_bernoulli",
-    "table_format_changelog",
-    "table_format_dv_roundtrip",
-    "table_format_retraction_changelog",
-    "text_gopher_quality",
-    "text_langid_stopword_density",
-    "text_token_stats",
-    "try_cast_tolerant",
-    "unnest_word_counts",
-    "window_lag_delta",
-    "window_running_total",
-    "window_topn_per_nation",
+    # -- last driver-graded in ROUND 6 (all 50; oldest-first rotation) ----
+    "agg_corr_manual",
+    "agg_exact_percentiles",
+    "agg_filtered_bool",
+    "agg_grouping_sets",
+    "agg_two_phase_skew",
+    "agg_weighted_median",
+    "array_lambda_functions",
+    "array_subscript_embeddings",
+    "bitwise_functions",
+    "decontaminate_bloom",
+    "dedup_embedding_lsh",
+    "dedup_exact_substring",
+    "dedup_intra_doc_chunks",
+    "dedup_keep_best_in_cluster",
+    "dedup_minhash_incremental",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "events_interval_join_outer",
+    "join_full_outer",
+    "join_salted_skew",
+    "knn_ivf_pq_adc",
+    "knn_ivf_probe",
+    "knn_matryoshka_recall",
+    "map_functions",
+    "mix_domain_reweight",
+    "multimodal_binary_stats",
+    "pipeline_curate_corpus",
+    "q11_important_stock",
+    "q17_small_quantity",
+    "sample_dsir_importance",
+    "sample_priority_weighted",
+    "sample_temperature",
+    "scalar_misc_semantics",
+    "setop_intersect",
+    "streaming_batch_parity_dedup",
+    "string_advanced_functions",
+    "table_format_aggregation",
+    "table_format_avro_roundtrip",
+    "table_format_partial_update",
+    "text_bigram_perplexity",
+    "text_bm25_topk",
+    "text_bpe_token_stats",
+    "text_quality_filter",
+    "text_quality_logreg",
+    "text_tfidf_topk",
+    "text_unigram_logprob",
+    "window_rank_variants",
 )
 
 

@@ -31,22 +31,23 @@ def test_priority_prefix_is_valid_and_broad():
     # Every operator family present in the rotating cohort must be
     # represented in the prefix. The prefix ROTATES across rounds (so
     # every entry eventually earns a driver-graded row); these anchors
-    # are the round-9 representatives (the round-9 prefix is the 3
-    # round-9 additions + the round-8 red row + all 46 r5-last rows; no
-    # set-op row is r5-stale, so that family regrades with the r6 cohort
-    # in round 10).
+    # are the round-10 representatives (the round-10 prefix is the r6
+    # cohort — all rows whose latest driver grade is round 6 — with any
+    # round-10 additions displacing the tail rows to round 11; this
+    # cohort carries the set-op family's regrade via setop_intersect).
     prefix = set(PRIORITY)
     for family_member in (
-        "table_format_changelog",
-        "q3_shipping_priority",
-        "window_topn_per_nation",
-        "agg_percentiles",
-        "join_semi_exists",
-        "events_asof_join",
-        "dedup_image_phash",
-        "dedup_tfidf_cosine_prefix",
-        "knn_bruteforce_topk",
-        "text_gopher_quality",
+        "table_format_avro_roundtrip",
+        "q11_important_stock",
+        "window_rank_variants",
+        "agg_exact_percentiles",
+        "join_full_outer",
+        "events_interval_join_outer",
+        "dedup_simhash",
+        "setop_intersect",
+        "knn_ivf_probe",
+        "text_bm25_topk",
+        "streaming_batch_parity_dedup",
     ):
         assert family_member in prefix
 
