@@ -440,8 +440,15 @@ SCALE_EXPECTED_BNLJ = {
 #: (and therefore no join exchange): the colocated bucket join executes
 #: INSIDE per-bucket scan tasks, so the only legitimate plan nodes above
 #: the scan are the final rollup's aggregation + its one exchange. Any
-#: "*Join" substring in the plan means the zero-shuffle contract broke.
+#: "*Join" plan node means the zero-shuffle contract broke.
 SCALE_EXPECTED_NO_JOIN = {"join_bucket_colocated"}
+
+#: Exchange budget for the no-join entries (counted on the AQE final
+#: plan only): the colocated join itself is exchange-free (co-located
+#: bucket files merge inside scan tasks); the allowed Exchanges are the
+#: final per-priority rollup's aggregation shuffle plus the ORDER BY's
+#: range partitioning = 2. Anything above counts as a plan violation.
+SCALE_NO_JOIN_EXCHANGE_BUDGET = {"join_bucket_colocated": 2}
 
 #: Probe-ONLY plan expectations for the stored-ANN split (asserted in
 #: the sf1 stress alongside SCALE_EXPECTED_BNLJ): the stored side must
@@ -991,12 +998,30 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
                 if df is None:
                     raise RuntimeError("query errored; no plan to render")
                 plan = df._jdf.queryExecution().executedPlan().toString()
+                # AQE renders BOTH "== Final Plan ==" and "== Initial
+                # Plan ==" into one string; count only the final section
+                # or every node double-counts. Whole node names only
+                # (\b\w*Join\b), not a raw substring count: a future plan
+                # comment or field named "...Join..." must not
+                # false-positive the gate. The zero-shuffle contract is
+                # also exchange-free for the JOIN itself — the budget
+                # admits only the final rollup's aggregation shuffle and
+                # the ORDER BY's range partitioning; any Exchange beyond
+                # that is a violation too.
+                final_plan = plan.split("== Initial Plan ==")[0]
                 result["plans"][name] = {
-                    "broadcast_nested_loop": plan.count(
+                    "broadcast_nested_loop": final_plan.count(
                         "BroadcastNestedLoopJoin"
                     ),
-                    "cartesian": plan.count("CartesianProduct"),
-                    "join_nodes": plan.count("Join"),
+                    "cartesian": final_plan.count("CartesianProduct"),
+                    "join_nodes": len(
+                        re.findall(r"\b\w*Join\b", final_plan)
+                    ),
+                    "excess_exchanges": max(
+                        0,
+                        len(re.findall(r"\bExchange\b", final_plan))
+                        - SCALE_NO_JOIN_EXCHANGE_BUDGET[name],
+                    ),
                 }
             except Exception as exc:
                 result["plans"][name] = (
@@ -1056,6 +1081,7 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
             abs(p["broadcast_nested_loop"] - SCALE_EXPECTED_BNLJ.get(n, 0))
             + p["cartesian"]
             + p.get("join_nodes", 0)
+            + p.get("excess_exchanges", 0)
         )
         if isinstance(p, dict)
         # an unrenderable plan is an UNVERIFIED gate, not a pass: count

@@ -243,11 +243,16 @@ def emit_training_shards(
     # input column names carry the col-less key. Adopt it — validation
     # and new commits alike — ONLY when (a) the whole existing APPEND
     # chain was committed under it and (b) this resume uses the DEFAULT
-    # column triple: for a default-col resume the legacy key proves the
-    # same thing the richer key would, while a custom-col resume against
-    # a col-less chain is UNVERIFIABLE (the old writer never recorded
-    # which columns it packed) and must fail closed rather than silently
-    # append sequences packed from different columns.
+    # column triple. A custom-col resume against a col-less chain is
+    # UNVERIFIABLE (the old writer never recorded which columns it
+    # packed) and fails closed below. RESIDUAL RISK, asymmetric by
+    # design: the legacy key cannot prove the old writer used the
+    # default columns either — a col-less chain emitted from CUSTOM
+    # columns is silently adopted by a default-col resume (the only
+    # direction the old metadata cannot distinguish). We warn instead of
+    # failing because pre-column-fingerprint emits overwhelmingly used
+    # the defaults, and failing closed here would strand every legacy
+    # table behind an unanswerable validation.
     fp_legacy = _geometry_fingerprint(
         seq_len, vocab, n_shards, shards_per_commit, shard_salt, eos_id,
         None,
@@ -256,6 +261,17 @@ def emit_training_shards(
         (c & 0xFFFFFFFF) == fp_legacy for c in chain
     )
     if fp_legacy != fp and legacy_chain and cols == ("doc_id", "source", "text"):
+        import warnings
+
+        warnings.warn(
+            "emit_training_shards: resuming a table emitted by a "
+            "pre-column-fingerprint writer; the chain does not record "
+            "which input columns it packed, so this resume assumes the "
+            "original emit used the default doc_id/source/text columns. "
+            "If it did not, emitted shards will mix content — emit into "
+            "a fresh table if unsure.",
+            stacklevel=2,
+        )
         fp = fp_legacy
     # resume point: max APPEND commit identifier across the snapshot
     # chain (metadata-only; COMPACT/auto-compaction snapshots carry the

@@ -2749,7 +2749,8 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the shuffle was paid ONCE at write time (rows landed
     in key buckets); every subsequent join on that key is one aligned
     scan task per bucket — the same layout contract the reference
-    exposes one split per bucket for (``PaimonSplitManager``), and the
+    exposes one split per bucket for (``PrestoSplitManager.java:46-80`` /
+    ``PrestoSqlSplitManagerBase``), and the
     reason nightly fact x profile joins on a bucketed lakehouse cost no
     network. Bucket counts, pk-equality, and key types are validated
     driver-side; dynamic-bucket tables are rejected (key-index layouts
@@ -2819,7 +2820,7 @@ def join_bucket_colocated_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: a key lookup on a bucketed lakehouse join costs one
     task reading two bucket files — no scan of the other N-1 buckets,
     no shuffle, no driver-side index. The reference exposes the same
-    layout one split per bucket (``PaimonSplitManager``); pinning is the
+    layout one split per bucket (``PrestoSplitManager.java:46-80``); pinning is the
     degenerate-but-critical case every serving path hits.
     """
     from paimon_presto_spark.sources.colocated import colocated_join

@@ -19,8 +19,8 @@ costing two full-table shuffles and costing none: the shuffle was paid
 ONCE at write time (rows landed in key buckets), and every subsequent
 join on that key is embarrassingly parallel over buckets. The reference
 connector reads Paimon's identical layout (reference:
-``PaimonSplitManager`` exposes one split per bucket precisely so the host
-engine can schedule aligned reads).
+``PrestoSplitManager.java:46-80`` exposes one split per bucket precisely
+so the host engine can schedule aligned reads).
 
 Requirements (validated, driver-side):
 - both sides are PRIMARY-KEY tables with a FIXED bucket count
@@ -275,10 +275,13 @@ class ColocatedJoinReader(DataSourceReader):
         return iter(filters)
 
     def partitions(self) -> Sequence[ColocatedSplit]:
-        # Consume the pin: belt-and-braces against a scan that never
-        # calls pushFilters — a stale pin must at worst cost an unpruned
-        # scan (filters are re-applied by Spark), never drop buckets.
-        pinned, self._pinned = self._pinned, {}
+        # The pin survives this call: pushFilters already rebuilds it per
+        # scan (the round-9 leak fix), and a retry/speculative replan that
+        # invokes partitions() twice within ONE filtered planning must see
+        # the same 1-split plan both times — consuming the pin here would
+        # make the second call plan all N splits (data still correct,
+        # filters re-applied, but the pinned_splits==1 gates would flake).
+        pinned = self._pinned
         target_bucket = None
         if set(pinned) == set(self.left_on):
             from paimon_presto_spark.functions.xxhash import spark_bucket

@@ -334,6 +334,33 @@ def test_point_lookup_prunes_to_one_bucket(catalog, spark):
     assert full.rdd.getNumPartitions() == 1
 
 
+def test_bucket_pin_survives_replanning(catalog, spark):
+    """The pin set by pushFilters must survive REPEATED partitions()
+    calls within one filtered planning (Spark may replan on retry or
+    speculation): both calls plan the same single split. Round-10 fix —
+    consuming the pin inside partitions() made the second call plan all
+    N splits, flaking every pinned_splits==1 gate. The pin still resets
+    per scan (pushFilters rebuilds it), so the round-9 leak — a pinned
+    lookup bleeding its prune into a later full scan — stays fixed."""
+    from pyspark.sql.datasource import EqualTo
+
+    from paimon_presto_spark.sources.colocated import ColocatedJoinReader
+
+    tl, tr, *_ = _mk_tables(catalog, spark, n=200, buckets=4)
+    reader = ColocatedJoinReader(
+        {"left": tl.path, "right": tr.path, "left_on": "k"}
+    )
+    reader.pushFilters([EqualTo(("k",), 42)])
+    first = list(reader.partitions())
+    second = list(reader.partitions())
+    assert len(first) == 1
+    assert len(second) == 1, "pin must not be consumed by partitions()"
+    # a new scan's pushFilters with no key equality resets the pin: the
+    # next planning is unpruned (all 4 buckets)
+    reader.pushFilters([])
+    assert len(list(reader.partitions())) == 4
+
+
 class TestUntunedSession:
     """Round-8 post-mortem: the driver builds its OWN SparkSession, where
     ``spark.sql.python.filterPushdown.enabled`` defaults to FALSE, and

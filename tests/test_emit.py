@@ -212,9 +212,17 @@ def test_emit_resume_accepts_legacy_fingerprint(docs, catalog, monkeypatch):
     assert r1["shards_written"] == 2
     monkeypatch.undo()
 
-    # resume with the CURRENT code: must adopt the legacy key and finish
-    r2 = emit_mod.emit_training_shards(docs, t, **kw)
+    # resume with the CURRENT code: must adopt the legacy key and finish,
+    # but WARN — a col-less chain cannot prove the old writer packed the
+    # default columns (the one adoption direction that stays unverifiable)
+    import warnings as _warnings
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        r2 = emit_mod.emit_training_shards(docs, t, **kw)
     assert r2 == {"shards_written": 2, "shards_skipped": 2, "n_commits": 1}
+    assert any(
+        "pre-column-fingerprint" in str(w.message) for w in caught
+    ), "legacy adoption must warn about the unverifiable column triple"
     # a genuinely different geometry still dies loudly
     import pytest as _pytest
     with _pytest.raises(ValueError, match="different geometry"):
