@@ -60,7 +60,18 @@ def _norm(v, is_date_col=False):
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return repr(float(v))
+            # EXACT string compare — folding through float would round
+            # anything wider than 53 bits and silently pass a 1-ulp
+            # drift on DECIMAL(38,x). NOT normalize(): that rounds to
+            # the context precision (28 digits by default), re-opening
+            # the same hole two digits later. format(v, 'f') is exact at
+            # any width; stripping trailing fractional zeros by string
+            # makes the compare scale-insensitive (1.50 == 1.5000)
+            # without touching a significant digit.
+            s = format(v, "f")
+            if "." in s:
+                s = s.rstrip("0").rstrip(".")
+            return "0" if s in ("-0", "") else s
     except ImportError:
         pass
     return v
