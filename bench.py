@@ -404,6 +404,14 @@ SCALE_QUERIES = [
     # _simhash_banded_sf1 (simhash_pairs → hamming_banded_pairs at
     # 48 bits / 4 chunks): banded equi-joins only, no all-pairs, at 10x.
     "dedup_simhash",
+    # round 10 (verdict #3): the heaviest plan in PLANS.md (weighted
+    # quartiles — 26 BHJ / 2 SMJ / 10 shuffles; the entry already forces
+    # the full 4096-row-edge decomposition, so it runs AS-IS), and the
+    # image perceptual-hash entry's own decode -> band -> components
+    # composition (retuned to a corpus-sized image set; its banding core
+    # was already stressed via dedup_simhash).
+    "agg_weighted_quartiles",
+    "dedup_image_phash",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
@@ -769,6 +777,88 @@ def _simhash_banded_sf1(spark, sf1_dir: str):
     )
 
 
+def _image_phash_sf1(spark, sf1_dir: str):
+    """dedup_image_phash with the image corpus GROWN to the sf1 docs
+    table (one 8x8 PPM per doc): the registry entry's fixed 48-image
+    corpus would make the sf1 row a no-op. Two retunes a 100 TB image
+    corpus forces anyway: (a) group base patterns come from a splitmix64
+    mix of the group id — the entry's mod-256 pixel formula aliases
+    groups past 256, which at thousands of groups would weld unrelated
+    clusters into giant components; (b) banding runs 64 bits / 4 chunks
+    (16-bit chunk values -> 65536 buckets per position) so per-bucket
+    populations stay small at 10x, the same width-vs-corpus tuning as
+    ``_simhash_banded_sf1``. Cluster structure: 4 near-dup variants per
+    group (variant v flips the first v cells, Hamming <= 3), random
+    cross-group distance ~32 bits. Output is the cluster-size histogram
+    so the driver never ships per-cluster member lists."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import (
+        connected_components,
+        hamming_banded_pairs,
+    )
+    from paimon_presto_spark.operators.multimodal import (
+        encode_ppm,
+        extract_image_features,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf1_dir, "documents.parquet")
+    ).select("doc_id", "n_chars")
+    n_groups = max(1, docs.count() // 4)
+
+    def synth(batches):
+        def mix64(x: int) -> int:  # splitmix64 finalizer
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            return x ^ (x >> 31)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did % n_groups, did // n_groups
+                sig = mix64(g)
+                px = []
+                for r in range(8):
+                    line = bytearray()
+                    for c in range(8):
+                        p = r * 8 + c
+                        bit = bool((sig >> p) & 1)
+                        if p < v:
+                            bit = not bit
+                        gray = 224 if bit else 32
+                        line += bytes((gray, gray, gray))
+                    px.append(bytes(line))
+                rows.append((did, encode_ppm(8, 8, px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    sigs = extract_image_features(media).select(
+        F.col("media_id").alias("doc_id"), F.col("phash")
+    )
+    pairs = hamming_banded_pairs(
+        sigs, sig_col="phash", id_col="doc_id",
+        bits=64, max_hamming=3, chunks=4,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, algorithm="auto", star_switch_budget=4)
+    singles = docs.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    member = comp.unionByName(singles).join(docs, "doc_id")
+    return (
+        member.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def _tfidf_cosine_sf1(spark, sf1_dir: str):
     """dedup_tfidf_cosine retuned for the synthesized sf1 corpus. The
     shared sf1 build decorrelates replicas at the SHINGLE level
@@ -948,6 +1038,7 @@ def _scale_runners(qs) -> dict:
         "knn_ivf_pq_append": _ivf_pq_append_sf1,
         "dedup_tfidf_cosine": _tfidf_cosine_sf1,
         "dedup_simhash": _simhash_banded_sf1,
+        "dedup_image_phash": _image_phash_sf1,
     }
     return {
         name: retuned[name] if name in retuned else qs[name]
