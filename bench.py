@@ -132,6 +132,11 @@ HEADLINE = [
     # split counts oracle-gated in the result row)
     "dedup_image_phash",
     "join_bucket_colocated_lookup",
+    # round 10: acoustic-fingerprint audio near-dup — the audio twin of
+    # dedup_image_phash (real WAV decode + energy-sign hash + the same
+    # banded Hamming machinery), completing perceptual dedup across all
+    # three modalities
+    "dedup_audio_fingerprint",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:

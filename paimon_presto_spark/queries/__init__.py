@@ -64,11 +64,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # cohort includes the whole set-operation family (setop_intersect here;
 # union_all/except were regraded r8/r7) per the round-9 plan. Any entry
 # ADDED in round 10 enters the prefix in the same commit (the standing
-# new-entry rule) and displaces the tail r6 row(s) to round 11.
+# new-entry rule) and displaces one r6 row to round 11 (chosen so every
+# family anchor keeps a prefix representative).
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
-    # -- last driver-graded in ROUND 6 (all 50; oldest-first rotation) ----
+    # -- NEW this round (never graded; standing rule: every new entry
+    #    earns its driver row in its own round) --------------------------
+    "dedup_audio_fingerprint",
+    # -- last driver-graded in ROUND 6 (49 of 50; one r6 row,
+    #    text_unigram_logprob, is displaced to round 11 — its family
+    #    keeps six other prefix members, and it stays covered by the
+    #    local gate every session) ---------------------------------------
     "agg_corr_manual",
     "agg_exact_percentiles",
     "agg_filtered_bool",
@@ -117,7 +124,6 @@ PRIORITY: tuple[str, ...] = (
     "text_quality_filter",
     "text_quality_logreg",
     "text_tfidf_topk",
-    "text_unigram_logprob",
     "window_rank_variants",
 )
 

@@ -516,3 +516,218 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kept_doc_id")
     )
+
+
+#: audio near-dup corpus — the SAME cluster geometry as the image entry
+#: (8 clusters of 4 variants, 4 of 3, 4 singletons), deliberately: the
+#: banded-Hamming machinery is signature-agnostic, and reusing the
+#: geometry makes the image/audio twins directly comparable. 64 blocks of
+#: 4 PCM-16 samples per clip; block p is LOUD (|amp| 800) iff the group's
+#: pattern bit is set, QUIET (|amp| 100) otherwise; variant v flips the
+#: first v blocks.
+AFP_DOCS = PHASH_DOCS
+AFP_MULTI = PHASH_MULTI
+AFP_GROUPS = PHASH_GROUPS
+AFP_MAX_HAMMING = PHASH_MAX_HAMMING
+AFP_LOUD = 800
+AFP_QUIET = 100
+AFP_BLOCK_SAMPLES = 4
+
+
+def _neardup_audio_media(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): one PCM-16 mono WAV per doc (256 samples =
+    64 blocks x 4), engineered so the energy-sign hash maps one block per
+    bit. Loud blocks (4x800^2 energy) sit strictly above any achievable
+    clip-mean block energy and quiet blocks (4x100^2) strictly below —
+    for ANY mix with 0 < k < 64 loud blocks: 64*E_loud > k*E_loud +
+    (64-k)*E_quiet iff (64-k)*(E_loud - E_quiet) > 0, and symmetrically
+    for quiet — so the fingerprint equals the pattern bits exactly and
+    variant v1 vs v2 of one group lands at Hamming distance |v1-v2|.
+    Samples alternate sign (+A, -A) so clips are zero-mean audio, not DC
+    offsets; energy is sign-blind."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did < AFP_MULTI:
+                    g, v = did % AFP_GROUPS, did // AFP_GROUPS
+                else:
+                    g, v = did - AFP_MULTI + AFP_GROUPS, 0
+                frames = bytearray()
+                for p in range(64):
+                    bit = ((g + 1) * (p + 7) * 2654435761) % 256 < 128
+                    if p < v:
+                        bit = not bit
+                    amp = AFP_LOUD if bit else AFP_QUIET
+                    for i in range(AFP_BLOCK_SAMPLES):
+                        s = amp if i % 2 == 0 else -amp
+                        frames += s.to_bytes(2, "little", signed=True)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(bytes(frames))
+                rows.append((did, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+
+
+@register(
+    "dedup_audio_fingerprint",
+    oracle=f"""
+        WITH RECURSIVE d AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN doc_id < {AFP_MULTI}
+                        THEN doc_id % {AFP_GROUPS}
+                        ELSE doc_id - {AFP_MULTI} + {AFP_GROUPS} END AS g,
+                   CASE WHEN doc_id < {AFP_MULTI}
+                        THEN doc_id // {AFP_GROUPS} ELSE 0 END AS v
+            FROM documents WHERE doc_id < {AFP_DOCS}
+        ),
+        blocks AS (
+            SELECT d.doc_id, p.p,
+                   CASE WHEN (((d.g + 1) * (p.p + 7) * 2654435761) % 256
+                              < 128) != (p.p < d.v)
+                        THEN {AFP_LOUD} ELSE {AFP_QUIET} END AS amp
+            FROM d, UNNEST(range(64)) AS p(p)
+        ),
+        sig AS (
+            SELECT doc_id, p,
+                   CASE WHEN 64 * ({AFP_BLOCK_SAMPLES} * amp * amp)
+                             > SUM({AFP_BLOCK_SAMPLES} * amp * amp)
+                               OVER (PARTITION BY doc_id)
+                        THEN 1 ELSE 0 END AS bit
+            FROM blocks
+        ),
+        ham AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sig a JOIN sig b
+              ON a.p = b.p AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                   AS BIGINT) <= {AFP_MAX_HAMMING}
+        ),
+        edges AS (
+            SELECT da, db FROM ham UNION ALL SELECT db AS da, da AS db FROM ham
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM d
+            UNION
+            SELECT r.src, e.db FROM reach r JOIN edges e ON r.dst = e.da
+        ),
+        comp AS (
+            SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+        ),
+        member AS (
+            SELECT c.component, c.doc_id, d.n_chars
+            FROM comp c JOIN d ON c.doc_id = d.doc_id
+        ),
+        agg AS (
+            SELECT component,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS members,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM member GROUP BY component
+        ),
+        best AS (
+            SELECT component, doc_id AS kept_doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM member
+        )
+        SELECT b.kept_doc_id, a.cluster_size, a.members, a.total_chars
+        FROM best b JOIN agg a ON b.component = a.component
+        WHERE b.rn = 1
+        ORDER BY kept_doc_id
+    """,
+    tags=("multimodal", "audio", "dedup", "fingerprint", "banding", "arrow"),
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint audio near-dup — the audio twin of
+    ``dedup_image_phash``, completing perceptual dedup across all three
+    media modalities (text SimHash / image aHash / audio energy-sign
+    hash) over ONE signature-agnostic banding core. Synthesizes 48
+    deterministic PCM-16 WAV clips (8 clusters of 4 near-dup variants, 4
+    of 3, 4 singletons), decodes them with the real Arrow-batched
+    ``extract_audio_fingerprint`` (stdlib ``wave`` parse → integer block
+    energies → above-clip-mean sign map, chromaprint-lite), finds pairs
+    at Hamming distance <= 3 via ``operators/dedup.hamming_banded_pairs``
+    (8 chunks of 8 bits, pigeonhole-complete recall for <= 3 flips,
+    equi-join — never all-pairs), resolves transitive clusters
+    (``connected_components(algorithm="auto")``), and keeps the best
+    clip per cluster by document quality (max n_chars, ties to smallest
+    doc_id); singletons survive as their own keeper. The DuckDB oracle
+    never parses a byte: it rebuilds each block's amplitude from the
+    pattern formula, recomputes the EXACT integer energies and the
+    64*E > sum(E) mean threshold numerically, closes the pair graph with
+    a recursive CTE, and must agree on every cluster membership — one
+    flipped fingerprint bit anywhere moves a clip across clusters and
+    fails the hash gate.
+
+    100 TB shape: decode+hash is a 1->1 Arrow map (raw audio bytes never
+    shuffle — the 8-byte fingerprint is what shuffles); banding is the
+    same equi-join path the SimHash/image entries drive; components run
+    label propagation with an explicit budget. (Reference scope: the
+    brief's multimodal + dedup requirements; pattern parity with
+    ``dedup_image_phash``.)
+    """
+    from paimon_presto_spark.operators.dedup import (
+        connected_components,
+        hamming_banded_pairs,
+    )
+    from paimon_presto_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < AFP_DOCS
+    ).select("doc_id", "n_chars")
+    media = _neardup_audio_media(docs)
+    sigs = extract_audio_fingerprint(media).select(
+        F.col("media_id").alias("doc_id"), F.col("afp")
+    )
+    pairs = hamming_banded_pairs(
+        sigs, sig_col="afp", id_col="doc_id",
+        bits=64, max_hamming=AFP_MAX_HAMMING, chunks=8,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, algorithm="auto",
+                                star_switch_budget=4)
+    singles = docs.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    member = comp.unionByName(singles).join(docs, "doc_id")
+    return (
+        member.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("best"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            (-F.col("best.neg_id")).alias("kept_doc_id"),
+            "cluster_size",
+            "members",
+            "total_chars",
+        )
+        .orderBy("kept_doc_id")
+    )

@@ -723,6 +723,66 @@ def test_multimodal_real_decoders(spark):
     assert abs(audio["rms"] - 1000.0) < 1e-6
 
 
+def test_energy_sign_hash_exact_bits():
+    """The audio fingerprint's core is integer-exact: block energies sum
+    v^2, bit p set iff blocks*E[p] strictly exceeds the total."""
+    from paimon_presto_spark.operators.multimodal import _energy_sign_hash
+
+    # 8 samples, 4 blocks of 2: energies [200, 2, 2, 2], total 206 —
+    # only block 0 clears 4*E > 206; MSB-first packing puts it at bit 3
+    assert _energy_sign_hash([10, 10, 1, 1, 1, 1, 1, 1], blocks=4) == 0b1000
+    # all-equal blocks: strict inequality never fires
+    assert _energy_sign_hash([5] * 8, blocks=4) == 0
+    assert _energy_sign_hash([], blocks=4) == 0
+    # bit 0 of a 64-block hash lands at 1<<63 -> signed bigint (negative)
+    loud_first = [100, 100] + [1] * 126
+    assert _energy_sign_hash(loud_first, blocks=64) < 0
+
+
+def test_audio_fingerprint_hamming_structure(spark):
+    """extract_audio_fingerprint on real WAV bytes: identical clips hash
+    identically; flipping one loud/quiet block flips exactly one
+    fingerprint bit (the property the banded Hamming dedup rides)."""
+    import io
+    import wave as wave_mod
+
+    from paimon_presto_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+    )
+
+    def wav(pattern):  # pattern: 64 bools, 4 samples per block
+        frames = bytearray()
+        for bit in pattern:
+            amp = 800 if bit else 100
+            for i in range(4):
+                s = amp if i % 2 == 0 else -amp
+                frames += s.to_bytes(2, "little", signed=True)
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(bytes(frames))
+        return bytearray(buf.getvalue())
+
+    base = [((7 * p + 3) % 5) < 2 for p in range(64)]  # mixed loud/quiet
+    flipped = [not b if p == 17 else b for p, b in enumerate(base)]
+    media = spark.createDataFrame(
+        [(1, wav(base)), (2, wav(base)), (3, wav(flipped))],
+        "media_id bigint, payload binary",
+    )
+    fp = {
+        r["media_id"]: (r["afp"], r["n_samples"])
+        for r in extract_audio_fingerprint(media).collect()
+    }
+    assert fp[1] == fp[2]
+    assert fp[1][1] == 256
+    diff = (fp[1][0] ^ fp[3][0]) & 0xFFFFFFFFFFFFFFFF
+    assert bin(diff).count("1") == 1
+    # MSB-first packing: block 17 differs -> bit (63 - 17)
+    assert diff == 1 << (63 - 17)
+
+
 def test_salted_join_matches_plain(spark):
     from paimon_presto_spark.operators.skew import salted_join
     import pyspark.sql.functions as F
