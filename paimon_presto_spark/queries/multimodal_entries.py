@@ -336,6 +336,48 @@ PHASH_GROUPS = 12
 PHASH_MAX_HAMMING = 3
 
 
+
+def _keep_best_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared tail of the perceptual-dedup twins: transitive clusters from
+    the qualifying pairs (``connected_components(algorithm="auto")``,
+    4-round budget — real media-dup clusters are 1-2 hops), singletons as
+    their own keeper, then one struct-max aggregation per cluster keeping
+    the best doc by quality (max n_chars, ties to smallest doc_id) plus
+    the sorted member list and char total the oracles assert."""
+    from paimon_presto_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, algorithm="auto",
+                                star_switch_budget=4)
+    singles = docs.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    member = comp.unionByName(singles).join(docs, "doc_id")
+    return (
+        member.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("best"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            (-F.col("best.neg_id")).alias("kept_doc_id"),
+            "cluster_size",
+            "members",
+            "total_chars",
+        )
+        .orderBy("kept_doc_id")
+    )
+
+
 def _neardup_image_media(docs: DataFrame) -> DataFrame:
     """(media_id, payload): one 8x8 binary-PPM per doc, engineered so the
     8x8 aHash grid maps one pixel per cell. Base pattern per group g:
@@ -468,10 +510,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated (reference scope: the brief's multimodal + dedup
     requirements; pattern parity with ``dedup_simhash``'s banding).
     """
-    from paimon_presto_spark.operators.dedup import (
-        connected_components,
-        hamming_banded_pairs,
-    )
+    from paimon_presto_spark.operators.dedup import hamming_banded_pairs
     from paimon_presto_spark.operators.multimodal import extract_image_features
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -485,37 +524,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, sig_col="phash", id_col="doc_id",
         bits=64, max_hamming=PHASH_MAX_HAMMING, chunks=8,
     ).select("doc_a", "doc_b")
-    comp = connected_components(pairs, algorithm="auto",
-                                star_switch_budget=4)
-    # singleton images (no qualifying pair) are their own component
-    singles = docs.join(comp, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("component")
-    )
-    member = comp.unionByName(singles).join(docs, "doc_id")
-    return (
-        member.groupBy("component")
-        .agg(
-            F.max(
-                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
-            ).alias("best"),
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("members"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-        .select(
-            (-F.col("best.neg_id")).alias("kept_doc_id"),
-            "cluster_size",
-            "members",
-            "total_chars",
-        )
-        .orderBy("kept_doc_id")
-    )
+    return _keep_best_clusters(docs, pairs)
 
 
 #: audio near-dup corpus — the SAME cluster geometry as the image entry
@@ -682,10 +691,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     brief's multimodal + dedup requirements; pattern parity with
     ``dedup_image_phash``.)
     """
-    from paimon_presto_spark.operators.dedup import (
-        connected_components,
-        hamming_banded_pairs,
-    )
+    from paimon_presto_spark.operators.dedup import hamming_banded_pairs
     from paimon_presto_spark.operators.multimodal import (
         extract_audio_fingerprint,
     )
@@ -701,33 +707,4 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, sig_col="afp", id_col="doc_id",
         bits=64, max_hamming=AFP_MAX_HAMMING, chunks=8,
     ).select("doc_a", "doc_b")
-    comp = connected_components(pairs, algorithm="auto",
-                                star_switch_budget=4)
-    singles = docs.join(comp, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("component")
-    )
-    member = comp.unionByName(singles).join(docs, "doc_id")
-    return (
-        member.groupBy("component")
-        .agg(
-            F.max(
-                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
-            ).alias("best"),
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("members"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-        .select(
-            (-F.col("best.neg_id")).alias("kept_doc_id"),
-            "cluster_size",
-            "members",
-            "total_chars",
-        )
-        .orderBy("kept_doc_id")
-    )
+    return _keep_best_clusters(docs, pairs)
