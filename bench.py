@@ -854,9 +854,12 @@ def _image_phash_sf1(spark, sf1_dir: str):
     singles = docs.join(comp, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("component")
     )
-    member = comp.unionByName(singles).join(docs, "doc_id")
+    # comp ∪ singles already enumerates every doc exactly once, and the
+    # histogram reads no docs column — no join back needed (unlike the
+    # registry entry's keep-best tail, which needs n_chars)
     return (
-        member.groupBy("component")
+        comp.unionByName(singles)
+        .groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
@@ -1142,13 +1145,18 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
                 "embedding_pca_project",
                 "pipeline_emit_shards",
                 "pipeline_incremental_ingest",
+                "dedup_image_phash",
             ):
                 # These entries run their Spark stages eagerly inside the
                 # call (curate/pca return driver-local reports; emit
-                # commits shards then returns the table read-back), so
-                # the returned "plan" is a LocalTableScan / plain
-                # partitioned FileScan that cannot contain the joins
-                # being policed — re-running them here would pay a full
+                # commits shards then returns the table read-back; the
+                # image dedup's connected components iterate eagerly
+                # behind localCheckpoint lineage cuts, so its rendered
+                # plan is only the tail rollup — the banded equi-joins
+                # being policed are shape-checked via dedup_simhash,
+                # which drives the same hamming_banded_pairs), so
+                # the returned "plan" cannot contain the joins being
+                # policed — re-running them here would pay a full
                 # second sf1 execution to shape-check nothing. Timing-only.
                 continue
             try:
@@ -1194,8 +1202,10 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
     result["plan_violations"] = violations
     if violations:
         print(
-            f"SCALE REGRESSION: {violations} BroadcastNestedLoopJoin/"
-            f"CartesianProduct node(s) in scale-stress plans — see 'plans'",
+            f"SCALE REGRESSION: {violations} plan violation(s) in "
+            f"scale-stress plans (undeclared BNLJ/Cartesian, join nodes "
+            f"or excess exchanges in no-join entries, stored-ANN probe "
+            f"shape) — see 'plans' / 'stored_ann_plans'",
             file=sys.stderr,
         )
     return result

@@ -508,25 +508,7 @@ def extract_audio_features(
     import pandas as pd
 
     def _wav_features(payload: bytes) -> tuple[int, int, int, int, float]:
-        import io
-        import wave
-
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            rate, nch, nframes, sw = (
-                w.getframerate(),
-                w.getnchannels(),
-                w.getnframes(),
-                w.getsampwidth(),
-            )
-            raw = w.readframes(nframes)
-        if sw == 2:
-            vals = struct.unpack(f"<{len(raw) // 2}h", raw)
-        elif sw == 1:
-            vals = [b - 128 for b in raw]
-        else:
-            raise NotImplementedError(
-                f"{8 * sw}-bit WAV unsupported; install librosa/soundfile"
-            )
+        rate, nch, nframes, vals = _wav_pcm_decode(payload)
         # math.sqrt, not ** 0.5: sqrt is IEEE-correctly-rounded and equals
         # SQL engines' SQRT bit-for-bit; pow(x, 0.5) is not guaranteed to
         rms = (
@@ -547,12 +529,6 @@ def extract_audio_features(
                         (int(mid), 16000, 1, n, n * 1000 // 16000, float(checksum % 97))
                     )
                     continue
-                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                    raise NotImplementedError(
-                        f"unsupported audio container (magic {payload[:4]!r}): "
-                        "built-in decoding covers WAV/PCM; install librosa for "
-                        "mp3/flac/ogg"
-                    )
                 rate, nch, nframes, dur_ms, rms = _wav_features(payload)
                 rows.append((int(mid), rate, nch, nframes, dur_ms, rms))
             yield pd.DataFrame(
@@ -572,12 +548,13 @@ def extract_audio_features(
     )
 
 
-def _wav_pcm_samples(payload: bytes) -> list[int]:
-    """Decode a WAV/PCM payload to its raw integer sample stream (stdlib
-    ``wave``; 8/16-bit PCM — the same support envelope as
-    ``extract_audio_features``). Channels stay interleaved: the
-    fingerprint below consumes the energy stream, for which channel
-    deinterleaving changes nothing (sum of squares commutes)."""
+def _wav_pcm_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a WAV/PCM payload: (rate, channels, frames, samples).
+    Stdlib ``wave``; 8/16-bit PCM — the ONE support envelope both
+    ``extract_audio_features`` and ``extract_audio_fingerprint`` share
+    (a wider codec added here widens both). Channels stay interleaved:
+    both consumers reduce over sums of squares, which commute across
+    deinterleaving."""
     import io
     import wave
 
@@ -588,15 +565,22 @@ def _wav_pcm_samples(payload: bytes) -> list[int]:
             "mp3/flac/ogg"
         )
     with wave.open(io.BytesIO(payload), "rb") as w:
-        sw, nframes = w.getsampwidth(), w.getnframes()
+        rate, nch, nframes, sw = (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getnframes(),
+            w.getsampwidth(),
+        )
         raw = w.readframes(nframes)
     if sw == 2:
-        return list(struct.unpack(f"<{len(raw) // 2}h", raw))
-    if sw == 1:
-        return [b - 128 for b in raw]
-    raise NotImplementedError(
-        f"{8 * sw}-bit WAV unsupported; install librosa/soundfile"
-    )
+        vals = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    elif sw == 1:
+        vals = [b - 128 for b in raw]
+    else:
+        raise NotImplementedError(
+            f"{8 * sw}-bit WAV unsupported; install librosa/soundfile"
+        )
+    return rate, nch, nframes, vals
 
 
 def _energy_sign_hash(vals: list[int], blocks: int = 64) -> int:
@@ -654,7 +638,7 @@ def extract_audio_fingerprint(
                     ) >> 1
                     rows.append((int(mid), len(payload), fp))
                     continue
-                vals = _wav_pcm_samples(payload)
+                _rate, _nch, _nframes, vals = _wav_pcm_decode(payload)
                 rows.append(
                     (int(mid), len(vals), _energy_sign_hash(vals, blocks))
                 )

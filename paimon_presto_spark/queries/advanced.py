@@ -2170,8 +2170,8 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM c WHERE 4 * cum >= 3 * tot GROUP BY l_returnflag
         )
         SELECT q1.l_returnflag, q1.q25, q3.q75,
-               CAST(q3.q75 AS DECIMAL(18,2))
-                   - CAST(q1.q25 AS DECIMAL(18,2)) AS iqr
+               CAST(CAST(q3.q75 AS DECIMAL(18,2))
+                   - CAST(q1.q25 AS DECIMAL(18,2)) AS DOUBLE) AS iqr
         FROM q1 JOIN q3 ON q1.l_returnflag = q3.l_returnflag
         ORDER BY q1.l_returnflag
     """,
@@ -2208,7 +2208,7 @@ def agg_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("q75").cast("decimal(18,2)")
                 - F.col("q25").cast("decimal(18,2)")
-            ).alias("iqr"),
+            ).cast("double").alias("iqr"),
         )
         .orderBy("l_returnflag")
     )

@@ -1,7 +1,7 @@
 """Oracle-gated multimodal entries driving the REAL decode paths.
 
 ``multimodal_binary_stats`` (queries/advanced.py) gates the opaque-binary
-plumbing; these two entries gate the DECODERS themselves: each synthesizes
+plumbing; the entries here gate the DECODERS themselves: each synthesizes
 deterministic media payloads (binary PPM images / PCM-16 WAV clips) whose
 pixel/sample values are a closed-form function of ``doc_id``, pushes them
 through the real Arrow-batched decode / resize / feature operators in

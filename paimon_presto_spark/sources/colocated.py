@@ -281,6 +281,17 @@ class ColocatedJoinReader(DataSourceReader):
         # the same 1-split plan both times — consuming the pin here would
         # make the second call plan all N splits (data still correct,
         # filters re-applied, but the pinned_splits==1 gates would flake).
+        # SAFETY ENVELOPE under pinned pyspark 4.1.2: filtered plannings
+        # always run pushFilters first (pin fresh); filterless plannings
+        # either replay the handle's cached plan (partitions() not
+        # called) or run on a NEW reader (pin empty); pushdown-disabled
+        # sessions never set a pin. CONTINGENCY: if an upstream fix ever
+        # re-plans filterless actions through a REUSED reader without
+        # calling pushFilters, retention would leak the prune into an
+        # unfiltered scan — that same fix flips
+        # tests/test_pushdown_reuse.py::test_upstream_stale_reuse, which
+        # is the tripwire to revisit this (revert to consume-once or
+        # key the pin to a planning epoch).
         pinned = self._pinned
         target_bucket = None
         if set(pinned) == set(self.left_on):

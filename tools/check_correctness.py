@@ -67,7 +67,12 @@ def _norm(v, is_date_col=False):
             # the same hole two digits later. format(v, 'f') is exact at
             # any width; stripping trailing fractional zeros by string
             # makes the compare scale-insensitive (1.50 == 1.5000)
-            # without touching a significant digit.
+            # without touching a significant digit. SCOPE: only the
+            # SPARK side can reach here (the oracle fetch floatifies
+            # DuckDB decimals via pandas, mirroring the driver), and the
+            # dtype gate above rejects Spark DECIMAL result columns
+            # outright — this branch is the backstop that a Decimal
+            # slipping past both still compares exactly, never rounded.
             s = format(v, "f")
             if "." in s:
                 s = s.rstrip("0").rstrip(".")
@@ -141,6 +146,16 @@ def main() -> int:
         sdtypes = dict(sdf.dtypes)
         for c in scols:
             st = sdtypes.get(c, "")
+            # Raw DECIMAL result columns are design-banned (registry
+            # determinism rules: cast back to DOUBLE/VARCHAR). The
+            # oracle fetch floatifies DuckDB decimals (pandas path, as
+            # the driver does), so a Spark-side Decimal wider than float
+            # precision can NEVER compare exactly — fail loudly at the
+            # type level instead of leaving a value mismatch to decode.
+            if st.startswith("decimal"):
+                dtype_bad.append(
+                    (c, st, "DECIMAL result (cast to DOUBLE/VARCHAR)")
+                )
             ot = str(odf.dtypes[c]) if c in odf.columns else "MISSING"
             if st in ("bigint", "int", "smallint", "tinyint") and not (
                 ot.startswith("int") or ot.startswith("uint") or ot == "object"
@@ -155,7 +170,7 @@ def main() -> int:
                 dtype_bad.append((c, st, odecl))
         if dtype_bad:
             failed.append(
-                (name, f"DTYPE (int floatified or DATE/TIMESTAMP skew): {dtype_bad}")
+                (name, f"DTYPE (decimal result / int floatified / DATE-TIMESTAMP skew): {dtype_bad}")
             )
             continue
         date_cols = frozenset(
