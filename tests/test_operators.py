@@ -783,6 +783,45 @@ def test_audio_fingerprint_hamming_structure(spark):
     assert diff == 1 << (63 - 17)
 
 
+def test_energy_sign_hash_properties():
+    """Hypothesis: for ANY PCM stream, the fingerprint (a) is sign-blind
+    (energy is |v|^2), (b) matches an independent naive recomputation of
+    the blocks*E[p] > total rule, and (c) stays within int64 packing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from paimon_presto_spark.operators.multimodal import _energy_sign_hash
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(-32768, 32767), min_size=0, max_size=300
+        ),
+        blocks=st.sampled_from([4, 8, 16, 64]),
+    )
+    def check(vals, blocks):
+        fp = _energy_sign_hash(vals, blocks)
+        assert fp == _energy_sign_hash([-v for v in vals], blocks)
+        assert -(1 << 63) <= fp < (1 << 63)
+        # independent naive recomputation (floor-boundary blocks)
+        n = len(vals)
+        expect = 0
+        if n:
+            es = [
+                sum(v * v for v in vals[p * n // blocks:(p + 1) * n // blocks])
+                for p in range(blocks)
+            ]
+            tot = sum(es)
+            for p, e in enumerate(es):
+                if blocks * e > tot:
+                    expect |= 1 << (blocks - 1 - p)
+            if expect >= 1 << 63:
+                expect -= 1 << 64
+        assert fp == expect
+
+    check()
+
+
 def test_salted_join_matches_plain(spark):
     from paimon_presto_spark.operators.skew import salted_join
     import pyspark.sql.functions as F
