@@ -591,9 +591,26 @@ def connected_components(
         if algorithm == "auto"
         else max_iter
     )
+    # Both orientations from ONE scan of `pairs` (explode, not
+    # union-of-two-selects): pair production is often the expensive part
+    # (LSH band join + exact verify), and a union would evaluate that
+    # plan twice inside this cache's materialization job.
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
