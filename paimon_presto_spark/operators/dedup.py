@@ -734,9 +734,13 @@ def _connected_components_star(
         )
     # at the fixed point edges are (node, component-min) stars; roots and
     # isolated nodes (none from pairs, but kept for safety) label themselves
+    # one scan of the (possibly expensive) pair plan, not a union of two
     nodes = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b")))
+        pairs.select(
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias(
+                "doc_id"
+            )
+        )
         .distinct()
     )
     return (

@@ -2121,16 +2121,17 @@ def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
-    outd = e.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # model tables feed every iteration: materialize once — and edges
+    # FIRST, so outd and nodes (which both re-read e, nodes twice) derive
+    # from the checkpoint instead of re-running the bigram aggregation
+    e = e.localCheckpoint()
+    outd = e.groupBy("w1").agg(F.sum("c2").alias("c1")).localCheckpoint()
     nodes = (
         e.select(F.col("w1").alias("w"))
         .union(e.select(F.col("w2").alias("w")))
         .distinct()
+        .localCheckpoint()
     )
-    # model tables feed every iteration: materialize once
-    e = e.localCheckpoint()
-    outd = outd.localCheckpoint()
-    nodes = nodes.localCheckpoint()
     n = nodes.count()
 
     def squeeze(col):
