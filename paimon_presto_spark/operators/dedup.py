@@ -327,6 +327,11 @@ def minhash_lsh_pairs_incremental(
             text_col,
             shingle_n,
         )
+    # cache: jaccard_verify consumes its shingle input FOUR times (sizes
+    # twice via na/nb, plus both pair sides) — new_sh is already cached,
+    # but an uncached old side would re-run its semi-join/re-shingle per
+    # consumer. Bounded by candidate membership, so safe to pin.
+    old_cand_sh = old_cand_sh.cache()
     sh = new_sh.unionByName(old_cand_sh)
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
 
