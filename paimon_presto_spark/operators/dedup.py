@@ -246,6 +246,11 @@ def minhash_lsh_pairs_incremental(
     """
     rows = k // bands
     assert bands * rows == k, "k must divide evenly into bands"
+    # Ledgered caches (released by the NEXT ledgered dedup call or an
+    # explicit release_chunk_caches()): this function pins several
+    # bounded intermediates; without the ledger a long-lived
+    # daily-ingest loop would accumulate one set per call.
+    release_chunk_caches()
 
     def band_df(mh: DataFrame) -> DataFrame:
         band_cols = [
@@ -265,21 +270,29 @@ def minhash_lsh_pairs_incremental(
         all_sh = shingle_hashes(
             old_docs.unionByName(new_docs), id_col, text_col, shingle_n
         ).cache()
+        _CHUNK_CACHES.append(all_sh)
         all_sh.count()  # materialize before fan-out (see minhash_lsh_pairs)
         # cache the signatures too: both band-join sides consume them, and
         # Spark does not share subplans across join sides — uncached, the
         # corpus-wide MIN-aggregation would run twice
         all_mh = minhash_signature(all_sh, k).cache()
+        _CHUNK_CACHES.append(all_mh)
         all_mh.count()
         # shingle/signature frames carry the canonical 'doc_id' name
         # whatever the caller's id column is called
         new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
-        new_sh = all_sh.join(new_ids, "doc_id", "left_semi")
+        # cache the increment slice too: jaccard_verify scans its shingle
+        # input FOUR times (size rollup via both pair sides + both
+        # intersection sides), and an uncached semi-join would re-probe
+        # the corpus-wide cache per consumer. Bounded by the increment.
+        new_sh = all_sh.join(new_ids, "doc_id", "left_semi").cache()
+        _CHUNK_CACHES.append(new_sh)
         new_mh = all_mh.join(new_ids, "doc_id", "left_semi")
         old_sh = all_sh.join(new_ids, "doc_id", "left_anti")
         ab_src = all_mh  # build side = everything, already unioned
     else:
         new_sh = shingle_hashes(new_docs, id_col, text_col, shingle_n).cache()
+        _CHUNK_CACHES.append(new_sh)
         new_sh.count()
         new_mh = minhash_signature(new_sh, k)
         old_sh = None
@@ -298,6 +311,7 @@ def minhash_lsh_pairs_incremental(
         .distinct()
         .cache()
     )
+    _CHUNK_CACHES.append(cand)
     # Materialize: cand feeds BOTH the old-side semi-join and the verify
     # join — uncached, each consumer would re-run the signature
     # aggregations and the band join (same rationale as
@@ -328,10 +342,11 @@ def minhash_lsh_pairs_incremental(
             shingle_n,
         )
     # cache: jaccard_verify consumes its shingle input FOUR times (sizes
-    # twice via na/nb, plus both pair sides) — new_sh is already cached,
-    # but an uncached old side would re-run its semi-join/re-shingle per
-    # consumer. Bounded by candidate membership, so safe to pin.
+    # twice via na/nb, plus both pair sides) — new_sh is cached on both
+    # branches above, and an uncached old side would re-run its
+    # semi-join/re-shingle per consumer. Bounded by candidate membership.
     old_cand_sh = old_cand_sh.cache()
+    _CHUNK_CACHES.append(old_cand_sh)
     sh = new_sh.unionByName(old_cand_sh)
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
 
