@@ -463,6 +463,14 @@ SCALE_EXPECTED_NO_JOIN = {"join_bucket_colocated"}
 #: range partitioning = 2. Anything above counts as a plan violation.
 SCALE_NO_JOIN_EXCHANGE_BUDGET = {"join_bucket_colocated": 2}
 
+# A no-join entry without an exchange budget would KeyError mid-bench
+# (caught only by the except-and-record path) instead of failing the
+# plan gate — keep the two dicts in lockstep at import time.
+assert set(SCALE_NO_JOIN_EXCHANGE_BUDGET) == SCALE_EXPECTED_NO_JOIN, (
+    "SCALE_EXPECTED_NO_JOIN and SCALE_NO_JOIN_EXCHANGE_BUDGET must cover "
+    "the same entries"
+)
+
 #: Probe-ONLY plan expectations for the stored-ANN split (asserted in
 #: the sf1 stress alongside SCALE_EXPECTED_BNLJ): the stored side must
 #: plan as a FileScan feeding broadcast-hash joins. `bnlj` is exact
@@ -811,7 +819,23 @@ def _image_phash_sf1(spark, sf1_dir: str):
     docs = spark.read.parquet(
         os.path.join(sf1_dir, "documents.parquet")
     ).select("doc_id", "n_chars")
-    n_groups = max(1, docs.count() // 4)
+    # The group/variant derivation below (did % n_groups, did // n_groups)
+    # assumes DENSE 0-based doc_ids and a corpus divisible by 4 — sparse or
+    # offset ids would push variant v past 3 and silently drop those docs
+    # out of their cluster (Hamming > max_hamming), skewing the histogram
+    # this row times. Check loudly instead of skewing silently.
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    if stats["lo"] != 0 or stats["hi"] != stats["n"] - 1 or stats["n"] % 4:
+        raise ValueError(
+            f"_image_phash_sf1 needs dense 0-based doc_ids in a corpus "
+            f"divisible by 4; got count={stats['n']} min={stats['lo']} "
+            f"max={stats['hi']} — derive a dense index (row_number) first"
+        )
+    n_groups = max(1, stats["n"] // 4)
 
     def synth(batches):
         def mix64(x: int) -> int:  # splitmix64 finalizer

@@ -243,6 +243,12 @@ def minhash_lsh_pairs_incremental(
     old ∪ new, restricted to pairs with >= 1 new member (signatures and
     bucketing are per-document and deterministic) — which is exactly what
     the registry oracle certifies.
+
+    Ledgered caches (see ``release_chunk_caches``): entering any other
+    ledgered dedup operator releases THIS call's caches — results stay
+    correct (unpersisted plans recompute), but the cached shingle /
+    signature work is silently re-paid. Materialize this result before
+    the next ledgered call.
     """
     rows = k // bands
     assert bands * rows == k, "k must divide evenly into bands"
@@ -388,7 +394,14 @@ def ngram_jaccard_pairs(
     """Inverted-index candidates (pairs sharing a shingle with document
     frequency ≤ max_df) + exact Jaccard. The df cap bounds the quadratic
     blow-up of posting lists — the classic trick for web-scale all-pairs
-    similarity (cf. Bayardo et al., WWW'07)."""
+    similarity (cf. Bayardo et al., WWW'07).
+
+    Ledgered caches (see ``release_chunk_caches``): entering any other
+    ledgered dedup operator releases THIS call's caches — results stay
+    correct (unpersisted plans recompute), but the cached shingle /
+    signature work is silently re-paid. Materialize this result before
+    the next ledgered call.
+    """
     # Ledgered cache (release on next ledgered call / release_chunk_caches):
     # the result is lazy so the cache can't drop inside the operator, and an
     # unledgered per-call cache leaks across a long-lived session.
@@ -982,7 +995,15 @@ def release_chunk_caches() -> None:
     sets).
 
     Safe to call at any time: unpersisting an un-materialized plan only
-    means it recomputes, never a wrong result."""
+    means it recomputes, never a wrong result.
+
+    THE LEDGER CONTRACT — one ledgered call in flight: every ledgered
+    operator calls this at entry, so at most one call's caches are ever
+    live (a long-lived ingest loop cannot pin one cache set per
+    iteration). The flip side: composing two ledgered operators before
+    materializing the first releases the first's caches while its result
+    is still lazy — correct, but the shingle/signature work recomputes.
+    Each ledgered operator's docstring carries the same note."""
     while _CHUNK_CACHES:
         _CHUNK_CACHES.pop().unpersist(False)
 
@@ -1076,6 +1097,12 @@ def remove_repeated_chunks(
       strategy.
 
     Returns (id_col, n_chunks, n_removed, rebuilt_text).
+
+    Ledgered caches (see ``release_chunk_caches``): entering any other
+    ledgered dedup operator releases THIS call's caches — results stay
+    correct (unpersisted plans recompute), but the cached shingle /
+    signature work is silently re-paid. Materialize this result before
+    the next ledgered call.
     """
     chunked = docs.select(
         F.col(id_col),
@@ -1126,6 +1153,12 @@ def remove_repeated_chunks_within_doc(
     hash-shuffle on already-slimmed text.
 
     Returns (id_col, n_chunks, n_removed, rebuilt_text).
+
+    Ledgered caches (see ``release_chunk_caches``): entering any other
+    ledgered dedup operator releases THIS call's caches — results stay
+    correct (unpersisted plans recompute), but the cached shingle /
+    signature work is silently re-paid. Materialize this result before
+    the next ledgered call.
     """
     chunked = docs.select(
         F.col(id_col),
@@ -1253,6 +1286,12 @@ def remove_repeated_chunks_cdc(
     pairs (shuffles 2-3); text stays map-side.
 
     Returns (id_col, n_chunks, n_removed, rebuilt_text).
+
+    Ledgered caches (see ``release_chunk_caches``): entering any other
+    ledgered dedup operator releases THIS call's caches — results stay
+    correct (unpersisted plans recompute), but the cached shingle /
+    signature work is silently re-paid. Materialize this result before
+    the next ledgered call.
     """
     chunked = cdc_chunks(docs, id_col, text_col, boundary_mod,
                          boundary_hash=boundary_hash)
@@ -1286,6 +1325,12 @@ def ngram_containment_pairs(
     common shingles; cf. Bayardo et al., WWW'07), and only candidates pay
     the exact intersection count. The directed emit is a map-side union
     of two projections of the SAME verified pair set — no second join.
+
+    Ledgered caches (see ``release_chunk_caches``): entering any other
+    ledgered dedup operator releases THIS call's caches — results stay
+    correct (unpersisted plans recompute), but the cached shingle /
+    signature work is silently re-paid. Materialize this result before
+    the next ledgered call.
     """
     # Ledgered cache — same leak class the chunk-dedup persist had
     # (round-7 advisor): release the previous ledgered intermediate, then
@@ -1388,6 +1433,12 @@ def tfidf_cosine_pairs(
     libm log differ by 1 ulp); norms sum w² as DECIMAL then take one
     IEEE-correctly-rounded sqrt; cosine divides identical doubles. The
     DuckDB oracle replays every step bit-for-bit.
+
+    Ledgered caches (see ``release_chunk_caches``): entering any other
+    ledgered dedup operator releases THIS call's caches — results stay
+    correct (unpersisted plans recompute), but the cached shingle /
+    signature work is silently re-paid. Materialize this result before
+    the next ledgered call.
     """
     n_docs = docs.select(id_col).distinct().count()
     if max_df is None:
@@ -1555,6 +1606,12 @@ def minhash_recall_audit(
     per-shingle document frequency): run it on a sample at 100 TB, like
     the Jaccard verifier it shares machinery with — not the throughput
     path.
+
+    Ledgered caches (see ``release_chunk_caches``): entering any other
+    ledgered dedup operator releases THIS call's caches — results stay
+    correct (unpersisted plans recompute), but the cached shingle /
+    signature work is silently re-paid. Materialize this result before
+    the next ledgered call.
     """
     # same contract the production banding enforces: a k that does not
     # split evenly would silently audit a TRUNCATED signature that

@@ -227,8 +227,34 @@ class ColocatedSplit(InputPartition):
         self.out = out              # output (name, name, type) triples
 
 
+#: pyspark versions whose Python-DataSource planner behavior has been
+#: VERIFIED against the bucket-pin safety envelope documented in
+#: ``partitions()`` below (fresh reader per pushdown invocation; filterless
+#: replans never reuse a pushFilters-bearing reader without re-pushing).
+#: After any dependency bump: run ``tests/test_pushdown_reuse.py`` (the
+#: tripwire for the upstream stale-plan-replay hazard, see
+#: ``docs/upstream-spark-pushdown-reuse.md``) and, if green, append the new
+#: version here. An UNVERIFIED version fails loudly at plan time instead of
+#: risking a silently dropped bucket.
+_VERIFIED_PYSPARK: tuple[str, ...] = ("4.1.2",)
+
+
+def _require_verified_pyspark() -> None:
+    import pyspark
+
+    if pyspark.__version__ not in _VERIFIED_PYSPARK:
+        raise RuntimeError(
+            f"colocated bucket join: pyspark {pyspark.__version__} has not "
+            "been verified against the bucket-pin planner-behavior envelope "
+            f"(verified: {', '.join(_VERIFIED_PYSPARK)}). Run tests/"
+            "test_pushdown_reuse.py and extend sources/colocated.py::"
+            "_VERIFIED_PYSPARK if it passes."
+        )
+
+
 class ColocatedJoinReader(DataSourceReader):
     def __init__(self, options: dict):
+        _require_verified_pyspark()
         self.left_on = [c.strip() for c in options["left_on"].split(",")]
         self.right_on = [
             c.strip() for c in options.get("right_on", options["left_on"]).split(",")
