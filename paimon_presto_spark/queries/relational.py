@@ -1107,16 +1107,85 @@ def key_based_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_bernoulli", oracle=None, tags=("sampling", "nondeterministic"))
+@register(
+    "sample_bernoulli",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS corpus_rows,
+               CAST(1 AS BIGINT) AS frac_in_band,
+               CAST(0 AS BIGINT) AS out_of_corpus,
+               CAST(1 AS BIGINT) AS seed_deterministic
+        FROM lineitem
+    """,
+    tags=("sampling", "invariant-oracle"),
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLESAMPLE BERNOULLI — SURVEY §2.2 (``:1109-1118``).
+    """TABLESAMPLE BERNOULLI — SURVEY §2.2 (``:1109-1118``), gated by an
+    INVARIANT oracle (the ``assign_unique_id`` pattern): the sampled row
+    SET is engine-seed-dependent, so no SQL oracle can hash-match it —
+    but the properties that make a Bernoulli sampler correct are
+    deterministic and executable on both engines:
 
-    Sampling is engine-seed-dependent, so there is no SQL oracle; the driver
-    records the weaker rows-only check. Fixed seed keeps runs reproducible
-    within Spark.
+    - ``corpus_rows`` — corpus count, genuinely recomputed by both sides;
+    - ``out_of_corpus`` — sampled keys anti-joined back against the
+      corpus (a sampler may only ever SELECT rows, never invent them):
+      must be 0;
+    - ``frac_in_band`` — |sample_fraction − 0.1| < 0.03: ~8σ at the
+      smallest test scale (sf0.001, ~6k rows, σ≈0.004), and the fixed
+      seed makes the realized fraction a constant per Spark version, so
+      this can never flake — it only fails if the sampler's rate is
+      actually broken;
+    - ``seed_deterministic`` — two INDEPENDENT loads sampled with the
+      same seed must agree exactly (count + identity-sum over the
+      sampled keys): the reproducibility contract a fixed-seed sample
+      pipeline rests on.
+
+    The three scalar aggregates and the anti-join count combine via
+    single-row crossJoins (the repo's declared bounded-BNLJ class —
+    1-row scalars, never data-sized).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+    s1 = li.sample(fraction=0.1, seed=42)
+    # determinism probe: a FRESH load (fresh DataSource handle, fresh
+    # logical plan) sampled with the same seed must reproduce s1 exactly
+    s2 = load_table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+    ident = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    a1 = s1.agg(
+        F.count(F.lit(1)).alias("n1"), F.sum(ident).alias("h1")
+    )
+    a2 = s2.agg(
+        F.count(F.lit(1)).alias("n2"), F.sum(ident).alias("h2")
+    )
+    corpus = li.agg(F.count(F.lit(1)).alias("corpus_rows"))
+    keys = ["l_orderkey", "l_linenumber"]
+    ooc = (
+        s1.select(*keys)
+        .join(li.select(*keys), keys, "left_anti")
+        .agg(F.count(F.lit(1)).alias("out_of_corpus"))
+    )
+    return (
+        a1.crossJoin(a2)
+        .crossJoin(corpus)
+        .crossJoin(ooc)
+        .select(
+            F.col("corpus_rows").cast("long").alias("corpus_rows"),
+            F.when(
+                F.abs(
+                    F.col("n1").cast("double") / F.col("corpus_rows") - 0.1
+                )
+                < 0.03,
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("frac_in_band"),
+            F.col("out_of_corpus").cast("long").alias("out_of_corpus"),
+            F.when(
+                (F.col("n1") == F.col("n2"))
+                & F.col("h1").eqNullSafe(F.col("h2")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("seed_deterministic"),
+        )
     )
