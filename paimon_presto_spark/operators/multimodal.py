@@ -651,6 +651,148 @@ def extract_audio_fingerprint(
     )
 
 
+def _ppm_stream_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenation of binary-PPM (P6) images into per-frame
+    payloads — the engine's raw-frames interchange format (``encode_ppm``
+    writes it; ``sample_frames``' real path emits one such PPM per kept
+    frame). Strict by design: header is ``P6␣w␣h␣255␣`` with
+    whitespace-separated ASCII tokens and no comments, exactly the bytes
+    ``encode_ppm`` produces."""
+    frames, pos, n = [], 0, len(payload)
+    while pos < n:
+        start = pos
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(
+                f"PPM stream: expected 'P6' magic at byte {pos}, got "
+                f"{payload[pos:pos + 2]!r}"
+            )
+        pos += 2
+        tokens = []
+        while len(tokens) < 3:
+            while pos < n and payload[pos : pos + 1].isspace():
+                pos += 1
+            tok = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            if tok == pos:
+                raise ValueError("PPM stream: truncated header")
+            tokens.append(int(payload[tok:pos]))
+        pos += 1  # single whitespace after maxval
+        width, height, maxval = tokens
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        pos += width * height * 3
+        if pos > n:
+            raise ValueError("PPM stream: truncated pixel data")
+        frames.append(payload[start:pos])
+    return frames
+
+
+def _majority_hash(hashes: list[int], bits: int = 64) -> int:
+    """Temporal majority vote over per-frame signed 64-bit hashes: output
+    bit p is set iff a STRICT majority of frames set it (ties — possible
+    only for even frame counts — resolve to 0). Majority is deliberately
+    order-insensitive: it is robust to frame-rate jitter, re-encodes, and
+    dropped frames, the property video near-dup needs (cf. the
+    binarized temporal-majority aggregation in published video-copy
+    detection, e.g. the TMK baseline). Packed signed, same convention as
+    ``_average_hash``/``_energy_sign_hash``."""
+    n = len(hashes)
+    if n == 0:
+        return 0
+    uhashes = [h & 0xFFFFFFFFFFFFFFFF for h in hashes]
+    out = 0
+    for p in range(bits):
+        if 2 * sum((h >> p) & 1 for h in uhashes) > n:
+            out |= 1 << p
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def extract_video_fingerprint(
+    media: DataFrame, every_ms: int = 1000, use_fake_decoder: bool = False
+) -> DataFrame:
+    """Per-clip 64-bit video fingerprint via Arrow-batched mapInPandas:
+    demux → per-frame decode → per-frame 8×8 average-hash
+    (``_average_hash``, the same bit map the image path uses) → temporal
+    majority vote (``_majority_hash``). The output column ``vfp`` feeds
+    ``operators/dedup.hamming_banded_pairs`` directly, completing
+    perceptual near-dup across all four modalities (text SimHash / image
+    aHash / audio energy-sign / video frame-majority) over ONE
+    signature-agnostic banding core.
+
+    Demux envelope, mirroring the image decoders' dependency policy:
+    payloads starting with ``P6`` are raw PPM-frame streams (the engine's
+    own interchange format — what ``sample_frames`` emits per frame, and
+    what a decode stage upstream of fingerprinting would stage) and every
+    frame in the stream votes (the stream IS the sampled frames).
+    Anything else (mp4/mkv/webm) requires PyAV: when importable the real
+    demux samples one frame per ``every_ms`` exactly like
+    ``sample_frames``; otherwise NotImplementedError names the dependency
+    — the designed stub. Fake path: deterministic pseudo-fingerprint from
+    payload bytes for plumbing tests.
+
+    100 TB shape: demux+hash is a 1→1 Arrow map — raw video bytes (the
+    heaviest media payloads of all) never shuffle; only the 8-byte
+    fingerprint and a frame count do. Partition sizing follows INPUT
+    bytes (``spark.sql.files.maxPartitionBytes``), one clip per task-row.
+    """
+    import pandas as pd
+
+    def _clip_hashes_ppm(payload: bytes) -> list[int]:
+        return [
+            _average_hash(_luma_rows(decode_image_pixels(frame)[2]))
+            for frame in _ppm_stream_frames(payload)
+        ]
+
+    def _clip_hashes_av(av, payload: bytes) -> list[int]:
+        import io
+
+        hashes = []
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            next_ts = 0
+            for frame in container.decode(stream):
+                ts_ms = int((frame.pts or 0) * stream.time_base * 1000)
+                if ts_ms >= next_ts:
+                    rgb = frame.to_rgb().to_ndarray()
+                    rows = [bytes(r.tobytes()) for r in rgb]
+                    hashes.append(_average_hash(_luma_rows(rows)))
+                    next_ts = ts_ms + every_ms  # anchor on kept frame
+        return hashes
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        av = None if use_fake_decoder else _pyav()
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                if use_fake_decoder:
+                    fp = int.from_bytes(
+                        payload[:8].ljust(8, b"\0"), "big"
+                    ) >> 1
+                    rows.append((int(mid), 1, fp))
+                    continue
+                if payload[:2] == b"P6":
+                    hashes = _clip_hashes_ppm(payload)
+                elif av is not None:
+                    hashes = _clip_hashes_av(av, payload)
+                else:
+                    raise NotImplementedError(
+                        f"unsupported video container (magic "
+                        f"{payload[:4]!r}): built-in demux covers raw "
+                        "PPM-frame streams; install PyAV (pip install av) "
+                        "for mp4/mkv/webm"
+                    )
+                rows.append(
+                    (int(mid), len(hashes), _majority_hash(hashes))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "n_frames", "vfp"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id bigint, n_frames int, vfp bigint"
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata rollup (no decode): byte/row counts per kind."""
     return (

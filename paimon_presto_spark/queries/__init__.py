@@ -57,74 +57,76 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # fixed count (each round so far recorded exactly the first 50). The prefix
 # is ROTATED each round so every registry entry eventually earns a
 # driver-graded row; every entry has had a green driver row since round 4.
-# Round-10 policy is pure staleness rotation, same as rounds 5-9: ALL 50
-# rows whose most recent driver grade is round 6 (computed from the
-# CORRECTNESS_r0N.json artifacts — an entry's latest round with a
-# recorded row, not past PRIORITY lists) fill the prefix exactly. This
-# cohort includes the whole set-operation family (setop_intersect here;
-# union_all/except were regraded r8/r7) per the round-9 plan. Any entry
-# ADDED in round 10 enters the prefix in the same commit (the standing
-# new-entry rule) and displaces one r6 row to round 11 (chosen so every
-# family anchor keeps a prefix representative).
+# Round-11 policy is pure staleness rotation, same as rounds 5-10: the
+# stale cohort (computed from the CORRECTNESS_r0N.json artifacts — an
+# entry's latest round with a recorded row, not past PRIORITY lists) is
+# 51 entries for 50 slots: text_unigram_logprob (last graded r6 — it was
+# displaced from the r10 prefix by the new audio entry and MUST re-enter
+# first) plus the 50 rows last graded r7. The round's one NEW entry
+# (dedup_video_fingerprint; standing rule: every new entry earns its
+# driver row in its own round) displaces two r7 rows to round 12:
+# knn_sq8_rerank and agg_rollup — chosen because BOTH were independently
+# re-verified green by the round-10 judge's local oracle sample this
+# session (lowest staleness risk) and both families keep multiple prefix
+# representatives (knn_*: 4 rows; agg_*: 3 rows).
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
-    # -- NEW this round (never graded; standing rule: every new entry
-    #    earns its driver row in its own round) --------------------------
-    "dedup_audio_fingerprint",
-    # -- last driver-graded in ROUND 6 (49 of 50; one r6 row,
-    #    text_unigram_logprob, is displaced to round 11 — its family
-    #    keeps six other prefix members, and it stays covered by the
-    #    local gate every session) ---------------------------------------
-    "agg_corr_manual",
-    "agg_exact_percentiles",
-    "agg_filtered_bool",
-    "agg_grouping_sets",
-    "agg_two_phase_skew",
-    "agg_weighted_median",
-    "array_lambda_functions",
-    "array_subscript_embeddings",
-    "bitwise_functions",
-    "decontaminate_bloom",
-    "dedup_embedding_lsh",
-    "dedup_exact_substring",
-    "dedup_intra_doc_chunks",
-    "dedup_keep_best_in_cluster",
-    "dedup_minhash_incremental",
-    "dedup_ngram_containment",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "events_interval_join_outer",
-    "join_full_outer",
-    "join_salted_skew",
-    "knn_ivf_pq_adc",
-    "knn_ivf_probe",
-    "knn_matryoshka_recall",
-    "map_functions",
-    "mix_domain_reweight",
-    "multimodal_binary_stats",
-    "pipeline_curate_corpus",
-    "q11_important_stock",
-    "q17_small_quantity",
-    "sample_dsir_importance",
-    "sample_priority_weighted",
-    "sample_temperature",
-    "scalar_misc_semantics",
-    "setop_intersect",
-    "streaming_batch_parity_dedup",
-    "string_advanced_functions",
-    "table_format_aggregation",
-    "table_format_avro_roundtrip",
-    "table_format_partial_update",
-    "text_bigram_perplexity",
-    "text_bm25_topk",
-    "text_bpe_token_stats",
-    "text_quality_filter",
-    "text_quality_logreg",
-    "text_tfidf_topk",
-    "window_rank_variants",
+    # -- NEW this round (never graded; standing new-entry rule) ----------
+    "dedup_video_fingerprint",
+    # -- last driver-graded in ROUND 6 (displaced from the r10 prefix;
+    #    re-enters ahead of the r7 cohort) -------------------------------
+    "text_unigram_logprob",
+    # -- last driver-graded in ROUND 7 (48 of 50; knn_sq8_rerank and
+    #    agg_rollup displaced to round 12, see above) --------------------
+    "agg_count_min_sketch",
+    "agg_histogram_map",
+    "agg_weighted_quartiles",
+    "array_setops_functions",
+    "conditional_scalar_functions",
+    "datetime_trunc_extras",
+    "dedup_cdc_chunks",
+    "dedup_connected_components",
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall",
+    "dedup_semantic_incremental",
+    "dedup_tfidf_cosine",
+    "embedding_int8_quantize",
+    "eval_contamination",
+    "events_funnel_steps",
+    "graph_pagerank_tokens",
+    "join_anti_not_exists",
+    "knn_ivf_kmeans",
+    "knn_ivf_pq_append",
+    "knn_ivf_pq_stored",
+    "knn_lsh_recall",
+    "knn_sq8_stored",
+    "metastore_catalog_roundtrip",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_image_pipeline",
+    "q10_returned_items",
+    "q19_disjunctive_filter",
+    "q22_global_sales_opportunity",
+    "q5_local_supplier_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "retrieval_rrf_fusion",
+    "sample_priority_per_source",
+    "select_token_budget",
+    "setop_except",
+    "streaming_batch_parity_interval_join",
+    "streaming_batch_parity_session",
+    "streaming_batch_parity_window",
+    "table_format_roundtrip",
+    "text_heavy_hitters",
+    "text_pii_redaction",
+    "text_repetition_quality",
+    "text_trigram_backoff",
+    "text_vocab_stats",
+    "timeseries_gap_fill",
+    "unnest_with_ordinality",
+    "window_range_frame",
 )
 
 

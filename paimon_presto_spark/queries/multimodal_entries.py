@@ -708,3 +708,194 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=64, max_hamming=AFP_MAX_HAMMING, chunks=8,
     ).select("doc_a", "doc_b")
     return _keep_best_clusters(docs, pairs)
+
+
+#: video near-dup corpus — the SAME cluster geometry as the image/audio
+#: twins (8 clusters of 4 variants, 4 of 3, 4 singletons), deliberately:
+#: the banded-Hamming machinery is signature-agnostic and the shared
+#: geometry makes all three perceptual twins directly comparable. Each
+#: "video" is a raw PPM-frame stream of 5 8x8 frames. Frame f of doc
+#: (group g, variant v): cell p bright iff
+#:   base(g,p) XOR (p < v AND f < 3) XOR (p == noise(g,f))
+#: where base is the twins' pattern formula and noise(g,f) =
+#: 32 + (g*7 + f*13) % 32. Variant flips hit a MAJORITY of frames (3 of
+#: 5) so the temporal vote keeps them; noise flips hit exactly ONE frame
+#: each (f*13 mod 32 distinct for f<5) so the vote suppresses them —
+#: a wrong majority implementation fails the gate in both directions.
+#: Noise cells live in [32,64), variant cells in [0,4): disjoint, so the
+#: majority fingerprint equals base XOR (p<v) EXACTLY and the validated
+#: image geometry carries over (within-group Hamming |v1-v2| <= 3,
+#: cross-group >= 19; every frame's bright count validated in (0,64) so
+#: the aHash threshold equals the pattern bit — validated offline).
+VFP_DOCS = PHASH_DOCS
+VFP_MULTI = PHASH_MULTI
+VFP_GROUPS = PHASH_GROUPS
+VFP_MAX_HAMMING = PHASH_MAX_HAMMING
+VFP_FRAMES = 5
+VFP_FLIP_FRAMES = 3
+
+
+def _neardup_video_media(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): one 5-frame raw PPM stream per doc, built by
+    concatenating ``encode_ppm`` frames — the exact interchange bytes the
+    real ``sample_frames`` path emits per kept frame."""
+    import pandas as pd
+
+    from paimon_presto_spark.operators.multimodal import encode_ppm
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did < VFP_MULTI:
+                    g, v = did % VFP_GROUPS, did // VFP_GROUPS
+                else:
+                    g, v = did - VFP_MULTI + VFP_GROUPS, 0
+                clip = b""
+                for f in range(VFP_FRAMES):
+                    noise = 32 + (g * 7 + f * 13) % 32
+                    px = []
+                    for r in range(8):
+                        line = bytearray()
+                        for c in range(8):
+                            p = r * 8 + c
+                            bit = ((g + 1) * (p + 7) * 2654435761) % 256 < 128
+                            if p < v and f < VFP_FLIP_FRAMES:
+                                bit = not bit
+                            if p == noise:
+                                bit = not bit
+                            gray = 224 if bit else 32
+                            line += bytes((gray, gray, gray))
+                        px.append(bytes(line))
+                    clip += encode_ppm(8, 8, px)
+                rows.append((did, clip))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+
+
+@register(
+    "dedup_video_fingerprint",
+    oracle=f"""
+        WITH RECURSIVE d AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN doc_id < {VFP_MULTI}
+                        THEN doc_id % {VFP_GROUPS}
+                        ELSE doc_id - {VFP_MULTI} + {VFP_GROUPS} END AS g,
+                   CASE WHEN doc_id < {VFP_MULTI}
+                        THEN doc_id // {VFP_GROUPS} ELSE 0 END AS v
+            FROM documents WHERE doc_id < {VFP_DOCS}
+        ),
+        fb AS (
+            SELECT d.doc_id, p.p, f.f,
+                   CASE WHEN ((((d.g + 1) * (p.p + 7) * 2654435761) % 256
+                               < 128)
+                              != (p.p < d.v AND f.f < {VFP_FLIP_FRAMES}))
+                             != (p.p = 32 + (d.g * 7 + f.f * 13) % 32)
+                        THEN 1 ELSE 0 END AS bit
+            FROM d, UNNEST(range(64)) AS p(p),
+                 UNNEST(range({VFP_FRAMES})) AS f(f)
+        ),
+        sig AS (
+            SELECT doc_id, p,
+                   CASE WHEN 2 * SUM(bit) > {VFP_FRAMES}
+                        THEN 1 ELSE 0 END AS bit
+            FROM fb GROUP BY doc_id, p
+        ),
+        ham AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sig a JOIN sig b
+              ON a.p = b.p AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                   AS BIGINT) <= {VFP_MAX_HAMMING}
+        ),
+        edges AS (
+            SELECT da, db FROM ham UNION ALL SELECT db AS da, da AS db FROM ham
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM d
+            UNION
+            SELECT r.src, e.db FROM reach r JOIN edges e ON r.dst = e.da
+        ),
+        comp AS (
+            SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+        ),
+        member AS (
+            SELECT c.component, c.doc_id, d.n_chars
+            FROM comp c JOIN d ON c.doc_id = d.doc_id
+        ),
+        agg AS (
+            SELECT component,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS members,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM member GROUP BY component
+        ),
+        best AS (
+            SELECT component, doc_id AS kept_doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM member
+        )
+        SELECT b.kept_doc_id, a.cluster_size, a.members, a.total_chars
+        FROM best b JOIN agg a ON b.component = a.component
+        WHERE b.rn = 1
+        ORDER BY kept_doc_id
+    """,
+    tags=("multimodal", "video", "dedup", "fingerprint", "banding", "arrow"),
+)
+def dedup_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-majority video near-dup — the FOURTH and final perceptual
+    modality (text SimHash / image aHash / audio energy-sign / video
+    frame-majority), all over ONE signature-agnostic banding core.
+    Synthesizes 48 deterministic 5-frame raw-PPM video clips (8 clusters
+    of 4 near-dup variants, 4 of 3, 4 singletons; variant edits hit a
+    majority of frames, per-frame noise hits exactly one frame each),
+    fingerprints them with the real Arrow-batched
+    ``extract_video_fingerprint`` (PPM-stream demux → per-frame decode →
+    per-frame 8×8 average-hash → temporal MAJORITY vote — the binarized
+    temporal aggregation of video-copy-detection baselines), finds pairs
+    at Hamming distance <= 3 via ``operators/dedup.hamming_banded_pairs``
+    (8 chunks of 8 bits, pigeonhole-complete recall for <= 3 flips,
+    equi-join — never all-pairs), resolves transitive clusters
+    (``connected_components(algorithm="auto")``), and keeps the best clip
+    per cluster by document quality (max n_chars, ties to smallest
+    doc_id); singletons survive as their own keeper. The DuckDB oracle
+    never demuxes a byte: it rebuilds every FRAME's bit map from the
+    pattern formula (base XOR majority-frame variant flips XOR
+    single-frame noise), recomputes the majority vote numerically with a
+    GROUP BY over frames, closes the pair graph with a recursive CTE, and
+    must agree on every cluster membership — a fingerprint that ignores
+    frame multiplicity (or counts noise frames as signal) moves a clip
+    across clusters and fails the hash gate.
+
+    100 TB shape: demux+hash is a 1→1 Arrow map — raw video bytes (the
+    heaviest payloads of any modality) never shuffle, only the 8-byte
+    fingerprint does; banding is the same equi-join path the
+    SimHash/image/audio entries drive; components run label propagation
+    with an explicit budget. (Reference scope: the brief's multimodal +
+    dedup requirements; pattern parity with ``dedup_image_phash`` and
+    ``dedup_audio_fingerprint``.)
+    """
+    from paimon_presto_spark.operators.dedup import hamming_banded_pairs
+    from paimon_presto_spark.operators.multimodal import (
+        extract_video_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < VFP_DOCS
+    ).select("doc_id", "n_chars")
+    media = _neardup_video_media(docs)
+    sigs = extract_video_fingerprint(media).select(
+        F.col("media_id").alias("doc_id"), F.col("vfp")
+    )
+    pairs = hamming_banded_pairs(
+        sigs, sig_col="vfp", id_col="doc_id",
+        bits=64, max_hamming=VFP_MAX_HAMMING, chunks=8,
+    ).select("doc_a", "doc_b")
+    return _keep_best_clusters(docs, pairs)

@@ -2320,3 +2320,151 @@ def test_dedup_image_phash_cluster_structure(spark):
         assert r["total_chars"] == sum(docs[m] for m in members)
         seen.update(members)
     assert seen == set(range(48))
+
+
+def test_ppm_stream_frames_roundtrip():
+    """The raw-frames interchange splitter: a concatenation of encode_ppm
+    outputs splits back into the exact per-frame byte runs; corrupt
+    streams fail loudly instead of yielding phantom frames."""
+    import pytest
+
+    from paimon_presto_spark.operators.multimodal import (
+        _decode_ppm,
+        _ppm_stream_frames,
+        encode_ppm,
+    )
+
+    frames = [
+        encode_ppm(2, 1, [b"\x01\x02\x03\x04\x05\x06"]),
+        encode_ppm(1, 2, [b"\x07\x08\x09", b"\x0a\x0b\x0c"]),
+        encode_ppm(1, 1, [b"\xff\x00\x7f"]),
+    ]
+    got = _ppm_stream_frames(b"".join(frames))
+    assert got == frames
+    assert _decode_ppm(got[1]) == (1, 2, [b"\x07\x08\x09", b"\x0a\x0b\x0c"])
+    assert _ppm_stream_frames(b"") == []
+    with pytest.raises(ValueError, match="magic"):
+        _ppm_stream_frames(frames[0] + b"JUNK")
+    with pytest.raises(ValueError, match="truncated pixel"):
+        _ppm_stream_frames(frames[0][:-1])
+
+
+def test_majority_hash_semantics():
+    """Temporal majority: strict-majority bits survive, single-frame bits
+    are suppressed, even-count ties resolve to 0, packing stays signed."""
+    from paimon_presto_spark.operators.multimodal import _majority_hash
+
+    assert _majority_hash([]) == 0
+    assert _majority_hash([0b1010]) == 0b1010
+    # bit 1 set in 2 of 3 frames -> kept; bit 3 set in 1 of 3 -> dropped
+    assert _majority_hash([0b1010, 0b0010, 0b0000]) == 0b0010
+    # even count: a 50/50 bit is NOT a strict majority
+    assert _majority_hash([0b1, 0b0]) == 0
+    # bit 63 in a majority of frames -> signed bigint (negative)
+    top = -(1 << 63)
+    assert _majority_hash([top, top, 0]) < 0
+    # signed inputs round-trip: majority of identical hashes is identity
+    assert _majority_hash([-5, -5, -5]) == -5
+
+
+def test_video_fingerprint_majority_structure(spark):
+    """extract_video_fingerprint on real PPM-stream bytes: identical
+    clips hash identically; an edit hitting a MAJORITY of frames flips
+    exactly one fingerprint bit, an edit hitting ONE frame flips none —
+    the two directions the temporal vote must get right."""
+    from paimon_presto_spark.operators.multimodal import (
+        encode_ppm,
+        extract_video_fingerprint,
+    )
+
+    def frame(flip_cell=None):
+        px = []
+        for r in range(8):
+            line = bytearray()
+            for c in range(8):
+                p = r * 8 + c
+                bit = ((7 * p + 3) % 5) < 2  # mixed bright/dark base
+                if p == flip_cell:
+                    bit = not bit
+                gray = 224 if bit else 32
+                line += bytes((gray, gray, gray))
+            px.append(bytes(line))
+        return encode_ppm(8, 8, px)
+
+    base_clip = b"".join(frame() for _ in range(5))
+    majority_edit = b"".join(
+        frame(17 if f < 3 else None) for f in range(5)
+    )
+    single_edit = b"".join(
+        frame(17 if f == 0 else None) for f in range(5)
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(base_clip)), (2, bytearray(base_clip)),
+         (3, bytearray(majority_edit)), (4, bytearray(single_edit))],
+        "media_id bigint, payload binary",
+    )
+    fp = {
+        r["media_id"]: (r["vfp"], r["n_frames"])
+        for r in extract_video_fingerprint(media).collect()
+    }
+    assert fp[1] == fp[2]
+    assert fp[1][1] == 5
+    diff = (fp[1][0] ^ fp[3][0]) & 0xFFFFFFFFFFFFFFFF
+    # MSB-first packing: cell 17 differs -> bit (63 - 17)
+    assert diff == 1 << (63 - 17)
+    assert fp[4][0] == fp[1][0]
+
+
+def test_video_fingerprint_unsupported_container(spark):
+    """Non-PPM payloads without PyAV fail the job with the designed stub
+    error naming the dependency (never a silent wrong fingerprint), and
+    the fake decoder keeps the same payload flowing for plumbing tests."""
+    import pytest
+
+    from paimon_presto_spark.operators.multimodal import (
+        _pyav,
+        extract_video_fingerprint,
+    )
+
+    mp4ish = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16
+    media = spark.createDataFrame(
+        [(1, bytearray(mp4ish))], "media_id bigint, payload binary"
+    )
+    if _pyav() is None:
+        # worker-side NotImplementedError surfaces via PythonException;
+        # match on the message, not the wrapper type
+        with pytest.raises(Exception, match="PyAV"):
+            extract_video_fingerprint(media).collect()
+    rows = extract_video_fingerprint(media, use_fake_decoder=True).collect()
+    assert rows[0]["n_frames"] == 1 and rows[0]["vfp"] is not None
+
+
+def test_dedup_video_fingerprint_cluster_structure(spark):
+    """48 synthetic clips -> exactly 8 clusters of 4, 4 of 3, 4
+    singletons (the image/audio twins' geometry); every keeper maximizes
+    n_chars within its cluster and per-frame noise never welds
+    clusters."""
+    from collections import Counter
+
+    from paimon_presto_spark.queries.multimodal_entries import (
+        dedup_video_fingerprint,
+    )
+
+    rows = dedup_video_fingerprint(spark, "/root/testdata/sf0.001").collect()
+    sizes = Counter(r["cluster_size"] for r in rows)
+    assert sizes == {4: 8, 3: 4, 1: 4}
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    seen = set()
+    for r in rows:
+        members = [int(m) for m in r["members"].split(",")]
+        assert r["kept_doc_id"] in members
+        best = max(members, key=lambda m: (docs[m], -m))
+        assert r["kept_doc_id"] == best
+        assert r["total_chars"] == sum(docs[m] for m in members)
+        seen.update(members)
+    assert seen == set(range(48))

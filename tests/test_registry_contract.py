@@ -31,23 +31,27 @@ def test_priority_prefix_is_valid_and_broad():
     # Every operator family present in the rotating cohort must be
     # represented in the prefix. The prefix ROTATES across rounds (so
     # every entry eventually earns a driver-graded row); these anchors
-    # are the round-10 representatives (the round-10 prefix is the r6
-    # cohort — all rows whose latest driver grade is round 6 — with any
-    # round-10 additions displacing the tail rows to round 11; this
-    # cohort carries the set-op family's regrade via setop_intersect).
+    # are the round-11 representatives (the round-11 prefix is the new
+    # video entry + the r6-displaced text_unigram_logprob + 48 of the 50
+    # r7-stale rows; knn_sq8_rerank and agg_rollup are displaced to
+    # round 12 — both judge-re-verified locally in round 10, and the knn
+    # and agg families keep multiple prefix rows).
     prefix = set(PRIORITY)
     for family_member in (
-        "table_format_avro_roundtrip",
-        "q11_important_stock",
-        "window_rank_variants",
-        "agg_exact_percentiles",
-        "join_full_outer",
-        "events_interval_join_outer",
-        "dedup_simhash",
-        "setop_intersect",
-        "knn_ivf_probe",
-        "text_bm25_topk",
-        "streaming_batch_parity_dedup",
+        "table_format_roundtrip",
+        "metastore_catalog_roundtrip",
+        "q5_local_supplier_revenue",
+        "window_range_frame",
+        "agg_count_min_sketch",
+        "join_anti_not_exists",
+        "events_funnel_steps",
+        "dedup_minhash_lsh",
+        "dedup_video_fingerprint",
+        "setop_except",
+        "knn_ivf_pq_stored",
+        "text_heavy_hitters",
+        "streaming_batch_parity_window",
+        "multimodal_image_pipeline",
     ):
         assert family_member in prefix
 
@@ -76,10 +80,12 @@ def test_oracles_are_subset_with_known_exceptions():
     qs, osql = queries(), oracle_sql()
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
-    # Only genuinely seed-dependent entries may lack an oracle (the
-    # curation pipeline graduated in r3; knn_ivf_kmeans in r4 — its
-    # bounded training loop unrolls into SQL).
-    assert rows_only <= {"sample_bernoulli"}, rows_only
+    # EVERY entry is oracle-backed since round 11 (sample_bernoulli
+    # graduated to an invariant oracle — seed-dependent row sets, but
+    # deterministic correctness properties; the curation pipeline
+    # graduated in r3, knn_ivf_kmeans in r4). New entries must ship with
+    # an oracle: hash gate if SQL-expressible, invariant gate otherwise.
+    assert not rows_only, rows_only
 
 
 def test_integer_sum_oracles_cast_to_bigint():
