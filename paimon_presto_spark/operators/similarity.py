@@ -1344,6 +1344,76 @@ def _pq_codes_exploded(
     )
 
 
+def _pq_codes_blas(
+    v: DataFrame, books: dict[int, dict[int, list[float]]]
+) -> DataFrame:
+    """Arrow-batched PQ encode: one numpy pass per batch computes all m
+    subspace argmins, BIT-IDENTICAL to the codegen/relational rungs.
+
+    The relational rung's plan is constant-size in ksub but pays a
+    16x-exploded shuffle + hash aggregation per corpus encode; the
+    codegen rung is map-only but its m×ksub literal-argmin expression is
+    the heaviest per-row expression in the engine (the round-10 sf1
+    stress' top row). This rung is map-only AND constant-size: vectors
+    stream through mapInPandas, distances vectorize over (batch × ksub),
+    and ONLY the m-byte codes leave Python.
+
+    Bit-identity is engineered, not hoped for — the oracle gates codes,
+    and argmin flips when near-ties round differently:
+    - the squared-distance accumulation runs SEQUENTIALLY over the sub
+      dimension (``acc = acc + term`` per j, vectorized across rows ×
+      centroids), the same left-fold order as ``_pq_sqdist_expr``'s
+      literal chain — a true matmul expansion (|v|² − 2v·c + |c|²) would
+      reassociate and break ties differently;
+    - numpy elementwise float64 ops are IEEE-identical to the JVM's
+      scalar doubles;
+    - ``np.argmin`` returns the FIRST minimum = lowest cid, the same
+      tie-break as the (dist, cid) struct-min.
+    ``tests/test_retrieval.py`` pins all three rungs code-identical on
+    real embeddings.
+
+    Input contract: ``v`` carries (id/carry... , __v array<double>,
+    size-filtered); all non-``__v`` columns pass through untouched.
+    """
+    import pandas as pd
+
+    m = len(books)
+    sub = len(books[0][0])
+    cents = [
+        np.asarray([books[ss][cid] for cid in sorted(books[ss])],
+                   dtype=np.float64)
+        for ss in range(m)
+    ]  # each (ksub, sub); sorted(books[ss]) is 0..ksub-1 by construction
+    passthrough = [f for f in v.schema.fields if f.name != "__v"]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in passthrough]
+        + ["codes array<int>"]
+    )
+    pass_names = [f.name for f in passthrough]
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[pass_names].copy()
+            if len(pdf):
+                X = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+                codes = np.empty((len(pdf), m), dtype=np.int64)
+                for ss in range(m):
+                    Xs = X[:, ss * sub : (ss + 1) * sub]
+                    C = cents[ss]
+                    d0 = Xs[:, 0][:, None] - C[:, 0][None, :]
+                    acc = d0 * d0
+                    for j in range(1, sub):
+                        dj = Xs[:, j][:, None] - C[:, j][None, :]
+                        acc = acc + dj * dj  # left fold, per _pq_sqdist_expr
+                    codes[:, ss] = np.argmin(acc, axis=1)
+                out["codes"] = [r.tolist() for r in codes]
+            else:
+                out["codes"] = []
+            yield out
+
+    return v.mapInPandas(run, schema=out_schema)
+
+
 def pq_encode(
     vectors: DataFrame,
     books: dict[int, dict[int, list[float]]],
@@ -1354,8 +1424,20 @@ def pq_encode(
     """Corpus compression: each vector becomes m centroid codes (see
     ``_pq_codes_exploded`` for the two encode rungs). Returns
     (id_col, codes array<int>); at 100 TB this 8-byte column IS what the
-    ANN index stores and shuffles, never the vectors."""
+    ANN index stores and shuffles, never the vectors.
+
+    Rungs: ``"relational"`` / ``"codegen"`` (see ``_pq_codes_exploded``)
+    plus ``"blas"`` — map-only Arrow/numpy encode, bit-identical codes
+    (see ``_pq_codes_blas``), the rung for corpus-scale builds where the
+    codegen expression's m×ksub size dominates."""
     m = len(books)
+    if encode == "blas":
+        sub = len(books[0][0])
+        v = vectors.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ).filter(F.size("__v") == m * sub)
+        return _pq_codes_blas(v, books)
     ex = _pq_codes_exploded(vectors, books, id_col, vec_col, encode)
     if encode == "codegen":
         # map-only path: rebuild the array without a shuffle by re-deriving
@@ -1639,7 +1721,7 @@ def ivf_pq_index(
             ).getField("negcid")
         ).cast("int")
     }
-    if encode == "codegen":
+    if encode in ("codegen", "blas"):
         m = len(books)
         sub = len(books[0][0])
         dim = m * sub
@@ -1648,6 +1730,12 @@ def ivf_pq_index(
             bucket["bucket"].alias("bucket"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         ).filter(F.size("__v") == dim)
+        if encode == "blas":
+            # bucket (a JVM codegen expression, bit-replayable) rides the
+            # same scan; only the PQ argmin moves to the Arrow/numpy pass
+            # — map-only, zero shuffle, codes bit-identical to the other
+            # rungs (_pq_codes_blas)
+            return _pq_codes_blas(v, books)
         return v.select(
             id_col,
             "bucket",

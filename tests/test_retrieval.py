@@ -459,3 +459,46 @@ def test_ivf_pq_with_all_lists_probed_equals_plain_pq(spark):
     plain = pq_adc_topk(e, q, books, k=5).collect()
     key = lambda r: (r["q_id"], r["rnk"], r["n_id"], r["approx_l2"])  # noqa: E731
     assert sorted(map(key, composed)) == sorted(map(key, plain))
+
+
+def test_pq_encode_rungs_bit_identical(spark):
+    """The three PQ encode rungs — relational (broadcast-join + hash
+    agg), codegen (literal argmin expressions), blas (Arrow/numpy
+    map-only) — must produce IDENTICAL codes on real embeddings: the
+    blas rung's left-fold accumulation and first-min tie-break are
+    engineered to match the oracle-gated rungs bit for bit, which is
+    what lets the existing hash gates certify it transitively."""
+    from paimon_presto_spark.operators.similarity import (
+        ivf_pq_index,
+        pq_encode,
+        pq_train,
+    )
+    from paimon_presto_spark.queries.advanced import _ivf_cents
+    from paimon_presto_spark.sources.testdata import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_train(e, m=8, ksub=16, iters=1, sample_n=64, dim=64)
+
+    def codes(df):
+        return {r["vec_id"]: list(r["codes"]) for r in df.collect()}
+
+    rel = codes(pq_encode(e, books, encode="relational"))
+    cg = codes(pq_encode(e, books, encode="codegen"))
+    bl = codes(pq_encode(e, books, encode="blas"))
+    assert rel and rel == cg == bl
+
+    cents = _ivf_cents()
+
+    def idx(df):
+        return {
+            r["vec_id"]: (r["bucket"], list(r["codes"])) for r in df.collect()
+        }
+
+    irel = idx(ivf_pq_index(e, cents, books, encode="relational"))
+    ibl = idx(ivf_pq_index(e, cents, books, encode="blas"))
+    assert irel and irel == ibl
+    # blas plan contract: map-only — no Exchange anywhere (the relational
+    # rung pays an aggregation shuffle for the same output)
+    plan = ivf_pq_index(e, cents, books, encode="blas")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
