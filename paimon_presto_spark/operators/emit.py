@@ -178,6 +178,7 @@ def emit_training_shards(
     max_commits: int | None = None,
     shard_salt: str = "shard:",
     eos_id: int | None = None,
+    adopt_legacy: bool = False,
 ) -> dict:
     """Emit the corpus' training shards into ``table`` (an append-mode
     ``Table`` partitioned by ``shard`` that this emitter OWNS, like a
@@ -203,6 +204,12 @@ def emit_training_shards(
     groups under a CHANGED geometry would mis-map the progress point —
     e.g. a finer shards_per_commit on resume would treat the job as
     finished with shards never written).
+
+    Tables emitted by the pre-column-fingerprint writer (whose chain
+    never recorded the input columns) resume only with
+    ``adopt_legacy=True`` — the caller's explicit assertion that the
+    legacy emit packed the default doc_id/source/text columns; without
+    it the resume fails closed (see the legacy-compat block below).
     """
     from pyspark import StorageLevel
 
@@ -242,17 +249,18 @@ def emit_training_shards(
     # Legacy compat: tables emitted before the fingerprint learned the
     # input column names carry the col-less key. Adopt it — validation
     # and new commits alike — ONLY when (a) the whole existing APPEND
-    # chain was committed under it and (b) this resume uses the DEFAULT
-    # column triple. A custom-col resume against a col-less chain is
-    # UNVERIFIABLE (the old writer never recorded which columns it
-    # packed) and fails closed below. RESIDUAL RISK, asymmetric by
-    # design: the legacy key cannot prove the old writer used the
-    # default columns either — a col-less chain emitted from CUSTOM
-    # columns is silently adopted by a default-col resume (the only
-    # direction the old metadata cannot distinguish). We warn instead of
-    # failing because pre-column-fingerprint emits overwhelmingly used
-    # the defaults, and failing closed here would strand every legacy
-    # table behind an unanswerable validation.
+    # chain was committed under it, (b) this resume uses the DEFAULT
+    # column triple, and (c) the caller passed ``adopt_legacy=True``. A
+    # custom-col resume against a col-less chain is UNVERIFIABLE (the
+    # old writer never recorded which columns it packed) and fails
+    # closed below. The default-col direction is equally unverifiable —
+    # the legacy key cannot prove the old writer used the default
+    # columns either — which is exactly why adoption is an explicit
+    # opt-in (round 9 warned and proceeded; round 11 closes the
+    # residual): the flag is the caller's recorded assertion that the
+    # legacy emit packed doc_id/source/text, and without it the resume
+    # refuses instead of risking shards that silently mix content
+    # packed from different columns.
     fp_legacy = _geometry_fingerprint(
         seq_len, vocab, n_shards, shards_per_commit, shard_salt, eos_id,
         None,
@@ -261,17 +269,18 @@ def emit_training_shards(
         (c & 0xFFFFFFFF) == fp_legacy for c in chain
     )
     if fp_legacy != fp and legacy_chain and cols == ("doc_id", "source", "text"):
-        import warnings
-
-        warnings.warn(
-            "emit_training_shards: resuming a table emitted by a "
-            "pre-column-fingerprint writer; the chain does not record "
-            "which input columns it packed, so this resume assumes the "
-            "original emit used the default doc_id/source/text columns. "
-            "If it did not, emitted shards will mix content — emit into "
-            "a fresh table if unsure.",
-            stacklevel=2,
-        )
+        if not adopt_legacy:
+            raise ValueError(
+                "emit_training_shards: this table was emitted by a "
+                "pre-column-fingerprint writer, whose chain does not "
+                "record which input columns it packed — resuming would "
+                "ASSUME the original emit used the default "
+                "doc_id/source/text columns, and emitted shards would "
+                "silently mix content if it did not. Pass "
+                "adopt_legacy=True to assert the legacy emit used the "
+                "default columns (the chain is then re-stamped under "
+                "the legacy key), or emit into a fresh table."
+            )
         fp = fp_legacy
     # resume point: max APPEND commit identifier across the snapshot
     # chain (metadata-only; COMPACT/auto-compaction snapshots carry the

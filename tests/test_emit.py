@@ -189,11 +189,14 @@ def test_emit_resume_rejects_changed_geometry(docs, catalog):
     assert r == {"shards_written": 2, "shards_skipped": 2, "n_commits": 2}
 
 
-def test_emit_resume_accepts_legacy_fingerprint(docs, catalog, monkeypatch):
+def test_emit_resume_legacy_requires_opt_in(docs, catalog, monkeypatch):
     """Tables emitted before the fingerprint learned the input column
-    names (round 9) must stay resumable: if the whole existing APPEND
-    chain carries the legacy col-less fingerprint, the resume adopts it
-    instead of raising 'different geometry'."""
+    names (round 9) are UNVERIFIABLE in both directions — the chain
+    never recorded which columns the old writer packed. A default-column
+    resume must therefore REFUSE without ``adopt_legacy=True`` (naming
+    the risk and the flag), and adopt-and-finish with it."""
+    import pytest as _pytest
+
     import paimon_presto_spark.operators.emit as emit_mod
 
     t = _mk_table(catalog)
@@ -212,22 +215,18 @@ def test_emit_resume_accepts_legacy_fingerprint(docs, catalog, monkeypatch):
     assert r1["shards_written"] == 2
     monkeypatch.undo()
 
-    # resume with the CURRENT code: must adopt the legacy key and finish,
-    # but WARN — a col-less chain cannot prove the old writer packed the
-    # default columns (the one adoption direction that stays unverifiable)
-    import warnings as _warnings
-    with _warnings.catch_warnings(record=True) as caught:
-        _warnings.simplefilter("always")
-        r2 = emit_mod.emit_training_shards(docs, t, **kw)
+    # default-col resume WITHOUT the flag: fail closed, name flag + risk
+    with _pytest.raises(ValueError, match="adopt_legacy"):
+        emit_mod.emit_training_shards(docs, t, **kw)
+    # the refusal is an error, not a commit: nothing was appended
+    # (the retry below still skips exactly the legacy group)
+    r2 = emit_mod.emit_training_shards(docs, t, adopt_legacy=True, **kw)
     assert r2 == {"shards_written": 2, "shards_skipped": 2, "n_commits": 1}
-    assert any(
-        "pre-column-fingerprint" in str(w.message) for w in caught
-    ), "legacy adoption must warn about the unverifiable column triple"
-    # a genuinely different geometry still dies loudly
-    import pytest as _pytest
+    # a genuinely different geometry still dies loudly, flag or no flag
     with _pytest.raises(ValueError, match="different geometry"):
         emit_mod.emit_training_shards(
-            docs, t, seq_len=16, n_shards=4, shards_per_commit=2
+            docs, t, seq_len=16, n_shards=4, shards_per_commit=2,
+            adopt_legacy=True,
         )
 
 
