@@ -417,6 +417,16 @@ SCALE_QUERIES = [
     # was already stressed via dedup_simhash).
     "agg_weighted_quartiles",
     "dedup_image_phash",
+    # round 11 (verdict #6): the audio perceptual twin at a corpus-sized
+    # clip count — same splitmix64 group-pattern retune and 64-bit /
+    # 4-chunk banding as _image_phash_sf1 (the registry entry's fixed
+    # 48-clip corpus would make the row a no-op). The VIDEO twin is
+    # deliberately NOT a stress row: its per-doc media synth is 5x the
+    # image row's (5 frames/clip) for the identical banded plan shape —
+    # the banding core is already stressed three ways (simhash, image,
+    # audio) and the video-specific temporal vote is corpus-size-free
+    # (per-clip Arrow map, plan-audited in PLANS.md).
+    "dedup_audio_fingerprint",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
@@ -652,7 +662,11 @@ def _stored_ann_split(spark, data_dir: str, with_plans: bool = False) -> tuple[d
         t0 = time.perf_counter()
         books = pq_train(e, m=8, ksub=16, iters=2, sample_n=128, dim=64)
         idx_path = os.path.join(wh, "ivfpq")
-        ivf_pq_index(e, _ivf_cents(), books, encode="relational").write.mode(
+        # corpus-scale build rides the blas rung (map-only Arrow/numpy,
+        # zero shuffle) — codes bit-identical to the oracle-gated
+        # relational rung (tests/test_retrieval.py pins all three rungs
+        # equal); same-session interleaved A/B at sf1: 3.3 -> 1.6 s
+        ivf_pq_index(e, _ivf_cents(), books, encode="blas").write.mode(
             "overwrite"
         ).parquet(idx_path)
         times["knn_ivf_pq_stored_build"] = round(time.perf_counter() - t0, 3)
@@ -754,11 +768,13 @@ def _ivf_pq_append_sf1(spark, sf1_dir: str):
         ".bench_sf1",
         "_scratch_ivfapp_old",
     )
-    ivf_pq_index(old, _ivf_cents(), books, encode="relational").write.mode(
+    # blas rung for both encodes: bit-identical codes (pytest-pinned),
+    # map-only — see the stored-build site above
+    ivf_pq_index(old, _ivf_cents(), books, encode="blas").write.mode(
         "overwrite"
     ).parquet(idx_path)
     combined = spark.read.parquet(idx_path).unionByName(
-        ivf_pq_index(new, _ivf_cents(), books, encode="relational")
+        ivf_pq_index(new, _ivf_cents(), books, encode="blas")
     )
     queries = e.filter(F.col("vec_id") < 3)
     return ivf_pq_probe_topk(
@@ -881,6 +897,107 @@ def _image_phash_sf1(spark, sf1_dir: str):
     # comp ∪ singles already enumerates every doc exactly once, and the
     # histogram reads no docs column — no join back needed (unlike the
     # registry entry's keep-best tail, which needs n_chars)
+    return (
+        comp.unionByName(singles)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _audio_fp_sf1(spark, sf1_dir: str):
+    """dedup_audio_fingerprint with the clip corpus GROWN to the sf1
+    docs table (one 256-sample PCM-16 WAV per doc — 64 energy blocks of
+    4 samples): the registry entry's fixed 48-clip corpus would make the
+    sf1 row a no-op. Same two retunes as ``_image_phash_sf1``, for the
+    same reasons: (a) group loud/quiet patterns come from a splitmix64
+    mix of the group id (the entry's mod-256 formula aliases groups past
+    256, which at thousands of groups would weld unrelated clusters);
+    (b) banding runs 64 bits / 4 chunks so per-bucket populations stay
+    small at 10x. Cluster structure: 4 near-dup variants per group
+    (variant v flips the first v blocks, Hamming <= 3), random
+    cross-group distance ~32 bits. Output is the cluster-size histogram
+    so the driver never ships per-cluster member lists. Same dense-id
+    contract as the image row (checked there — both rows run in one
+    stress pass over the same corpus; this row re-checks independently
+    because stress rows also run standalone in A/B harnesses)."""
+    import io
+    import wave
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import (
+        connected_components,
+        hamming_banded_pairs,
+    )
+    from paimon_presto_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf1_dir, "documents.parquet")
+    ).select("doc_id")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    if stats["lo"] != 0 or stats["hi"] != stats["n"] - 1 or stats["n"] % 4:
+        raise ValueError(
+            f"_audio_fp_sf1 needs dense 0-based doc_ids in a corpus "
+            f"divisible by 4; got count={stats['n']} min={stats['lo']} "
+            f"max={stats['hi']} — derive a dense index (row_number) first"
+        )
+    n_groups = max(1, stats["n"] // 4)
+
+    def synth(batches):
+        def mix64(x: int) -> int:  # splitmix64 finalizer
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            return x ^ (x >> 31)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did % n_groups, did // n_groups
+                sig = mix64(g)
+                frames = bytearray()
+                for p in range(64):
+                    bit = bool((sig >> p) & 1)
+                    if p < v:
+                        bit = not bit
+                    amp = 800 if bit else 100
+                    for i in range(4):
+                        s = amp if i % 2 == 0 else -amp
+                        frames += s.to_bytes(2, "little", signed=True)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(bytes(frames))
+                rows.append((did, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    sigs = extract_audio_fingerprint(media).select(
+        F.col("media_id").alias("doc_id"), F.col("afp")
+    )
+    pairs = hamming_banded_pairs(
+        sigs, sig_col="afp", id_col="doc_id",
+        bits=64, max_hamming=3, chunks=4,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, algorithm="auto", star_switch_budget=4)
+    singles = docs.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
     return (
         comp.unionByName(singles)
         .groupBy("component")
@@ -1071,6 +1188,7 @@ def _scale_runners(qs) -> dict:
         "dedup_tfidf_cosine": _tfidf_cosine_sf1,
         "dedup_simhash": _simhash_banded_sf1,
         "dedup_image_phash": _image_phash_sf1,
+        "dedup_audio_fingerprint": _audio_fp_sf1,
     }
     return {
         name: retuned[name] if name in retuned else qs[name]
