@@ -1181,12 +1181,19 @@ def pq_train(
     - seeds: the sample's first ``ksub`` rows by (md5, id), sliced per
       subspace (rank-based, so the SQL oracle replays it with one
       row_number instead of k unrolled maximin CTEs);
-    - each iteration: map-side argmin assignment (codegen expressions
-      over centroid literals), then ONE hash aggregation to m x ksub
-      rows of DECIMAL(38,18) per-dimension sums — exact order-independent
-      addition, so the trained codebooks are bit-identical at any
-      partitioning and exactly replayable by the DuckDB oracle
-      (``knn_pq_adc``). Empty cells keep their previous centroid.
+    - each iteration: relational argmin assignment
+      (``_pq_codes_exploded(..., "relational")`` — explode × broadcast
+      codebook join × struct-min, CONSTANT plan size; the original
+      literal-codegen assignment compiled an m×ksub expression per
+      iteration, ~19 s of pure plan compile over 128 cached rows — the
+      dominant cost of the whole sf1 index build), then ONE hash
+      aggregation to m x ksub rows of DECIMAL(38,18) per-dimension sums
+      — exact order-independent addition, so the trained codebooks are
+      bit-identical at any partitioning and exactly replayable by the
+      DuckDB oracle (``knn_pq_adc``); the rungs' fixed-order float
+      arithmetic is pinned equal in tests/test_retrieval.py, so the
+      assignment swap changes no code anywhere. Empty cells keep their
+      previous centroid.
 
     The driver holds only codebooks (m*ksub*sub floats) and the tiny
     per-iteration update table. Collecting the update is one action per
@@ -1218,29 +1225,22 @@ def pq_train(
         for ss in range(m)
     }
     for _ in range(iters):
-        codes = sample.select(
-            "__id",
-            "__v",
-            F.posexplode(
-                F.array(*[
-                    _pq_code_expr(F.col("__v"), ss, sub, books[ss])
-                    for ss in range(m)
-                ])
-            ).alias("__ss", "__code"),
-        )
-        upd = codes.groupBy("__ss", "__code").agg(
+        codes = _pq_codes_exploded(
+            sample, books, "__id", "__v", "relational"
+        ).join(sample, "__id")
+        upd = codes.groupBy("ss", "code").agg(
             F.count(F.lit(1)).alias("__n"),
             *[
                 F.sum(
                     F.element_at(
-                        "__v", F.col("__ss") * sub + j + 1
+                        "__v", F.col("ss") * sub + j + 1
                     ).cast("decimal(38,18)")
                 ).alias(f"__s{j}")
                 for j in range(sub)
             ],
         ).collect()
         for r in upd:
-            ss, cid, n = r["__ss"], r["__code"], r["__n"]
+            ss, cid, n = r["ss"], r["code"], r["__n"]
             books[ss][cid] = [float(r[f"__s{j}"]) / n for j in range(sub)]
     sample.unpersist()
     return books
