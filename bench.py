@@ -806,40 +806,50 @@ def _simhash_banded_sf1(spark, sf1_dir: str):
     )
 
 
-def _image_phash_sf1(spark, sf1_dir: str):
-    """dedup_image_phash with the image corpus GROWN to the sf1 docs
-    table (one 8x8 PPM per doc): the registry entry's fixed 48-image
-    corpus would make the sf1 row a no-op. Two retunes a 100 TB image
-    corpus forces anyway: (a) group base patterns come from a splitmix64
-    mix of the group id — the entry's mod-256 pixel formula aliases
-    groups past 256, which at thousands of groups would weld unrelated
-    clusters into giant components; (b) banding runs 64 bits / 4 chunks
-    (16-bit chunk values -> 65536 buckets per position) so per-bucket
-    populations stay small at 10x, the same width-vs-corpus tuning as
-    ``_simhash_banded_sf1``. Cluster structure: 4 near-dup variants per
-    group (variant v flips the first v cells, Hamming <= 3), random
-    cross-group distance ~32 bits. Output is the cluster-size histogram
-    so the driver never ships per-cluster member lists."""
-    import pandas as pd
+def _splitmix64(x: int) -> int:
+    """splitmix64 finalizer — the group-pattern mixer both corpus-sized
+    perceptual stress rows share (the registry entries' mod-256 formulas
+    alias groups past 256, which at thousands of groups would weld
+    unrelated clusters into giant components)."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _perceptual_cluster_histogram_sf1(
+    spark, sf1_dir: str, row_name: str, synth_factory, extract, sig_col: str
+):
+    """Shared engine of the corpus-sized perceptual-dedup stress rows
+    (image aHash / audio fingerprint): grow the media corpus to one item
+    per sf1 doc (4 near-dup variants per splitmix64 group — variant v
+    flips the first v of 64 signature bits, Hamming <= 3; random
+    cross-group distance ~32 bits), run the real Arrow-batched decoder,
+    band at 64 bits / 4 chunks (16-bit chunk values -> 65536 buckets per
+    position, the same width-vs-corpus tuning as ``_simhash_banded_sf1``)
+    and resolve components. Output is the cluster-size histogram so the
+    driver never ships per-cluster member lists. ONE implementation by
+    design: a banding/budget retune lands in both modality rows or
+    neither.
+
+    ``synth_factory(n_groups)`` returns the mapInPandas synth for
+    (media_id, payload); ``extract`` maps media -> (media_id, sig_col).
+    """
     import pyspark.sql.functions as F
 
     from paimon_presto_spark.operators.dedup import (
         connected_components,
         hamming_banded_pairs,
     )
-    from paimon_presto_spark.operators.multimodal import (
-        encode_ppm,
-        extract_image_features,
-    )
 
     docs = spark.read.parquet(
         os.path.join(sf1_dir, "documents.parquet")
-    ).select("doc_id", "n_chars")
-    # The group/variant derivation below (did % n_groups, did // n_groups)
-    # assumes DENSE 0-based doc_ids and a corpus divisible by 4 — sparse or
-    # offset ids would push variant v past 3 and silently drop those docs
-    # out of their cluster (Hamming > max_hamming), skewing the histogram
-    # this row times. Check loudly instead of skewing silently.
+    ).select("doc_id")
+    # The group/variant derivation (did % n_groups, did // n_groups)
+    # assumes DENSE 0-based doc_ids and a corpus divisible by 4 — sparse
+    # or offset ids would push variant v past 3 and silently drop those
+    # docs out of their cluster (Hamming > max_hamming), skewing the
+    # histogram this row times. Check loudly instead of skewing silently.
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("doc_id").alias("lo"),
@@ -847,47 +857,20 @@ def _image_phash_sf1(spark, sf1_dir: str):
     ).collect()[0]
     if stats["lo"] != 0 or stats["hi"] != stats["n"] - 1 or stats["n"] % 4:
         raise ValueError(
-            f"_image_phash_sf1 needs dense 0-based doc_ids in a corpus "
+            f"{row_name} needs dense 0-based doc_ids in a corpus "
             f"divisible by 4; got count={stats['n']} min={stats['lo']} "
             f"max={stats['hi']} — derive a dense index (row_number) first"
         )
     n_groups = max(1, stats["n"] // 4)
 
-    def synth(batches):
-        def mix64(x: int) -> int:  # splitmix64 finalizer
-            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            return x ^ (x >> 31)
-
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                g, v = did % n_groups, did // n_groups
-                sig = mix64(g)
-                px = []
-                for r in range(8):
-                    line = bytearray()
-                    for c in range(8):
-                        p = r * 8 + c
-                        bit = bool((sig >> p) & 1)
-                        if p < v:
-                            bit = not bit
-                        gray = 224 if bit else 32
-                        line += bytes((gray, gray, gray))
-                    px.append(bytes(line))
-                rows.append((did, encode_ppm(8, 8, px)))
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
     media = docs.select("doc_id").mapInPandas(
-        synth, schema="media_id bigint, payload binary"
+        synth_factory(n_groups), schema="media_id bigint, payload binary"
     )
-    sigs = extract_image_features(media).select(
-        F.col("media_id").alias("doc_id"), F.col("phash")
+    sigs = extract(media).select(
+        F.col("media_id").alias("doc_id"), F.col(sig_col)
     )
     pairs = hamming_banded_pairs(
-        sigs, sig_col="phash", id_col="doc_id",
+        sigs, sig_col=sig_col, id_col="doc_id",
         bits=64, max_hamming=3, chunks=4,
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs, algorithm="auto", star_switch_budget=4)
@@ -896,7 +879,7 @@ def _image_phash_sf1(spark, sf1_dir: str):
     )
     # comp ∪ singles already enumerates every doc exactly once, and the
     # histogram reads no docs column — no join back needed (unlike the
-    # registry entry's keep-best tail, which needs n_chars)
+    # registry entries' keep-best tails, which need n_chars)
     return (
         comp.unionByName(singles)
         .groupBy("component")
@@ -904,107 +887,100 @@ def _image_phash_sf1(spark, sf1_dir: str):
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
+    )
+
+
+def _image_phash_sf1(spark, sf1_dir: str):
+    """dedup_image_phash with the image corpus GROWN to the sf1 docs
+    table (one 8x8 binary PPM per doc, one aHash grid cell per pattern
+    bit): the registry entry's fixed 48-image corpus would make the sf1
+    row a no-op. Geometry, banding and histogram output: see
+    ``_perceptual_cluster_histogram_sf1``."""
+    from paimon_presto_spark.operators.multimodal import (
+        encode_ppm,
+        extract_image_features,
+    )
+
+    def synth_factory(n_groups):
+        import pandas as pd
+
+        def synth(batches):
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    g, v = did % n_groups, did // n_groups
+                    sig = _splitmix64(g)
+                    px = []
+                    for r in range(8):
+                        line = bytearray()
+                        for c in range(8):
+                            p = r * 8 + c
+                            bit = bool((sig >> p) & 1)
+                            if p < v:
+                                bit = not bit
+                            gray = 224 if bit else 32
+                            line += bytes((gray, gray, gray))
+                        px.append(bytes(line))
+                    rows.append((did, encode_ppm(8, 8, px)))
+                yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+        return synth
+
+    return _perceptual_cluster_histogram_sf1(
+        spark, sf1_dir, "_image_phash_sf1", synth_factory,
+        extract_image_features, "phash",
     )
 
 
 def _audio_fp_sf1(spark, sf1_dir: str):
     """dedup_audio_fingerprint with the clip corpus GROWN to the sf1
     docs table (one 256-sample PCM-16 WAV per doc — 64 energy blocks of
-    4 samples): the registry entry's fixed 48-clip corpus would make the
-    sf1 row a no-op. Same two retunes as ``_image_phash_sf1``, for the
-    same reasons: (a) group loud/quiet patterns come from a splitmix64
-    mix of the group id (the entry's mod-256 formula aliases groups past
-    256, which at thousands of groups would weld unrelated clusters);
-    (b) banding runs 64 bits / 4 chunks so per-bucket populations stay
-    small at 10x. Cluster structure: 4 near-dup variants per group
-    (variant v flips the first v blocks, Hamming <= 3), random
-    cross-group distance ~32 bits. Output is the cluster-size histogram
-    so the driver never ships per-cluster member lists. Same dense-id
-    contract as the image row (checked there — both rows run in one
-    stress pass over the same corpus; this row re-checks independently
-    because stress rows also run standalone in A/B harnesses)."""
-    import io
-    import wave
-
-    import pandas as pd
-    import pyspark.sql.functions as F
-
-    from paimon_presto_spark.operators.dedup import (
-        connected_components,
-        hamming_banded_pairs,
-    )
+    4 samples, one block per fingerprint bit; loud 800 / quiet 100,
+    alternating sign so clips are zero-mean audio): the registry entry's
+    fixed 48-clip corpus would make the sf1 row a no-op. Geometry,
+    banding and histogram output: see
+    ``_perceptual_cluster_histogram_sf1``."""
     from paimon_presto_spark.operators.multimodal import (
         extract_audio_fingerprint,
     )
 
-    docs = spark.read.parquet(
-        os.path.join(sf1_dir, "documents.parquet")
-    ).select("doc_id")
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("doc_id").alias("lo"),
-        F.max("doc_id").alias("hi"),
-    ).collect()[0]
-    if stats["lo"] != 0 or stats["hi"] != stats["n"] - 1 or stats["n"] % 4:
-        raise ValueError(
-            f"_audio_fp_sf1 needs dense 0-based doc_ids in a corpus "
-            f"divisible by 4; got count={stats['n']} min={stats['lo']} "
-            f"max={stats['hi']} — derive a dense index (row_number) first"
-        )
-    n_groups = max(1, stats["n"] // 4)
+    def synth_factory(n_groups):
+        import io
+        import wave
 
-    def synth(batches):
-        def mix64(x: int) -> int:  # splitmix64 finalizer
-            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            return x ^ (x >> 31)
+        import pandas as pd
 
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                g, v = did % n_groups, did // n_groups
-                sig = mix64(g)
-                frames = bytearray()
-                for p in range(64):
-                    bit = bool((sig >> p) & 1)
-                    if p < v:
-                        bit = not bit
-                    amp = 800 if bit else 100
-                    for i in range(4):
-                        s = amp if i % 2 == 0 else -amp
-                        frames += s.to_bytes(2, "little", signed=True)
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(8000)
-                    w.writeframes(bytes(frames))
-                rows.append((did, buf.getvalue()))
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+        def synth(batches):
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    g, v = did % n_groups, did // n_groups
+                    sig = _splitmix64(g)
+                    frames = bytearray()
+                    for p in range(64):
+                        bit = bool((sig >> p) & 1)
+                        if p < v:
+                            bit = not bit
+                        amp = 800 if bit else 100
+                        for i in range(4):
+                            s = amp if i % 2 == 0 else -amp
+                            frames += s.to_bytes(2, "little", signed=True)
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(8000)
+                        w.writeframes(bytes(frames))
+                    rows.append((did, buf.getvalue()))
+                yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.select("doc_id").mapInPandas(
-        synth, schema="media_id bigint, payload binary"
-    )
-    sigs = extract_audio_fingerprint(media).select(
-        F.col("media_id").alias("doc_id"), F.col("afp")
-    )
-    pairs = hamming_banded_pairs(
-        sigs, sig_col="afp", id_col="doc_id",
-        bits=64, max_hamming=3, chunks=4,
-    ).select("doc_a", "doc_b")
-    comp = connected_components(pairs, algorithm="auto", star_switch_budget=4)
-    singles = docs.join(comp, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("component")
-    )
-    return (
-        comp.unionByName(singles)
-        .groupBy("component")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
-        .orderBy("cluster_size")
+        return synth
+
+    return _perceptual_cluster_histogram_sf1(
+        spark, sf1_dir, "_audio_fp_sf1", synth_factory,
+        extract_audio_fingerprint, "afp",
     )
 
 

@@ -681,6 +681,13 @@ def _ppm_stream_frames(payload: bytes) -> list[bytes]:
         width, height, maxval = tokens
         if maxval != 255:
             raise ValueError(f"unsupported PPM maxval {maxval}")
+        if width <= 0 or height <= 0:
+            # a non-positive dimension would move pos BACKWARD (or not at
+            # all) and re-parse the same header forever — fail loudly on
+            # the corrupt header instead
+            raise ValueError(
+                f"PPM stream: non-positive dimensions {width}x{height}"
+            )
         pos += width * height * 3
         if pos > n:
             raise ValueError("PPM stream: truncated pixel data")
@@ -700,12 +707,13 @@ def _majority_hash(hashes: list[int], bits: int = 64) -> int:
     n = len(hashes)
     if n == 0:
         return 0
-    uhashes = [h & 0xFFFFFFFFFFFFFFFF for h in hashes]
+    mask = (1 << bits) - 1
+    uhashes = [h & mask for h in hashes]
     out = 0
     for p in range(bits):
         if 2 * sum((h >> p) & 1 for h in uhashes) > n:
             out |= 1 << p
-    return out - (1 << 64) if out >= 1 << 63 else out
+    return out - (1 << bits) if out >= 1 << (bits - 1) else out
 
 
 def extract_video_fingerprint(

@@ -1383,7 +1383,15 @@ def _pq_codes_blas(
         np.asarray([books[ss][cid] for cid in sorted(books[ss])],
                    dtype=np.float64)
         for ss in range(m)
-    ]  # each (ksub, sub); sorted(books[ss]) is 0..ksub-1 by construction
+    ]  # each (ksub, sub), in ascending-cid order
+    # map argmin POSITIONS back to the actual cids: pq_train emits dense
+    # 0..ksub-1 keys, but books is caller-supplied API — a sparse
+    # codebook ({0: .., 2: .., 5: ..}) must yield the same cids the
+    # codegen/relational rungs emit, not positions. Ascending order
+    # keeps np.argmin's first-min == lowest-cid tie-break.
+    cid_of_pos = [
+        np.asarray(sorted(books[ss]), dtype=np.int64) for ss in range(m)
+    ]
     passthrough = [f for f in v.schema.fields if f.name != "__v"]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in passthrough]
@@ -1405,7 +1413,7 @@ def _pq_codes_blas(
                     for j in range(1, sub):
                         dj = Xs[:, j][:, None] - C[:, j][None, :]
                         acc = acc + dj * dj  # left fold, per _pq_sqdist_expr
-                    codes[:, ss] = np.argmin(acc, axis=1)
+                    codes[:, ss] = cid_of_pos[ss][np.argmin(acc, axis=1)]
                 out["codes"] = [r.tolist() for r in codes]
             else:
                 out["codes"] = []

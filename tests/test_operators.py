@@ -2468,3 +2468,30 @@ def test_dedup_video_fingerprint_cluster_structure(spark):
         assert r["total_chars"] == sum(docs[m] for m in members)
         seen.update(members)
     assert seen == set(range(48))
+
+
+def test_ppm_stream_rejects_nonpositive_dims():
+    """Round-11 review catch: a malformed header like 'P6 1 -5 255' moved
+    the parse position BACKWARD (pixel advance w*h*3 < 0) and looped
+    forever appending empty frames — corrupt payloads must die loudly,
+    never hang an executor task."""
+    import pytest
+
+    from paimon_presto_spark.operators.multimodal import _ppm_stream_frames
+
+    with pytest.raises(ValueError, match="non-positive"):
+        _ppm_stream_frames(b"P6   1  -5 255\n")
+    with pytest.raises(ValueError, match="non-positive"):
+        _ppm_stream_frames(b"P6 0 4 255\n")
+
+
+def test_majority_hash_honors_bits_param():
+    """bits != 64 must mask and sign-pack at THAT width (the parameter
+    was previously half-honored: 64-bit mask and sign threshold
+    regardless of bits)."""
+    from paimon_presto_spark.operators.multimodal import _majority_hash
+
+    # bit 7 of an 8-bit hash in a majority of frames -> negative signed
+    assert _majority_hash([0b10000000, 0b10000000, 0], bits=8) == -128
+    # stray high bits beyond `bits` are masked out before voting
+    assert _majority_hash([0x1F0, 0x1F0, 0x100], bits=8) == -16

@@ -502,3 +502,25 @@ def test_pq_encode_rungs_bit_identical(spark):
     plan = ivf_pq_index(e, cents, books, encode="blas")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pq_encode_blas_sparse_codebook_emits_cids(spark):
+    """Round-11 review catch: the blas rung emitted argmin POSITIONS;
+    with a caller-supplied sparse codebook ({0,2,5}-keyed) it must emit
+    the same true cids the codegen/relational rungs emit."""
+    from paimon_presto_spark.operators.similarity import pq_encode
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [9.0, 9.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    books = {0: {0: [0.0], 2: [5.0], 5: [9.0]},
+             1: {0: [0.0], 2: [5.0], 5: [9.0]}}
+
+    def codes(df):
+        return {r["vec_id"]: list(r["codes"]) for r in df.collect()}
+
+    bl = codes(pq_encode(vecs, books, encode="blas"))
+    cg = codes(pq_encode(vecs, books, encode="codegen"))
+    rel = codes(pq_encode(vecs, books, encode="relational"))
+    assert bl == cg == rel == {1: [0, 0], 2: [2, 2], 3: [5, 5]}
