@@ -137,6 +137,10 @@ HEADLINE = [
     # banded Hamming machinery), completing perceptual dedup across all
     # three modalities
     "dedup_audio_fingerprint",
+    # round 11: frame-majority video near-dup — the fourth and final
+    # perceptual modality (PPM-stream demux + per-frame aHash + temporal
+    # majority vote over the same banded Hamming machinery)
+    "dedup_video_fingerprint",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:
