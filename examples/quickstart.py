@@ -335,6 +335,16 @@ def main() -> None:
               "largest keeps doc",
               max(clusters, key=lambda r: r["cluster_size"])["kept_doc_id"])
 
+        # -- and the video twin: PPM-stream demux -> per-frame aHash ->
+        # temporal majority vote -> the SAME banded machinery (all four
+        # perceptual modalities share hamming_banded_pairs)
+        from paimon_presto_spark.queries.multimodal_entries import (
+            dedup_video_fingerprint,
+        )
+
+        vclusters = dedup_video_fingerprint(spark, SF_DIR).collect()
+        print("video fingerprint dedup ok:", len(vclusters), "clusters")
+
         print("quickstart complete.")
     finally:
         shutil.rmtree(wh, ignore_errors=True)

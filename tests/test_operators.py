@@ -2495,3 +2495,70 @@ def test_majority_hash_honors_bits_param():
     assert _majority_hash([0b10000000, 0b10000000, 0], bits=8) == -128
     # stray high bits beyond `bits` are masked out before voting
     assert _majority_hash([0x1F0, 0x1F0, 0x100], bits=8) == -16
+
+
+def test_ppm_stream_roundtrip_property():
+    """Hypothesis: ANY list of valid frames concatenates and splits back
+    exactly — the splitter is the inverse of repeated encode_ppm."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from paimon_presto_spark.operators.multimodal import (
+        _ppm_stream_frames,
+        encode_ppm,
+    )
+
+    @st.composite
+    def frames(draw):
+        w = draw(st.integers(1, 5))
+        h = draw(st.integers(1, 4))
+        rows = [
+            bytes(draw(st.binary(min_size=w * 3, max_size=w * 3)))
+            for _ in range(h)
+        ]
+        return encode_ppm(w, h, rows)
+
+    @given(st.lists(frames(), max_size=6))
+    @settings(max_examples=50, deadline=None)
+    def check(fs):
+        assert _ppm_stream_frames(b"".join(fs)) == fs
+
+    check()
+
+
+def test_majority_hash_matches_naive_property():
+    """Hypothesis: for ANY hash list and width, _majority_hash equals a
+    naive per-bit strict-majority recomputation, signed-packed at that
+    width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from paimon_presto_spark.operators.multimodal import _majority_hash
+
+    @given(
+        st.integers(1, 64).flatmap(
+            lambda bits: st.tuples(
+                st.just(bits),
+                st.lists(
+                    st.integers(-(1 << 63), (1 << 63) - 1), max_size=7
+                ),
+            )
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def check(args):
+        bits, hashes = args
+        got = _majority_hash(hashes, bits=bits)
+        n = len(hashes)
+        naive = 0
+        for p in range(bits):
+            ones = sum(((h >> p) & 1) for h in hashes)
+            if 2 * ones > n:
+                naive |= 1 << p
+        if naive >= 1 << (bits - 1) and n:
+            naive -= 1 << bits
+        assert got == (naive if n else 0)
+        # output always fits the signed width
+        assert -(1 << (bits - 1)) <= got < (1 << (bits - 1)) or got == 0
+
+    check()
