@@ -139,8 +139,11 @@ HEADLINE = [
     "dedup_audio_fingerprint",
     # round 11: frame-majority video near-dup — the fourth and final
     # perceptual modality (PPM-stream demux + per-frame aHash + temporal
-    # majority vote over the same banded Hamming machinery)
+    # majority vote over the same banded Hamming machinery) — and the
+    # incremental perceptual rung (today's ingest probes the stored
+    # fingerprint corpus; old-vs-old never re-pairs)
     "dedup_video_fingerprint",
+    "dedup_image_phash_incremental",
     # dedup_ngram_containment and dedup_minhash_recall are
     # registry+oracle-gated but, like their
     # Jaccard twin dedup_ngram_jaccard, excluded from the timing bench:

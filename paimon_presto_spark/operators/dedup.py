@@ -474,22 +474,7 @@ def hamming_banded_pairs(
     """
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
     assert bits % chunks == 0
-    width = bits // chunks
-    mask = (1 << width) - 1
-    chunk_cols = [
-        (F.shiftright(F.col(sig_col), j * width).bitwiseAND(mask)).alias(f"c{j}")
-        for j in range(chunks)
-    ]
-    ch = sigs.select(
-        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"), *chunk_cols
-    )
-    exploded = ch.select(
-        "doc_id",
-        "sig",
-        F.posexplode(F.array(*[F.col(f"c{j}") for j in range(chunks)])).alias(
-            "chunk", "cval"
-        ),
-    )
+    exploded = _sig_chunks(sigs, sig_col, id_col, bits, chunks)
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sim_a"), "chunk", "cval"
     )
@@ -501,6 +486,92 @@ def hamming_banded_pairs(
         a.join(b, ["chunk", "cval"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _sig_chunks(
+    sigs: DataFrame, sig_col: str, id_col: str, bits: int, chunks: int
+) -> DataFrame:
+    """(doc_id, sig, chunk, cval): the banding explode both the full and
+    incremental Hamming pair generators share. The shifted-mask chunk
+    extraction is sign-safe for full-width 64-bit signatures (arithmetic
+    shiftright fills sign bits; the mask strips them)."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_cols = [
+        (F.shiftright(F.col(sig_col), j * width).bitwiseAND(mask)).alias(f"c{j}")
+        for j in range(chunks)
+    ]
+    ch = sigs.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"), *chunk_cols
+    )
+    return ch.select(
+        "doc_id",
+        "sig",
+        F.posexplode(F.array(*[F.col(f"c{j}") for j in range(chunks)])).alias(
+            "chunk", "cval"
+        ),
+    )
+
+
+def hamming_banded_pairs_incremental(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 2,
+    chunks: int = 4,
+) -> DataFrame:
+    """Hamming pairs touching at least one NEW signature — new-vs-new
+    plus new-vs-old — without ever re-pairing the old corpus against
+    itself: the incremental rung for PERCEPTUAL dedup (image aHash /
+    audio energy-sign / video frame-majority / text SimHash), completing
+    the store-and-reuse family MinHash signatures
+    (``minhash_lsh_pairs_incremental``) and SemDeDup assignments
+    (``semdedup_incremental``) already have.
+
+    The production shape is identical to the MinHash one: a 100 TB
+    deduped media corpus grows by a daily increment orders of magnitude
+    smaller; a fingerprint depends only on its media row, so yesterday's
+    stored (id, signature) table is still valid — pass it as
+    ``old_sigs`` and only the INCREMENT's chunk buckets probe the
+    corpus-wide build side. Candidate volume scales with |new| x bucket
+    population, not |corpus|². Caller contract (same as the MinHash
+    variant): old and new id sets are disjoint.
+
+    Result equivalence: identical to ``hamming_banded_pairs`` over
+    old ∪ new restricted to pairs with >= 1 new member (chunking is
+    per-signature and deterministic; the pigeonhole recall argument is
+    unchanged because every qualifying pair has >= chunks - max_hamming
+    intact chunks, any one of which the new member's probe hits) —
+    pinned by the property test in ``tests/test_hamming_property.py``.
+    """
+    assert chunks > max_hamming, "need chunks > max_hamming for full recall"
+    assert bits % chunks == 0
+    new_ex = _sig_chunks(new_sigs, sig_col, id_col, bits, chunks)
+    build = new_ex.unionByName(
+        _sig_chunks(old_sigs, sig_col, id_col, bits, chunks)
+    )
+    a = new_ex.select(
+        F.col("doc_id").alias("ida"), F.col("sig").alias("sim_a"),
+        "chunk", "cval",
+    )
+    b = build.select(
+        F.col("doc_id").alias("idb"), F.col("sig").alias("sim_b"),
+        "chunk", "cval",
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

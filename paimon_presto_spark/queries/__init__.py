@@ -62,26 +62,29 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # entry's latest round with a recorded row, not past PRIORITY lists) is
 # 51 entries for 50 slots: text_unigram_logprob (last graded r6 — it was
 # displaced from the r10 prefix by the new audio entry and MUST re-enter
-# first) plus the 50 rows last graded r7. The round's one NEW entry
-# (dedup_video_fingerprint; standing rule: every new entry earns its
-# driver row in its own round) displaces two r7 rows to round 12:
-# knn_sq8_rerank and agg_rollup — chosen because BOTH were independently
+# first) plus the 50 rows last graded r7. The round's two NEW entries
+# (dedup_video_fingerprint, dedup_image_phash_incremental; standing
+# rule: every new entry earns its driver row in its own round) displace
+# three r7 rows to round 12: knn_sq8_rerank, agg_rollup, and
+# agg_weighted_quartiles — chosen because ALL THREE were independently
 # re-verified green by the round-10 judge's local oracle sample this
-# session (lowest staleness risk) and both families keep multiple prefix
-# representatives (knn_*: 4 rows; agg_*: 3 rows).
+# session (lowest staleness risk), the agg/knn families keep multiple
+# prefix representatives (knn_*: 4 rows; agg_*: 2 rows), and
+# agg_weighted_quartiles additionally runs in every round's sf1 stress.
 # Everything outside the prefix is still verified by the local gate
 # (tools/check_correctness.py) every session.
 PRIORITY: tuple[str, ...] = (
     # -- NEW this round (never graded; standing new-entry rule) ----------
     "dedup_video_fingerprint",
+    "dedup_image_phash_incremental",
     # -- last driver-graded in ROUND 6 (displaced from the r10 prefix;
     #    re-enters ahead of the r7 cohort) -------------------------------
     "text_unigram_logprob",
-    # -- last driver-graded in ROUND 7 (48 of 50; knn_sq8_rerank and
-    #    agg_rollup displaced to round 12, see above) --------------------
+    # -- last driver-graded in ROUND 7 (47 of 50; knn_sq8_rerank,
+    #    agg_rollup, agg_weighted_quartiles displaced to round 12,
+    #    see above) ------------------------------------------------------
     "agg_count_min_sketch",
     "agg_histogram_map",
-    "agg_weighted_quartiles",
     "array_setops_functions",
     "conditional_scalar_functions",
     "datetime_trunc_extras",

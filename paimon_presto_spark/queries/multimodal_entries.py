@@ -899,3 +899,102 @@ def dedup_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=64, max_hamming=VFP_MAX_HAMMING, chunks=8,
     ).select("doc_a", "doc_b")
     return _keep_best_clusters(docs, pairs)
+
+
+#: incremental split point for the image corpus: docs >= 36 are "today's
+#: ingest" — exactly the v=3 variant of each 4-variant group (groups
+#: 0..7) plus the 4 singletons, so the expected increment pair set is
+#: fully determined: per group g, (g, g+36, ham 3), (g+12, g+36, ham 2),
+#: (g+24, g+36, ham 1) = 24 pairs; singletons admit pair-free.
+PHASH_NEW_START = 36
+
+
+@register(
+    "dedup_image_phash_incremental",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id < {PHASH_MULTI}
+                        THEN doc_id % {PHASH_GROUPS}
+                        ELSE doc_id - {PHASH_MULTI} + {PHASH_GROUPS} END AS g,
+                   CASE WHEN doc_id < {PHASH_MULTI}
+                        THEN doc_id // {PHASH_GROUPS} ELSE 0 END AS v
+            FROM documents WHERE doc_id < {PHASH_DOCS}
+        ),
+        cells AS (
+            SELECT d.doc_id, p.p,
+                   CASE WHEN (((d.g + 1) * (p.p + 7) * 2654435761) % 256
+                              < 128) != (p.p < d.v)
+                        THEN 1 ELSE 0 END AS bit
+            FROM d, UNNEST(range(64)) AS p(p)
+        ),
+        ham AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                        AS INTEGER) AS hamming
+            FROM cells a JOIN cells b
+              ON a.p = b.p AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                   AS BIGINT) <= {PHASH_MAX_HAMMING}
+        )
+        SELECT doc_a, doc_b, hamming
+        FROM ham
+        WHERE doc_b >= {PHASH_NEW_START}
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("multimodal", "image", "dedup", "phash", "banding",
+          "incremental", "arrow"),
+)
+def dedup_image_phash_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental perceptual near-dup — the store-and-reuse rung for the
+    four perceptual modalities, mirroring ``dedup_minhash_incremental``:
+    a fingerprint depends only on its media row, so yesterday's stored
+    (id, signature) table stays valid and today's ingest admits against
+    the corpus WITHOUT re-pairing old-vs-old
+    (``operators/dedup.hamming_banded_pairs_incremental``: the
+    increment's chunk buckets probe the corpus-wide build side; pair
+    volume scales with |new| × bucket population, not |corpus|²). The
+    48-image corpus splits at doc 36: the increment is exactly each
+    group's v=3 variant plus the 4 singletons, so the oracle — which
+    recomputes every signature bit symbolically, takes ALL qualifying
+    pairs, and restricts to pairs touching the increment (pair order
+    makes that ``doc_b >= 36``) — pins both recall directions: a missed
+    new-vs-old pair (probe side too narrow) and a phantom old-vs-old
+    pair (build side leaking into the probe) each fail the hash.
+    Equivalence to the full generator restricted to new-touching pairs
+    is additionally property-tested over random signature multisets
+    (``tests/test_hamming_property.py``).
+
+    100 TB shape: the stored-fingerprint table is the only old-side
+    input (8 bytes/item); decode runs on the increment alone. Same
+    banded equi-join as the full entries — never all-pairs. (Reference
+    scope: the brief's dedup requirements; pattern parity with
+    ``dedup_minhash_incremental``/``semdedup_incremental``.)
+    """
+    from paimon_presto_spark.operators.dedup import (
+        hamming_banded_pairs_incremental,
+    )
+    from paimon_presto_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PHASH_DOCS
+    ).select("doc_id", "n_chars")
+    media = _neardup_image_media(docs)
+    sigs = extract_image_features(media).select(
+        F.col("media_id").alias("doc_id"), F.col("phash")
+    )
+    # one decode pass, then split — the entry-scale stand-in for reading
+    # old signatures from their stored table (signatures are identical
+    # either way; dedup_minhash_incremental's no-stored-signatures path
+    # makes the same one-pass choice)
+    old_sigs = sigs.filter(F.col("doc_id") < PHASH_NEW_START)
+    new_sigs = sigs.filter(F.col("doc_id") >= PHASH_NEW_START)
+    return hamming_banded_pairs_incremental(
+        new_sigs, old_sigs, sig_col="phash", id_col="doc_id",
+        bits=64, max_hamming=PHASH_MAX_HAMMING, chunks=8,
+    ).orderBy("doc_a", "doc_b")

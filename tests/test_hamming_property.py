@@ -72,3 +72,49 @@ def test_banded_pairs_equal_brute_force(spark, case):
         ).collect()
     }
     assert got == brute
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_sig_case())
+def test_incremental_banded_pairs_equal_restricted_full(spark, case):
+    """The incremental generator must equal the FULL generator over
+    old ∪ new restricted to pairs touching >= 1 new id — for any
+    signature multiset and any split (round 11: the incremental rung
+    completes the store-and-reuse family for perceptual dedup)."""
+    from paimon_presto_spark.operators.dedup import (
+        hamming_banded_pairs,
+        hamming_banded_pairs_incremental,
+    )
+
+    bits, chunks, max_hamming, raw = case
+    rows = [(i, _to_signed64(v) if bits == 64 else v)
+            for i, v in enumerate(raw)]
+    # split: every third row is "new" (including the empty-new edge when
+    # n < 3 leaves at least one; the generator guarantees n >= 2)
+    new_rows = [r for r in rows if r[0] % 3 == 0]
+    old_rows = [r for r in rows if r[0] % 3 != 0]
+    schema = "doc_id bigint, sig bigint"
+    full = hamming_banded_pairs(
+        spark.createDataFrame(rows, schema), sig_col="sig",
+        bits=bits, max_hamming=max_hamming, chunks=chunks,
+    ).collect()
+    new_ids = {r[0] for r in new_rows}
+    expected = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in full
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_banded_pairs_incremental(
+            spark.createDataFrame(new_rows, schema),
+            spark.createDataFrame(old_rows, schema),  # may be empty
+            sig_col="sig", bits=bits,
+            max_hamming=max_hamming, chunks=chunks,
+        ).collect()
+    }
+    assert got == expected
