@@ -427,13 +427,17 @@ SCALE_QUERIES = [
     # round 11 (verdict #6): the audio perceptual twin at a corpus-sized
     # clip count — same splitmix64 group-pattern retune and 64-bit /
     # 4-chunk banding as _image_phash_sf1 (the registry entry's fixed
-    # 48-clip corpus would make the row a no-op). The VIDEO twin is
-    # deliberately NOT a stress row: its per-doc media synth is 5x the
-    # image row's (5 frames/clip) for the identical banded plan shape —
-    # the banding core is already stressed three ways (simhash, image,
-    # audio) and the video-specific temporal vote is corpus-size-free
-    # (per-clip Arrow map, plan-audited in PLANS.md).
+    # 48-clip corpus would make the row a no-op).
     "dedup_audio_fingerprint",
+    # late round 11: the video twin, initially excluded on a
+    # 5x-synth-cost ESTIMATE, re-admitted on MEASUREMENT — the
+    # numpy-vectorized clip synth (one bit-array pass per batch) costs
+    # less than the image row's per-pixel Python loop, and the 5x
+    # per-frame decode fans out across the 32 mapInPandas partitions.
+    # At sf1 the temporal majority vote becomes load-bearing: 3-of-5
+    # variant edits must survive it and 1-of-5 noise bits must not, or
+    # the cluster histogram shatters (see _video_fp_sf1).
+    "dedup_video_fingerprint",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
@@ -870,8 +874,22 @@ def _perceptual_cluster_histogram_sf1(
         )
     n_groups = max(1, stats["n"] // 4)
 
-    media = docs.select("doc_id").mapInPandas(
-        synth_factory(n_groups), schema="media_id bigint, payload binary"
+    # A real media corpus enters decode with parallelism set by INPUT
+    # bytes (spark.sql.files.maxPartitionBytes splits the payload scan);
+    # here the synth manufactures payloads FROM a 50k-row id list that
+    # parquet packs into ~8 splits, so without help the decode stage runs
+    # 8-way on a 32-core session — a synth artifact, not a property of
+    # the operator. Spread the ids to the session's parallelism (the ids
+    # are 8 bytes each; the exchange is ~400 KB) so the Arrow-batched
+    # synth+decode uses the machine the way a real payload scan would.
+    # Measured (round 11, warm interleaved, sf1): video 29.0 -> 9.5 s,
+    # image 10.0 -> 5.4 s, audio 7.4 -> 4.6 s.
+    media = (
+        docs.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            synth_factory(n_groups), schema="media_id bigint, payload binary"
+        )
     )
     sigs = extract(media).select(
         F.col("media_id").alias("doc_id"), F.col(sig_col)
@@ -988,6 +1006,88 @@ def _audio_fp_sf1(spark, sf1_dir: str):
     return _perceptual_cluster_histogram_sf1(
         spark, sf1_dir, "_audio_fp_sf1", synth_factory,
         extract_audio_fingerprint, "afp",
+    )
+
+
+def _video_fp_sf1(spark, sf1_dir: str):
+    """dedup_video_fingerprint with the clip corpus GROWN to the sf1
+    docs table (one 5-frame 8x8 PPM stream per doc — the registry
+    entry's fixed clip corpus would make the row a no-op). Geometry,
+    banding and histogram output: see
+    ``_perceptual_cluster_histogram_sf1``.
+
+    This row was EXCLUDED in early round 11 on a 5x-synth-cost estimate;
+    two measured facts reversed that call. (1) The per-doc synth here is
+    numpy-vectorized — one ``(batch, 5, 64)`` bit-array pass instead of
+    the image row's per-pixel Python loop — so five frames per clip cost
+    LESS driver-side Python than one frame does there. (2) The per-frame
+    decode fans out across the 32 mapInPandas partitions, so 5x decode
+    work adds ~1/32 of its single-thread cost to the row's wall clock.
+
+    Unlike the registry entry's 48-clip corpus, the temporal vote is
+    load-bearing AT SCALE here, not decorative: variant edits land in
+    frames {0, 2, 4} (a strict 3-of-5 majority, so the vote KEEPS them →
+    within-group Hamming stays <= 3), and every clip carries one flipped
+    noise bit in exactly one frame (1-of-5, which the vote must
+    SUPPRESS). The noise bit is drawn from 4..63 so it can never collide
+    with a variant bit (v <= 3 flips only bits 0..2) — a collision
+    inside a variant-edit frame would un-flip the variant's majority and
+    silently push that clip out of its cluster. If majority semantics
+    regressed, every clip's suppressed noise bit would leak into its
+    fingerprint and the cluster histogram would shatter — the row fails
+    loudly on shape, not just on time."""
+    from paimon_presto_spark.operators.multimodal import (
+        extract_video_fingerprint,
+    )
+
+    def synth_factory(n_groups):
+        import numpy as np
+        import pandas as pd
+
+        header = b"P6\n8 8\n255\n"  # byte-exact encode_ppm(8, 8, ...) header
+        hlen = len(header)
+        frame_len = hlen + 192  # 8*8 RGB
+        edit_frames = (0, 2, 4)  # strict 3-of-5 majority keeps the edit
+
+        def synth(batches):
+            for pdf in batches:
+                did = pdf["doc_id"].to_numpy().astype(np.uint64)
+                n = len(did)
+                with np.errstate(over="ignore"):  # splitmix64 wraps mod 2^64
+                    g = did % np.uint64(n_groups)
+                    v = did // np.uint64(n_groups)  # variant 0..3
+                    x = g + np.uint64(0x9E3779B97F4A7C15)
+                    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                    sig = x ^ (x >> np.uint64(31))
+                    noise_bit = np.uint64(4) + (
+                        did * np.uint64(7) + np.uint64(13)
+                    ) % np.uint64(60)
+                p = np.arange(64, dtype=np.uint64)
+                base = ((sig[:, None] >> p[None, :]) & np.uint64(1)).astype(bool)
+                variant = p[None, :] < v[:, None]  # flip first v bits
+                noise = p[None, :] == noise_bit[:, None]
+                noise_frame = (did % np.uint64(5)).astype(np.int64)
+                payload = np.empty((n, 5, frame_len), dtype=np.uint8)
+                payload[:, :, :hlen] = np.frombuffer(header, dtype=np.uint8)
+                for f in range(5):
+                    bits = base ^ variant if f in edit_frames else base
+                    bits = bits ^ (noise & (noise_frame == f)[:, None])
+                    gray = np.where(bits, 224, 32).astype(np.uint8)
+                    payload[:, f, hlen:] = np.repeat(gray, 3, axis=1)
+                flat = payload.reshape(n, 5 * frame_len)
+                yield pd.DataFrame(
+                    {
+                        "media_id": did.astype(np.int64),
+                        "payload": [flat[i].tobytes() for i in range(n)],
+                    }
+                )
+
+        return synth
+
+    return _perceptual_cluster_histogram_sf1(
+        spark, sf1_dir, "_video_fp_sf1", synth_factory,
+        extract_video_fingerprint, "vfp",
     )
 
 
@@ -1172,6 +1272,7 @@ def _scale_runners(qs) -> dict:
         "dedup_simhash": _simhash_banded_sf1,
         "dedup_image_phash": _image_phash_sf1,
         "dedup_audio_fingerprint": _audio_fp_sf1,
+        "dedup_video_fingerprint": _video_fp_sf1,
     }
     return {
         name: retuned[name] if name in retuned else qs[name]
@@ -1271,18 +1372,25 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
                 "pipeline_emit_shards",
                 "pipeline_incremental_ingest",
                 "dedup_image_phash",
+                "dedup_audio_fingerprint",
+                "dedup_video_fingerprint",
             ):
                 # These entries run their Spark stages eagerly inside the
                 # call (curate/pca return driver-local reports; emit
                 # commits shards then returns the table read-back; the
-                # image dedup's connected components iterate eagerly
-                # behind localCheckpoint lineage cuts, so its rendered
-                # plan is only the tail rollup — the banded equi-joins
-                # being policed are shape-checked via dedup_simhash,
-                # which drives the same hamming_banded_pairs), so
-                # the returned "plan" cannot contain the joins being
-                # policed — re-running them here would pay a full
-                # second sf1 execution to shape-check nothing. Timing-only.
+                # three perceptual-dedup rows' connected components
+                # iterate eagerly behind localCheckpoint lineage cuts, so
+                # their rendered plan is only the tail rollup — the
+                # banded equi-joins being policed are shape-checked via
+                # dedup_simhash, which drives the same
+                # hamming_banded_pairs), so the returned "plan" cannot
+                # contain the joins being policed — re-running them here
+                # would pay a full second sf1 execution to shape-check
+                # nothing. Timing-only. (The audio row sat in the plan
+                # loop through round 11's first bench runs — an
+                # oversight that re-executed its full decode+CC pass to
+                # render a join-free tail rollup; same-engine rows now
+                # all sit here.)
                 continue
             try:
                 plan = runners[name](spark, sf1_dir)._jdf.queryExecution().executedPlan().toString()

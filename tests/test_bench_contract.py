@@ -96,3 +96,81 @@ def test_bench_module_importable_fresh():
         timeout=60,
     )
     assert proc.returncode == 0, proc.stderr
+
+
+def test_video_sf1_synth_geometry():
+    """The _video_fp_sf1 synth's payloads, pushed through the REAL
+    pure-Python extraction path (PPM-stream demux → per-frame aHash →
+    temporal majority), must reproduce the exact fingerprint geometry the
+    cluster histogram depends on: variant edits (3-of-5 frames) survive
+    the vote, the 1-frame noise bit does not, within-group Hamming <= 3,
+    cross-group far above the banding threshold. Runs without Spark by
+    capturing the synth factory instead of the shared engine."""
+    import numpy as np
+    import pandas as pd
+
+    from paimon_presto_spark.operators.multimodal import (
+        _average_hash,
+        _luma_rows,
+        _majority_hash,
+        _ppm_stream_frames,
+        decode_image_pixels,
+    )
+
+    captured = {}
+
+    def fake_engine(spark, sf1_dir, row_name, synth_factory, extract, sig_col):
+        captured["factory"] = synth_factory
+        captured["sig_col"] = sig_col
+
+    orig = bench._perceptual_cluster_histogram_sf1
+    bench._perceptual_cluster_histogram_sf1 = fake_engine
+    try:
+        bench._video_fp_sf1(None, "/nonexistent")
+    finally:
+        bench._perceptual_cluster_histogram_sf1 = orig
+    assert captured["sig_col"] == "vfp"
+
+    n_groups = 12  # 48 docs → variants 0..3, same shape the engine derives
+    synth = captured["factory"](n_groups)
+    out = next(synth(iter([pd.DataFrame({"doc_id": np.arange(48)})])))
+    assert list(out.columns) == ["media_id", "payload"]
+
+    def expected_vfp(did: int) -> int:
+        g, v = did % n_groups, did // n_groups
+        sig = bench._splitmix64(g)
+        bits = 0
+        for p in range(64):
+            b = (sig >> p) & 1
+            if p < v:
+                b ^= 1
+            if b:
+                bits |= 1 << (63 - p)  # aHash packs cell i at bit 63-i
+        return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+    vfps = {}
+    for did, payload in zip(out.media_id, out.payload):
+        frames = _ppm_stream_frames(bytes(payload))
+        assert len(frames) == 5
+        hashes = [
+            _average_hash(_luma_rows(decode_image_pixels(f)[2]))
+            for f in frames
+        ]
+        # the suppressed noise bit must actually be PRESENT in one frame,
+        # or the majority vote is decorative and this row stresses nothing
+        assert len(set(hashes)) >= 2
+        vfps[int(did)] = _majority_hash(hashes)
+    assert vfps == {d: expected_vfp(d) for d in range(48)}
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    within = max(ham(vfps[d], vfps[d % n_groups]) for d in range(48))
+    cross = min(
+        ham(vfps[a], vfps[b])
+        for a in range(n_groups)
+        for b in range(n_groups)
+        if a != b
+    )
+    assert within <= 3
+    assert cross > 3
