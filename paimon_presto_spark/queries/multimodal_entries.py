@@ -981,17 +981,24 @@ def dedup_image_phash_incremental(
         extract_image_features,
     )
 
+    # no keep-best tail here (unlike dedup_image_phash), so only the ids
+    # are needed — n_chars would be a dead column
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < PHASH_DOCS
-    ).select("doc_id", "n_chars")
+    ).select("doc_id")
     media = _neardup_image_media(docs)
     sigs = extract_image_features(media).select(
         F.col("media_id").alias("doc_id"), F.col("phash")
     )
-    # one decode pass, then split — the entry-scale stand-in for reading
-    # old signatures from their stored table (signatures are identical
-    # either way; dedup_minhash_incremental's no-stored-signatures path
-    # makes the same one-pass choice)
+    # filter-split of ONE lazy lineage: Spark does not share subplans
+    # across the probe and build legs, so the 48-image decode recomputes
+    # per consumer — deliberate at this scale (milliseconds) in exchange
+    # for keeping the plan cache-free across battery loops. Production
+    # reads old_sigs from the stored fingerprint table (8 bytes/item, no
+    # decode), which is the shape the docstring and the sf1 pipeline
+    # rows exercise; dedup_minhash_incremental's no-stored path instead
+    # pays the ledgered-cache machinery because its shingle sets are
+    # corpus-sized, which 48 signatures are not.
     old_sigs = sigs.filter(F.col("doc_id") < PHASH_NEW_START)
     new_sigs = sigs.filter(F.col("doc_id") >= PHASH_NEW_START)
     return hamming_banded_pairs_incremental(

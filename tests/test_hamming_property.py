@@ -79,12 +79,20 @@ def test_banded_pairs_equal_brute_force(spark, case):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(case=_sig_case())
-def test_incremental_banded_pairs_equal_restricted_full(spark, case):
+@given(
+    case=_sig_case(),
+    mode=st.sampled_from(["thirds", "all_new", "all_old"]),
+)
+def test_incremental_banded_pairs_equal_restricted_full(spark, case, mode):
     """The incremental generator must equal the FULL generator over
     old ∪ new restricted to pairs touching >= 1 new id — for any
-    signature multiset and any split (round 11: the incremental rung
-    completes the store-and-reuse family for perceptual dedup)."""
+    signature multiset and any split, INCLUDING both empty-side edges:
+    an empty old side is the first-ever ingest (every pair is new-new)
+    and an empty new side is a no-arrivals day (the result must be
+    empty, whatever the stored corpus holds). Round 11: the incremental
+    rung completes the store-and-reuse family for perceptual dedup; a
+    review pass found the original i%3 split could never produce an
+    empty side, leaving the first-ingest path untested."""
     from paimon_presto_spark.operators.dedup import (
         hamming_banded_pairs,
         hamming_banded_pairs_incremental,
@@ -93,10 +101,13 @@ def test_incremental_banded_pairs_equal_restricted_full(spark, case):
     bits, chunks, max_hamming, raw = case
     rows = [(i, _to_signed64(v) if bits == 64 else v)
             for i, v in enumerate(raw)]
-    # split: every third row is "new" (including the empty-new edge when
-    # n < 3 leaves at least one; the generator guarantees n >= 2)
-    new_rows = [r for r in rows if r[0] % 3 == 0]
-    old_rows = [r for r in rows if r[0] % 3 != 0]
+    if mode == "all_new":
+        new_rows, old_rows = rows, []
+    elif mode == "all_old":
+        new_rows, old_rows = [], rows
+    else:
+        new_rows = [r for r in rows if r[0] % 3 == 0]
+        old_rows = [r for r in rows if r[0] % 3 != 0]
     schema = "doc_id bigint, sig bigint"
     full = hamming_banded_pairs(
         spark.createDataFrame(rows, schema), sig_col="sig",
