@@ -438,6 +438,14 @@ SCALE_QUERIES = [
     # variant edits must survive it and 1-of-5 noise bits must not, or
     # the cluster histogram shatters (see _video_fp_sf1).
     "dedup_video_fingerprint",
+    # late round 11: the banded-Hamming SKEW rung under the load it
+    # exists for — 20% of the corpus is ONE identical blank image, the
+    # degenerate signature class banding cannot split (equal chunks
+    # collide at every width). collapse_identical keeps the candidate
+    # volume linear; the row self-checks its histogram and raises on a
+    # broken collapse. Not a registry entry (the oracle-gated entries
+    # pin the full pairwise enumeration); bench-only by design.
+    "dedup_phash_skew_collapse",
 ]
 
 #: Per-query BNLJ nodes that are CORRECT at any scale, asserted EXACTLY
@@ -1091,6 +1099,135 @@ def _video_fp_sf1(spark, sf1_dir: str):
     )
 
 
+def _phash_skew_collapse_sf1(spark, sf1_dir: str):
+    """The SKEW rung of the banded-Hamming family under the load it
+    exists for: 20% of the sf1 image corpus (10k of 50k) is ONE
+    identical blank frame — the degenerate mass a real perceptual corpus
+    always carries (blank/black frames, silence, template pages) and the
+    one shape banding cannot help with, because equal signatures collide
+    in EVERY chunk bucket regardless of width: k identical images put k²
+    candidate rows in each of the 4 chunk buckets. Measured here (same
+    session, same corpus, pair generation + count): the default mode
+    emits 50,055,000 pairs in 21.6 s — 49,995,000 of them the blank
+    class's quadratic clique — where collapse emits 69,999 (9,999 star
+    + 60,000 group pairs) in 5.2 s, a 715x edge reduction; and the
+    default mode's edge count grows QUADRATICALLY in k (10x the corpus
+    → 5x10⁹ edges feeding the iterative connected-components), where
+    collapse stays linear. With ``collapse_identical=True`` the class
+    collapses to its min-id representative in one linear groupBy,
+    members attach by k-1 star edges, and banding runs over the ~40k
+    DISTINCT signatures only.
+
+    Self-checking: the row collects its cluster histogram and RAISES
+    unless it is exactly {4: 10000, 10000: 1} — a quadratic fallback
+    would show as time, a broken collapse (lost star edges, welded
+    clusters) as shape. Runs eagerly, so it sits in the timing-only
+    plan set with the other perceptual rows."""
+    import pyspark.sql.functions as F
+
+    from paimon_presto_spark.operators.dedup import (
+        connected_components,
+        hamming_banded_pairs,
+    )
+    from paimon_presto_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf1_dir, "documents.parquet")
+    ).select("doc_id")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    n = stats["n"]
+    if stats["lo"] != 0 or stats["hi"] != n - 1 or n % 20:
+        raise ValueError(
+            f"_phash_skew_collapse_sf1 needs dense 0-based doc_ids in a "
+            f"corpus divisible by 20 (1-in-5 blanks, groups of 4 over "
+            f"the rest); got count={n} min={stats['lo']} max={stats['hi']}"
+        )
+    n_blank = n // 5
+    n_groups = (n - n_blank) // 4
+
+    def synth_factory(n_groups):
+        import numpy as np
+        import pandas as pd
+
+        header = b"P6\n8 8\n255\n"
+        hlen = len(header)
+
+        def synth(batches):
+            for pdf in batches:
+                did = pdf["doc_id"].to_numpy().astype(np.uint64)
+                m = len(did)
+                with np.errstate(over="ignore"):
+                    blank = did % np.uint64(5) == np.uint64(0)
+                    # dense index among non-blanks (wraps to garbage for
+                    # blanks — masked below before use)
+                    j = did - did // np.uint64(5) - np.uint64(1)
+                    g = j % np.uint64(n_groups)
+                    v = j // np.uint64(n_groups)  # variant 0..3
+                    x = g + np.uint64(0x9E3779B97F4A7C15)
+                    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                    sig = x ^ (x >> np.uint64(31))
+                p = np.arange(64, dtype=np.uint64)
+                bits = ((sig[:, None] >> p[None, :]) & np.uint64(1)).astype(bool)
+                bits ^= p[None, :] < v[:, None]
+                bits[blank] = False  # the all-gray blank: aHash == 0
+                gray = np.where(bits, 224, 32).astype(np.uint8)
+                payload = np.empty((m, hlen + 192), dtype=np.uint8)
+                payload[:, :hlen] = np.frombuffer(header, dtype=np.uint8)
+                payload[:, hlen:] = np.repeat(gray, 3, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "media_id": did.astype(np.int64),
+                        "payload": [payload[i].tobytes() for i in range(m)],
+                    }
+                )
+
+        return synth
+
+    media = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            synth_factory(n_groups), schema="media_id bigint, payload binary"
+        )
+    )
+    sigs = extract_image_features(media).select(
+        F.col("media_id").alias("doc_id"), "phash"
+    )
+    pairs = hamming_banded_pairs(
+        sigs, sig_col="phash", id_col="doc_id",
+        bits=64, max_hamming=3, chunks=4, collapse_identical=True,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, algorithm="auto", star_switch_budget=4)
+    singles = docs.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    hist = {
+        int(r["cluster_size"]): int(r["n_clusters"])
+        for r in comp.unionByName(singles)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .collect()
+    }
+    expected = {4: n_groups, n_blank: 1}
+    if hist != expected:
+        raise AssertionError(
+            f"skew-collapse histogram {hist} != expected {expected}: "
+            "either the collapse lost star edges / welded clusters, or "
+            "the corpus synth drifted"
+        )
+    return spark.createDataFrame(
+        sorted(hist.items()), "cluster_size long, n_clusters long"
+    )
+
+
 def _tfidf_cosine_sf1(spark, sf1_dir: str):
     """dedup_tfidf_cosine retuned for the synthesized sf1 corpus. The
     shared sf1 build decorrelates replicas at the SHINGLE level
@@ -1273,6 +1410,7 @@ def _scale_runners(qs) -> dict:
         "dedup_image_phash": _image_phash_sf1,
         "dedup_audio_fingerprint": _audio_fp_sf1,
         "dedup_video_fingerprint": _video_fp_sf1,
+        "dedup_phash_skew_collapse": _phash_skew_collapse_sf1,
     }
     return {
         name: retuned[name] if name in retuned else qs[name]
@@ -1374,6 +1512,7 @@ def _scale_stress(spark, qs, sf_dir: str) -> dict:
                 "dedup_image_phash",
                 "dedup_audio_fingerprint",
                 "dedup_video_fingerprint",
+                "dedup_phash_skew_collapse",
             ):
                 # These entries run their Spark stages eagerly inside the
                 # call (curate/pca return driver-local reports; emit

@@ -458,6 +458,7 @@ def hamming_banded_pairs(
     bits: int = 32,
     max_hamming: int = 2,
     chunks: int = 4,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Pairs of ids whose ``sig_col`` values sit at Hamming distance
     ≤ max_hamming, via chunk banding over ANY integer signature column
@@ -471,9 +472,56 @@ def hamming_banded_pairs(
     the shifted-mask chunk extraction is sign-safe for full-width 64-bit
     signatures (arithmetic shiftright fills sign bits; the mask strips
     them).
+
+    ``collapse_identical`` is the SKEW rung. The equi-join is quadratic in
+    each (chunk, value) bucket's population, and real perceptual corpora
+    concentrate mass on a handful of degenerate signatures — blank/black
+    frames, silence, template pages — which are precisely the most
+    duplicated items: k identical signatures put k rows in EVERY chunk
+    bucket, k² candidate rows per chunk, and no banding width can split
+    them (their chunks are all equal). With ``collapse_identical=True``
+    each exact-signature class is first collapsed to its min-id
+    representative (one linear groupBy — the skewed key disappears in the
+    partial aggregate): the class's members attach to the representative
+    by star edges at Hamming 0 (k-1 edges, not k(k-1)/2), and banding
+    runs over DISTINCT signatures only. The output is then NOT the full
+    pairwise enumeration but a connectivity-equivalent edge set: every
+    doc lands in exactly the same connected component (star edges keep
+    classes connected; distance is a function of the signatures, so one
+    rep-rep edge stands for all cross-class member pairs) — which is the
+    contract ``connected_components``/keep-best consumers actually need.
+    Leave it False when downstream wants every qualifying pair
+    enumerated (the oracle-gated registry entries do). Property-pinned
+    in ``tests/test_hamming_property.py``; the incremental generator
+    keeps the exact-enumeration contract (its probe side is the bounded
+    increment, so a degenerate OLD class costs |new ∩ bucket| × k, not
+    k² — collapse there is future work if increments themselves grow
+    degenerate classes).
     """
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
     assert bits % chunks == 0
+    if collapse_identical:
+        named = sigs.select(
+            F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
+        )
+        classes = named.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+        star = (
+            named.join(classes, "sig")
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("doc_a"),  # rep = class min id < member
+                F.col("doc_id").alias("doc_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        rep_pairs = hamming_banded_pairs(
+            classes.select(
+                F.col("rep").alias(id_col), F.col("sig").alias(sig_col)
+            ),
+            sig_col=sig_col, id_col=id_col, bits=bits,
+            max_hamming=max_hamming, chunks=chunks,
+        )
+        return star.unionByName(rep_pairs)
     exploded = _sig_chunks(sigs, sig_col, id_col, bits, chunks)
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sim_a"), "chunk", "cval"

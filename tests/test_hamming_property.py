@@ -129,3 +129,107 @@ def test_incremental_banded_pairs_equal_restricted_full(spark, case, mode):
         ).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_sig_case())
+def test_collapse_identical_pairs_contract(spark, case):
+    """The skew rung's output contract, pinned exactly: star edges
+    (class min-id representative -> member, Hamming 0) plus the full
+    generator's pairs over one representative per DISTINCT signature —
+    and that edge set must induce THE SAME connected components as the
+    full pairwise enumeration (the property keep-best consumers rely
+    on). The _sig_case generator draws flips=0 members, so duplicate
+    signatures (the skew case) occur in most examples."""
+    from paimon_presto_spark.operators.dedup import hamming_banded_pairs
+
+    bits, chunks, max_hamming, raw = case
+    rows = [(i, _to_signed64(v) if bits == 64 else v)
+            for i, v in enumerate(raw)]
+    df = spark.createDataFrame(rows, "doc_id bigint, sig bigint")
+    mask = (1 << bits) - 1
+
+    # expected: star edges + brute-force pairs over class representatives
+    rep = {}
+    for i, v in rows:
+        if v not in rep or i < rep[v]:
+            rep[v] = i
+    expected = {
+        (rep[v], i, 0) for i, v in rows if i != rep[v]
+    }
+    reps = sorted(rep.items(), key=lambda kv: kv[1])
+    for vi, i in reps:
+        for vj, j in reps:
+            if i < j:
+                hm = bin((vi ^ vj) & mask).count("1")
+                if hm <= max_hamming:
+                    expected.add((i, j, hm))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_banded_pairs(
+            df, sig_col="sig", bits=bits, max_hamming=max_hamming,
+            chunks=chunks, collapse_identical=True,
+        ).collect()
+    }
+    assert got == expected
+
+    # component equivalence vs the full enumeration (pure-python DSU)
+    def components(pairs):
+        parent = {i: i for i, _ in rows}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return {i: find(i) for i, _ in rows}
+
+    full_pairs = [
+        (i, j)
+        for i, a in rows
+        for j, b in rows
+        if i < j and bin((a ^ b) & mask).count("1") <= max_hamming
+    ]
+    comp_full = components(full_pairs)
+    comp_collapsed = components([(a, b) for a, b, _ in got])
+    group = lambda comp: sorted(
+        tuple(sorted(i for i in comp if comp[i] == r))
+        for r in set(comp.values())
+    )
+    assert group(comp_full) == group(comp_collapsed)
+
+
+def test_collapse_identical_is_linear_in_class_size(spark):
+    """k identical signatures must yield exactly k-1 star edges, not
+    k(k-1)/2 pairwise edges — the whole point of the skew rung (a blank
+    frame repeated across a 100 TB corpus turns every one of its chunk
+    buckets quadratic in the default mode, and no banding width can
+    split equal chunks)."""
+    from paimon_presto_spark.operators.dedup import hamming_banded_pairs
+
+    k = 40
+    blank = [(i, 0) for i in range(k)]                    # one huge class
+    distinct = [(100 + i, (1 << 32) + (i << 13)) for i in range(5)]
+    df = spark.createDataFrame(
+        blank + distinct, "doc_id bigint, sig bigint"
+    )
+    got = hamming_banded_pairs(
+        df, sig_col="sig", bits=64, max_hamming=3, chunks=8,
+        collapse_identical=True,
+    ).collect()
+    star = [r for r in got if r["hamming"] == 0]
+    assert len(star) == k - 1
+    assert all(r["doc_a"] == 0 for r in star)             # min-id rep
+    full = hamming_banded_pairs(
+        df, sig_col="sig", bits=64, max_hamming=3, chunks=8,
+    ).collect()
+    assert len([r for r in full if r["hamming"] == 0]) == k * (k - 1) // 2
