@@ -440,14 +440,20 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 2,
     chunks: int = 4,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Pairs at Hamming distance ≤ max_hamming over text SimHash signatures
     (``simhash_signatures`` → ``hamming_banded_pairs``); see the latter for
-    the pigeonhole-recall argument."""
+    the pigeonhole-recall argument. ``collapse_identical`` passes through
+    to the skew rung — text corpora hit the same degenerate-class shape
+    perceptual ones do (empty/boilerplate documents all hash to one
+    SimHash value, and a web crawl carries millions of them), with the
+    same connectivity-equivalent-not-exhaustive output contract."""
     sigs = simhash_signatures(docs, id_col, text_col, bits)
     return hamming_banded_pairs(
         sigs, sig_col="simhash", id_col="doc_id",
         bits=bits, max_hamming=max_hamming, chunks=chunks,
+        collapse_identical=collapse_identical,
     )
 
 
@@ -493,10 +499,9 @@ def hamming_banded_pairs(
     Leave it False when downstream wants every qualifying pair
     enumerated (the oracle-gated registry entries do). Property-pinned
     in ``tests/test_hamming_property.py``; the incremental generator
-    keeps the exact-enumeration contract (its probe side is the bounded
-    increment, so a degenerate OLD class costs |new ∩ bucket| × k, not
-    k² — collapse there is future work if increments themselves grow
-    degenerate classes).
+    has the same opt-in (its exact mode is probe-bounded but still pays
+    |new ∩ bucket| × k against a degenerate OLD class of size k — see
+    ``hamming_banded_pairs_incremental``'s collapse notes).
     """
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
     assert bits % chunks == 0
@@ -572,6 +577,7 @@ def hamming_banded_pairs_incremental(
     bits: int = 32,
     max_hamming: int = 2,
     chunks: int = 4,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Hamming pairs touching at least one NEW signature — new-vs-new
     plus new-vs-old — without ever re-pairing the old corpus against
@@ -596,9 +602,64 @@ def hamming_banded_pairs_incremental(
     unchanged because every qualifying pair has >= chunks - max_hamming
     intact chunks, any one of which the new member's probe hits) —
     pinned by the property test in ``tests/test_hamming_property.py``.
+
+    ``collapse_identical`` is the incremental face of the SKEW rung.
+    The default exact mode is probe-bounded but NOT skew-safe: a
+    degenerate OLD class of k equal signatures (a blank frame the
+    corpus has accumulated for years) meets every matching new probe in
+    every chunk bucket — 1,000 new blanks against a 10⁸-blank corpus is
+    10¹¹ candidate rows. With collapse on, NEW signatures fold to
+    min-id class representatives (members attach by Hamming-0 star
+    edges), the OLD side folds to one representative per distinct
+    signature, and only representatives band — a new blank class meets
+    the old blank class ONCE. The output is connectivity-COMPOSITIONAL
+    rather than exhaustive: unioned with the edge set yesterday's
+    collapsed full pass already materialized, it induces exactly the
+    components the collapsed full generator would build over old ∪ new
+    (a class spanning both sides connects through the hamming-0
+    rep-to-rep pair; property-pinned). Every new doc with any
+    qualifying partner still carries >= 1 witness edge, so admit/drop
+    decisions are unchanged.
     """
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
     assert bits % chunks == 0
+    if collapse_identical:
+        new_named = new_sigs.select(
+            F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
+        )
+        new_classes = new_named.groupBy("sig").agg(
+            F.min("doc_id").alias("rep")
+        )
+        star = (
+            new_named.join(new_classes, "sig")
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        # the old side folds to one row per distinct signature too — at
+        # scale the stored fingerprint table can persist exactly this
+        # (sig, min_id) shape, making the collapse free at read time
+        old_reps = (
+            old_sigs.select(
+                F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
+            )
+            .groupBy("sig")
+            .agg(F.min("doc_id").alias("rep"))
+        )
+        rep_pairs = hamming_banded_pairs_incremental(
+            new_classes.select(
+                F.col("rep").alias(id_col), F.col("sig").alias(sig_col)
+            ),
+            old_reps.select(
+                F.col("rep").alias(id_col), F.col("sig").alias(sig_col)
+            ),
+            sig_col=sig_col, id_col=id_col, bits=bits,
+            max_hamming=max_hamming, chunks=chunks,
+        )
+        return star.unionByName(rep_pairs)
     new_ex = _sig_chunks(new_sigs, sig_col, id_col, bits, chunks)
     build = new_ex.unionByName(
         _sig_chunks(old_sigs, sig_col, id_col, bits, chunks)
