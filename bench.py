@@ -837,22 +837,30 @@ def _splitmix64(x: int) -> int:
 
 
 def _perceptual_cluster_histogram_sf1(
-    spark, sf1_dir: str, row_name: str, synth_factory, extract, sig_col: str
+    spark, sf1_dir: str, row_name: str, synth_factory, extract, sig_col: str,
+    derive_groups=None, collapse_identical: bool = False,
+    expected_histogram=None,
 ):
     """Shared engine of the corpus-sized perceptual-dedup stress rows
-    (image aHash / audio fingerprint): grow the media corpus to one item
-    per sf1 doc (4 near-dup variants per splitmix64 group — variant v
-    flips the first v of 64 signature bits, Hamming <= 3; random
-    cross-group distance ~32 bits), run the real Arrow-batched decoder,
-    band at 64 bits / 4 chunks (16-bit chunk values -> 65536 buckets per
-    position, the same width-vs-corpus tuning as ``_simhash_banded_sf1``)
-    and resolve components. Output is the cluster-size histogram so the
-    driver never ships per-cluster member lists. ONE implementation by
-    design: a banding/budget retune lands in both modality rows or
-    neither.
+    (image aHash / audio fingerprint / video frame-majority / the
+    skew-collapse rung): grow the media corpus to one item per sf1 doc,
+    run the real Arrow-batched decoder, band at 64 bits / 4 chunks
+    (16-bit chunk values -> 65536 buckets per position, the same
+    width-vs-corpus tuning as ``_simhash_banded_sf1``) and resolve
+    components. Output is the cluster-size histogram so the driver never
+    ships per-cluster member lists. ONE implementation by design: a
+    banding/budget/parallelism retune lands in every modality row or
+    none (review finding, late round 11 — the skew row briefly forked
+    this harness).
 
     ``synth_factory(n_groups)`` returns the mapInPandas synth for
     (media_id, payload); ``extract`` maps media -> (media_id, sig_col).
+    ``derive_groups(n)`` maps corpus size to the synth's group count,
+    raising on an incompatible size (default: the 4-variant rule,
+    n % 4 == 0 -> n // 4). ``collapse_identical`` passes through to
+    ``hamming_banded_pairs`` (the skew rung). ``expected_histogram(n,
+    n_groups)`` makes the row SELF-CHECKING: the histogram is collected
+    eagerly and must equal it exactly, else the row raises.
     """
     import pyspark.sql.functions as F
 
@@ -865,22 +873,31 @@ def _perceptual_cluster_histogram_sf1(
         os.path.join(sf1_dir, "documents.parquet")
     ).select("doc_id")
     # The group/variant derivation (did % n_groups, did // n_groups)
-    # assumes DENSE 0-based doc_ids and a corpus divisible by 4 — sparse
-    # or offset ids would push variant v past 3 and silently drop those
-    # docs out of their cluster (Hamming > max_hamming), skewing the
-    # histogram this row times. Check loudly instead of skewing silently.
+    # assumes DENSE 0-based doc_ids — sparse or offset ids would push
+    # variant v past its bound and silently drop those docs out of their
+    # cluster (Hamming > max_hamming), skewing the histogram this row
+    # times. Check loudly instead of skewing silently.
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("doc_id").alias("lo"),
         F.max("doc_id").alias("hi"),
     ).collect()[0]
-    if stats["lo"] != 0 or stats["hi"] != stats["n"] - 1 or stats["n"] % 4:
+    n = stats["n"]
+    if stats["lo"] != 0 or stats["hi"] != n - 1:
         raise ValueError(
-            f"{row_name} needs dense 0-based doc_ids in a corpus "
-            f"divisible by 4; got count={stats['n']} min={stats['lo']} "
-            f"max={stats['hi']} — derive a dense index (row_number) first"
+            f"{row_name} needs dense 0-based doc_ids; got count={n} "
+            f"min={stats['lo']} max={stats['hi']} — derive a dense "
+            f"index (row_number) first"
         )
-    n_groups = max(1, stats["n"] // 4)
+    if derive_groups is None:
+        if n % 4:
+            raise ValueError(
+                f"{row_name} needs a corpus divisible by 4 "
+                f"(4 variants per group); got count={n}"
+            )
+        n_groups = max(1, n // 4)
+    else:
+        n_groups = derive_groups(n)
 
     # A real media corpus enters decode with parallelism set by INPUT
     # bytes (spark.sql.files.maxPartitionBytes splits the payload scan);
@@ -905,6 +922,7 @@ def _perceptual_cluster_histogram_sf1(
     pairs = hamming_banded_pairs(
         sigs, sig_col=sig_col, id_col="doc_id",
         bits=64, max_hamming=3, chunks=4,
+        collapse_identical=collapse_identical,
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs, algorithm="auto", star_switch_budget=4)
     singles = docs.join(comp, "doc_id", "left_anti").select(
@@ -913,13 +931,29 @@ def _perceptual_cluster_histogram_sf1(
     # comp ∪ singles already enumerates every doc exactly once, and the
     # histogram reads no docs column — no join back needed (unlike the
     # registry entries' keep-best tails, which need n_chars)
-    return (
+    hist_df = (
         comp.unionByName(singles)
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
+    )
+    if expected_histogram is None:
+        return hist_df
+    hist = {
+        int(r["cluster_size"]): int(r["n_clusters"])
+        for r in hist_df.collect()
+    }
+    expected = expected_histogram(n, n_groups)
+    if hist != expected:
+        raise AssertionError(
+            f"{row_name} histogram {hist} != expected {expected}: either "
+            "the pair machinery lost edges / welded clusters, or the "
+            "corpus synth drifted"
+        )
+    return spark.createDataFrame(
+        sorted(hist.items()), "cluster_size long, n_clusters long"
     )
 
 
@@ -1118,38 +1152,25 @@ def _phash_skew_collapse_sf1(spark, sf1_dir: str):
     members attach by k-1 star edges, and banding runs over the ~40k
     DISTINCT signatures only.
 
-    Self-checking: the row collects its cluster histogram and RAISES
-    unless it is exactly {4: 10000, 10000: 1} — a quadratic fallback
-    would show as time, a broken collapse (lost star edges, welded
-    clusters) as shape. Runs eagerly, so it sits in the timing-only
-    plan set with the other perceptual rows."""
-    import pyspark.sql.functions as F
-
-    from paimon_presto_spark.operators.dedup import (
-        connected_components,
-        hamming_banded_pairs,
-    )
+    Self-checking via the shared harness: the histogram must be exactly
+    {4: 10000, 10000: 1} — a quadratic fallback would show as time, a
+    broken collapse (lost star edges, welded clusters) as shape. Runs
+    eagerly, so it sits in the timing-only plan set with the other
+    perceptual rows. Geometry/banding/parallelism knobs: ONE harness
+    with the image/audio/video rows (``_perceptual_cluster_histogram_
+    sf1``) — a retune lands in all four or none."""
     from paimon_presto_spark.operators.multimodal import (
         extract_image_features,
     )
 
-    docs = spark.read.parquet(
-        os.path.join(sf1_dir, "documents.parquet")
-    ).select("doc_id")
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("doc_id").alias("lo"),
-        F.max("doc_id").alias("hi"),
-    ).collect()[0]
-    n = stats["n"]
-    if stats["lo"] != 0 or stats["hi"] != n - 1 or n % 20:
-        raise ValueError(
-            f"_phash_skew_collapse_sf1 needs dense 0-based doc_ids in a "
-            f"corpus divisible by 20 (1-in-5 blanks, groups of 4 over "
-            f"the rest); got count={n} min={stats['lo']} max={stats['hi']}"
-        )
-    n_blank = n // 5
-    n_groups = (n - n_blank) // 4
+    def derive_groups(n: int) -> int:
+        if n % 20:
+            raise ValueError(
+                f"_phash_skew_collapse_sf1 needs a corpus divisible by "
+                f"20 (1-in-5 blanks, groups of 4 over the rest); got "
+                f"count={n}"
+            )
+        return (n - n // 5) // 4
 
     def synth_factory(n_groups):
         import numpy as np
@@ -1190,41 +1211,12 @@ def _phash_skew_collapse_sf1(spark, sf1_dir: str):
 
         return synth
 
-    media = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(
-            synth_factory(n_groups), schema="media_id bigint, payload binary"
-        )
-    )
-    sigs = extract_image_features(media).select(
-        F.col("media_id").alias("doc_id"), "phash"
-    )
-    pairs = hamming_banded_pairs(
-        sigs, sig_col="phash", id_col="doc_id",
-        bits=64, max_hamming=3, chunks=4, collapse_identical=True,
-    ).select("doc_a", "doc_b")
-    comp = connected_components(pairs, algorithm="auto", star_switch_budget=4)
-    singles = docs.join(comp, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("component")
-    )
-    hist = {
-        int(r["cluster_size"]): int(r["n_clusters"])
-        for r in comp.unionByName(singles)
-        .groupBy("component")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
-        .collect()
-    }
-    expected = {4: n_groups, n_blank: 1}
-    if hist != expected:
-        raise AssertionError(
-            f"skew-collapse histogram {hist} != expected {expected}: "
-            "either the collapse lost star edges / welded clusters, or "
-            "the corpus synth drifted"
-        )
-    return spark.createDataFrame(
-        sorted(hist.items()), "cluster_size long, n_clusters long"
+    return _perceptual_cluster_histogram_sf1(
+        spark, sf1_dir, "_phash_skew_collapse_sf1", synth_factory,
+        extract_image_features, "phash",
+        derive_groups=derive_groups,
+        collapse_identical=True,
+        expected_histogram=lambda n, n_groups: {4: n_groups, n // 5: 1},
     )
 
 

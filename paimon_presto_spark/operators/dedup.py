@@ -506,19 +506,8 @@ def hamming_banded_pairs(
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
     assert bits % chunks == 0
     if collapse_identical:
-        named = sigs.select(
-            F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
-        )
-        classes = named.groupBy("sig").agg(F.min("doc_id").alias("rep"))
-        star = (
-            named.join(classes, "sig")
-            .filter(F.col("doc_id") != F.col("rep"))
-            .select(
-                F.col("rep").alias("doc_a"),  # rep = class min id < member
-                F.col("doc_id").alias("doc_b"),
-                F.lit(0).cast("int").alias("hamming"),
-            )
-        )
+        release_chunk_caches()  # ledgered: one collapse call in flight
+        classes, star = _collapse_classes(sigs, sig_col, id_col)
         rep_pairs = hamming_banded_pairs(
             classes.select(
                 F.col("rep").alias(id_col), F.col("sig").alias(sig_col)
@@ -542,6 +531,46 @@ def hamming_banded_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _collapse_classes(
+    sigs: DataFrame, sig_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(classes, star): the exact-signature collapse both skew rungs
+    share — ``classes`` is one (sig, rep = min id) row per distinct
+    signature, ``star`` the (rep, member, Hamming 0) edges attaching
+    every non-rep member. The input is deduplicated on (id, sig) first
+    so dirty input (a doubled fingerprint row at a re-fingerprinted day
+    boundary) cannot double a star edge — parity with the exact mode's
+    final ``.distinct()``. The (id, sig) projection is ledger-cached
+    (16 bytes/row): three non-identical subtrees consume it (the
+    classes aggregate, the star-join probe side, and the rep-level
+    banding through ``classes``) and ReuseExchange cannot dedup them,
+    so an expensive signature source — a 50k-image Arrow decode in the
+    bench's skew row — would otherwise run up to 3x inside one action.
+    CALLER calls ``release_chunk_caches()`` first (not done here: the
+    incremental rung derives its old side in the same flight, and a
+    release per helper call would evict the new side's cache)."""
+    named = (
+        sigs.select(
+            F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
+        )
+        .distinct()
+        .cache()
+    )
+    _CHUNK_CACHES.append(named)
+    named.count()  # materialize before the three-way fan-out
+    classes = named.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+    star = (
+        named.join(classes, "sig")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_a"),  # rep = class min id < member
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return classes, star
 
 
 def _sig_chunks(
@@ -624,24 +653,15 @@ def hamming_banded_pairs_incremental(
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
     assert bits % chunks == 0
     if collapse_identical:
-        new_named = new_sigs.select(
-            F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
-        )
-        new_classes = new_named.groupBy("sig").agg(
-            F.min("doc_id").alias("rep")
-        )
-        star = (
-            new_named.join(new_classes, "sig")
-            .filter(F.col("doc_id") != F.col("rep"))
-            .select(
-                F.col("rep").alias("doc_a"),
-                F.col("doc_id").alias("doc_b"),
-                F.lit(0).cast("int").alias("hamming"),
-            )
-        )
+        release_chunk_caches()  # ledgered: one collapse call in flight
+        new_classes, star = _collapse_classes(new_sigs, sig_col, id_col)
         # the old side folds to one row per distinct signature too — at
         # scale the stored fingerprint table can persist exactly this
-        # (sig, min_id) shape, making the collapse free at read time
+        # (sig, min_id) shape, making the collapse free at read time.
+        # Derived lazily and NOT through _collapse_classes: it is
+        # consumed exactly once (the band-join build side), so a cache
+        # would be pure overhead, and its star edges belong to
+        # yesterday's pass, not this one.
         old_reps = (
             old_sigs.select(
                 F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
