@@ -364,3 +364,33 @@ def test_incremental_collapse_is_linear_against_degenerate_old_class(spark):
     assert sorted(
         (r["doc_a"], r["doc_b"], r["hamming"]) for r in collapsed
     ) == [(0, 5000, 0), (5000, 5001, 0), (5000, 5002, 0)]
+
+
+def test_simhash_pairs_collapse_passthrough(spark):
+    """simhash_pairs must actually forward collapse_identical — two
+    byte-identical documents (one SimHash class) yield a single
+    Hamming-0 star edge in collapse mode, same pair set as exact mode
+    here, but via the class-collapse path (three identical docs give 2
+    star edges, not 3 pairwise edges — the distinguishing count)."""
+    from paimon_presto_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the exact same boilerplate text repeated") for i in range(3)]
+        + [(10, "a completely different document about spark banding")],
+        "doc_id bigint, text string",
+    )
+    collapsed = simhash_pairs(
+        docs, bits=32, max_hamming=2, chunks=4, collapse_identical=True
+    ).collect()
+    zero = sorted(
+        (r["doc_a"], r["doc_b"]) for r in collapsed if r["hamming"] == 0
+    )
+    assert zero == [(0, 1), (0, 2)]  # 2 star edges off the min-id rep
+    exact_zero = [
+        r
+        for r in simhash_pairs(
+            docs, bits=32, max_hamming=2, chunks=4
+        ).collect()
+        if r["hamming"] == 0
+    ]
+    assert len(exact_zero) == 3  # the pairwise enumeration: C(3,2)
