@@ -1172,6 +1172,15 @@ def _phash_skew_collapse_sf1(spark, sf1_dir: str):
             )
         return (n - n // 5) // 4
 
+    def _skew_expected_histogram(n: int, n_groups: int) -> dict:
+        # accumulate, don't literal: at n=20 the blank cluster size
+        # (n//5 == 4) collides with the variant-cluster size and a dict
+        # literal would silently swallow one key, making the self-check
+        # reject CORRECT output (review finding, late round 11)
+        expected = {4: n_groups}
+        expected[n // 5] = expected.get(n // 5, 0) + 1
+        return expected
+
     def synth_factory(n_groups):
         import numpy as np
         import pandas as pd
@@ -1216,7 +1225,7 @@ def _phash_skew_collapse_sf1(spark, sf1_dir: str):
         extract_image_features, "phash",
         derive_groups=derive_groups,
         collapse_identical=True,
-        expected_histogram=lambda n, n_groups: {4: n_groups, n // 5: 1},
+        expected_histogram=_skew_expected_histogram,
     )
 
 

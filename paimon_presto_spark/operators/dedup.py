@@ -448,7 +448,9 @@ def simhash_pairs(
     to the skew rung — text corpora hit the same degenerate-class shape
     perceptual ones do (empty/boilerplate documents all hash to one
     SimHash value, and a web crawl carries millions of them), with the
-    same connectivity-equivalent-not-exhaustive output contract."""
+    same connectivity-equivalent-not-exhaustive output contract — and
+    the same ledgered/eager-construction behavior (see
+    ``hamming_banded_pairs``'s collapse notes)."""
     sigs = simhash_signatures(docs, id_col, text_col, bits)
     return hamming_banded_pairs(
         sigs, sig_col="simhash", id_col="doc_id",
@@ -502,6 +504,12 @@ def hamming_banded_pairs(
     has the same opt-in (its exact mode is probe-bounded but still pays
     |new ∩ bucket| × k against a degenerate OLD class of size k — see
     ``hamming_banded_pairs_incremental``'s collapse notes).
+
+    Collapse mode is a LEDGERED operator and EAGER at construction
+    (caches the collapse intermediates, releasing any earlier ledgered
+    call's caches — see ``release_chunk_caches``; entering it before
+    materializing a prior ledgered call's lazy result makes that result
+    recompute). Exact mode stays fully lazy and releases nothing.
     """
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
     assert bits % chunks == 0
@@ -542,15 +550,21 @@ def _collapse_classes(
     every non-rep member. The input is deduplicated on (id, sig) first
     so dirty input (a doubled fingerprint row at a re-fingerprinted day
     boundary) cannot double a star edge — parity with the exact mode's
-    final ``.distinct()``. The (id, sig) projection is ledger-cached
-    (16 bytes/row): three non-identical subtrees consume it (the
-    classes aggregate, the star-join probe side, and the rep-level
-    banding through ``classes``) and ReuseExchange cannot dedup them,
-    so an expensive signature source — a 50k-image Arrow decode in the
-    bench's skew row — would otherwise run up to 3x inside one action.
-    CALLER calls ``release_chunk_caches()`` first (not done here: the
-    incremental rung derives its old side in the same flight, and a
-    release per helper call would evict the new side's cache)."""
+    final ``.distinct()``. Both intermediates are ledger-cached: the
+    (id, sig) projection (16 bytes/row) because the classes aggregate
+    and the star-join probe side are non-identical subtrees
+    ReuseExchange cannot dedup — uncached, an expensive signature
+    source (a 50k-image Arrow decode in the bench's skew row) would
+    run once per consumer — and ``classes`` (one row per DISTINCT
+    signature, strictly smaller) because THREE subtrees consume it
+    (the star build side plus both sides of the rep-level band
+    self-join), which would otherwise re-run the full-width min
+    aggregation per consumer. Construction is EAGER (cache + count),
+    the module's convention for every ledgered operator — callers that
+    only want a plan should use the exact mode. CALLER calls
+    ``release_chunk_caches()`` first (not done here: the incremental
+    rung derives its old side in the same flight, and a release per
+    helper call would evict the new side's cache)."""
     named = (
         sigs.select(
             F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
@@ -559,8 +573,10 @@ def _collapse_classes(
         .cache()
     )
     _CHUNK_CACHES.append(named)
-    named.count()  # materialize before the three-way fan-out
-    classes = named.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+    named.count()  # materialize before the fan-out
+    classes = named.groupBy("sig").agg(F.min("doc_id").alias("rep")).cache()
+    _CHUNK_CACHES.append(classes)
+    classes.count()  # one min-aggregation, not one per consumer
     star = (
         named.join(classes, "sig")
         .filter(F.col("doc_id") != F.col("rep"))
@@ -648,7 +664,9 @@ def hamming_banded_pairs_incremental(
     (a class spanning both sides connects through the hamming-0
     rep-to-rep pair; property-pinned). Every new doc with any
     qualifying partner still carries >= 1 witness edge, so admit/drop
-    decisions are unchanged.
+    decisions are unchanged. Like the full generator, collapse mode is
+    LEDGERED and EAGER at construction (see ``release_chunk_caches``'s
+    one-call-in-flight contract); exact mode stays lazy.
     """
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
     assert bits % chunks == 0
