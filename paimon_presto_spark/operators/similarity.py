@@ -76,22 +76,49 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _lit_vec(vec: list[float]) -> Column:
+    """One py4j call + ONE Catalyst Literal node for a whole double vector.
+
+    ``F.lit(list)`` recurses per element (dim py4j round-trips and a
+    CreateArray tree of dim Literals that the analyzer re-walks on every
+    plan copy); a 1-D numpy array takes the classic ``lit`` fast path —
+    a single JVM literal. At k x dim = a few thousand elements this is
+    the difference between ~3 s and ~0.3 s of driver-side plan build per
+    query (measured: knn_ivf_probe), and the values are bit-identical
+    (float64 == IEEE double).
+    """
+    return F.lit(np.asarray(vec, dtype=np.float64))
+
+
 def _bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id: bit j = 1 iff dot(vec, plane_j) > 0.
 
-    The dot products are literal-array zip_with/aggregate expressions —
-    all JVM-side; no UDF.
+    The per-plane dot products run through one ``transform`` over a
+    constant-folded array-of-vectors literal (``_lit_vec`` rows) — all
+    JVM-side, no UDF, and an O(n_planes) expression tree instead of
+    O(n_planes x dim). Bit-identical to the unrolled form: same
+    per-element multiply/add order, exact integer bit sum.
     """
-    bucket = F.lit(0)
-    for j, plane in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col.cast("array<double>"), lit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, 1 << j).otherwise(0)
-    return bucket
+    e = vec_col.cast("array<double>")
+    mat = F.array(*[_lit_vec(p) for p in planes])
+    bits = F.lit(np.asarray([1 << j for j in range(len(planes))], dtype=np.int32))
+    return F.aggregate(
+        F.zip_with(
+            mat,
+            bits,
+            lambda p, bit: F.when(
+                F.aggregate(
+                    F.zip_with(e, p, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                bit,
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_bucketed_topk(
@@ -151,24 +178,29 @@ def _centroid_sims(emb: Column, unit: list[tuple[int, list[float]]]) -> Column:
     """array<struct<s, negcid>> of dot products against unit centroids:
     struct ordering gives "highest sim, then lowest cid" for both
     array_max (top-1) and reversed array_sort (top-n) — the oracle's
-    ORDER BY sim DESC, cid ASC. Map-only codegen, no crossJoin."""
+    ORDER BY sim DESC, cid ASC. Map-only, no crossJoin.
+
+    Built as ONE zip_with over an array-of-vectors literal (plus a
+    parallel negcid literal array) instead of k unrolled per-centroid
+    subtrees: an O(k) expression tree with single-literal rows
+    (``_lit_vec``), cutting plan-build/analysis from O(k x dim) while
+    keeping the per-element multiply/add order — and therefore every
+    produced double — bit-identical.
+    """
     e = emb.cast("array<double>")
-    return F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        e,
-                        F.array(*[F.lit(x) for x in v]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("s"),
-                F.lit(-cid).alias("negcid"),
-            )
-            for cid, v in unit
-        ]
+    mat = F.array(*[_lit_vec(v) for _, v in unit])
+    negcids = F.lit(np.asarray([-cid for cid, _ in unit], dtype=np.int32))
+    return F.zip_with(
+        mat,
+        negcids,
+        lambda v, negcid: F.struct(
+            F.aggregate(
+                F.zip_with(e, v, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+            negcid.alias("negcid"),
+        ),
     )
 
 
@@ -306,22 +338,10 @@ def kmeans_centroids(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
 
-    def sims(emb: Column, unit: list[tuple[int, list[float]]]) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            emb, F.array(*[F.lit(x) for x in vec]), lambda a, b: a * b
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("s"),
-                    F.lit(-cid).alias("negcid"),
-                )
-                for cid, vec in unit
-            ]
-        )
+    # One zip_with over single-literal centroid rows (see _centroid_sims):
+    # rebuilt every Lloyd iteration, so the O(k) tree — vs O(k x dim) —
+    # keeps the per-iteration plan build flat as k grows.
+    sims = _centroid_sims
 
     def _unit(cents: list[tuple[int, list[float]]]) -> list[tuple[int, list[float]]]:
         out = []
@@ -719,16 +739,7 @@ def semdedup(
     unit = unit_centroids(centroids)
 
     def sims(emb: Column) -> Column:
-        e = emb.cast("array<double>")
-        return F.array(
-            *[
-                F.struct(
-                    dot(e, F.array(*[F.lit(x) for x in v])).alias("s"),
-                    F.lit(-cid).alias("negcid"),
-                )
-                for cid, v in unit
-            ]
-        )
+        return _centroid_sims(emb, unit)
 
     assigned = (
         vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb"))
@@ -881,16 +892,7 @@ def semdedup_incremental(
     unit = unit_centroids(centroids)
 
     def sims(emb: Column) -> Column:
-        e = emb.cast("array<double>")
-        return F.array(
-            *[
-                F.struct(
-                    dot(e, F.array(*[F.lit(x) for x in v])).alias("s"),
-                    F.lit(-cid).alias("negcid"),
-                )
-                for cid, v in unit
-            ]
-        )
+        return _centroid_sims(emb, unit)
 
     def assign(df: DataFrame) -> DataFrame:
         if "cluster" in df.columns and "cos_centroid" in df.columns:
