@@ -1322,24 +1322,27 @@ def remove_repeated_chunks(
     signature work is silently re-paid. Materialize this result before
     the next ledgered call.
     """
+    # Stage the split through its own projection: inlined, the transform
+    # lambda re-evaluates ``split(text)`` once PER CHUNK ELEMENT (array
+    # HOFs run interpreted, no common-subexpression elimination) — a
+    # 20-chunk document split its text 20 times. Same expressions, same
+    # results; CollapseProject keeps the stage (split is non-cheap).
+    ws = F.col("__rrc_ws")
     chunked = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__rrc_ws")
+    ).select(
         F.col(id_col),
         F.filter(
             F.transform(
                 F.sequence(
                     F.lit(0),
                     F.greatest(
-                        (F.size(F.split(F.col(text_col), " ")) - 1)
-                        / F.lit(chunk_words),
+                        (F.size(ws) - 1) / F.lit(chunk_words),
                         F.lit(0),
                     ).cast("int"),
                 ),
                 lambda i: F.array_join(
-                    F.slice(
-                        F.split(F.col(text_col), " "),
-                        i * chunk_words + 1,
-                        chunk_words,
-                    ),
+                    F.slice(ws, i * chunk_words + 1, chunk_words),
                     " ",
                 ),
             ),
@@ -1378,24 +1381,27 @@ def remove_repeated_chunks_within_doc(
     signature work is silently re-paid. Materialize this result before
     the next ledgered call.
     """
+    # Stage split -> chunks -> kept through separate projections: array
+    # HOFs run interpreted (no common-subexpression elimination), so
+    # inlined, ``split`` re-evaluates per chunk element and ``kept`` (the
+    # O(chunks²) first-occurrence filter) per referencing column. Same
+    # expressions, same results; each stage now evaluates once per row.
+    ws = F.col("__rrc_ws")
     chunked = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__rrc_ws")
+    ).select(
         F.col(id_col),
         F.filter(
             F.transform(
                 F.sequence(
                     F.lit(0),
                     F.greatest(
-                        (F.size(F.split(F.col(text_col), " ")) - 1)
-                        / F.lit(chunk_words),
+                        (F.size(ws) - 1) / F.lit(chunk_words),
                         F.lit(0),
                     ).cast("int"),
                 ),
                 lambda i: F.array_join(
-                    F.slice(
-                        F.split(F.col(text_col), " "),
-                        i * chunk_words + 1,
-                        chunk_words,
-                    ),
+                    F.slice(ws, i * chunk_words + 1, chunk_words),
                     " ",
                 ),
             ),
@@ -1408,10 +1414,12 @@ def remove_repeated_chunks_within_doc(
         "filter(__chunks, (c, i) -> array_position(__chunks, c) = i + 1)"
     )
     return chunked.select(
+        id_col, "__chunks", kept.alias("__kept")
+    ).select(
         id_col,
         F.size("__chunks").alias("n_chunks"),
-        (F.size("__chunks") - F.size(kept)).alias("n_removed"),
-        F.array_join(kept, " ").alias("rebuilt_text"),
+        (F.size("__chunks") - F.size("__kept")).alias("n_removed"),
+        F.array_join("__kept", " ").alias("rebuilt_text"),
     )
 
 
@@ -1450,7 +1458,7 @@ def cdc_chunks(
     mirroring the SQL-window restatement exactly. Returns
     (id_col, __chunks array<string>).
     """
-    ws = F.split(F.col(text_col), " ")
+    ws = F.col("__cdc_ws")
     if boundary_hash == "xxhash64":
         def _is_boundary(i):
             return F.pmod(F.xxhash64(F.element_at(ws, i)),
@@ -1471,9 +1479,19 @@ def cdc_chunks(
     else:
         raise ValueError(f"unknown boundary_hash {boundary_hash!r} "
                          "(expected 'xxhash64' or 'md5')")
+    # Stage the word array and the boundary positions through their own
+    # projections: ``bpos`` (the per-word hash filter — the expensive
+    # interpreted-HOF expression) is referenced by BOTH ``starts`` and
+    # ``ends``, and ``ws`` several times more. Array HOFs fall back to
+    # interpreted evaluation where common-subexpression elimination does
+    # not apply, so inlined they evaluate once per reference — the
+    # per-word hashing ran twice per row. CollapseProject keeps the
+    # stages separate (the staged expressions are non-cheap), so each
+    # now evaluates exactly once. Same expressions, same results.
     bpos = F.filter(F.sequence(F.lit(1), F.size(ws)), _is_boundary)
-    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
-    ends = F.concat(bpos, F.array(F.size(ws)))
+    bp = F.col("__cdc_bp")
+    starts = F.concat(F.array(F.lit(1)), F.transform(bp, lambda p: p + 1))
+    ends = F.concat(bp, F.array(F.size(ws)))
     chunks = F.filter(
         F.zip_with(
             starts,
@@ -1482,7 +1500,13 @@ def cdc_chunks(
         ),
         lambda c: c != "",
     )
-    return docs.select(F.col(id_col), chunks.alias("__chunks"))
+    return (
+        docs.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__cdc_ws")
+        )
+        .select(F.col(id_col), ws, bpos.alias("__cdc_bp"))
+        .select(F.col(id_col), chunks.alias("__chunks"))
+    )
 
 
 def remove_repeated_chunks_cdc(

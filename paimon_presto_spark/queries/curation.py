@@ -1540,7 +1540,11 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     final exp() pass through DECIMAL(28,10).
     """
     d = load_table(spark, sf_dir, "documents")
-    arr = F.split(F.col("text"), " ")
+    # Project the token array FIRST (functions/text.py:shingle_array rule):
+    # an inlined split re-evaluates once per transform element inside the
+    # HOF lambda — O(len²) splitting per document.
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("__tk"))
+    arr = F.col("__tk")
     pairs = F.when(
         F.size(arr) >= 2,
         F.transform(
@@ -1551,13 +1555,13 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array())
-    bi = d.select("doc_id", F.explode(pairs).alias("p")).select(
+    bi = toks.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     cc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vsize = (
-        d.select(F.explode(arr).alias("w")).select("w").distinct().count()
+        toks.select(F.explode(arr).alias("w")).select("w").distinct().count()
     )
     scored = (
         bi.join(bc, ["w1", "w2"])
@@ -1826,7 +1830,11 @@ def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-test, so the selected formula can never differ cross-engine.
     """
     d = load_table(spark, sf_dir, "documents")
-    arr = F.split(F.col("text"), " ")
+    # Project the token array FIRST (functions/text.py:shingle_array rule):
+    # inlined, the split re-evaluates for every element_at inside the HOF
+    # lambda — n splits per gram position, O(len²) per document.
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("__tk"))
+    arr = F.col("__tk")
 
     def ngrams(n: int) -> DataFrame:
         fields = lambda i: [  # noqa: E731
@@ -1839,7 +1847,7 @@ def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.struct(*fields(i)),
             ),
         ).otherwise(F.array())
-        return d.select("doc_id", F.explode(grams).alias("g")).select(
+        return toks.select("doc_id", F.explode(grams).alias("g")).select(
             "doc_id", *[F.col(f"g.w{j + 1}").alias(f"w{j + 1}") for j in range(n)]
         )
 
@@ -1857,7 +1865,7 @@ def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c1 = bc.groupBy("b1").agg(F.sum("c2").alias("c1"))
     uni = (
-        d.filter(train)
+        toks.filter(train)
         .select(F.explode(arr).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
@@ -2104,7 +2112,11 @@ def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes each iteration pay exactly one rank-vs-edges join.
     """
     d = load_table(spark, sf_dir, "documents")
-    arr = F.split(F.col("text"), " ")
+    # Project the token array FIRST (functions/text.py:shingle_array rule):
+    # inlined, the split re-evaluates per transform element — O(len²)
+    # splitting inside the bigram explode.
+    toks = d.select(F.split(F.col("text"), " ").alias("__tk"))
+    arr = F.col("__tk")
     pairs = F.when(
         F.size(arr) >= 2,
         F.transform(
@@ -2115,7 +2127,7 @@ def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array())
-    bi = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bi = toks.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
     e = (
         bi.filter((F.col("w1") != "") & (F.col("w2") != ""))
         .groupBy("w1", "w2")

@@ -26,6 +26,18 @@ _DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Let the planner pick shuffled-hash join when one side fits per
+    # partition (guide: often beats sort-merge by skipping both sorts);
+    # SMJ remains the fallback when sizes don't qualify.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    # Larger AQE target partitions: fewer, bigger post-shuffle tasks (the
+    # shuffle-block count grows quadratically with task counts at scale;
+    # locally it trims scheduler overhead). Scale-adaptive by definition —
+    # AQE derives the partition count from measured bytes, not a constant.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    # zstd beats snappy on ratio at similar read speed for anything this
+    # engine writes (shards, catalog tables, scratch indexes).
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
