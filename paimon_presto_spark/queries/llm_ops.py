@@ -1879,17 +1879,13 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from paimon_presto_spark.queries.advanced import _scratch_dir
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     old = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 == 0)
     gate = F.size(F.split(F.col("text"), " ")) >= 20
     newq = new.filter(gate)
-    # one scan answers both stage counts (arrivals + gate survivors)
-    stage_counts = new.agg(
-        F.count(F.lit(1)).alias("n_new"),
-        F.count_if(gate).alias("n_newq"),
-    ).collect()[0]
-    n_new, n_newq = stage_counts["n_new"], stage_counts["n_newq"]
 
     wh = _scratch_dir("ingest-")
     cat = Catalog(spark, wh)
@@ -1898,7 +1894,6 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ing", "corpus", "doc_id bigint, text string",
         primary_keys=["doc_id"], options={"bucket": "4"},
     )
-    corpus.upsert(old)                       # snapshot 1: yesterday's corpus
     sig_ddl = "doc_id bigint, " + ", ".join(
         f"mh{i} bigint" for i in range(MINHASH_K)
     )
@@ -1906,56 +1901,88 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ing", "signatures", sig_ddl,
         primary_keys=["doc_id"], options={"bucket": "4"},
     )
-    sig_index.upsert(                        # seed: yesterday's index
-        minhash_signature(
-            shingle_hashes(old, "doc_id", "text", 3), MINHASH_K
+    # Overlap independent jobs (optimization guide §2.6): the corpus seed
+    # commit, the signature-index seed commit, and the stage-count scan
+    # touch disjoint tables/outputs and none depends on another — run the
+    # corpus seed on a helper thread so its job tail back-fills with the
+    # index seed's tasks instead of idling the executors. The probe below
+    # needs only the INDEX seed, which stays on this thread, completing
+    # before sig_index.to_df() is read; the corpus future is joined before
+    # the admitted commit (same table => snapshot order preserved).
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_corpus = pool.submit(corpus.upsert, old)  # snapshot 1
+        # one scan answers both stage counts (arrivals + gate survivors)
+        stage_counts = new.agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.count_if(gate).alias("n_newq"),
+        ).collect()[0]
+        n_new, n_newq = stage_counts["n_new"], stage_counts["n_newq"]
+        sig_index.upsert(                    # seed: yesterday's index
+            minhash_signature(
+                shingle_hashes(old, "doc_id", "text", 3), MINHASH_K
+            )
         )
-    )
 
-    # cache: BOTH drop branches below consume the pair list, and the
-    # expensive part of producing it is the exact-Jaccard candidate
-    # verify — uncached, that verify executes once per branch inside the
-    # single drop-set job (measured ~1.5x the stage cost at sf0.1).
-    pairs = minhash_lsh_pairs_incremental(
-        old, newq, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
-        threshold=JACCARD_THRESHOLD,
-        old_signatures=sig_index.to_df(),    # probe the STORED index
-    ).select("doc_a", "doc_b").cache()
-    new_ids = newq.select(F.col("doc_id").alias("nid"))
-    old_ids = old.select(F.col("doc_id").alias("oid"))
-    # a pair's doc_b is dropped whenever it is NEW (partner is old or a
-    # smaller-id new doc either way); doc_a is dropped only when its
-    # partner is OLD (a larger-id NEW partner drops the partner, not us)
-    drop_b = pairs.join(new_ids, pairs.doc_b == new_ids.nid).select("nid")
-    drop_a = (
-        pairs.join(new_ids, pairs.doc_a == new_ids.nid)
-        .join(old_ids, pairs.doc_b == old_ids.oid)
-        .select("nid")
-    )
-    # cache: the drop set is consumed by its own count AND the admit
-    # anti-join, and each branch above re-runs the Jaccard-verify
-    # intersection join — without the cache the expensive candidate
-    # verification executes ~4x (review round 8)
-    dropped = drop_b.unionByName(drop_a).distinct().cache()
-    n_dropped = dropped.count()
-    pairs.unpersist()        # dropped is materialized; pairs never re-read
-    admitted = newq.join(
-        dropped, newq.doc_id == dropped.nid, "left_anti"
-    )
-    corpus.upsert(admitted)                  # snapshot 2: today's commit
-    sig_index.upsert(                        # index maintenance: only the
-        minhash_signature(                   # admitted increment encodes
-            shingle_hashes(admitted, "doc_id", "text", 3), MINHASH_K
+        # cache: BOTH drop branches below consume the pair list, and the
+        # expensive part of producing it is the exact-Jaccard candidate
+        # verify — uncached, that verify executes once per branch inside
+        # the single drop-set job (measured ~1.5x the stage cost at
+        # sf0.1). The corpus seed future keeps running underneath — the
+        # probe reads only the signature INDEX, committed above.
+        pairs = minhash_lsh_pairs_incremental(
+            old, newq, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
+            threshold=JACCARD_THRESHOLD,
+            old_signatures=sig_index.to_df(),  # probe the STORED index
+        ).select("doc_a", "doc_b").cache()
+        new_ids = newq.select(F.col("doc_id").alias("nid"))
+        old_ids = old.select(F.col("doc_id").alias("oid"))
+        # a pair's doc_b is dropped whenever it is NEW (partner is old or
+        # a smaller-id new doc either way); doc_a is dropped only when its
+        # partner is OLD (a larger-id NEW partner drops the partner, not
+        # us)
+        drop_b = pairs.join(new_ids, pairs.doc_b == new_ids.nid).select("nid")
+        drop_a = (
+            pairs.join(new_ids, pairs.doc_a == new_ids.nid)
+            .join(old_ids, pairs.doc_b == old_ids.oid)
+            .select("nid")
         )
-    )
-    dropped.unpersist()
+        # cache: the drop set is consumed by its own count AND the admit
+        # anti-join, and each branch above re-runs the Jaccard-verify
+        # intersection join — without the cache the expensive candidate
+        # verification executes ~4x (review round 8)
+        dropped = drop_b.unionByName(drop_a).distinct().cache()
+        n_dropped = dropped.count()
+        pairs.unpersist()    # dropped is materialized; pairs never re-read
+        # cache + materialize: the admitted increment feeds BOTH commits
+        # below (corpus append and index maintenance), which run
+        # concurrently — materializing first means each reads the cached
+        # rows instead of racing to recompute the anti-join.
+        admitted = newq.join(
+            dropped, newq.doc_id == dropped.nid, "left_anti"
+        ).cache()
+        admitted.count()
+        fut_corpus.result()  # corpus table free: seed committed first
+        fut_admit = pool.submit(corpus.upsert, admitted)  # snapshot 2
+        sig_index.upsert(                    # index maintenance: only the
+            minhash_signature(               # admitted increment encodes
+                shingle_hashes(admitted, "doc_id", "text", 3), MINHASH_K
+            )
+        )
+        fut_admit.result()
+        dropped.unpersist()
 
-    final = corpus.to_df()
-    row = final.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(md5_long("text") % HASH_PRIME).alias("ck"),
-    ).collect()[0]
-    n_index = sig_index.to_df().count()
+        # final audit: the corpus read-back and the index count touch
+        # different tables — overlap them too.
+        final = corpus.to_df()
+        fut_row = pool.submit(
+            lambda: final.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(md5_long("text") % HASH_PRIME).alias("ck"),
+            ).collect()[0]
+        )
+        n_index = sig_index.to_df().count()
+        row = fut_row.result()
+        admitted.unpersist()
     return spark.createDataFrame(
         [
             ("new_arrivals", 0, int(n_new)),
