@@ -141,8 +141,32 @@ def weighted_quantiles(
         w.alias("__w"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _QUANTILE_CACHES.append(base)
-    totals = base.groupBy(*group_cols).agg(
-        F.sum("__w").alias("total_weight_dec")
+    # Level-0 group stats and the group weight totals share one
+    # aggregation over one pass of the base (same groupBy key): totals,
+    # the thresholds derived from them, and the validity counts all read
+    # the persisted stats instead of re-scanning the corpus — the thr /
+    # final-join consumers used to trigger one base pass EACH.
+    stats0 = (
+        base.groupBy(*group_cols)
+        .agg(
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__w").alias("__tw"),
+            F.sum(F.col("__v").isNull().cast("long")).alias("__vn"),
+            F.sum((F.col("__w") < 0).cast("long")).alias("__wn"),
+            F.sum(
+                sum(
+                    (F.col(g).isNull().cast("long") for g in group_cols),
+                    F.lit(0),
+                )
+            ).alias("__gn"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _QUANTILE_CACHES.append(stats0)
+    totals = stats0.select(
+        *group_cols, F.col("__tw").alias("total_weight_dec")
     )
     # one threshold row per (group, quantile): crossing condition is
     # __den * cum >= __rhs, rebased down the recursion as
@@ -164,7 +188,18 @@ def weighted_quantiles(
         _depth=0,
         _n_quantiles=len(quantiles),
         _validate=(value_col, weight_col),
+        _stats=stats0,
     )
+    # Materialize the (tiny: groups x quantiles rows) crossing table ONCE.
+    # Joined lazily per quantile below, its whole multi-level subtree —
+    # done-unions, edge passes, threshold joins — would re-evaluate per
+    # join side at the final action (Spark shares no subplans across join
+    # inputs); persisted and eagerly counted, it runs once against the
+    # build-time caches and every join side reads the cache. persist (not
+    # localCheckpoint) keeps the decomposition visible in the final plan.
+    located = located.persist(StorageLevel.MEMORY_AND_DISK)
+    _QUANTILE_CACHES.append(located)
+    located.count()
     out = totals
     for qid, (_, _, name) in enumerate(quantiles):
         out = out.join(
@@ -227,6 +262,7 @@ def _locate_crossing(
     _depth: int,
     _n_quantiles: int = 1,
     _validate: tuple[str, str] | None = None,
+    _stats: DataFrame | None = None,
 ) -> DataFrame:
     """One row per (group, __qid): the smallest ``__v`` where
     ``__den * cum(__w)`` (ascending-``__v`` cumulative weight within the
@@ -246,35 +282,19 @@ def _locate_crossing(
     # Persisted (ledgered): the stats feed the scalar collect DURING the
     # build and the done/open splits again at the final collect — without
     # the persist each consumer replays the aggregation chain. The
-    # level-0 call folds the validity counts into this same aggregation
-    # (one pass populates the base cache, the stats cache, AND validates
-    # the contract — no standalone validity scan).
-    aggs = [
-        F.min("__v").alias("__mn"),
-        F.max("__v").alias("__mx"),
-        F.count(F.lit(1)).alias("__n"),
-    ]
-    if _validate is not None:
-        aggs += [
-            F.sum(F.col("__v").isNull().cast("long")).alias("__vn"),
-            F.sum((F.col("__w") < 0).cast("long")).alias("__wn"),
-        ]
-        # A NULL group key would silently vanish through every internal
-        # equi-join (null-unsafe equality), not error — count those rows
-        # here (grouping collapses all-NULL keys into one stats row, so
-        # the count must ride the same aggregation).
-        aggs += [
-            F.sum(
-                sum(
-                    (F.col(g).isNull().cast("long") for g in group_cols),
-                    F.lit(0),
-                )
-            ).alias("__gn")
-        ]
-    stats = base.groupBy(*key).agg(*aggs).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _QUANTILE_CACHES.append(stats)
+    # level-0 caller passes its stats in (``_stats``): that aggregation
+    # additionally carries the group weight totals and validity counts,
+    # so one pass populates the base cache, the stats cache, the totals,
+    # AND validates the contract — no standalone validity or totals scan.
+    if _stats is not None:
+        stats = _stats
+    else:
+        stats = base.groupBy(*key).agg(
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+            F.count(F.lit(1)).alias("__n"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _QUANTILE_CACHES.append(stats)
     # Groups that cannot subdivide are already answered: one distinct
     # value means the crossing value IS that value for every quantile
     # (cum only steps at value boundaries and rhs <= den * total by
@@ -286,10 +306,10 @@ def _locate_crossing(
         done = done_stats.join(
             thr.select(*group_cols, "__qid"), group_cols
         ).select(*group_cols, "__qid", F.col("__mn").alias("__v"))
-    # drop ALL validation columns (validation already raised above) so
-    # none of them ride the broadcast into the per-row bucket join
+    # drop the totals + ALL validation columns (validation already raised
+    # above) so none of them ride the broadcast into the per-row bucket join
     open_stats = stats.filter(F.col("__mx") > F.col("__mn")).drop(
-        "__vn", "__wn", "__gn"
+        "__tw", "__vn", "__wn", "__gn"
     )
     scalar_aggs = [
         F.max(F.when(F.col("__mx") > F.col("__mn"), F.col("__n"))).alias(
