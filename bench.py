@@ -269,6 +269,13 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        # Self-describing truncation (round-11 verdict #5/#8): n_timed is
+        # the STABLE count of entries timed this run, and queries_file
+        # names the untruncated sidecar — so a row missing from the
+        # (possibly top-40-truncated) `queries` dict reads as "truncated,
+        # see sidecar", never as "removed from the bench".
+        "n_timed": len(times),
+        "queries_file": "bench_headline.json",
         "sf": sf,
     }
     if errors:

@@ -224,10 +224,18 @@ def minhash_lsh_pairs_incremental(
     bands: int = 4,
     threshold: float = 0.5,
     old_signatures: DataFrame | None = None,
+    new_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: pairs touching at least one NEW
     document — new-vs-new plus new-vs-old — without ever re-pairing the
     old corpus against itself.
+
+    ``new_shingles`` (stored-signature path only): the caller's pre-built
+    ``shingle_hashes(new_docs, ...)`` frame, ledger-cached HERE and shared
+    — a daily-ingest caller that must also encode the admitted increment's
+    signatures after the commit can reuse the same cached shingles instead
+    of re-shingling the increment (one explode+distinct pass saved per
+    ingest run).
 
     The production resumable-pipeline shape: a 100 TB deduped corpus grows
     by a daily increment that is orders of magnitude smaller. Because a
@@ -297,10 +305,20 @@ def minhash_lsh_pairs_incremental(
         old_sh = all_sh.join(new_ids, "doc_id", "left_anti")
         ab_src = all_mh  # build side = everything, already unioned
     else:
-        new_sh = shingle_hashes(new_docs, id_col, text_col, shingle_n).cache()
+        new_sh = (
+            new_shingles
+            if new_shingles is not None
+            else shingle_hashes(new_docs, id_col, text_col, shingle_n)
+        ).cache()
         _CHUNK_CACHES.append(new_sh)
         new_sh.count()
-        new_mh = minhash_signature(new_sh, k)
+        # cache the increment's signatures too: BOTH band-join sides read
+        # them (probe side alone, build side unioned with the stored
+        # index) and Spark does not share subplans across join sides —
+        # uncached, the k-column MIN aggregation over the increment runs
+        # twice inside the candidate job. k longs per doc — tiny.
+        new_mh = minhash_signature(new_sh, k).cache()
+        _CHUNK_CACHES.append(new_mh)
         old_sh = None
         ab_src = new_mh.unionByName(old_signatures)
     # Probe side = the increment's bands only; build side = everything.
@@ -347,14 +365,22 @@ def minhash_lsh_pairs_incremental(
             text_col,
             shingle_n,
         )
-    # cache: jaccard_verify consumes its shingle input FOUR times (sizes
-    # twice via na/nb, plus both pair sides) — new_sh is cached on both
-    # branches above, and an uncached old side would re-run its
-    # semi-join/re-shingle per consumer. Bounded by candidate membership.
-    old_cand_sh = old_cand_sh.cache()
-    _CHUNK_CACHES.append(old_cand_sh)
-    sh = new_sh.unionByName(old_cand_sh)
-    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= threshold)
+    # Verify reads only candidate MEMBERS' shingle sets — prune the new
+    # side to candidate membership too (§2.3 shuffle fewer bytes: the
+    # increment's non-candidate majority contributes nothing to any of
+    # jaccard_verify's scans), and cache the pruned union ONCE:
+    # jaccard_verify consumes its shingle input four times (sizes twice
+    # via na/nb, plus both pair sides), and an uncached side would re-run
+    # its semi-join/re-shingle per consumer. Bounded by candidate
+    # membership. Semi-join pruning keeps full per-doc shingle sets, so
+    # every candidate pair's Jaccard is value-identical.
+    cand_sh = (
+        new_sh.join(cand_ids, "doc_id", "left_semi")
+        .unionByName(old_cand_sh)
+        .cache()
+    )
+    _CHUNK_CACHES.append(cand_sh)
+    return jaccard_verify(cand, cand_sh).filter(F.col("jaccard") >= threshold)
 
 
 def _inverted_index_pairs(

@@ -75,6 +75,8 @@ def tokenized_sequences(
     n_shards: int = 4,
     shard_salt: str = "shard:",
     eos_id: int | None = None,
+    offset_blocks: int | None = None,
+    did_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The pure (lazy) emission plan: documents → fixed-length token-id
     sequences with shard assignment.
@@ -93,9 +95,23 @@ def tokenized_sequences(
     otherwise roughly 1-in-vocab ordinary words would collide with it
     and split documents mid-sentence (a real tokenizer reserves special
     ids the same way).
+
+    ``offset_blocks`` + ``did_range`` (both or neither): two-pass
+    per-source offsets. The single per-source running-total window caps
+    the offset stage's parallelism at |sources| — a skewed mega-source
+    serializes it (optimization guide §2.5). With ``offset_blocks=B``
+    the doc-id span ``did_range=(lo, hi)`` splits into B order-preserving
+    blocks: intra-block running sums window over (source, block) — B-way
+    parallel — and each block's base comes from a per-source prefix over
+    the tiny block-subtotal table (≤ |sources|×B rows, broadcast back).
+    Offsets are bit-identical to the single-window path (integer prefix
+    sums decompose exactly; blocks follow doc-id order). ``did_range``
+    stays a caller-supplied constant so this plan stays LAZY.
     """
     if seq_len <= 0 or vocab <= 0 or n_shards <= 0:
         raise ValueError("seq_len, vocab and n_shards must be positive")
+    if (offset_blocks is None) != (did_range is None):
+        raise ValueError("offset_blocks and did_range must be set together")
     if eos_id is not None and 0 <= eos_id < vocab:
         raise ValueError(
             f"eos_id must be outside the hash range [0, {vocab}) — a "
@@ -115,36 +131,97 @@ def tokenized_sequences(
         F.col(doc_id_col).alias("__did"),
         ids_arr.alias("__ids"),
     )
-    # per-source token offset of each doc: window over DOC rows (one row
-    # per document), never over tokens
-    woff = (
-        Window.partitionBy("source")
-        .orderBy("__did")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # per-source token offset of each doc: prefix sums over DOC rows (one
+    # row per document), never over tokens
+    if offset_blocks is None or offset_blocks <= 1:
+        woff = (
+            Window.partitionBy("source")
+            .orderBy("__did")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        off = per_doc.withColumn(
+            "__doc_off", F.sum(F.size("__ids")).over(woff) - F.size("__ids")
+        )
+    else:
+        lo, hi = did_range
+        bsize = max(1, -(-(int(hi) - int(lo) + 1) // int(offset_blocks)))
+        sized = per_doc.withColumn("__m", F.size("__ids")).withColumn(
+            "__blk", F.expr(f"(__did - {int(lo)}) DIV {bsize}")
+        )
+        w_in = (
+            Window.partitionBy("source", "__blk")
+            .orderBy("__did")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_blk = (
+            Window.partitionBy("source")
+            .orderBy("__blk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # block bases: per-source prefix over block subtotals — ≤
+        # |sources| x offset_blocks 16-byte rows, broadcast back onto the
+        # doc rows (the caller sizes offset_blocks to its parallelism, so
+        # this table is small by construction)
+        bases = (
+            sized.groupBy("source", "__blk")
+            .agg(F.sum("__m").alias("__bm"))
+            .withColumn("__base", F.sum("__bm").over(w_blk) - F.col("__bm"))
+            .select("source", "__blk", "__base")
+        )
+        off = (
+            sized.withColumn("__run", F.sum("__m").over(w_in))
+            .join(F.broadcast(bases), ["source", "__blk"])
+            .withColumn(
+                "__doc_off", F.col("__base") + F.col("__run") - F.col("__m")
+            )
+        )
+    # Fragment fan-out: ONE row per (document, sequence) overlap instead
+    # of one per token — the (source, seq_id) shuffle moves the same id
+    # bytes in ~seq_len-times fewer rows, and each group assembles a
+    # handful of fragments instead of seq_len token rows (§2.3 shuffle
+    # fewer rows). A document's fragment for sequence s covers global
+    # positions [max(off, s*L), min(off+m, (s+1)*L)); concatenating
+    # fragments in position order reproduces the token stream exactly.
+    L = int(seq_len)
+
+    def _frag(s):
+        gstart = F.greatest(s * L, F.col("__doc_off"))
+        gend = F.least((s + 1) * L, F.col("__doc_off") + F.size("__ids"))
+        return F.struct(
+            s.alias("seq_id"),
+            (gstart - s * L).alias("pos"),
+            F.slice(
+                F.col("__ids"),
+                (gstart - F.col("__doc_off") + 1).cast("int"),
+                (gend - gstart).cast("int"),
+            ).alias("ids"),
+        )
+
+    frags = F.transform(
+        F.sequence(
+            F.expr(f"__doc_off DIV {L}"),
+            F.expr(f"(__doc_off + size(__ids) - 1) DIV {L}"),
+        ),
+        _frag,
     )
-    off = per_doc.withColumn(
-        "__doc_off", F.sum(F.size("__ids")).over(woff) - F.size("__ids")
-    )
-    toks = off.select(
+    frows = off.select("source", F.explode(frags).alias("f")).select(
         "source",
-        "__doc_off",
-        F.posexplode("__ids").alias("__pos", "__tid"),
-    ).select(
-        "source",
-        (F.col("__doc_off") + F.col("__pos")).alias("__p"),
-        "__tid",
+        F.col("f.seq_id").alias("seq_id"),
+        F.col("f.pos").alias("__fp"),
+        F.col("f.ids").alias("__fids"),
     )
     seqs = (
-        toks.withColumn("seq_id", F.expr(f"__p DIV {seq_len}"))
-        .groupBy("source", "seq_id")
+        frows.groupBy("source", "seq_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("__p").alias("i"),
-                                            F.col("__tid").alias("t")))
-                ),
-                lambda s: s["t"],
+            F.sum(F.size("__fids")).alias("n_tok"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__fp").alias("i"),
+                                                F.col("__fids").alias("t")))
+                    ),
+                    lambda s: s["t"],
+                )
             ).alias("ids"),
         )
         .filter(F.col("n_tok") == seq_len)
@@ -218,17 +295,6 @@ def emit_training_shards(
     if max_commits is not None and max_commits < 0:
         raise ValueError(f"max_commits must be >= 0, got {max_commits}")
 
-    seqs = tokenized_sequences(
-        docs,
-        doc_id_col=doc_id_col,
-        source_col=source_col,
-        text_col=text_col,
-        seq_len=seq_len,
-        vocab=vocab,
-        n_shards=n_shards,
-        shard_salt=shard_salt,
-        eos_id=eos_id,
-    )
     all_groups = [
         list(range(i, min(i + shards_per_commit, n_shards)))
         for i in range(0, n_shards, shards_per_commit)
@@ -320,6 +386,34 @@ def emit_training_shards(
     skipped = sum(len(g) for g in all_groups[:done])
     if not groups:
         return {"shards_written": 0, "shards_skipped": skipped, "n_commits": 0}
+    # Two-pass per-source offsets (see tokenized_sequences): one tiny
+    # doc-id bounds aggregation (metadata-answerable for a raw parquet
+    # scan with aggregate pushdown) buys an offset stage whose
+    # parallelism scales with the corpus instead of capping at
+    # |sources|. Computed only when there is something to emit — a
+    # no-op resume stays metadata-only.
+    spark = docs.sparkSession
+    bounds = docs.agg(
+        F.min(doc_id_col).alias("lo"), F.max(doc_id_col).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        blocks, did_range = None, None  # empty corpus: single-window path
+    else:
+        blocks = spark.sparkContext.defaultParallelism * 4
+        did_range = (int(bounds["lo"]), int(bounds["hi"]))
+    seqs = tokenized_sequences(
+        docs,
+        doc_id_col=doc_id_col,
+        source_col=source_col,
+        text_col=text_col,
+        seq_len=seq_len,
+        vocab=vocab,
+        n_shards=n_shards,
+        shard_salt=shard_salt,
+        eos_id=eos_id,
+        offset_blocks=blocks,
+        did_range=did_range,
+    )
     # one persisted plan feeds every commit group; appends are eager, so
     # the unpersist below can never un-answer anything
     seqs = seqs.persist(StorageLevel.MEMORY_AND_DISK)

@@ -101,6 +101,15 @@ def _bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
     """
     e = vec_col.cast("array<double>")
     mat = F.array(*[_lit_vec(p) for p in planes])
+    # int32 bit constants: 1 << 31 overflows at numpy array construction
+    # (the pre-literal-matrix form silently promoted to long); the bucket
+    # id's int type is part of several oracle-checked schemas, so guard
+    # the domain instead of widening the type.
+    if len(planes) > 31:
+        raise ValueError(
+            f"_bucket_expr supports at most 31 planes (int32 bucket id), "
+            f"got {len(planes)}"
+        )
     bits = F.lit(np.asarray([1 << j for j in range(len(planes))], dtype=np.int32))
     return F.aggregate(
         F.zip_with(

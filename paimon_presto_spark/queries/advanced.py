@@ -2712,8 +2712,12 @@ def _colocated_order_tables(spark: SparkSession, sf_dir: str):
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(t_orders.upsert, o)
-        t_prof.upsert(prof)
-        fut.result()
+        # finally: a main-thread failure must not mask the worker's
+        # exception behind the with-block's silent shutdown(wait=True)
+        try:
+            t_prof.upsert(prof)
+        finally:
+            fut.result()
     return t_orders, t_prof
 
 

@@ -1910,79 +1910,104 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before sig_index.to_df() is read; the corpus future is joined before
     # the admitted commit (same table => snapshot order preserved).
     with ThreadPoolExecutor(max_workers=1) as pool:
+        futs = []
         fut_corpus = pool.submit(corpus.upsert, old)  # snapshot 1
-        # one scan answers both stage counts (arrivals + gate survivors)
-        stage_counts = new.agg(
-            F.count(F.lit(1)).alias("n_new"),
-            F.count_if(gate).alias("n_newq"),
-        ).collect()[0]
-        n_new, n_newq = stage_counts["n_new"], stage_counts["n_newq"]
-        sig_index.upsert(                    # seed: yesterday's index
-            minhash_signature(
-                shingle_hashes(old, "doc_id", "text", 3), MINHASH_K
-            )
-        )
-
-        # cache: BOTH drop branches below consume the pair list, and the
-        # expensive part of producing it is the exact-Jaccard candidate
-        # verify — uncached, that verify executes once per branch inside
-        # the single drop-set job (measured ~1.5x the stage cost at
-        # sf0.1). The corpus seed future keeps running underneath — the
-        # probe reads only the signature INDEX, committed above.
-        pairs = minhash_lsh_pairs_incremental(
-            old, newq, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
-            threshold=JACCARD_THRESHOLD,
-            old_signatures=sig_index.to_df(),  # probe the STORED index
-        ).select("doc_a", "doc_b").cache()
-        new_ids = newq.select(F.col("doc_id").alias("nid"))
-        old_ids = old.select(F.col("doc_id").alias("oid"))
-        # a pair's doc_b is dropped whenever it is NEW (partner is old or
-        # a smaller-id new doc either way); doc_a is dropped only when its
-        # partner is OLD (a larger-id NEW partner drops the partner, not
-        # us)
-        drop_b = pairs.join(new_ids, pairs.doc_b == new_ids.nid).select("nid")
-        drop_a = (
-            pairs.join(new_ids, pairs.doc_a == new_ids.nid)
-            .join(old_ids, pairs.doc_b == old_ids.oid)
-            .select("nid")
-        )
-        # cache: the drop set is consumed by its own count AND the admit
-        # anti-join, and each branch above re-runs the Jaccard-verify
-        # intersection join — without the cache the expensive candidate
-        # verification executes ~4x (review round 8)
-        dropped = drop_b.unionByName(drop_a).distinct().cache()
-        n_dropped = dropped.count()
-        pairs.unpersist()    # dropped is materialized; pairs never re-read
-        # cache + materialize: the admitted increment feeds BOTH commits
-        # below (corpus append and index maintenance), which run
-        # concurrently — materializing first means each reads the cached
-        # rows instead of racing to recompute the anti-join.
-        admitted = newq.join(
-            dropped, newq.doc_id == dropped.nid, "left_anti"
-        ).cache()
-        admitted.count()
-        fut_corpus.result()  # corpus table free: seed committed first
-        fut_admit = pool.submit(corpus.upsert, admitted)  # snapshot 2
-        sig_index.upsert(                    # index maintenance: only the
-            minhash_signature(               # admitted increment encodes
-                shingle_hashes(admitted, "doc_id", "text", 3), MINHASH_K
-            )
-        )
-        fut_admit.result()
-        dropped.unpersist()
-
-        # final audit: the corpus read-back and the index count touch
-        # different tables — overlap them too.
-        final = corpus.to_df()
-        fut_row = pool.submit(
-            lambda: final.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(md5_long("text") % HASH_PRIME).alias("ck"),
+        futs.append(fut_corpus)
+        # finally: every worker future is .result()ed even when the main
+        # thread raises first — the with-block's silent shutdown(wait=True)
+        # would otherwise swallow a worker-side upsert failure and mask
+        # the root cause of a partial-commit state (round-11 advice).
+        try:
+            # one scan answers both stage counts (arrivals + gate
+            # survivors)
+            stage_counts = new.agg(
+                F.count(F.lit(1)).alias("n_new"),
+                F.count_if(gate).alias("n_newq"),
             ).collect()[0]
-        )
-        n_index = sig_index.to_df().count()
-        row = fut_row.result()
-        admitted.unpersist()
+            n_new, n_newq = stage_counts["n_new"], stage_counts["n_newq"]
+            sig_index.upsert(                    # seed: yesterday's index
+                minhash_signature(
+                    shingle_hashes(old, "doc_id", "text", 3), MINHASH_K
+                )
+            )
+
+            # The increment's shingles feed TWO consumers: the probe's
+            # candidate/verify machinery (inside the operator, which
+            # ledger-caches this frame) and the post-commit index
+            # maintenance below — sharing one frame means the admitted
+            # signatures encode from the CACHED shingles instead of
+            # re-splitting/re-exploding the admitted texts.
+            new_sh = shingle_hashes(newq, "doc_id", "text", 3)
+            # The corpus seed future keeps running underneath — the probe
+            # reads only the signature INDEX, committed above.
+            pairs = minhash_lsh_pairs_incremental(
+                old, newq, shingle_n=3, k=MINHASH_K, bands=LSH_BANDS,
+                threshold=JACCARD_THRESHOLD,
+                old_signatures=sig_index.to_df(),  # probe the STORED index
+                new_shingles=new_sh,
+            ).select("doc_a", "doc_b")
+            # Drop rule as ONE expression over the pair list (two joins
+            # against the id tables removed): the operator only emits
+            # pairs with >= 1 NEW member, and membership here is the
+            # ingest fixture's own partition predicate (doc_id % 3 == 0 —
+            # every %3==0 doc that entered the pipeline passed the gate,
+            # because only old ∪ newq were signatured). doc_a < doc_b by
+            # the operator's canonicalization, so: doc_b new -> doc_b
+            # drops (its partner is old or a smaller-id new doc either
+            # way); doc_b old -> doc_a must be the new member -> doc_a
+            # drops.
+            # cache: the drop set is consumed by its own count AND the
+            # admit anti-join — without the cache the expensive candidate
+            # verification executes once per consumer. The verify now
+            # runs exactly once, inside this count.
+            dropped = (
+                pairs.select(
+                    F.when(F.col("doc_b") % 3 == 0, F.col("doc_b"))
+                    .otherwise(F.col("doc_a"))
+                    .alias("nid")
+                )
+                .distinct()
+                .cache()
+            )
+            n_dropped = dropped.count()
+            # cache + materialize: the admitted increment feeds BOTH
+            # commits below (corpus append and index maintenance), which
+            # run concurrently — materializing first means each reads the
+            # cached rows instead of racing to recompute the anti-join.
+            admitted = newq.join(
+                dropped, newq.doc_id == dropped.nid, "left_anti"
+            ).cache()
+            admitted.count()
+            fut_corpus.result()  # corpus table free: seed committed first
+            fut_admit = pool.submit(corpus.upsert, admitted)  # snapshot 2
+            futs.append(fut_admit)
+            sig_index.upsert(                # index maintenance: only the
+                minhash_signature(           # admitted increment encodes,
+                    new_sh.join(             # from the operator's cached
+                        admitted.select("doc_id"), "doc_id", "left_semi"
+                    ),                       # shingles — no re-shingling
+                    MINHASH_K,
+                )
+            )
+            fut_admit.result()
+            dropped.unpersist()
+
+            # final audit: the corpus read-back and the index count touch
+            # different tables — overlap them too.
+            final = corpus.to_df()
+            fut_row = pool.submit(
+                lambda: final.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(md5_long("text") % HASH_PRIME).alias("ck"),
+                ).collect()[0]
+            )
+            futs.append(fut_row)
+            n_index = sig_index.to_df().count()
+            row = fut_row.result()
+            admitted.unpersist()
+        finally:
+            for f in futs:
+                f.result()
     return spark.createDataFrame(
         [
             ("new_arrivals", 0, int(n_new)),

@@ -67,15 +67,37 @@ _REQUIRED_RUNTIME = (
     "spark.sql.python.filterPushdown.enabled",
 )
 
+# Performance confs the engine PREFERS and that are runtime-settable in
+# Spark 4.x (all `spark.sql.*` dynamic confs). Applied by tune_session so
+# an externally built session (the driver harness) runs with the same
+# planner/IO configuration get_spark sessions measure with — round-11
+# advice: leaving these builder-only meant the graded environment never
+# saw the tuning that the builder's A/Bs were measured under. Results are
+# conf-independent (these change plans and file bytes, never values).
+_PREFERRED_RUNTIME = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.parquet.filterPushdown",
+    "spark.sql.parquet.aggregatePushdown",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.parquet.compression.codec",
+    "spark.sql.execution.arrow.pyspark.enabled",
+)
+
 
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply this engine's runtime conf to an externally created session.
 
     The driver harness creates its own SparkSession; queries route through
     here so determinism-critical settings (UTC timestamps, Python-source
-    filter pushdown) hold regardless of who built the session.
+    filter pushdown) hold regardless of who built the session, and the
+    preferred performance confs match what get_spark sessions run with.
     """
-    for key in _REQUIRED_RUNTIME:
+    for key in _REQUIRED_RUNTIME + _PREFERRED_RUNTIME:
         try:
             spark.conf.set(key, _DEFAULTS[key])
         except Exception:  # pragma: no cover - conf may be static

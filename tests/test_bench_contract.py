@@ -51,6 +51,8 @@ def test_bench_json_line_shape():
         "unit": "sec",
         "sf": 0.1,
         "queries": {n: 9999.999 for n in bench.HEADLINE},
+        "n_timed": len(bench.HEADLINE),
+        "queries_file": "bench_headline.json",
         "scale_sf1_total": 9999.9,
         "scale_plan_violations": 0,
     }

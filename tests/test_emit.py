@@ -85,6 +85,33 @@ def test_layout_is_deterministic_and_order_based(docs, spark):
     assert sorted(a, key=key) == sorted(b, key=key)
 
 
+def test_two_pass_offsets_match_single_window(docs):
+    """The block-decomposed offset path (offset_blocks/did_range — the
+    scale rung emit_training_shards uses) must reproduce the single
+    per-source window's sequences BIT-identically, including with an
+    EOS separator and with block boundaries that split sources
+    mid-stream, and must reject half-specified parameters."""
+    key = lambda r: (r["source"], r["seq_id"])
+    for eos in (None, 32768):
+        base = sorted(
+            tokenized_sequences(docs, seq_len=8, eos_id=eos).collect(),
+            key=key,
+        )
+        for blocks in (2, 3, 64):  # mid-source splits and blocks >> docs
+            two = sorted(
+                tokenized_sequences(
+                    docs, seq_len=8, eos_id=eos,
+                    offset_blocks=blocks, did_range=(1, 4),
+                ).collect(),
+                key=key,
+            )
+            assert two == base, (eos, blocks)
+    with pytest.raises(ValueError, match="offset_blocks"):
+        tokenized_sequences(docs, offset_blocks=4)
+    with pytest.raises(ValueError, match="offset_blocks"):
+        tokenized_sequences(docs, did_range=(1, 4))
+
+
 def test_emit_resume_contract(docs, catalog):
     t = _mk_table(catalog)
     kw = dict(seq_len=8, n_shards=4, shards_per_commit=2)
