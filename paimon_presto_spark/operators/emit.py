@@ -161,9 +161,23 @@ def tokenized_sequences(
         # block bases: per-source prefix over block subtotals — ≤
         # |sources| x offset_blocks 16-byte rows, broadcast back onto the
         # doc rows (the caller sizes offset_blocks to its parallelism, so
-        # this table is small by construction)
+        # this table is small by construction). Spark shares no subplans
+        # across join sides, so this subtree re-scans the input: count
+        # tokens from the raw text (split size — identical to
+        # size(__ids) because transform preserves length) instead of
+        # re-hashing every token through md5 a second time.
+        m_cheap = F.size(F.split(F.col(text_col), " "))
+        if eos_id is not None:
+            m_cheap = m_cheap + F.lit(1)
         bases = (
-            sized.groupBy("source", "__blk")
+            docs.select(
+                F.col(source_col).alias("source"),
+                F.expr(
+                    f"(`{doc_id_col}` - {int(lo)}) DIV {bsize}"
+                ).alias("__blk"),
+                m_cheap.alias("__m"),
+            )
+            .groupBy("source", "__blk")
             .agg(F.sum("__m").alias("__bm"))
             .withColumn("__base", F.sum("__bm").over(w_blk) - F.col("__bm"))
             .select("source", "__blk", "__base")
@@ -415,8 +429,13 @@ def emit_training_shards(
         did_range=did_range,
     )
     # one persisted plan feeds every commit group; appends are eager, so
-    # the unpersist below can never un-answer anything
-    seqs = seqs.persist(StorageLevel.MEMORY_AND_DISK)
+    # the unpersist below can never un-answer anything. A single-group
+    # call (e.g. a budget-capped run or the last resume step) skips the
+    # persist: nothing would be re-read, and the unpersisted plan keeps
+    # full AQE on the write — output files sized by measured bytes
+    # instead of one file per cached partition (guide §6 small files).
+    if len(groups) > 1:
+        seqs = seqs.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         written = 0
         for k, g in enumerate(groups):
@@ -426,7 +445,8 @@ def emit_training_shards(
             )
             written += len(g)
     finally:
-        seqs.unpersist(False)
+        if len(groups) > 1:
+            seqs.unpersist(False)
     return {
         "shards_written": written,
         "shards_skipped": skipped,
