@@ -43,3 +43,76 @@ def catalog(spark, warehouse):
 
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Slow-test ledger (round 12, VERDICT #1: the driver's pytest budget cut the
+# full 30-minute suite mid-run while every test was green). The default
+# collection excludes these via pytest.ini's `addopts = -m "not slow"`; the
+# full suite runs with `pytest -m ""`. Durations are from the round-12
+# measured run (/1792 s total, 487 tests); the fast core is ~650 s nominal.
+# Marking is fail-safe: a renamed test simply drops back into the default
+# (fast) collection — coverage is never silently lost, only time regained.
+# Tests guarding code TOUCHED in round 12 (emit two-pass offsets, emit
+# resume, incremental minhash equivalence) stay in the fast core on purpose.
+
+# whole files: randomized/property suites, every test ≥ 5 s
+_SLOW_FILES = {
+    "tests/test_merge_on_read_property.py",   # 149 s
+    "tests/test_hamming_property.py",         # 116 s
+    "tests/test_scan_pruning_property.py",    # 106 s
+    "tests/test_colocated_property.py",       #  41 s
+    "tests/test_r7_property.py",              #  25 s
+    "tests/test_quantile_property.py",        #  20 s
+}
+
+# individual tests ≥ 5 s outside those files (measured call+setup seconds)
+_SLOW_TESTS = {
+    "tests/test_registry_contract.py::test_all_query_outputs_are_hashable_scalars",  # 264
+    "tests/test_operators.py::test_weighted_quantiles_decomposition_equals_single_window",  # 84
+    "tests/test_streaming.py::test_stream_stream_interval_join",  # 28
+    "tests/test_retrieval.py::test_pq_encode_rungs_bit_identical",  # 22
+    "tests/test_operators.py::test_connected_components_star_rung_chain_equivalence",  # 17
+    "tests/test_retrieval.py::test_connected_components_match_union_find",  # 15
+    "tests/test_operators.py::test_tfidf_prefix_filter_is_exact",  # 13
+    "tests/test_avro_format.py::test_avro_map_column_roundtrip",  # 13
+    "tests/test_table_format.py::test_snapshots_system_table",  # 12
+    "tests/test_retrieval.py::test_bm25_matches_reference_on_random_corpora",  # 11
+    "tests/test_operators.py::test_connected_components_long_chain_converges",  # 10
+    "tests/test_operators.py::test_connected_components_matches_union_find_property",  # 10
+    "tests/test_streaming.py::test_stateful_running_totals",  # 10
+    "tests/test_table_format.py::TestSequenceField::test_lookup_changelog_skips_losing_writes",  # 10
+    "tests/test_operators.py::test_curate_corpus_end_to_end",  # 8
+    "tests/test_deletion_vectors.py::test_partial_compaction_folds_dv_for_hot_files_only",  # 8
+    "tests/test_avro_format.py::test_datasource_reads_avro_table",  # 7
+    "tests/test_operators.py::test_select_until_budget_equals_global_window",  # 7
+    "tests/test_table_format.py::TestMergeInto::test_merge_emits_mixed_changelog",  # 7
+    "tests/test_operators.py::test_select_until_budget_recurses_on_oversized_tie_bucket",  # 7
+    "tests/test_table_format.py::test_time_travel_timestamp",  # 7
+    "tests/test_streaming.py::test_retraction_stream",  # 7
+    "tests/test_datasource.py::test_stream_cdc_replication_with_deletes",  # 7
+    "tests/test_table_format.py::test_time_travel_snapshot",  # 6
+    "tests/test_operators.py::test_kmeans_centroids_recover_clusters",  # 6
+    "tests/test_datasource.py::TestStreamReader::test_consumer_option_records_progress",  # 6
+    "tests/test_table_format.py::test_partition_prune_mixed_conjuncts",  # 6
+    "tests/test_dynamic_bucket.py::test_dynamic_with_deletion_vectors",  # 6
+    "tests/test_table_format.py::test_compact_preserves_state",  # 6
+    "tests/test_table_format.py::TestLookupChangelogProducer::test_expiry_reclaims_changelog",  # 6
+    "tests/test_dynamic_bucket.py::test_bucket_growth_and_key_stability",  # 6
+    "tests/test_deletion_vectors.py::test_dv_matches_merge_on_read",  # 6
+    "tests/test_table_format.py::TestLookupChangelogProducer::test_works_with_deletion_vectors",  # 6
+    "tests/test_datasource.py::TestStreamReader::test_stream_across_commits_and_compaction",  # 6
+    "tests/test_datasource.py::TestStreamWriter::test_paimon_to_paimon_pipeline",  # 6
+    "tests/test_avro_format.py::test_avro_pk_upsert_merge_on_read",  # 6
+    "tests/test_table_format.py::test_filter_current",  # 5
+    "tests/test_table_format.py::TestLookupChangelogProducer::test_upsert_and_delete_changelog",  # 5
+    "tests/test_datasource.py::TestStreamWriter::test_stream_write_upserts_pk_sink",  # 5
+    "tests/test_operators.py::test_weighted_quantiles_cache_ledger_bounded",  # 5
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        path = item.nodeid.split("::")[0]
+        if path in _SLOW_FILES or item.nodeid in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
