@@ -26,10 +26,14 @@ _DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
-    # Let the planner pick shuffled-hash join when one side fits per
-    # partition (guide: often beats sort-merge by skipping both sorts);
-    # SMJ remains the fallback when sizes don't qualify.
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # preferSortMergeJoin stays at its DEFAULT (true). Round 12 A/B'd the
+    # =false flip in isolation (same session, alternating reps,
+    # plans/r12/ab_prefer_smj.log): neutral at sf0.1 (one mild win, q18),
+    # and consistently slightly SLOWER at the sf1 stress on the two
+    # heaviest join entries (minhash_lsh 7.70/8.25 s true vs 8.47/8.30 s
+    # false; keep_best 10.53/11.92 vs 11.24/14.45) — while shuffled-hash
+    # join cannot spill its build side, an OOM risk on skewed builds at
+    # the 100 TB design point (round-11 advice). Retired, not kept.
     # Larger AQE target partitions: fewer, bigger post-shuffle tasks (the
     # shuffle-block count grows quadratically with task counts at scale;
     # locally it trims scheduler overhead). Scale-adaptive by definition —
