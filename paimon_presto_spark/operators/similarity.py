@@ -764,7 +764,7 @@ def semdedup(
     # re-evaluates the k x dim argmax expression over the full corpus
     # (measured 3x the runtime at the sf1 stress; same pattern as
     # minhash_lsh_pairs' shingle cache).
-    assigned.count()
+    n_assigned = assigned.count()
     if pair_backend == "auto":
         # one k-row aggregation over the already-cached assignment
         max_pop = (
@@ -782,6 +782,20 @@ def semdedup(
             F.col("__n").alias("__na"), F.col("cos_centroid").alias("__ca"),
             "cluster",
         )
+        # The quadratic pair stage's parallelism is the PROBE side's
+        # partitioning: when `b` broadcasts (small corpora), no exchange
+        # ever re-spreads `a`, so the O(pop²) dot-product work runs at
+        # the scan's split count — 4 tasks on a 32-core box for a
+        # single-small-file scan (measured 38 s of executor CPU in 4
+        # tasks at the sf1 stress). Spread it to the session's
+        # parallelism, gated by measured size so a 100 TB corpus — whose
+        # join shuffles both sides anyway and would only waste a full
+        # extra exchange — never pays it (guide §2.6 idle capacity;
+        # same measured-adaptivity pattern as the blas `auto` rung).
+        sc = vectors.sparkSession.sparkContext
+        dim = len(unit[0][1]) if unit else 0
+        if n_assigned * max(dim, 1) * 8 < (1 << 28):
+            a = a.repartition(sc.defaultParallelism, "__ida")
         b = assigned.select(
             F.col("__id").alias("__idb"), F.col("__emb").alias("__embb"),
             F.col("__n").alias("__nb"), F.col("cos_centroid").alias("__cb"),
@@ -922,7 +936,8 @@ def semdedup_incremental(
         )
 
     new_a = assign(new).cache()
-    new_a.count()  # one argmax evaluation (see semdedup's cache rationale)
+    # one argmax evaluation (see semdedup's cache rationale)
+    n_new = new_a.count()
     olds = assign(old)
     both = olds.withColumn("__isold", F.lit(True)).unionByName(
         new_a.withColumn("__isold", F.lit(False))
@@ -946,6 +961,15 @@ def semdedup_incremental(
             F.col("__n").alias("__na"), F.col("cos_centroid").alias("__ca"),
             "cluster",
         )
+        # Same probe-side spread as semdedup's codegen rung (see there):
+        # when `b` broadcasts, the quadratic stage runs at the increment
+        # scan's split count; spread a small increment to the session's
+        # parallelism, size-gated so a huge increment (whose join
+        # shuffles anyway) never pays an extra exchange.
+        sc = new.sparkSession.sparkContext
+        dim = len(unit[0][1]) if unit else 0
+        if n_new * max(dim, 1) * 8 < (1 << 28):
+            a = a.repartition(sc.defaultParallelism, "__ida")
         b = both.select(
             F.col("__id").alias("__idb"), F.col("__emb").alias("__embb"),
             F.col("__n").alias("__nb"), F.col("cos_centroid").alias("__cb"),
